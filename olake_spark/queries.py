@@ -1,0 +1,308 @@
+"""Query registry: every implemented operator as a (Spark, DuckDB-oracle) pair.
+
+This is the engine's correctness surface. Each entry is a named operator from
+SURVEY.md §2 (or a beyond-parity training-data operator) expressed twice:
+
+- a Spark builder ``(spark, sf_dir) -> DataFrame`` using the engine's
+  operators, and
+- an ANSI-SQL oracle string executed by DuckDB over the same parquet tables.
+
+Column names are aliased identically on both sides (the driver's comparator
+sorts columns by name before hashing). Determinism rules applied throughout:
+
+- no wall-clock columns in compared output (``_olake_timestamp`` is excluded
+  from correctness queries; ``entry()`` still stamps it),
+- timestamps are compared as epoch-milliseconds or formatted strings (parquet
+  ns-precision truncates differently across engines),
+- doubles that pass through untouched are compared raw; doubles produced by
+  aggregation are rounded to a fixed scale on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from olake_spark.functions.olake_columns import olake_id_column
+from olake_spark.plans.chunks import split_numeric_range
+from olake_spark.plans.filters import FilterCondition, StreamFilter, parse_legacy_filter
+from olake_spark.sources.files import read_table
+
+__all__ = ["QUERIES", "ORACLES", "table", "register"]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Full-refresh dataflow (SURVEY §2.2-§2.4): scan → olake columns → sink shape
+# ---------------------------------------------------------------------------
+
+# lineitem has a composite PK (l_orderkey, l_linenumber) → _olake_id is
+# md5 over values ordered by sorted column name (utils/utils.go:265-286).
+_FULL_LOAD_ORACLE = """
+SELECT
+  l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+  l_discount, l_tax, l_returnflag, l_linestatus,
+  strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate_day,
+  md5(concat_ws('|', l_linenumber::VARCHAR, l_orderkey::VARCHAR)) AS _olake_id,
+  'r' AS _op_type
+FROM lineitem
+"""
+
+
+@register("full_load_lineitem", _FULL_LOAD_ORACLE)
+def full_load_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill read of lineitem with engine identity/op columns stamped.
+
+    The deterministic slice of `stamp_olake_columns` (wall-clock columns are
+    checked by the smoke entry, not the oracle).
+    """
+    df = table(spark, sf_dir, "lineitem")
+    return df.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate_day"),
+        olake_id_column(["l_orderkey", "l_linenumber"]).alias("_olake_id"),
+        F.lit("r").alias("_op_type"),
+    )
+
+
+@register(
+    "projection_selected_columns",
+    """
+    SELECT c_custkey, c_name, c_acctbal, c_custkey::VARCHAR AS _olake_id
+    FROM customer
+    """,
+)
+def projection_selected_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`selected_columns` allowlist projection + single-PK identity
+    (reference: types/stream_configured.go:52-159 — Catalyst prunes the
+    parquet scan down to exactly these columns)."""
+    df = table(spark, sf_dir, "customer")
+    keep = ["c_custkey", "c_name", "c_acctbal"]
+    return df.select(*keep).withColumn("_olake_id", olake_id_column(["c_custkey"]))
+
+
+@register(
+    "filter_structured_and",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+    """,
+)
+def filter_structured_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured 2-condition AND filter pushed into the scan
+    (reference evaluates post-read: utils/typeutils/filter.go — we push)."""
+    f = StreamFilter(
+        (
+            FilterCondition("o_totalprice", ">", 150000.0),
+            FilterCondition("o_orderstatus", "=", "O"),
+        ),
+        "and",
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(f.to_column())
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "filter_legacy_string",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type = 'click' OR value >= 400.0
+    """,
+)
+def filter_legacy_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy string-grammar filter parsed then pushed
+    (types/stream_configured.go:209-266)."""
+    f = parse_legacy_filter("event_type = 'click' or value >= 400.0")
+    return (
+        table(spark, sf_dir, "events")
+        .filter(f.to_column())
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental sync (SURVEY §2.5): cursor predicates + max-cursor fetch
+# ---------------------------------------------------------------------------
+
+_CURSOR = "2024-01-15 00:00:00"
+
+
+@register(
+    "incremental_cursor_scan",
+    f"""
+    SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+    FROM events
+    WHERE ts > TIMESTAMP '{_CURSOR}'
+       OR (ts IS NULL AND event_id > 5000)
+    """,
+)
+def incremental_cursor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor-predicate scan with secondary-cursor null fallback
+    (pkg/jdbc/jdbc.go:1401-1451): primary > v OR (primary IS NULL AND
+    secondary > v2)."""
+    df = table(spark, sf_dir, "events")
+    pred = (F.col("ts") > F.lit(_CURSOR).cast("timestamp")) | (
+        F.col("ts").isNull() & (F.col("event_id") > 5000)
+    )
+    return df.filter(pred).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
+@register(
+    "incremental_max_cursor",
+    """
+    SELECT epoch_ms(max(ts)) AS max_cursor_ms, count(*) AS n_rows
+    FROM events
+    """,
+)
+def incremental_max_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planning-time MAX(cursor) fetch (pkg/jdbc/jdbc.go:1453-1489) — the
+    threshold captured before backfill so overlap rows dedup."""
+    return table(spark, sf_dir, "events").agg(
+        F.unix_millis(F.max("ts")).alias("max_cursor_ms"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunk planning (SURVEY §2.3): arithmetic split parity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_plan_numeric",
+    """
+    WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+    sized AS (
+      SELECT o_orderkey,
+             CAST(floor((o_orderkey - b.lo) / ceil((b.hi - b.lo + 1) / 8.0)) AS BIGINT) AS chunk_id
+      FROM orders, b
+    )
+    SELECT chunk_id, count(*) AS n_rows,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM sized GROUP BY chunk_id
+    """,
+)
+def chunk_plan_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-PK arithmetic split: plan 8 chunks driver-side from MIN/MAX
+    (exactly what feeds ``spark.read.jdbc(predicates=...)``), then verify the
+    assignment covers every row exactly once by aggregating per chunk."""
+    df = table(spark, sf_dir, "orders")
+    lo, hi = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    chunks = split_numeric_range(int(lo), int(hi), 8)
+    # build chunk_id CASE from the planned half-open ranges
+    expr = F.lit(None).cast("long")
+    for i in reversed(range(len(chunks))):
+        ch = chunks[i]
+        cond = F.col("o_orderkey") >= F.lit(ch.min)
+        if ch.max is not None:
+            cond = cond & (F.col("o_orderkey") < F.lit(ch.max))
+        expr = F.when(cond, F.lit(i).cast("long")).otherwise(expr)
+    return (
+        df.withColumn("chunk_id", expr)
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC replay (SURVEY §2.6/§2.9): changelog → MERGE latest-state semantics
+# ---------------------------------------------------------------------------
+
+_CDC_OP_SQL = """
+  CASE WHEN event_type = 'signup' THEN 'c'
+       WHEN event_type = 'error' THEN 'd'
+       ELSE 'u' END
+"""
+
+
+@register(
+    "cdc_merge_replay",
+    f"""
+    WITH changelog AS (
+      SELECT event_id, user_id, value, epoch_us(ts) AS lsn, epoch_ms(ts) AS ts_ms,
+             {_CDC_OP_SQL} AS op
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC, event_id DESC) AS rn
+      FROM changelog
+    )
+    SELECT user_id::VARCHAR AS _olake_id, user_id, op AS _op_type, value, ts_ms
+    FROM ranked WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def cdc_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-key upsert replay: interpret `events` as a change log keyed by
+    user_id (signup→c, error→d, else→u), apply MERGE semantics — last writer
+    wins by (lsn, event_id), deletes evict the row. This is the DataFrame
+    form of the Iceberg equality-delete upsert
+    (BaseDeltaTaskWriter.java:51-68) that `operators.merge` generalizes."""
+    ev = table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    ch = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts")).alias("lsn"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        op.alias("op"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("lsn").desc(), F.col("event_id").desc())
+    return (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select(
+            F.col("user_id").cast("string").alias("_olake_id"),
+            "user_id",
+            F.col("op").alias("_op_type"),
+            "value",
+            "ts_ms",
+        )
+    )

@@ -1,0 +1,73 @@
+"""SparkSession factory tuned for the olake_spark engine.
+
+Defaults target local[N] testing but every knob is chosen to survive a
+multi-executor cluster at 100 TB:
+
+- AQE on (runtime coalesce, skew-join splitting) so shuffle partition counts
+  self-correct at scale.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real cluster
+  AQE coalesces from an intentionally-high initial number.
+- Arrow enabled for every pandas-UDF boundary (the dedup/similarity operators
+  use vectorized UDFs only off the hot path).
+- UTC session timezone — the reference normalizes all timestamps to UTC
+  (see /root/reference/utils/typeutils/reformat.go timestamp handling).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def get_spark(
+    app_name: str = "olake_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Local mode honors ``SPARK_GRAFT_CPUS`` (driver contract) for parallelism.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # sources may carry ns-precision timestamps (parquet TIMESTAMP(NANOS));
+        # read them as epoch-nanos longs and normalize at the scan layer
+        # (the reference collapses all four precisions to one sink type,
+        # types/data_types.go:116-133 — we collapse to Spark micros).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # target ~128MiB input splits; at 100 TB this yields ~800k tasks which
+        # a 1000-executor cluster drains comfortably; locally it just works.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", os.environ.get("OLAKE_SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("OLAKE_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

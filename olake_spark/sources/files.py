@@ -1,0 +1,73 @@
+"""File sources: normalized parquet/CSV/JSON readers + schema discover.
+
+Mirrors the reference's S3/file driver surface (drivers/s3/internal/s3.go,
+pkg/parser/{csv,json,parquet}.go) Spark-first: `spark.read.*` does the
+parsing/inference; this layer adds the engine's type normalization:
+
+- ns-precision timestamps (parquet TIMESTAMP(NANOS) read as epoch-ns longs
+  under ``spark.sql.legacy.parquet.nanosAsLong``) are collapsed to Spark
+  micros — the reference collapses all 4 timestamp precisions to one sink
+  type (types/data_types.go:116-133).
+- nested struct/array/map columns can be flattened to JSON strings
+  (utils/typeutils/flatten.go semantics) via ``flatten_complex``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["read_table", "normalize_ns_timestamps", "flatten_complex", "read_files"]
+
+# long columns that are epoch-nanos in the driver-generated testdata; real
+# deployments carry this in the stream schema (TypeSchema → timestamp_nano)
+NS_TIMESTAMP_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def normalize_ns_timestamps(df: DataFrame, ns_cols: list[str]) -> DataFrame:
+    """epoch-ns long → TimestampType (micros, floor — parity with the oracle's
+    epoch_us truncation)."""
+    for c in ns_cols:
+        field = df.schema[c] if c in df.columns else None
+        if field is not None and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def flatten_complex(df: DataFrame) -> DataFrame:
+    """Any struct/array/map column → JSON string (reference flatten semantics:
+    non-scalar values are json.Marshal-ed, utils/typeutils/flatten.go:60-90)."""
+    out = df
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+            out = out.withColumn(f.name, F.to_json(F.col(f.name)))
+    return out
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with engine normalization applied."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_ns_timestamps(df, NS_TIMESTAMP_COLS.get(name, []))
+
+
+def read_files(
+    spark: SparkSession,
+    paths: list[str] | str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Generic file-drop reader (S3 driver parity): csv/json/jsonl/parquet,
+    glob patterns, transparent .gz (Spark codec handling), modifiedAfter for
+    file-cursor incremental (drivers/s3/internal/incremental.go)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    opts = dict(options or {})
+    if fmt == "csv":
+        opts.setdefault("header", "true")
+        opts.setdefault("inferSchema", "true" if schema is None else "false")
+    if fmt in ("json", "jsonl"):
+        fmt = "json"
+    return reader.options(**opts).format(fmt).load(paths)
