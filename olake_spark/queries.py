@@ -28,6 +28,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from olake_spark.functions.olake_columns import olake_id_column
+from olake_spark.operators.merge import apply_changelog
 from olake_spark.plans.chunks import split_numeric_range
 from olake_spark.plans.filters import FilterCondition, StreamFilter, parse_legacy_filter
 from olake_spark.sources.files import read_table
@@ -306,3 +307,56 @@ def cdc_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts_ms",
         )
     )
+
+
+def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events reinterpreted as an upsert changelog keyed by user_id."""
+    ev = table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts")).alias("lsn"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        op.alias("_op_type"),
+    )
+
+
+@register(
+    "cdc_upsert_batched",
+    f"""
+    WITH changelog AS (
+      SELECT event_id, user_id, value, epoch_us(ts) AS lsn, epoch_ms(ts) AS ts_ms,
+             {_CDC_OP_SQL} AS _op_type
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC, event_id DESC) AS rn
+      FROM changelog
+    )
+    SELECT user_id, _op_type, value, ts_ms
+    FROM ranked WHERE rn = 1 AND _op_type <> 'd'
+    """,
+)
+def cdc_upsert_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE correctness: split the changelog into three
+    LSN-ordered batches, apply them sequentially through
+    ``operators.merge.merge_upsert`` (the engine's equality-delete upsert),
+    and the final snapshot must equal the single-shot oracle — batch
+    boundaries are invisible (the reference's resumable-sync invariant)."""
+    ch = _events_changelog(spark, sf_dir)
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    c1 = int(lo) + (int(hi) - int(lo)) // 3
+    c2 = int(lo) + 2 * (int(hi) - int(lo)) // 3
+    batches = [
+        ch.filter(F.col("lsn") <= c1),
+        ch.filter((F.col("lsn") > c1) & (F.col("lsn") <= c2)),
+        ch.filter(F.col("lsn") > c2),
+    ]
+    empty = ch.limit(0)
+    final = apply_changelog(empty, batches, ["user_id"], ["lsn", "event_id"])
+    return final.select("user_id", "_op_type", "value", "ts_ms")

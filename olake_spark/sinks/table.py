@@ -1,0 +1,170 @@
+"""ManagedTable — a minimal transactional table on plain parquet.
+
+The reference commits data files and its replication state in **one Iceberg
+transaction** (2PC metadata stored in table properties,
+IcebergTableOperator.java:132-231), which is what makes crash recovery
+exactly-once: on restart the committed position in the table is reconciled
+against the local state file (SURVEY.md §1.4).
+
+This environment has no Iceberg runtime jar, so the engine ships its own
+miniature snapshot log with the same commit semantics:
+
+- table dir = ``data/<uuid>/part-*.parquet`` + ``_commits/v<N>.json``
+- a manifest lists the live data files, the table schema, and a free-form
+  ``properties`` map (the 2PC state: last applied LSN/cursor lives here)
+- commit = write data files, then **atomically link** the next manifest
+  version; data + state land in one atomic filesystem op
+- optimistic concurrency: two writers racing to ``v<N>`` — one link wins,
+  the loser retries on a fresh read
+
+On a real cluster with Iceberg on the classpath, ``sinks.iceberg`` replaces
+this with ``writeTo(...).append()`` / ``MERGE INTO`` + snapshot properties —
+the engine API (append / overwrite / upsert / properties) is identical.
+
+Scale note: upsert here rewrites the target snapshot (read ∪ merge ∪ write —
+one shuffle). Correct at any scale but O(|target|) per batch; the Iceberg
+path does equality-delete MERGE instead. The bounded-drain replay keeps
+batches large (2 GiB chunks) so the rewrite amortizes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from olake_spark.operators.merge import merge_upsert
+
+__all__ = ["ManagedTable", "CommitConflict"]
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same version first."""
+
+
+class ManagedTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self._commits = os.path.join(self.path, "_commits")
+
+    # -- manifest plumbing ---------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self._commits) and bool(self._versions())
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self._commits):
+            return []
+        out = []
+        for f in os.listdir(self._commits):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def _manifest(self, version: int | None = None) -> dict:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        v = version if version is not None else vs[-1]
+        with open(os.path.join(self._commits, f"v{v:012d}.json")) as fh:
+            return json.load(fh)
+
+    def _commit(self, files: list[str], schema_json: str, properties: dict) -> int:
+        """Atomically publish the next manifest version (data + state in one op)."""
+        os.makedirs(self._commits, exist_ok=True)
+        vs = self._versions()
+        next_v = (vs[-1] + 1) if vs else 0
+        manifest = {
+            "version": next_v,
+            "files": files,
+            "schema": schema_json,
+            "properties": properties,
+        }
+        tmp = os.path.join(self._commits, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(self._commits, f"v{next_v:012d}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, final)  # atomic; fails if a racer already committed
+        except FileExistsError as e:
+            raise CommitConflict(f"version {next_v} already committed") from e
+        finally:
+            os.unlink(tmp)
+        return next_v
+
+    def _write_data(self, df: DataFrame) -> list[str]:
+        d = os.path.join(self.path, "data", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(d)
+        return [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+
+    # -- public API ----------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        m = self._manifest()
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if not m["files"]:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*m["files"])
+
+    def properties(self) -> dict:
+        if not self.exists():
+            return {}
+        return dict(self._manifest().get("properties", {}))
+
+    def append(self, df: DataFrame, properties: dict | None = None) -> int:
+        """Append a batch; merge new properties into the same atomic commit."""
+        new_files = self._write_data(df)
+        prev_files: list[str] = []
+        prev_props: dict = {}
+        schema = df.schema
+        if self.exists():
+            m = self._manifest()
+            prev_files = m["files"]
+            prev_props = m.get("properties", {})
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+        return self._commit(
+            prev_files + new_files,
+            json.dumps(schema.jsonValue()),
+            {**prev_props, **(properties or {})},
+        )
+
+    def overwrite(self, df: DataFrame, properties: dict | None = None) -> int:
+        new_files = self._write_data(df)
+        prev_props = self.properties()
+        return self._commit(
+            new_files, json.dumps(df.schema.jsonValue()), {**prev_props, **(properties or {})}
+        )
+
+    def upsert(
+        self,
+        batch: DataFrame,
+        key_cols: list[str],
+        order_cols: list[str],
+        properties: dict | None = None,
+    ) -> int:
+        """MERGE the batch into the table (equality-delete semantics) and
+        commit data + state atomically."""
+        if not self.exists():
+            from olake_spark.operators.merge import latest_state
+
+            snap = latest_state(batch, key_cols, order_cols)
+            return self.overwrite(snap, properties)
+        merged = merge_upsert(self.read(), batch, key_cols, order_cols)
+        # materialize before overwrite: the lazy plan reads the very files the
+        # commit is about to supersede (overwrite keeps old files on disk, so
+        # this is belt-and-braces against future vacuuming)
+        merged = merged.localCheckpoint(eager=True)
+        return self.overwrite(merged, properties)
+
+    def drop(self) -> None:
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)

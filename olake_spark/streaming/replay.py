@@ -1,0 +1,103 @@
+"""Bounded-drain changelog replay — the engine's CDC loop.
+
+Reference semantics (SURVEY.md §2.6, §2.12): each ``sync`` run captures an
+end position (LSN / binlog pos / Kafka end offsets), streams changes up to
+it, then exits ("bounded drain"). Exactly-once comes from at-least-once
+delivery + idempotent upsert + committing the applied position atomically
+with the data (2PC reconciliation: drivers/postgres/internal/cdc.go:69-179).
+
+Spark-first mapping:
+
+- ``replay_batches``   — driver-side loop over LSN-ordered batches feeding
+  ``ManagedTable.upsert``; the table's ``last_lsn`` property is the committed
+  position, checked before every batch (redelivered/stale batches are
+  filtered by LSN, so crash-replay cannot double-apply or resurrect rows).
+- ``stream_drain``     — the same loop as real Structured Streaming:
+  ``readStream`` file source → ``foreachBatch(upsert)`` with
+  ``Trigger.AvailableNow`` (bounded: drains what exists, then stops) and a
+  checkpoint dir. Kafka sources plug in identically
+  (``readStream.format("kafka")`` + AvailableNow) when the connector jar is
+  present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from olake_spark.sinks.table import ManagedTable
+
+__all__ = ["replay_batches", "stream_drain", "LAST_LSN_PROP"]
+
+LAST_LSN_PROP = "olake.cdc.last_lsn"
+
+
+def _apply_batch(
+    table: ManagedTable,
+    batch: DataFrame,
+    key_cols: list[str],
+    lsn_col: str,
+) -> int | None:
+    """Filter already-applied LSNs, upsert, commit max LSN with the data."""
+    last = table.properties().get(LAST_LSN_PROP)
+    if last is not None:
+        batch = batch.filter(F.col(lsn_col) > F.lit(int(last)))
+    mx_row = batch.agg(F.max(lsn_col).alias("mx")).first()
+    if mx_row is None or mx_row["mx"] is None:
+        return None  # nothing new — crash-replayed batch fully applied before
+    table.upsert(batch, key_cols, [lsn_col], properties={LAST_LSN_PROP: int(mx_row["mx"])})
+    return int(mx_row["mx"])
+
+
+def replay_batches(
+    table: ManagedTable,
+    batches: list[DataFrame],
+    key_cols: list[str],
+    lsn_col: str,
+) -> dict:
+    """Apply LSN-ordered change batches exactly-once; returns drain stats."""
+    applied = 0
+    last_lsn = None
+    for b in batches:
+        mx = _apply_batch(table, b, key_cols, lsn_col)
+        if mx is not None:
+            applied += 1
+            last_lsn = mx
+    return {"batches_applied": applied, "last_lsn": last_lsn}
+
+
+def stream_drain(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    table: ManagedTable,
+    key_cols: list[str],
+    lsn_col: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Structured-Streaming bounded drain of a file-drop changelog.
+
+    ``Trigger.AvailableNow`` processes everything present at start across
+    rate-limited micro-batches, then stops — the reference's "drain to the
+    captured end position then exit" contract. The checkpoint makes restarts
+    resume at the first unprocessed file; the LSN guard in ``_apply_batch``
+    makes the overlap batch idempotent (checkpoint lag ⇒ at-least-once ⇒
+    LSN filter ⇒ exactly-once).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        _apply_batch(table, batch_df, key_cols, lsn_col)
+
+    (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
