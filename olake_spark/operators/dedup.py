@@ -1,0 +1,257 @@
+"""Deduplication family for training-data pipelines, at 100 TB design point.
+
+Five techniques, all expressed as declarative DataFrame plans over native
+functions (no Python in the hot path):
+
+- **exact**      : md5 fingerprint of normalized text → one shuffle groupBy.
+- **MinHash+LSH**: char-shingle → 60-bit hash → k permutation-min signature →
+  banded bucket join. Scale path: candidate generation touches only
+  same-band pairs (no O(n²) cross join); bands are a narrow shuffle key.
+- **SimHash**    : token-hash bit-vote 32-bit signature; hamming-≤h pairs
+  found via 4-band pigeonhole join (EXACT for h ≤ 3: at least one of 4
+  byte-bands must be clean), then `bit_count(xor)` verification.
+- **n-gram Jaccard**: word-trigram sets; candidate pairs share ≥1 trigram
+  (inverted-index self-join), verified with exact |A∩B|/|A∪B|.
+- **embedding cosine** near-dup lives in ``operators.similarity``.
+
+All hashing derives from md5 hex prefixes (`conv(substr(md5(x),1,15),16,10)`)
+so every result is bit-reproducible in ANSI SQL for the DuckDB oracle — no
+engine-private hash functions.
+
+Skew note: shingle/band buckets over natural-language corpora are Zipfian;
+the band-join keys here include the band index, and verification joins are
+equi-joins AQE can split. For pathological buckets cap candidates per bucket
+(``max_bucket_size``) — dropping mega-buckets is standard LSH practice (a
+shingle shared by >x% of docs carries no dedup signal).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "HASH_PRIME",
+    "MINHASH_PARAMS",
+    "hash60",
+    "normalize_text",
+    "char_shingles",
+    "word_ngrams",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_near_dups",
+    "simhash",
+    "simhash_near_dups",
+    "ngram_jaccard_pairs",
+]
+
+HASH_PRIME = 1_000_000_007
+_NUM_HASHES = 16
+_rng = random.Random(42)
+# fixed affine permutation params (a, b) — shared verbatim with the SQL oracle
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, HASH_PRIME), _rng.randrange(0, HASH_PRIME)) for _ in range(_NUM_HASHES)
+]
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8-bit bands; pigeonhole-exact for hamming <= 3
+
+
+def hash60(col: Column) -> Column:
+    """Stable 60-bit hash from the md5 hex prefix — reproducible anywhere."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def normalize_text(col: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def char_shingles(col: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the text (array column)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(col, i, F.lit(n))))
+
+
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a token array column."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Representative (min id) + duplicate count per normalized fingerprint."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("representative"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 5
+) -> DataFrame:
+    """k-permutation MinHash signature per document (columns m0..m{k-1}).
+
+    One explode + one groupBy shuffle on the id; the k mins are map-side
+    combinable partial aggregates.
+    """
+    norm = normalize_text(F.col(text_col)).alias("_norm")
+    sh = df.select(F.col(id_col), norm).select(
+        id_col, F.explode(char_shingles(F.col("_norm"), shingle_size)).alias("s")
+    )
+    hashed = sh.select(id_col, (hash60(F.col("s")) % HASH_PRIME).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def _band_table(sig: DataFrame, id_col: str, num_bands: int, rows_per_band: int) -> DataFrame:
+    bands = []
+    for j in range(num_bands):
+        cols = [f"m{j * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(j).alias("band"),
+                F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])).alias("bh"),
+            )
+        )
+    return sig.select(id_col, F.explode(F.array(*bands)).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_bands: int = 4,
+) -> DataFrame:
+    """LSH-banded near-duplicate pairs with estimated Jaccard ≥ threshold.
+
+    Candidates = pairs agreeing on ≥1 band (bucket equi-join, never O(n²));
+    estimate = fraction of agreeing minhashes.
+    """
+    k = _NUM_HASHES
+    rows_per_band = k // num_bands
+    sig = minhash_signatures(df, id_col, text_col).cache()
+    bt = _band_table(sig, id_col, num_bands, rows_per_band)
+    a, b = bt.alias("a"), bt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)])
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    ) / F.lit(float(k))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document: tokens vote ±1 per bit of their hash."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    t = df.select(F.col(id_col), F.explode(toks).alias("w"))
+    hashed = t.select(id_col, hash60(F.col("w")).alias("h"))
+    votes = [
+        F.sum(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{bit}")
+        for bit in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    sh = sum(
+        F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        for bit in range(SIMHASH_BITS)
+    )
+    return agg.select(id_col, sh.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming via pigeonhole band join.
+
+    With 4 byte-bands and max_hamming ≤ 3, ≥1 band must match exactly, so
+    the band join is a lossless candidate generator — LSH recall 100%.
+    """
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError("pigeonhole exactness requires max_hamming < num bands")
+    sh = simhash(df, id_col, text_col).cache()
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("simhash"), j * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bv"),
+            )
+            for j in range(SIMHASH_BANDS)
+        ]
+    )
+    bt = sh.select(id_col, "simhash", F.explode(bands).alias("b")).select(
+        id_col, "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    a, b = bt.alias("a"), bt.alias("b")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over candidate pairs sharing ≥1 n-gram.
+
+    The inverted-index self-join makes candidates proportional to shared
+    n-grams, not n² — the standard scalable exact-Jaccard plan.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    g = df.select(F.col(id_col), F.explode(word_ngrams(toks, n)).alias("ng"))
+    sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two plans, one semantics:
+
+- ``brute_force_topk`` — the exactness baseline: broadcast the (small) query
+  set against the corpus, JVM-native dot products via
+  ``aggregate(zip_with(...))``, per-query top-k window. Cost O(|Q|·|C|·d);
+  right when |Q| is small (the common "probe" pattern) because the corpus is
+  scanned once with no shuffle — at 100 TB the corpus never moves, only the
+  broadcast queries do.
+- ``lsh_bucket_topk`` — the scale path: random-hyperplane signatures (sign
+  bits of ±1-plane dot products) bucket the corpus; each query searches only
+  its bucket (and optional hamming-≤1 neighbor buckets). Planes are fixed
+  seeded constants so results are reproducible in the SQL oracle.
+- ``cosine_near_dup_pairs`` — embedding near-duplicate detection: bucketed
+  candidate pairs verified with exact cosine.
+
+Everything is double-precision with sequential fold order so DuckDB
+(list_dot_product / list_cosine_similarity) reproduces values to ~1e-15;
+compared outputs are rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "LSH_PLANES",
+    "cosine",
+    "brute_force_topk",
+    "lsh_signature",
+    "lsh_bucket_topk",
+    "cosine_near_dup_pairs",
+]
+
+_DIM = 64
+_NUM_PLANES = 8
+_rng = random.Random(1234)
+# ±1 hyperplane entries: dot products are plain signed sums of the embedding
+# components — identical fold order in any engine (shared with the oracle)
+LSH_PLANES: list[list[int]] = [
+    [_rng.choice((-1, 1)) for _ in range(_DIM)] for _ in range(_NUM_PLANES)
+]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Output: (query_id, neighbor_id, rank, cosine_sim). Self-matches excluded.
+    The query side is broadcast — the corpus is streamed once, no shuffle
+    until the final (tiny) per-query window.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 9).alias("_sim9")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_sim9").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("_sim9"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+def lsh_signature(vec: Column) -> Column:
+    """Bucket id = integer of sign bits of the ±1-plane dot products."""
+    sig = F.lit(0)
+    for j, plane in enumerate(LSH_PLANES):
+        arr = F.array(*[F.lit(float(w)) for w in plane])
+        sig = sig + F.when(_dot(vec, arr) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+def lsh_bucket_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: search only the query's LSH bucket.
+
+    Recall < 1 by design; at scale the bucket join replaces the corpus scan
+    per query with a hash-partitioned equi-join on the signature.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        lsh_signature(F.col(vec_col)).alias("_sig"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        lsh_signature(F.col(vec_col)).alias("_sig"),
+    )
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 9).alias("_sim9")
+    scored = (
+        c.join(F.broadcast(q), "_sig")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_sim9").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round(F.col("_sim9"), 6).alias("cosine_sim")
+        )
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding near-duplicate pairs with cosine ≥ threshold.
+
+    Candidates come from the LSH bucket join (same-signature pairs), then
+    exact cosine verifies — the scalable shape; brute-force verification of
+    a petabyte corpus is never an option.
+    """
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_signature(F.col(vec_col)).alias("_sig"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    sim = F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
+    return (
+        a.join(b, (F.col("a._sig") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,125 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built from native ``pyspark.sql.functions`` column
+expressions — JVM-side, whole-stage-codegen'd, no Python per row. Each
+operator scales linearly with a narrow projection of the corpus and needs no
+shuffle (per-document map work), so a 100 TB corpus is embarrassingly
+parallel at ``maxPartitionBytes`` granularity.
+
+Operators:
+- ``with_token_count``     : whitespace tokenization count
+- ``with_quality_features``: length / punctuation ratio / stopword ratio /
+                             mean token length → a composite quality score
+- ``with_lang_id``         : marker-word + CJK-codepoint heuristic language ID
+- ``with_fingerprint``     : normalization-invariant document fingerprint
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "STOPWORDS",
+    "LANG_MARKERS",
+    "tokens",
+    "with_token_count",
+    "with_quality_features",
+    "with_lang_id",
+    "with_fingerprint",
+]
+
+# small fixed english stopword list (quality signal, not linguistics)
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# distinctive marker words per language for the n-gram/marker heuristic;
+# checked in fixed order, first strictly-greater count wins (deterministic)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of"],
+    "de": ["der", "die", "und", "ist"],
+    "es": ["el", "la", "y", "es"],
+    "fr": ["le", "la", "et", "est"],
+}
+
+_PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}-]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed lowered text; empty text → empty array."""
+    t = F.trim(F.lower(col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(tokens(F.col(text_col))).cast("long"))
+
+
+def _stopword_count(toks: Column) -> Column:
+    arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+
+
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality features + composite score in [0, 1].
+
+    Score = mean of three bounded signals: length saturation (chars/500
+    capped), non-punctuation ratio, non-stopword ratio. Deterministic,
+    engine-native, reproducible in ANSI SQL for the oracle.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_chars = F.length(c).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    n_punct = (n_chars - F.length(F.regexp_replace(c, _PUNCT_CLASS, ""))).cast("double")
+    n_stop = _stopword_count(toks).cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.least(n_chars / F.lit(500.0), F.lit(1.0))
+        + (F.lit(1.0) - punct_ratio)
+        + (F.lit(1.0) - stop_ratio)
+    ) / F.lit(3.0)
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("mean_token_len", F.round(mean_tok_len, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Marker-word heuristic language ID with a CJK-codepoint fast path.
+
+    Any CJK character → ``zh``; otherwise the language whose marker-word
+    count is strictly greatest in the fixed order en→de→es→fr; ties and
+    no-markers → ``und``.
+    """
+    toks = tokens(F.col(text_col))
+
+    def marker_count(markers: list[str]) -> Column:
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+
+    counts = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
+    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+    langs = list(LANG_MARKERS)
+    # lang wins iff its count strictly exceeds every other and is > 0
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        cond = counts[lang] > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (counts[lang] > counts[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return df.withColumn(out, F.when(has_cjk, F.lit("zh")).otherwise(expr))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Normalization-invariant fingerprint: md5 over lowercased text with all
+    whitespace runs collapsed — catches trivially-reformatted duplicates."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out, F.md5(normalized))

@@ -360,3 +360,8 @@ def cdc_upsert_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty = ch.limit(0)
     final = apply_changelog(empty, batches, ["user_id"], ["lsn", "event_id"])
     return final.select("user_id", "_op_type", "value", "ts_ms")
+
+
+# training-data operators register themselves into the same QUERIES/ORACLES
+# registry (import at tail so `register`/`table` exist first)
+from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401

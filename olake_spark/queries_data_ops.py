@@ -1,0 +1,343 @@
+"""Gate queries + DuckDB oracles for the training-data operators.
+
+Every oracle is *generated* from the same module-level constants the Spark
+operators use (MINHASH_PARAMS, LSH_PLANES, STOPWORDS, LANG_MARKERS), so the
+two sides cannot drift. Registered into the same QUERIES/ORACLES registry as
+the dataflow queries (imported by ``olake_spark.queries``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olake_spark.operators import dedup as dd
+from olake_spark.operators import similarity as sim
+from olake_spark.operators import text as tx
+from olake_spark.operators.multimodal import attach_binary_payload, extract_features
+from olake_spark.queries import register, table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect), kept in lockstep with operators
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+_H60 = "('0x' || substring(md5({x}),1,15))::BIGINT"
+_PUNCT_SQL = "'[.,!?;:''\"()\\[\\]{}-]'"
+
+
+def _stop_list() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS) + "]"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id, lang, len({_TOKS})::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "documents")
+    return tx.with_token_count(df).select(
+        "doc_id", "lang", "n_tokens", F.length("text").cast("long").alias("n_chars")
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             length(text)::DOUBLE AS n_chars,
+             len({_TOKS})::DOUBLE AS n_tokens,
+             (length(text) - length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')))::DOUBLE AS n_punct,
+             len(list_filter({_TOKS}, x -> list_contains({{stops}}, x)))::DOUBLE AS n_stop
+      FROM documents
+    ), ratios AS (
+      SELECT doc_id, n_chars, n_tokens,
+             CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_ratio,
+             CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / n_tokens ELSE 0.0 END AS mtl
+      FROM feat
+    )
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(mtl, 6) AS mean_token_len,
+           round((least(n_chars/500.0, 1.0) + (1.0 - punct_ratio) + (1.0 - stop_ratio)) / 3.0, 6)
+             AS quality_score
+    FROM ratios
+    """.replace("{stops}", _stop_list()),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "documents")
+    return tx.with_quality_features(df).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len", "quality_score"
+    )
+
+
+def _langid_oracle() -> str:
+    counts = {
+        lang: f"len(list_filter({_TOKS}, x -> list_contains([{', '.join(repr(w) for w in ws)}], x)))"
+        for lang, ws in tx.LANG_MARKERS.items()
+    }
+    langs = list(tx.LANG_MARKERS)
+    whens = []
+    for lang in langs:  # same strict-majority rule as the Spark operator
+        others = " AND ".join(f"c_{lang} > c_{o}" for o in langs if o != lang)
+        whens.append(f"WHEN c_{lang} > 0 AND {others} THEN '{lang}'")
+    case = "CASE WHEN has_cjk THEN 'zh' " + " ".join(whens) + " ELSE 'und' END"
+    sel = ", ".join(f"{sql} AS c_{lang}" for lang, sql in counts.items())
+    return f"""
+    WITH c AS (
+      SELECT doc_id, regexp_matches(text, '[一-鿿]') AS has_cjk, {sel} FROM documents
+    )
+    SELECT lang_pred, count(*) AS n_docs
+    FROM (SELECT doc_id, {case} AS lang_pred FROM c)
+    GROUP BY lang_pred
+    """
+
+
+@register("text_lang_id", _langid_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "documents")
+    return tx.with_lang_id(df).groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "doc_fingerprint",
+    f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.with_fingerprint(table(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS representative,
+           count(*) AS n_dupes
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _minhash_sig_sql() -> str:
+    h = _H60.format(x="s")
+    mins = ", ".join(
+        f"min(({a}*h + {b}) % {dd.HASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(dd.MINHASH_PARAMS)
+    )
+    return f"""
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(length({_NORM})-4,1)+1),
+          i -> substring({_NORM}, i::INT, 5)))) AS s
+      FROM documents
+    ), hashed AS (SELECT doc_id, {h} % {dd.HASH_PRIME} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
+    """
+
+
+def _minhash_oracle(threshold: float = 0.7, num_bands: int = 4) -> str:
+    k = len(dd.MINHASH_PARAMS)
+    rpb = k // num_bands
+    band_selects = []
+    for j in range(num_bands):
+        cols = ", ".join(f"m{j*rpb+r}::VARCHAR" for r in range(rpb))
+        band_selects.append(
+            f"SELECT doc_id, {j} AS band, md5(concat_ws('|', {cols})) AS bh FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    eq = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(k))
+    return f"""
+    WITH {_minhash_sig_sql()},
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(({eq})/{float(k)}, 6) AS est_jaccard
+    FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+    WHERE round(({eq})/{float(k)}, 6) >= {threshold}
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_near_dups(table(spark, sf_dir, "documents"), "doc_id", "text", 0.7)
+
+
+def _simhash_sql() -> str:
+    h = _H60.format(x="w")
+    votes = ", ".join(
+        f"sum(((h >> {b}) & 1)*2 - 1) AS v{b}" for b in range(dd.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END" for b in range(dd.SIMHASH_BITS)
+    )
+    return f"""
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    th AS (SELECT doc_id, {h} AS h FROM tok),
+    votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
+    sim AS (SELECT doc_id, ({bits}) AS simhash FROM votes)
+    """
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    width = dd.SIMHASH_BITS // dd.SIMHASH_BANDS
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band, (simhash >> {j*width}) & {(1<<width)-1} AS bv FROM sim"
+        for j in range(dd.SIMHASH_BANDS)
+    )
+    return f"""
+    WITH {_simhash_sql()},
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_near_dups(table(spark, sf_dir, "documents"), "doc_id", "text", 3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+         range(1, greatest(len({_TOKS})-2,1)+1),
+         i -> array_to_string(({_TOKS})[i:i+2], ' ')))) AS ng
+      FROM documents
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id GROUP BY 1,2
+    )
+    SELECT id_a, id_b, round(c*1.0/(s1.n + s2.n - c), 6) AS jaccard
+    FROM inter JOIN sizes s1 ON s1.doc_id = id_a JOIN sizes s2 ON s2.doc_id = id_b
+    WHERE round(c*1.0/(s1.n + s2.n - c), 6) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(table(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.2)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+@register(
+    "similarity_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_COS.format(a='q.qv', b='c.embedding')}, 9) AS s9
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, neighbor_id) AS "rank"
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, "rank", round(s9, 6) AS cosine_sim
+    FROM ranked WHERE "rank" <= 5
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+def _plane_literal(plane: list[int]) -> str:
+    return "[" + ", ".join(f"{float(w)!r}" for w in plane) + "]::DOUBLE[]"
+
+
+def _lsh_sig_sql(vec: str) -> str:
+    terms = [
+        f"CASE WHEN list_dot_product({vec}::DOUBLE[], {_plane_literal(p)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j, p in enumerate(sim.LSH_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "similarity_topk_lsh",
+    f"""
+    WITH t AS (SELECT vec_id, embedding, {_lsh_sig_sql('embedding')} AS sig FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, sig FROM t WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_COS.format(a='q.qv', b='c.embedding')}, 9) AS s9
+      FROM q JOIN t c ON c.sig = q.sig AND c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, neighbor_id) AS "rank"
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, "rank", round(s9, 6) AS cosine_sim
+    FROM ranked WHERE "rank" <= 5
+    """,
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.lsh_bucket_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH t AS (SELECT vec_id, embedding, {_lsh_sig_sql('embedding')} AS sig FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cosine_sim
+    FROM t a JOIN t b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE round({_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.2
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           md5(text) AS content_hash,
+           (('0x' || substring(md5(text),1,4))::INT % 1920 + 1) AS fake_width,
+           (('0x' || substring(md5(text),5,4))::INT % 1080 + 1) AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_binary_payload(table(spark, sf_dir, "documents"), "text", "doc_id")
+    return extract_features(media, decode_stub=True)

@@ -1,0 +1,124 @@
+"""Unit tests for training-data operators on small planted fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark.operators import dedup as dd
+from olake_spark.operators import similarity as sim
+from olake_spark.operators import text as tx
+from olake_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE  quick   brown fox jumps over the lazy dog"),  # dup modulo case/ws
+        (3, "der hund und die katze ist hier und der vogel"),
+        (4, "el gato y el perro y la casa es grande y bonita"),
+        (5, "completely different words entirely unrelated zebra quantum"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    got = {r.doc_id: r.n_tokens for r in tx.with_token_count(docs).collect()}
+    assert got[1] == 9
+    assert got[2] == 9  # multi-space runs are one separator
+    assert got[6] == 0  # empty text → 0 tokens, not 1
+
+
+def test_quality_bounds(spark, docs):
+    rows = tx.with_quality_features(docs).collect()
+    for r in rows:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].stopword_ratio > by_id[5].stopword_ratio  # 'the' x2 vs none
+
+
+def test_lang_id(spark, docs):
+    zh = spark.createDataFrame([(7, "这是一个中文句子")], "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in tx.with_lang_id(docs.union(zh)).collect()}
+    assert got[1] == "en"
+    assert got[3] == "de"
+    assert got[4] == "es"
+    assert got[5] == "und"  # no markers
+    assert got[7] == "zh"  # CJK fast path
+
+
+def test_fingerprint_normalization(spark, docs):
+    got = {r.doc_id: r.fingerprint for r in tx.with_fingerprint(docs).collect()}
+    assert got[1] == got[2]  # case/whitespace-invariant
+    assert got[1] != got[3]
+
+
+def test_exact_dedup(spark, docs):
+    out = dd.exact_dedup(docs, "doc_id", "text").collect()
+    groups = {r.representative: r.n_dupes for r in out}
+    assert groups[1] == 2  # docs 1,2 collapse
+    assert sum(groups.values()) == 6
+
+
+def test_minhash_identical_docs(spark, docs):
+    pairs = dd.minhash_near_dups(docs, "doc_id", "text", threshold=0.99).collect()
+    assert [(p.id_a, p.id_b, p.est_jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_identical_docs(spark, docs):
+    pairs = {(p.id_a, p.id_b): p.hamming for p in dd.simhash_near_dups(docs, "doc_id", "text", 3).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(p.id_a, p.id_b): p.jaccard for p in dd.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert all(a < b for a, b in pairs)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),  # near 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vecs):
+    out = sim.brute_force_topk(vecs.filter(F.col("vec_id") == 1), vecs, k=3).collect()
+    ranked = [(r.rank, r.neighbor_id) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked[0] == (1, 2)  # closest
+    assert ranked[-1] == (3, 4)  # opposite vector ranks last
+    assert out[0].cosine_sim <= 1.0
+
+
+def test_lsh_same_vector_same_bucket(spark):
+    # identical vectors must land in the same bucket → self pair found
+    rows = [(1, [0.5] * 64), (2, [0.5] * 64), (3, [-0.5] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = sim.cosine_near_dup_pairs(df, threshold=0.99).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_binary_payload(docs.filter("doc_id <= 2"), "text", "doc_id")
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == len("the quick brown fox jumps over the lazy dog")
+    assert len(feats[1].content_hash) == 32
+    assert 1 <= feats[1].fake_width <= 1920
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode_stub=False)
+    frames = sample_frames(media).collect()
+    assert {r.media_id for r in frames} == {1, 2}
+    assert all(r.frame_idx == 0 for r in frames)  # tiny payloads → 1 frame
