@@ -1,0 +1,133 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline workloads at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
+
+- ``full_load``   : parquet scan → olake-column stamping → parquet sink
+                    (the reference's "full load RPS" equivalent; BASELINE.md)
+- ``cdc_replay``  : 3-batch changelog MERGE replay into a managed table
+                    (the reference's "CDC RPS" equivalent)
+- selected operator queries from the gate registry (timed end-to-end)
+
+Output: {"metric": "...", "value": total_sec, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "rows_per_sec": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from olake_spark.functions.olake_columns import stamp_olake_columns
+    from olake_spark.queries import QUERIES, table
+    from olake_spark.session import get_spark
+    from olake_spark.sinks.table import ManagedTable
+    from olake_spark.streaming.replay import replay_batches
+
+    spark = get_spark("olake_spark_bench")
+    tmp = tempfile.mkdtemp(prefix="olake_bench_")
+    # warm the JVM paths the timed sections use: codegen, shuffle machinery,
+    # parquet read+write committers — cold-init otherwise lands in the first
+    # timed workload (~4s of one-time cost that no steady-state job pays)
+    warm = spark.range(100_000).withColumn("g", F.col("id") % 7)
+    warm.repartition(8, "g").groupBy("g").count().write.mode("overwrite").parquet(f"{tmp}/warm")
+    spark.read.parquet(f"{tmp}/warm").count()
+    timings: dict[str, float] = {}
+    rps: dict[str, float] = {}
+
+    def timed(name: str, fn, reps: int = 2) -> None:
+        best, rows = None, None
+        for _ in range(reps):
+            spark.catalog.clearCache()  # queries are independent; don't let
+            t0 = time.perf_counter()  # one query's caches skew the next
+            rows = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        if rows:
+            rps[name] = round(rows / best)
+
+    # -- full load: scan → stamp → sink (reference full-load RPS equivalent) --
+    def full_load() -> int:
+        from olake_spark.sources.files import spread
+
+        df = spread(table(spark, sf_dir, "lineitem"), "l_orderkey")
+        out = stamp_olake_columns(df, pk_cols=["l_orderkey", "l_linenumber"])
+        out.write.mode("overwrite").parquet(f"{tmp}/full_load")
+        return df.count()
+
+    timed("full_load", full_load)
+
+    # -- CDC replay: changelog → 3-batch MERGE into managed table ------------
+    cdc_rep = iter(range(100))
+
+    def cdc_replay() -> int:
+        from olake_spark.queries import _events_changelog
+
+        ch = _events_changelog(spark, sf_dir).cache()
+        n = ch.count()
+        lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+        c1 = int(lo) + (int(hi) - int(lo)) // 3
+        c2 = int(lo) + 2 * (int(hi) - int(lo)) // 3
+        batches = [
+            ch.filter(F.col("lsn") <= c1),
+            ch.filter((F.col("lsn") > c1) & (F.col("lsn") <= c2)),
+            ch.filter(F.col("lsn") > c2),
+        ]
+        # fresh target per rep — replaying into an existing table is a no-op
+        # by design (LSN guard) and would fake the timing
+        t = ManagedTable(spark, f"{tmp}/cdc_target_{next(cdc_rep)}")
+        replay_batches(t, batches, ["user_id"], "lsn")
+        ch.unpersist()
+        return n
+
+    timed("cdc_replay", cdc_replay)
+
+    # -- operator queries (end-to-end: plan + execute + materialize count) ---
+    for name in [
+        "incremental_cursor_scan",
+        "chunk_plan_numeric",
+        "cdc_merge_replay",
+        "text_quality_score",
+        "text_lang_id",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "similarity_topk_bruteforce",
+        "similarity_topk_lsh",
+        "embedding_near_dup_pairs",
+        "multimodal_features",
+    ]:
+        fn = QUERIES[name]
+        timed(name, lambda f=fn: f(spark, sf_dir).count())
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "olake_spark end-to-end wall seconds (sum of headline workloads)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "rows_per_sec": rps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

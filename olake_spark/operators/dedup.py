@@ -64,6 +64,9 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+from olake_spark.sources.files import spread  # noqa: E402  (re-export for operators)
+
+
 def normalize_text(col: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
@@ -99,7 +102,7 @@ def minhash_signatures(
     combinable partial aggregates.
     """
     norm = normalize_text(F.col(text_col)).alias("_norm")
-    sh = df.select(F.col(id_col), norm).select(
+    sh = spread(df, id_col).select(F.col(id_col), norm).select(
         id_col, F.explode(char_shingles(F.col("_norm"), shingle_size)).alias("s")
     )
     hashed = sh.select(id_col, (hash60(F.col("s")) % HASH_PRIME).alias("h"))
@@ -168,7 +171,7 @@ def minhash_near_dups(
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash per document: tokens vote ±1 per bit of their hash."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    t = df.select(F.col(id_col), F.explode(toks).alias("w"))
+    t = spread(df, id_col).select(F.col(id_col), F.explode(toks).alias("w"))
     hashed = t.select(id_col, hash60(F.col("w")).alias("h"))
     votes = [
         F.sum(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{bit}")
@@ -238,11 +241,19 @@ def ngram_jaccard_pairs(
     n-grams, not n² — the standard scalable exact-Jaccard plan.
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    g = df.select(F.col(id_col), F.explode(word_ngrams(toks, n)).alias("ng"))
+    # cache the exploded (id, ngram) relation: it feeds both join sides and
+    # the size aggregate — recomputing the HOF explode 3x dominates otherwise
+    g = (
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(word_ngrams(toks, n)).alias("ng"))
+        .cache()
+    )
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a, b = g.alias("a"), g.alias("b")
+    # join on a 64-bit hash of the n-gram, not the string — halves shuffle width
+    gh = g.select(id_col, F.xxhash64("ng").alias("ngh"))
+    a, b = gh.alias("a"), gh.alias("b")
     inter = (
-        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(b, (F.col("a.ngh") == F.col("b.ngh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )

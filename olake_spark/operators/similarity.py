@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from olake_spark.sources.files import spread
+
 __all__ = [
     "LSH_PLANES",
     "cosine",
@@ -79,7 +81,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = spread(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
     sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 9).alias("_sim9")
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -120,7 +124,7 @@ def lsh_bucket_topk(
     Recall < 1 by design; at scale the bucket join replaces the corpus scan
     per query with a hash-partitioned equi-join on the signature.
     """
-    c = corpus.select(
+    c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         lsh_signature(F.col(vec_col)).alias("_sig"),
@@ -158,11 +162,13 @@ def cosine_near_dup_pairs(
     exact cosine verifies — the scalable shape; brute-force verification of
     a petabyte corpus is never an option.
     """
-    t = df.select(
+    # cache the signed signatures: the self-join would otherwise compute the
+    # 8 hyperplane dot products per vector twice (once per join side)
+    t = spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         lsh_signature(F.col(vec_col)).alias("_sig"),
-    )
+    ).cache()
     a, b = t.alias("a"), t.alias("b")
     sim = F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
     return (

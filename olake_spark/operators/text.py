@@ -95,14 +95,18 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") 
     """Marker-word heuristic language ID with a CJK-codepoint fast path.
 
     Any CJK character → ``zh``; otherwise the language whose marker-word
-    count is strictly greatest in the fixed order en→de→es→fr; ties and
-    no-markers → ``und``.
+    count (``\\b``-delimited matches over the lowered text) is strictly
+    greatest; ties and no-markers → ``und``. Counting uses ``regexp_count``
+    — whole-stage-codegen'd, unlike higher-order array filters which are
+    interpreted per element.
     """
-    toks = tokens(F.col(text_col))
+    low = F.lower(F.col(text_col))
 
     def marker_count(markers: list[str]) -> Column:
-        arr = F.array(*[F.lit(x) for x in markers])
-        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+        out_c = F.lit(0)
+        for w in markers:
+            out_c = out_c + F.regexp_count(low, F.lit(rf"\b{w}\b"))
+        return out_c
 
     counts = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
     has_cjk = F.col(text_col).rlike(r"[一-鿿]")

@@ -85,7 +85,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _langid_oracle() -> str:
     counts = {
-        lang: f"len(list_filter({_TOKS}, x -> list_contains([{', '.join(repr(w) for w in ws)}], x)))"
+        lang: "("
+        + " + ".join(f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in ws)
+        + ")"
         for lang, ws in tx.LANG_MARKERS.items()
     }
     langs = list(tx.LANG_MARKERS)

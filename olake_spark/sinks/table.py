@@ -158,11 +158,10 @@ class ManagedTable:
 
             snap = latest_state(batch, key_cols, order_cols)
             return self.overwrite(snap, properties)
+        # the merged plan reads the current snapshot's files while writing a
+        # fresh data dir; superseded files stay on disk (no vacuum), so the
+        # lazy plan is safe to execute directly inside the overwrite
         merged = merge_upsert(self.read(), batch, key_cols, order_cols)
-        # materialize before overwrite: the lazy plan reads the very files the
-        # commit is about to supersede (overwrite keeps old files on disk, so
-        # this is belt-and-braces against future vacuuming)
-        merged = merged.localCheckpoint(eager=True)
         return self.overwrite(merged, properties)
 
     def drop(self) -> None:

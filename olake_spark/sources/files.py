@@ -18,7 +18,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["read_table", "normalize_ns_timestamps", "flatten_complex", "read_files"]
+__all__ = [
+    "read_table",
+    "normalize_ns_timestamps",
+    "flatten_complex",
+    "read_files",
+    "spread",
+]
+
+
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition an under-parallel input before CPU-heavy per-row work.
+
+    Local fixtures often arrive as one parquet row-group (one scan task); the
+    downstream per-row stages (hashing, shingle explodes, stamping) are the
+    expensive part, so a cheap shuffle of the narrow input buys full-core
+    parallelism. On a real cluster with thousands of scan splits the
+    condition is false and this is a no-op — no gratuitous shuffle at scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
 
 # long columns that are epoch-nanos in the driver-generated testdata; real
 # deployments carry this in the stream schema (TypeSchema → timestamp_nano)
