@@ -73,7 +73,8 @@ def discover_directory(
     )
     for p in paths:
         name = os.path.basename(p).removesuffix(f".{fmt}")
-        df = spark.read.format(fmt).load(p)
+        # file drops land at arbitrary nested prefixes (S3-driver behavior)
+        df = spark.read.option("recursiveFileLookup", "true").format(fmt).load(p)
         pks, cursors = _detect(df.schema.fields)
         modes = [SyncMode.FULL_REFRESH.value]
         if cursors:

@@ -1,0 +1,163 @@
+"""Sync orchestrator — the engine's ``sync`` verb.
+
+Mirrors the reference lifecycle (protocol/sync.go:30-155, SURVEY.md §3.2):
+classify selected streams by sync mode, full-refresh streams clear state +
+destination first, then read → filter → project → normalize → stamp engine
+columns → land in the destination table; incremental streams capture
+MAX(cursor) up front, backfill below the threshold, then MERGE rows above the
+saved cursor and advance it; state commits after the table does, with the 2PC
+reconcile rule on startup.
+
+This module drives *file* sources end-to-end (testable here). JDBC sources
+plug into the same flow through ``sources.jdbc.JdbcSource`` — the per-stream
+body only needs a DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olake_spark.functions.olake_columns import OP_BACKFILL, OP_UPDATE, stamp_olake_columns
+from olake_spark.functions.projection import apply_projection
+from olake_spark.plans.state import SyncState
+from olake_spark.plans.stream import Catalog, ConfiguredStream, SyncMode
+from olake_spark.sinks.table import ManagedTable
+from olake_spark.sources.files import flatten_complex, normalize_ns_timestamps, spread
+from olake_spark.typesys.naming import reformat_all
+
+__all__ = ["SyncResult", "sync_stream", "run_sync", "clear_streams"]
+
+CURSOR_PROP = "olake.sync.cursor"
+
+
+@dataclass
+class SyncResult:
+    stream: str
+    mode: str
+    rows: int
+    cursor: object | None = None
+    skipped: bool = False
+    details: dict = field(default_factory=dict)
+
+
+def _dest_table(spark: SparkSession, dest_dir: str, cs: ConfiguredStream) -> ManagedTable:
+    name = f"{cs.stream.namespace + '__' if cs.stream.namespace else ''}{cs.stream.name}"
+    return ManagedTable(spark, os.path.join(dest_dir, name))
+
+
+def _prepare(df: DataFrame, cs: ConfiguredStream, op_type: str) -> DataFrame:
+    """filter → projection → normalization → naming → engine columns."""
+    meta = cs.metadata
+    f = meta.stream_filter()
+    if f.conditions:
+        df = df.filter(f.to_column())
+    df = apply_projection(df, meta.selected_columns, meta.sync_new_columns)
+    pk = cs.stream.source_defined_primary_key
+    if meta.normalization:
+        df = flatten_complex(df)
+    else:
+        # raw mode: one JSON `data` column + engine columns (F3 shape,
+        # destination/iceberg/iceberg.go:389-417)
+        keep = df
+        df = keep.select(F.to_json(F.struct(*[F.col(c) for c in keep.columns])).alias("data"))
+        if pk:
+            for c in pk:
+                df = df.withColumn(c, keep[c])
+    renames = reformat_all(df.columns, meta.use_source_column_names)
+    df = df.toDF(*[renames[c] for c in df.columns])
+    pk_renamed = [renames.get(c, c) for c in pk if renames.get(c, c) in df.columns]
+    df = stamp_olake_columns(df, pk_renamed, op_type=op_type)
+    if not meta.normalization and pk_renamed:
+        df = df.drop(*pk_renamed)  # pk only fed _olake_id in raw mode
+    return df
+
+
+def sync_stream(
+    spark: SparkSession,
+    cs: ConfiguredStream,
+    df: DataFrame,
+    dest_dir: str,
+    state: SyncState,
+) -> SyncResult:
+    mode = cs.stream.sync_mode
+    table = _dest_table(spark, dest_dir, cs)
+    name = cs.stream.name
+
+    if mode == SyncMode.FULL_REFRESH.value or not cs.stream.available_cursor_fields:
+        out = _prepare(spread(df, df.columns[0]), cs, OP_BACKFILL)
+        table.drop()
+        table.overwrite(out)
+        n = table.read().count()
+        return SyncResult(name, mode, n)
+
+    # incremental: cursor column = first available cursor field
+    cursor_col = cs.stream.available_cursor_fields[0]
+    # 2PC reconcile: a committed cursor in the table wins over local state
+    committed = table.properties().get(CURSOR_PROP) if table.exists() else None
+    state.reconcile(name, cursor_col, committed)
+    last = state.get_cursor(name, cursor_col)
+
+    inc = df if last is None else df.filter(F.col(cursor_col) > F.lit(last))
+    mx = inc.agg(F.max(cursor_col).alias("mx")).first()["mx"]
+    if mx is None:
+        return SyncResult(name, mode, 0, cursor=last, skipped=True)
+    out = _prepare(inc, cs, OP_BACKFILL if last is None else OP_UPDATE)
+    new_cursor = str(mx)
+    if table.exists() and last is not None:
+        table.upsert(out, ["_olake_id"], ["_olake_timestamp"], properties={CURSOR_PROP: new_cursor})
+    else:
+        table.drop()
+        table.overwrite(out, properties={CURSOR_PROP: new_cursor})
+    state.set_cursor(name, cursor_col, new_cursor)
+    n = table.read().count()
+    return SyncResult(name, mode, n, cursor=new_cursor)
+
+
+def run_sync(
+    spark: SparkSession,
+    catalog: Catalog,
+    source_dir: str,
+    dest_dir: str,
+    state_path: str,
+    fmt: str = "parquet",
+) -> list[SyncResult]:
+    state = SyncState.load(state_path)
+    results: list[SyncResult] = []
+    selected = {
+        (m.namespace, m.stream_name)
+        for metas in catalog.selected_streams.values()
+        for m in metas
+    } or None
+    for cs in catalog.streams:
+        if selected is not None and (cs.stream.namespace, cs.stream.name) not in selected:
+            continue
+        path = os.path.join(source_dir, f"{cs.stream.name}.{fmt}")
+        if not os.path.exists(path):
+            path = os.path.join(source_dir, cs.stream.name)
+        df = spark.read.option("recursiveFileLookup", "true").format(fmt).load(path)
+        df = normalize_ns_timestamps(
+            df, [f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"
+                 and f.name in ("ts",)]
+        )
+        results.append(sync_stream(spark, cs, df, dest_dir, state))
+        state.save(state_path)  # per-stream checkpoint (resumable)
+    return results
+
+
+def clear_streams(
+    spark: SparkSession, catalog: Catalog, dest_dir: str, state_path: str, names: list[str]
+) -> list[str]:
+    """The ``clear`` verb: drop destination tables + reset stream state."""
+    state = SyncState.load(state_path)
+    cleared = []
+    for cs in catalog.streams:
+        if cs.stream.name in names:
+            _dest_table(spark, dest_dir, cs).drop()
+            state.streams.pop(cs.stream.name, None)
+            cleared.append(cs.stream.name)
+    state.save(state_path)
+    return cleared
