@@ -362,6 +362,132 @@ def cdc_upsert_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("user_id", "_op_type", "value", "ts_ms")
 
 
+# ---------------------------------------------------------------------------
+# Value reformat family (SURVEY §2.8): per-type coercions, JVM-side
+# ---------------------------------------------------------------------------
+
+_REFORMAT_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_orderdate, o_orderstatus,
+    CASE o_orderkey % 4
+      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+      WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
+      WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d')
+      ELSE 'raw:' || o_orderkey END AS ts_str,
+    CASE o_orderstatus WHEN 'O' THEN 'yes' WHEN 'F' THEN 'F' ELSE 'maybe' END AS bool_str,
+    9000 + (o_orderkey % 2000) AS wy
+  FROM orders)
+SELECT k AS o_orderkey,
+  epoch_ms(CASE WHEN regexp_matches(ts_str, '^\\d{4}-\\d{2}-\\d{2}')
+    THEN coalesce(try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'),
+                  try_strptime(ts_str, '%Y-%m-%dT%H:%M:%S'),
+                  try_strptime(ts_str, '%Y-%m-%d'),
+                  TIMESTAMP '1970-01-01')
+    ELSE TIMESTAMP '1970-01-01' END) AS ts_ms,
+  coalesce(CAST(CASE WHEN bool_str IN ('1','t','T','true','TRUE','True','YES','Yes','yes') THEN true
+       WHEN bool_str IN ('0','f','F','false','FALSE','False','NO','No','no') THEN false
+       ELSE NULL END AS VARCHAR), 'invalid') AS b,
+  CAST(CASE WHEN wy > 9999 THEN 9999 ELSE wy END AS INTEGER) AS clamp_y,
+  strftime(o_orderdate, '%H:%M:%S') AS t_str
+FROM src
+"""
+
+
+@register("reformat_values", _REFORMAT_ORACLE)
+def reformat_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ReformatValue coercion family (utils/typeutils/reformat.go) driven
+    over real data: multi-layout timestamp strings parse back (with the
+    epoch fallback for non-date strings), the bool acceptance table maps
+    strings, out-of-range years clamp to 9999, TIME renders as HH:mm:ss.
+    All pure Column expressions — whole-stage codegen, no Python in the
+    hot path."""
+    from olake_spark.functions.reformat import (
+        clamp_year,
+        format_time,
+        parse_timestamp_multi,
+        to_bool,
+    )
+
+    df = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ts_str = (
+        F.when(k % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .when(k % 4 == 1, F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(k % 4 == 2, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .otherwise(F.concat(F.lit("raw:"), k.cast("string")))
+    )
+    bool_str = (
+        F.when(F.col("o_orderstatus") == "O", F.lit("yes"))
+        .when(F.col("o_orderstatus") == "F", F.lit("F"))
+        .otherwise(F.lit("maybe"))
+    )
+    wild = F.make_timestamp(
+        (F.lit(9000) + k % 2000).cast("int"),
+        F.lit(6), F.lit(15), F.lit(12), F.lit(30), F.lit(45).cast("decimal(8,6)"),
+    )
+    return df.select(
+        k.alias("o_orderkey"),
+        F.unix_millis(parse_timestamp_multi(ts_str)).alias("ts_ms"),
+        # stringified so NULL (= rejected by the acceptance table) sorts
+        # identically in both engines' comparators
+        F.coalesce(to_bool(bool_str).cast("string"), F.lit("invalid")).alias("b"),
+        F.year(clamp_year(wild)).alias("clamp_y"),
+        format_time(F.col("o_orderdate")).alias("t_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (SURVEY §2.10): widen-on-append through the LCA lattice
+# ---------------------------------------------------------------------------
+
+_EVOLVE_ORACLE = """
+SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+       CAST(floor(l_quantity) AS INTEGER)::DOUBLE AS l_quantity,
+       'NA' AS l_returnflag
+FROM lineitem WHERE l_orderkey % 2 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber::BIGINT, l_quantity, l_returnflag
+FROM lineitem WHERE l_orderkey % 2 = 1
+"""
+
+
+@register("schema_evolution_widen", _EVOLVE_ORACLE)
+def schema_evolution_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two batches with drifted schemas land in one table: batch 1 writes
+    (l_orderkey, l_linenumber int, l_quantity int); batch 2 arrives with
+    l_linenumber long (int→long widen), l_quantity double (int→double via
+    LCA) and a brand-new l_returnflag column. The evolved table reads back
+    with per-group cast alignment — Iceberg's add-column/promote semantics
+    (destination/iceberg/iceberg.go:42-57, IcebergTableOperator.java:112-130)
+    on the ManagedTable snapshot log."""
+    import tempfile
+
+    from olake_spark.sinks.table import ManagedTable
+
+    li = table(spark, sf_dir, "lineitem")
+    b1 = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        F.floor("l_quantity").cast("int").alias("l_quantity"),
+    )
+    b2 = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        "l_returnflag",
+    )
+    t = ManagedTable(spark, tempfile.mkdtemp(prefix="olake_evolve_"))
+    t.append(b1)
+    t.append(b2)
+    out = t.read()
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.coalesce("l_returnflag", F.lit("NA")).alias("l_returnflag"),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401

@@ -38,12 +38,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from olake_spark.operators.merge import merge_upsert
+from olake_spark.typesys.lattice import merge_spark_schemas
 
 __all__ = ["ManagedTable", "CommitConflict"]
 
 
 class CommitConflict(RuntimeError):
     """Another writer committed the same version first."""
+
+
+def _align(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project df onto the target schema: cast matching columns, null-fill
+    missing ones. Pure column expressions — no shuffle, no Python."""
+    from pyspark.sql import functions as F
+
+    have = {f.name for f in df.schema.fields}
+    return df.select(
+        *[
+            (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in target.fields
+        ]
+    )
 
 
 class ManagedTable:
@@ -74,7 +89,13 @@ class ManagedTable:
         with open(os.path.join(self._commits, f"v{v:012d}.json")) as fh:
             return json.load(fh)
 
-    def _commit(self, files: list[str], schema_json: str, properties: dict) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        schema_json: str,
+        properties: dict,
+        groups: list[dict] | None = None,
+    ) -> int:
         """Atomically publish the next manifest version (data + state in one op)."""
         os.makedirs(self._commits, exist_ok=True)
         vs = self._versions()
@@ -85,6 +106,8 @@ class ManagedTable:
             "schema": schema_json,
             "properties": properties,
         }
+        if groups is not None:
+            manifest["groups"] = groups
         tmp = os.path.join(self._commits, f".tmp-{uuid.uuid4().hex}.json")
         final = os.path.join(self._commits, f"v{next_v:012d}.json")
         with open(tmp, "w") as fh:
@@ -113,7 +136,23 @@ class ManagedTable:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not m["files"]:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*m["files"])
+        groups = m.get("groups")
+        if not groups:
+            return self.spark.read.schema(schema).parquet(*m["files"])
+        # evolved table: each file group was written under an older schema;
+        # read each with its own schema and align to the table schema with
+        # column-level casts (the Iceberg int→long/float→double read-time
+        # promotion, iceberg.go:42-57) — still N parallel scans + a union,
+        # no driver-side work
+        parts = []
+        for g in groups:
+            gschema = T.StructType.fromJson(json.loads(g["schema"]))
+            gdf = self.spark.read.schema(gschema).parquet(*g["files"])
+            parts.append(_align(gdf, schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def properties(self) -> dict:
         if not self.exists():
@@ -121,20 +160,39 @@ class ManagedTable:
         return dict(self._manifest().get("properties", {}))
 
     def append(self, df: DataFrame, properties: dict | None = None) -> int:
-        """Append a batch; merge new properties into the same atomic commit."""
-        new_files = self._write_data(df)
+        """Append a batch; merge new properties into the same atomic commit.
+
+        Schema evolution on mismatch (destination/iceberg/iceberg.go:42-57,
+        295-518): new columns are added, int→long / float→double widen, and
+        irreconcilable type conflicts fall back through the LCA lattice to
+        string. Prior file groups keep their written schema; reads align.
+        """
         prev_files: list[str] = []
         prev_props: dict = {}
+        prev_groups: list[dict] | None = None
         schema = df.schema
         if self.exists():
             m = self._manifest()
             prev_files = m["files"]
             prev_props = m.get("properties", {})
-            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            old = T.StructType.fromJson(json.loads(m["schema"]))
+            prev_groups = m.get("groups") or (
+                [{"files": prev_files, "schema": m["schema"]}] if prev_files else []
+            )
+            schema = merge_spark_schemas(old, df.schema)
+            if schema != df.schema:
+                df = _align(df, schema)
+        new_files = self._write_data(df)
+        groups = None
+        if prev_groups is not None:
+            groups = prev_groups + [
+                {"files": new_files, "schema": json.dumps(df.schema.jsonValue())}
+            ]
         return self._commit(
             prev_files + new_files,
             json.dumps(schema.jsonValue()),
             {**prev_props, **(properties or {})},
+            groups=groups,
         )
 
     def overwrite(self, df: DataFrame, properties: dict | None = None) -> int:
