@@ -1,0 +1,118 @@
+"""Time-series joins Spark lacks natively: as-of join and range join.
+
+Beyond-parity operators (the reference has no joins at all — SURVEY.md
+§2.12); these are the building blocks a training-data pipeline needs to
+align event streams with snapshots (feature lookups, label attachment).
+
+Both are expressed so Catalyst picks distributed physical plans:
+
+- ``asof_join`` uses the union + partitioned-window ``last(ignorenulls)``
+  formulation: one shuffle on the join key, no driver-side state, no
+  broadcast requirement — works when both sides are 100 TB. (The naive
+  formulation — join on key + time inequality, then max() — explodes into
+  |L|×|R| intermediate rows per key before aggregating; this one is
+  O(|L|+|R|) rows through the shuffle.)
+- ``range_join`` keeps an equality key in the join condition so Spark plans
+  a shuffled hash/sort-merge join (NOT a broadcast-nested-loop, which is
+  what a pure inequality join degenerates to), with the interval predicate
+  applied as a post-join filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For each left row, attach the newest right row with
+    ``right_time <= left_time`` sharing the join key (backward as-of).
+
+    Rows with no prior right row keep NULL value columns (left-outer
+    semantics). If several right rows share the exact same key+time the
+    last one in ``value_cols``-projection order wins — pre-dedup the right
+    side for full determinism.
+
+    ``tolerance_seconds`` additionally requires
+    ``left_time - right_time <= tolerance`` (matches pandas ``merge_asof``).
+    """
+    lt, rt = F.col(left_time), F.col(right_time)
+    tagged_r = right.select(
+        *on,
+        rt.alias("_asof_t"),
+        F.lit(0).alias("_asof_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+    )
+    tagged_l = left.select(
+        *on,
+        lt.alias("_asof_t"),
+        F.lit(1).alias("_asof_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        *[F.col(c) for c in left.columns if c not in on],
+    )
+    # right rows sort before left rows at equal timestamps, so an exactly-
+    # coincident right row is visible to the left row (asof <= semantics)
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col("_asof_t").asc(), F.col("_asof_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = tagged_r.unionByName(tagged_l)
+    for c in value_cols:
+        filled = filled.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        filled = filled.withColumn(
+            "_asof_rt", F.last(F.when(F.col("_asof_side") == 0, F.col("_asof_t")), ignorenulls=True).over(w)
+        )
+    out = filled.filter(F.col("_asof_side") == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("_asof_rt").isNotNull()
+            & (F.col("_asof_t").cast("double") - F.col("_asof_rt").cast("double") <= tolerance_seconds)
+        )
+        for c in value_cols:
+            out = out.withColumn(f"_r_{c}", F.when(in_tol, F.col(f"_r_{c}")))
+        out = out.drop("_asof_rt")
+    keep = (
+        [F.col(c) for c in on]
+        + [F.col("_asof_t").alias(left_time)]
+        + [F.col(c) for c in left.columns if c not in on and c != left_time]
+        + [F.col(f"_r_{c}").alias(c) for c in value_cols]
+    )
+    return out.select(*keep)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str | tuple[str, str]],
+    point: Column,
+    range_start: Column,
+    range_end: Column,
+) -> DataFrame:
+    """Inner join where ``range_start <= point < range_end`` AND the equality
+    keys match. The equality keys make this a shuffled equi-join with a
+    residual range filter — never a nested-loop cross product.
+
+    ``on`` entries are either a shared column name or a
+    ``(left_name, right_name)`` pair.
+    """
+    cond = None
+    for k in on:
+        lk, rk = (k, k) if isinstance(k, str) else k
+        c = left[lk] == right[rk]
+        cond = c if cond is None else (cond & c)
+    cond = cond & (point >= range_start) & (point < range_end)
+    return left.join(right, cond, "inner")

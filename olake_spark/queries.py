@@ -488,6 +488,155 @@ def schema_evolution_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Iceberg partition transforms (SURVEY §2.10): computed partition values
+# ---------------------------------------------------------------------------
+
+_TRANSFORM_ORACLE = """
+SELECT o_orderkey,
+  CAST(o_custkey - ((o_custkey % 100) + 100) % 100 AS BIGINT) AS trunc_cust,
+  substr(o_orderpriority, 1, 2) AS trunc_prio,
+  CAST(year(o_orderdate) - 1970 AS INTEGER) AS p_year,
+  CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS INTEGER) AS p_month,
+  CAST(date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS INTEGER) AS p_day,
+  CAST(floor(epoch(o_orderdate) / 3600) AS INTEGER) AS p_hour,
+  CAST(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT % 16 AS INTEGER) AS p_bucket
+FROM orders
+"""
+
+
+@register("partition_transforms", _TRANSFORM_ORACLE)
+def partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg partition-transform values computed as columns
+    (arrow-writer/transforms.go:19-287): numeric/string truncate,
+    epoch-relative year/month/day/hour ordinals, md5-derived bucket (the
+    plain-parquet layout path; real Iceberg writes delegate bucketing to the
+    catalog via ADD PARTITION FIELD)."""
+    from olake_spark.sinks.iceberg import (
+        IcebergPartitionField as PF,
+        transform_column,
+        truncate_string_column,
+    )
+
+    df = table(spark, sf_dir, "orders")
+    return df.select(
+        "o_orderkey",
+        transform_column(PF("o_custkey", "truncate", 100)).cast("long").alias("trunc_cust"),
+        truncate_string_column("o_orderpriority", 2).alias("trunc_prio"),
+        transform_column(PF("o_orderdate", "year")).alias("p_year"),
+        transform_column(PF("o_orderdate", "month")).alias("p_month"),
+        transform_column(PF("o_orderdate", "day")).alias("p_day"),
+        transform_column(PF("o_orderdate", "hour")).alias("p_hour"),
+        transform_column(PF("o_orderkey", "bucket", 16)).alias("p_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series joins (beyond parity): as-of + range
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+), rr AS (SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM r WHERE rn = 1)
+SELECT e.event_id, e.user_id,
+       rr.o_orderkey AS matched_order,
+       round(rr.o_totalprice, 6) AS matched_price
+FROM events e ASOF JOIN rr
+  ON e.user_id = rr.user_id AND e.ts >= rr.o_orderdate
+"""
+
+
+@register("asof_join_last_order", _ASOF_ORACLE)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks the user's newest order
+    at-or-before the event time. Union + partitioned-window formulation —
+    one shuffle on user_id, O(|L|+|R|) rows through the shuffle, no
+    broadcast requirement (DuckDB's native ASOF JOIN is the oracle)."""
+    from olake_spark.operators.joins import asof_join
+
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    r = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+        )
+    )
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    j = asof_join(ev, r, ["user_id"], "ts", "o_orderdate", ["o_orderkey", "o_totalprice"])
+    return j.filter(F.col("o_orderkey").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("matched_order"),
+        F.round("o_totalprice", 6).alias("matched_price"),
+    )
+
+
+_RANGE_ORACLE = """
+SELECT o.o_orderkey,
+       count(*) AS n_items,
+       round(sum(l.l_extendedprice), 4) AS sum_price
+FROM orders o JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+GROUP BY o.o_orderkey
+"""
+
+
+@register("range_join_ship_window", _RANGE_ORACLE)
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: line items shipped within 60 days of their order's date.
+    The equality key keeps the plan a shuffled equi-join with a residual
+    interval filter — never a nested-loop cross product."""
+    from olake_spark.operators.joins import range_join
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = range_join(
+        o,
+        li,
+        [("o_orderkey", "l_orderkey")],
+        F.col("l_shipdate"),
+        F.col("o_orderdate"),
+        F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed event aggregation (beyond parity): tumbling event-time windows
+# ---------------------------------------------------------------------------
+
+_WINDOW_ORACLE = """
+SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_windowed_agg", _WINDOW_ORACLE)
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type. The same
+    expression runs under Structured Streaming with a watermark
+    (streaming/windows.py — tested with an AvailableNow bounded drain)."""
+    from olake_spark.streaming.windows import windowed_agg
+
+    ev = table(spark, sf_dir, "events")
+    return windowed_agg(ev, "ts", "1 hour", ["event_type"], value_col="value")
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401

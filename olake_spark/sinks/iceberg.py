@@ -89,6 +89,52 @@ def partition_ddl(table: str, fields: list[IcebergPartitionField]) -> list[str]:
     return [f"ALTER TABLE {table} ADD PARTITION FIELD {f.to_sql()}" for f in fields]
 
 
+def transform_column(field: IcebergPartitionField) -> "Column":
+    """The partition transform as a Column expression (arrow-writer/
+    transforms.go:19-287 semantics).
+
+    Temporal transforms emit Iceberg's epoch-relative ordinals (years since
+    1970, months since 1970-01, days since epoch, hours since epoch), so a
+    computed value matches what Iceberg stores in partition metadata.
+    ``truncate`` floors ints toward -inf and prefix-slices strings.
+    ``bucket`` here is a deterministic md5-derived bucket: when writing
+    through a real Iceberg catalog the engine never computes buckets itself
+    (ADD PARTITION FIELD delegates to Iceberg's murmur3); this expression
+    exists for plain-parquet layouts and plan inspection, and is NOT
+    byte-compatible with Iceberg's murmur3 bucketing.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(field.column)
+    t = field.transform
+    if t == "identity":
+        return c
+    if t == "truncate":
+        # numeric truncate floors toward -inf (transforms.go TruncateTransform);
+        # use truncate_string_column for string columns (prefix slice)
+        w = field.n
+        return c - (((c % w) + w) % w)
+    if t == "bucket":
+        h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+        return (h % field.n).cast("int")
+    if t == "year":
+        return (F.year(c) - F.lit(1970)).cast("int")
+    if t == "month":
+        return ((F.year(c) - 1970) * 12 + F.month(c) - 1).cast("int")
+    if t == "day":
+        return F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01"))).cast("int")
+    if t == "hour":
+        return F.floor(F.unix_timestamp(c) / 3600).cast("int")
+    raise ValueError(f"unknown transform {t!r}")
+
+
+def truncate_string_column(column: str, width: int) -> "Column":
+    """String flavor of truncate[w] — UTF-8 prefix slice."""
+    from pyspark.sql import functions as F
+
+    return F.col(column).substr(1, width)
+
+
 def merge_into_sql(table: str, source_view: str, columns: list[str]) -> str:
     """The equality-delete upsert as one MERGE INTO statement.
 
