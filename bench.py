@@ -110,6 +110,12 @@ def main() -> None:
         "similarity_topk_lsh",
         "embedding_near_dup_pairs",
         "multimodal_features",
+        "reformat_values",
+        "schema_evolution_widen",
+        "partition_transforms",
+        "asof_join_last_order",
+        "range_join_ship_window",
+        "events_windowed_agg",
     ]:
         fn = QUERIES[name]
         timed(name, lambda f=fn: f(spark, sf_dir).count())

@@ -40,6 +40,11 @@ __all__ = [
 ]
 
 _DIM = 64
+# 8 sign bits → 256 buckets. Same-bucket candidate count is N²/(2·256):
+# the plane count is the knob that keeps the near-dup self-join tractable —
+# production corpora should scale it with log2(N) (e.g. 16-20 bits at
+# billions of vectors) and/or multiprobe neighboring buckets for recall.
+# 8 bits keeps the synthetic near-random test corpus producing real matches.
 _NUM_PLANES = 8
 _rng = random.Random(1234)
 # ±1 hyperplane entries: dot products are plain signed sums of the embedding
