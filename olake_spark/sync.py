@@ -26,6 +26,7 @@ from olake_spark.functions.projection import apply_projection
 from olake_spark.plans.state import SyncState
 from olake_spark.plans.stream import Catalog, ConfiguredStream, SyncMode
 from olake_spark.sinks.table import ManagedTable
+from olake_spark.stats import SyncStats
 from olake_spark.sources.files import flatten_complex, normalize_ns_timestamps, spread
 from olake_spark.typesys.naming import reformat_all
 
@@ -82,10 +83,13 @@ def sync_stream(
     df: DataFrame,
     dest_dir: str,
     state: SyncState,
+    stats: "SyncStats | None" = None,
 ) -> SyncResult:
     mode = cs.stream.sync_mode
     table = _dest_table(spark, dest_dir, cs)
     name = cs.stream.name
+    if stats is not None:
+        df = stats.observe(df, f"{name}_read")
 
     if mode == SyncMode.FULL_REFRESH.value or not cs.stream.available_cursor_fields:
         out = _prepare(spread(df, df.columns[0]), cs, OP_BACKFILL)
