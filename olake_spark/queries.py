@@ -637,6 +637,74 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_agg(ev, "ts", "1 hour", ["event_type"], value_col="value")
 
 
+# ---------------------------------------------------------------------------
+# Sessionization (beyond parity): gap-based sessions per user
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+), numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       epoch_ms(min(ts)) AS start_ms,
+       epoch_ms(max(ts)) AS end_ms,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@register("events_sessionize", _SESSION_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap) per user:
+    lag → new-session flag → running-sum ordinal, one shuffle on user_id
+    (operators/sessions.py; streaming variant uses native session_window)."""
+    from olake_spark.operators.sessions import session_stats
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    return session_stats(ev, "ts", ["user_id"], gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Non-normalized raw mode (SURVEY §1.5): single JSON `data` column shape
+# ---------------------------------------------------------------------------
+
+_RAW_MODE_ORACLE = """
+SELECT to_json(struct_pack(n_nationkey := n_nationkey,
+                           n_name := n_name,
+                           n_regionkey := n_regionkey))::VARCHAR AS data,
+       n_nationkey::VARCHAR AS _olake_id,
+       'r' AS _op_type
+FROM nation
+"""
+
+
+@register("raw_mode_json", _RAW_MODE_ORACLE)
+def raw_mode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalization=false table shape (default for MongoDB/Kafka/S3 —
+    types/catalog.go:92, destination/iceberg/iceberg.go:389-417): the whole
+    record JSON-stringified into one `data` column, PK feeding _olake_id,
+    engine op column alongside."""
+    df = table(spark, sf_dir, "nation")
+    return df.select(
+        F.to_json(F.struct("n_nationkey", "n_name", "n_regionkey")).alias("data"),
+        olake_id_column(["n_nationkey"]).alias("_olake_id"),
+        F.lit("r").alias("_op_type"),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
