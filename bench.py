@@ -108,6 +108,8 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "similarity_topk_bruteforce",
         "similarity_topk_lsh",
+        "similarity_topk_ivf",
+        "events_sessionize",
         "embedding_near_dup_pairs",
         "multimodal_features",
         "reformat_values",

@@ -36,6 +36,8 @@ __all__ = [
     "brute_force_topk",
     "lsh_signature",
     "lsh_bucket_topk",
+    "ivf_assign",
+    "ivf_topk",
     "cosine_near_dup_pairs",
 ]
 
@@ -142,6 +144,79 @@ def lsh_bucket_topk(
     sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 9).alias("_sim9")
     scored = (
         c.join(F.broadcast(q), "_sig")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_sim9").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round(F.col("_sim9"), 6).alias("cosine_sim")
+        )
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (cosine, nprobe=1).
+
+    Centroids are broadcast (they are tiny by construction); each vector
+    scores every centroid map-side — no shuffle until the per-vector argmax
+    window, which partitions on the vector id. Ties break on centroid id.
+    """
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_cent_id"),
+        F.round(cosine(F.col(vec_col), F.col("_cent_v")), 9).alias("_cs"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("_cent_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, F.col("_cent_id").alias("_cell"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_stride: int = 97,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    centroid cells, search only the query's cell.
+
+    Centroids here are a deterministic corpus subset (ids divisible by
+    ``centroid_stride``) so the SQL oracle reproduces the index exactly;
+    production swaps in k-means centroids — the dataflow (assign → cell
+    equi-join → per-query top-k) is identical. Versus LSH buckets, IVF
+    cells adapt to the data distribution; ``centroid_stride`` ∝ sqrt(N)
+    balances cell size against the assignment fan-out.
+    """
+    cents = spread(corpus, id_col).filter(
+        (F.col(id_col) % centroid_stride) == 0
+    ).select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_v"))
+    ca = ivf_assign(
+        spread(corpus, id_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        ),
+        cents, "neighbor_id", "_cv",
+    )
+    qa = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        cents, "query_id", "_qv",
+    )
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 9).alias("_sim9")
+    scored = (
+        ca.join(F.broadcast(qa), "_cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim)
     )

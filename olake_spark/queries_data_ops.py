@@ -311,6 +311,42 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_topk_ivf",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({_COS.format(a='e.embedding', b='c.cv')}, 9) DESC,
+                        c.cent_id) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ), cells AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv, cell FROM cells WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_COS.format(a='q.qv', b='c.embedding')}, 9) AS s9
+      FROM q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, neighbor_id) AS "rank"
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, "rank", round(s9, 6) AS cosine_sim
+    FROM ranked WHERE "rank" <= 5
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into nearest-centroid
+    cells (deterministic centroid subset so the oracle reproduces the
+    index), query searches only its cell (operators/similarity.py
+    ivf_topk)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+@register(
     "embedding_near_dup_pairs",
     f"""
     WITH t AS (SELECT vec_id, embedding, {_lsh_sig_sql('embedding')} AS sig FROM embeddings)
