@@ -705,6 +705,38 @@ def raw_mode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Skew-mitigated join (scale machinery): salted join ≡ plain join
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l.l_extendedprice), 2) AS sum_price
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("skew_salted_join_agg", _SALTED_ORACLE)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join (operators/skew.py): the big side carries a
+    deterministic salt, the dim side is replicated per salt, the join key
+    becomes (key, salt) — spreading any hot order key over 8 tasks. The
+    oracle is the UNSALTED join: salting must be invisible in the result."""
+    from olake_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_linenumber"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, o, ["o_orderkey"], n=8, salt_from="l_linenumber")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
