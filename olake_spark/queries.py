@@ -737,6 +737,113 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Boundary-walk chunk planning (SURVEY §2.3): walk the real key distribution
+# ---------------------------------------------------------------------------
+
+_WALK_CHUNK_ROWS = 2000
+
+_WALK_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderkey,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS rnk
+  FROM orders
+)
+SELECT CAST(floor(rnk / {_WALK_CHUNK_ROWS}) AS BIGINT) AS chunk_id,
+       count(*) AS n_rows,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM ranked GROUP BY 1
+"""
+
+
+@register("chunk_plan_boundary_walk", _WALK_ORACLE)
+def chunk_plan_boundary_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-BY/LIMIT-OFFSET boundary walk (pkg/jdbc/jdbc.go:76-123): each
+    driver-side probe asks for the key exactly chunk_size rows ahead, so
+    chunks follow the REAL key distribution and key-space skew cannot
+    produce a giant chunk. Probes here run as tiny Spark jobs standing in
+    for the reference's `LIMIT 1 OFFSET n` source queries; the oracle
+    verifies every chunk holds exactly chunk_size rows."""
+    from olake_spark.plans.chunks import walk_boundaries
+
+    df = table(spark, sf_dir, "orders").select("o_orderkey")
+    first = df.agg(F.min("o_orderkey")).first()[0]
+
+    def probe(cur):
+        nxt = (
+            df.filter(F.col("o_orderkey") > F.lit(cur))
+            .sort("o_orderkey")
+            .offset(_WALK_CHUNK_ROWS - 1)
+            .limit(1)
+            .first()
+        )
+        return None if nxt is None else nxt[0]
+
+    chunks = walk_boundaries(int(first), probe)
+    expr = F.lit(None).cast("long")
+    for i in reversed(range(len(chunks))):
+        ch = chunks[i]
+        cond = F.col("o_orderkey") >= F.lit(ch.min)
+        if ch.max is not None:
+            cond = cond & (F.col("o_orderkey") < F.lit(ch.max))
+        expr = F.when(cond, F.lit(i).cast("long")).otherwise(expr)
+    return (
+        df.withColumn("chunk_id", expr)
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discover (SURVEY §2.1/§2.2): schema inference parity across all streams
+# ---------------------------------------------------------------------------
+
+_ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_DISCOVER_ORACLE = """
+SELECT table_name AS stream, column_name AS col,
+  CASE
+    WHEN data_type LIKE '%[]' THEN 'array'
+    WHEN data_type = 'BIGINT' THEN 'integer'
+    WHEN data_type = 'INTEGER' THEN 'integer_small'
+    WHEN data_type = 'DOUBLE' THEN 'number'
+    WHEN data_type IN ('REAL', 'FLOAT') THEN 'number_small'
+    WHEN data_type = 'VARCHAR' THEN 'string'
+    WHEN data_type = 'BOOLEAN' THEN 'boolean'
+    WHEN data_type LIKE 'TIMESTAMP%' THEN 'timestamp_micro'
+    ELSE 'unknown'
+  END AS datatype
+FROM information_schema.columns
+WHERE table_name IN ('region','nation','customer','supplier','part',
+                     'orders','lineitem','events','documents','embeddings')
+"""
+
+
+@register("discover_streams", _DISCOVER_ORACLE)
+def discover_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `discover` verb's schema-inference surface: every stream's
+    columns mapped through the engine type lattice (SURVEY §1.2's 14-type
+    system) — one row per (stream, column, engine datatype). The oracle is
+    DuckDB's own information_schema over the same parquet, mapped through
+    the identical lattice names. Metadata-only: parquet footer reads, no
+    data scan."""
+    from olake_spark.typesys.lattice import from_spark_type
+
+    rows = []
+    for t in _ALL_TABLES:
+        for f in table(spark, sf_dir, t).schema.fields:
+            rows.append((t, f.name, from_spark_type(f.dataType).value))
+    return spark.createDataFrame(rows, "stream string, col string, datatype string")
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401

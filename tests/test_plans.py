@@ -1,0 +1,58 @@
+"""Physical-plan assertions — the scale contract, enforced in CI.
+
+Correctness gates prove WHAT each operator computes; these prove HOW:
+filters and projections must reach the parquet scan, joins must never
+degenerate to nested loops (except the two intentionally-broadcast
+cross-join probes), and the hot path must stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from olake_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# cross joins that are BY DESIGN (small side broadcast, bounded fan-out):
+# brute-force knn probes and IVF centroid assignment
+_CROSS_OK = {"similarity_topk_bruteforce", "similarity_topk_ivf"}
+
+
+def _plan(spark, name):
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_accidental_nested_loop(spark, name):
+    plan = _plan(spark, name)
+    if name in _CROSS_OK:
+        return
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested loop join"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filter_structured_and")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice" in plan or "o_totalprice" in plan.split("PushedFilters")[1][:200]
+
+
+def test_projection_prunes_scan(spark):
+    plan = _plan(spark, "projection_selected_columns")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 3 selected columns are read from parquet
+    assert "c_custkey" in read_schema and "c_acctbal" in read_schema
+    assert "c_address" not in read_schema and "c_comment" not in read_schema
+
+
+def test_full_load_stays_in_codegen(spark):
+    plan = _plan(spark, "full_load_lineitem")
+    # "*(n)" prefixes mark whole-stage-codegen spans in executedPlan output
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _plan(spark, "range_join_ship_window")
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
