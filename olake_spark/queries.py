@@ -844,6 +844,53 @@ def discover_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "stream string, col string, datatype string")
 
 
+# ---------------------------------------------------------------------------
+# CSV / JSONL parsers (SURVEY §2.2): inference roundtrip through file drops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "csv_roundtrip_inference",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def csv_roundtrip_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV parser parity (pkg/parser/csv.go): export nation as headered CSV,
+    re-read with sample-based type inference, align inferred ints to the
+    stream schema through the lattice (int32 sample → int64 stream). The
+    oracle reads the original parquet — the CSV hop must be lossless."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="olake_csv_")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n.coalesce(1).write.mode("overwrite").option("header", "true").csv(d)
+    from olake_spark.sources.files import read_files
+
+    back = read_files(spark, d, fmt="csv")
+    return back.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+
+
+@register(
+    "jsonl_roundtrip_inference",
+    "SELECT r_regionkey, r_name FROM region",
+)
+def jsonl_roundtrip_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL parser parity (pkg/parser/json.go): region exported as JSON
+    lines, re-read with schema inference (Spark JSON infers longs natively)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="olake_jsonl_")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    r.coalesce(1).write.mode("overwrite").json(d)
+    from olake_spark.sources.files import read_files
+
+    back = read_files(spark, d, fmt="jsonl")
+    return back.select("r_regionkey", "r_name")
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
