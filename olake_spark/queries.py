@@ -891,6 +891,60 @@ def jsonl_roundtrip_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("r_regionkey", "r_name")
 
 
+# ---------------------------------------------------------------------------
+# Column profiling (stats-based planning, SURVEY §4 + dataset QA)
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+WITH stats AS (
+  SELECT 'l_quantity' AS col, count(l_quantity) AS n,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         min(l_quantity)::DOUBLE AS min_v, max(l_quantity)::DOUBLE AS max_v,
+         round(avg(l_quantity), 4) AS mean_v,
+         round(quantile_cont(l_quantity, 0.5), 4) AS median_v
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(l_discount),
+         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+         min(l_discount)::DOUBLE, max(l_discount)::DOUBLE,
+         round(avg(l_discount), 4), round(quantile_cont(l_discount, 0.5), 4)
+  FROM lineitem
+)
+SELECT * FROM stats
+"""
+
+
+@register("profile_numeric_stats", _PROFILE_ORACLE)
+def profile_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass numeric profiling (operators/profile.py): count / nulls /
+    min / max / mean / exact median per column — the engine-side version of
+    the reference's catalog-stats planning inputs, doubling as dataset QA."""
+    from olake_spark.operators.profile import profile_numeric
+
+    li = table(spark, sf_dir, "lineitem")
+    return profile_numeric(li, ["l_quantity", "l_discount"])
+
+
+_TOPV_ORACLE = """
+WITH counted AS (
+  SELECT event_type AS value, count(*) AS n FROM events GROUP BY 1
+)
+SELECT value, n,
+       row_number() OVER (ORDER BY n DESC, value ASC) AS rnk
+FROM counted
+QUALIFY rnk <= 3
+"""
+
+
+@register("profile_top_values", _TOPV_ORACLE)
+def profile_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k frequent values (hot-key detector feeding operators/skew)."""
+    from olake_spark.operators.profile import top_values
+
+    ev = table(spark, sf_dir, "events")
+    return top_values(ev, "event_type", k=3)
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
