@@ -93,6 +93,11 @@ def parse_timestamp_multi(col: Column | str, db_timestamp: bool = True) -> Colum
     before any layout is tried; when ``db_timestamp`` unparseable values
     collapse to the epoch start (reformat.go:276-280), otherwise NULL
     (the strict filter-value path).
+
+    Documented divergence: the reference epoch-parses only values that are
+    int-TYPED and sends digit-STRINGS ("2024") to the epoch-start fallback;
+    a Column has one type for all rows, so digit-strings are epoch-parsed
+    here too (a superset that keeps int columns correct after stringification).
     """
     c = F.col(col) if isinstance(col, str) else col
     s = F.trim(c.cast("string"))

@@ -47,6 +47,11 @@ def asof_join(
     ``tolerance_seconds`` additionally requires
     ``left_time - right_time <= tolerance`` (matches pandas ``merge_asof``).
     """
+    clash = set(value_cols) & {c for c in left.columns if c not in on}
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} collide with left columns — rename one side"
+        )
     lt, rt = F.col(left_time), F.col(right_time)
     tagged_r = right.select(
         *on,
