@@ -945,6 +945,300 @@ def profile_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_values(ev, "event_type", k=3)
 
 
+# ---------------------------------------------------------------------------
+# MongoDB source parity (SURVEY §2.3 splitVector/timestamp strategies, §2.6
+# change streams): the chunk-boundary hex math and the change-stream decode,
+# proven against arithmetic oracles
+# ---------------------------------------------------------------------------
+
+_MONGO_OID_ORACLE = """
+WITH b AS (
+  SELECT epoch(MIN(o_orderdate))::BIGINT - 600 AS start_secs,
+         epoch(MAX(o_orderdate))::BIGINT + 600 AS last_secs
+  FROM orders
+), p AS (
+  SELECT start_secs,
+         10 * GREATEST(1, (last_secs - start_secs) // 21600) AS density
+  FROM b
+)
+SELECT CAST((epoch(o_orderdate)::BIGINT - p.start_secs) // p.density AS BIGINT) AS chunk_idx,
+       printf('%08x', p.start_secs
+              + ((epoch(o_orderdate)::BIGINT - p.start_secs) // p.density) * p.density)
+         || '0000000000000000' AS chunk_min_oid,
+       COUNT(*) AS n
+FROM orders, p
+GROUP BY 1, 2
+"""
+
+
+@register("mongo_objectid_chunks", _MONGO_OID_ORACLE)
+def mongo_objectid_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-sliced ObjectID chunk assignment (mongodb backfill.go:217-251).
+
+    The planner (sources/mongo.timestamp_chunks) computes the boundary
+    ObjectIDs driver-side; rows are assigned to their chunk with pure
+    arithmetic on the embedded seconds (the slices are uniform), and each
+    chunk's min boundary is re-synthesized as hex — proving the 4-byte-epoch
+    + 8-zero-byte ObjectID math (backfill.go:383-390) against the oracle's
+    printf. The boundary walk itself (pad, density) comes from the module,
+    not re-derived inline.
+    """
+    import calendar
+
+    from olake_spark.sources.mongo import objectid_timestamp, timestamp_chunks
+
+    o = table(spark, sf_dir, "orders")
+    first, last = o.agg(
+        F.min("o_orderdate").cast("timestamp"), F.max("o_orderdate").cast("timestamp")
+    ).first()
+    chunks = timestamp_chunks(first, last)
+    start = objectid_timestamp(chunks[0].min)
+    density = int((objectid_timestamp(chunks[1].min) - start).total_seconds())
+    start_secs = calendar.timegm(start.timetuple())
+    secs = F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).cast("bigint")
+    idx = F.floor((secs - F.lit(start_secs)) / F.lit(density)).cast("bigint")
+    boundary = F.concat(
+        F.format_string("%08x", (F.lit(start_secs) + idx * density).cast("bigint")),
+        F.lit("0" * 16),
+    )
+    return (
+        o.select(idx.alias("chunk_idx"), boundary.alias("chunk_min_oid"))
+        .groupBy("chunk_idx", "chunk_min_oid")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_CS_OP_SQL = """CASE event_id % 4 WHEN 0 THEN 'insert' WHEN 1 THEN 'update'
+                WHEN 2 THEN 'replace' ELSE 'delete' END"""
+
+_MONGO_CS_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_ms(ts) // 1000 AS secs, epoch_ms(ts) AS ms,
+         {_CS_OP_SQL} AS raw_op
+  FROM events WHERE event_id % 7 = 0
+)
+SELECT CASE WHEN raw_op = 'insert' THEN 'c'
+            WHEN raw_op = 'delete' THEN 'd' ELSE 'u' END AS _op_type,
+       CASE WHEN raw_op = 'delete' AND event_id % 2 = 0 THEN event_id + 1000000
+            WHEN raw_op IN ('update','replace') AND event_id % 5 = 0 THEN event_id + 2000000
+            ELSE event_id END AS doc_event_id,
+       CASE WHEN event_id % 3 <> 0 THEN ms
+            ELSE secs * 1000 + event_id % 100 END AS cdc_ms,
+       secs AS token_secs
+FROM ev
+"""
+
+
+@register("mongo_change_stream_decode", _MONGO_CS_ORACLE)
+def mongo_change_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-stream event decode (mongodb cdc.go:166-192, 280-323).
+
+    Synthesizes raw change-stream JSON from events (op cycling through
+    insert/update/replace/delete, wallTime present ⅔ of the time, some
+    update/delete events with only a before-image or documentKey), runs
+    ``streaming.mongo_cdc.decode_change_stream``, and extracts typed scalars:
+    the op mapping (replace→update→"u"), the per-op document selection
+    (delete prefers before-image over documentKey; update falls back to the
+    before-image when the updateLookup found nothing), the wallTime-else-
+    clusterTime timestamp rule, and the resume-token seconds decode.
+    """
+    from olake_spark.streaming.mongo_cdc import decode_change_stream
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    secs = F.unix_timestamp("ts").cast("bigint")
+    ms = F.unix_millis(F.col("ts"))
+    eid = F.col("event_id")
+    raw_op = (
+        F.when(eid % 4 == 0, "insert")
+        .when(eid % 4 == 1, "update")
+        .when(eid % 4 == 2, "replace")
+        .otherwise("delete")
+    )
+    doc = lambda id_col: F.to_json(F.struct(F.col("user_id"), id_col.alias("event_id")))  # noqa: E731
+    is_delete = raw_op == "delete"
+    is_update = raw_op.isin("update", "replace")
+    event = F.struct(
+        F.struct(F.format_string("82%08x%08x", secs, eid % 100).alias("_data")).alias("_id"),
+        raw_op.alias("operationType"),
+        F.struct(secs.alias("t"), (eid % 100).alias("i")).alias("clusterTime"),
+        F.when(eid % 3 != 0, ms).alias("wallTime"),
+        F.when(is_delete | (is_update & (eid % 5 == 0)), F.lit(None).cast("string"))
+        .otherwise(doc(eid))
+        .alias("fullDocument"),
+        F.when(is_delete & (eid % 2 == 0), doc(eid + 1000000))
+        .when(is_update & (eid % 5 == 0), doc(eid + 2000000))
+        .alias("fullDocumentBeforeChange"),
+        F.to_json(F.struct(eid.alias("event_id"))).alias("documentKey"),
+    )
+    raw = ev.select(F.to_json(event).alias("value"))
+    decoded = decode_change_stream(raw)
+    return decoded.select(
+        "_op_type",
+        F.get_json_object("data", "$.event_id").cast("bigint").alias("doc_event_id"),
+        F.unix_millis(F.col("_cdc_timestamp")).alias("cdc_ms"),
+        F.conv(F.substring("_cdc_resume_token", 3, 8), 16, 10).cast("bigint").alias("token_secs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MySQL binlog CDC parity (SURVEY §2.6): rows-event decode with after-image
+# pairing, and the Debezium envelope flavor of the same log
+# ---------------------------------------------------------------------------
+
+_BINLOG_OP_SQL = """CASE o_orderkey % 6
+  WHEN 0 THEN 'c' WHEN 1 THEN 'c' WHEN 2 THEN 'u'
+  WHEN 3 THEN 'u' WHEN 4 THEN 'd' ELSE 'd' END"""
+
+_BINLOG_ROWS_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate,
+         epoch(o_orderdate)::BIGINT AS secs
+  FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 13 <> 0
+), expected AS (
+  SELECT {_BINLOG_OP_SQL} AS _op_type,
+         o_orderkey AS okey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN epoch_ms(o_orderdate::TIMESTAMP) + o_orderkey % 1000
+              ELSE secs * 1000 END AS cdc_ms,
+         (o_orderkey % 5 + 40) * 4294967296 + o_orderkey AS pos_key
+  FROM o
+  UNION ALL
+  -- second row of the two-row WRITE_ROWS_EVENTv2 batches
+  SELECT 'c', o_orderkey + 5000000,
+         CAST(round(o_totalprice * 2 * 100) AS BIGINT),
+         CASE WHEN o_orderkey % 3 = 0
+              THEN epoch_ms(o_orderdate::TIMESTAMP) + o_orderkey % 1000
+              ELSE secs * 1000 END,
+         (o_orderkey % 5 + 40) * 4294967296 + o_orderkey
+  FROM o WHERE o_orderkey % 6 = 1
+)
+SELECT * FROM expected
+"""
+
+
+@register("mysql_binlog_rows_decode", _BINLOG_ROWS_ORACLE)
+def mysql_binlog_rows_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog RowsEvent decode (pkg/binlog/filter.go:52-130).
+
+    Synthesizes go-mysql-shaped RowsEvents from orders — all six DML event
+    type names (v1+v2), two-row insert batches, update events carrying
+    interleaved (before, after) image pairs with a poisoned before-image,
+    non-DML events that must vanish, and the GTID-vs-header timestamp rule —
+    then runs ``streaming.binlog.decode_rows_events`` and extracts typed
+    scalars. A surviving -1 price would mean a before-image leaked through.
+    """
+    from olake_spark.streaming.binlog import decode_rows_events
+
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 11 == 0)
+    )
+    okey = F.col("o_orderkey")
+    mod6 = okey % 6
+    event_type = (
+        F.when(okey % 13 == 0, "XID_EVENT")  # non-DML: must produce no rows
+        .when(mod6 == 0, "WRITE_ROWS_EVENTv1")
+        .when(mod6 == 1, "WRITE_ROWS_EVENTv2")
+        .when(mod6 == 2, "UPDATE_ROWS_EVENTv1")
+        .when(mod6 == 3, "UPDATE_ROWS_EVENTv2")
+        .when(mod6 == 4, "DELETE_ROWS_EVENTv1")
+        .otherwise("DELETE_ROWS_EVENTv2")
+    )
+
+    def row_json(key: Column, price: Column) -> Column:
+        return F.to_json(F.struct(key.alias("okey"), price.alias("price")))
+
+    price = F.col("o_totalprice")
+    rows = (
+        F.when(mod6.isin(2, 3), F.array(row_json(okey, F.lit(-1.0)), row_json(okey, price)))
+        .when(mod6 == 1, F.array(row_json(okey, price), row_json(okey + 5000000, price * 2)))
+        .otherwise(F.array(row_json(okey, price)))
+    )
+    secs = F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).cast("bigint")
+    events = o.select(
+        event_type.alias("event_type"),
+        F.lit("db").alias("schema"),
+        F.lit("orders").alias("table"),
+        rows.alias("rows"),
+        secs.alias("header_timestamp"),
+        F.when(
+            okey % 3 == 0,
+            F.timestamp_millis(F.unix_millis(F.col("o_orderdate").cast("timestamp")) + okey % 1000),
+        ).alias("gtid_timestamp"),
+        F.format_string("mysql-bin.%06d", (okey % 5 + 40).cast("int")).alias("file"),
+        okey.cast("long").alias("pos"),
+    )
+    decoded = decode_rows_events(events)
+    return decoded.select(
+        "_op_type",
+        F.get_json_object("data", "$.okey").cast("bigint").alias("okey"),
+        F.round(F.get_json_object("data", "$.price").cast("double") * 100).cast("bigint").alias("price_cents"),
+        F.unix_millis(F.col("_cdc_timestamp")).alias("cdc_ms"),
+        F.col("_cdc_pos_key").alias("pos_key"),
+    )
+
+
+_DBZ_ORACLE = """
+SELECT CASE o_orderkey % 4 WHEN 0 THEN 'c' WHEN 1 THEN 'u'
+            WHEN 2 THEN 'd' ELSE 'r' END AS _op_type,
+       o_orderkey AS okey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       epoch_ms(o_orderdate::TIMESTAMP) + o_orderkey % 997 AS cdc_ms,
+       (o_orderkey % 7 + 100) * 4294967296 + o_orderkey AS pos_key
+FROM orders WHERE o_orderkey % 17 = 0
+"""
+
+
+@register("mysql_debezium_decode", _DBZ_ORACLE)
+def mysql_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium MySQL envelope decode (the Kafka-delegated binlog path).
+
+    Envelopes alternate between schema-wrapped ``{payload: …}`` and bare
+    forms (both public Debezium serializations); deletes carry only a
+    before-image, everything else only an after-image with a poisoned
+    before — proving the per-op image selection, op passthrough (incl. the
+    snapshot ``r``), source ts_ms timestamp, and the binlog position key.
+    """
+    from olake_spark.streaming.binlog import decode_debezium
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0)
+    okey = F.col("o_orderkey")
+    op = (
+        F.when(okey % 4 == 0, "c")
+        .when(okey % 4 == 1, "u")
+        .when(okey % 4 == 2, "d")
+        .otherwise("r")
+    )
+    doc = F.to_json(F.struct(okey.alias("okey"), F.col("o_totalprice").alias("price")))
+    poisoned = F.to_json(F.struct(okey.alias("okey"), F.lit(-1.0).alias("price")))
+    is_delete = okey % 4 == 2
+    payload = F.struct(
+        F.when(is_delete, doc).otherwise(poisoned).alias("before"),
+        F.when(is_delete, F.lit(None).cast("string")).otherwise(doc).alias("after"),
+        F.struct(
+            F.format_string("mysql-bin.%06d", (okey % 7 + 100).cast("int")).alias("file"),
+            okey.cast("long").alias("pos"),
+            (F.unix_millis(F.col("o_orderdate").cast("timestamp")) + okey % 997).alias("ts_ms"),
+            F.lit("db").alias("db"),
+            F.lit("orders").alias("table"),
+            F.lit(None).cast("string").alias("snapshot"),
+        ).alias("source"),
+        op.alias("op"),
+        (F.unix_millis(F.col("o_orderdate").cast("timestamp")) + 1).alias("ts_ms"),
+    )
+    wrapped = F.when(okey % 2 == 0, F.to_json(F.struct(payload.alias("payload")))).otherwise(
+        F.to_json(payload)
+    )
+    decoded = decode_debezium(o.select(wrapped.alias("value")))
+    return decoded.select(
+        "_op_type",
+        F.get_json_object("data", "$.okey").cast("bigint").alias("okey"),
+        F.round(F.get_json_object("data", "$.price").cast("double") * 100).cast("bigint").alias("price_cents"),
+        F.unix_millis(F.col("_cdc_timestamp")).alias("cdc_ms"),
+        F.col("_cdc_pos_key").alias("pos_key"),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
