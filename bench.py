@@ -91,9 +91,13 @@ def main() -> None:
             ch.filter(F.col("lsn") > c2),
         ]
         # fresh target per rep — replaying into an existing table is a no-op
-        # by design (LSN guard) and would fake the timing
+        # by design (LSN guard) and would fake the timing. MOR path: each
+        # batch is an O(|batch|) delta append (the reference's equality-
+        # delete shape); the final compact folds deltas into a resolved
+        # base so the timed work still produces a materialized table.
         t = ManagedTable(spark, f"{tmp}/cdc_target_{next(cdc_rep)}")
-        replay_batches(t, batches, ["user_id"], "lsn")
+        replay_batches(t, batches, ["user_id"], "lsn", mor=True)
+        t.compact()
         ch.unpersist()
         return n
 

@@ -362,6 +362,32 @@ def cdc_upsert_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("user_id", "_op_type", "value", "ts_ms")
 
 
+@register("cdc_mor_replay", ORACLES["cdc_upsert_batched"])
+def cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read upsert replay: the same 3-batch changelog lands as
+    delta file groups on a real ManagedTable (O(|batch|) appends — the
+    Iceberg equality-delete shape, BaseDeltaTaskWriter.java:51-68) and
+    ``read()`` resolves latest-wins at scan time. Must equal the
+    copy-on-write oracle exactly — the storage strategy is invisible."""
+    import tempfile
+
+    from olake_spark.sinks.table import ManagedTable
+    from olake_spark.streaming.replay import replay_batches
+
+    ch = _events_changelog(spark, sf_dir)
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    c1 = int(lo) + (int(hi) - int(lo)) // 3
+    c2 = int(lo) + 2 * (int(hi) - int(lo)) // 3
+    batches = [
+        ch.filter(F.col("lsn") <= c1),
+        ch.filter((F.col("lsn") > c1) & (F.col("lsn") <= c2)),
+        ch.filter(F.col("lsn") > c2),
+    ]
+    t = ManagedTable(spark, tempfile.mkdtemp(prefix="olake_mor_"))
+    replay_batches(t, batches, ["user_id"], "lsn", mor=True, order_cols=["lsn", "event_id"])
+    return t.read().select("user_id", "_op_type", "value", "ts_ms")
+
+
 # ---------------------------------------------------------------------------
 # Value reformat family (SURVEY §2.8): per-type coercions, JVM-side
 # ---------------------------------------------------------------------------

@@ -21,10 +21,17 @@ On a real cluster with Iceberg on the classpath, ``sinks.iceberg`` replaces
 this with ``writeTo(...).append()`` / ``MERGE INTO`` + snapshot properties —
 the engine API (append / overwrite / upsert / properties) is identical.
 
-Scale note: upsert here rewrites the target snapshot (read ∪ merge ∪ write —
-one shuffle). Correct at any scale but O(|target|) per batch; the Iceberg
-path does equality-delete MERGE instead. The bounded-drain replay keeps
-batches large (2 GiB chunks) so the rewrite amortizes.
+Two upsert strategies, mirroring Iceberg's copy-on-write vs merge-on-read:
+
+- ``upsert``     (COW): read ∪ merge ∪ rewrite — O(|target|) per batch.
+  Right when batches are huge relative to the table.
+- ``upsert_mor`` (MOR): append the collapsed batch (tombstones included) as
+  a *delta* file group — O(|batch|) per commit, the reference's
+  equality-delete shape (BaseDeltaTaskWriter.java:51-68). ``read()``
+  resolves latest-wins per key across (base ∪ deltas) with one window —
+  cost moves to readers until ``compact()`` folds deltas into a new base.
+  Right for CDC into a 100 TB table: a 100k-row batch must not rewrite
+  the table.
 """
 
 from __future__ import annotations
@@ -35,12 +42,16 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from olake_spark.operators.merge import merge_upsert
 from olake_spark.typesys.lattice import merge_spark_schemas
 
-__all__ = ["ManagedTable", "CommitConflict"]
+__all__ = ["ManagedTable", "CommitConflict", "MOR_KEYS_PROP", "MOR_ORDER_PROP"]
+
+MOR_KEYS_PROP = "olake.mor.key_cols"
+MOR_ORDER_PROP = "olake.mor.order_cols"
 
 
 class CommitConflict(RuntimeError):
@@ -144,22 +155,46 @@ class ManagedTable:
         # column-level casts (the Iceberg int→long/float→double read-time
         # promotion, iceberg.go:42-57) — still N parallel scans + a union,
         # no driver-side work
+        has_delta = any(g.get("delta") for g in groups)
         parts = []
-        for g in groups:
+        for seq, g in enumerate(groups):
             gschema = T.StructType.fromJson(json.loads(g["schema"]))
             gdf = self.spark.read.schema(gschema).parquet(*g["files"])
-            parts.append(_align(gdf, schema))
+            gdf = _align(gdf, schema)
+            if has_delta:
+                gdf = gdf.withColumn("_mor_seq", F.lit(seq))
+            parts.append(gdf)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        if not has_delta:
+            return out
+        # MOR resolve: newest (commit seq, change order) per key wins, then
+        # tombstones drop — one window shuffle over base ∪ deltas, the same
+        # plan `merge_upsert` runs, but deferred to read time
+        props = m.get("properties", {})
+        keys = json.loads(props[MOR_KEYS_PROP])
+        order = json.loads(props[MOR_ORDER_PROP])
+        from pyspark.sql import Window as W
+
+        from olake_spark.functions.olake_columns import OP_DELETE, OP_TYPE
+
+        w = W.partitionBy(*keys).orderBy(
+            F.col("_mor_seq").desc(), *[F.col(c).desc() for c in order]
+        )
+        return (
+            out.withColumn("_mor_rn", F.row_number().over(w))
+            .filter(F.col("_mor_rn") == 1)
+            .filter(F.col(OP_TYPE) != OP_DELETE)
+            .drop("_mor_rn", "_mor_seq")
+        )
 
     def properties(self) -> dict:
         if not self.exists():
             return {}
         return dict(self._manifest().get("properties", {}))
 
-    def append(self, df: DataFrame, properties: dict | None = None) -> int:
+    def append(self, df: DataFrame, properties: dict | None = None, delta: bool = False) -> int:
         """Append a batch; merge new properties into the same atomic commit.
 
         Schema evolution on mismatch (destination/iceberg/iceberg.go:42-57,
@@ -183,11 +218,14 @@ class ManagedTable:
             if schema != df.schema:
                 df = _align(df, schema)
         new_files = self._write_data(df)
+        new_group = {"files": new_files, "schema": json.dumps(df.schema.jsonValue())}
+        if delta:
+            new_group["delta"] = True
         groups = None
         if prev_groups is not None:
-            groups = prev_groups + [
-                {"files": new_files, "schema": json.dumps(df.schema.jsonValue())}
-            ]
+            groups = prev_groups + [new_group]
+        elif delta:
+            groups = [new_group]
         return self._commit(
             prev_files + new_files,
             json.dumps(schema.jsonValue()),
@@ -221,6 +259,45 @@ class ManagedTable:
         # lazy plan is safe to execute directly inside the overwrite
         merged = merge_upsert(self.read(), batch, key_cols, order_cols)
         return self.overwrite(merged, properties)
+
+    def upsert_mor(
+        self,
+        batch: DataFrame,
+        key_cols: list[str],
+        order_cols: list[str],
+        properties: dict | None = None,
+    ) -> int:
+        """Merge-on-read upsert: collapse the batch per key (tombstones
+        KEPT — they are the equality deletes) and append it as a delta file
+        group. O(|batch|) write; ``read()`` resolves. The key/order columns
+        pin to the table on first use — later calls must match."""
+        from olake_spark.operators.merge import latest_state
+
+        props = dict(properties or {})
+        existing = self.properties()
+        keys_json = json.dumps(key_cols)
+        order_json = json.dumps(order_cols)
+        if self.exists() and MOR_KEYS_PROP in existing:
+            if existing[MOR_KEYS_PROP] != keys_json or existing[MOR_ORDER_PROP] != order_json:
+                raise ValueError(
+                    "MOR key/order columns differ from the table's: "
+                    f"{existing[MOR_KEYS_PROP]}/{existing[MOR_ORDER_PROP]}"
+                )
+        props[MOR_KEYS_PROP] = keys_json
+        props[MOR_ORDER_PROP] = order_json
+        collapsed = latest_state(batch, key_cols, order_cols, keep_tombstones=True)
+        if not self.exists():
+            # first batch: still no reason to keep tombstones in the base
+            return self.overwrite(
+                collapsed.filter(F.col("_op_type") != "d"), props
+            )
+        return self.append(collapsed, props, delta=True)
+
+    def compact(self, properties: dict | None = None) -> int:
+        """Fold deltas into a fresh base snapshot (the amortized rewrite a
+        steady-state MOR table schedules off the ingest path)."""
+        resolved = self.read()
+        return self.overwrite(resolved, properties)
 
     def drop(self) -> None:
         if os.path.isdir(self.path):

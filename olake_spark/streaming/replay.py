@@ -38,6 +38,8 @@ def _apply_batch(
     batch: DataFrame,
     key_cols: list[str],
     lsn_col: str,
+    mor: bool = False,
+    order_cols: list[str] | None = None,
 ) -> int | None:
     """Filter already-applied LSNs, upsert, commit max LSN with the data."""
     last = table.properties().get(LAST_LSN_PROP)
@@ -46,7 +48,13 @@ def _apply_batch(
     mx_row = batch.agg(F.max(lsn_col).alias("mx")).first()
     if mx_row is None or mx_row["mx"] is None:
         return None  # nothing new — crash-replayed batch fully applied before
-    table.upsert(batch, key_cols, [lsn_col], properties={LAST_LSN_PROP: int(mx_row["mx"])})
+    write = table.upsert_mor if mor else table.upsert
+    write(
+        batch,
+        key_cols,
+        order_cols or [lsn_col],
+        properties={LAST_LSN_PROP: int(mx_row["mx"])},
+    )
     return int(mx_row["mx"])
 
 
@@ -55,12 +63,21 @@ def replay_batches(
     batches: list[DataFrame],
     key_cols: list[str],
     lsn_col: str,
+    mor: bool = False,
+    order_cols: list[str] | None = None,
 ) -> dict:
-    """Apply LSN-ordered change batches exactly-once; returns drain stats."""
+    """Apply LSN-ordered change batches exactly-once; returns drain stats.
+
+    ``mor=True`` appends each batch as a merge-on-read delta (O(|batch|)
+    per commit — the 100 TB-table CDC path) instead of rewriting the
+    snapshot; resolution happens in ``table.read()`` / ``table.compact()``.
+    ``order_cols`` adds tie-breaks below the LSN (e.g. ``["lsn", "seq"]``)
+    for logs whose position is not unique per key.
+    """
     applied = 0
     last_lsn = None
     for b in batches:
-        mx = _apply_batch(table, b, key_cols, lsn_col)
+        mx = _apply_batch(table, b, key_cols, lsn_col, mor=mor, order_cols=order_cols)
         if mx is not None:
             applied += 1
             last_lsn = mx

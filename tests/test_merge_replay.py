@@ -118,3 +118,43 @@ def test_commit_conflict(spark, tmp_path, monkeypatch):
     racer._commit(m["files"], m["schema"], {})  # v1 taken
     with pytest.raises(CommitConflict):
         t._commit(m["files"], m["schema"], {})
+
+
+def test_managed_table_mor_matches_cow(spark, tmp_path, changelog):
+    """MOR delta replay resolves to the same table COW produces, batch
+    boundaries and crash-replays included; compaction folds deltas without
+    changing the result."""
+    t = ManagedTable(spark, str(tmp_path / "mor"))
+    cuts = [0, 150, 300, len(changelog)]
+    batches = [spark.createDataFrame(changelog[a:b], SCHEMA) for a, b in zip(cuts, cuts[1:])]
+    stats = replay_batches(t, batches, ["k"], "lsn", mor=True)
+    assert stats["batches_applied"] == 3
+    # two delta groups on disk (first batch became the base), resolved on read
+    assert sum(1 for g in t._manifest().get("groups", []) if g.get("delta")) == 2
+    assert _rows_to_dict(t.read().collect()) == _oracle(changelog)
+    assert t.properties()[LAST_LSN_PROP] == len(changelog)
+
+    # crash-replay: LSN guard filters already-applied deltas (no new groups)
+    stats2 = replay_batches(t, batches[1:], ["k"], "lsn", mor=True)
+    assert stats2["batches_applied"] == 0
+    assert _rows_to_dict(t.read().collect()) == _oracle(changelog)
+
+    # compact folds deltas into a base; result and properties survive
+    t.compact()
+    assert not any(g.get("delta") for g in t._manifest().get("groups", []) or [])
+    assert _rows_to_dict(t.read().collect()) == _oracle(changelog)
+    assert t.properties()[LAST_LSN_PROP] == len(changelog)
+
+    # post-compaction deltas keep working
+    extra = [(len(changelog) + 1, "c", 999, "new"), (len(changelog) + 2, "d", 0, "x")]
+    replay_batches(t, [spark.createDataFrame(extra, SCHEMA)], ["k"], "lsn", mor=True)
+    assert _rows_to_dict(t.read().collect()) == _oracle(changelog + extra)
+
+
+def test_mor_key_cols_pinned(spark, tmp_path, changelog):
+    t = ManagedTable(spark, str(tmp_path / "mor_pin"))
+    df = spark.createDataFrame(changelog[:50], SCHEMA)
+    t.upsert_mor(df, ["k"], ["lsn"])
+    t.upsert_mor(spark.createDataFrame(changelog[50:80], SCHEMA), ["k"], ["lsn"])
+    with pytest.raises(ValueError):
+        t.upsert_mor(spark.createDataFrame(changelog[80:99], SCHEMA), ["v"], ["lsn"])
