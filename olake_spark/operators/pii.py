@@ -1,0 +1,51 @@
+"""PII detection / redaction over text columns — pure codegen regex.
+
+A training-data pipeline scrubs personally-identifying strings before
+anything else sees the corpus. Patterns are deliberately conservative,
+dialect-portable regexes (valid and identical under Java's engine and
+RE2/DuckDB — no lookarounds, no backrefs) so the oracle can run the exact
+same patterns:
+
+- counting is `regexp_count` (one pass per pattern, JVM-side),
+- redaction is a chained `regexp_replace` to ``[TYPE]`` placeholders,
+- both are narrow per-row expressions: shuffle-free, scan-shaped at 100 TB.
+
+Order matters in redaction: IPv4 before phone (a dotted quad is not a
+phone), email first (an email contains no other pattern but its digits
+could confuse nothing — fixed order keeps output deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["PII_PATTERNS", "pii_counts", "redact_column", "redact_pii"]
+
+# pattern order is the redaction order (deterministic output)
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+?\d{3}[- ]\d{3}[- ]\d{4}",
+}
+
+
+def pii_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Append one ``n_<type>`` count column per PII pattern."""
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    return out
+
+
+def redact_column(col: Column) -> Column:
+    """The chained-replace expression: every match → ``[TYPE]``."""
+    for name, pat in PII_PATTERNS.items():
+        col = F.regexp_replace(col, pat, f"[{name.upper()}]")
+    return col
+
+
+def redact_pii(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """Redact all PII patterns in ``text_col`` (in place by default)."""
+    return df.withColumn(out_col or text_col, redact_column(F.col(text_col)))

@@ -1,0 +1,92 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Everything here is **hash-threshold** sampling: a row is kept iff
+``h(key) < fraction`` where ``h`` maps the row's stable key uniformly onto
+[0, 1). No RNG state, no seed plumbing, no driver coordination:
+
+- the same row always makes the same decision (re-runs, retries, and
+  incremental syncs stay consistent — the property `sample()`'s
+  seed-per-partition RNG does NOT give you when partitioning changes),
+- the filter is one codegen expression (md5 + compare) pushed as far down
+  as Catalyst can move it,
+- at 100 TB it's embarrassingly parallel — no shuffle at all for
+  `hash_sample` / `stratified_sample`; `reservoir_per_group` is one
+  window shuffle on the group key.
+
+The hash is the first 15 hex chars of md5 (60 bits) → exact parity with the
+DuckDB oracle's ``('0x' || substring(md5(x),1,15))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "HASH_SPACE",
+    "hash_bucket",
+    "hash_sample",
+    "stratified_sample",
+    "reservoir_per_group",
+    "split_train_test",
+]
+
+HASH_SPACE = 16**15  # 60-bit md5 prefix
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Uniform 60-bit bucket from a stable key (codegen-only: md5 prefix)."""
+    k = key.cast("string") if salt == "" else F.concat(key.cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(k), 1, 15), 16, 10).cast("long")
+
+
+def _threshold(fraction: float) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return int(fraction * HASH_SPACE)
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per-row by key hash — stable
+    across re-runs and repartitioning, pushdown-friendly, shuffle-free."""
+    return df.filter(hash_bucket(F.col(key_col), salt) < _threshold(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum hash-threshold sampling (e.g. per-language quotas when
+    rebalancing a corpus). Strata missing from ``fractions`` fall back to
+    ``default_fraction`` (0 ⇒ dropped)."""
+    th: Column = F.lit(_threshold(default_fraction))
+    for stratum, frac in fractions.items():
+        th = F.when(F.col(strata_col) == stratum, F.lit(_threshold(frac))).otherwise(th)
+    return df.filter(hash_bucket(F.col(key_col)) < th)
+
+
+def reservoir_per_group(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int
+) -> DataFrame:
+    """Exactly ``min(k, |group|)`` uniform rows per group — the
+    deterministic form of per-group reservoir sampling: rank by key hash,
+    keep the k smallest. One window shuffle on the group key."""
+    w = W.partitionBy(*group_cols).orderBy(hash_bucket(F.col(key_col)), F.col(key_col))
+    return (
+        df.withColumn("_rs_rn", F.row_number().over(w))
+        .filter(F.col("_rs_rn") <= k)
+        .drop("_rs_rn")
+    )
+
+
+def split_train_test(
+    df: DataFrame, key_col: str, test_fraction: float, salt: str = "split"
+) -> DataFrame:
+    """Stable train/test assignment as a column — the salt keeps the split
+    independent of any sampling done with the bare key."""
+    is_test = hash_bucket(F.col(key_col), salt) < _threshold(test_fraction)
+    return df.withColumn("split", F.when(is_test, "test").otherwise("train"))

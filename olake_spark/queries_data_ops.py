@@ -379,3 +379,156 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_payload(table(spark, sf_dir, "documents"), "text", "doc_id")
     return extract_features(media, decode_stub=True)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling (hash-threshold family)
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = "('0x' || substring(md5({x}),1,15))::BIGINT"
+_HS = 16**15
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_BUCKET_SQL.format(x="doc_id::VARCHAR")} <
+      CASE lang WHEN 'en' THEN {int(0.5 * _HS)}
+                WHEN 'fr' THEN {int(0.25 * _HS)}
+                ELSE {int(0.1 * _HS)} END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language hash-threshold sampling (corpus rebalancing): keep 50%
+    of en, 25% of fr, 10% of everything else — decided per row by a 60-bit
+    md5 bucket, so the sample is stable under re-runs, retries, and any
+    repartitioning (none of which holds for seed-based `sample()`)."""
+    from olake_spark.operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "fr": 0.25}, default_fraction=0.1
+    )
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "sample_reservoir_pergroup",
+    f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_BUCKET_SQL.format(x="doc_id::VARCHAR")}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id FROM ranked WHERE rn <= 7
+    """,
+)
+def sample_reservoir_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir: exactly min(k, |group|) uniform
+    rows per language — rank by key hash, keep the k smallest (one window
+    shuffle on the group key)."""
+    from olake_spark.operators.sampling import reservoir_per_group
+
+    docs = table(spark, sf_dir, "documents")
+    return reservoir_per_group(docs, ["lang"], "doc_id", k=7).select("lang", "doc_id")
+
+
+@register(
+    "sample_train_test_split",
+    f"""
+    SELECT CASE WHEN {_BUCKET_SQL.format(x="doc_id::VARCHAR || 'split'")} <
+                     {int(0.2 * _HS)} THEN 'test' ELSE 'train' END AS split,
+           lang, COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/20 train/test assignment as a column (salted so the split
+    is independent of any sampling done with the bare key), aggregated per
+    language to show the split is unbiased across strata."""
+    from olake_spark.operators.sampling import split_train_test
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        split_train_test(docs, "doc_id", test_fraction=0.2)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+
+def _pii_injected_sql() -> str:
+    return """
+    SELECT doc_id,
+           text || CASE doc_id % 4
+             WHEN 0 THEN ' contact user' || doc_id || '@example.com for details'
+             WHEN 1 THEN ' server 10.0.' || (doc_id % 256)::VARCHAR || '.1 and 555-123-4567'
+             WHEN 2 THEN ' ssn 123-45-6789 on file'
+             ELSE '' END AS text
+    FROM documents
+    """
+
+
+def _pii_counts_sql() -> str:
+    from olake_spark.operators.pii import PII_PATTERNS
+
+    cols = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::INT AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    return cols
+
+
+def _pii_redact_sql() -> str:
+    from olake_spark.operators.pii import PII_PATTERNS
+
+    expr = "text"
+    for name, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '[{name.upper()}]', 'g')"
+    return expr
+
+
+@register(
+    "pii_scan_redact",
+    f"""
+    WITH injected AS ({_pii_injected_sql()})
+    SELECT doc_id, {_pii_counts_sql()}, {_pii_redact_sql()} AS redacted
+    FROM injected
+    """,
+)
+def pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with synthetic identifiers injected
+    deterministically (emails, dotted quads + phone, SSNs): per-pattern
+    counts via one regexp pass each, then chained redaction to [TYPE]
+    placeholders — identical regexes on both engines (dialect-portable
+    subset: no lookarounds/backrefs)."""
+    from olake_spark.operators.pii import pii_counts, redact_pii
+
+    docs = table(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                            F.lit("@example.com for details")))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit(" server 10.0."), (F.col("doc_id") % 256).cast("string"),
+                           F.lit(".1 and 555-123-4567")))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" ssn 123-45-6789 on file"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    counted = pii_counts(injected, "text")
+    redacted = redact_pii(counted, "text", out_col="redacted")
+    n_cols = [F.col(f"n_{name}").cast("int").alias(f"n_{name}")
+              for name in ["email", "ipv4", "ssn", "phone"]]
+    return redacted.select("doc_id", *n_cols, "redacted")

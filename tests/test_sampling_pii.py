@@ -1,0 +1,79 @@
+"""Deterministic sampling + PII operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from olake_spark.operators.pii import PII_PATTERNS, pii_counts, redact_pii
+from olake_spark.operators.sampling import (
+    hash_sample,
+    reservoir_per_group,
+    split_train_test,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, "lang%d" % (i % 3), f"text {i}") for i in range(600)]
+    return spark.createDataFrame(rows, "id long, lang string, text string")
+
+
+def test_hash_sample_stable_and_proportional(docs):
+    s1 = hash_sample(docs, "id", 0.3)
+    s2 = hash_sample(docs, "id", 0.3)
+    ids1 = {r["id"] for r in s1.collect()}
+    assert ids1 == {r["id"] for r in s2.collect()}  # re-run stable
+    assert 0.2 < len(ids1) / 600 < 0.4  # roughly proportional
+    # repartitioning must not change the decision (seeded sample() fails this)
+    ids3 = {r["id"] for r in hash_sample(docs.repartition(7), "id", 0.3).collect()}
+    assert ids3 == ids1
+    # nested fractions: the 10% sample is a subset of the 30% sample
+    ids10 = {r["id"] for r in hash_sample(docs, "id", 0.1).collect()}
+    assert ids10 < ids1
+    with pytest.raises(ValueError):
+        hash_sample(docs, "id", 1.5)
+
+
+def test_stratified_fractions(docs):
+    out = stratified_sample(docs, "id", "lang", {"lang0": 1.0, "lang1": 0.0})
+    rows = out.collect()
+    langs = {r["lang"] for r in rows}
+    assert langs == {"lang0"}  # lang1 zeroed, lang2 default 0
+    assert len(rows) == 200  # fraction 1.0 keeps every lang0 row
+
+
+def test_reservoir_exact_k(docs):
+    out = reservoir_per_group(docs, ["lang"], "id", k=5)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert per == {"lang0": 5, "lang1": 5, "lang2": 5}
+    # small group: min(k, |group|)
+    tiny = docs.filter("id < 4")
+    assert reservoir_per_group(tiny, ["lang"], "id", k=5).count() == 4
+
+
+def test_split_train_test_partitions(docs):
+    out = split_train_test(docs, "id", 0.2)
+    assert out.count() == 600  # split labels, never drops
+    frac = out.filter("split = 'test'").count() / 600
+    assert 0.1 < frac < 0.3
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-corp.io and 10.1.2.3 then 123-45-6789 call 555-123-4567"),
+            (2, "nothing here"),
+            (3, "two mails x@y.co z@w.org"),
+        ],
+        "id long, text string",
+    )
+    counted = pii_counts(df, "text").orderBy("id").collect()
+    assert (counted[0]["n_email"], counted[0]["n_ipv4"], counted[0]["n_ssn"], counted[0]["n_phone"]) == (1, 1, 1, 1)
+    assert counted[1]["n_email"] == 0 and counted[1]["n_phone"] == 0
+    assert counted[2]["n_email"] == 2
+    red = {r["id"]: r["text"] for r in redact_pii(df, "text").collect()}
+    assert red[1] == "mail [EMAIL] and [IPV4] then [SSN] call [PHONE]"
+    assert red[2] == "nothing here"
+    assert red[3] == "two mails [EMAIL] [EMAIL]"
+    assert set(PII_PATTERNS) == {"email", "ipv4", "ssn", "phone"}
