@@ -1265,6 +1265,73 @@ def mysql_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PGOUT_ORACLE = """
+SELECT CASE o_orderkey % 3 WHEN 0 THEN 'c' WHEN 1 THEN 'u' ELSE 'd' END AS _op_type,
+       o_orderkey AS okey,
+       CASE o_orderkey % 3 WHEN 1 THEN 'upd:' || o_orderstatus
+            ELSE o_orderstatus END AS status,
+       CASE o_orderkey % 3 WHEN 1 THEN 'toast:' || o_orderkey ELSE NULL END AS note,
+       o_orderkey AS lsn,
+       epoch_ms(o_orderdate::TIMESTAMP) AS ts_ms
+FROM orders WHERE o_orderkey % 29 = 0
+"""
+
+
+@register("pgoutput_binary_decode", _PGOUT_ORACLE)
+def pgoutput_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgoutput binary protocol decode (pkg/waljs/pgoutput.go:1-298) driven
+    end-to-end: a deterministic orders subset is encoded into real pgoutput
+    wire bytes driver-side (Begin + Insert/Update/Delete per row; updates
+    carry an unchanged-TOAST column that must be recovered from the
+    REPLICA IDENTITY FULL old tuple), decoded distributed via
+    ``mapPartitions``, and compared typed. The collect is fixture
+    synthesis only — decoding runs as a Spark job."""
+    from olake_spark.streaming.pgoutput import (
+        decode_pgoutput_df,
+        encode_begin,
+        encode_delete,
+        encode_insert,
+        encode_relation,
+        encode_update,
+    )
+    from olake_spark.streaming.wal2json import op_type_column
+
+    rows = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 29 == 0)
+        .select("o_orderkey", "o_orderstatus", F.col("o_orderdate").cast("timestamp").alias("ts"))
+        .collect()
+    )
+    msgs: list[bytes] = [
+        encode_relation(55, "public", "orders", [("id", 20), ("status", 25), ("note", 25)])
+    ]
+    for r in rows:
+        k, st = r["o_orderkey"], r["o_orderstatus"]
+        msgs.append(encode_begin(k, r["ts"]))
+        if k % 3 == 0:
+            msgs.append(encode_insert(55, [str(k), st, None]))
+        elif k % 3 == 1:
+            msgs.append(
+                encode_update(
+                    55,
+                    new=[("t", str(k)), ("t", f"upd:{st}"), ("u", None)],
+                    old=[("t", str(k)), ("t", st), ("t", f"toast:{k}")],
+                )
+            )
+        else:
+            msgs.append(encode_delete(55, [("t", str(k)), ("t", st), ("n", None)], key_only=False))
+    raw = spark.createDataFrame([(m,) for m in msgs], "value binary").coalesce(1)
+    decoded = decode_pgoutput_df(raw)
+    return decoded.select(
+        op_type_column(F.col("op")).alias("_op_type"),
+        F.col("data").getItem("id").cast("bigint").alias("okey"),
+        F.col("data").getItem("status").alias("status"),
+        F.col("data").getItem("note").alias("note"),
+        F.col("lsn").alias("lsn"),
+        F.unix_millis(F.col("commit_ts")).alias("ts_ms"),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
