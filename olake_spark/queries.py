@@ -1332,6 +1332,68 @@ def pgoutput_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AVRO_ORACLE = """
+SELECT o_orderkey AS okey,
+       CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS status,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       (o_orderkey % 7)::BIGINT AS n_tags
+FROM orders WHERE o_orderkey % 23 = 0
+"""
+
+
+@register("kafka_avro_decode", _AVRO_ORACLE)
+def kafka_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent-framed Avro decode without spark-avro (the engine's no-jar
+    fallback; wire split pkg/kafka/schema_registry.go:1-117, flattening
+    utils/typeutils/avro.go:11-60): orders rows are Avro-binary-encoded
+    driver-side (nullable union status, decimal-logical price, string
+    array), framed with the 5-byte Confluent header, decoded via the
+    Arrow-batched ``mapInPandas`` codec, and compared typed — union
+    unwrap, zigzag varints, and decimal→float all on the hot path."""
+    import json as _json
+
+    from olake_spark.functions.avro_codec import AvroCodec, decode_confluent_df
+
+    schema = {
+        "type": "record",
+        "name": "order",
+        "fields": [
+            {"name": "okey", "type": "long"},
+            {"name": "status", "type": ["null", "string"]},
+            {"name": "price", "type": {"type": "bytes", "logicalType": "decimal",
+                                       "precision": 12, "scale": 2}},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    codec = AvroCodec(schema)
+    rows = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 23 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    )
+    payloads = []
+    for r in rows:
+        k = r["o_orderkey"]
+        rec = {
+            "okey": k,
+            "status": None if k % 5 == 0 else r["o_orderstatus"],
+            "price": round(r["o_totalprice"], 2),
+            "tags": [f"t{i}" for i in range(k % 7)],
+        }
+        payloads.append((b"\x00\x00\x00\x00\x07" + codec.encode(rec),))
+    raw = spark.createDataFrame(payloads, "value binary")
+    decoded = decode_confluent_df(raw, _json.dumps(schema))
+    return decoded.select(
+        F.get_json_object("data", "$.okey").cast("bigint").alias("okey"),
+        F.get_json_object("data", "$.status").alias("status"),
+        F.round(F.get_json_object("data", "$.price").cast("double") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.json_array_length(F.get_json_object("data", "$.tags")).cast("bigint").alias("n_tags"),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
