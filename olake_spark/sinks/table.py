@@ -131,14 +131,38 @@ class ManagedTable:
             os.unlink(tmp)
         return next_v
 
-    def _write_data(self, df: DataFrame) -> list[str]:
+    def _write_data(self, df: DataFrame) -> tuple[str, list[str]]:
         d = os.path.join(self.path, "data", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(d)
-        return [
+        return d, [
             os.path.join(d, f)
             for f in os.listdir(d)
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         ]
+
+    @staticmethod
+    def _post_write_props(
+        data_dir: str,
+        properties: dict | None,
+        properties_fn,
+    ) -> dict | None:
+        """Resolve commit properties after the write action has run.
+
+        ``properties_fn`` lets callers derive state from observation metrics
+        collected *during* the write (one data pass instead of a separate
+        aggregation job — the same trick the reference plays by tracking the
+        running max cursor in the scan loop, drivers/abstract/incremental.go:
+        182-192). Returning ``None`` aborts: the freshly-written files are
+        removed and no manifest version is published.
+        """
+        props = dict(properties or {})
+        if properties_fn is not None:
+            extra = properties_fn()
+            if extra is None:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                return None
+            props.update(extra)
+        return props
 
     # -- public API ----------------------------------------------------------
 
@@ -194,7 +218,13 @@ class ManagedTable:
             return {}
         return dict(self._manifest().get("properties", {}))
 
-    def append(self, df: DataFrame, properties: dict | None = None, delta: bool = False) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        properties: dict | None = None,
+        delta: bool = False,
+        properties_fn=None,
+    ) -> int | None:
         """Append a batch; merge new properties into the same atomic commit.
 
         Schema evolution on mismatch (destination/iceberg/iceberg.go:42-57,
@@ -217,7 +247,10 @@ class ManagedTable:
             schema = merge_spark_schemas(old, df.schema)
             if schema != df.schema:
                 df = _align(df, schema)
-        new_files = self._write_data(df)
+        data_dir, new_files = self._write_data(df)
+        props = self._post_write_props(data_dir, properties, properties_fn)
+        if props is None:
+            return None
         new_group = {"files": new_files, "schema": json.dumps(df.schema.jsonValue())}
         if delta:
             new_group["delta"] = True
@@ -229,15 +262,20 @@ class ManagedTable:
         return self._commit(
             prev_files + new_files,
             json.dumps(schema.jsonValue()),
-            {**prev_props, **(properties or {})},
+            {**prev_props, **props},
             groups=groups,
         )
 
-    def overwrite(self, df: DataFrame, properties: dict | None = None) -> int:
-        new_files = self._write_data(df)
+    def overwrite(
+        self, df: DataFrame, properties: dict | None = None, properties_fn=None
+    ) -> int | None:
+        data_dir, new_files = self._write_data(df)
+        props = self._post_write_props(data_dir, properties, properties_fn)
+        if props is None:
+            return None
         prev_props = self.properties()
         return self._commit(
-            new_files, json.dumps(df.schema.jsonValue()), {**prev_props, **(properties or {})}
+            new_files, json.dumps(df.schema.jsonValue()), {**prev_props, **props}
         )
 
     def upsert(
@@ -246,19 +284,20 @@ class ManagedTable:
         key_cols: list[str],
         order_cols: list[str],
         properties: dict | None = None,
-    ) -> int:
+        properties_fn=None,
+    ) -> int | None:
         """MERGE the batch into the table (equality-delete semantics) and
         commit data + state atomically."""
         if not self.exists():
             from olake_spark.operators.merge import latest_state
 
             snap = latest_state(batch, key_cols, order_cols)
-            return self.overwrite(snap, properties)
+            return self.overwrite(snap, properties, properties_fn=properties_fn)
         # the merged plan reads the current snapshot's files while writing a
         # fresh data dir; superseded files stay on disk (no vacuum), so the
         # lazy plan is safe to execute directly inside the overwrite
         merged = merge_upsert(self.read(), batch, key_cols, order_cols)
-        return self.overwrite(merged, properties)
+        return self.overwrite(merged, properties, properties_fn=properties_fn)
 
     def upsert_mor(
         self,
@@ -266,7 +305,8 @@ class ManagedTable:
         key_cols: list[str],
         order_cols: list[str],
         properties: dict | None = None,
-    ) -> int:
+        properties_fn=None,
+    ) -> int | None:
         """Merge-on-read upsert: collapse the batch per key (tombstones
         KEPT — they are the equality deletes) and append it as a delta file
         group. O(|batch|) write; ``read()`` resolves. The key/order columns
@@ -289,9 +329,11 @@ class ManagedTable:
         if not self.exists():
             # first batch: still no reason to keep tombstones in the base
             return self.overwrite(
-                collapsed.filter(F.col("_op_type") != "d"), props
+                collapsed.filter(F.col("_op_type") != "d"),
+                props,
+                properties_fn=properties_fn,
             )
-        return self.append(collapsed, props, delta=True)
+        return self.append(collapsed, props, delta=True, properties_fn=properties_fn)
 
     def compact(self, properties: dict | None = None) -> int:
         """Fold deltas into a fresh base snapshot (the amortized rewrite a

@@ -41,21 +41,35 @@ def _apply_batch(
     mor: bool = False,
     order_cols: list[str] | None = None,
 ) -> int | None:
-    """Filter already-applied LSNs, upsert, commit max LSN with the data."""
+    """Filter already-applied LSNs, upsert, commit max LSN with the data.
+
+    The applied position is collected with an ``Observation`` attached to the
+    batch plan, so the max-LSN aggregation rides the write job itself — one
+    pass over the changelog instead of a separate aggregation job per batch
+    (the reference likewise tracks the running max cursor inside the scan
+    loop, drivers/abstract/incremental.go:182-192). A batch whose rows were
+    all applied before (crash replay) observes ``max = null`` and the commit
+    is aborted — no manifest version, no state change.
+    """
+    from pyspark.sql import Observation
+
     last = table.properties().get(LAST_LSN_PROP)
     if last is not None:
         batch = batch.filter(F.col(lsn_col) > F.lit(int(last)))
-    mx_row = batch.agg(F.max(lsn_col).alias("mx")).first()
-    if mx_row is None or mx_row["mx"] is None:
-        return None  # nothing new — crash-replayed batch fully applied before
+    obs = Observation()
+    batch = batch.observe(obs, F.max(F.col(lsn_col)).alias("mx"))
+    applied: dict[str, int] = {}
+
+    def props_fn() -> dict | None:
+        mx = obs.get["mx"]  # blocks until the write action completes
+        if mx is None:
+            return None  # nothing new — abort the commit entirely
+        applied["mx"] = int(mx)
+        return {LAST_LSN_PROP: int(mx)}
+
     write = table.upsert_mor if mor else table.upsert
-    write(
-        batch,
-        key_cols,
-        order_cols or [lsn_col],
-        properties={LAST_LSN_PROP: int(mx_row["mx"])},
-    )
-    return int(mx_row["mx"])
+    write(batch, key_cols, order_cols or [lsn_col], properties_fn=props_fn)
+    return applied.get("mx")
 
 
 def replay_batches(
