@@ -21,19 +21,44 @@ from pyspark.sql import functions as F
 __all__ = ["profile_numeric", "top_values"]
 
 
-def profile_numeric(df: DataFrame, cols: list[str], round_to: int = 4) -> DataFrame:
-    """Per-column stats in ONE pass: count, nulls, min/max, mean, exact
-    median. Output: one row per column (stacked for stable comparison)."""
+def profile_numeric(
+    df: DataFrame,
+    cols: list[str],
+    round_to: int = 4,
+    scale_to_int: bool = False,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-column stats in ONE pass: count, nulls, min/max, mean, median.
+    Output: one row per column (stacked for stable comparison).
+
+    ``scale_to_int`` emits mean/median as round(x*10^round_to) BIGINTs —
+    bit-stable across engines (a float's last-ulp drift survives rounding and
+    breaks exact value hashes; a scaled integer doesn't).
+    ``approx`` swaps the exact sort-based ``percentile`` for
+    ``percentile_approx`` — at 100 TB an exact median is a full sort per
+    column, the approx sketch is a single map-side-combinable aggregate.
+    """
+    pctl = "percentile_approx" if approx else "percentile"
     aggs = []
     for c in cols:
+        mean = F.avg(c)
+        median = F.expr(f"{pctl}({c}, 0.5)")
+        if scale_to_int:
+            scale = 10**round_to
+            mean = F.round(mean * scale, 0).cast("long")
+            median = F.round(median * scale, 0).cast("long")
+        else:
+            mean = F.round(mean, round_to)
+            median = F.round(median, round_to)
         aggs += [
             F.count(F.col(c)).alias(f"{c}__n"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
-            F.round(F.avg(c), round_to).alias(f"{c}__mean"),
-            F.round(F.expr(f"percentile({c}, 0.5)"), round_to).alias(f"{c}__median"),
+            mean.alias(f"{c}__mean"),
+            median.alias(f"{c}__median"),
         ]
+    stat_t = "long" if scale_to_int else "double"
     wide = df.agg(*aggs)
     stacked = wide.select(
         F.explode(
@@ -45,8 +70,8 @@ def profile_numeric(df: DataFrame, cols: list[str], round_to: int = 4) -> DataFr
                         F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
                         F.col(f"{c}__min").cast("double").alias("min_v"),
                         F.col(f"{c}__max").cast("double").alias("max_v"),
-                        F.col(f"{c}__mean").cast("double").alias("mean_v"),
-                        F.col(f"{c}__median").cast("double").alias("median_v"),
+                        F.col(f"{c}__mean").cast(stat_t).alias("mean_v"),
+                        F.col(f"{c}__median").cast(stat_t).alias("median_v"),
                     )
                     for c in cols
                 ]

@@ -679,8 +679,8 @@ WITH lagged AS (
   FROM lagged
 ), numbered AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -924,16 +924,17 @@ def jsonl_roundtrip_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROFILE_ORACLE = """
 WITH stats AS (
   SELECT 'l_quantity' AS col, count(l_quantity) AS n,
-         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
          min(l_quantity)::DOUBLE AS min_v, max(l_quantity)::DOUBLE AS max_v,
-         round(avg(l_quantity), 4) AS mean_v,
-         round(quantile_cont(l_quantity, 0.5), 4) AS median_v
+         round(avg(l_quantity) * 10000, 0)::BIGINT AS mean_v,
+         round(quantile_cont(l_quantity, 0.5) * 10000, 0)::BIGINT AS median_v
   FROM lineitem
   UNION ALL
   SELECT 'l_discount', count(l_discount),
-         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT,
          min(l_discount)::DOUBLE, max(l_discount)::DOUBLE,
-         round(avg(l_discount), 4), round(quantile_cont(l_discount, 0.5), 4)
+         round(avg(l_discount) * 10000, 0)::BIGINT,
+         round(quantile_cont(l_discount, 0.5) * 10000, 0)::BIGINT
   FROM lineitem
 )
 SELECT * FROM stats
@@ -948,7 +949,7 @@ def profile_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olake_spark.operators.profile import profile_numeric
 
     li = table(spark, sf_dir, "lineitem")
-    return profile_numeric(li, ["l_quantity", "l_discount"])
+    return profile_numeric(li, ["l_quantity", "l_discount"], scale_to_int=True)
 
 
 _TOPV_ORACLE = """

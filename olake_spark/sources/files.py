@@ -66,8 +66,27 @@ def flatten_complex(df: DataFrame) -> DataFrame:
     return out
 
 
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Pin the runtime-settable SQL confs the engine's semantics depend on.
+
+    Session-agnostic by contract: the caller (driver harness, notebook, test)
+    owns the SparkSession, so these are (re)applied at read time rather than
+    assumed from ``session.get_spark``:
+
+    - ``nanosAsLong``: without it Spark refuses parquet TIMESTAMP(NANOS)
+      columns outright (PARQUET_TYPE_ILLEGAL); with it they arrive as
+      epoch-ns longs which ``normalize_ns_timestamps`` collapses to micros.
+    - ``session.timeZone=UTC``: string→timestamp casts and window bucketing
+      are session-TZ-dependent; the engine (like the reference) is UTC-only.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with engine normalization applied."""
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return normalize_ns_timestamps(df, NS_TIMESTAMP_COLS.get(name, []))
 

@@ -4,6 +4,12 @@ Runs every ``queries()`` entry from ``__spark_entry__`` at a given scale
 factor, runs the matching DuckDB ``oracle_sql()``, and compares row count,
 column names, and values (order-insensitive, float-tolerant). Use while
 iterating: ``python tools/check_correctness.py [sf_dir] [query ...]``.
+
+Flags (place anywhere in argv):
+  --vanilla  build a bare SparkSession (like the driver's harness) instead of
+             ``get_spark`` — catches session-conf assumptions in queries().
+  --exact    compare values as exact strings (like the driver's value hash)
+             instead of float-tolerant — catches last-ulp rounding drift.
 """
 
 from __future__ import annotations
@@ -39,7 +45,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=sort_cols, kind="mergesort").reset_index(drop=True)
 
 
-def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+def compare(
+    spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, exact: bool = False
+) -> list[str]:
     problems: list[str] = []
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(duck_pdf)}")
@@ -52,8 +60,9 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(
-            np.asarray(bv).dtype, np.floating
+        if not exact and (
+            np.issubdtype(np.asarray(av).dtype, np.floating)
+            or np.issubdtype(np.asarray(bv).dtype, np.floating)
         ):
             av = np.asarray(av, dtype=np.float64)
             bv = np.asarray(bv, dtype=np.float64)
@@ -71,15 +80,32 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    vanilla = "--vanilla" in argv
+    exact = "--exact" in argv
+    argv = [a for a in argv if not a.startswith("--")]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
 
-    from olake_spark.session import get_spark
+    if vanilla:
+        # Mimic the driver's harness: a bare session with no engine confs.
+        import os
 
-    spark = get_spark("check_correctness")
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("check_correctness_vanilla")
+            .getOrCreate()
+        )
+    else:
+        from olake_spark.session import get_spark
+
+        spark = get_spark("check_correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -107,7 +133,7 @@ def main() -> int:
             print(f"FAIL {name}: oracle raised\n{traceback.format_exc()}")
             failed.append(name)
             continue
-        problems = compare(sdf, ddf)
+        problems = compare(sdf, ddf, exact=exact)
         if problems:
             failed.append(name)
             print(f"FAIL {name} [{time.time()-t0:.1f}s]")
