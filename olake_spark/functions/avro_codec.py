@@ -111,6 +111,11 @@ class AvroCodec:
             return self._read(buf, schema[idx])
         if isinstance(schema, dict):
             t = schema["type"]
+            # union-as-type-attribute form {"type": ["null","int"]} (or a
+            # nested schema object as the type) — recurse before treating t
+            # as a primitive name
+            if isinstance(t, (list, dict)):
+                return self._read(buf, t)
             lt = schema.get("logicalType")
             if t in ("bytes", "fixed") and lt == "decimal":
                 raw = self._read_primitive(buf, t, schema)
@@ -199,6 +204,8 @@ class AvroCodec:
             raise ValueError("no union branch for value")
         if isinstance(schema, dict):
             t = schema["type"]
+            if isinstance(t, (list, dict)):  # union-as-type-attribute form
+                return self._write(out, t, value)
             if t in ("bytes", "fixed") and schema.get("logicalType") == "decimal":
                 scale = schema.get("scale", 0)
                 unscaled = round(value * 10**scale)

@@ -35,6 +35,14 @@ _SRC = "_merge_src"
 _RN = "_merge_rn"
 
 
+def not_deleted(op_col: str = OP_TYPE) -> Column:
+    """True unless the row is an explicit tombstone. NULL op (a target or MOR
+    base written without the op column, null-filled by unionByName/schema
+    alignment) is NOT a delete — treating it as one silently erases every
+    such row from the merged snapshot."""
+    return F.coalesce(F.col(op_col) != OP_DELETE, F.lit(True))
+
+
 def _rank_latest(df: DataFrame, key_cols: list[str], order_by: list[Column]) -> DataFrame:
     w = W.partitionBy(*key_cols).orderBy(*order_by)
     return df.withColumn(_RN, F.row_number().over(w))
@@ -56,7 +64,7 @@ def latest_state(
     order_by = [F.col(c).desc() for c in order_cols]
     out = _rank_latest(changelog, key_cols, order_by).filter(F.col(_RN) == 1).drop(_RN)
     if not keep_tombstones:
-        out = out.filter(F.col(op_col) != OP_DELETE)
+        out = out.filter(not_deleted(op_col))
     return out
 
 
@@ -87,7 +95,7 @@ def merge_upsert(
     return (
         _rank_latest(combined, key_cols, order_by)
         .filter(F.col(_RN) == 1)
-        .filter(F.col(op_col) != OP_DELETE)
+        .filter(not_deleted(op_col))
         .drop(_RN, _SRC)
     )
 

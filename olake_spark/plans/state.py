@@ -19,10 +19,61 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from decimal import Decimal
 
 from olake_spark.plans.chunks import Chunk
 
-__all__ = ["StreamState", "SyncState"]
+__all__ = ["StreamState", "SyncState", "cursor_to_json", "cursor_less_than"]
+
+
+def cursor_to_json(value):
+    """Normalize a cursor value to a JSON-native type that round-trips.
+
+    Numbers stay numbers (never stringified — '9' > '100' lexicographically),
+    timestamps become ISO strings (sortable and re-parseable), everything
+    else passes through.
+    """
+    if isinstance(value, datetime):
+        return value.isoformat(sep=" ")
+    if isinstance(value, Decimal):
+        return float(value)
+    return value
+
+
+def _cursor_key(value) -> tuple[str, object]:
+    """(type-class, comparable) for type-aware cursor ordering."""
+    if isinstance(value, bool):
+        return ("num", float(value))
+    if isinstance(value, (int, float)):
+        return ("num", float(value))
+    if isinstance(value, Decimal):
+        return ("num", float(value))
+    if isinstance(value, datetime):
+        dt = value if value.tzinfo else value.replace(tzinfo=timezone.utc)
+        return ("ts", dt.timestamp())
+    if isinstance(value, str):
+        try:
+            return ("num", float(value))
+        except ValueError:
+            pass
+        try:
+            dt = datetime.fromisoformat(value)
+            return _cursor_key(dt)
+        except ValueError:
+            pass
+        return ("str", value)
+    return ("str", str(value))
+
+
+def cursor_less_than(a, b) -> bool:
+    """Type-aware cursor ordering: numeric/epoch cursors compare as numbers,
+    ISO timestamps as instants; only genuinely-textual cursors compare
+    lexicographically. Mixed type-classes fall back to string compare."""
+    ka, kb = _cursor_key(a), _cursor_key(b)
+    if ka[0] == kb[0]:
+        return ka[1] < kb[1]
+    return str(a) < str(b)
 
 
 @dataclass
@@ -75,7 +126,7 @@ class SyncState:
         if table_committed is None:
             return False
         local = self.get_cursor(stream, column)
-        if local is None or local < table_committed:
+        if local is None or cursor_less_than(local, table_committed):
             self.set_cursor(stream, column, table_committed)
             return True
         return False
@@ -103,14 +154,31 @@ class SyncState:
 
     @classmethod
     def from_json(cls, text: str) -> SyncState:
+        """Load engine-native OR reference-shaped state.json (types/state.go:
+        42-69): the reference names the stream key ``stream`` (not ``name``)
+        and nests cursors + a ``chunks`` list of ``{min, max}`` objects under
+        a per-stream ``state`` map."""
         doc = json.loads(text)
-        out = cls(type=doc.get("type", "STREAM"), global_state=doc.get("global", {}))
+        out = cls(type=doc.get("type", "STREAM"), global_state=doc.get("global") or {})
         for s in doc.get("streams", []):
-            out.streams[s["name"]] = StreamState(
-                name=s["name"],
+            name = s.get("name") or s.get("stream")
+            cursor = dict(s.get("cursor") or {})
+            chunks = list(s.get("chunks") or [])
+            ref_state = s.get("state")
+            if isinstance(ref_state, dict):
+                for k, v in ref_state.items():
+                    if k == "chunks":
+                        chunks = v or []
+                    else:
+                        cursor.setdefault(k, v)
+            out.streams[name] = StreamState(
+                name=name,
                 namespace=s.get("namespace", ""),
-                cursor=s.get("cursor", {}),
-                chunks=[Chunk(c[0], c[1]) for c in s.get("chunks", [])],
+                cursor=cursor,
+                chunks=[
+                    Chunk(c["min"], c["max"]) if isinstance(c, dict) else Chunk(c[0], c[1])
+                    for c in chunks
+                ],
             )
         return out
 

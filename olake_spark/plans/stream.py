@@ -3,8 +3,14 @@
 Faithful re-expression of the reference's catalog model (types/stream.go:13-38,
 types/catalog.go:44-67,101-160, types/sync_mode.go:5-10): ``discover`` emits a
 catalog of streams with inferred schemas; the user selects streams and
-attaches per-stream metadata; ``sync`` consumes the same document. The JSON
-shape is kept compatible because it is the user-facing contract.
+attaches per-stream metadata; ``sync`` consumes the same document.
+
+``Catalog.from_json`` accepts BOTH serializations: the engine-native shape
+(Spark ``StructType`` schema json) and the reference's wire shape
+(``type_schema.properties`` per-column OLAKE type sets, ``cursor_field``,
+nested ``selected_columns: {columns, sync_new_columns}``). Unknown keys are
+ignored so a streams.json produced by the reference loads as-is; ``to_json``
+writes the engine-native shape.
 
 Sync modes: ``full_refresh | incremental | cdc | strict_cdc`` with default
 priority on discover cdc → incremental → strict_cdc → full_refresh
@@ -15,7 +21,7 @@ off (raw JSON mode) for document/message sources (abstract.go:122-126).
 from __future__ import annotations
 
 import json
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, fields as dc_fields
 from enum import Enum
 
 from pyspark.sql import types as T
@@ -54,6 +60,35 @@ class StreamSpec:
     def spark_schema(self) -> T.StructType:
         return T.StructType.fromJson(self.schema_json)
 
+    @classmethod
+    def from_dict(cls, s: dict) -> "StreamSpec":
+        """Load from engine-native OR reference wire shape (types/stream.go:
+        13-38). Reference-specific translations: ``type_schema.properties``
+        (per-column OLAKE type sets) → Spark schema via the typecast lattice;
+        ``cursor_field`` seeds ``available_cursor_fields``. Unknown keys
+        (destination_table, additional_properties, ...) are ignored."""
+        d = dict(s)
+        if "type_schema" in d and not d.get("schema_json"):
+            from olake_spark.typesys.lattice import DataType, fold_types, to_spark_type
+
+            props = (d.get("type_schema") or {}).get("properties") or {}
+            sf = []
+            for col in sorted(props):
+                p = props[col] or {}
+                tset = list(p.get("type") or [])
+                named = [t for t in tset if t != "null"]
+                spark_t = (
+                    to_spark_type(fold_types([DataType(t) for t in named]))
+                    if named
+                    else T.StringType()
+                )
+                sf.append(T.StructField(col, spark_t, not named or "null" in tset))
+            d["schema_json"] = T.StructType(sf).jsonValue()
+        if d.get("cursor_field") and not d.get("available_cursor_fields"):
+            d["available_cursor_fields"] = [d["cursor_field"]]
+        known = {f.name for f in dc_fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
     def default_sync_mode(self) -> str:
         for m in _MODE_PRIORITY:
             if m.value in self.supported_sync_modes:
@@ -76,6 +111,20 @@ class StreamMetadata:
     filter_config: dict | None = None  # structured {conditions, logical}
     selected_columns: list[str] | None = None
     sync_new_columns: bool = True
+
+    @classmethod
+    def from_dict(cls, m: dict) -> "StreamMetadata":
+        """Load from engine-native OR reference wire shape (types/catalog.go:
+        44-62): the reference nests ``selected_columns: {columns,
+        sync_new_columns}``; unknown keys are ignored."""
+        d = dict(m)
+        sel = d.get("selected_columns")
+        if isinstance(sel, dict):
+            d["selected_columns"] = sel.get("columns")
+            if "sync_new_columns" in sel:
+                d["sync_new_columns"] = sel["sync_new_columns"]
+        known = {f.name for f in dc_fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
 
     def stream_filter(self) -> StreamFilter:
         if self.filter_config:
@@ -126,12 +175,16 @@ class Catalog:
         doc = json.loads(text)
         return cls(
             selected_streams={
-                ns: [StreamMetadata(**m) for m in metas]
+                ns: [StreamMetadata.from_dict(m) for m in metas]
                 for ns, metas in doc.get("selected_streams", {}).items()
             },
             streams=[
                 ConfiguredStream(
-                    StreamSpec(**s["stream"]), StreamMetadata(**s["metadata"])
+                    StreamSpec.from_dict(s["stream"]),
+                    StreamMetadata.from_dict(
+                        s.get("metadata")
+                        or {"stream_name": s["stream"].get("name", "")}
+                    ),
                 )
                 for s in doc.get("streams", [])
             ],

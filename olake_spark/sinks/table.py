@@ -201,7 +201,7 @@ class ManagedTable:
         order = json.loads(props[MOR_ORDER_PROP])
         from pyspark.sql import Window as W
 
-        from olake_spark.functions.olake_columns import OP_DELETE, OP_TYPE
+        from olake_spark.operators.merge import not_deleted
 
         w = W.partitionBy(*keys).orderBy(
             F.col("_mor_seq").desc(), *[F.col(c).desc() for c in order]
@@ -209,7 +209,7 @@ class ManagedTable:
         return (
             out.withColumn("_mor_rn", F.row_number().over(w))
             .filter(F.col("_mor_rn") == 1)
-            .filter(F.col(OP_TYPE) != OP_DELETE)
+            .filter(not_deleted())
             .drop("_mor_rn", "_mor_seq")
         )
 
@@ -327,9 +327,11 @@ class ManagedTable:
         props[MOR_ORDER_PROP] = order_json
         collapsed = latest_state(batch, key_cols, order_cols, keep_tombstones=True)
         if not self.exists():
+            from olake_spark.operators.merge import not_deleted
+
             # first batch: still no reason to keep tombstones in the base
             return self.overwrite(
-                collapsed.filter(F.col("_op_type") != "d"),
+                collapsed.filter(not_deleted()),
                 props,
                 properties_fn=properties_fn,
             )

@@ -59,13 +59,14 @@ WAL2JSON_SCHEMA = T.StructType(
 
 
 def op_type_column(kind: Column, dedup_inserts: bool = False) -> Column:
-    """wal2json kind → engine _op_type (drivers/abstract/cdc.go:165-179)."""
+    """wal2json kind → engine _op_type (drivers/abstract/cdc.go:165-179).
+    Unknown kinds default to the insert op, matching the reference's
+    mapChangeKindToOperationType fallthrough."""
     insert_op = F.lit("i") if dedup_inserts else F.lit("c")
     return (
-        F.when(kind == "insert", insert_op)
-        .when(kind == "update", F.lit("u"))
+        F.when(kind == "update", F.lit("u"))
         .when(kind == "delete", F.lit("d"))
-        .otherwise(F.lit("u"))
+        .otherwise(insert_op)
     )
 
 
@@ -92,6 +93,10 @@ def decode_wal2json(
     )
     if tables is not None:
         ch = ch.filter(F.col("_c.table").isin(tables))
+    # only DML kinds become rows — non-DML entries (truncate, message) would
+    # otherwise surface as null-data rows (the reference handles only
+    # insert/update/delete change kinds, filter.go:33-89)
+    ch = ch.filter(F.col("_c.kind").isin(["insert", "update", "delete"]))
     is_delete = F.col("_c.kind") == "delete"
     names = F.when(is_delete, F.col("_c.oldkeys.keynames")).otherwise(
         F.col("_c.columnnames")

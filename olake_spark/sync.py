@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from olake_spark.functions.olake_columns import OP_BACKFILL, OP_UPDATE, stamp_olake_columns
 from olake_spark.functions.projection import apply_projection
-from olake_spark.plans.state import SyncState
+from olake_spark.plans.state import SyncState, cursor_to_json
 from olake_spark.plans.stream import Catalog, ConfiguredStream, SyncMode
 from olake_spark.sinks.table import ManagedTable
 from olake_spark.stats import SyncStats
@@ -91,12 +91,16 @@ def sync_stream(
     if stats is not None:
         df = stats.observe(df, f"{name}_read")
 
+    from pyspark.sql import Observation
+
     if mode == SyncMode.FULL_REFRESH.value or not cs.stream.available_cursor_fields:
         out = _prepare(spread(df, df.columns[0]), cs, OP_BACKFILL)
+        obs = Observation()
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
         table.drop()
         table.overwrite(out)
-        n = table.read().count()
-        return SyncResult(name, mode, n)
+        # the count rode the write job — no post-write table scan
+        return SyncResult(name, mode, int(obs.get["n"]))
 
     # incremental: cursor column = first available cursor field
     cursor_col = cs.stream.available_cursor_fields[0]
@@ -106,19 +110,33 @@ def sync_stream(
     last = state.get_cursor(name, cursor_col)
 
     inc = df if last is None else df.filter(F.col(cursor_col) > F.lit(last))
-    mx = inc.agg(F.max(cursor_col).alias("mx")).first()["mx"]
-    if mx is None:
-        return SyncResult(name, mode, 0, cursor=last, skipped=True)
+    # MAX(cursor) and the written-row count ride the write job itself via
+    # Observations (same pattern as streaming/replay._apply_batch) — one pass
+    # over the input instead of a pre-write max-scan plus a post-write
+    # table-wide count, either of which is a full extra scan at 100 TB.
+    cursor_obs = Observation()
+    inc = inc.observe(cursor_obs, F.max(F.col(cursor_col)).alias("mx"))
     out = _prepare(inc, cs, OP_BACKFILL if last is None else OP_UPDATE)
-    new_cursor = str(mx)
+    row_obs = Observation()
+    out = out.observe(row_obs, F.count(F.lit(1)).alias("n"))
+    got: dict = {}
+
+    def props_fn() -> dict | None:
+        mx = cursor_obs.get["mx"]  # blocks until the write action completes
+        if mx is None:
+            return None  # nothing above the cursor — abort the commit
+        got["mx"] = cursor_to_json(mx)
+        return {CURSOR_PROP: got["mx"]}
+
     if table.exists() and last is not None:
-        table.upsert(out, ["_olake_id"], ["_olake_timestamp"], properties={CURSOR_PROP: new_cursor})
+        table.upsert(out, ["_olake_id"], ["_olake_timestamp"], properties_fn=props_fn)
     else:
-        table.drop()
-        table.overwrite(out, properties={CURSOR_PROP: new_cursor})
+        table.overwrite(out, properties_fn=props_fn)
+    if "mx" not in got:
+        return SyncResult(name, mode, 0, cursor=last, skipped=True)
+    new_cursor = got["mx"]
     state.set_cursor(name, cursor_col, new_cursor)
-    n = table.read().count()
-    return SyncResult(name, mode, n, cursor=new_cursor)
+    return SyncResult(name, mode, int(row_obs.get["n"]), cursor=new_cursor)
 
 
 def run_sync(

@@ -51,7 +51,9 @@ def test_sync_lifecycle(spark, tmp_path):
     # a new file drop arrives with later cursor values
     ev.filter(F.col("ts") > cut).write.parquet(f"{src}/events/drop1")
     r3 = {r.stream: r for r in run_sync(spark, cat, src, dest, state_path)}
-    assert r3["events"].rows == ev.count()  # merged to the full set
+    # rows = rows written THIS run (observed on the write job itself; the
+    # engine no longer re-scans the table for a post-write count)
+    assert r3["events"].rows == ev.count() - n_first
     assert not r3["events"].skipped
     got = ManagedTable(spark, f"{dest}/events").read()
     assert got.count() == ev.count()
