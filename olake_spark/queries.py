@@ -1395,6 +1395,101 @@ def kafka_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REGISTRY_ORACLE = """
+SELECT o_orderkey AS okey,
+       o_orderstatus AS status,
+       CASE WHEN o_orderkey % 2 = 1 THEN CAST(round(o_totalprice * 100) AS BIGINT) END AS price_cents,
+       CASE WHEN o_orderkey % 2 = 1 THEN 9 ELSE 7 END AS sid
+FROM orders WHERE o_orderkey % 19 = 0
+"""
+
+
+@register("kafka_registry_decode", _REGISTRY_ORACLE)
+def kafka_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-Registry-driven decode of a MIXED-schema-id topic
+    (pkg/kafka/schema_registry.go:1-117): two writer schema versions coexist
+    in one batch; the ids are discovered with one narrow aggregation, each id
+    is fetched ONCE from a (stub) registry over authenticated HTTP on the
+    driver, and the per-id codecs decode distributed — executors never talk
+    HTTP. The stub server is shut down before the DataFrame returns, proving
+    resolution is eager and the decode plan is self-contained."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from olake_spark.functions.avro_codec import AvroCodec
+    from olake_spark.sources.schema_registry import (
+        SchemaRegistryClient,
+        resolve_and_decode,
+    )
+
+    v1 = {
+        "type": "record",
+        "name": "order",
+        "fields": [
+            {"name": "okey", "type": "long"},
+            {"name": "status", "type": "string"},
+        ],
+    }
+    v2 = {
+        "type": "record",
+        "name": "order",
+        "fields": [
+            {"name": "okey", "type": "long"},
+            {"name": "status", "type": "string"},
+            {"name": "price_cents", "type": "long"},
+        ],
+    }
+    schemas = {7: v1, 9: v2}
+
+    class _H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            sid = int(self.path.rsplit("/", 1)[1])
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(_json.dumps({"schema": _json.dumps(schemas[sid])}).encode())
+
+    c1, c2 = AvroCodec(v1), AvroCodec(v2)
+    rows = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 19 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    )
+    payloads = []
+    for r in rows:
+        k = r["o_orderkey"]
+        if k % 2 == 1:
+            body = c2.encode(
+                {"okey": k, "status": r["o_orderstatus"],
+                 "price_cents": int(round(r["o_totalprice"] * 100))}
+            )
+            payloads.append((b"\x00\x00\x00\x00\x09" + body,))
+        else:
+            payloads.append(
+                (b"\x00\x00\x00\x00\x07" + c1.encode({"okey": k, "status": r["o_orderstatus"]}),)
+            )
+    raw = spark.createDataFrame(payloads, "value binary")
+
+    srv = HTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        decoded = resolve_and_decode(
+            raw, SchemaRegistryClient(f"http://127.0.0.1:{srv.server_port}")
+        )
+    finally:
+        srv.shutdown()
+    return decoded.select(
+        F.get_json_object("data", "$.okey").cast("bigint").alias("okey"),
+        F.get_json_object("data", "$.status").alias("status"),
+        F.get_json_object("data", "$.price_cents").cast("bigint").alias("price_cents"),
+        F.col("_schema_id").alias("sid"),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401

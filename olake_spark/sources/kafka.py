@@ -169,3 +169,13 @@ class KafkaSource:
         return meta.withColumn("_schema_id", schema_id).withColumn(
             "_decoded", from_avro(payload, avro_schema)
         )
+
+    def decode_avro_registry(self, df: DataFrame, registry_client) -> DataFrame:
+        """Registry-driven Avro decode: writer schemas are resolved by id
+        from the Schema Registry (cached, driver-side —
+        pkg/kafka/schema_registry.go:45-98) and the per-id codecs decode
+        distributed. Works without the spark-avro jar and handles topics
+        whose messages span multiple schema versions."""
+        from olake_spark.sources.schema_registry import resolve_and_decode
+
+        return resolve_and_decode(kafka_metadata_columns(df), registry_client)
