@@ -233,12 +233,26 @@ def simhash_near_dups(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over candidate pairs sharing ≥1 n-gram.
 
     The inverted-index self-join makes candidates proportional to shared
     n-grams, not n² — the standard scalable exact-Jaccard plan.
+
+    ``max_df`` caps the document frequency of n-grams admitted to the join:
+    one boilerplate n-gram shared by k docs contributes k² candidate rows,
+    so at corpus scale a stop-phrase would single-handedly quadratic-blow
+    the join. Capped n-grams still count in each document's size (the
+    Jaccard denominator); they just can't *generate* candidates or add to
+    the intersection — Jaccard is then a lower bound for pairs whose overlap
+    was mostly boilerplate, which is exactly the pair you don't want to
+    call a duplicate.
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
     # cache the exploded (id, ngram) relation: it feeds both join sides and
@@ -251,6 +265,16 @@ def ngram_jaccard_pairs(
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     # join on a 64-bit hash of the n-gram, not the string — halves shuffle width
     gh = g.select(id_col, F.xxhash64("ng").alias("ngh"))
+    if max_df is not None:
+        # document frequency per n-gram (n-grams are distinct per doc, so
+        # count(*) = df); drop hot n-grams BEFORE the self-join
+        admitted = (
+            gh.groupBy("ngh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("ngh")
+        )
+        gh = gh.join(admitted, "ngh")
     a, b = gh.alias("a"), gh.alias("b")
     inter = (
         a.join(b, (F.col("a.ngh") == F.col("b.ngh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -8,11 +8,17 @@ Two plans, one semantics:
   right when |Q| is small (the common "probe" pattern) because the corpus is
   scanned once with no shuffle — at 100 TB the corpus never moves, only the
   broadcast queries do.
-- ``lsh_bucket_topk`` — the scale path: random-hyperplane signatures (sign
-  bits of ±1-plane dot products) bucket the corpus; each query searches only
-  its bucket (and optional hamming-≤1 neighbor buckets). Planes are fixed
-  seeded constants so results are reproducible in the SQL oracle.
-- ``cosine_near_dup_pairs`` — embedding near-duplicate detection: bucketed
+- ``lsh_bucket_topk`` — the scale path: banded multi-table random-hyperplane
+  LSH. ``n_tables`` (L) independent tables of ``n_planes`` (b) sign bits
+  each; a pair is a candidate when it collides in ANY table (the same
+  union-of-bands shape as MinHash). Recall comes from L, selectivity from b:
+  per-table collision probability for near-random vectors is 2^-b, so the
+  expected candidate count is L·N²/2^(b+1) — b is the knob that keeps every
+  bucket's self-join bounded as N grows (b ≈ log2(N) - log2(target bucket
+  size)), while L recovers the recall a single fine-grained table loses.
+  Planes are fixed seeded constants so results are reproducible in the SQL
+  oracle.
+- ``cosine_near_dup_pairs`` — embedding near-duplicate detection: banded
   candidate pairs verified with exact cosine.
 
 Everything is double-precision with sequential fold order so DuckDB
@@ -34,7 +40,9 @@ __all__ = [
     "LSH_PLANES",
     "cosine",
     "brute_force_topk",
+    "lsh_planes",
     "lsh_signature",
+    "lsh_bands",
     "lsh_bucket_topk",
     "ivf_assign",
     "ivf_topk",
@@ -42,18 +50,32 @@ __all__ = [
 ]
 
 _DIM = 64
-# 8 sign bits → 256 buckets. Same-bucket candidate count is N²/(2·256):
-# the plane count is the knob that keeps the near-dup self-join tractable —
-# production corpora should scale it with log2(N) (e.g. 16-20 bits at
-# billions of vectors) and/or multiprobe neighboring buckets for recall.
-# 8 bits keeps the synthetic near-random test corpus producing real matches.
+# Defaults sized for the synthetic test corpus: 8 bits × 2 tables. At real
+# corpus sizes raise n_planes with log2(N) (16-24 bits at billions of
+# vectors) and n_tables (8-32) for recall — the candidate count is
+# L·N²/2^(b+1), so b bounds every bucket and L buys back recall.
 _NUM_PLANES = 8
-_rng = random.Random(1234)
-# ±1 hyperplane entries: dot products are plain signed sums of the embedding
-# components — identical fold order in any engine (shared with the oracle)
-LSH_PLANES: list[list[int]] = [
-    [_rng.choice((-1, 1)) for _ in range(_DIM)] for _ in range(_NUM_PLANES)
-]
+_NUM_TABLES = 2
+
+
+def lsh_planes(
+    n_tables: int = _NUM_TABLES, n_planes: int = _NUM_PLANES, dim: int = _DIM
+) -> list[list[list[int]]]:
+    """L independent tables of b ±1 hyperplanes, deterministically seeded.
+
+    ±1 entries keep the plane dot products plain signed sums of embedding
+    components — identical fold order in any engine (shared with the SQL
+    oracle, which inlines these same literals).
+    """
+    rng = random.Random(1234)
+    return [
+        [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+# single-table planes kept as a module constant for the oracle SQL generator
+LSH_PLANES: list[list[int]] = lsh_planes(1)[0]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -110,13 +132,29 @@ def brute_force_topk(
     )
 
 
-def lsh_signature(vec: Column) -> Column:
+def lsh_signature(vec: Column, planes: list[list[int]] | None = None) -> Column:
     """Bucket id = integer of sign bits of the ±1-plane dot products."""
     sig = F.lit(0)
-    for j, plane in enumerate(LSH_PLANES):
+    for j, plane in enumerate(planes if planes is not None else LSH_PLANES):
         arr = F.array(*[F.lit(float(w)) for w in plane])
         sig = sig + F.when(_dot(vec, arr) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return sig.cast("int")
+
+
+def lsh_bands(vec: Column, tables: list[list[list[int]]]) -> Column:
+    """Array of (band, sig) structs — one per LSH table — for one explode.
+
+    All L signatures are computed in a single projection pass over the
+    vector; exploding multiplies only the (id, band, sig) relation, never
+    re-reads the corpus."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"), lsh_signature(vec, planes).alias("sig")
+            )
+            for i, planes in enumerate(tables)
+        ]
+    )
 
 
 def lsh_bucket_topk(
@@ -125,27 +163,35 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    n_tables: int = _NUM_TABLES,
+    n_planes: int = _NUM_PLANES,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's LSH bucket.
+    """Approximate top-k: search the union of the query's buckets across L
+    banded LSH tables.
 
-    Recall < 1 by design; at scale the bucket join replaces the corpus scan
-    per query with a hash-partitioned equi-join on the signature.
-    """
+    Recall < 1 by design and grows with ``n_tables``; ``n_planes`` bounds
+    bucket size (≈ N/2^b per table), so the bucket equi-join stays hash-
+    partitioned and bounded as the corpus scales — there is no fixed
+    256-bucket ceiling. A pair colliding in several tables is scored once
+    per collision and deduped by ``distinct()`` (collisions beyond the first
+    are exactly the near-neighbors — a vanishing fraction of candidates)."""
+    tables = lsh_planes(n_tables, n_planes)
     c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        lsh_signature(F.col(vec_col)).alias("_sig"),
-    )
+        F.explode(lsh_bands(F.col(vec_col), tables)).alias("_b"),
+    ).select("neighbor_id", "_cv", "_b.band", "_b.sig")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        lsh_signature(F.col(vec_col)).alias("_sig"),
-    )
+        F.explode(lsh_bands(F.col(vec_col), tables)).alias("_b"),
+    ).select("query_id", "_qv", "_b.band", "_b.sig")
     sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 9).alias("_sim9")
     scored = (
-        c.join(F.broadcast(q), "_sig")
+        c.join(F.broadcast(q), ["band", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim)
+        .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.col("_sim9").desc(), F.col("neighbor_id").asc())
     return (
@@ -235,28 +281,39 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
+    n_tables: int = _NUM_TABLES,
+    n_planes: int = _NUM_PLANES,
 ) -> DataFrame:
     """Embedding near-duplicate pairs with cosine ≥ threshold.
 
-    Candidates come from the LSH bucket join (same-signature pairs), then
-    exact cosine verifies — the scalable shape; brute-force verification of
-    a petabyte corpus is never an option.
+    Candidates come from the banded multi-table LSH band join (a pair
+    qualifies if it collides in ANY of the L tables — the MinHash
+    union-of-bands shape), then exact cosine verifies. ``n_planes`` bounds
+    per-table bucket size so the self-join stays sub-quadratic as the
+    corpus grows; ``n_tables`` restores the recall fine buckets lose.
     """
-    # cache the signed signatures: the self-join would otherwise compute the
-    # 8 hyperplane dot products per vector twice (once per join side)
+    tables = lsh_planes(n_tables, n_planes)
+    # cache the banded relation: it feeds both self-join sides — without the
+    # cache every hyperplane dot product runs twice
     t = spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        lsh_signature(F.col(vec_col)).alias("_sig"),
-    ).cache()
+        F.explode(lsh_bands(F.col(vec_col), tables)).alias("_b"),
+    ).select("_id", "_v", "_b.band", "_b.sig").cache()
     a, b = t.alias("a"), t.alias("b")
     sim = F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
     return (
-        a.join(b, (F.col("a._sig") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             sim.alias("cosine_sim"),
         )
+        .distinct()
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -230,9 +230,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
          i -> array_to_string(({_TOKS})[i:i+2], ' ')))) AS ng
       FROM documents
     ), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    dfreq AS (SELECT ng, count(*) AS df FROM g GROUP BY ng),
+    gc AS (SELECT g.doc_id, g.ng FROM g JOIN dfreq USING (ng) WHERE df <= 100),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-      FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id GROUP BY 1,2
+      FROM gc a JOIN gc b ON a.ng = b.ng AND a.doc_id < b.doc_id GROUP BY 1,2
     )
     SELECT id_a, id_b, round(c*1.0/(s1.n + s2.n - c), 6) AS jaccard
     FROM inter JOIN sizes s1 ON s1.doc_id = id_a JOIN sizes s2 ON s2.doc_id = id_b
@@ -240,7 +242,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.ngram_jaccard_pairs(table(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.2)
+    return dd.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.2, max_df=100
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -279,24 +283,34 @@ def _plane_literal(plane: list[int]) -> str:
     return "[" + ", ".join(f"{float(w)!r}" for w in plane) + "]::DOUBLE[]"
 
 
-def _lsh_sig_sql(vec: str) -> str:
+def _lsh_sig_sql(vec: str, planes: list[list[int]] | None = None) -> str:
     terms = [
         f"CASE WHEN list_dot_product({vec}::DOUBLE[], {_plane_literal(p)}) > 0 "
         f"THEN {1 << j} ELSE 0 END"
-        for j, p in enumerate(sim.LSH_PLANES)
+        for j, p in enumerate(planes if planes is not None else sim.LSH_PLANES)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_bands_sql(vec: str, src: str = "embeddings") -> str:
+    """UNION ALL of one (vec_id, embedding, band, sig) select per LSH table —
+    the banded multi-table relation the Spark side builds with
+    explode(lsh_bands(...))."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {vec}, {i} AS band, {_lsh_sig_sql(vec, planes)} AS sig FROM {src}"
+        for i, planes in enumerate(sim.lsh_planes())
+    )
 
 
 @register(
     "similarity_topk_lsh",
     f"""
-    WITH t AS (SELECT vec_id, embedding, {_lsh_sig_sql('embedding')} AS sig FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS qv, sig FROM t WHERE vec_id < 5),
+    WITH bands AS ({_lsh_bands_sql('embedding')}),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, band, sig FROM bands WHERE vec_id < 5),
     scored AS (
-      SELECT q.query_id, c.vec_id AS neighbor_id,
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
              round({_COS.format(a='q.qv', b='c.embedding')}, 9) AS s9
-      FROM q JOIN t c ON c.sig = q.sig AND c.vec_id <> q.query_id
+      FROM q JOIN bands c ON c.band = q.band AND c.sig = q.sig AND c.vec_id <> q.query_id
     ), ranked AS (
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, neighbor_id) AS "rank"
       FROM scored
@@ -306,6 +320,8 @@ def _lsh_sig_sql(vec: str) -> str:
     """,
 )
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded multi-table LSH top-k (union of band matches across L tables —
+    operators/similarity.py lsh_bucket_topk)."""
     emb = table(spark, sf_dir, "embeddings")
     return sim.lsh_bucket_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
 
@@ -349,14 +365,17 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_dup_pairs",
     f"""
-    WITH t AS (SELECT vec_id, embedding, {_lsh_sig_sql('embedding')} AS sig FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    WITH bands AS ({_lsh_bands_sql('embedding')})
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cosine_sim
-    FROM t a JOIN t b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
     WHERE round({_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.2
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded multi-table LSH near-dup pairs (operators/similarity.py
+    cosine_near_dup_pairs)."""
     return sim.cosine_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.2)
 
 

@@ -122,3 +122,62 @@ def test_multimodal_plumbing(spark, docs):
     frames = sample_frames(media).collect()
     assert {r.media_id for r in frames} == {1, 2}
     assert all(r.frame_idx == 0 for r in frames)  # tiny payloads → 1 frame
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_ngram(spark):
+    # 40 docs all sharing one boilerplate trigram; unique tails otherwise.
+    # Uncapped, the hot n-gram alone yields C(40,2)=780 candidate pairs;
+    # with max_df=10 it is inadmissible and no pair survives.
+    rows = [
+        (i, f"shared boilerplate phrase unique{i} tail{i} word{i}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dd.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.01)
+    capped = dd.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.01, max_df=10)
+    assert uncapped.count() == 780
+    assert capped.count() == 0
+    # the cap leaves genuinely-similar pairs intact when their overlap is
+    # below the df threshold
+    few = spark.createDataFrame(rows[:5], "doc_id long, text string")
+    assert dd.ngram_jaccard_pairs(few, "doc_id", "text", 3, 0.01, max_df=10).count() == 10
+
+
+def test_lsh_banded_tables_deterministic_and_distinct():
+    t1 = sim.lsh_planes(2, 8)
+    assert t1 == sim.lsh_planes(2, 8)  # seeded → reproducible
+    assert t1[0] != t1[1]  # tables are independent planes
+    assert sim.lsh_planes(1, 8)[0] == sim.LSH_PLANES
+
+
+def test_lsh_bucket_count_grows_with_planes(spark):
+    # the old fixed-8-plane design capped the corpus at 256 buckets; banded
+    # LSH exposes n_planes so bucket granularity scales with corpus size
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tables_coarse = sim.lsh_planes(1, 6)
+    tables_fine = sim.lsh_planes(1, 12)
+    n_coarse = (
+        emb.select(F.explode(sim.lsh_bands(F.col("embedding"), tables_coarse)).alias("b"))
+        .select("b.sig").distinct().count()
+    )
+    n_fine = (
+        emb.select(F.explode(sim.lsh_bands(F.col("embedding"), tables_fine)).alias("b"))
+        .select("b.sig").distinct().count()
+    )
+    assert n_coarse <= 64
+    assert n_fine > n_coarse  # granularity is no longer pinned
+
+
+def test_lsh_multi_table_union_recall(spark):
+    # candidates from L=2 tables are a superset of table-0's candidates
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.0, n_tables=1).collect()
+    }
+    two = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.0, n_tables=2).collect()
+    }
+    assert one <= two
+    assert len(two) >= len(one)
