@@ -1395,6 +1395,73 @@ def kafka_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BINLOG_WIRE_ORACLE = """
+SELECT o_orderkey AS okey,
+       CASE o_orderkey % 3 WHEN 0 THEN 'insert' WHEN 1 THEN 'update' ELSE 'delete' END AS op,
+       CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus || '!' ELSE o_orderstatus END AS status,
+       CAST(round(o_totalprice * 100) AS BIGINT)
+         + CASE WHEN o_orderkey % 3 = 1 THEN 111 ELSE 0 END AS price_cents,
+       epoch_ms(o_orderdate::TIMESTAMP + (o_orderkey % 1000) * INTERVAL 1 SECOND) AS ts_ms
+FROM orders WHERE o_orderkey % 29 = 0
+"""
+
+
+@register("mysql_binlog_wire_decode", _BINLOG_WIRE_ORACLE)
+def mysql_binlog_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL binlog BINARY protocol decode (streaming/binlog_wire.py; the
+    wire format the reference consumes through go-mysql —
+    pkg/binlog/binlog.go:1-185, row conversion filter.go:52-373): orders
+    rows are encoded driver-side as TABLE_MAP + WRITE/UPDATE/DELETE_ROWS
+    events (v1 for odd keys, v2 for even — both header layouts on the hot
+    path), with LONG / VARCHAR / packed-DATETIME2 / packed-NEWDECIMAL
+    columns and COLUMN_NAME optional metadata; decoded via mapPartitions
+    and compared typed. Update events carry (before, after) image pairs and
+    only the after image (status||'!', price+1.11) must survive."""
+    from olake_spark.streaming import binlog_wire as bw
+
+    cols = [bw.TYPE_LONG, bw.TYPE_VARCHAR, bw.TYPE_NEWDECIMAL, bw.TYPE_DATETIME2]
+    meta = [0, 64, (12 << 8) | 2, 0]
+    names = ["id", "status", "price", "created"]
+    rows = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 29 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .collect()
+    )
+    import datetime as _dt
+
+    def _price(cents: int) -> str:
+        return f"{cents // 100}.{cents % 100:02d}"
+
+    events = [bw.encode_table_map(42, "shop", "orders", cols, meta, names=names)]
+    pos = 100
+    for r in rows:
+        k = r["o_orderkey"]
+        cents = int(round(r["o_totalprice"] * 100))
+        d = r["o_orderdate"]
+        created = _dt.datetime(d.year, d.month, d.day) + _dt.timedelta(seconds=k % 1000)
+        base = [k, r["o_orderstatus"], _price(cents), created]
+        v2 = k % 2 == 0
+        if k % 3 == 0:
+            ev = bw.encode_rows_event(42, "insert", [base], cols, meta, v2=v2, log_pos=pos)
+        elif k % 3 == 1:
+            after = [k, r["o_orderstatus"] + "!", _price(cents + 111), created]
+            ev = bw.encode_rows_event(42, "update", [(base, after)], cols, meta, v2=v2, log_pos=pos)
+        else:
+            ev = bw.encode_rows_event(42, "delete", [base], cols, meta, v2=v2, log_pos=pos)
+        events.append(ev)
+        pos += 1
+    raw = spark.createDataFrame([(e,) for e in events], "value binary").coalesce(1)
+    decoded = bw.decode_binlog_df(raw, file_name="binlog.000001")
+    return decoded.select(
+        F.col("data")["id"].cast("bigint").alias("okey"),
+        F.col("op"),
+        F.col("data")["status"].alias("status"),
+        F.regexp_replace(F.col("data")["price"], r"\.", "").cast("bigint").alias("price_cents"),
+        F.unix_millis(F.to_timestamp(F.col("data")["created"])).alias("ts_ms"),
+    )
+
+
 _REGISTRY_ORACLE = """
 SELECT o_orderkey AS okey,
        o_orderstatus AS status,
