@@ -77,9 +77,23 @@ def main(argv: list[str] | None = None) -> int:
         return 0 if ok else 1
 
     if args.verb == "discover":
+        import os
+
+        from olake_spark.plans.stream import Catalog
         from olake_spark.sources.discover import discover_directory
 
         cat = discover_directory(spark, args.source_dir, args.format)
+        if args.catalog and os.path.exists(args.catalog):
+            # rediscover: keep user metadata/modes, adopt fresh schemas, and
+            # emit the difference artifact (protocol/discover.go:75-99)
+            with open(args.catalog) as fh:
+                old = Catalog.from_json(fh.read())
+            diff_path = os.path.join(
+                os.path.dirname(os.path.abspath(args.catalog)), "difference_streams.json"
+            )
+            delta = old.write_difference(cat, diff_path)
+            cat = old.merge_rediscovered(cat)
+            print(f"wrote {diff_path} ({len(delta.streams)} changed streams)")
         doc = cat.to_json()
         if args.catalog:
             with open(args.catalog, "w") as fh:

@@ -218,3 +218,61 @@ class Catalog:
             "added": sorted(f"{ns}.{n}" for ns, n in theirs - mine),
             "removed": sorted(f"{ns}.{n}" for ns, n in mine - theirs),
         }
+
+    def streams_delta(self, new: Catalog) -> Catalog:
+        """The ``difference_streams.json`` artifact: a catalog holding only
+        the SELECTED streams that changed between ``self`` (old) and ``new``
+        (rediscovered) — types.GetStreamsDelta parity (types/catalog.go:
+        241-345, emitted by protocol/discover.go compareStreams).
+
+        A stream lands in the delta when it is newly selected, or when any
+        user-facing property differs: normalization, partition_regex,
+        filter / filter_config, append_mode, use_source_column_names, the
+        stream's sync_mode, or (for incremental streams) the cursor field.
+        """
+        old_streams = {(cs.stream.namespace, cs.stream.name): cs for cs in self.streams}
+        new_streams = {(cs.stream.namespace, cs.stream.name): cs for cs in new.streams}
+        old_selected = {
+            (ns, m.stream_name): m
+            for ns, metas in self.selected_streams.items()
+            for m in metas
+        }
+        delta = Catalog()
+        for ns, metas in new.selected_streams.items():
+            for new_meta in metas:
+                key = (ns, new_meta.stream_name)
+                new_cs = new_streams.get(key)
+                if new_cs is None:
+                    continue
+                old_meta = old_selected.get(key)
+                old_cs = old_streams.get(key)
+                if old_meta is None or old_cs is None:
+                    changed = True  # newly selected stream
+                else:
+                    cursor_delta = (
+                        new_cs.stream.sync_mode == SyncMode.INCREMENTAL.value
+                        and old_cs.stream.available_cursor_fields
+                        != new_cs.stream.available_cursor_fields
+                    )
+                    changed = (
+                        old_meta.normalization != new_meta.normalization
+                        or old_meta.partition_regex != new_meta.partition_regex
+                        or old_meta.filter != new_meta.filter
+                        or old_meta.filter_config != new_meta.filter_config
+                        or old_meta.append_mode != new_meta.append_mode
+                        or old_meta.use_source_column_names != new_meta.use_source_column_names
+                        or old_cs.stream.sync_mode != new_cs.stream.sync_mode
+                        or cursor_delta
+                    )
+                if changed:
+                    delta.streams.append(new_cs)
+                    delta.selected_streams.setdefault(ns, []).append(new_meta)
+        return delta
+
+    def write_difference(self, new: Catalog, path: str) -> Catalog:
+        """Rediscover artifact emit (protocol/discover.go:75-99): compute the
+        delta and write it next to the merged catalog."""
+        delta = self.streams_delta(new)
+        with open(path, "w") as fh:
+            fh.write(delta.to_json())
+        return delta

@@ -46,6 +46,14 @@ __all__ = [
     "compute_sample_percent",
     "tablesample_boundary_sql",
     "sample_boundaries_to_chunks",
+    "iam_object_id_sql",
+    "iam_walk_pages_sql",
+    "iam_server_properties_sql",
+    "iam_permission_probe_sql",
+    "iam_walk_supported",
+    "physloc_sort_key",
+    "physloc_hex",
+    "iam_pages_to_chunks",
     "oracle_rowid_task_sqls",
     "oracle_sample_block_sql",
     "oracle_next_rowid_sql",
@@ -194,6 +202,104 @@ def sample_boundaries_to_chunks(samples: list[str], num_chunks: int) -> list[Chu
         idx = min(int(i * step), len(samples) - 1)
         chunks.append(Chunk(prev, samples[idx]))
         prev = samples[idx]
+    chunks.append(Chunk(prev, None))
+    return chunks
+
+
+# -- MSSQL IAM page walk ----------------------------------------------------
+# The third no-PK strategy (drivers/mssql/internal/backfill.go:341-422,
+# queries pkg/jdbc/jdbc.go:663-706): enumerate the table's allocated data
+# pages from sys.dm_db_database_page_allocations, sort them in %%physloc%%
+# byte order, and cut one chunk every pages-per-chunk pages. Needs a
+# capability probe: SQL Server ≥ 2012, not Azure SQL DB/MI, and VIEW
+# DATABASE STATE on the login.
+
+# 256 MiB target parquet × compression ratio 8 (constants/constants.go:32-33)
+EFFECTIVE_PARQUET_SIZE = 256 * 1024 * 1024 * 8
+# in-row payload upper bound per 8 KB page (backfill.go:25-27)
+USABLE_BYTES_PER_PAGE = 8060
+
+
+def iam_object_id_sql() -> str:
+    """Resolve schema+table to object_id (jdbc.go:688-693); params:
+    @p1 = schema, @p2 = table."""
+    return "SELECT OBJECT_ID(QUOTENAME(@p1) + '.' + QUOTENAME(@p2))"
+
+
+def iam_walk_pages_sql() -> str:
+    """Allocated in-row data pages for an object (jdbc.go:663-685);
+    params: @p1 = object_id. LIMITED mode never touches page contents."""
+    return (
+        "SELECT allocated_page_file_id AS file_id,"
+        " allocated_page_page_id AS page_id"
+        " FROM sys.dm_db_database_page_allocations(DB_ID(), @p1, NULL, NULL, 'LIMITED')"
+        " WHERE is_allocated = 1 AND is_iam_page = 0"
+        " AND index_id IN (0, 1) AND allocation_unit_type = 1"
+    )
+
+
+def iam_server_properties_sql() -> str:
+    """Capability probe part 1 (jdbc.go:695-699): version + engine edition."""
+    return (
+        "SELECT CAST(SERVERPROPERTY('ProductMajorVersion') AS INT),"
+        " CAST(SERVERPROPERTY('EngineEdition') AS INT)"
+    )
+
+
+def iam_permission_probe_sql() -> str:
+    """Capability probe part 2 (jdbc.go:701-706): TOP 0 evaluates the DMF
+    without returning rows; failure ⇒ no VIEW DATABASE STATE."""
+    return (
+        "SELECT TOP 0 1 FROM sys.dm_db_database_page_allocations("
+        "DB_ID(), OBJECT_ID('sys.objects'), NULL, NULL, 'LIMITED')"
+    )
+
+
+def iam_walk_supported(major_version: int, engine_edition: int) -> bool:
+    """The probe decision (backfill.go:391-422): 2012+ (major ≥ 11) and not
+    Azure SQL Database (5) / Managed Instance (8), where the DMF is blocked.
+    The permission probe runs separately because it needs a live query."""
+    return major_version >= 11 and engine_edition not in (5, 8)
+
+
+def physloc_sort_key(file_id: int, page_id: int) -> int:
+    """(file_id, page_id) → uint64 that sorts identically to SQL Server's
+    byte-wise BINARY(8) compare of %%physloc%% (backfill.go:146-156).
+    slot_id pinned to 0xFFFF ('end of page') so boundaries split between
+    pages, never inside one."""
+    b = page_id.to_bytes(4, "little") + file_id.to_bytes(2, "little") + b"\xff\xff"
+    return int.from_bytes(b, "big")
+
+
+def physloc_hex(key: int) -> str:
+    """Sort key → the 0x-hex BINARY(8) literal %%physloc%% predicates use
+    (backfill.go:158-164 + jdbc.go formatPhysLocValue)."""
+    return "0x" + key.to_bytes(8, "big").hex().upper()
+
+
+def iam_pages_to_chunks(
+    pages: list[tuple[int, int]],
+    target_chunk_bytes: int = EFFECTIVE_PARQUET_SIZE,
+    usable_bytes_per_page: int = USABLE_BYTES_PER_PAGE,
+) -> list[Chunk]:
+    """IAM page list → physloc chunks (backfill.go:365-388).
+
+    Pages sort in physloc order (the DMF guarantees no order), then one
+    boundary lands every ``pages_per_chunk`` pages; the head chunk is
+    unbounded below, the tail unbounded above, and a table that fits in one
+    chunk yields exactly [Chunk(None, None)]. Bounds are the 0x-hex
+    %%physloc%% literals ``physloc_predicate`` consumes.
+    """
+    if not pages:
+        raise ValueError("IAM walk returned no allocated pages")
+    keys = sorted(physloc_sort_key(f, p) for f, p in pages)
+    pages_per_chunk = max(target_chunk_bytes // usable_bytes_per_page, 1)
+    chunks: list[Chunk] = []
+    prev: str | None = None
+    for i in range(pages_per_chunk, len(keys), pages_per_chunk):
+        boundary = physloc_hex(keys[i])
+        chunks.append(Chunk(prev, boundary))
+        prev = boundary
     chunks.append(Chunk(prev, None))
     return chunks
 

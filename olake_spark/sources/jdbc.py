@@ -38,6 +38,15 @@ class Dialect:
     # cursor rendering (timestamp casts differ per dialect)
     timestamp_cast: str = "TIMESTAMP '{v}'"
     supports_cdc: bool = True
+    # per-connection snapshot-consistency statement for chunked backfill
+    # (the reference wraps every chunk scan in a REPEATABLE READ read-only
+    # transaction — drivers/postgres/internal/backfill.go:34-38, MySQL
+    # jdbc.WithIsolation pkg/jdbc/jdbc.go:573-590, MSSQL read-committed
+    # drivers/mssql/internal/backfill.go:63). Spark maps this to
+    # ``sessionInitStatement``: executed once on every partition's
+    # connection before its chunk query. Empty = dialect default (Oracle
+    # reads are statement-level consistent; the reference sets none).
+    chunk_isolation_sql: str = ""
 
     def q(self, ident: str) -> str:
         return f"{self.quote}{ident}{self.quote}"
@@ -134,6 +143,10 @@ DIALECTS: dict[str, Dialect] = {
             "FROM pg_class WHERE oid = '{schema}.{table}'::regclass"
         ),
         timestamp_cast="TO_TIMESTAMP('{v}', 'YYYY-MM-DD HH24:MI:SS.US')",
+        chunk_isolation_sql=(
+            "SET SESSION CHARACTERISTICS AS TRANSACTION "
+            "ISOLATION LEVEL REPEATABLE READ, READ ONLY"
+        ),
     ),
     "mysql": Dialect(
         name="mysql",
@@ -158,6 +171,9 @@ DIALECTS: dict[str, Dialect] = {
             "WHERE table_schema = '{schema}' AND table_name = '{table}'"
         ),
         timestamp_cast="TIMESTAMP('{v}')",
+        chunk_isolation_sql=(
+            "SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ, READ ONLY"
+        ),
     ),
     "mssql": Dialect(
         name="mssql",
@@ -182,6 +198,7 @@ DIALECTS: dict[str, Dialect] = {
             "WHERE p.object_id = OBJECT_ID('{schema}.{table}') AND p.index_id IN (0, 1)"
         ),
         timestamp_cast="CAST('{v}' AS DATETIME2)",
+        chunk_isolation_sql="SET TRANSACTION ISOLATION LEVEL READ COMMITTED",
     ),
     "oracle": Dialect(
         name="oracle",
@@ -245,6 +262,23 @@ class JdbcSource:
     def dialect(self) -> Dialect:
         return DIALECTS[self.dialect_name]
 
+    def chunk_read_properties(self, repeatable_read: bool = True) -> dict[str, str]:
+        """Connection properties for a chunked backfill read.
+
+        ``repeatable_read`` adds the dialect's snapshot-consistency
+        statement as ``sessionInitStatement`` — Spark executes it once per
+        partition connection before the chunk query runs, the Spark-native
+        equivalent of the reference's per-chunk
+        ``BeginTx(Isolation: RepeatableRead)``
+        (drivers/postgres/internal/backfill.go:34-38). An explicit
+        ``sessionInitStatement`` in ``self.properties`` wins.
+        """
+        props = dict(self.properties)
+        iso = self.dialect.chunk_isolation_sql
+        if repeatable_read and iso and "sessionInitStatement" not in props:
+            props["sessionInitStatement"] = iso
+        return props
+
     def read_chunked(
         self,
         spark: SparkSession,
@@ -253,6 +287,7 @@ class JdbcSource:
         pk: str,
         chunks: list[Chunk],
         extra_filter: str = "",
+        repeatable_read: bool = True,
     ) -> DataFrame:
         preds = chunks_to_predicates(self.dialect.q(pk), chunks)
         if extra_filter:
@@ -261,7 +296,7 @@ class JdbcSource:
             url=self.url,
             table=self.dialect.qualified(schema, table),
             predicates=preds,
-            properties=self.properties,
+            properties=self.chunk_read_properties(repeatable_read),
         )
 
     def read_numeric_partitioned(
@@ -273,6 +308,7 @@ class JdbcSource:
         lower: int,
         upper: int,
         num_partitions: int,
+        repeatable_read: bool = True,
     ) -> DataFrame:
         """Spark's built-in arithmetic split — the exact primitive the
         reference hand-rolls for numeric PKs."""
@@ -283,7 +319,7 @@ class JdbcSource:
             lowerBound=lower,
             upperBound=upper,
             numPartitions=num_partitions,
-            properties=self.properties,
+            properties=self.chunk_read_properties(repeatable_read),
         )
 
     def read_incremental(

@@ -154,3 +154,54 @@ def test_iceberg_sql_generation():
     assert "WHEN NOT MATCHED AND s._op_type != 'd' THEN INSERT" in sql
     with pytest.raises(ValueError):
         parse_partition_regex("/{c, wat}")
+
+
+def _mk_catalog(sync_mode="incremental", cursor=("ts",), **meta_over):
+    from olake_spark.plans.stream import (
+        Catalog,
+        ConfiguredStream,
+        StreamMetadata,
+        StreamSpec,
+    )
+
+    spec = StreamSpec(
+        name="events", namespace="public", sync_mode=sync_mode,
+        available_cursor_fields=list(cursor),
+        supported_sync_modes=["full_refresh", "incremental"],
+    )
+    meta = StreamMetadata(stream_name="events", namespace="public", **meta_over)
+    return Catalog(
+        selected_streams={"public": [meta]},
+        streams=[ConfiguredStream(spec, meta)],
+    )
+
+
+def test_streams_delta_property_changes():
+    old = _mk_catalog()
+    # identical catalogs → empty delta
+    assert _mk_catalog().streams_delta(_mk_catalog()).streams == []
+    # metadata property change → stream in delta
+    changed = _mk_catalog(normalization=False)
+    d = old.streams_delta(changed)
+    assert [cs.stream.name for cs in d.streams] == ["events"]
+    assert d.selected_streams["public"][0].normalization is False
+    # sync-mode change
+    assert old.streams_delta(_mk_catalog(sync_mode="full_refresh")).streams != []
+    # cursor change matters only for incremental streams
+    assert old.streams_delta(_mk_catalog(cursor=("other",))).streams != []
+    fr_old = _mk_catalog(sync_mode="full_refresh")
+    fr_new = _mk_catalog(sync_mode="full_refresh", cursor=("other",))
+    assert fr_old.streams_delta(fr_new).streams == []
+
+
+def test_streams_delta_new_stream_and_artifact(tmp_path):
+    from olake_spark.plans.stream import Catalog
+
+    empty = Catalog()
+    new = _mk_catalog()
+    path = str(tmp_path / "difference_streams.json")
+    delta = empty.write_difference(new, path)
+    assert [cs.stream.name for cs in delta.streams] == ["events"]
+    # the artifact is a loadable catalog document
+    reloaded = Catalog.from_json(open(path).read())
+    assert [cs.stream.name for cs in reloaded.streams] == ["events"]

@@ -127,3 +127,74 @@ def test_mysql_limit_offset_windows():
     tail = mysql_limit_offset_scan_sql("`db`.`t`", chunks[2])
     assert f"LIMIT {2**64 - 1} OFFSET 200000" in tail
     assert mysql_limit_offset_chunks(0, 100) == [Chunk("0", None)]
+
+
+# -- MSSQL IAM page walk (backfill.go:341-422, jdbc.go:663-706) --------------
+
+
+def test_physloc_sort_key_matches_binary_compare():
+    from olake_spark.sources.dialect_chunks import physloc_hex, physloc_sort_key
+
+    # SQL Server compares %%physloc%% BINARY(8) byte-wise: page_id LE,
+    # file_id LE, slot LE. Sorting the uint64 keys must equal sorting the
+    # hex literals lexicographically.
+    pairs = [(1, 100), (1, 99), (2, 5), (1, 1000000), (3, 0)]
+    keys = [physloc_sort_key(f, p) for f, p in pairs]
+    hexes = [physloc_hex(k) for k in keys]
+    assert sorted(hexes) == [physloc_hex(k) for k in sorted(keys)]
+    # slot id pinned to end-of-page
+    assert physloc_hex(physloc_sort_key(1, 2)).endswith("FFFF")
+
+
+def test_iam_pages_to_chunks_boundaries():
+    from olake_spark.sources.dialect_chunks import (
+        Chunk,
+        iam_pages_to_chunks,
+        physloc_hex,
+        physloc_sort_key,
+    )
+
+    pages = [(1, p) for p in range(100)]  # 100 pages, unsorted insertion ok
+    # 10 pages per chunk → boundaries at sorted positions 10,20,...,90
+    chunks = iam_pages_to_chunks(pages, target_chunk_bytes=10 * 8060)
+    assert len(chunks) == 10
+    assert chunks[0].min is None and chunks[-1].max is None
+    assert chunks[0].max == physloc_hex(physloc_sort_key(1, 10))
+    # contiguous: each max == next min
+    for a, b in zip(chunks, chunks[1:]):
+        assert a.max == b.min
+    # single-chunk table → exactly one unbounded chunk
+    assert iam_pages_to_chunks([(1, 5)]) == [Chunk(None, None)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        iam_pages_to_chunks([])
+
+
+def test_iam_capability_probe_decision():
+    from olake_spark.sources.dialect_chunks import (
+        iam_permission_probe_sql,
+        iam_server_properties_sql,
+        iam_walk_pages_sql,
+        iam_walk_supported,
+    )
+
+    assert iam_walk_supported(16, 3)  # SQL Server 2022, standalone
+    assert not iam_walk_supported(10, 3)  # 2008 < 2012
+    assert not iam_walk_supported(16, 5)  # Azure SQL Database
+    assert not iam_walk_supported(16, 8)  # Azure SQL Managed Instance
+    assert "SERVERPROPERTY" in iam_server_properties_sql()
+    assert "TOP 0" in iam_permission_probe_sql()
+    q = iam_walk_pages_sql()
+    assert "dm_db_database_page_allocations" in q and "'LIMITED'" in q
+    assert "is_iam_page = 0" in q and "allocation_unit_type = 1" in q
+
+
+def test_iam_chunks_feed_physloc_predicate():
+    from olake_spark.sources.dialect_chunks import iam_pages_to_chunks, physloc_predicate
+
+    chunks = iam_pages_to_chunks([(1, p) for p in range(30)], target_chunk_bytes=10 * 8060)
+    preds = [physloc_predicate(c) for c in chunks]
+    assert preds[0].startswith("%%physloc%% <= 0x")
+    assert " > 0x" in preds[1] and " <= 0x" in preds[1]
+    assert preds[-1].startswith("%%physloc%% > 0x")

@@ -67,3 +67,26 @@ def test_chunks_feed_predicates():
     # string chunks render with quoting+escaping
     spreds = chunks_to_predicates("k", [Chunk("a", "m"), Chunk("m", None)])
     assert spreds == ["(k >= 'a' AND k < 'm') OR k IS NULL", "k >= 'm'"]
+
+
+def test_chunk_read_repeatable_read_properties():
+    from olake_spark.sources.jdbc import DIALECTS, JdbcSource
+
+    pg = JdbcSource("jdbc:postgresql://h/db", "postgres")
+    props = pg.chunk_read_properties()
+    assert props["sessionInitStatement"] == (
+        "SET SESSION CHARACTERISTICS AS TRANSACTION "
+        "ISOLATION LEVEL REPEATABLE READ, READ ONLY"
+    )
+    assert "REPEATABLE READ" in DIALECTS["mysql"].chunk_isolation_sql
+    assert "READ COMMITTED" in DIALECTS["mssql"].chunk_isolation_sql
+    # Oracle/DB2: no statement — dialect default consistency
+    assert DIALECTS["oracle"].chunk_isolation_sql == ""
+    assert JdbcSource("jdbc:oracle:thin:@h:1521/db", "oracle").chunk_read_properties() == {}
+    # opt-out and explicit override both win
+    assert "sessionInitStatement" not in pg.chunk_read_properties(repeatable_read=False)
+    custom = JdbcSource(
+        "jdbc:postgresql://h/db", "postgres",
+        properties={"sessionInitStatement": "SET x"},
+    )
+    assert custom.chunk_read_properties()["sessionInitStatement"] == "SET x"
