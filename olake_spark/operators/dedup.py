@@ -267,14 +267,18 @@ def ngram_jaccard_pairs(
     gh = g.select(id_col, F.xxhash64("ng").alias("ngh"))
     if max_df is not None:
         # document frequency per n-gram (n-grams are distinct per doc, so
-        # count(*) = df); drop hot n-grams BEFORE the self-join
-        admitted = (
-            gh.groupBy("ngh")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        # count(*) = df); drop hot n-grams BEFORE the self-join. Window over
+        # ngh = ONE shuffle that both computes df and filters, already
+        # hash-partitioned on the self-join key; cached because both join
+        # sides consume it (uncached, each side re-runs the df pass).
+        from pyspark.sql import Window as W
+
+        gh = (
+            gh.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("ngh")))
             .filter(F.col("_df") <= max_df)
-            .select("ngh")
+            .drop("_df")
+            .cache()
         )
-        gh = gh.join(admitted, "ngh")
     a, b = gh.alias("a"), gh.alias("b")
     inter = (
         a.join(b, (F.col("a.ngh") == F.col("b.ngh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -46,6 +46,7 @@ __all__ = [
     "lsh_bucket_topk",
     "ivf_assign",
     "ivf_topk",
+    "ivf_train_centroids",
     "cosine_near_dup_pairs",
 ]
 
@@ -274,6 +275,58 @@ def ivf_topk(
             "query_id", "neighbor_id", "rank", F.round(F.col("_sim9"), 6).alias("cosine_sim")
         )
     )
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, pure DataFrame ops — the
+    production replacement for ``ivf_topk``'s deterministic stride centroids.
+
+    Init = first k vectors by id (deterministic). Each iteration is two
+    shuffles, both map-side combinable at 100 TB:
+
+    1. assign: broadcast the k centroids, per-vector argmax (``ivf_assign``)
+    2. update: ``posexplode`` the member vectors → groupBy (cell, dim) avg
+       (k·d result rows) → re-assemble ordered arrays
+
+    No vector ever crosses the wire un-aggregated in step 2 — the partial
+    averages combine map-side, so the update shuffle carries O(partitions ·
+    k · d) rows regardless of corpus size. Output: (_cent_id, _cent_v), the
+    shape ``ivf_assign``/``ivf_topk`` consume.
+    """
+    cents = (
+        corpus.orderBy(F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).alias("_cent_id"),
+            F.col(vec_col).cast("array<double>").alias("_cent_v"),
+        )
+    )
+    vecs = spread(corpus, id_col).select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv")
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(vecs, cents, "_vid", "_vv")
+        by_dim = assigned.select(
+            "_cell", F.posexplode(F.col("_vv").cast("array<double>")).alias("_pos", "_x")
+        )
+        means = by_dim.groupBy("_cell", "_pos").agg(F.avg("_x").alias("_m"))
+        cents = (
+            means.groupBy("_cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm")
+            )
+            .select(
+                F.col("_cell").alias("_cent_id"),
+                F.expr("transform(_pm, s -> s._m)").alias("_cent_v"),
+            )
+        )
+    return cents
 
 
 def cosine_near_dup_pairs(

@@ -33,10 +33,14 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     Local fixtures often arrive as one parquet row-group (one scan task); the
     downstream per-row stages (hashing, shingle explodes, stamping) are the
     expensive part, so a cheap shuffle of the narrow input buys full-core
-    parallelism. On a real cluster with thousands of scan splits the
-    condition is false and this is a no-op — no gratuitous shuffle at scale.
+    parallelism. Gated to local mode: touching ``df.rdd`` forces physical
+    planning, and on a real cluster the scan has thousands of splits anyway —
+    there this is a pure pass-through with zero planning cost.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    sc = df.sparkSession.sparkContext
+    if not sc.master.startswith("local"):
+        return df
+    target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, F.col(key))
     return df

@@ -39,7 +39,63 @@ __all__ = [
     "split_confluent_wire",
     "kafka_metadata_columns",
     "avro_available",
+    "SAMPLE_MAX_PER_PARTITION",
+    "sample_offset_plan",
+    "sample_read_options",
 ]
+
+# schema-discovery sample bound per partition (kafka.go:236-237)
+SAMPLE_MAX_PER_PARTITION = 10_000
+
+
+def sample_offset_plan(
+    topic: str,
+    start_offsets: dict[int, int],
+    end_offsets: dict[int, int],
+    max_per_partition: int = SAMPLE_MAX_PER_PARTITION,
+) -> tuple[dict, dict] | None:
+    """Per-partition sample bounds for schema discovery.
+
+    The reference runs one consumer per partition that stops at 10k messages
+    or the end offset (drivers/kafka/internal/kafka.go:191-243). Spark-first
+    the same contract is a bounded OFFSET RANGE per partition resolved at
+    planning time — one ``spark.read.format("kafka")`` job then reads every
+    partition's slice in parallel, no consumer loop. Empty partitions are
+    skipped (kafka.go:202-205); returns None when nothing has data.
+    """
+    starts: dict[str, int] = {}
+    ends: dict[str, int] = {}
+    for p, start in sorted(start_offsets.items()):
+        end = end_offsets.get(p, start)
+        if start >= end:
+            continue  # empty partition
+        starts[str(p)] = start
+        ends[str(p)] = min(start + max_per_partition, end)
+    if not starts:
+        return None
+    return {topic: starts}, {topic: ends}
+
+
+def sample_read_options(
+    bootstrap_servers: str,
+    topic: str,
+    start_offsets: dict[int, int],
+    end_offsets: dict[int, int],
+    max_per_partition: int = SAMPLE_MAX_PER_PARTITION,
+) -> dict[str, str] | None:
+    """Ready-to-use ``spark.read.format("kafka")`` options for the sample."""
+    import json as _json
+
+    plan = sample_offset_plan(topic, start_offsets, end_offsets, max_per_partition)
+    if plan is None:
+        return None
+    starts, ends = plan
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "assign": _json.dumps({topic: [int(p) for p in starts[topic]]}),
+        "startingOffsets": _json.dumps(starts),
+        "endingOffsets": _json.dumps(ends),
+    }
 
 INTERNAL_TOPICS = ["__amazon_msk_canary", "_schemas"]  # kafka.go:37
 KAFKA_KEY = "_kafka_key"

@@ -181,3 +181,34 @@ def test_lsh_multi_table_union_recall(spark):
     }
     assert one <= two
     assert len(two) >= len(one)
+
+
+def test_ivf_train_centroids_separates_blobs(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # three well-separated blobs along orthogonal axes of a 64-dim space
+    for i in range(90):
+        axis = i % 3
+        v = [rng.uniform(-0.05, 0.05) for _ in range(64)]
+        v[axis] += 1.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = sim.ivf_train_centroids(df, k=3, iters=4)
+    got = cents.collect()
+    assert len(got) == 3
+    assert all(len(r["_cent_v"]) == 64 for r in got)
+    # every trained centroid points dominantly along one distinct axis
+    dominant = sorted(max(range(64), key=lambda d: r["_cent_v"][d]) for r in got)
+    assert dominant == [0, 1, 2]
+    # assignment with the trained centroids is pure: each blob maps to one cell
+    assigned = sim.ivf_assign(
+        df.selectExpr("vec_id as _vid", "embedding as _vv"), cents, "_vid", "_vv"
+    ).collect()
+    cells_by_axis = {}
+    for r in assigned:
+        cells_by_axis.setdefault(r["_vid"] % 3, set()).add(r["_cell"])
+    assert all(len(cells) == 1 for cells in cells_by_axis.values())
+    assert len(set().union(*cells_by_axis.values())) == 3

@@ -86,3 +86,27 @@ def test_decode_avro_gated(spark):
     src = KafkaSource("b:9092", ["t"])
     with pytest.raises(NotImplementedError):
         src.decode_avro(spark, df, '"int"')
+
+
+def test_sample_offset_plan_bounds_and_skips_empty():
+    from olake_spark.sources.kafka import sample_offset_plan, sample_read_options
+
+    starts = {0: 0, 1: 500, 2: 7}
+    ends = {0: 25_000, 1: 500, 2: 1_000}  # partition 1 is empty
+    plan = sample_offset_plan("t", starts, ends)
+    assert plan is not None
+    s, e = plan
+    # 10k cap on partition 0, full slice on partition 2, partition 1 skipped
+    assert s == {"t": {"0": 0, "2": 7}}
+    assert e == {"t": {"0": 10_000, "2": 1_000}}
+
+    opts = sample_read_options("b:9092", "t", starts, ends)
+    import json
+
+    assert json.loads(opts["assign"]) == {"t": [0, 2]}
+    assert json.loads(opts["startingOffsets"])["t"]["0"] == 0
+    assert json.loads(opts["endingOffsets"])["t"]["0"] == 10_000
+
+    # all-empty topic → no sample read at all
+    assert sample_offset_plan("t", {0: 5}, {0: 5}) is None
+    assert sample_read_options("b", "t", {0: 5}, {0: 5}) is None

@@ -56,3 +56,29 @@ def test_full_load_stays_in_codegen(spark):
 def test_dim_join_broadcasts(spark):
     plan = _plan(spark, "range_join_ship_window")
     assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ngram_cap_reuses_cached_relation(spark):
+    # the df-capped inverted index is cached; BOTH self-join sides must read
+    # the cache instead of re-running the explode + window-df pass
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_registry_decode_is_arrow_batched(spark):
+    # registry-driven Avro decode runs Python, but only Arrow-batched
+    # mapInPandas — never row-at-a-time BatchEvalPython
+    plan = _plan(spark, "kafka_registry_decode")
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_profile_is_single_scan_no_join(spark):
+    # all per-column stats ride ONE aggregation over ONE scan
+    plan = _plan(spark, "profile_numeric_stats")
+    assert "Join" not in plan
+
+
+def test_banded_lsh_is_hash_join_on_bands(spark):
+    plan = _plan(spark, "similarity_topk_lsh")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
