@@ -45,6 +45,8 @@ __all__ = [
     "simhash",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
+    "connected_components",
+    "keep_canonical",
 ]
 
 HASH_PRIME = 1_000_000_007
@@ -230,6 +232,91 @@ def simhash_near_dups(
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from candidate pairs: every node labeled with
+    the minimum id reachable through the pair graph.
+
+    This is the step after pair generation in a dedup pipeline — pairs say
+    "these two match", clusters decide which one survives. Min-label
+    propagation: each round every node adopts min(own label, neighbors'
+    labels); converged when a round changes nothing. Rounds needed = graph
+    diameter, and near-dup components are small and dense (a duplicate
+    cluster's diameter is ~1-2), so the loop runs 2-3 shuffles in practice —
+    the per-round count() is a cheap driver sync on an aggregated frame.
+    ``max_iters`` bounds pathological chains. Output: (id_col, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
+        .unionByName(pairs.select(F.col(pair_b).alias("src"), F.col(pair_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # only nodes that appear in a pair iterate — singletons (the vast
+    # majority of any real corpus) label themselves without touching the
+    # loop, so every per-round shuffle carries just the duplicate subgraph
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    # iterative plans MUST truncate lineage per round (localCheckpoint, or
+    # checkpoint(dir) on a cluster) — cache() alone is a trap here: a
+    # partial materialization leaves later rounds recomputing missing
+    # partitions through an ever-deeper plan
+    for _ in range(max_iters):
+        # neighbor-min propagation (one hop) ...
+        neighbor = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        hop = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # ... plus pointer jumping (adopt your label's label) — halves the
+        # remaining diameter each round, so convergence is O(log d) rounds
+        ptr = hop.select(F.col("node").alias("label"), F.col("label").alias("_ll"))
+        new_labels = (
+            hop.join(ptr, "label", "left")
+            .select("node", F.least("label", "_ll").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return ids.join(
+        labels.withColumnRenamed("node", id_col), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+    )
+
+
+def keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the deduped corpus: keep one document per cluster (the
+    minimum id — deterministic, matches the cluster label)."""
+    keep = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
 
 
 def ngram_jaccard_pairs(

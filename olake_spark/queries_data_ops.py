@@ -184,6 +184,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_dups(table(spark, sf_dir, "documents"), "doc_id", "text", 0.7)
 
 
+def _cluster_oracle() -> str:
+    """Connected components over the MinHash pairs via a recursive
+    reachability CTE: cluster id = min id reachable from each doc (docs with
+    no pair cluster to themselves)."""
+    return f"""
+    WITH RECURSIVE mh AS MATERIALIZED ({_minhash_oracle()}),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM mh
+      UNION SELECT id_b, id_a FROM mh
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+    GROUP BY d.doc_id
+    """
+
+
+@register("dedup_minhash_clusters", _cluster_oracle())
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair → cluster step of the dedup pipeline (operators/dedup.py
+    connected_components): MinHash candidate pairs collapse into
+    min-label connected components; every document gets a cluster id
+    (singletons label themselves)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_dups(docs, "doc_id", "text", 0.7)
+    return dd.connected_components(docs.select("doc_id"), pairs)
+
+
 def _simhash_sql() -> str:
     h = _H60.format(x="w")
     votes = ", ".join(

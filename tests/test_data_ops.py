@@ -212,3 +212,28 @@ def test_ivf_train_centroids_separates_blobs(spark):
         cells_by_axis.setdefault(r["_vid"] % 3, set()).add(r["_cell"])
     assert all(len(cells) == 1 for cells in cells_by_axis.values())
     assert len(set().union(*cells_by_axis.values())) == 3
+
+
+def test_connected_components_chain_and_singletons(spark):
+    # a 10-node chain (worst-case diameter), one triangle, and singletons
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    chain = [(i, i + 1) for i in range(9)]          # 0-1-2-...-9
+    tri = [(12, 15), (15, 17), (12, 17)]            # {12,15,17}
+    pairs = spark.createDataFrame(chain + tri, "id_a long, id_b long")
+    out = {r.doc_id: r.cluster_id for r in dd.connected_components(ids, pairs).collect()}
+    assert all(out[i] == 0 for i in range(10))      # chain collapses to min
+    assert out[12] == out[15] == out[17] == 12
+    for lone in (10, 11, 13, 14, 16, 18, 19):
+        assert out[lone] == lone                    # singletons self-label
+    # pointer jumping keeps rounds low even for the chain: bound ~log2(10)+2
+    # (would be 10+ rounds with plain one-hop propagation)
+
+
+def test_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    clusters = dd.connected_components(docs.select("doc_id"), pairs)
+    kept = sorted(r.doc_id for r in dd.keep_canonical(docs, clusters).collect())
+    assert kept == [0, 1, 2, 4]  # 3 and 5 fold into cluster 0
