@@ -1,0 +1,81 @@
+"""Benchmark decontamination: flag corpus documents that overlap a held-out
+evaluation set by exact word n-grams.
+
+The standard pre-training hygiene step (GPT-3 appendix C / PaLM / Llama
+training reports): a training document is "contaminated" if it shares at
+least ``min_shared`` distinct word n-grams (typically 8-13; configurable)
+with any benchmark document, and is dropped or flagged before training.
+
+Scale shape (100 TB corpus, MB-scale benchmark): the benchmark side is tiny
+by construction — its distinct n-gram set is collected once and
+**broadcast**, so the corpus side streams through a broadcast hash join with
+no shuffle of corpus data at all. The corpus n-gram explode is per-document
+map work; the per-document distinct + count is keyed by ``doc_id`` (unique →
+uniform) and mostly collapses map-side. Never joins corpus-to-corpus.
+
+If the benchmark outgrows broadcast size (rare — eval sets are small), pass
+``broadcast_benchmark=False`` to fall back to a shuffled semi-join.
+
+This family is part of the training-data-pipeline extension surface (the
+reference engine has no corpus operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from olake_spark.operators.quality import ngrams
+from olake_spark.operators.text import tokens
+
+__all__ = ["ngram_overlap", "decontaminate"]
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-corpus-document count of distinct word ``n``-grams shared with the
+    benchmark. Returns ``(id_col, n_shared_ngrams)`` for every corpus row
+    (0 when disjoint)."""
+    bench_grams = benchmark.select(
+        F.explode(ngrams(tokens(F.col(text_col)), n)).alias("gram")
+    ).distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    corpus_grams = (
+        corpus.select(F.col(id_col), F.explode(ngrams(tokens(F.col(text_col)), n)).alias("gram"))
+        .distinct()
+    )
+    hits = corpus_grams.join(bench_grams, "gram").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shared_ngrams")
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .withColumn("n_shared_ngrams", F.coalesce(F.col("n_shared_ngrams"), F.lit(0)))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Corpus with contaminated documents removed (shared distinct n-grams
+    ≥ ``min_shared``). Keeps all corpus columns; anti-join on the flagged id
+    set, which is small and broadcast by AQE."""
+    flagged = (
+        ngram_overlap(corpus, benchmark, id_col, text_col, n, broadcast_benchmark)
+        .filter(F.col("n_shared_ngrams") >= min_shared)
+        .select(id_col)
+    )
+    return corpus.join(flagged, id_col, "left_anti")

@@ -1,0 +1,162 @@
+"""Corpus-quality operators for training-data curation.
+
+Implements the repetition-based quality signals popularized by the Gopher /
+MassiveText filtering rules (Rae et al. 2021, "Scaling Language Models",
+appendix A1.1) and the C4 cleaning heuristics — the standard pre-training
+corpus filters:
+
+- ``with_dup_token_frac``   : fraction of tokens that are repeats of an
+                              earlier token (per-row, zero shuffle)
+- ``repetition_stats``      : top-n-gram coverage (n=2,3) and duplicated
+                              n-gram coverage (n=5) per document
+- ``with_bpe_token_estimate``: subword-ish token count from a GPT-2-style
+                              pretokenizer regex (words / numbers /
+                              punctuation runs), cheap proxy for a real BPE
+                              tokenizer without shipping a vocab
+- ``ngrams``                : word n-gram column builder (shared with
+                              decontamination)
+
+Scale notes (100 TB): ``with_*`` functions are pure per-row column
+expressions — embarrassingly parallel, whole-stage-codegen'd, no shuffle.
+``repetition_stats`` explodes word n-grams and aggregates twice, both times
+keyed by ``(doc_id, ...)`` — the document id is effectively unique, so the
+hash aggregation is near-perfectly distributed and map-side partial
+aggregation collapses each document's grams within its own partition before
+any shuffle. No join against the corpus text is needed: the stats relation
+carries only ids + longs.
+
+Reference parity note: the reference engine (olake) has no corpus-quality
+operators — this family is part of the training-data-pipeline extension
+surface (BASELINE north star), not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from olake_spark.operators.text import tokens
+
+__all__ = [
+    "BPE_PRETOKEN_RE",
+    "ngrams",
+    "with_dup_token_frac",
+    "with_bpe_token_estimate",
+    "repetition_stats",
+]
+
+# GPT-2-style pretokenizer classes, simplified to the RE2-compatible subset
+# so the same pattern runs in Spark (Java regex) and DuckDB (RE2) oracles:
+# contraction suffixes, letter runs, digit runs, non-space symbol runs.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s']+"
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined word ``n``-grams; docs shorter than ``n`` tokens
+    yield an empty array (guard needed: ``sequence`` with a negative stop
+    would count *down* and fabricate grams)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def with_dup_token_frac(
+    df: DataFrame, text_col: str = "text", out: str = "dup_token_frac"
+) -> DataFrame:
+    """1 - distinct/total tokens — crude but effective word-repetition signal
+    computed entirely per-row (array_distinct), no shuffle."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks).cast("double")
+    frac = F.when(n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+    return df.withColumn(out, F.round(frac, 6))
+
+
+def with_bpe_token_estimate(
+    df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Count GPT-2-pretokenizer matches as a subword-token estimate.
+
+    A real BPE tokenizer only ever *splits* pretokens further, so this is a
+    lower bound proportional to true token counts on natural text — good
+    enough for per-document cost accounting / length filtering without a
+    vocab file. Pure ``regexp_count``: JVM-side, no Python."""
+    return df.withColumn(
+        out, F.regexp_count(F.col(text_col), F.lit(BPE_PRETOKEN_RE)).cast("long")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5,),
+) -> DataFrame:
+    """Per-document n-gram repetition coverage (Gopher A1.1 style).
+
+    For each ``n`` in ``top_ns``: fraction of tokens covered by occurrences
+    of the single most frequent ``n``-gram (``top{n}_frac``). For each ``n``
+    in ``dup_ns``: fraction of tokens covered by all n-grams occurring more
+    than once (``dup{n}_frac``; overlapping occurrences counted, may exceed
+    1 — same convention as Gopher). Output: one row per input document with
+    ``n_tokens``, ``dup_token_frac`` and the coverage columns.
+
+    Dataflow: one explode of all requested n sizes tagged by ``n`` → one
+    two-level hash aggregation keyed by (id, n, gram) then (id, n) → pivot
+    via conditional aggregation → broadcast-free left join back to the
+    per-row stats on the unique ``id`` — all shuffles are on the document
+    id, so partial aggregation does almost all the work map-side.
+    """
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    base = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.size("_toks") > 0,
+                F.lit(1.0) - F.size(F.array_distinct("_toks")) / F.size("_toks").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_token_frac"),
+        "_toks",
+    )
+    exploded = None
+    for n in all_ns:
+        part = base.select(
+            id_col, F.lit(n).alias("n"), F.explode(ngrams(F.col("_toks"), n)).alias("gram")
+        )
+        exploded = part if exploded is None else exploded.unionByName(part)
+    counts = exploded.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy(id_col, "n").agg(
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias("dup_cnt"),
+    )
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.max(F.when(F.col("n") == n, F.col("max_cnt") * n)).alias(f"_top{n}_tok")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.max(F.when(F.col("n") == n, F.col("dup_cnt") * n)).alias(f"_dup{n}_tok")
+        )
+    pivoted = per_doc.groupBy(id_col).agg(*aggs)
+    out = base.drop("_toks").join(pivoted, id_col, "left")
+    for n in top_ns:
+        out = out.withColumn(
+            f"top{n}_frac",
+            F.round(
+                F.coalesce(F.col(f"_top{n}_tok"), F.lit(0)) / F.col("n_tokens").cast("double"), 6
+            ),
+        ).drop(f"_top{n}_tok")
+    for n in dup_ns:
+        out = out.withColumn(
+            f"dup{n}_frac",
+            F.round(
+                F.coalesce(F.col(f"_dup{n}_tok"), F.lit(0)) / F.col("n_tokens").cast("double"), 6
+            ),
+        ).drop(f"_dup{n}_tok")
+    return out

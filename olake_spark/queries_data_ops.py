@@ -584,3 +584,121 @@ def pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cols = [F.col(f"n_{name}").cast("int").alias(f"n_{name}")
               for name in ["email", "ipv4", "ssn", "phone"]]
     return redacted.select("doc_id", *n_cols, "redacted")
+
+
+# ---------------------------------------------------------------------------
+# corpus quality: repetition stats, BPE-ish token estimate, decontamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), base AS (
+      SELECT doc_id, len(t)::BIGINT AS n_tokens,
+             round(CASE WHEN len(t) > 0
+                        THEN 1.0 - len(list_distinct(t)) / len(t)::DOUBLE
+                        ELSE 0.0 END, 6) AS dup_token_frac
+      FROM toks
+    ), grams AS (
+      SELECT doc_id, n, array_to_string(t[i:i+n-1], ' ') AS gram
+      FROM toks, (VALUES (2), (3), (5)) AS ns(n),
+           unnest(generate_series(1, len(t) - n + 1)) AS u(i)
+      WHERE len(t) >= n
+    ), counts AS (
+      SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+    ), per_doc AS (
+      SELECT doc_id, n, max(cnt) AS max_cnt,
+             sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+      FROM counts GROUP BY 1, 2
+    ), piv AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 2 THEN max_cnt * 2 END) AS top2_tok,
+             max(CASE WHEN n = 3 THEN max_cnt * 3 END) AS top3_tok,
+             max(CASE WHEN n = 5 THEN dup_cnt * 5 END) AS dup5_tok
+      FROM per_doc GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+           round(coalesce(top2_tok, 0) / b.n_tokens::DOUBLE, 6) AS top2_frac,
+           round(coalesce(top3_tok, 0) / b.n_tokens::DOUBLE, 6) AS top3_frac,
+           round(coalesce(dup5_tok, 0) / b.n_tokens::DOUBLE, 6) AS dup5_frac
+    FROM base b LEFT JOIN piv USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-token
+    fraction (per-row), top-2/3-gram token coverage, duplicated-5-gram token
+    coverage. All shuffles keyed by the unique doc_id."""
+    from olake_spark.operators.quality import repetition_stats
+
+    docs = table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", top_ns=(2, 3), dup_ns=(5,))
+
+
+@register(
+    "text_bpe_tokens",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s'']+'))::BIGINT
+             AS n_bpe_tokens,
+           len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-pretokenizer-regex token estimate vs whitespace token count —
+    the cost-accounting pair a curation pipeline tracks per document."""
+    from olake_spark.operators.quality import with_bpe_token_estimate
+
+    docs = table(spark, sf_dir, "documents")
+    df = with_bpe_token_estimate(docs)
+    return df.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "decontaminate_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+      FROM toks, unnest(generate_series(1, len(t) - 3)) AS u(i)
+      WHERE len(t) >= 4
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 7
+    ), corp AS (
+      SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 10 <> 7
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_shared_ngrams
+      FROM corp JOIN bench USING (gram) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(hits.n_shared_ngrams, 0) AS n_shared_ngrams,
+           CASE WHEN coalesce(hits.n_shared_ngrams, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7) d
+    LEFT JOIN hits USING (doc_id)
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every tenth document plays the held-out
+    eval set; corpus docs are scored by distinct shared word 4-grams via a
+    broadcast join against the (small) benchmark n-gram set — the corpus
+    side never shuffles its text."""
+    from olake_spark.operators.decontam import ngram_overlap
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    scored = ngram_overlap(corpus, bench, "doc_id", "text", n=4)
+    return scored.select(
+        "doc_id",
+        "n_shared_ngrams",
+        F.when(F.col("n_shared_ngrams") > 0, F.lit(1)).otherwise(F.lit(0)).alias("contaminated"),
+    )

@@ -1,0 +1,107 @@
+"""Unit tests for corpus-quality operators (repetition stats, BPE token
+estimate) and benchmark decontamination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark.operators.decontam import decontaminate, ngram_overlap
+from olake_spark.operators.quality import (
+    ngrams,
+    repetition_stats,
+    with_bpe_token_estimate,
+    with_dup_token_frac,
+)
+from olake_spark.operators.text import tokens
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "a b c d e f g h"),                    # all distinct
+        (1, "x y x y x y x y"),                    # one bigram dominates
+        (2, "p q r p q r p q r p q r p q r"),      # repeated trigram phrase
+        (3, "solo"),                               # shorter than any n-gram
+        (4, "m m m m m m m m m m"),                # single repeated token
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",)], ["text"])
+    out = df.select(ngrams(tokens(F.col("text")), 3).alias("g")).first()
+    assert out["g"] == []
+
+
+def test_ngrams_values(spark):
+    df = spark.createDataFrame([("a b c d",)], ["text"])
+    out = df.select(ngrams(tokens(F.col("text")), 2).alias("g")).first()
+    assert out["g"] == ["a b", "b c", "c d"]
+
+
+def test_dup_token_frac(docs):
+    got = {
+        r["doc_id"]: r["dup_token_frac"]
+        for r in with_dup_token_frac(docs).collect()
+    }
+    assert got[0] == 0.0
+    assert got[1] == pytest.approx(1 - 2 / 8)
+    assert got[4] == pytest.approx(1 - 1 / 10)
+
+
+def test_repetition_stats_coverage(docs):
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 1: "x y" occurs 4x over 8 tokens -> top2 = 8/8 = 1.0
+    assert out[1]["top2_frac"] == pytest.approx(1.0)
+    # doc 0: no repeats -> top2 covers one bigram = 2/8
+    assert out[0]["top2_frac"] == pytest.approx(2 / 8)
+    assert out[0]["dup5_frac"] == 0.0
+    # doc 2: "p q r p q" style 5-grams repeat; dup coverage > 1 is allowed
+    assert out[2]["dup5_frac"] > 1.0
+    # doc 3: shorter than every n -> all coverage 0, no NULLs
+    assert out[3]["top2_frac"] == 0.0 and out[3]["dup5_frac"] == 0.0
+    assert out[3]["n_tokens"] == 1
+
+
+def test_bpe_estimate_splits_subwords(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, "can't stop-me v2.0"), (2, "abc123def")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in with_bpe_token_estimate(df).collect()}
+    assert got[0] == 2
+    # can | 't | stop | - | me | v | 2 | . | 0
+    assert got[1] == 9
+    # abc | 123 | def
+    assert got[2] == 3
+
+
+def test_ngram_overlap_counts(spark):
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"), (1, "totally unrelated words here now")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, "quick brown fox jumps high")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_shared_ngrams"] for r in
+           ngram_overlap(corpus, bench, n=4).collect()}
+    # shared 4-gram: "quick brown fox jumps"
+    assert got[0] == 1
+    assert got[1] == 0
+
+
+def test_decontaminate_removes_flagged(spark):
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"), (1, "totally unrelated words here now")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, "quick brown fox jumps high")], ["doc_id", "text"])
+    kept = decontaminate(corpus, bench, n=4)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_decontaminate_no_broadcast_path(spark):
+    corpus = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, "a b c d f")], ["doc_id", "text"])
+    out = ngram_overlap(corpus, bench, n=4, broadcast_benchmark=False).collect()
+    assert out[0]["n_shared_ngrams"] == 1  # shared "a b c d"; "b c d e" differs
