@@ -702,3 +702,117 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared_ngrams",
         F.when(F.col("n_shared_ngrams") > 0, F.lit(1)).otherwise(F.lit(0)).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain curation + BM25 keyword scoring
+# ---------------------------------------------------------------------------
+
+_URL_INJECT_SQL = """
+    SELECT doc_id,
+           text || CASE doc_id % 5
+             WHEN 0 THEN ' see https://spam' || (doc_id % 3)::VARCHAR
+                         || '.junk.example/page' || doc_id::VARCHAR
+             WHEN 1 THEN ' docs at http://docs.example.org/guide'
+             WHEN 2 THEN ' cdn https://cdn' || (doc_id % 7)::VARCHAR
+                         || '.assets-example.net/x and https://spam0.junk.example/x'
+             ELSE '' END AS text
+    FROM documents
+"""
+
+
+@register(
+    "url_domain_stats",
+    f"""
+    WITH injected AS ({_URL_INJECT_SQL}),
+    urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url
+      FROM injected
+    ), dom AS (
+      SELECT doc_id, regexp_extract(url, 'https?://([^/\\s:]+)', 1) AS domain FROM urls
+    )
+    SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs,
+           CASE WHEN regexp_matches(domain, '(^|\\.)junk\\.example$') THEN 1 ELSE 0 END
+             AS blocked
+    FROM dom GROUP BY domain
+    """,
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL/document counts with a blocklist flag, over documents
+    with synthetic URLs injected deterministically (same injection SQL shape
+    as the PII query). Extraction is per-row regex; the only shuffle is the
+    domain aggregation."""
+    from olake_spark.operators.urls import domain_stats
+
+    docs = table(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" see https://spam"), (F.col("doc_id") % 3).cast("string"),
+                         F.lit(".junk.example/page"), F.col("doc_id").cast("string")),
+            )
+            .when(F.col("doc_id") % 5 == 1, F.lit(" docs at http://docs.example.org/guide"))
+            .when(
+                F.col("doc_id") % 5 == 2,
+                F.concat(F.lit(" cdn https://cdn"), (F.col("doc_id") % 7).cast("string"),
+                         F.lit(".assets-example.net/x and https://spam0.junk.example/x")),
+            )
+            .otherwise(F.lit("")),
+        ),
+    )
+    stats = domain_stats(injected, "doc_id", "text")
+    return stats.withColumn(
+        "blocked",
+        F.when(F.col("domain").rlike(r"(^|\.)junk\.example$"), F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+_BM25_TERMS = ["spark", "join", "filter", "window"]
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{t}\\b'))::DOUBLE AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n             ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_{t}" for t in _BM25_TERMS
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (tf_{t} * 2.2) / (tf_{t} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+        for t in _BM25_TERMS
+    )
+    tf_out = ", ".join(f"tf_{t}::BIGINT AS tf_{t}" for t in _BM25_TERMS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len({_TOKS})::DOUBLE AS dl,
+             {tf_cols}
+      FROM documents
+    ), stats AS (
+      SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+             {df_cols}
+      FROM base
+    )
+    SELECT doc_id, dl::BIGINT AS dl, {tf_out},
+           round(({score}) * 10000)::BIGINT AS bm25_e4
+    FROM base, stats
+    """
+
+
+@register("bm25_keyword_scores", _bm25_oracle())
+def bm25_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed seed-term set
+    (k1=1.2, b=0.75): per-term tf in one scan, corpus stats as a 1-row
+    broadcast, score as a pure column expression (scaled-int for the exact
+    hash gate)."""
+    from olake_spark.operators.bm25 import bm25_scores
+
+    docs = table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, _BM25_TERMS, "doc_id", "text")
+    return scored.withColumn(
+        "bm25_e4", F.round(F.col("bm25") * 10000).cast("bigint")
+    ).drop("bm25")
