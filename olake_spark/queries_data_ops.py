@@ -816,3 +816,46 @@ def bm25_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "bm25_e4", F.round(F.col("bm25") * 10000).cast("bigint")
     ).drop("bm25")
+
+
+# ---------------------------------------------------------------------------
+# embedding utilities: L2 norm + int8 quantization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(round(maxabs * 10000, 0) AS BIGINT) AS maxabs_e4,
+           CASE WHEN maxabs > 0
+                THEN list_transform(embedding::DOUBLE[],
+                                    x -> CAST(round(x * 127.0 / maxabs) AS INT))
+                ELSE list_transform(embedding::DOUBLE[], x -> 0) END AS q,
+           CAST(round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * 10000, 0) AS BIGINT) AS l2_e4
+    FROM m
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric max-abs int8 quantization of the embedding column plus the
+    L2 norm — per-row higher-order array functions only (no shuffle); the
+    4×-smaller int8 vectors are the candidate-generation representation at
+    100 TB scale."""
+    from olake_spark.operators.embeddings import quantize_int8
+    from olake_spark.operators.similarity import _norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    qd = quantize_int8(emb, "embedding")
+
+    return qd.select(
+        "vec_id",
+        F.round(F.col("scale") * 127.0 * 10000).cast("bigint").alias("maxabs_e4"),
+        "q",
+        F.round(_norm(F.col("embedding")) * 10000).cast("bigint").alias("l2_e4"),
+    )
