@@ -40,6 +40,7 @@ __all__ = [
     "char_shingles",
     "word_ngrams",
     "exact_dedup",
+    "cap_buckets",
     "minhash_signatures",
     "minhash_near_dups",
     "simhash",
@@ -115,6 +116,25 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def cap_buckets(
+    bt: DataFrame, bucket_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets holding more than ``max_bucket_size`` members before
+    a bucket self-join — the standard mitigation for Zipf-hot buckets (a
+    bucket shared by k docs yields k² candidate rows; a bucket hit by a
+    large fraction of the corpus carries no dedup signal anyway, it is
+    boilerplate). One extra aggregation on the SAME keys the join shuffles
+    on, so AQE reuses the exchange; candidates become bounded by
+    ``n_buckets * cap²`` instead of quadratic in the hottest key."""
+    if max_bucket_size is None:
+        return bt
+    sizes = bt.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+    return (
+        bt.join(sizes.filter(F.col("_bsz") <= max_bucket_size), bucket_cols)
+        .drop("_bsz")
+    )
+
+
 def _band_table(sig: DataFrame, id_col: str, num_bands: int, rows_per_band: int) -> DataFrame:
     bands = []
     for j in range(num_bands):
@@ -136,16 +156,20 @@ def minhash_near_dups(
     text_col: str,
     threshold: float = 0.7,
     num_bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH-banded near-duplicate pairs with estimated Jaccard ≥ threshold.
 
     Candidates = pairs agreeing on ≥1 band (bucket equi-join, never O(n²));
-    estimate = fraction of agreeing minhashes.
+    estimate = fraction of agreeing minhashes. ``max_bucket_size`` drops
+    boilerplate mega-buckets before the join (see ``cap_buckets``).
     """
     k = _NUM_HASHES
     rows_per_band = k // num_bands
     sig = minhash_signatures(df, id_col, text_col).cache()
-    bt = _band_table(sig, id_col, num_bands, rows_per_band)
+    bt = cap_buckets(
+        _band_table(sig, id_col, num_bands, rows_per_band), ["band", "bh"], max_bucket_size
+    )
     a, b = bt.alias("a"), bt.alias("b")
     cand = (
         a.join(
@@ -188,12 +212,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via pigeonhole band join.
 
     With 4 byte-bands and max_hamming ≤ 3, ≥1 band must match exactly, so
     the band join is a lossless candidate generator — LSH recall 100%.
+    ``max_bucket_size`` trades that exactness for bounded candidates by
+    dropping mega-buckets (see ``cap_buckets``).
     """
     if max_hamming >= SIMHASH_BANDS:
         raise ValueError("pigeonhole exactness requires max_hamming < num bands")
@@ -213,6 +243,7 @@ def simhash_near_dups(
     bt = sh.select(id_col, "simhash", F.explode(bands).alias("b")).select(
         id_col, "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
     )
+    bt = cap_buckets(bt, ["band", "bv"], max_bucket_size)
     a, b = bt.alias("a"), bt.alias("b")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (

@@ -336,6 +336,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.35,
     n_tables: int = _NUM_TABLES,
     n_planes: int = _NUM_PLANES,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs with cosine ≥ threshold.
 
@@ -343,8 +344,12 @@ def cosine_near_dup_pairs(
     qualifies if it collides in ANY of the L tables — the MinHash
     union-of-bands shape), then exact cosine verifies. ``n_planes`` bounds
     per-table bucket size so the self-join stays sub-quadratic as the
-    corpus grows; ``n_tables`` restores the recall fine buckets lose.
+    corpus grows; ``n_tables`` restores the recall fine buckets lose;
+    ``max_bucket_size`` additionally drops degenerate hot buckets (e.g. a
+    spike of identical embeddings) before the self-join.
     """
+    from olake_spark.operators.dedup import cap_buckets
+
     tables = lsh_planes(n_tables, n_planes)
     # cache the banded relation: it feeds both self-join sides — without the
     # cache every hyperplane dot product runs twice
@@ -352,7 +357,8 @@ def cosine_near_dup_pairs(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         F.explode(lsh_bands(F.col(vec_col), tables)).alias("_b"),
-    ).select("_id", "_v", "_b.band", "_b.sig").cache()
+    ).select("_id", "_v", "_b.band", "_b.sig")
+    t = cap_buckets(t, ["band", "sig"], max_bucket_size).cache()
     a, b = t.alias("a"), t.alias("b")
     sim = F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
     return (
