@@ -833,10 +833,10 @@ def bm25_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            CAST(round(maxabs * 10000, 0) AS BIGINT) AS maxabs_e4,
-           CASE WHEN maxabs > 0
+           CAST(to_json(CASE WHEN maxabs > 0
                 THEN list_transform(embedding::DOUBLE[],
                                     x -> CAST(round(x * 127.0 / maxabs) AS INT))
-                ELSE list_transform(embedding::DOUBLE[], x -> 0) END AS q,
+                ELSE list_transform(embedding::DOUBLE[], x -> 0) END) AS VARCHAR) AS q_json,
            CAST(round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                       * 10000, 0) AS BIGINT) AS l2_e4
     FROM m
@@ -853,9 +853,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     qd = quantize_int8(emb, "embedding")
 
+    # arrays don't hash stably across pandas/duckdb bridges (list vs ndarray
+    # repr) — serialize to canonical JSON text for the value-hash gate
     return qd.select(
         "vec_id",
         F.round(F.col("scale") * 127.0 * 10000).cast("bigint").alias("maxabs_e4"),
-        "q",
+        F.to_json(F.col("q")).alias("q_json"),
         F.round(_norm(F.col("embedding")) * 10000).cast("bigint").alias("l2_e4"),
     )

@@ -51,12 +51,26 @@ NS_TIMESTAMP_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def normalize_ns_timestamps(df: DataFrame, ns_cols: list[str]) -> DataFrame:
-    """epoch-ns long → TimestampType (micros, floor — parity with the oracle's
-    epoch_us truncation)."""
+    """Collapse event-time columns to TimestampType (LTZ micros).
+
+    Handles both physical encodings the testdata has shipped with:
+    - epoch-ns long (parquet TIMESTAMP(NANOS) under ``nanosAsLong``) →
+      floor-divide to micros (parity with the oracle's epoch_us truncation);
+    - TIMESTAMP_NTZ (plain micros timestamp) → cast to LTZ, which under the
+      pinned UTC session timezone (``ensure_runtime_confs``) is a pure
+      re-tag of the same micros value.
+
+    LTZ is the engine-internal event-time type so ``unix_millis`` /
+    ``window`` / watermark arithmetic work uniformly downstream.
+    """
     for c in ns_cols:
         field = df.schema[c] if c in df.columns else None
-        if field is not None and isinstance(field.dataType, T.LongType):
+        if field is None:
+            continue
+        if isinstance(field.dataType, T.LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 

@@ -68,8 +68,9 @@ def test_crash_between_table_commit_and_state_write(spark, tmp_path):
     double-applied."""
     src = str(tmp_path / "src")
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    cut = ev.approxQuantile("ts", [0.5], 0.01)[0]
-    ev.filter(F.col("ts") <= cut).write.parquet(f"{src}/events/d0")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = ev.select(ts_us.alias("ts_us")).approxQuantile("ts_us", [0.5], 0.01)[0]
+    ev.filter(ts_us <= cut).write.parquet(f"{src}/events/d0")
     dest = str(tmp_path / "dest")
     state_path = str(tmp_path / "state.json")
 
@@ -78,7 +79,7 @@ def test_crash_between_table_commit_and_state_write(spark, tmp_path):
     n1 = ManagedTable(spark, f"{dest}/events").read().count()
 
     # drop the rest of the data and sync — table + state both advance
-    ev.filter(F.col("ts") > cut).write.parquet(f"{src}/events/d1")
+    ev.filter(ts_us > cut).write.parquet(f"{src}/events/d1")
     run_sync(spark, cat, src, dest, state_path)
     t = ManagedTable(spark, f"{dest}/events")
     assert t.read().count() == ev.count()
