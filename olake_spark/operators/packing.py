@@ -1,0 +1,109 @@
+"""Sequence packing + deterministic corpus shuffle for LLM training pipelines.
+
+Beyond-reference operators (BASELINE.json north-star family; the reference
+engine stops at row sync — see SURVEY §2.12): the last mile of a
+training-data pipeline is turning a cleaned document corpus into
+fixed-token-budget training sequences in a reproducible order.
+
+Both operators are **shard-local**: a 100 TB corpus is first split into
+``n_shards`` hash shards (one narrow shuffle), and every window/sort runs
+*within* a shard. There is no global ORDER BY anywhere — wall-clock and
+memory are bounded by the shard size, which the caller picks so one shard
+fits an executor (e.g. 100 TB / 65536 shards ≈ 1.6 GB). Determinism comes
+from md5-prefix hashing (same 60-bit construction as
+``operators.sampling.hash_bucket``), never from RNG or partition ids.
+
+Packing uses the GPT-style *concat-then-chunk* model: documents are laid
+head-to-tail in shuffled order inside each shard, and the resulting token
+stream is cut every ``budget`` tokens. A document therefore starts at a
+deterministic stream offset (windowed cumulative token count); the sequence
+it starts in, its offset there, and whether it straddles a cut (would be
+split across two training sequences) are all closed-form from that prefix
+sum — one window over the shard, no stateful scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from olake_spark.operators.sampling import hash_bucket
+
+__all__ = ["pack_offsets", "deterministic_shuffle"]
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shuffle",
+    shard_col: str = "shard",
+    pos_col: str = "pos_in_shard",
+) -> DataFrame:
+    """Reproducible global shuffle: every row gets a (shard, pos_in_shard)
+    address decided only by ``h(id, seed)``.
+
+    Reading shards in index order then rows in position order replays the
+    exact same corpus order on any cluster size — the property a training
+    job needs for resumable epochs. One shuffle (on shard), one window sort
+    within each shard.
+    """
+    h = hash_bucket(F.col(id_col), seed)
+    shard = F.pmod(h, F.lit(n_shards)).cast("int")
+    w = W.partitionBy(shard_col).orderBy(F.col("_shuf_h"), F.col(id_col))
+    return (
+        df.withColumn("_shuf_h", h)
+        .withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w).cast("long") - 1)
+        .drop("_shuf_h")
+    )
+
+
+def pack_offsets(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int,
+    seed: str = "pack",
+) -> DataFrame:
+    """Assign every document its place in concat-then-chunk sequence packing.
+
+    Documents are shuffled into ``n_shards`` hash shards and laid head-to-tail
+    per shard; sequences are cut every ``budget`` tokens. Emits per document:
+
+    - ``shard``          which hash shard the doc landed in
+    - ``seq_in_shard``   index of the training sequence its first token is in
+    - ``offset_in_seq``  token offset of the doc inside that sequence
+    - ``straddles``      true iff the doc crosses a sequence boundary (its
+                         tokens are split across ≥2 training sequences)
+
+    The whole assignment is one prefix-sum window per shard over the
+    shuffled order — no iterative filling, no driver loop, and (unlike
+    first-fit bin packing) no sequential dependency that would fight Spark's
+    execution model. Docs longer than ``budget`` are allowed: they simply
+    straddle one or more cuts, exactly like the GPT data loader behaves.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    h = hash_bucket(F.col(id_col), seed)
+    out = df.withColumn("_pk_h", h).withColumn(
+        "shard", F.pmod(F.col("_pk_h"), F.lit(n_shards)).cast("int")
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy(F.col("_pk_h"), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("long")
+    out = out.withColumn("_pk_cum", cum_before)
+    return (
+        out.withColumn("seq_in_shard", F.expr(f"_pk_cum div {int(budget)}"))
+        .withColumn("offset_in_seq", F.col("_pk_cum") % budget)
+        .withColumn(
+            "straddles",
+            (F.col("offset_in_seq") + F.col(token_col).cast("long")) > F.lit(budget),
+        )
+        .drop("_pk_h", "_pk_cum")
+    )

@@ -30,6 +30,7 @@ __all__ = [
     "stratified_sample",
     "reservoir_per_group",
     "split_train_test",
+    "mixture_weighted_sample",
 ]
 
 HASH_SPACE = 16**15  # 60-bit md5 prefix
@@ -90,3 +91,49 @@ def split_train_test(
     independent of any sampling done with the bare key."""
     is_test = hash_bucket(F.col(key_col), salt) < _threshold(test_fraction)
     return df.withColumn("split", F.when(is_test, "test").otherwise("train"))
+
+
+def mixture_weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample a multi-source corpus to target mixture proportions.
+
+    Given desired weights ``w_s`` (e.g. ``{"en": .5, "zh": .15, ...}``) and
+    the observed per-stratum counts ``n_s``, the largest achievable corpus
+    has ``C = min_s(n_s / w_s)`` weighted rows; each stratum keeps fraction
+    ``f_s = min(1, w_s * C / n_s)`` via the same hash-threshold rule as
+    `hash_sample` (deterministic, re-run stable). Strata missing from
+    ``weights`` are dropped — a mixture spec is a whitelist.
+
+    Dataflow: one tiny groupBy count (map-side combinable, k strata rows),
+    the fraction arithmetic stays in the plan (no ``collect``), and the
+    per-row decision is a broadcast join + codegen filter — the scan side
+    never shuffles, so this holds at 100 TB.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in weights.items()],
+        f"`{strata_col}` string, _mix_wt double",
+    )
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_mix_n"))
+        .join(wdf, strata_col)
+    )
+    cap = counts.agg(F.min(F.col("_mix_n") / F.col("_mix_wt")).alias("_mix_cap"))
+    fractions = counts.crossJoin(F.broadcast(cap)).select(
+        strata_col,
+        F.least(
+            F.lit(1.0), F.col("_mix_wt") * F.col("_mix_cap") / F.col("_mix_n")
+        ).alias("_mix_f"),
+    )
+    thr = F.floor(F.col("_mix_f") * F.lit(float(HASH_SPACE))).cast("long")
+    return (
+        df.join(F.broadcast(fractions), strata_col)
+        .filter(hash_bucket(F.col(key_col), salt) < thr)
+        .drop("_mix_f")
+    )

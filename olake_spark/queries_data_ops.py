@@ -861,3 +861,108 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.col("q")).alias("q_json"),
         F.round(_norm(F.col("embedding")) * 10000).cast("bigint").alias("l2_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing / corpus shuffle / mixture sampling (training last-mile)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
+             {_BUCKET_SQL.format(x="doc_id::VARCHAR || 'pack'")} AS h
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens, (h % {_PACK_SHARDS})::INT AS shard,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY h % {_PACK_SHARDS} ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, shard,
+           (cum_before // {_PACK_BUDGET})::BIGINT AS seq_in_shard,
+           (cum_before % {_PACK_BUDGET})::BIGINT AS offset_in_seq,
+           (cum_before % {_PACK_BUDGET} + n_tokens > {_PACK_BUDGET}) AS straddles
+    FROM cum
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (GPT data-loader shape): documents
+    are hash-shuffled into shards, laid head-to-tail, and cut every
+    ``budget`` tokens; each doc's sequence index / offset / boundary-straddle
+    flag falls out of one prefix-sum window per shard. No global sort, no
+    stateful scan — scale is bounded by shard size, which the caller picks."""
+    from olake_spark.operators.packing import pack_offsets
+
+    docs = tx.with_token_count(table(spark, sf_dir, "documents"))
+    return pack_offsets(
+        docs, "doc_id", "n_tokens", budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    ).select("doc_id", "n_tokens", "shard", "seq_in_shard", "offset_in_seq", "straddles")
+
+
+@register(
+    "corpus_shuffle",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_BUCKET_SQL.format(x="doc_id::VARCHAR || 'shuffle'")} AS h
+      FROM documents
+    )
+    SELECT doc_id, (h % {_PACK_SHARDS})::INT AS shard,
+           (ROW_NUMBER() OVER (
+              PARTITION BY h % {_PACK_SHARDS} ORDER BY h, doc_id) - 1)::BIGINT
+             AS pos_in_shard
+    FROM t
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle: (shard, pos_in_shard) addresses decided
+    only by the doc-id hash — reading shards in order replays the identical
+    corpus order on any cluster size (resumable training epochs)."""
+    from olake_spark.operators.packing import deterministic_shuffle
+
+    docs = table(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, "doc_id", n_shards=_PACK_SHARDS).select(
+        "doc_id", "shard", "pos_in_shard"
+    )
+
+
+_MIX_WEIGHTS = {"en": 0.5, "zh": 0.15, "es": 0.15, "de": 0.1, "fr": 0.1}
+
+
+def _mixture_oracle() -> str:
+    values = ", ".join(f"('{s}', {w!r})" for s, w in _MIX_WEIGHTS.items())
+    return f"""
+    WITH wts(lang, wt) AS (VALUES {values}),
+    counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), j AS (
+      SELECT c.lang, c.n, w.wt FROM counts c JOIN wts w USING (lang)
+    ), cap AS (SELECT min(n / wt) AS c FROM j),
+    fr AS (
+      SELECT lang, least(1.0, wt * (SELECT c FROM cap) / n) AS f FROM j
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN fr ON d.lang = fr.lang
+    WHERE {_BUCKET_SQL.format(x="d.doc_id::VARCHAR || 'mix'")} <
+          CAST(floor(f * {float(_HS)!r}) AS BIGINT)
+    """
+
+
+@register("mixture_weighted_sample", _mixture_oracle())
+def mixture_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample a multi-source corpus to target mixture weights: the
+    largest achievable corpus keeps fraction min(1, w_s*C/n_s) per stratum
+    (C = min n_s/w_s), decided per row by hash threshold. One tiny count
+    agg + broadcast join — the scan side never shuffles."""
+    from olake_spark.operators.sampling import mixture_weighted_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return mixture_weighted_sample(docs, "doc_id", "lang", _MIX_WEIGHTS).select(
+        "doc_id", "lang"
+    )

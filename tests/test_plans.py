@@ -15,8 +15,15 @@ from olake_spark.queries import QUERIES
 SF = "/root/testdata/sf0.001"
 
 # cross joins that are BY DESIGN (small side broadcast, bounded fan-out):
-# brute-force knn probes and IVF centroid assignment
-_CROSS_OK = {"similarity_topk_bruteforce", "similarity_topk_ivf"}
+# brute-force knn probes, IVF centroid assignment, and 1-row scalar
+# broadcasts (a corpus-level aggregate — avg doc length, mixture cap —
+# joined back to every row; the broadcast side is exactly one row)
+_CROSS_OK = {
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "bm25_keyword_scores",
+    "mixture_weighted_sample",
+}
 
 
 def _plan(spark, name):
@@ -82,3 +89,18 @@ def test_profile_is_single_scan_no_join(spark):
 def test_banded_lsh_is_hash_join_on_bands(spark):
     plan = _plan(spark, "similarity_topk_lsh")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_mixture_filter_side_broadcasts(spark):
+    # the k-strata fraction relation must broadcast to the corpus scan —
+    # the big side never shuffles for the join
+    plan = _plan(spark, "mixture_weighted_sample")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_single_shard_shuffle_no_python(spark):
+    # packing = one hash shuffle on the shard key + per-shard window; the
+    # token count is regex/split built-ins, so no Python eval anywhere
+    plan = _plan(spark, "pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
