@@ -1281,12 +1281,14 @@ FROM orders WHERE o_orderkey % 29 = 0
 @register("pgoutput_binary_decode", _PGOUT_ORACLE)
 def pgoutput_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pgoutput binary protocol decode (pkg/waljs/pgoutput.go:1-298) driven
-    end-to-end: a deterministic orders subset is encoded into real pgoutput
-    wire bytes driver-side (Begin + Insert/Update/Delete per row; updates
-    carry an unchanged-TOAST column that must be recovered from the
-    REPLICA IDENTITY FULL old tuple), decoded distributed via
-    ``mapPartitions``, and compared typed. The collect is fixture
-    synthesis only — decoding runs as a Spark job."""
+    end-to-end and fully distributed: each partition of a deterministic
+    orders subset is encoded into real pgoutput wire bytes inside
+    ``mapPartitions`` (a Relation header first — every bounded protocol
+    slice opens with one — then Begin + Insert/Update/Delete per row;
+    updates carry an unchanged-TOAST column that must be recovered from the
+    REPLICA IDENTITY FULL old tuple), decoded back via the partition-local
+    relation cache, and compared typed. No driver-side loop, no collect."""
+    from olake_spark.sources.files import spread
     from olake_spark.streaming.pgoutput import (
         decode_pgoutput_df,
         encode_begin,
@@ -1297,31 +1299,35 @@ def pgoutput_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from olake_spark.streaming.wal2json import op_type_column
 
-    rows = (
+    src = spread(
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 29 == 0)
-        .select("o_orderkey", "o_orderstatus", F.col("o_orderdate").cast("timestamp").alias("ts"))
-        .collect()
+        .select("o_orderkey", "o_orderstatus", F.col("o_orderdate").cast("timestamp").alias("ts")),
+        "o_orderkey",
     )
-    msgs: list[bytes] = [
-        encode_relation(55, "public", "orders", [("id", 20), ("status", 25), ("note", 25)])
-    ]
-    for r in rows:
-        k, st = r["o_orderkey"], r["o_orderstatus"]
-        msgs.append(encode_begin(k, r["ts"]))
-        if k % 3 == 0:
-            msgs.append(encode_insert(55, [str(k), st, None]))
-        elif k % 3 == 1:
-            msgs.append(
-                encode_update(
+
+    def encode_part(part):
+        started = False
+        for r in part:
+            if not started:
+                yield (encode_relation(55, "public", "orders",
+                                       [("id", 20), ("status", 25), ("note", 25)]),)
+                started = True
+            k, st = r["o_orderkey"], r["o_orderstatus"]
+            yield (encode_begin(k, r["ts"]),)
+            if k % 3 == 0:
+                yield (encode_insert(55, [str(k), st, None]),)
+            elif k % 3 == 1:
+                yield (encode_update(
                     55,
                     new=[("t", str(k)), ("t", f"upd:{st}"), ("u", None)],
                     old=[("t", str(k)), ("t", st), ("t", f"toast:{k}")],
-                )
-            )
-        else:
-            msgs.append(encode_delete(55, [("t", str(k)), ("t", st), ("n", None)], key_only=False))
-    raw = spark.createDataFrame([(m,) for m in msgs], "value binary").coalesce(1)
+                ),)
+            else:
+                yield (encode_delete(55, [("t", str(k)), ("t", st), ("n", None)],
+                                     key_only=False),)
+
+    raw = spark.createDataFrame(src.rdd.mapPartitions(encode_part), "value binary")
     decoded = decode_pgoutput_df(raw)
     return decoded.select(
         op_type_column(F.col("op")).alias("_op_type"),
@@ -1414,44 +1420,50 @@ def mysql_binlog_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows are encoded driver-side as TABLE_MAP + WRITE/UPDATE/DELETE_ROWS
     events (v1 for odd keys, v2 for even — both header layouts on the hot
     path), with LONG / VARCHAR / packed-DATETIME2 / packed-NEWDECIMAL
-    columns and COLUMN_NAME optional metadata; decoded via mapPartitions
-    and compared typed. Update events carry (before, after) image pairs and
-    only the after image (status||'!', price+1.11) must survive."""
+    columns and COLUMN_NAME optional metadata; encoded AND decoded inside
+    ``mapPartitions`` (each partition is a protocol slice opening with its
+    TABLE_MAP, exactly how a bounded binlog batch arrives) and compared
+    typed. Update events carry (before, after) image pairs and only the
+    after image (status||'!', price+1.11) must survive."""
+    from olake_spark.sources.files import spread
     from olake_spark.streaming import binlog_wire as bw
 
     cols = [bw.TYPE_LONG, bw.TYPE_VARCHAR, bw.TYPE_NEWDECIMAL, bw.TYPE_DATETIME2]
     meta = [0, 64, (12 << 8) | 2, 0]
     names = ["id", "status", "price", "created"]
-    rows = (
+    src = spread(
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 29 == 0)
-        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
-        .collect()
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+        "o_orderkey",
     )
     import datetime as _dt
 
     def _price(cents: int) -> str:
         return f"{cents // 100}.{cents % 100:02d}"
 
-    events = [bw.encode_table_map(42, "shop", "orders", cols, meta, names=names)]
-    pos = 100
-    for r in rows:
-        k = r["o_orderkey"]
-        cents = int(round(r["o_totalprice"] * 100))
-        d = r["o_orderdate"]
-        created = _dt.datetime(d.year, d.month, d.day) + _dt.timedelta(seconds=k % 1000)
-        base = [k, r["o_orderstatus"], _price(cents), created]
-        v2 = k % 2 == 0
-        if k % 3 == 0:
-            ev = bw.encode_rows_event(42, "insert", [base], cols, meta, v2=v2, log_pos=pos)
-        elif k % 3 == 1:
-            after = [k, r["o_orderstatus"] + "!", _price(cents + 111), created]
-            ev = bw.encode_rows_event(42, "update", [(base, after)], cols, meta, v2=v2, log_pos=pos)
-        else:
-            ev = bw.encode_rows_event(42, "delete", [base], cols, meta, v2=v2, log_pos=pos)
-        events.append(ev)
-        pos += 1
-    raw = spark.createDataFrame([(e,) for e in events], "value binary").coalesce(1)
+    def encode_part(part):
+        started = False
+        for r in part:
+            if not started:
+                yield (bw.encode_table_map(42, "shop", "orders", cols, meta, names=names),)
+                started = True
+            k = r["o_orderkey"]
+            cents = int(round(r["o_totalprice"] * 100))
+            d = r["o_orderdate"]
+            created = _dt.datetime(d.year, d.month, d.day) + _dt.timedelta(seconds=k % 1000)
+            base = [k, r["o_orderstatus"], _price(cents), created]
+            v2 = k % 2 == 0
+            if k % 3 == 0:
+                ev = bw.encode_rows_event(42, "insert", [base], cols, meta, v2=v2, log_pos=k)
+            elif k % 3 == 1:
+                after = [k, r["o_orderstatus"] + "!", _price(cents + 111), created]
+                ev = bw.encode_rows_event(42, "update", [(base, after)], cols, meta, v2=v2, log_pos=k)
+            else:
+                ev = bw.encode_rows_event(42, "delete", [base], cols, meta, v2=v2, log_pos=k)
+            yield (ev,)
+
+    raw = spark.createDataFrame(src.rdd.mapPartitions(encode_part), "value binary")
     decoded = bw.decode_binlog_df(raw, file_name="binlog.000001")
     return decoded.select(
         F.col("data")["id"].cast("bigint").alias("okey"),
@@ -1519,27 +1531,31 @@ def kafka_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.end_headers()
             self.wfile.write(_json.dumps({"schema": _json.dumps(schemas[sid])}).encode())
 
+    from olake_spark.sources.files import spread
+
     c1, c2 = AvroCodec(v1), AvroCodec(v2)
-    rows = (
+    src = spread(
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 19 == 0)
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .collect()
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        "o_orderkey",
     )
-    payloads = []
-    for r in rows:
-        k = r["o_orderkey"]
-        if k % 2 == 1:
-            body = c2.encode(
-                {"okey": k, "status": r["o_orderstatus"],
-                 "price_cents": int(round(r["o_totalprice"] * 100))}
-            )
-            payloads.append((b"\x00\x00\x00\x00\x09" + body,))
-        else:
-            payloads.append(
-                (b"\x00\x00\x00\x00\x07" + c1.encode({"okey": k, "status": r["o_orderstatus"]}),)
-            )
-    raw = spark.createDataFrame(payloads, "value binary")
+
+    def encode_part(part):
+        for r in part:
+            k = r["o_orderkey"]
+            if k % 2 == 1:
+                body = c2.encode(
+                    {"okey": k, "status": r["o_orderstatus"],
+                     "price_cents": int(round(r["o_totalprice"] * 100))}
+                )
+                yield (b"\x00\x00\x00\x00\x09" + body,)
+            else:
+                yield (b"\x00\x00\x00\x00\x07"
+                       + c1.encode({"okey": k, "status": r["o_orderstatus"]}),)
+
+    # cached: the registry path scans twice (id discovery agg, then decode)
+    raw = spark.createDataFrame(src.rdd.mapPartitions(encode_part), "value binary").cache()
 
     srv = HTTPServer(("127.0.0.1", 0), _H)
     threading.Thread(target=srv.serve_forever, daemon=True).start()

@@ -14,16 +14,18 @@ from olake_spark.sources.discover import discover_directory
 from olake_spark.sync import clear_streams, run_sync
 
 
-# approxQuantile is numeric-only; split on epoch micros of the ts column
-# (testdata ships ts as plain micros timestamp)
-TS_US = F.unix_micros(F.col("ts").cast("timestamp"))
+def TS_US():
+    # approxQuantile is numeric-only; split on epoch micros of the ts column
+    # (testdata ships ts as plain micros timestamp). Built lazily: Columns
+    # need an active session, which doesn't exist at collection time.
+    return F.unix_micros(F.col("ts").cast("timestamp"))
 
 
 def _setup_source(spark, tmp_path):
     src = str(tmp_path / "src")
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    cut = ev.select(TS_US.alias("ts_us")).approxQuantile("ts_us", [0.5], 0.01)[0]
-    ev.filter(TS_US <= cut).write.parquet(f"{src}/events/drop0")
+    cut = ev.select(TS_US().alias("ts_us")).approxQuantile("ts_us", [0.5], 0.01)[0]
+    ev.filter(TS_US() <= cut).write.parquet(f"{src}/events/drop0")
     spark.read.parquet("/root/testdata/sf0.001/region.parquet").write.parquet(f"{src}/region/r0")
     return src, ev, cut
 
@@ -38,7 +40,7 @@ def test_sync_lifecycle(spark, tmp_path):
     assert by["events"].stream.sync_mode == "incremental"
     assert by["region"].stream.sync_mode == "full_refresh"
 
-    n_first = ev.filter(TS_US <= cut).count()
+    n_first = ev.filter(TS_US() <= cut).count()
     r1 = {r.stream: r for r in run_sync(spark, cat, src, dest, state_path)}
     assert r1["events"].rows == n_first
     assert r1["region"].rows == 5
@@ -54,7 +56,7 @@ def test_sync_lifecycle(spark, tmp_path):
     assert ManagedTable(spark, f"{dest}/events").read().count() == n_first
 
     # a new file drop arrives with later cursor values
-    ev.filter(TS_US > cut).write.parquet(f"{src}/events/drop1")
+    ev.filter(TS_US() > cut).write.parquet(f"{src}/events/drop1")
     r3 = {r.stream: r for r in run_sync(spark, cat, src, dest, state_path)}
     # rows = rows written THIS run (observed on the write job itself; the
     # engine no longer re-scans the table for a post-write count)
