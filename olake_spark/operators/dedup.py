@@ -304,6 +304,14 @@ def connected_components(
     # checkpoint(dir) on a cluster) — cache() alone is a trap here: a
     # partial materialization leaves later rounds recomputing missing
     # partitions through an ever-deeper plan
+    # labels are monotonically non-increasing per node, so the label sum
+    # strictly decreases every round that changes anything — convergence
+    # detection is one agg on the new frame, no old-vs-new join. decimal
+    # accumulator: summing ~2^60-scale ids over big corpora overflows int64
+    def _label_sum(frame: DataFrame):
+        return frame.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iters):
         # neighbor-min propagation (one hop) ...
         neighbor = edges.join(
@@ -322,15 +330,11 @@ def connected_components(
             .select("node", F.least("label", "_ll").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return ids.join(
         labels.withColumnRenamed("node", id_col), id_col, "left"
     ).select(
