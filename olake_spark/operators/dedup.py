@@ -40,6 +40,7 @@ __all__ = [
     "char_shingles",
     "word_ngrams",
     "exact_dedup",
+    "drop_exact_dupes",
     "cap_buckets",
     "minhash_signatures",
     "minhash_near_dups",
@@ -94,6 +95,17 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("representative"), F.count(F.lit(1)).alias("n_dupes"))
     )
+
+
+def drop_exact_dupes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Surviving-rows form of exact dedup: keep the min-id row of every
+    normalized-fingerprint group, all columns intact. One window shuffle on
+    the fingerprint (same key cardinality as the groupBy form)."""
+    from pyspark.sql import Window as W
+
+    fp = F.md5(normalize_text(F.col(text_col)))
+    keep = F.col(id_col) == F.min(id_col).over(W.partitionBy(fp))
+    return df.withColumn("_dd_keep", keep).filter("_dd_keep").drop("_dd_keep")
 
 
 def minhash_signatures(

@@ -966,3 +966,72 @@ def mixture_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weighted_sample(docs, "doc_id", "lang", _MIX_WEIGHTS).select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "curation_pipeline",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, lang, text,
+             length(text)::DOUBLE AS n_chars,
+             len({_TOKS})::DOUBLE AS n_tokens,
+             (length(text) - length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')))::DOUBLE AS n_punct,
+             len(list_filter({_TOKS}, x -> list_contains({{stops}}, x)))::DOUBLE AS n_stop
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, text, n_tokens::BIGINT AS n_tokens,
+             round((least(n_chars/500.0, 1.0)
+                    + (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+                    + (1.0 - CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END)) / 3.0,
+                   6) AS quality_score
+      FROM feat
+    ), kept AS (
+      SELECT * FROM scored WHERE quality_score >= 0.5 AND n_tokens >= 5
+    ), uniq AS (
+      SELECT * FROM kept
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5({_NORM}))
+    ), wts(lang, wt) AS (VALUES {{mix_values}}),
+    counts AS (SELECT lang, count(*) AS n FROM uniq GROUP BY lang),
+    j AS (SELECT c.lang, c.n, w.wt FROM counts c JOIN wts w USING (lang)),
+    cap AS (SELECT min(n / wt) AS c FROM j),
+    fr AS (SELECT lang, least(1.0, wt * (SELECT c FROM cap) / n) AS f FROM j),
+    mixed AS (
+      SELECT u.doc_id, u.lang, u.n_tokens,
+             {_BUCKET_SQL.format(x="u.doc_id::VARCHAR || 'pack'")} AS h
+      FROM uniq u JOIN fr ON u.lang = fr.lang
+      WHERE {_BUCKET_SQL.format(x="u.doc_id::VARCHAR || 'mix'")} <
+            CAST(floor(f * {float(_HS)!r}) AS BIGINT)
+    ), cum AS (
+      SELECT doc_id, lang, n_tokens, (h % {_PACK_SHARDS})::INT AS shard,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY h % {_PACK_SHARDS} ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+      FROM mixed
+    )
+    SELECT doc_id, lang, n_tokens, shard,
+           (cum_before // {_PACK_BUDGET})::BIGINT AS seq_in_shard,
+           (cum_before % {_PACK_BUDGET})::BIGINT AS offset_in_seq
+    FROM cum
+    """.replace("{stops}", _stop_list())
+       .replace("{mix_values}", ", ".join(f"('{s}', {w!r})" for s, w in _MIX_WEIGHTS.items())),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-curation last mile as ONE composed lazy plan:
+    quality gate → exact dedup (min-id survivor per fingerprint) → weighted
+    mixture rebalance → sequence packing. Four operators, four narrow
+    shuffles total (fingerprint window, strata count, broadcast-filtered
+    mixture, shard window) — Catalyst pipelines the rest, which is the
+    point of declaring each stage as a DataFrame transform instead of
+    materializing between steps."""
+    from olake_spark.operators.packing import pack_offsets
+    from olake_spark.operators.sampling import mixture_weighted_sample
+
+    docs = tx.with_quality_features(table(spark, sf_dir, "documents"))
+    kept = docs.filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 5))
+    uniq = dd.drop_exact_dupes(kept, "doc_id", "text")
+    mixed = mixture_weighted_sample(uniq, "doc_id", "lang", _MIX_WEIGHTS)
+    packed = pack_offsets(mixed, "doc_id", "n_tokens", budget=_PACK_BUDGET,
+                          n_shards=_PACK_SHARDS)
+    return packed.select(
+        "doc_id", "lang", "n_tokens", "shard", "seq_in_shard", "offset_in_seq"
+    )
