@@ -130,6 +130,8 @@ def main() -> None:
         "mysql_binlog_wire_decode",
         "kafka_registry_decode",
         "pgoutput_binary_decode",
+        "pack_sequences",
+        "curation_pipeline",
     ]:
         fn = QUERIES[name]
         timed(name, lambda f=fn: f(spark, sf_dir).count())

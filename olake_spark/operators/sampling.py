@@ -124,12 +124,13 @@ def mixture_weighted_sample(
         .agg(F.count(F.lit(1)).alias("_mix_n"))
         .join(wdf, strata_col)
     )
-    cap = counts.agg(F.min(F.col("_mix_n") / F.col("_mix_wt")).alias("_mix_cap"))
-    fractions = counts.crossJoin(F.broadcast(cap)).select(
+    # the feasibility cap C = min(n/w) rides a global window over the k-row
+    # counts frame (single tiny partition) instead of a separate aggregate
+    # branch — otherwise the whole upstream plan is evaluated twice
+    cap = F.min(F.col("_mix_n") / F.col("_mix_wt")).over(W.partitionBy())
+    fractions = counts.select(
         strata_col,
-        F.least(
-            F.lit(1.0), F.col("_mix_wt") * F.col("_mix_cap") / F.col("_mix_n")
-        ).alias("_mix_f"),
+        F.least(F.lit(1.0), F.col("_mix_wt") * cap / F.col("_mix_n")).alias("_mix_f"),
     )
     thr = F.floor(F.col("_mix_f") * F.lit(float(HASH_SPACE))).cast("long")
     return (

@@ -22,7 +22,6 @@ _CROSS_OK = {
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "bm25_keyword_scores",
-    "mixture_weighted_sample",
 }
 
 
@@ -93,9 +92,21 @@ def test_banded_lsh_is_hash_join_on_bands(spark):
 
 def test_mixture_filter_side_broadcasts(spark):
     # the k-strata fraction relation must broadcast to the corpus scan —
-    # the big side never shuffles for the join
+    # the big side never shuffles for the join (one hash exchange total:
+    # the tiny strata-count aggregation)
     plan = _plan(spark, "mixture_weighted_sample")
     assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_curation_pipeline_bounded_shuffles_no_python(spark):
+    # the composed pipeline must stay one lazy plan: a handful of narrow
+    # shuffles (fingerprint window, strata count + its AQE reads, shard
+    # window) and zero Python evaluation
+    plan = _plan(spark, "curation_pipeline")
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_pack_sequences_single_shard_shuffle_no_python(spark):
