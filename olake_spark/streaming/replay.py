@@ -40,22 +40,46 @@ def _apply_batch(
     lsn_col: str,
     mor: bool = False,
     order_cols: list[str] | None = None,
+    foreach_batch: bool = False,
 ) -> int | None:
     """Filter already-applied LSNs, upsert, commit max LSN with the data.
 
-    The applied position is collected with an ``Observation`` attached to the
-    batch plan, so the max-LSN aggregation rides the write job itself — one
-    pass over the changelog instead of a separate aggregation job per batch
-    (the reference likewise tracks the running max cursor inside the scan
-    loop, drivers/abstract/incremental.go:182-192). A batch whose rows were
-    all applied before (crash replay) observes ``max = null`` and the commit
-    is aborted — no manifest version, no state change.
-    """
-    from pyspark.sql import Observation
+    Driver-loop path: the applied position is collected with an
+    ``Observation`` attached to the batch plan, so the max-LSN aggregation
+    rides the write job itself — one pass over the changelog instead of a
+    separate aggregation job per batch (the reference likewise tracks the
+    running max cursor inside the scan loop,
+    drivers/abstract/incremental.go:182-192). A batch whose rows were all
+    applied before (crash replay) observes ``max = null`` and the commit is
+    aborted — no manifest version, no state change.
 
+    ``foreach_batch=True`` (Structured Streaming): a micro-batch DataFrame
+    belongs to the stream's CLONED session, but the upsert's merged plan is
+    rooted on the table's session — the observation listener and the write
+    action land on different listener buses and ``obs.get`` can block
+    forever. Micro-batches are bounded by construction, so the position is
+    taken with one tiny aggregation over the persisted batch instead.
+    """
     last = table.properties().get(LAST_LSN_PROP)
     if last is not None:
         batch = batch.filter(F.col(lsn_col) > F.lit(int(last)))
+
+    write = table.upsert_mor if mor else table.upsert
+
+    if foreach_batch:
+        batch = batch.persist()
+        try:
+            mx = batch.agg(F.max(F.col(lsn_col)).alias("mx")).first()["mx"]
+            if mx is None:
+                return None  # nothing new — no write, no commit
+            write(batch, key_cols, order_cols or [lsn_col],
+                  properties={LAST_LSN_PROP: int(mx)})
+            return int(mx)
+        finally:
+            batch.unpersist()
+
+    from pyspark.sql import Observation
+
     obs = Observation()
     batch = batch.observe(obs, F.max(F.col(lsn_col)).alias("mx"))
     applied: dict[str, int] = {}
@@ -67,7 +91,6 @@ def _apply_batch(
         applied["mx"] = int(mx)
         return {LAST_LSN_PROP: int(mx)}
 
-    write = table.upsert_mor if mor else table.upsert
     write(batch, key_cols, order_cols or [lsn_col], properties_fn=props_fn)
     return applied.get("mx")
 
@@ -123,7 +146,7 @@ def stream_drain(
     stream = reader.parquet(source_dir)
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        _apply_batch(table, batch_df, key_cols, lsn_col)
+        _apply_batch(table, batch_df, key_cols, lsn_col, foreach_batch=True)
 
     (
         stream.writeStream.foreachBatch(handle)
