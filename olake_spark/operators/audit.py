@@ -1,0 +1,84 @@
+"""Relational data-quality audit — the checks a sync pipeline runs on its
+own output before anyone trains or queries on it.
+
+The reference trusts the source database to enforce keys (its PK metadata
+drives chunking and upserts — SURVEY §2.2/§2.9); once data lands in an open
+lake table nothing enforces them anymore, so the engine provides the audit
+as an operator. Each check is a single declarative plan:
+
+- ``audit_keys``          : rows / distinct keys / null keys / duplicate
+                            groups for a would-be primary key — one
+                            aggregation pass.
+- ``audit_referential``   : orphaned foreign keys via LEFT ANTI join — at
+                            scale this is one shuffle join on the key (or a
+                            broadcast when the parent is a dim table).
+- ``audit_summary``       : the above for a whole (child, parent) spec list,
+                            unioned into one small report frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["audit_keys", "audit_referential", "audit_summary"]
+
+
+def audit_keys(df: DataFrame, key_cols: list[str], name: str = "table") -> DataFrame:
+    """One-row PK health report: total rows, distinct / null / duplicated
+    keys. Single aggregation (count_distinct is map-side partial)."""
+    any_null = F.col(key_cols[0]).isNull()
+    for c in key_cols[1:]:
+        any_null = any_null | F.col(c).isNull()
+    # null-keyed rows are excluded from the distinct count (SQL
+    # count(DISTINCT ...) semantics — a struct would count null as a value)
+    key = F.when(~any_null, F.struct(*[F.col(c) for c in key_cols]))
+    n_valid = F.sum((~any_null).cast("long"))
+    return df.agg(
+        F.lit(name).alias("relation"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(key).alias("n_distinct_keys"),
+        F.sum(any_null.cast("long")).alias("n_null_keys"),
+        (n_valid - F.count_distinct(key)).alias("n_excess_rows"),
+    )
+
+
+def audit_referential(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_cols: list[str],
+    pk_cols: list[str],
+) -> DataFrame:
+    """Rows of ``child`` whose non-null FK has no match in ``parent``
+    (LEFT ANTI join on the key columns). Null FKs are excluded — SQL
+    semantics treat them as 'no reference', not a violation."""
+    on = [child[f] == parent[p] for f, p in zip(fk_cols, pk_cols)]
+    not_null = child[fk_cols[0]].isNotNull()
+    for c in fk_cols[1:]:
+        not_null = not_null & child[c].isNotNull()
+    return child.filter(not_null).join(parent.select(*pk_cols), on, "left_anti")
+
+
+def audit_summary(
+    specs: list[tuple[str, DataFrame, DataFrame, list[str], list[str]]],
+) -> DataFrame:
+    """(name, child, parent, fk, pk) specs → one report row per relation:
+    child rows, non-null FK rows, orphans. Independent plans unioned; Spark
+    runs them as separate stages of one job."""
+    reports = []
+    for name, child, parent, fk, pk in specs:
+        not_null = child[fk[0]].isNotNull()
+        for c in fk[1:]:
+            not_null = not_null & child[c].isNotNull()
+        orphans = audit_referential(child, parent, fk, pk)
+        reports.append(
+            child.agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(not_null.cast("long")).alias("n_fk_set"),
+            ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

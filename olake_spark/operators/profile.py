@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_numeric", "top_values"]
+__all__ = ["profile_numeric", "top_values", "histogram"]
 
 
 def profile_numeric(
@@ -79,6 +79,30 @@ def profile_numeric(
         ).alias("s")
     )
     return stacked.select("s.*")
+
+
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Fixed-range equi-width histogram: one groupBy over a closed-form bin
+    expression (no sort, no sketch — bit-reproducible in ANSI SQL, unlike
+    ``approx_percentile``-style profiles whose sketches differ per engine).
+
+    Values land in ``floor((x - lo) / (hi - lo) * nbins)`` clamped to
+    [0, nbins-1]; out-of-range rows clamp into the edge bins so the counts
+    always sum to the non-null row count. Empty bins are absent (sparse
+    output — at 100 TB the result is still ≤ nbins rows).
+    """
+    if not (hi > lo and nbins > 0):
+        raise ValueError(f"need hi > lo and nbins > 0, got [{lo}, {hi}) x {nbins}")
+    x = F.col(col).cast("double")
+    raw_bin = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(nbins))
+    bin_id = F.least(F.lit(nbins - 1), F.greatest(F.lit(0), raw_bin)).cast("int")
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def top_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:

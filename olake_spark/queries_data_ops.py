@@ -1035,3 +1035,88 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "doc_id", "lang", "n_tokens", "shard", "seq_in_shard", "offset_in_seq"
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality audit + histogram profiling
+# ---------------------------------------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 900.0, 105000.0, 16
+
+
+@register(
+    "profile_histogram",
+    f"""
+    SELECT CAST(least({_HIST_BINS - 1}, greatest(0,
+             floor((l_extendedprice::DOUBLE - {_HIST_LO!r}) / {_HIST_HI - _HIST_LO!r}
+                   * {_HIST_BINS}))) AS INT) AS bin,
+           count(*) AS n
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range equi-width histogram of lineitem prices: one groupBy over
+    a closed-form bin expression — no sort, no engine-private sketch, so the
+    counts are bit-reproducible in ANSI SQL (approx_percentile profiles are
+    not). Out-of-range values clamp into the edge bins."""
+    from olake_spark.operators.profile import histogram
+
+    li = table(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", _HIST_LO, _HIST_HI, _HIST_BINS)
+
+
+@register(
+    "audit_pk_health",
+    """
+    SELECT 'orders' AS relation,
+           count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_distinct_keys,
+           CAST(sum((o_orderkey IS NULL)::BIGINT) AS BIGINT) AS n_null_keys,
+           count(o_orderkey) - count(DISTINCT o_orderkey) AS n_excess_rows
+    FROM orders
+    """,
+)
+def audit_pk_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key health of a landed table in one aggregation pass: total
+    rows, distinct / null / duplicated keys — the check a lake table needs
+    because (unlike the reference's source DBs) nothing enforces PKs after
+    landing."""
+    from olake_spark.operators.audit import audit_keys
+
+    return audit_keys(table(spark, sf_dir, "orders"), ["o_orderkey"], name="orders")
+
+
+@register(
+    "audit_referential",
+    """
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL) AS n_fk_set,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = lineitem.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer_pruned',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL),
+           (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey % 3 != 0
+                 AND c.c_custkey = orders.o_custkey))
+    """,
+)
+def audit_referential_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit via LEFT ANTI joins: lineitem→orders (clean
+    by construction) and orders→customer with a third of the customers
+    pruned, proving nonzero orphan counting. One shuffle join per relation
+    (broadcast when the parent is dim-sized)."""
+    from olake_spark.operators.audit import audit_summary
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0)
+    return audit_summary(
+        [
+            ("lineitem->orders", li, o, ["l_orderkey"], ["o_orderkey"]),
+            ("orders->customer_pruned", o, c, ["o_custkey"], ["c_custkey"]),
+        ]
+    )

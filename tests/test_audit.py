@@ -1,0 +1,63 @@
+"""Data-quality audit operators + histogram profiler."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark.operators.audit import audit_keys, audit_referential, audit_summary
+from olake_spark.operators.profile import histogram
+
+
+def test_audit_keys_counts_dupes_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "d"), (None, "e"), (3, "f")],
+        "k int, v string",
+    )
+    r = audit_keys(df, ["k"], name="t").first()
+    assert r.relation == "t"
+    assert r.n_rows == 6
+    assert r.n_distinct_keys == 3  # nulls excluded, SQL count(DISTINCT)
+    assert r.n_null_keys == 2
+    assert r.n_excess_rows == 1  # one duplicate of k=1 among valid keys
+
+
+def test_audit_keys_composite(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 2), (2, None)], "a int, b int"
+    )
+    r = audit_keys(df, ["a", "b"], name="t").first()
+    assert (r.n_distinct_keys, r.n_null_keys, r.n_excess_rows) == (2, 1, 1)
+
+
+def test_audit_referential_orphans(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,), (None,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    orphans = audit_referential(child, parent, ["fk"], ["pk"]).collect()
+    assert [r.fk for r in orphans] == [9]  # null fk is not a violation
+
+
+def test_audit_summary_report(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,), (None,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    rep = {r.relation: r for r in audit_summary(
+        [("c->p", child, parent, ["fk"], ["pk"])]
+    ).collect()}
+    r = rep["c->p"]
+    assert (r.n_rows, r.n_fk_set, r.n_orphans) == (4, 3, 1)
+
+
+def test_histogram_clamps_and_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [(x,) for x in [-5.0, 0.0, 2.5, 5.0, 9.9, 15.0, None]], "x double"
+    )
+    got = {r.bin: r.n for r in histogram(df, "x", 0.0, 10.0, 4).collect()}
+    # bins of width 2.5 over [0, 10): -5 clamps to 0, 15 clamps to 3
+    assert got == {0: 2, 1: 1, 2: 1, 3: 2}
+    assert sum(got.values()) == 6  # nulls excluded
+
+
+def test_histogram_rejects_bad_range(spark):
+    df = spark.range(1).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(ValueError):
+        histogram(df, "x", 5.0, 5.0, 4)

@@ -22,6 +22,7 @@ _CROSS_OK = {
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "bm25_keyword_scores",
+    "audit_referential",  # 1-row agg x 1-row orphan count per relation
 }
 
 
