@@ -126,12 +126,14 @@ def main() -> None:
         "asof_join_last_order",
         "range_join_ship_window",
         "events_windowed_agg",
-        "dedup_minhash_clusters",
         "mysql_binlog_wire_decode",
         "kafka_registry_decode",
         "pgoutput_binary_decode",
         "pack_sequences",
         "curation_pipeline",
+        # GC-heavy iterative query last so its heap pressure doesn't bleed
+        # into the Python-decode timings
+        "dedup_minhash_clusters",
     ]:
         fn = QUERIES[name]
         timed(name, lambda f=fn: f(spark, sf_dir).count())
