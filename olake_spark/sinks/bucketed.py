@@ -1,0 +1,58 @@
+"""Bucketed parquet tables — co-located joins without a per-query shuffle.
+
+At 100 TB the dominant cost of a key join is shuffling both sides. Writing
+a table bucketed on its join key moves that shuffle to WRITE time, once:
+every subsequent join/aggregation on the key reads co-located buckets and
+plans with NO Exchange on either side (Spark's bucketing contract —
+``spark.sql.sources.bucketing.enabled``, on by default).
+
+The reference has no equivalent (it replicates row streams; co-location is
+the destination's problem — SURVEY §2.10). Here the sink owns it: a CDC
+target that is bucketed on its primary key makes every MERGE's
+existing-state read shuffle-free too.
+
+Buckets use Spark's table catalog (``saveAsTable``) because bucket
+metadata lives in the catalog, not the files; plain ``.parquet(path)``
+cannot carry it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_bucketed", "bucketed_tables_join_plan"]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a parquet table bucketed (and optionally sorted)
+    on the join key. Size ``num_buckets`` so one bucket ≈ one task's
+    memory budget at full scale (e.g. 100 TB / 32k buckets ≈ 3 GB).
+
+    Sorting within buckets additionally enables sort-merge reads without
+    a per-query sort for ``sort_cols``-ordered consumers.
+    """
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    writer = (
+        df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_tables_join_plan(
+    spark: SparkSession, left: str, right: str, on: list[str]
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key — with
+    matching bucket counts Spark plans this with zero Exchange nodes."""
+    lf = spark.table(left)
+    rf = spark.table(right)
+    return lf.join(rf, on)
