@@ -43,6 +43,7 @@ __all__ = [
     "with_dup_token_frac",
     "with_bpe_token_estimate",
     "repetition_stats",
+    "rare_token_ratio",
 ]
 
 # GPT-2-style pretokenizer classes, simplified to the RE2-compatible subset
@@ -160,3 +161,40 @@ def repetition_stats(
             ),
         ).drop(f"_dup{n}_tok")
     return out
+
+
+def rare_token_ratio(
+    df: DataFrame, id_col: str, text_col: str, min_df: int
+) -> DataFrame:
+    """Per-document fraction of token occurrences whose corpus document
+    frequency is below ``min_df`` — high ratios flag gibberish/OCR noise,
+    near-zero ratios flag boilerplate (everything it says, everyone says).
+
+    Scale shape: document frequency is one explode+distinct aggregation;
+    the join back to occurrences is a LEFT SEMI against only the RARE
+    vocabulary — every join key has df < min_df by construction, so the
+    join is provably skew-free (the Zipf head never enters it). Output:
+    (id, n_tokens, n_rare, rare_ratio_e6 — scaled integer for exact
+    cross-engine comparison).
+    """
+    from olake_spark.operators.text import tokens
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    dfreq = toks.distinct().groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    rare_vocab = dfreq.filter(F.col("_df") < min_df).select("_t")
+    n_rare = (
+        toks.join(rare_vocab, "_t", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    out = base.join(n_rare, id_col, "left").withColumn(
+        "n_rare", F.coalesce(F.col("n_rare"), F.lit(0)).cast("long")
+    )
+    ratio = F.when(
+        F.col("n_tokens") > 0,
+        F.round(F.col("n_rare") * 1000000.0 / F.col("n_tokens"), 0),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("rare_ratio_e6", ratio.cast("long"))

@@ -1120,3 +1120,39 @@ def audit_referential_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("orders->customer_pruned", o, c, ["o_custkey"], ["c_custkey"]),
         ]
     )
+
+
+@register(
+    "text_rare_token_ratio",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ), dfreq AS (
+      SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t
+    ), rare AS (
+      SELECT t FROM dfreq
+      WHERE df < floor(0.78 * (SELECT count(*) FROM documents))
+    ), rc AS (
+      SELECT doc_id, count(*) AS n_rare FROM tok JOIN rare USING (t) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len({_TOKS})::BIGINT AS n_tokens,
+           COALESCE(rc.n_rare, 0)::BIGINT AS n_rare,
+           CAST(CASE WHEN len({_TOKS}) > 0
+                THEN round(COALESCE(rc.n_rare, 0) * 1000000.0 / len({_TOKS}), 0)
+                ELSE 0.0 END AS BIGINT) AS rare_ratio_e6
+    FROM documents d LEFT JOIN rc USING (doc_id)
+    """,
+)
+def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token occurrence ratio per document (gibberish up, boilerplate
+    down): document frequencies from one explode+distinct agg, then a LEFT
+    SEMI join of occurrences against only the sub-threshold vocabulary —
+    provably skew-free because every join key has df < threshold. The
+    corpus-relative threshold constant comes from a parquet-footer count
+    (planning metadata, like the stratified-sample fractions)."""
+    from olake_spark.operators.quality import rare_token_ratio
+
+    docs = table(spark, sf_dir, "documents")
+    min_df = int(0.78 * docs.count())
+    return rare_token_ratio(docs, "doc_id", "text", min_df)

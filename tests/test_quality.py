@@ -105,3 +105,23 @@ def test_decontaminate_no_broadcast_path(spark):
     bench = spark.createDataFrame([(9, "a b c d f")], ["doc_id", "text"])
     out = ngram_overlap(corpus, bench, n=4, broadcast_benchmark=False).collect()
     assert out[0]["n_shared_ngrams"] == 1  # shared "a b c d"; "b c d e" differs
+
+
+def test_rare_token_ratio_flags_gibberish(spark):
+    from olake_spark.operators.quality import rare_token_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the mat"),
+            (3, "zxqv wklm pqrs zxqv"),  # gibberish: every token unique to doc 3
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in rare_token_ratio(docs, "doc_id", "text", min_df=2).collect()}
+    assert out[3].rare_ratio_e6 == 1_000_000  # all tokens rare
+    assert out[3].n_rare == 4
+    # cat/dog are rare (df=1) but shared words are not
+    assert 0 < out[1].rare_ratio_e6 < 500_000
+    assert out[4].n_tokens == 0 and out[4].rare_ratio_e6 == 0
