@@ -27,6 +27,8 @@ __all__ = ["audit_keys", "audit_referential", "audit_summary"]
 def audit_keys(df: DataFrame, key_cols: list[str], name: str = "table") -> DataFrame:
     """One-row PK health report: total rows, distinct / null / duplicated
     keys. Single aggregation (count_distinct is map-side partial)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
     any_null = F.col(key_cols[0]).isNull()
     for c in key_cols[1:]:
         any_null = any_null | F.col(c).isNull()
@@ -52,6 +54,8 @@ def audit_referential(
     """Rows of ``child`` whose non-null FK has no match in ``parent``
     (LEFT ANTI join on the key columns). Null FKs are excluded — SQL
     semantics treat them as 'no reference', not a violation."""
+    if not fk_cols or not pk_cols:
+        raise ValueError("key_cols must be non-empty")
     on = [child[f] == parent[p] for f, p in zip(fk_cols, pk_cols)]
     not_null = child[fk_cols[0]].isNotNull()
     for c in fk_cols[1:]:

@@ -90,8 +90,10 @@ def histogram(
 
     Values land in ``floor((x - lo) / (hi - lo) * nbins)`` clamped to
     [0, nbins-1]; out-of-range rows clamp into the edge bins so the counts
-    always sum to the non-null row count. Empty bins are absent (sparse
-    output — at 100 TB the result is still ≤ nbins rows).
+    always sum to the non-NaN non-null row count. NaN is excluded outright
+    (it is neither in nor out of any range; without the filter it would
+    silently inflate bin 0). Empty bins are absent (sparse output — at
+    100 TB the result is still ≤ nbins rows).
     """
     if not (hi > lo and nbins > 0):
         raise ValueError(f"need hi > lo and nbins > 0, got [{lo}, {hi}) x {nbins}")
@@ -99,7 +101,7 @@ def histogram(
     raw_bin = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(nbins))
     bin_id = F.least(F.lit(nbins - 1), F.greatest(F.lit(0), raw_bin)).cast("int")
     return (
-        df.filter(x.isNotNull())
+        df.filter(x.isNotNull() & ~F.isnan(x))
         .groupBy(bin_id.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -1554,7 +1554,9 @@ def kafka_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield (b"\x00\x00\x00\x00\x07"
                        + c1.encode({"okey": k, "status": r["o_orderstatus"]}),)
 
-    # cached: the registry path scans twice (id discovery agg, then decode)
+    # cached only while the registry's eager id-discovery agg runs; released
+    # right after — the final decode scan recomputes (deterministic encode),
+    # instead of pinning blocks for the whole shared bench session
     raw = spark.createDataFrame(src.rdd.mapPartitions(encode_part), "value binary").cache()
 
     srv = HTTPServer(("127.0.0.1", 0), _H)
@@ -1565,6 +1567,7 @@ def kafka_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         srv.shutdown()
+        raw.unpersist()
     return decoded.select(
         F.get_json_object("data", "$.okey").cast("bigint").alias("okey"),
         F.get_json_object("data", "$.status").alias("status"),

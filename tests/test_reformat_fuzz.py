@@ -81,7 +81,7 @@ def test_date_only_and_epoch_and_garbage(spark):
         parse_timestamp_multi(F.col("raw"), db_timestamp=True).alias("db"),
         parse_timestamp_multi(F.col("raw"), db_timestamp=False).alias("strict"),
     ).collect()
-    assert all(v.strict is None for v in vals if v.db is not None or True)
+    assert all(v.strict is None for v in vals)
     assert {str(v.db) for v in vals} <= {"1970-01-01 00:00:00", "None"}
 
 
