@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -42,9 +44,13 @@ __all__ = [
     "brute_force_topk",
     "lsh_planes",
     "lsh_signature",
+    "lsh_sigs_arrow",
     "lsh_bands",
+    "banded_relation",
     "lsh_bucket_topk",
+    "stride_centroids",
     "ivf_assign",
+    "ivf_build_index",
     "ivf_topk",
     "ivf_train_centroids",
     "cosine_near_dup_pairs",
@@ -79,20 +85,59 @@ def lsh_planes(
 LSH_PLANES: list[list[int]] = lsh_planes(1)[0]
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _dot_terms(a: str, b: str, dim: int) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(dim)
     )
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+def _dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Sequential-fold dot product: ``((0.0 + a0*b0) + a1*b1) + ...``.
+
+    With ``dim`` known (the common case — embedding width is fixed by the
+    table schema) the fold is unrolled into a left-associated add chain of
+    plain ``getItem``/multiply nodes: bit-identical values (same IEEE op
+    order as the ``aggregate`` fold and the DuckDB oracle's sequential
+    accumulation) but whole-stage-codegen'd instead of interpreted per
+    element — higher-order lambda functions never enter codegen, which made
+    this the hot spot of every similarity operator. Pass column NAMES (not
+    Columns) to build the chain as one parsed ``expr`` — constructing 64
+    getItem nodes through the Python Column API costs a py4j round-trip per
+    node and dominated query *planning* time. ``dim=None`` keeps the lambda
+    fold for arrays of unknown width.
+    """
+    if dim is None:
+        assert not isinstance(a, str) and not isinstance(b, str)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(f"0.0D + {_dot_terms(a, b, dim)}")
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i].cast("double") * b[i].cast("double")
+    return acc
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def _norm(a: Column | str, dim: int | None = None) -> Column:
+    if dim is None:
+        assert not isinstance(a, str)
+        return F.sqrt(
+            F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+        )
+    if isinstance(a, str):
+        return F.expr(f"SQRT(0.0D + {_dot_terms(a, a, dim)})")
+    acc = F.lit(0.0)
+    for i in range(dim):
+        x = a[i].cast("double")
+        acc = acc + x * x
+    return F.sqrt(acc)
+
+
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def brute_force_topk(
@@ -101,6 +146,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int = _DIM,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
@@ -114,7 +160,7 @@ def brute_force_topk(
     c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 9).alias("_sim9")
+    sim = F.round(cosine("_qv", "_cv", dim), 9).alias("_sim9")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -134,12 +180,46 @@ def brute_force_topk(
 
 
 def lsh_signature(vec: Column, planes: list[list[int]] | None = None) -> Column:
-    """Bucket id = integer of sign bits of the ±1-plane dot products."""
+    """Bucket id = integer of sign bits of the ±1-plane dot products.
+
+    This is the *definitional* (pure-Column) form, mirrored verbatim by the
+    SQL oracle; ``lsh_sigs_arrow`` below is the vectorized production form.
+    """
+    planes = planes if planes is not None else LSH_PLANES
     sig = F.lit(0)
-    for j, plane in enumerate(planes if planes is not None else LSH_PLANES):
+    for j, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(w)) for w in plane])
-        sig = sig + F.when(_dot(vec, arr) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = sig + F.when(_dot(vec, arr, len(plane)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return sig.cast("int")
+
+
+def lsh_sigs_arrow(tables: list[list[list[int]]]):
+    """All L table signatures in one Arrow batch op: returns a function
+    mapping the vector column to ``array<int>`` of length L.
+
+    Per batch this is a single (rows × dim) @ (dim × L·b) float64 matmul +
+    sign + bit-pack — O(1) plan nodes regardless of L and b, where the
+    Column form is O(L·b·dim) expression nodes (unsplittable-codegen risk at
+    b≈24, L≈8; see the parity test at that size). Summation order differs
+    from the sequential fold, but only the *sign* of each dot is consumed: a
+    flip needs |dot| within float round-off (~1e-13 relative) of zero, which
+    the parity unit test checks empirically on the full fixture corpus.
+    """
+    planes = np.asarray(tables, dtype=np.float64)  # (L, b, dim)
+    n_tables, n_planes, dim = planes.shape
+    mat = planes.reshape(n_tables * n_planes, dim).T.copy()  # (dim, L*b)
+    bits = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("array<int>")
+    def sigs(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([np.asarray(v, dtype=np.float64) for v in col])  # (n, dim)
+        pos = x @ mat > 0.0  # (n, L*b)
+        packed = (pos.reshape(len(col), n_tables, n_planes) * bits).sum(axis=2)
+        return pd.Series(list(packed.astype(np.int32)))
+
+    return sigs
 
 
 def lsh_bands(vec: Column, tables: list[list[list[int]]]) -> Column:
@@ -158,6 +238,35 @@ def lsh_bands(vec: Column, tables: list[list[list[int]]]) -> Column:
     )
 
 
+def banded_relation(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tables: list[list[list[int]]],
+    out_id: str,
+    out_vec: str,
+    arrow: bool = True,
+) -> DataFrame:
+    """(id, vec, band, sig) — one row per LSH table per vector.
+
+    ``arrow=True`` computes all L signatures with one batched matmul
+    (``lsh_sigs_arrow``); ``arrow=False`` keeps the pure-Column definitional
+    form. Either way the vector is read once and only the narrow banded
+    relation is exploded."""
+    if arrow:
+        sigs = lsh_sigs_arrow(tables)
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.posexplode(sigs(F.col(vec_col))).alias("band", "sig"),
+        )
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias(out_vec),
+        F.explode(lsh_bands(F.col(vec_col), tables)).alias("_b"),
+    ).select(out_id, out_vec, "_b.band", "_b.sig")
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -166,6 +275,8 @@ def lsh_bucket_topk(
     k: int = 5,
     n_tables: int = _NUM_TABLES,
     n_planes: int = _NUM_PLANES,
+    dim: int = _DIM,
+    arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k: search the union of the query's buckets across L
     banded LSH tables.
@@ -177,17 +288,11 @@ def lsh_bucket_topk(
     per collision and deduped by ``distinct()`` (collisions beyond the first
     are exactly the near-neighbors — a vanishing fraction of candidates)."""
     tables = lsh_planes(n_tables, n_planes)
-    c = spread(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.explode(lsh_bands(F.col(vec_col), tables)).alias("_b"),
-    ).select("neighbor_id", "_cv", "_b.band", "_b.sig")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.explode(lsh_bands(F.col(vec_col), tables)).alias("_b"),
-    ).select("query_id", "_qv", "_b.band", "_b.sig")
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 9).alias("_sim9")
+    c = banded_relation(
+        spread(corpus, id_col), id_col, vec_col, tables, "neighbor_id", "_cv", arrow
+    )
+    q = banded_relation(queries, id_col, vec_col, tables, "query_id", "_qv", arrow)
+    sim = F.round(cosine("_qv", "_cv", dim), 9).alias("_sim9")
     scored = (
         c.join(F.broadcast(q), ["band", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -209,64 +314,137 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str,
     vec_col: str,
+    dim: int = _DIM,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (cosine, nprobe=1).
+    """Assign each vector to its ``nprobe`` nearest centroids (cosine).
 
     Centroids are broadcast (they are tiny by construction); each vector
-    scores every centroid map-side — no shuffle until the per-vector argmax
-    window, which partitions on the vector id. Ties break on centroid id.
+    scores every centroid map-side. With ``nprobe=1`` (the corpus-side
+    default) the argmax is a ``max_by`` aggregation — partial aggregation
+    finds the winner map-side, so the shuffle carries ONE row per vector
+    instead of the K scored rows a rank-window would move. ``nprobe>1``
+    (query-side recall knob) keeps the rank window; queries are few.
+    Ties break on centroid id (round-9 score, then lowest id).
     """
     scored = df.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("_cent_id"),
-        F.round(cosine(F.col(vec_col), F.col("_cent_v")), 9).alias("_cs"),
+        F.round(cosine(vec_col, "_cent_v", dim), 9).alias("_cs"),
     )
+    if nprobe == 1:
+        # max_by over struct(_cs, -_cent_id) == row_number orderBy(_cs desc,
+        # _cent_id asc) == 1: lexicographic max picks highest score, then
+        # lowest centroid id. Bit-identical to the window form.
+        best = F.max_by(
+            F.struct(F.col(vec_col).alias("v"), F.col("_cent_id").alias("c")),
+            F.struct(F.col("_cs").alias("s"), (-F.col("_cent_id")).alias("t")),
+        )
+        return (
+            scored.groupBy(id_col)
+            .agg(best.alias("_best"))
+            .select(
+                id_col,
+                F.col("_best.v").alias(vec_col),
+                F.col("_best.c").alias("_cell"),
+            )
+        )
     w = W.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("_cent_id").asc())
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= nprobe)
         .select(id_col, vec_col, F.col("_cent_id").alias("_cell"))
+    )
+
+
+def stride_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 97,
+) -> DataFrame:
+    """Deterministic centroid subset (ids divisible by the stride) — the
+    oracle-reproducible stand-in for trained k-means centroids."""
+    return (
+        spread(corpus, id_col)
+        .filter((F.col(id_col) % centroid_stride) == 0)
+        .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_v"))
+    )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = _DIM,
+) -> DataFrame:
+    """Materialize the IVF index: (id, vec, _cell) for every corpus vector.
+
+    This is the expensive half of IVF (one pass over the corpus × K
+    centroid scores) and must be computed ONCE and persisted, not per
+    query run — write it through ``sinks.bucketed.write_bucketed`` on
+    ``_cell`` so every subsequent cell equi-join is exchange-free, then
+    hand the loaded table to ``ivf_topk(index=...)``.
+    """
+    return ivf_assign(
+        spread(corpus, id_col).select(id_col, vec_col), centroids, id_col, vec_col, dim
     )
 
 
 def ivf_topk(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
     centroid_stride: int = 97,
+    centroids: DataFrame | None = None,
+    index: DataFrame | None = None,
+    nprobe: int = 1,
+    dim: int = _DIM,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
-    centroid cells, search only the query's cell.
+    centroid cells, search only the query's nearest ``nprobe`` cells.
 
-    Centroids here are a deterministic corpus subset (ids divisible by
-    ``centroid_stride``) so the SQL oracle reproduces the index exactly;
-    production swaps in k-means centroids — the dataflow (assign → cell
-    equi-join → per-query top-k) is identical. Versus LSH buckets, IVF
-    cells adapt to the data distribution; ``centroid_stride`` ∝ sqrt(N)
-    balances cell size against the assignment fan-out.
+    Index lifecycle (the 100 TB-relevant part): pass ``index=`` a
+    PRECOMPUTED ``(id, vec, _cell)`` assignment (from ``ivf_build_index``,
+    persisted bucketed on ``_cell``) so each query run only scores
+    |Q|·K centroid distances plus the candidate cells — the corpus-wide
+    assignment is an artifact, not a per-run cost. Without ``index=`` the
+    assignment is derived inline from ``corpus`` (fixture/oracle mode).
+
+    Centroids: pass ``centroids=`` trained ones (``ivf_train_centroids``);
+    default is the deterministic stride subset so the SQL oracle reproduces
+    the index exactly. ``nprobe`` > 1 searches that many nearest cells per
+    query — the standard recall knob.
     """
-    cents = spread(corpus, id_col).filter(
-        (F.col(id_col) % centroid_stride) == 0
-    ).select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_v"))
-    ca = ivf_assign(
-        spread(corpus, id_col).select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-        ),
-        cents, "neighbor_id", "_cv",
+    if centroids is None:
+        if corpus is None:
+            raise ValueError("need corpus to derive stride centroids")
+        centroids = stride_centroids(corpus, id_col, vec_col, centroid_stride)
+    if index is None:
+        if corpus is None:
+            raise ValueError("need corpus or a precomputed index")
+        index = ivf_build_index(corpus, centroids, id_col, vec_col, dim)
+    ca = index.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        "_cell",
     )
     qa = ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-        cents, "query_id", "_qv",
+        centroids, "query_id", "_qv", dim, nprobe=nprobe,
     )
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 9).alias("_sim9")
+    sim = F.round(cosine("_qv", "_cv", dim), 9).alias("_sim9")
     scored = (
         ca.join(F.broadcast(qa), "_cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim)
     )
+    # no dedup needed even at nprobe>1: each corpus vector lives in exactly
+    # one cell, so a (query, neighbor) pair joins at most once
     w = W.partitionBy("query_id").orderBy(F.col("_sim9").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -283,6 +461,8 @@ def ivf_train_centroids(
     vec_col: str = "embedding",
     k: int = 16,
     iters: int = 3,
+    dim: int = _DIM,
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over the embedding column, pure DataFrame ops — the
     production replacement for ``ivf_topk``'s deterministic stride centroids.
@@ -291,39 +471,57 @@ def ivf_train_centroids(
     shuffles, both map-side combinable at 100 TB:
 
     1. assign: broadcast the k centroids, per-vector argmax (``ivf_assign``)
-    2. update: ``posexplode`` the member vectors → groupBy (cell, dim) avg
-       (k·d result rows) → re-assemble ordered arrays
+    2. update: ``posexplode`` the member vectors → groupBy (cell, dim)
+       aggregate (k·d result rows) → re-assemble ordered arrays
 
     No vector ever crosses the wire un-aggregated in step 2 — the partial
-    averages combine map-side, so the update shuffle carries O(partitions ·
-    k · d) rows regardless of corpus size. Output: (_cent_id, _cent_v), the
-    shape ``ivf_assign``/``ivf_topk`` consume.
+    sums combine map-side, so the update shuffle carries O(partitions ·
+    k · d) rows regardless of corpus size. Output: (_cent_id, _cent_v, _n),
+    the centroid shape ``ivf_assign``/``ivf_topk`` consume plus the member
+    count.
+
+    ``quantize_scale`` switches to the EXACTLY-REPRODUCIBLE variant: vector
+    components quantize to ``floor(x * scale)`` (integer-valued doubles) and
+    the centroid update keeps per-dimension SUMS instead of means. Because
+    cosine is scale-invariant, the sum vector is a valid centroid, and every
+    dot product / squared norm stays an exact integer below 2^53 — so the
+    result is bit-identical under ANY summation order, any partitioning, and
+    in any engine (the floating-point mean update is order-nondeterministic
+    at the last ulp, which an exact-value oracle would flake on). Headroom
+    at scale=1e4: |q| ≤ ~1e4, cell sums ≤ |cell|·1e4, norm² ≤ dim·sum² —
+    fine to ~1e4-row cells; at larger cells lower the scale.
     """
-    cents = (
-        corpus.orderBy(F.col(id_col))
-        .limit(k)
-        .select(
-            F.col(id_col).alias("_cent_id"),
-            F.col(vec_col).cast("array<double>").alias("_cent_v"),
-        )
+    q = quantize_scale is not None
+    raw = F.col(vec_col).cast("array<double>")
+    qv = (
+        F.transform(raw, lambda x: F.floor(x * F.lit(float(quantize_scale))).cast("double"))
+        if q
+        else raw
     )
-    vecs = spread(corpus, id_col).select(
-        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv")
+    first_k = corpus.orderBy(F.col(id_col)).limit(k)
+    cents = first_k.select(
+        F.col(id_col).alias("_cent_id"), qv.alias("_cent_v")
     )
+    vecs = spread(corpus, id_col).select(F.col(id_col).alias("_vid"), qv.alias("_vv"))
     for _ in range(iters):
-        assigned = ivf_assign(vecs, cents, "_vid", "_vv")
+        assigned = ivf_assign(vecs, cents, "_vid", "_vv", dim)
         by_dim = assigned.select(
-            "_cell", F.posexplode(F.col("_vv").cast("array<double>")).alias("_pos", "_x")
+            "_cell", F.posexplode(F.col("_vv")).alias("_pos", "_x")
         )
-        means = by_dim.groupBy("_cell", "_pos").agg(F.avg("_x").alias("_m"))
+        stat = (F.sum if q else F.avg)("_x").alias("_m")
+        means = by_dim.groupBy("_cell", "_pos").agg(
+            stat, F.count(F.lit(1)).alias("_cnt")
+        )
         cents = (
             means.groupBy("_cell")
             .agg(
-                F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm")
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"),
+                F.max("_cnt").alias("_n"),
             )
             .select(
                 F.col("_cell").alias("_cent_id"),
                 F.expr("transform(_pm, s -> s._m)").alias("_cent_v"),
+                "_n",
             )
         )
     return cents
@@ -337,6 +535,8 @@ def cosine_near_dup_pairs(
     n_tables: int = _NUM_TABLES,
     n_planes: int = _NUM_PLANES,
     max_bucket_size: int | None = None,
+    dim: int = _DIM,
+    arrow: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs with cosine ≥ threshold.
 
@@ -352,15 +552,11 @@ def cosine_near_dup_pairs(
 
     tables = lsh_planes(n_tables, n_planes)
     # cache the banded relation: it feeds both self-join sides — without the
-    # cache every hyperplane dot product runs twice
-    t = spread(df, id_col).select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.explode(lsh_bands(F.col(vec_col), tables)).alias("_b"),
-    ).select("_id", "_v", "_b.band", "_b.sig")
+    # cache every hyperplane signature runs twice
+    t = banded_relation(spread(df, id_col), id_col, vec_col, tables, "_id", "_v", arrow)
     t = cap_buckets(t, ["band", "sig"], max_bucket_size).cache()
     a, b = t.alias("a"), t.alias("b")
-    sim = F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
+    sim = F.round(cosine("a._v", "b._v", dim), 6)
     return (
         a.join(
             b,

@@ -96,7 +96,7 @@ def vecs(spark):
 
 
 def test_brute_force_topk(spark, vecs):
-    out = sim.brute_force_topk(vecs.filter(F.col("vec_id") == 1), vecs, k=3).collect()
+    out = sim.brute_force_topk(vecs.filter(F.col("vec_id") == 1), vecs, k=3, dim=4).collect()
     ranked = [(r.rank, r.neighbor_id) for r in sorted(out, key=lambda r: r.rank)]
     assert ranked[0] == (1, 2)  # closest
     assert ranked[-1] == (3, 4)  # opposite vector ranks last
