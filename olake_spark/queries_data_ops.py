@@ -1295,10 +1295,10 @@ def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     down): document frequencies from one explode+distinct agg, then a LEFT
     SEMI join of occurrences against only the sub-threshold vocabulary —
     provably skew-free because every join key has df < threshold. The
-    corpus-relative threshold constant comes from a parquet-footer count
-    (planning metadata, like the stratified-sample fractions)."""
+    corpus-relative threshold rides a broadcast one-row count frame inside
+    the plan — building this query triggers ZERO Spark actions (asserted in
+    test_plans.py)."""
     from olake_spark.operators.quality import rare_token_ratio
 
     docs = table(spark, sf_dir, "documents")
-    min_df = int(0.78 * docs.count())
-    return rare_token_ratio(docs, "doc_id", "text", min_df)
+    return rare_token_ratio(docs, "doc_id", "text", min_df_fraction=0.78)

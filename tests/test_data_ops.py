@@ -229,6 +229,30 @@ def test_connected_components_chain_and_singletons(spark):
     # (would be 10+ rounds with plain one-hop propagation)
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    # cluster mode: checkpoint_dir swaps localCheckpoint (executor-local
+    # blocks, lost on executor death) for reliable file checkpoints. The
+    # result must match, checkpoint files must actually exist, and the
+    # returned frame must still evaluate after EVERY persisted block is
+    # dropped (the local-mode stand-in for losing an executor).
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    chain = [(i, i + 1) for i in range(9)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    ckdir = str(tmp_path / "cc_ck")
+    out = dd.connected_components(ids, pairs, checkpoint_dir=ckdir)
+    expected = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert all(expected[i] == 0 for i in range(10))
+    import os
+
+    assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint files"
+    # drop all persisted RDD blocks; reliable checkpoints re-read from disk
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in jmap.values():
+        jrdd.unpersist(True)
+    again = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert again == expected
+
+
 def test_keep_canonical(spark):
     docs = spark.createDataFrame(
         [(i, f"text{i}") for i in range(6)], "doc_id long, text string"
