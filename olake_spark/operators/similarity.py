@@ -140,6 +140,19 @@ def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
+def cosine_prenormed(a: str, b: str, a_norm: str, b_norm: str, dim: int) -> Column:
+    """Cosine with the two norms read from precomputed columns.
+
+    Bit-identical to ``cosine`` (the norm columns hold the exact doubles the
+    inline SQRT chains produce — IEEE doubles round-trip through a column
+    unchanged, and ``x*y`` is commutative bitwise), but the per-pair
+    projection carries ONE unrolled chain instead of three. Three chains in
+    a join stage exceed the JVM's 64 KB method limit and knock the whole
+    stage out of codegen — every similarity operator scores pairs through
+    this form."""
+    return _dot(a, b, dim) / (F.col(a_norm) * F.col(b_norm))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -155,12 +168,16 @@ def brute_force_topk(
     until the final (tiny) per-query window.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(vec_col, dim).alias("_qn"),
     )
     c = spread(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(vec_col, dim).alias("_cn"),
     )
-    sim = F.round(cosine("_qv", "_cv", dim), 9).alias("_sim9")
+    sim = F.round(cosine_prenormed("_qv", "_cv", "_qn", "_cn", dim), 9).alias("_sim9")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -246,25 +263,38 @@ def banded_relation(
     out_id: str,
     out_vec: str,
     arrow: bool = True,
+    norm_col: str | None = None,
 ) -> DataFrame:
-    """(id, vec, band, sig) — one row per LSH table per vector.
+    """(id, vec[, norm], band, sig) — one row per LSH table per vector.
 
     ``arrow=True`` computes all L signatures with one batched matmul
     (``lsh_sigs_arrow``); ``arrow=False`` keeps the pure-Column definitional
     form. Either way the vector is read once and only the narrow banded
-    relation is exploded."""
+    relation is exploded.
+
+    ``norm_col`` materializes the vector's L2 norm alongside — norms are a
+    per-VECTOR quantity, so computing them here (once, pre-join) instead of
+    inside the per-PAIR cosine keeps the downstream join projection to a
+    single dot chain. That is not just an O(candidates) → O(N) saving: the
+    three inlined chains (dot + 2 norms) push the join stage past the JVM's
+    64 KB method limit and whole-stage codegen silently falls back to
+    interpreted evaluation for the entire stage."""
+    dim = len(tables[0][0])
+    extra = [_norm(vec_col, dim).alias(norm_col)] if norm_col else []
     if arrow:
         sigs = lsh_sigs_arrow(tables)
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(out_vec),
+            *extra,
             F.posexplode(sigs(F.col(vec_col))).alias("band", "sig"),
         )
     return df.select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).alias(out_vec),
+        *extra,
         F.explode(lsh_bands(F.col(vec_col), tables)).alias("_b"),
-    ).select(out_id, out_vec, "_b.band", "_b.sig")
+    ).select(out_id, out_vec, *([norm_col] if norm_col else []), "_b.band", "_b.sig")
 
 
 def lsh_bucket_topk(
@@ -289,10 +319,13 @@ def lsh_bucket_topk(
     are exactly the near-neighbors — a vanishing fraction of candidates)."""
     tables = lsh_planes(n_tables, n_planes)
     c = banded_relation(
-        spread(corpus, id_col), id_col, vec_col, tables, "neighbor_id", "_cv", arrow
+        spread(corpus, id_col), id_col, vec_col, tables, "neighbor_id", "_cv", arrow,
+        norm_col="_cn",
     )
-    q = banded_relation(queries, id_col, vec_col, tables, "query_id", "_qv", arrow)
-    sim = F.round(cosine("_qv", "_cv", dim), 9).alias("_sim9")
+    q = banded_relation(
+        queries, id_col, vec_col, tables, "query_id", "_qv", arrow, norm_col="_qn"
+    )
+    sim = F.round(cosine_prenormed("_qv", "_cv", "_qn", "_cn", dim), 9).alias("_sim9")
     scored = (
         c.join(F.broadcast(q), ["band", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -327,11 +360,16 @@ def ivf_assign(
     (query-side recall knob) keeps the rank window; queries are few.
     Ties break on centroid id (round-9 score, then lowest id).
     """
-    scored = df.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("_cent_id"),
-        F.round(cosine(vec_col, "_cent_v", dim), 9).alias("_cs"),
+    # norms once per vector / per centroid, never per (vector × centroid)
+    scored = (
+        df.withColumn("_vn", _norm(vec_col, dim))
+        .crossJoin(F.broadcast(centroids.withColumn("_cvn", _norm("_cent_v", dim))))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_cent_id"),
+            F.round(cosine_prenormed(vec_col, "_cent_v", "_vn", "_cvn", dim), 9).alias("_cs"),
+        )
     )
     if nprobe == 1:
         # max_by over struct(_cs, -_cent_id) == row_number orderBy(_cs desc,
@@ -431,13 +469,14 @@ def ivf_topk(
     ca = index.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        _norm(vec_col, dim).alias("_cn"),
         "_cell",
     )
     qa = ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
         centroids, "query_id", "_qv", dim, nprobe=nprobe,
-    )
-    sim = F.round(cosine("_qv", "_cv", dim), 9).alias("_sim9")
+    ).withColumn("_qn", _norm("_qv", dim))
+    sim = F.round(cosine_prenormed("_qv", "_cv", "_qn", "_cn", dim), 9).alias("_sim9")
     scored = (
         ca.join(F.broadcast(qa), "_cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -553,10 +592,12 @@ def cosine_near_dup_pairs(
     tables = lsh_planes(n_tables, n_planes)
     # cache the banded relation: it feeds both self-join sides — without the
     # cache every hyperplane signature runs twice
-    t = banded_relation(spread(df, id_col), id_col, vec_col, tables, "_id", "_v", arrow)
+    t = banded_relation(
+        spread(df, id_col), id_col, vec_col, tables, "_id", "_v", arrow, norm_col="_n"
+    )
     t = cap_buckets(t, ["band", "sig"], max_bucket_size).cache()
     a, b = t.alias("a"), t.alias("b")
-    sim = F.round(cosine("a._v", "b._v", dim), 6)
+    sim = F.round(cosine_prenormed("a._v", "b._v", "a._n", "b._n", dim), 6)
     return (
         a.join(
             b,

@@ -169,3 +169,40 @@ def test_quantized_kmeans_deterministic_across_partitionings(spark, emb):
     ra = sorted(map(tuple, a.select("_cent_id", F.to_json("_cent_v"), "_n").collect()))
     rb = sorted(map(tuple, b.select("_cent_id", F.to_json("_cent_v"), "_n").collect()))
     assert ra == rb
+
+
+@pytest.fixture()
+def no_codegen_fallback(spark):
+    """Fail hard if any stage's generated Java exceeds the 64 KB method
+    limit instead of silently running interpreted."""
+    prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    yield
+    spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
+def test_pair_scoring_stays_in_codegen(spark, emb, no_codegen_fallback):
+    # pre-fix, cosine_near_dup_pairs inlined dot + 2 norm chains (3×64 terms)
+    # into the self-join stage and blew the 64 KB JVM method limit — Spark
+    # fell back to interpreted evaluation for the WHOLE stage, silently.
+    # cosine_prenormed keeps the per-pair projection to one chain; with
+    # fallback disabled these would throw InternalCompilerException if the
+    # stage ever regresses out of codegen.
+    q = emb.limit(8)
+    assert sim.cosine_near_dup_pairs(emb).count() > 0
+    assert sim.brute_force_topk(q, emb).count() > 0
+    assert sim.lsh_bucket_topk(q, emb).count() > 0
+    assert sim.ivf_topk(q, emb).count() > 0
+
+
+def test_prenormed_cosine_bit_identical(spark, emb):
+    pair = emb.select(
+        F.col("embedding").alias("a"), F.reverse("embedding").alias("b")
+    ).select(
+        "a", "b",
+        sim._norm("a", 64).alias("an"), sim._norm("b", 64).alias("bn"),
+    )
+    diff = pair.select(
+        (sim.cosine_prenormed("a", "b", "an", "bn", 64) - sim.cosine("a", "b", 64)).alias("d")
+    ).agg(F.max(F.abs("d"))).first()[0]
+    assert diff == 0.0

@@ -1,0 +1,323 @@
+"""Scale evidence for the dedup/ANN family: measure, don't assert.
+
+Builds a deterministically scaled documents/embeddings corpus (every doc
+replicated ``--scale`` times, a slice of it stamped with shared boilerplate —
+the two real-world shapes that quadratic-blow candidate joins), then measures
+the quadratic term directly:
+
+- candidate pairs = Σ_buckets C(size, 2) — the exact row count the bucket
+  self-join emits before any dedup/threshold filter;
+- growth exponent between two corpus scales (slope of log(candidates) /
+  log(scale)): ~2.0 = quadratic blowup, ~1.0 = linear — the caps' whole job;
+- end-to-end wall seconds and shuffle write bytes (Spark REST API) for the
+  full operators with and without their caps.
+
+Run:  python tools/scale_evidence.py [--scale 20] [--scale-lo 5]
+          [--sf-dir /root/testdata/sf0.01] [--out SCALE_EVIDENCE.json]
+
+Everything is deterministic (xxhash64-gated mutations, no RNG), so numbers
+are reproducible across runs and machines modulo wall-clock noise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("OLAKE_SPARK_UI", "true")  # REST API = shuffle metrics
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+BOILERPLATE = (
+    "subscribe to our newsletter terms of service apply all rights reserved "
+    "click here to read more about cookie policy"
+)
+
+
+def scaled_documents(spark, sf_dir: str, scale: int) -> DataFrame:
+    """Grow the corpus with textually DISTINCT documents plus a constant-
+    fraction hot slice — the shape that actually breaks candidate joins.
+
+    Every replica's tokens get a per-replica suffix, so replicas of the same
+    base doc share zero shingles/n-grams (corpus growth adds information, it
+    does not add duplicate clusters). A fixed 10% of docs (by id hash) become
+    *template* docs: the shared boilerplate header plus a short distinct
+    tail. Their shared n-grams have document frequency = 0.1·N, and their
+    MinHash signatures are boilerplate-dominated, so without caps the bucket
+    self-joins emit Θ(N²) candidate rows from that slice alone."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n = docs.count()
+    rep = docs.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("r")
+    )
+    suffixed = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.concat(t, F.lit("x"), F.col("r").cast("string")),
+        ),
+        " ",
+    )
+    h = F.pmod(F.xxhash64("doc_id"), F.lit(100))
+    text = F.when(
+        h < 10, F.concat(F.lit(BOILERPLATE + " "), F.substring(suffixed, 1, 60))
+    ).otherwise(suffixed)
+    return rep.select(
+        (F.col("doc_id") + F.col("r") * F.lit(10 * n)).alias("doc_id"),
+        text.alias("text"),
+    )
+
+
+def scaled_embeddings(spark, sf_dir: str, scale: int) -> DataFrame:
+    """Distinct vectors plus a constant-fraction spike: each replica is the
+    base vector with a deterministic per-(id, dim) perturbation (distinct
+    LSH buckets), while 10% of rows collapse to one constant vector — the
+    embedding-space analogue of boilerplate (every copy of a template page
+    embeds identically) that floods one bucket per table."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    n = emb.count()
+    rep = emb.select(
+        "vec_id", "embedding", F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("r")
+    )
+    new_id = (F.col("vec_id") + F.col("r") * F.lit(10 * n)).alias("vec_id")
+    jitter = F.transform(
+        F.col("embedding"),
+        lambda x, i: x
+        + (
+            F.pmod(
+                F.xxhash64(
+                    F.concat_ws(
+                        "_",
+                        F.col("vec_id").cast("string"),
+                        F.col("r").cast("string"),
+                        i.cast("string"),
+                    )
+                ),
+                F.lit(1000),
+            ).cast("double")
+            / 1000.0
+            - 0.5
+        ),
+    )
+    spike = F.transform(F.col("embedding"), lambda x: F.lit(0.5))
+    h = F.pmod(F.xxhash64("vec_id"), F.lit(100))
+    return rep.select(new_id, F.when(h < 10, spike).otherwise(jitter).alias("embedding"))
+
+
+def planes_for(n_rows: int) -> int:
+    """The documented LSH scaling knob: b ≈ log2(N) planes keeps expected
+    bucket occupancy constant, so random-collision background stays linear
+    as the corpus grows (operators/similarity.py lsh_planes docs)."""
+    import math
+
+    return max(8, int(math.log2(max(n_rows, 2))) + 1)
+
+
+def candidate_pairs(bucketed: DataFrame, keys: list[str]) -> tuple[int, int]:
+    """Exact self-join output size: Σ over buckets of C(size, 2)."""
+    row = (
+        bucketed.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"),
+            F.max("c").alias("max_bucket"),
+        )
+        .first()
+    )
+    return int(row["pairs"] or 0), int(row["max_bucket"] or 0)
+
+
+def shuffle_write_bytes(spark) -> int:
+    """Total shuffle write across all completed stages (Spark REST API)."""
+    base = spark.sparkContext.uiWebUrl
+    try:
+        apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications", timeout=10))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages", timeout=10)
+        )
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
+def timed(spark, fn) -> dict:
+    s0 = shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    rows = fn()
+    dt = time.perf_counter() - t0
+    s1 = shuffle_write_bytes(spark)
+    return {
+        "wall_sec": round(dt, 2),
+        "rows_out": rows,
+        "shuffle_mb": round((s1 - s0) / 1e6, 1) if s0 >= 0 <= s1 else None,
+    }
+
+
+def growth_exponent(lo_pairs: int, hi_pairs: int, lo: int, hi: int) -> float:
+    """Slope of log(candidates) w.r.t. log(scale): 2 ≈ quadratic, 1 ≈ linear."""
+    import math
+
+    if lo_pairs <= 0 or hi_pairs <= 0:
+        return 0.0
+    return round(math.log(hi_pairs / lo_pairs) / math.log(hi / lo), 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=20)
+    ap.add_argument("--scale-lo", type=int, default=5)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--cap", type=int, default=50, help="max_bucket_size for LSH joins")
+    ap.add_argument("--max-df", type=int, default=100, help="n-gram document-frequency cap")
+    ap.add_argument("--out", default="SCALE_EVIDENCE.json")
+    args = ap.parse_args()
+
+    from olake_spark.operators.dedup import (
+        _band_table,
+        cap_buckets,
+        minhash_near_dups,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        normalize_text,
+        word_ngrams,
+    )
+    from olake_spark.operators.similarity import banded_relation, cosine_near_dup_pairs, lsh_planes
+    from olake_spark.session import get_spark
+    from olake_spark.sources.files import spread
+
+    spark = get_spark("olake_spark_scale_evidence")
+    out: dict = {"scale": args.scale, "scale_lo": args.scale_lo, "sf_dir": args.sf_dir}
+
+    # ---- candidate growth: MinHash-LSH band buckets -------------------------
+    mh: dict = {}
+    for tag, sc in [("lo", args.scale_lo), ("hi", args.scale)]:
+        docs = scaled_documents(spark, args.sf_dir, sc).cache()
+        docs.count()
+        bt = _band_table(minhash_signatures(docs, "doc_id", "text"), "doc_id", 4, 4).cache()
+        uncapped, max_b = candidate_pairs(bt, ["band", "bh"])
+        capped, max_c = candidate_pairs(
+            cap_buckets(bt, ["band", "bh"], args.cap), ["band", "bh"]
+        )
+        mh[tag] = {
+            "docs": docs.count(),
+            "uncapped_pairs": uncapped,
+            "capped_pairs": capped,
+            "max_bucket": max_b,
+            "max_bucket_capped": max_c,
+        }
+        bt.unpersist()
+        docs.unpersist()
+    mh["growth_exp_uncapped"] = growth_exponent(
+        mh["lo"]["uncapped_pairs"], mh["hi"]["uncapped_pairs"], args.scale_lo, args.scale
+    )
+    mh["growth_exp_capped"] = growth_exponent(
+        mh["lo"]["capped_pairs"], mh["hi"]["capped_pairs"], args.scale_lo, args.scale
+    )
+    out["minhash_lsh"] = mh
+
+    # ---- candidate growth: n-gram inverted index ----------------------------
+    ng: dict = {}
+    for tag, sc in [("lo", args.scale_lo), ("hi", args.scale)]:
+        docs = scaled_documents(spark, args.sf_dir, sc).cache()
+        docs.count()
+        toks = F.split(normalize_text(F.col("text")), " ")
+        g = (
+            spread(docs, "doc_id")
+            .select("doc_id", F.explode(word_ngrams(toks, 3)).alias("ng"))
+            .select("doc_id", F.xxhash64("ng").alias("ngh"))
+            .cache()
+        )
+        uncapped, max_b = candidate_pairs(g, ["ngh"])
+        df_counts = g.groupBy("ngh").agg(F.count(F.lit(1)).alias("c"))
+        kept = g.join(
+            df_counts.filter(F.col("c") <= args.max_df).select("ngh"), "ngh"
+        )
+        capped, max_c = candidate_pairs(kept, ["ngh"])
+        ng[tag] = {
+            "uncapped_pairs": uncapped,
+            "capped_pairs": capped,
+            "max_df_seen": max_b,
+            "max_df_capped": max_c,
+        }
+        g.unpersist()
+        docs.unpersist()
+    ng["growth_exp_uncapped"] = growth_exponent(
+        ng["lo"]["uncapped_pairs"], ng["hi"]["uncapped_pairs"], args.scale_lo, args.scale
+    )
+    ng["growth_exp_capped"] = growth_exponent(
+        ng["lo"]["capped_pairs"], ng["hi"]["capped_pairs"], args.scale_lo, args.scale
+    )
+    out["ngram_jaccard"] = ng
+
+    # ---- candidate growth: embedding LSH bands ------------------------------
+    # planes scale with log2(N): the documented knob that keeps background
+    # (random-collision) candidates linear while the cap handles the spike
+    eb: dict = {}
+    for tag, sc in [("lo", args.scale_lo), ("hi", args.scale)]:
+        emb = scaled_embeddings(spark, args.sf_dir, sc).cache()
+        n_rows = emb.count()
+        emb_tables = lsh_planes(4, planes_for(n_rows))
+        t = banded_relation(
+            spread(emb, "vec_id"), "vec_id", "embedding", emb_tables, "_id", "_v", True
+        ).cache()
+        uncapped, max_b = candidate_pairs(t, ["band", "sig"])
+        capped, _ = candidate_pairs(cap_buckets(t, ["band", "sig"], args.cap), ["band", "sig"])
+        eb[tag] = {
+            "rows": n_rows,
+            "n_planes": planes_for(n_rows),
+            "uncapped_pairs": uncapped,
+            "capped_pairs": capped,
+            "max_bucket": max_b,
+        }
+        t.unpersist()
+        emb.unpersist()
+    eb["growth_exp_uncapped"] = growth_exponent(
+        eb["lo"]["uncapped_pairs"], eb["hi"]["uncapped_pairs"], args.scale_lo, args.scale
+    )
+    eb["growth_exp_capped"] = growth_exponent(
+        eb["lo"]["capped_pairs"], eb["hi"]["capped_pairs"], args.scale_lo, args.scale
+    )
+    out["embedding_lsh"] = eb
+
+    # ---- end-to-end wall + shuffle at the hi scale --------------------------
+    docs = scaled_documents(spark, args.sf_dir, args.scale).cache()
+    docs.count()
+    out["e2e_minhash_uncapped"] = timed(
+        spark, lambda: minhash_near_dups(docs, "doc_id", "text").count()
+    )
+    out["e2e_minhash_capped"] = timed(
+        spark,
+        lambda: minhash_near_dups(docs, "doc_id", "text", max_bucket_size=args.cap).count(),
+    )
+    out["e2e_ngram_uncapped"] = timed(
+        spark, lambda: ngram_jaccard_pairs(docs, "doc_id", "text").count()
+    )
+    out["e2e_ngram_capped"] = timed(
+        spark, lambda: ngram_jaccard_pairs(docs, "doc_id", "text", max_df=args.max_df).count()
+    )
+    docs.unpersist()
+    emb = scaled_embeddings(spark, args.sf_dir, args.scale).cache()
+    n_rows = emb.count()
+    np_ = planes_for(n_rows)
+    out["e2e_embedding_uncapped"] = timed(
+        spark, lambda: cosine_near_dup_pairs(emb, n_planes=np_).count()
+    )
+    out["e2e_embedding_capped"] = timed(
+        spark,
+        lambda: cosine_near_dup_pairs(emb, n_planes=np_, max_bucket_size=args.cap).count(),
+    )
+    emb.unpersist()
+
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
