@@ -409,18 +409,22 @@ def ngram_jaccard_pairs(
     gh = g.select(id_col, F.xxhash64("ng").alias("ngh"))
     if max_df is not None:
         # document frequency per n-gram (n-grams are distinct per doc, so
-        # count(*) = df); drop hot n-grams BEFORE the self-join. Window over
-        # ngh = ONE shuffle that both computes df and filters, already
-        # hash-partitioned on the self-join key; cached because both join
-        # sides consume it (uncached, each side re-runs the df pass).
-        from pyspark.sql import Window as W
-
-        gh = (
-            gh.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("ngh")))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
-            .cache()
+        # count(*) = df); drop hot n-grams BEFORE the self-join. One
+        # repartition on the self-join key, then: the df aggregation runs
+        # exchange-free on the cached partitioning, the hot set it emits is
+        # the head of the Zipf curve (tiny by construction — at most
+        # |index|/max_df n-grams can exceed the cap) so it broadcasts, and
+        # the anti-join preserves the partitioning for the self-join. This
+        # replaces an earlier count-over-window form whose per-partition
+        # SORT of the full inverted index dominated the operator's runtime.
+        gh = gh.repartition(F.col("ngh")).cache()
+        hot = (
+            gh.groupBy("ngh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("ngh")
         )
+        gh = gh.join(F.broadcast(hot), "ngh", "left_anti")
     a, b = gh.alias("a"), gh.alias("b")
     inter = (
         a.join(b, (F.col("a.ngh") == F.col("b.ngh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -326,11 +326,18 @@ def lsh_bucket_topk(
         queries, id_col, vec_col, tables, "query_id", "_qv", arrow, norm_col="_qn"
     )
     sim = F.round(cosine_prenormed("_qv", "_cv", "_qn", "_cn", dim), 9).alias("_sim9")
+    # multi-table collision dedup as groupBy+min, NOT distinct: every
+    # collision of a pair scores to the same rounded value so min == the
+    # value (bit-identical), but distinct would put the scored DOUBLE into
+    # the hash-aggregate grouping key — dragging the unrolled dot chain into
+    # the aggregate's generated key code, whose Janino compile time dominates
+    # small runs and whose size risks the 64 KB method limit
     scored = (
         c.join(F.broadcast(q), ["band", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim)
-        .distinct()
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("_sim9").alias("_sim9"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("_sim9").desc(), F.col("neighbor_id").asc())
     return (
@@ -562,6 +569,14 @@ def ivf_train_centroids(
                 F.expr("transform(_pm, s -> s._m)").alias("_cent_v"),
                 "_n",
             )
+            # k tiny rows, but load-bearing: every DOWNSTREAM consumer of the
+            # trained centroids (index build, query-side assign, repeated
+            # runs) embeds this plan — uncached, each consumer re-executes
+            # the ENTIRE iterative training, and iteration i re-derives
+            # iteration i-1's centroids from scratch. Lazy cache keeps query
+            # construction action-free while bounding training to one
+            # execution per session.
+            .cache()
         )
     return cents
 
@@ -598,6 +613,9 @@ def cosine_near_dup_pairs(
     t = cap_buckets(t, ["band", "sig"], max_bucket_size).cache()
     a, b = t.alias("a"), t.alias("b")
     sim = F.round(cosine_prenormed("a._v", "b._v", "a._n", "b._n", dim), 6)
+    # groupBy+min over the per-collision scores, not distinct — identical
+    # output (collisions of a pair all score the same), but keeps the dot
+    # chain out of the aggregate grouping key (see lsh_bucket_topk)
     return (
         a.join(
             b,
@@ -610,6 +628,7 @@ def cosine_near_dup_pairs(
             F.col("b._id").alias("id_b"),
             sim.alias("cosine_sim"),
         )
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.min("cosine_sim").alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
