@@ -1626,6 +1626,9 @@ _GATE_TAIL = [
     "text_repetition_stats",
     "text_bpe_tokens",
     "url_domain_stats",
+    # twice-green static queries rotated out to make window room for the
+    # composed semantic_dedup pipeline
+    "doc_fingerprint",
 ]
 
 

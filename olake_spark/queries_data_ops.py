@@ -558,6 +558,53 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.2)
 
 
+@register(
+    "semantic_dedup",
+    f"""
+    WITH RECURSIVE bands AS MATERIALIZED ({_lsh_bands_sql('embedding')}),
+    nd AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+      WHERE round({_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.3
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM nd
+      UNION SELECT id_b, id_a FROM nd
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cl AS (
+      SELECT e.vec_id,
+             least(e.vec_id, coalesce(min(r.dst), e.vec_id)) AS cluster_id
+      FROM embeddings e LEFT JOIN reach r ON r.src = e.vec_id
+      GROUP BY e.vec_id
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    JOIN cl ON cl.vec_id = e.vec_id
+    WHERE cl.cluster_id = e.vec_id
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full semantic-dedup pipeline, composed end-to-end: embedding LSH
+    candidate pairs (cosine ≥ 0.2) → connected components (min-label +
+    pointer jumping, operators/dedup.py connected_components) → keep the
+    canonical (minimum-id) member of every cluster. This is the
+    training-data shape: 'collapse semantically-identical documents, keep
+    one representative' — at 100 TB each stage is the same bounded
+    bucket-join / label-propagation dataflow verified individually by
+    embedding_near_dup_pairs and dedup_minhash_clusters."""
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_near_dup_pairs(emb, threshold=0.3)
+    clusters = dd.connected_components(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    )
+    return dd.keep_canonical(emb.select("vec_id", "label"), clusters, id_col="vec_id")
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -14,6 +14,7 @@ the reference: oracle/db2 are backfill/incremental only).
 
 from __future__ import annotations
 
+import decimal
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,7 +50,11 @@ class Dialect:
     chunk_isolation_sql: str = ""
 
     def q(self, ident: str) -> str:
-        return f"{self.quote}{ident}{self.quote}"
+        # double any embedded quote char (SQL-standard identifier escaping;
+        # MySQL does the same with backticks) — an unescaped quote in a
+        # table/column name would otherwise truncate the identifier and
+        # splice the remainder into the statement
+        return f"{self.quote}{ident.replace(self.quote, self.quote * 2)}{self.quote}"
 
     def qualified(self, schema: str, table: str) -> str:
         return f"{self.q(schema)}.{self.q(table)}" if schema else self.q(table)
@@ -70,7 +75,13 @@ class Dialect:
             return self.timestamp_cast.format(v=v)
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
-        return repr(v)
+        if isinstance(v, bool):  # before int: bool is an int subclass, and
+            return "TRUE" if v else "FALSE"  # repr() would emit Python's True
+        if isinstance(v, (int, float, decimal.Decimal)):
+            return str(v)
+        if v is None:
+            raise ValueError("cursor value cannot be NULL — use the IS NULL fallback")
+        return "'" + str(v).replace("'", "''") + "'"
 
     def cursor_predicate(
         self,
@@ -97,7 +108,9 @@ class Dialect:
         return f"{self.q(cursor)} <= {v} OR {self.q(cursor)} IS NULL"
 
     def max_cursor_sql(self, schema: str, table: str, cursors: list[str]) -> str:
-        aggs = ", ".join(f"MAX({self.q(c)}) AS max_{c}" for c in cursors)
+        # alias is quoted too: a cursor column with spaces/specials would
+        # otherwise produce an unparseable bare alias
+        aggs = ", ".join(f"MAX({self.q(c)}) AS {self.q('max_' + c)}" for c in cursors)
         return f"SELECT {aggs} FROM {self.qualified(schema, table)}"
 
     def boundary_probe_sql(

@@ -55,8 +55,38 @@ def test_scan_sql_and_max_cursor():
     )
     assert (
         ms.max_cursor_sql("dbo", "t", ["u", "v"])
-        == 'SELECT MAX("u") AS max_u, MAX("v") AS max_v FROM "dbo"."t"'
+        == 'SELECT MAX("u") AS "max_u", MAX("v") AS "max_v" FROM "dbo"."t"'
     )
+
+
+def test_identifier_quote_escaping():
+    # an embedded quote char must double, never terminate the identifier
+    # (SQL-standard escaping; the reference relies on each driver's quoter)
+    pg = DIALECTS["postgres"]
+    assert pg.q('we"ird') == '"we""ird"'
+    assert pg.qualified('s"s', 't') == '"s""s"."t"'
+    my = DIALECTS["mysql"]
+    assert my.q("my`table") == "`my``table`"
+    # a malicious identifier cannot splice SQL past the quoting
+    evil = 'x"; DROP TABLE users; --'
+    assert pg.q(evil) == '"x""; DROP TABLE users; --"'
+    assert pg.chunk_scan_sql("public", evil, None).count('"') % 2 == 0
+
+
+def test_cursor_value_rendering_types():
+    pg = DIALECTS["postgres"]
+    assert pg.render_cursor_value("o'neil") == "'o''neil'"
+    assert pg.render_cursor_value(True) == "TRUE"  # not Python's repr True
+    assert pg.render_cursor_value(False) == "FALSE"
+    assert pg.render_cursor_value(42) == "42"
+    assert pg.render_cursor_value(4.5) == "4.5"
+    import decimal
+
+    assert pg.render_cursor_value(decimal.Decimal("10.25")) == "10.25"
+    import pytest
+
+    with pytest.raises(ValueError):
+        pg.render_cursor_value(None)
 
 
 def test_chunks_feed_predicates():
