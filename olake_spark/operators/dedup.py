@@ -303,11 +303,15 @@ def connected_components(
     cluster). Default is ``localCheckpoint`` (executor-local blocks): fine
     on local[n], lost with an executor at scale.
     """
+    # lazy checkpoints: lineage still truncates, but materialization rides
+    # the round's convergence aggregation — ONE Spark action per round
+    # instead of two (an eager checkpoint is its own job; at toy scale the
+    # per-action scheduling overhead dominated the whole operator)
     if checkpoint_dir is not None:
         ids.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        _ck = lambda frame: frame.checkpoint(eager=True)  # noqa: E731
+        _ck = lambda frame: frame.checkpoint(eager=False)  # noqa: E731
     else:
-        _ck = lambda frame: frame.localCheckpoint(eager=True)  # noqa: E731
+        _ck = lambda frame: frame.localCheckpoint(eager=False)  # noqa: E731
     edges = _ck(
         pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
         .unionByName(pairs.select(F.col(pair_b).alias("src"), F.col(pair_a).alias("dst")))

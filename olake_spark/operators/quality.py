@@ -44,6 +44,7 @@ __all__ = [
     "with_bpe_token_estimate",
     "repetition_stats",
     "rare_token_ratio",
+    "unigram_info_score",
 ]
 
 # GPT-2-style pretokenizer classes, simplified to the RE2-compatible subset
@@ -218,3 +219,54 @@ def rare_token_ratio(
         F.round(F.col("n_rare") * 1000000.0 / F.col("n_tokens"), 0),
     ).otherwise(F.lit(0.0))
     return out.withColumn("rare_ratio_e6", ratio.cast("long"))
+
+
+def unigram_info_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained unigram surprisal per document — the model-free stand-in
+    for perplexity filtering: info(w) = floor(log2 T) - floor(log2 c_w),
+    where c_w is w's corpus occurrence count and T the total token count.
+    High mean info = rare-token-heavy text (gibberish, OCR noise, codes);
+    near-zero = boilerplate (every token is a corpus stop-word).
+
+    All arithmetic is EXACT-INTEGER so the score is bit-identical in any
+    engine under any partitioning (a float sum of log-probs is
+    order-nondeterministic at the last ulp, which an exact-value oracle
+    would flake on): floor(log2 n) computes as length(bin(n)) - 1, the mean
+    is a scaled integer division. Scale shape: one token-frequency
+    aggregation (map-side combinable), a 1-row total broadcast, and the
+    occurrence↔vocab hash join — Zipf-hot tokens match exactly one vocab
+    row each, so the join cannot explode. Output: (id, n_tokens, info_sum,
+    mean_info_e3).
+    """
+    from olake_spark.operators.text import tokens
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    vocab = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    total = toks.agg(F.count(F.lit(1)).alias("_tt"))
+    info = F.length(F.bin("_tt")) - F.length(F.bin("_c"))
+    per_doc = (
+        toks.join(vocab, "_t")
+        .join(F.broadcast(total))
+        .select(F.col(id_col), info.alias("_info"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_info").cast("long").alias("info_sum"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    base = df.select(F.col(id_col))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("info_sum"), F.lit(0)).cast("long").alias("info_sum"),
+        )
+        .withColumn(
+            "mean_info_e3",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("1000 * info_sum div n_tokens"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )

@@ -31,6 +31,7 @@ __all__ = [
     "reservoir_per_group",
     "split_train_test",
     "mixture_weighted_sample",
+    "split_by_fingerprint",
 ]
 
 HASH_SPACE = 16**15  # 60-bit md5 prefix
@@ -138,3 +139,21 @@ def mixture_weighted_sample(
         .filter(hash_bucket(F.col(key_col), salt) < thr)
         .drop("_mix_f")
     )
+
+
+def split_by_fingerprint(
+    df: DataFrame, text_col: str, test_fraction: float, salt: str = "content-split"
+) -> DataFrame:
+    """Leakage-safe train/test split: the split key is the CONTENT
+    fingerprint (md5 of whitespace-normalized text), not the row id —
+    byte-identical duplicates always land on the same side. An id-keyed
+    split leaks n-1 copies of every duplicated document across the
+    boundary, which inflates eval scores on exactly the documents a crawl
+    duplicates most. Same codegen-only md5-threshold mechanics as
+    ``split_train_test``; pair with near-dup clustering (cluster_id as the
+    key) when near-duplicates must also stay together."""
+    from olake_spark.operators.dedup import normalize_text
+
+    fp = F.md5(normalize_text(F.col(text_col)))
+    is_test = hash_bucket(fp, salt) < _threshold(test_fraction)
+    return df.withColumn("split", F.when(is_test, "test").otherwise("train"))

@@ -1627,8 +1627,10 @@ _GATE_TAIL = [
     "text_bpe_tokens",
     "url_domain_stats",
     # twice-green static queries rotated out to make window room for the
-    # composed semantic_dedup pipeline
+    # composed semantic_dedup pipeline and the round-3 quality/split ops
     "doc_fingerprint",
+    "projection_selected_columns",
+    "filter_structured_and",
 ]
 
 

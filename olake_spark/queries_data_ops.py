@@ -1349,3 +1349,60 @@ def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return rare_token_ratio(docs, "doc_id", "text", min_df_fraction=0.78)
+
+
+@register(
+    "text_unigram_info",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT count(*) AS tt FROM tok),
+    scored AS (
+      SELECT tok.doc_id, length(bin(tot.tt)) - length(bin(vocab.c)) AS info
+      FROM tok JOIN vocab USING (w) CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, sum(info)::BIGINT AS info_sum, count(*)::BIGINT AS n_tokens
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+           COALESCE(a.info_sum, 0)::BIGINT AS info_sum,
+           CASE WHEN COALESCE(a.n_tokens, 0) > 0
+                THEN (1000 * a.info_sum) // a.n_tokens ELSE 0 END::BIGINT
+             AS mean_info_e3
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_unigram_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram surprisal (operators/quality.py
+    unigram_info_score) — the model-free perplexity-filter stand-in:
+    info(w) = floor(log2 T) - floor(log2 c_w), exact-integer arithmetic
+    (length(bin(n)) - 1) so the score is bit-identical cross-engine under
+    any partitioning. High mean = gibberish/OCR noise; near-zero =
+    boilerplate."""
+    from olake_spark.operators.quality import unigram_info_score
+
+    docs = table(spark, sf_dir, "documents")
+    return unigram_info_score(docs, "doc_id", "text")
+
+
+@register(
+    "leakage_safe_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET_SQL.format(
+               x="md5(" + _NORM + ") || 'content-split'")} <
+               {int(0.2 * _HS)} THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed train/test split (operators/sampling.py
+    split_by_fingerprint): the split key is md5 of normalized text, so
+    byte-identical duplicates can never straddle the split — id-keyed
+    splits leak n-1 copies of every duplicated document into eval."""
+    from olake_spark.operators.sampling import split_by_fingerprint
+
+    docs = table(spark, sf_dir, "documents")
+    return split_by_fingerprint(docs, "text", 0.2).select("doc_id", "split")

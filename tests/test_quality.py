@@ -125,3 +125,30 @@ def test_rare_token_ratio_flags_gibberish(spark):
     # cat/dog are rare (df=1) but shared words are not
     assert 0 < out[1].rare_ratio_e6 < 500_000
     assert out[4].n_tokens == 0 and out[4].rare_ratio_e6 == 0
+
+
+def test_unigram_info_exact_integer(spark):
+    from olake_spark.operators.quality import unigram_info_score
+
+    df = spark.createDataFrame(
+        [(1, "the the the rare"), (2, "the the"), (3, ""), (4, "   ")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in unigram_info_score(df, "doc_id", "text").collect()}
+    # corpus: the×5, rare×1 → T=6; info(the)=len(bin 6)-len(bin 5)=3-3=0,
+    # info(rare)=3-1=2
+    assert out[1]["n_tokens"] == 4 and out[1]["info_sum"] == 2
+    assert out[1]["mean_info_e3"] == 500  # (1000*2) div 4
+    assert out[2]["info_sum"] == 0 and out[2]["mean_info_e3"] == 0
+    # docs with no tokens survive with zeros, never drop
+    assert out[3]["n_tokens"] == 0 and out[3]["mean_info_e3"] == 0
+    assert out[4]["n_tokens"] == 0
+
+
+def test_unigram_info_partition_invariant(spark):
+    from olake_spark.operators.quality import unigram_info_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = unigram_info_score(docs.repartition(1), "doc_id", "text").collect()
+    b = unigram_info_score(docs.repartition(13), "doc_id", "text").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -77,3 +77,22 @@ def test_pii_counts_and_redaction(spark):
     assert red[2] == "nothing here"
     assert red[3] == "two mails [EMAIL] [EMAIL]"
     assert set(PII_PATTERNS) == {"email", "ipv4", "ssn", "phone"}
+
+
+def test_fingerprint_split_keeps_duplicates_together(spark):
+    from olake_spark.operators.sampling import split_by_fingerprint
+
+    rows = [(i, f"doc body {i % 7}  extra") for i in range(100)]  # 7 contents × ~14 dups
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = split_by_fingerprint(df, "text", 0.5).collect()
+    by_content = {}
+    for r in out:
+        by_content.setdefault(r["text"], set()).add(r["split"])
+    # every duplicated content lands entirely on one side
+    assert all(len(sides) == 1 for sides in by_content.values())
+    # whitespace normalization: differing spacing = same fingerprint
+    df2 = spark.createDataFrame(
+        [(1, "hello   world"), (2, " hello world ")], ["doc_id", "text"]
+    )
+    s = {r["doc_id"]: r["split"] for r in split_by_fingerprint(df2, "text", 0.5).collect()}
+    assert s[1] == s[2]
