@@ -29,7 +29,15 @@ from pyspark.sql import types as T
 from olake_spark.plans.filters import StreamFilter, parse_legacy_filter
 from olake_spark.typesys.naming import reformat_column_name
 
-__all__ = ["SyncMode", "StreamSpec", "StreamMetadata", "ConfiguredStream", "Catalog"]
+__all__ = [
+    "SyncMode",
+    "StreamSpec",
+    "StreamMetadata",
+    "ConfiguredStream",
+    "Catalog",
+    "generate_destination_details",
+    "merge_selected_columns",
+]
 
 
 class SyncMode(str, Enum):
@@ -40,6 +48,23 @@ class SyncMode(str, Enum):
 
 
 _MODE_PRIORITY = [SyncMode.CDC, SyncMode.INCREMENTAL, SyncMode.STRICT_CDC, SyncMode.FULL_REFRESH]
+
+
+def generate_destination_details(
+    namespace: str,
+    name: str,
+    source_database: str | None = None,
+    prefix: str = "",
+) -> tuple[str, str]:
+    """Default destination (database, table) for a discovered stream —
+    utils.GenerateDestinationDetails parity (utils/utils.go:421-444):
+    ``[prefix_]sourcedb[:namespace]`` (every part Reformat-normalized,
+    namespace attached after a ``:``), table = normalized stream name."""
+    parts = [reformat_column_name(p) for p in (prefix, source_database or "") if p]
+    db = "_".join(parts)
+    if namespace:
+        db = f"{db}:{reformat_column_name(namespace)}"
+    return db, reformat_column_name(name)
 
 
 @dataclass
@@ -55,6 +80,13 @@ class StreamSpec:
     source_defined_primary_key: list[str] = field(default_factory=list)
     available_cursor_fields: list[str] = field(default_factory=list)
     sync_mode: str = SyncMode.FULL_REFRESH.value
+    cursor_field: str = ""
+    # where the sink writes this stream (types/stream.go:33-35); empty =
+    # derive from namespace/name at sync time (generate_destination_details)
+    destination_database: str = ""
+    destination_table: str = ""
+    # connector-level defaults for normalization/append (types/stream.go:40)
+    default_stream_properties: dict | None = None
 
     @property
     def spark_schema(self) -> T.StructType:
@@ -94,6 +126,13 @@ class StreamSpec:
             if m.value in self.supported_sync_modes:
                 return m.value
         return SyncMode.FULL_REFRESH.value
+
+    def destination(self) -> tuple[str, str]:
+        """Effective sink (database, table): the explicit values when the
+        catalog carries them, else the normalized defaults."""
+        if self.destination_database or self.destination_table:
+            return self.destination_database, self.destination_table
+        return generate_destination_details(self.namespace, self.name)
 
 
 @dataclass
@@ -138,6 +177,37 @@ class StreamMetadata:
         if self.filter:
             return parse_legacy_filter(self.filter)
         return StreamFilter()
+
+
+def merge_selected_columns(
+    metadata: StreamMetadata,
+    old_spec: StreamSpec | None,
+    new_spec: StreamSpec,
+) -> StreamMetadata:
+    """Selected-column re-merge on rediscover — MergeSelectedColumns parity
+    (types/catalog.go:174-208): no previous selection → select the full new
+    schema; otherwise iterate the NEW schema keeping engine (_olake_*/_cdc_*)
+    columns, previously selected columns, and — when ``sync_new_columns`` —
+    columns absent from the old schema. A column that vanished from the
+    source drops out automatically (the iteration is over the new schema)."""
+    from dataclasses import replace
+
+    from olake_spark.functions.olake_columns import CDC_TS, OLAKE_COLUMNS
+
+    new_cols = list(new_spec.spark_schema.fieldNames())
+    if not metadata.selected_columns:
+        return replace(metadata, selected_columns=new_cols)
+    engine_cols = set(OLAKE_COLUMNS) | {CDC_TS, "_cdc_lsn"}
+    prev = set(metadata.selected_columns)
+    old_cols = set(old_spec.spark_schema.fieldNames()) if old_spec else set()
+    kept = [
+        c
+        for c in new_cols
+        if c in engine_cols
+        or c in prev
+        or (metadata.sync_new_columns and c not in old_cols)
+    ]
+    return replace(metadata, selected_columns=kept)
 
 
 @dataclass
@@ -190,11 +260,29 @@ class Catalog:
             ],
         )
 
+    def _dest_db_prefix(self) -> tuple[bool, str]:
+        """(constant_value, prefix) over the catalog's destination dbs —
+        getDestDBPrefix parity (types/catalog.go:224-239): if every stream
+        shares the same pre-``:`` segment, new streams inherit it (a bare
+        constant when no ``:`` is present, else ``prefix:namespace``)."""
+        if not self.streams:
+            return False, ""
+        head = self.streams[0].stream.destination_database.split(":")[0]
+        for cs in self.streams:
+            if cs.stream.destination_database.split(":")[0] != head:
+                return False, ""
+        constant = ":" not in self.streams[0].stream.destination_database
+        return constant, head
+
     def merge_rediscovered(self, fresh: Catalog) -> Catalog:
-        """Merge a re-discover against this catalog (types/catalog.go:101-160):
-        keep user metadata and chosen sync modes for streams that still
-        exist, adopt fresh schemas, add new streams, drop vanished ones."""
+        """Merge a re-discover against this catalog (types/catalog.go:101-172):
+        keep user metadata, chosen sync modes, cursor fields, PKs, and
+        destination naming for streams that still exist, adopt fresh
+        schemas, add new streams (inheriting the catalog's destination-db
+        prefix scheme, NOT auto-selected), drop vanished ones. Selected
+        columns re-merge per MergeSelectedColumns (catalog.go:174-208)."""
         by_key = {(cs.stream.namespace, cs.stream.name): cs for cs in self.streams}
+        constant, prefix = self._dest_db_prefix()
         merged: list[ConfiguredStream] = []
         for cs in fresh.streams:
             key = (cs.stream.namespace, cs.stream.name)
@@ -202,12 +290,33 @@ class Catalog:
                 old = by_key[key]
                 cs = ConfiguredStream(cs.stream, old.metadata)
                 cs.stream.sync_mode = old.stream.sync_mode
+                cs.stream.cursor_field = old.stream.cursor_field
+                cs.stream.source_defined_primary_key = list(
+                    old.stream.source_defined_primary_key
+                )
+                cs.stream.destination_database = old.stream.destination_database
+                cs.stream.destination_table = old.stream.destination_table
+            elif constant:
+                cs.stream.destination_database = (
+                    self.streams[0].stream.destination_database
+                )
+            elif prefix:
+                cs.stream.destination_database = (
+                    f"{prefix}:{reformat_column_name(cs.stream.namespace)}"
+                )
             merged.append(cs)
-        fresh_keys = {(cs.stream.namespace, cs.stream.name) for cs in fresh.streams}
-        selected = {
-            ns: [m for m in metas if (ns, m.stream_name) in fresh_keys]
-            for ns, metas in self.selected_streams.items()
-        }
+        fresh_by_key = {(cs.stream.namespace, cs.stream.name): cs for cs in fresh.streams}
+        selected: dict[str, list[StreamMetadata]] = {}
+        for ns, metas in self.selected_streams.items():
+            for m in metas:
+                key = (ns, m.stream_name)
+                if key not in fresh_by_key:
+                    continue
+                old_cs = by_key.get(key)
+                m = merge_selected_columns(
+                    m, old_cs.stream if old_cs else None, fresh_by_key[key].stream
+                )
+                selected.setdefault(ns, []).append(m)
         return Catalog(selected_streams=selected, streams=merged)
 
     def diff(self, other: Catalog) -> dict:
@@ -251,8 +360,11 @@ class Catalog:
                 else:
                     cursor_delta = (
                         new_cs.stream.sync_mode == SyncMode.INCREMENTAL.value
-                        and old_cs.stream.available_cursor_fields
-                        != new_cs.stream.available_cursor_fields
+                        and (
+                            old_cs.stream.cursor_field != new_cs.stream.cursor_field
+                            or old_cs.stream.available_cursor_fields
+                            != new_cs.stream.available_cursor_fields
+                        )
                     )
                     changed = (
                         old_meta.normalization != new_meta.normalization
@@ -262,6 +374,12 @@ class Catalog:
                         or old_meta.append_mode != new_meta.append_mode
                         or old_meta.use_source_column_names != new_meta.use_source_column_names
                         or old_cs.stream.sync_mode != new_cs.stream.sync_mode
+                        # destination renames re-sync the stream
+                        # (types/catalog.go:322-323)
+                        or old_cs.stream.destination_database
+                        != new_cs.stream.destination_database
+                        or old_cs.stream.destination_table
+                        != new_cs.stream.destination_table
                         or cursor_delta
                     )
                 if changed:

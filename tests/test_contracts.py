@@ -205,3 +205,137 @@ def test_streams_delta_new_stream_and_artifact(tmp_path):
     # the artifact is a loadable catalog document
     reloaded = Catalog.from_json(open(path).read())
     assert [cs.stream.name for cs in reloaded.streams] == ["events"]
+
+
+def test_generate_destination_details():
+    from olake_spark.plans.stream import generate_destination_details
+
+    assert generate_destination_details("Public", "My-Table", "AppDB") == (
+        "appdb:public",
+        "my_table",
+    )
+    assert generate_destination_details("", "T", None, prefix="lake") == ("lake", "t")
+    # no prefix, no source db: db is just the namespace marker
+    assert generate_destination_details("ns", "t") == (":ns", "t")
+
+
+def test_merge_preserves_destination_and_cursor():
+    from olake_spark.plans.stream import (
+        Catalog,
+        ConfiguredStream,
+        StreamMetadata,
+        StreamSpec,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("a", T.LongType())]).jsonValue()
+    old = Catalog(
+        streams=[
+            ConfiguredStream(
+                StreamSpec(
+                    "t1", "ns", schema, sync_mode="incremental",
+                    cursor_field="a", source_defined_primary_key=["a"],
+                    destination_database="lake:ns", destination_table="t1_renamed",
+                ),
+                StreamMetadata("t1", "ns"),
+            )
+        ],
+        selected_streams={"ns": [StreamMetadata("t1", "ns")]},
+    )
+    fresh = Catalog(
+        streams=[
+            ConfiguredStream(StreamSpec("t1", "ns", schema), StreamMetadata("t1", "ns")),
+            ConfiguredStream(StreamSpec("t2", "ns2", schema), StreamMetadata("t2", "ns2")),
+        ]
+    )
+    merged = old.merge_rediscovered(fresh)
+    by = {(c.stream.namespace, c.stream.name): c.stream for c in merged.streams}
+    t1 = by[("ns", "t1")]
+    assert t1.cursor_field == "a"
+    assert t1.source_defined_primary_key == ["a"]
+    assert (t1.destination_database, t1.destination_table) == ("lake:ns", "t1_renamed")
+    # new stream inherits the prefix scheme: lake:<its namespace>
+    assert by[("ns2", "t2")].destination_database == "lake:ns2"
+    # new streams are NOT auto-selected
+    assert "ns2" not in merged.selected_streams
+
+
+def test_merge_constant_destination_db():
+    from olake_spark.plans.stream import Catalog, ConfiguredStream, StreamMetadata, StreamSpec
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("a", T.LongType())]).jsonValue()
+    old = Catalog(
+        streams=[
+            ConfiguredStream(
+                StreamSpec("t1", "ns", schema, destination_database="warehouse"),
+                StreamMetadata("t1", "ns"),
+            )
+        ]
+    )
+    fresh = Catalog(
+        streams=[
+            ConfiguredStream(StreamSpec("t1", "ns", schema), StreamMetadata("t1", "ns")),
+            ConfiguredStream(StreamSpec("t9", "zz", schema), StreamMetadata("t9", "zz")),
+        ]
+    )
+    merged = old.merge_rediscovered(fresh)
+    by = {c.stream.name: c.stream for c in merged.streams}
+    # constant (un-prefixed) destination db propagates verbatim to new streams
+    assert by["t9"].destination_database == "warehouse"
+
+
+def test_merge_selected_columns_rules():
+    from olake_spark.plans.stream import StreamMetadata, StreamSpec, merge_selected_columns
+    from pyspark.sql import types as T
+
+    def spec(cols):
+        return StreamSpec(
+            "t", "ns",
+            T.StructType([T.StructField(c, T.StringType()) for c in cols]).jsonValue(),
+        )
+
+    old = spec(["a", "b", "_olake_id"])
+    new = spec(["a", "b", "c", "_olake_id"])
+    # no previous selection: everything in the new schema
+    m0 = merge_selected_columns(StreamMetadata("t", "ns"), old, new)
+    assert set(m0.selected_columns) == {"a", "b", "c", "_olake_id"}
+    # previous selection + sync_new_columns: keep a, add the new c, always
+    # keep engine columns; the un-selected b stays out
+    m1 = merge_selected_columns(
+        StreamMetadata("t", "ns", selected_columns=["a"], sync_new_columns=True), old, new
+    )
+    assert set(m1.selected_columns) == {"a", "c", "_olake_id"}
+    # sync_new_columns off: new column c is NOT adopted
+    m2 = merge_selected_columns(
+        StreamMetadata("t", "ns", selected_columns=["a"], sync_new_columns=False), old, new
+    )
+    assert set(m2.selected_columns) == {"a", "_olake_id"}
+    # a selected column that vanished from the source drops out
+    m3 = merge_selected_columns(
+        StreamMetadata("t", "ns", selected_columns=["a", "gone"], sync_new_columns=False),
+        old, spec(["a", "_olake_id"]),
+    )
+    assert set(m3.selected_columns) == {"a", "_olake_id"}
+
+
+def test_delta_on_destination_rename():
+    from olake_spark.plans.stream import Catalog, ConfiguredStream, StreamMetadata, StreamSpec
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("a", T.LongType())]).jsonValue()
+
+    def cat(dest_table):
+        return Catalog(
+            streams=[
+                ConfiguredStream(
+                    StreamSpec("t1", "ns", schema, destination_table=dest_table),
+                    StreamMetadata("t1", "ns"),
+                )
+            ],
+            selected_streams={"ns": [StreamMetadata("t1", "ns")]},
+        )
+
+    delta = cat("t1").streams_delta(cat("t1_v2"))
+    assert [c.stream.name for c in delta.streams] == ["t1"]
+    assert cat("t1").streams_delta(cat("t1")).streams == []

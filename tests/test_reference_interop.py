@@ -136,3 +136,20 @@ def test_reference_state_resume_cycle(tmp_path):
     # planner must NOT re-plan: pending chunks already exist
     got = back.get_or_plan_chunks(stream, planner=lambda: [Chunk("0", "1")])
     assert len(got) == len(before) - 1
+
+
+@pytest.mark.parametrize("path", _streams_fixtures(), ids=_driver)
+def test_reference_destination_fields_load(path):
+    raw = open(path).read()
+    cat = Catalog.from_json(raw)
+    doc = json.loads(raw)
+    for cs, ref in zip(cat.streams, doc["streams"]):
+        assert cs.stream.destination_database == ref["stream"]["destination_database"]
+        assert cs.stream.destination_table == ref["stream"]["destination_table"]
+        assert cs.stream.destination() == (
+            ref["stream"]["destination_database"],
+            ref["stream"]["destination_table"],
+        )
+        dsp = ref["stream"].get("default_stream_properties")
+        if dsp is not None:
+            assert cs.stream.default_stream_properties == dsp
