@@ -219,6 +219,19 @@ class ConfiguredStream:
         return reformat_column_name(source_name, self.metadata.use_source_column_names)
 
 
+def _default_metadata(s: dict) -> dict:
+    """Metadata for a stream entry that carries none: connector-level
+    ``default_stream_properties`` (types/stream.go:40-43) seed the
+    normalization / append_mode defaults."""
+    meta = dict(s.get("metadata") or {"stream_name": s["stream"].get("name", "")})
+    dsp = (s.get("stream") or {}).get("default_stream_properties") or {}
+    if "normalization" in dsp:
+        meta.setdefault("normalization", dsp["normalization"])
+    if "append_mode" in dsp:
+        meta.setdefault("append_mode", dsp["append_mode"])
+    return meta
+
+
 @dataclass
 class Catalog:
     """The streams.json document: selected streams + full stream list."""
@@ -251,10 +264,7 @@ class Catalog:
             streams=[
                 ConfiguredStream(
                     StreamSpec.from_dict(s["stream"]),
-                    StreamMetadata.from_dict(
-                        s.get("metadata")
-                        or {"stream_name": s["stream"].get("name", "")}
-                    ),
+                    StreamMetadata.from_dict(_default_metadata(s)),
                 )
                 for s in doc.get("streams", [])
             ],

@@ -46,6 +46,17 @@ class SyncResult:
 
 
 def _dest_table(spark: SparkSession, dest_dir: str, cs: ConfiguredStream) -> ManagedTable:
+    """Destination resolution: an explicit catalog destination wins — its
+    database maps to a directory level per ``:``-separated segment (the
+    reference's ``prefix:namespace`` scheme) and the table names the leaf.
+    Without one, the legacy flat ``namespace__name`` layout applies."""
+    db, tbl = cs.stream.destination_database, cs.stream.destination_table
+    if db or tbl:
+        from olake_spark.typesys.naming import reformat_column_name
+
+        parts = [p for p in db.split(":") if p] if db else []
+        leaf = tbl or reformat_column_name(cs.stream.name)
+        return ManagedTable(spark, os.path.join(dest_dir, *parts, leaf))
     name = f"{cs.stream.namespace + '__' if cs.stream.namespace else ''}{cs.stream.name}"
     return ManagedTable(spark, os.path.join(dest_dir, name))
 

@@ -110,3 +110,60 @@ def test_cli_verbs(spark, tmp_path, capsys):
         == 0
     )
     assert '"cleared": ["events"]' in capsys.readouterr().out
+
+
+def test_sync_honors_catalog_destination(spark, tmp_path):
+    """An explicit destination_database/table routes the sink path:
+    prefix:namespace becomes directory levels, the table names the leaf."""
+    import pyspark.sql.functions as F
+
+    from olake_spark.plans.stream import (
+        Catalog,
+        ConfiguredStream,
+        StreamMetadata,
+        StreamSpec,
+    )
+    from olake_spark.plans.state import SyncState
+    from olake_spark.sync import sync_stream
+
+    df = spark.range(5).select(F.col("id").alias("pk"), F.lit("x").alias("v"))
+    cs = ConfiguredStream(
+        StreamSpec(
+            "Orders", "public",
+            df.schema.jsonValue(),
+            source_defined_primary_key=["pk"],
+            destination_database="lake:public",
+            destination_table="orders_v2",
+        ),
+        StreamMetadata("Orders", "public"),
+    )
+    res = sync_stream(spark, cs, df, str(tmp_path / "dest"), SyncState())
+    assert res.rows == 5
+    from olake_spark.sinks.table import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "dest" / "lake" / "public" / "orders_v2"))
+    assert t.exists() and t.read().count() == 5
+
+
+def test_default_stream_properties_seed_metadata():
+    from olake_spark.plans.stream import Catalog
+
+    doc = {
+        "streams": [
+            {
+                "stream": {
+                    "name": "t",
+                    "namespace": "ns",
+                    "default_stream_properties": {
+                        "normalization": False,
+                        "append_mode": True,
+                    },
+                }
+            }
+        ]
+    }
+    import json
+
+    cat = Catalog.from_json(json.dumps(doc))
+    m = cat.streams[0].metadata
+    assert m.normalization is False and m.append_mode is True
