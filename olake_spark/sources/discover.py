@@ -79,6 +79,9 @@ def discover_directory(
         modes = [SyncMode.FULL_REFRESH.value]
         if cursors:
             modes.append(SyncMode.INCREMENTAL.value)
+        from olake_spark.plans.stream import generate_destination_details
+
+        dest_db, dest_tbl = generate_destination_details(namespace, name)
         spec = StreamSpec(
             name=name,
             namespace=namespace,
@@ -86,6 +89,8 @@ def discover_directory(
             supported_sync_modes=modes,
             source_defined_primary_key=pks,
             available_cursor_fields=cursors,
+            destination_database=dest_db,
+            destination_table=dest_tbl,
         )
         spec.sync_mode = spec.default_sync_mode()
         streams.append(

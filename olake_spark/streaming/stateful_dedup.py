@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["stream_dedup_first_wins"]
+__all__ = ["stream_dedup_first_wins", "stream_dedup_first_wins_tws"]
 
 _STATE_SCHEMA = T.StructType([T.StructField("seen", T.LongType())])
 
@@ -72,6 +72,80 @@ def stream_dedup_first_wins(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = "olake_stream_dedup"
+    (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
+def stream_dedup_first_wins_tws(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    key_col: str,
+    checkpoint_dir: str,
+    ttl_ms: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``transformWithStateInPandas`` form of first-wins dedup — the Spark 4
+    arbitrary-state API whose per-state TTL makes the bounded-state story
+    real: with ``ttl_ms`` set to the redelivery window, state size is
+    bounded by keys seen within the TTL instead of all keys ever (the same
+    bounded-overlap reasoning as the reference's dedup-inserts window,
+    drivers/abstract/cdc.go:117-136). Semantics identical to
+    ``stream_dedup_first_wins``; state layout identical (one row per key).
+
+    Env note: the transformWithState Python worker speaks protobuf to the
+    JVM state server — requires ``google.protobuf`` on the Python path and
+    the RocksDB state store provider (set below). Tests skip, never fake,
+    where protobuf is absent.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    cols = [f.name for f in schema.fields]
+
+    class _FirstWins(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", "seen LONG", ttl_ms)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._seen.exists():
+                return
+            for pdf in rows:
+                if len(pdf):
+                    self._seen.update((1,))
+                    yield pdf.iloc[[0]][cols]
+                    return
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider (the
+    # HDFS-backed default does not implement multiple column families)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+    deduped = stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_FirstWins(),
+        outputStructType=schema,
+        outputMode="append",
+        timeMode="processingTime" if ttl_ms is not None else "none",
+    )
+    name = "olake_stream_dedup_tws"
     (
         deduped.writeStream.outputMode("append")
         .format("memory")

@@ -123,3 +123,45 @@ def test_fold_is_order_independent(ts):
         assert fold_types(list(perm)) == base
     # folding in the result is a no-op (monotone upper bound)
     assert fold_types(ts + [base]) == base
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(41, 60),
+)
+def test_connected_components_matches_union_find(spark, edges, n_nodes):
+    """Spark min-label propagation == a reference union-find on random
+    graphs: same partition of nodes, labels = min member id."""
+    from olake_spark.operators.dedup import connected_components
+
+    # reference: union-find with min-id labels
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n_nodes)}
+
+    ids = spark.createDataFrame([(i,) for i in range(n_nodes)], ["doc_id"])
+    pair_rows = [(a, b) for a, b in edges if a != b]
+    if pair_rows:
+        pairs = spark.createDataFrame(pair_rows, ["id_a", "id_b"])
+    else:
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(ids, pairs).collect()
+    }
+    assert got == expected
