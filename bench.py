@@ -38,11 +38,28 @@ import pandas as pd  # module-level: the warm-up UDF's type hints resolve here
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
+    # light scan/window/join queries first: they are sub-second and
+    # sensitive to heap pressure, so they run before anything that caches
+    # wide relations or leans on GC
     "incremental_cursor_scan",
     "chunk_plan_numeric",
     "cdc_merge_replay",
+    "events_sessionize",
+    "events_windowed_agg",
+    "asof_join_last_order",
+    "range_join_ship_window",
+    "reformat_values",
+    "schema_evolution_widen",
+    "partition_transforms",
     "text_quality_score",
     "text_lang_id",
+    "multimodal_features",
+    "pack_sequences",
+    # decode family (Arrow/mapPartitions Python) next
+    "mysql_binlog_wire_decode",
+    "kafka_registry_decode",
+    "pgoutput_binary_decode",
+    # cache-heavy dedup/similarity block
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -50,22 +67,10 @@ BENCH_QUERIES = [
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
-    "events_sessionize",
     "embedding_near_dup_pairs",
-    "multimodal_features",
-    "reformat_values",
-    "schema_evolution_widen",
-    "partition_transforms",
-    "asof_join_last_order",
-    "range_join_ship_window",
-    "events_windowed_agg",
-    "mysql_binlog_wire_decode",
-    "kafka_registry_decode",
-    "pgoutput_binary_decode",
-    "pack_sequences",
     "curation_pipeline",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
-    # into the Python-decode timings
+    # into anything else
     "dedup_minhash_clusters",
 ]
 
