@@ -32,6 +32,7 @@ __all__ = [
     "split_train_test",
     "mixture_weighted_sample",
     "split_by_fingerprint",
+    "mixture_by_tokens",
 ]
 
 HASH_SPACE = 16**15  # 60-bit md5 prefix
@@ -157,3 +158,51 @@ def split_by_fingerprint(
     fp = F.md5(normalize_text(F.col(text_col)))
     is_test = hash_bucket(fp, salt) < _threshold(test_fraction)
     return df.withColumn("split", F.when(is_test, "test").otherwise("train"))
+
+
+def mixture_by_tokens(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    salt: str = "mixtok",
+) -> DataFrame:
+    """``mixture_weighted_sample`` with TOKEN budgets instead of row counts —
+    what a pretraining mix actually targets: weights describe each source's
+    share of the token stream, and a source of long documents must
+    contribute fewer documents for the same share.
+
+    Per-stratum mass ``n_s`` = Σ token counts; the largest achievable corpus
+    holds ``C = min_s(n_s / w_s)`` tokens and each stratum keeps fraction
+    ``f_s = min(1, w_s · C / n_s)`` of its token mass. Documents stay the
+    sampling unit (a doc is kept or dropped whole, decided by key hash), and
+    because the keep decision is independent of length the retained token
+    mass converges to ``f_s · n_s`` in expectation. Same scale shape as the
+    row-count form: one map-side-combinable aggregation, fraction arithmetic
+    in-plan, broadcast join + codegen filter — the scan never shuffles.
+    """
+    from olake_spark.operators.text import tokens
+
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in weights.items()],
+        f"`{strata_col}` string, _mix_wt double",
+    )
+    tok = F.size(tokens(F.col(text_col))).cast("long")
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.sum(tok).alias("_mix_n"))
+        .join(wdf, strata_col)
+    )
+    cap = F.min(F.col("_mix_n") / F.col("_mix_wt")).over(W.partitionBy())
+    fractions = counts.select(
+        strata_col,
+        F.least(F.lit(1.0), F.col("_mix_wt") * cap / F.col("_mix_n")).alias("_mix_f"),
+    )
+    thr = F.floor(F.col("_mix_f") * F.lit(float(HASH_SPACE))).cast("long")
+    return (
+        df.join(F.broadcast(fractions), strata_col)
+        .filter(hash_bucket(F.col(key_col), salt) < thr)
+        .drop("_mix_f")
+    )

@@ -197,9 +197,15 @@ def pack_file_groups(
 
 
 def _render_value(v: object) -> str:
+    import decimal
+
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
-    return repr(v)
+    if isinstance(v, bool):  # before int: bool is an int subclass and
+        return "TRUE" if v else "FALSE"  # repr() would emit Python's True
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
 
 
 def chunks_to_predicates(column: str, chunks: Sequence[Chunk]) -> list[str]:

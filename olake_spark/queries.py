@@ -1631,6 +1631,7 @@ _GATE_TAIL = [
     "doc_fingerprint",
     "projection_selected_columns",
     "filter_structured_and",
+    "chunk_plan_numeric",
 ]
 
 

@@ -1406,3 +1406,38 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return split_by_fingerprint(docs, "text", 0.2).select("doc_id", "split")
+
+
+def _mixture_tokens_oracle() -> str:
+    values = ", ".join(f"('{s}', {w!r})" for s, w in _MIX_WEIGHTS.items())
+    return f"""
+    WITH wts(lang, wt) AS (VALUES {values}),
+    counts AS (
+      SELECT lang, sum(len({_TOKS}))::DOUBLE AS n FROM documents GROUP BY lang
+    ), j AS (
+      SELECT c.lang, c.n, w.wt FROM counts c JOIN wts w USING (lang)
+    ), cap AS (SELECT min(n / wt) AS c FROM j),
+    fr AS (
+      SELECT lang, least(1.0, wt * (SELECT c FROM cap) / n) AS f FROM j
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN fr ON d.lang = fr.lang
+    WHERE {_BUCKET_SQL.format(x="d.doc_id::VARCHAR || 'mixtok'")} <
+          CAST(floor(f * {float(_HS)!r}) AS BIGINT)
+    """
+
+
+@register("mixture_token_weighted", _mixture_tokens_oracle())
+def mixture_token_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (operators/sampling.py
+    mixture_by_tokens) — what a pretraining mix actually targets: weights
+    describe each source's share of the TOKEN stream, so long-document
+    sources contribute fewer documents for the same share. Per-stratum
+    token-mass aggregation + in-plan fraction arithmetic + broadcast join;
+    the scan never shuffles."""
+    from olake_spark.operators.sampling import mixture_by_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    return mixture_by_tokens(docs, "doc_id", "lang", "text", _MIX_WEIGHTS).select(
+        "doc_id", "lang"
+    )

@@ -96,3 +96,27 @@ def test_fingerprint_split_keeps_duplicates_together(spark):
     )
     s = {r["doc_id"]: r["split"] for r in split_by_fingerprint(df2, "text", 0.5).collect()}
     assert s[1] == s[2]
+
+
+def test_mixture_by_tokens_respects_token_budgets(spark):
+    from pyspark.sql import functions as F
+
+    from olake_spark.operators.sampling import mixture_by_tokens
+
+    # stratum "long" has 10x the tokens per doc of "short"; equal token
+    # weights must therefore keep ~10x fewer long docs than a row-count mix
+    rows = [(i, "long", "tok " * 100) for i in range(200)] + [
+        (i + 1000, "short", "tok") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = mixture_by_tokens(df, "doc_id", "lang", "text", {"long": 0.5, "short": 0.5})
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # short is the binding stratum (fewest tokens/weight): kept in full
+    assert kept.get("short", 0) == 200
+    # long keeps ~1/100 of its docs to match short's token mass (200 tokens)
+    assert 0 < kept.get("long", 0) <= 12
+    # determinism: rerun identical
+    again = mixture_by_tokens(df, "doc_id", "lang", "text", {"long": 0.5, "short": 0.5})
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
