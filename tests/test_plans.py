@@ -27,6 +27,7 @@ _CROSS_OK = {
     "bm25_keyword_scores",
     "audit_referential",  # 1-row agg x 1-row orphan count per relation
     "text_rare_token_ratio",  # 1-row corpus-count broadcast (lazy threshold)
+    "text_unigram_info",  # 1-row total-token-count broadcast
 }
 
 
@@ -139,3 +140,19 @@ def test_pack_sequences_single_shard_shuffle_no_python(spark):
     plan = _plan(spark, "pack_sequences")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_tokens_filter_side_broadcasts(spark):
+    # token-weighted form keeps the row-count form's shape: fraction
+    # relation broadcasts, the corpus scan never shuffles for the join
+    plan = _plan(spark, "mixture_token_weighted")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_unigram_info_no_python_eval(spark):
+    # surprisal scoring is pure built-ins: token explode, two aggregations,
+    # a broadcast 1-row total — no Python evaluation anywhere
+    plan = _plan(spark, "text_unigram_info")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
