@@ -49,6 +49,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "connected_components",
     "keep_canonical",
+    "drop_duplicate_lines",
 ]
 
 HASH_PRIME = 1_000_000_007
@@ -443,4 +444,69 @@ def ngram_jaccard_pairs(
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def drop_duplicate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_line_df: int = 2,
+) -> DataFrame:
+    """Sub-document dedup (the CCNet/C4 boilerplate pass): drop every LINE
+    that appears in more than ``max_line_df`` distinct documents, then
+    reassemble each document from its surviving lines in order. Doc-level
+    dedup can't touch this — navigation chrome, cookie banners, and footer
+    text recur across *different* pages that are otherwise unique.
+
+    Line identity = trimmed+lowercased content; blank lines are never
+    counted (they'd always be "hot") and survive reassembly untouched.
+    Scale shape mirrors ``ngram_jaccard_pairs``'s df cap: one
+    explode+distinct aggregation for line document-frequency, the hot set
+    (bounded by total-lines / max_line_df — the Zipf head) broadcasts into
+    a LEFT ANTI join, and reassembly is one groupBy with an in-group sort —
+    the corpus shuffles twice, never joins itself. Output: (id, text,
+    n_lines, n_dropped).
+    """
+    norm = F.trim(F.lower(F.col("line")))
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    ).withColumn("_k", norm)
+    counted = F.col("_k") != ""
+    line_df = (
+        lines.filter(counted)
+        .select(id_col, "_k")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    hot = line_df.filter(F.col("_df") > max_line_df).select("_k")
+    kept = lines.join(
+        F.broadcast(hot).withColumn("_hot", F.lit(True)), "_k", "left"
+    ).filter(F.col("_hot").isNull() | ~counted)
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_pl"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            id_col,
+            F.array_join(F.expr("transform(_pl, s -> s.line)"), "\n").alias(text_col),
+            F.col("n_lines").cast("long"),
+        )
+    )
+    total = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), "\n")).cast("long").alias("_tot")
+    )
+    return (
+        total.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+            (F.col("_tot") - F.coalesce(F.col("n_lines"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
     )

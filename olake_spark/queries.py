@@ -1632,6 +1632,7 @@ _GATE_TAIL = [
     "projection_selected_columns",
     "filter_structured_and",
     "chunk_plan_numeric",
+    "sample_stratified",
 ]
 
 

@@ -1441,3 +1441,63 @@ def mixture_token_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_by_tokens(docs, "doc_id", "lang", "text", _MIX_WEIGHTS).select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "dedup_line_level",
+    f"""
+    WITH lined AS (
+      SELECT doc_id,
+             text || chr(10) || 'Subscribe to our newsletter' || chr(10) ||
+             CASE WHEN doc_id % 3 = 0 THEN 'Cookie policy applies'
+                  ELSE 'unique line ' || doc_id::VARCHAR END AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined)
+    ),
+    keyed AS (SELECT doc_id, pos, line, trim(lower(line)) AS k FROM lines),
+    ldf AS (
+      SELECT k, count(*) AS dfc
+      FROM (SELECT DISTINCT doc_id, k FROM keyed WHERE k <> '') GROUP BY k
+    ),
+    hot AS (SELECT k FROM ldf WHERE dfc > 2),
+    kept AS (
+      SELECT doc_id, pos, line FROM keyed
+      WHERE k = '' OR k NOT IN (SELECT k FROM hot)
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             count(*) AS n_lines
+      FROM kept GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+           COALESCE(r.text, '') AS text,
+           COALESCE(r.n_lines, 0)::BIGINT AS n_lines,
+           (len(string_split(l.text, chr(10))) - COALESCE(r.n_lines, 0))::BIGINT
+             AS n_dropped
+    FROM lined l LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate removal (operators/dedup.py
+    drop_duplicate_lines — the CCNet/C4 line-dedup pass): lines recurring in
+    > max_line_df distinct documents are dropped and each document is
+    reassembled from its surviving lines in order. The fixture corpus is
+    single-line, so the query deterministically appends one corpus-wide
+    boilerplate line (always dropped), a 1-in-3 shared line (dropped), and
+    a per-doc unique line (kept) before applying the operator."""
+    docs = table(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("Subscribe to our newsletter"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("Cookie policy applies")).otherwise(
+                F.concat(F.lit("unique line "), F.col("doc_id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    return dd.drop_duplicate_lines(lined, "doc_id", "text", max_line_df=2)

@@ -261,3 +261,29 @@ def test_keep_canonical(spark):
     clusters = dd.connected_components(docs.select("doc_id"), pairs)
     kept = sorted(r.doc_id for r in dd.keep_canonical(docs, clusters).collect())
     assert kept == [0, 1, 2, 4]  # 3 and 5 fold into cluster 0
+
+
+def test_drop_duplicate_lines_semantics(spark):
+    from olake_spark.operators.dedup import drop_duplicate_lines
+
+    boiler = "Subscribe Now"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one\n{boiler}\n\nbody 1"),
+            (2, f"beta two\n{boiler}\nbody 2"),
+            (3, f"gamma three\nsubscribe now \nbody 3"),  # case/space variant
+            (4, ""),  # empty doc survives as empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           drop_duplicate_lines(docs, "doc_id", "text", max_line_df=2).collect()}
+    # the boilerplate line appears in 3 docs (normalized) -> dropped everywhere
+    assert out[1]["text"] == "alpha one\n\nbody 1"  # blank line untouched
+    assert out[2]["text"] == "beta two\nbody 2"
+    assert out[3]["text"] == "gamma three\nbody 3"
+    assert out[1]["n_dropped"] == 1 and out[3]["n_dropped"] == 1
+    # empty doc: its single empty "line" is never counted, never dropped
+    assert out[4]["text"] == "" and out[4]["n_dropped"] == 0
+    # unique lines keep their relative order
+    assert out[1]["text"].splitlines()[0] == "alpha one"
