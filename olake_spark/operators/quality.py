@@ -45,6 +45,7 @@ __all__ = [
     "repetition_stats",
     "rare_token_ratio",
     "unigram_info_score",
+    "gopher_quality_flags",
 ]
 
 # GPT-2-style pretokenizer classes, simplified to the RE2-compatible subset
@@ -270,3 +271,58 @@ def unigram_info_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).otherwise(F.lit(0)).cast("long"),
         )
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The Gopher corpus-filter rule set (Rae et al. 2021, §A1.1) as
+    per-document boolean flags plus the combined verdict.
+
+    Every threshold compares EXACT INTEGERS (``10·symbols ≤ words`` instead
+    of ``symbols/words ≤ 0.1``), so the flags are bit-identical in any
+    engine under any partitioning — no float ratio ever materializes.
+    Mean word length uses total-non-space-chars / words (identical to the
+    per-token sum for whitespace tokenization, far cheaper than a
+    higher-order fold). Single projection + one pass; no joins, no shuffle
+    beyond the scan.
+
+    Rules: 50 ≤ words ≤ 100000; 3 ≤ mean word length ≤ 10; hash/ellipsis
+    symbol-to-word ratio ≤ 0.1; ≥ 80% of words contain a letter; ≥ 2
+    distinct stop words present.
+    """
+    from olake_spark.operators.text import tokens
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks).cast("long")
+    # chars excluding separators == Σ len(token) for whitespace tokens
+    char_sum = (F.length(norm) - (n_words - 1)).cast("long")
+    hashes = F.length(norm) - F.length(F.replace(norm, F.lit("#"), F.lit("")))
+    ellipses = (
+        F.length(norm) - F.length(F.replace(norm, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbols = (hashes + ellipses).cast("long")
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    ).cast("long")
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mean_word_len": (char_sum >= 3 * n_words) & (char_sum <= 10 * n_words),
+        "ok_symbol_ratio": (10 * symbols) <= n_words,
+        "ok_alpha_words": (5 * alpha_words) >= (4 * n_words),
+        "ok_stopwords": stops >= 2,
+    }
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        *[v.alias(k) for k, v in flags.items()],
+    )
+    passes = None
+    for k in flags:
+        passes = F.col(k) if passes is None else (passes & F.col(k))
+    return out.withColumn("passes_gopher", passes)

@@ -1633,6 +1633,7 @@ _GATE_TAIL = [
     "filter_structured_and",
     "chunk_plan_numeric",
     "sample_stratified",
+    "embedding_quantize_int8",
 ]
 
 

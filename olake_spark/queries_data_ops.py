@@ -1501,3 +1501,48 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return dd.drop_duplicate_lines(lined, "doc_id", "text", max_line_df=2)
+
+
+@register(
+    "text_gopher_rules",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_words,
+             (length(norm) - (len(toks) - 1))::BIGINT AS char_sum,
+             (length(norm) - length(replace(norm, '#', '')))::BIGINT AS hashes,
+             ((length(norm) - length(replace(norm, '...', ''))) / 3)::BIGINT
+               AS ellipses,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT
+               AS alpha_words,
+             len(list_intersect(list_distinct(toks),
+                 ['the','be','to','of','and','that','have','with']))::BIGINT
+               AS stops
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (char_sum >= 3 * n_words AND char_sum <= 10 * n_words)
+             AS ok_mean_word_len,
+           (10 * (hashes + ellipses)) <= n_words AS ok_symbol_ratio,
+           (5 * alpha_words) >= (4 * n_words) AS ok_alpha_words,
+           stops >= 2 AS ok_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (char_sum >= 3 * n_words AND char_sum <= 10 * n_words)
+            AND ((10 * (hashes + ellipses)) <= n_words)
+            AND ((5 * alpha_words) >= (4 * n_words))
+            AND (stops >= 2)) AS passes_gopher
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher corpus-filter rule set (operators/quality.py
+    gopher_quality_flags): word-count bounds, mean word length, symbol
+    ratio, alphabetic-word fraction, stop-word presence — every threshold
+    an exact-integer comparison, so flags are bit-identical cross-engine."""
+    from olake_spark.operators.quality import gopher_quality_flags
+
+    docs = table(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs, "doc_id", "text")

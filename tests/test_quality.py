@@ -152,3 +152,30 @@ def test_unigram_info_partition_invariant(spark):
     a = unigram_info_score(docs.repartition(1), "doc_id", "text").collect()
     b = unigram_info_score(docs.repartition(13), "doc_id", "text").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_gopher_rules_flags(spark):
+    from olake_spark.operators.quality import gopher_quality_flags
+
+    good = (
+        "the quick brown foxes jumped over those lazy hounds with great "
+        "delight and that chase went onward to become quite the legend " * 4
+    )
+    rows = [
+        (1, good),                        # passes everything
+        (2, "tiny doc"),                  # word count too low
+        (3, "#### " * 60),                # symbol ratio + no alpha + no stops
+        (4, ("a " * 60) + "the be"),      # mean word length < 3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in
+           gopher_quality_flags(df, "doc_id", "text").collect()}
+    assert out[1]["passes_gopher"] is True
+    assert out[2]["ok_word_count"] is False and out[2]["passes_gopher"] is False
+    assert out[3]["ok_symbol_ratio"] is False
+    assert out[3]["ok_alpha_words"] is False and out[3]["ok_stopwords"] is False
+    assert out[4]["ok_mean_word_len"] is False
+    # the verdict is the conjunction of its flags, never independent
+    for d in out.values():
+        flags = [d[k] for k in d if k.startswith("ok_")]
+        assert d["passes_gopher"] == all(flags)
