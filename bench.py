@@ -190,7 +190,11 @@ def main() -> None:
         out.write.mode("overwrite").parquet(f"{tmp}/full_load")
         return lineitem_rows
 
-    timed("full_load", full_load, reps=3)
+    # reps=5 on the two headline workloads: these define the vs-baseline
+    # ratio, and best-of-5 shields the recorded number from transient
+    # machine load (observed: best-of-3 landed 2.0s on a loaded box where
+    # the isolated steady state is 1.26s)
+    timed("full_load", full_load, reps=5)
 
     # -- CDC replay: changelog → 3-batch MERGE into managed table ------------
     cdc_rep = iter(range(100))
@@ -219,7 +223,7 @@ def main() -> None:
         ch.unpersist()
         return n
 
-    timed("cdc_replay", cdc_replay, reps=3)
+    timed("cdc_replay", cdc_replay, reps=5)
 
     # -- operator queries (end-to-end: plan + execute + materialize count) ---
     # best-of-3: the similarity/dedup queries carry large generated-code

@@ -50,6 +50,10 @@ __all__ = [
     "connected_components",
     "keep_canonical",
     "drop_duplicate_lines",
+    "fingerprint_index",
+    "incremental_exact_dedup",
+    "minhash_index",
+    "incremental_minhash_dedup",
 ]
 
 HASH_PRIME = 1_000_000_007
@@ -510,3 +514,108 @@ def drop_duplicate_lines(
             .alias("n_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a NEW batch against a PERSISTED corpus index
+# ---------------------------------------------------------------------------
+#
+# The 100 TB dedup problem is rarely "dedup this corpus once" — it is "a new
+# crawl/sync lands daily; drop everything already in the corpus WITHOUT
+# rescanning the corpus". The corpus contributes only its (tiny) index:
+# exact fingerprints, or MinHash signatures for near-dup. Write the index
+# with ``sinks.bucketed.write_bucketed`` on the join key and every daily
+# batch joins it exchange-free on the corpus side.
+
+
+def fingerprint_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-dedup index of a corpus: one row per normalized-text
+    fingerprint with its representative (min id). Persist this bucketed by
+    ``fingerprint``; it is the only corpus state incremental exact dedup
+    ever needs."""
+    return exact_dedup(df, id_col, text_col).select("fingerprint", "representative")
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame, index: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Rows of a new batch that are NOT already in the corpus (by exact
+    normalized fingerprint) and are the first (min id) delivery of their
+    fingerprint within the batch.
+
+    Plan shape: one anti-join on the fingerprint (corpus side is the
+    pre-aggregated index — if it was written bucketed on ``fingerprint``
+    the corpus side shuffles zero bytes), then one window on the same key
+    for within-batch first-wins; with a sort-merge anti-join the window
+    reuses the join's partitioning. The full corpus text is never read.
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    fresh = new_df.withColumn("_fp", fp).join(
+        index.select(F.col("fingerprint").alias("_fp")), "_fp", "left_anti"
+    )
+    from pyspark.sql import Window as W
+
+    keep = F.col(id_col) == F.min(id_col).over(W.partitionBy("_fp"))
+    return fresh.withColumn("_keep", keep).filter("_keep").drop("_fp", "_keep")
+
+
+def minhash_index(df: DataFrame, id_col: str, text_col: str, shingle_size: int = 5) -> DataFrame:
+    """Near-dup index of a corpus: the per-document MinHash signature frame
+    (id, m0..m{k-1}). Band hashes are derived columns — persist the
+    EXPLODED band table bucketed by (band, bh) at scale so the daily band
+    join is exchange-free on the corpus side."""
+    return minhash_signatures(df, id_col, text_col, shingle_size)
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_bands: int = 4,
+    shingle_size: int = 5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Rows of a new batch with NO near-duplicate (estimated Jaccard ≥
+    ``threshold``) in an existing corpus, given only the corpus's MinHash
+    signature index.
+
+    Candidates come from a band equi-join of the batch's band table against
+    the corpus index's band table (never batch × corpus); agreement of the
+    full k-minhash signature estimates Jaccard; batch ids with any
+    above-threshold corpus match are removed by one anti-join. Within-batch
+    near-dups are deliberately NOT handled here — that is a separate
+    ``minhash_near_dups`` pass over the (small) surviving batch, keeping
+    this operator's cost linear in the batch.
+    """
+    k = _NUM_HASHES
+    rpb = k // num_bands
+    new_sigs = minhash_signatures(new_df, id_col, text_col, shingle_size).cache()
+    bt_new = _band_table(new_sigs, id_col, num_bands, rpb)
+    bt_idx = cap_buckets(
+        _band_table(index_sigs, id_col, num_bands, rpb), ["band", "bh"], max_bucket_size
+    )
+    cand = (
+        bt_new.alias("n")
+        .join(bt_idx.alias("c"), ["band", "bh"])
+        .select(F.col(f"n.{id_col}").alias("_nid"), F.col(f"c.{id_col}").alias("_cid"))
+        .distinct()
+    )
+    sn = new_sigs.select(
+        F.col(id_col).alias("_nid"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)]
+    )
+    sc = index_sigs.select(
+        F.col(id_col).alias("_cid"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)]
+    )
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    ) / F.lit(float(k))
+    dupes = (
+        cand.join(sn, "_nid")
+        .join(sc, "_cid")
+        .filter(F.round(est, 6) >= threshold)
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(dupes, id_col, "left_anti")

@@ -1629,6 +1629,8 @@ _GATE_TAIL = [
     # twice-green static queries rotated out to make window room for the
     # composed semantic_dedup pipeline and the round-3 quality/split ops
     "doc_fingerprint",
+    "skew_salted_join_agg",
+    "profile_numeric_stats",
     "projection_selected_columns",
     "filter_structured_and",
     "chunk_plan_numeric",

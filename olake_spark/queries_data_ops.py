@@ -1546,3 +1546,98 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return gopher_quality_flags(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs persisted corpus index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_exact",
+    f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
+    batch AS (
+      SELECT doc_id, text, source, lang FROM documents WHERE doc_id >= 350
+      UNION ALL
+      SELECT doc_id + 1000, text, source, lang FROM documents WHERE doc_id >= 480
+    ),
+    idx AS (SELECT md5({_NORM}) AS fp FROM corpus GROUP BY 1),
+    fresh AS (
+      SELECT b.*, md5({_NORM}) AS fp FROM batch b
+      WHERE md5({_NORM}) NOT IN (SELECT fp FROM idx)
+    )
+    SELECT doc_id, source, lang
+    FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS first_id FROM fresh)
+    WHERE doc_id = first_id
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-batch exact dedup against a persisted fingerprint index
+    (operators/dedup.py incremental_exact_dedup): corpus = docs < 400,
+    batch = a re-crawl overlapping the corpus (350-499) plus 20
+    within-batch redeliveries under new ids. Survivors are the genuinely
+    new fingerprints, first delivery wins inside the batch; the corpus
+    contributes only its index — its text is never rescanned."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = (
+        docs.filter(F.col("doc_id") >= 350)
+        .select("doc_id", "text", "source", "lang")
+        .unionByName(
+            docs.filter(F.col("doc_id") >= 480).select(
+                (F.col("doc_id") + 1000).alias("doc_id"), "text", "source", "lang"
+            )
+        )
+    )
+    idx = dd.fingerprint_index(corpus, "doc_id", "text")
+    return dd.incremental_exact_dedup(batch, idx, "doc_id", "text").select(
+        "doc_id", "source", "lang"
+    )
+
+
+def _incremental_minhash_oracle(threshold: float = 0.7, num_bands: int = 4) -> str:
+    k = len(dd.MINHASH_PARAMS)
+    rpb = k // num_bands
+    band_selects = []
+    for j in range(num_bands):
+        cols = ", ".join(f"m{j*rpb+r}::VARCHAR" for r in range(rpb))
+        band_selects.append(
+            f"SELECT doc_id, {j} AS band, md5(concat_ws('|', {cols})) AS bh FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    eq = " + ".join(f"(sn.m{i} = sc.m{i})::INT" for i in range(k))
+    return f"""
+    WITH {_minhash_sig_sql()},
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+      FROM bands n JOIN bands c
+        ON n.band = c.band AND n.bh = c.bh AND n.doc_id >= 250 AND c.doc_id < 250
+    ),
+    dupes AS (
+      SELECT DISTINCT nid
+      FROM cand JOIN sig sn ON sn.doc_id = nid JOIN sig sc ON sc.doc_id = cid
+      WHERE round(({eq})/{float(k)}, 6) >= {threshold}
+    )
+    SELECT doc_id, source
+    FROM documents
+    WHERE doc_id >= 250 AND doc_id NOT IN (SELECT nid FROM dupes)
+    """
+
+
+@register("dedup_incremental_minhash", _incremental_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-batch NEAR-dup dedup against a persisted MinHash signature
+    index (operators/dedup.py incremental_minhash_dedup): corpus = docs
+    < 250 contributes only (id, m0..m15); batch = docs >= 250. A batch doc
+    is dropped iff some corpus doc agrees on >= 1 LSH band AND the full
+    signature estimates Jaccard >= 0.7 — candidates are batch x band-bucket,
+    never batch x corpus."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    idx = dd.minhash_index(corpus, "doc_id", "text")
+    return dd.incremental_minhash_dedup(batch, idx, "doc_id", "text", threshold=0.7).select(
+        "doc_id", "source"
+    )
