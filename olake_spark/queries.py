@@ -1631,6 +1631,8 @@ _GATE_TAIL = [
     "doc_fingerprint",
     "skew_salted_join_agg",
     "profile_numeric_stats",
+    "reformat_values",
+    "partition_transforms",
     "projection_selected_columns",
     "filter_structured_and",
     "chunk_plan_numeric",

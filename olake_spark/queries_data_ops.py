@@ -1641,3 +1641,69 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_minhash_dedup(batch, idx, "doc_id", "text", threshold=0.7).select(
         "doc_id", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction + vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+      WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tf.term, tf, df, round(tf * ln(n_docs / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)::INT AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction (operators/tfidf.py tfidf_top_terms): the 3 most
+    characteristic terms per document by tf * ln(N/df). Rank ties break on
+    the rounded score then term ascending — deterministic under any
+    partitioning; N rides a 1-row broadcast so construction is lazy."""
+    from olake_spark.operators.tfidf import tfidf_top_terms
+
+    docs = table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", top_n=3)
+
+
+@register(
+    "vocab_coverage",
+    f"""
+    WITH counts AS (
+      SELECT term, count(*)::BIGINT AS n_occurrences
+      FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+      WHERE term <> '' GROUP BY term
+    ),
+    total AS (SELECT sum(n_occurrences)::DOUBLE AS tot FROM counts),
+    top AS (SELECT * FROM counts ORDER BY n_occurrences DESC, term ASC LIMIT 40)
+    SELECT term, n_occurrences,
+      row_number() OVER (ORDER BY n_occurrences DESC, term ASC)::INT AS rank,
+      round(sum(n_occurrences) OVER (
+        ORDER BY n_occurrences DESC, term ASC ROWS UNBOUNDED PRECEDING) / tot, 6)
+        AS coverage
+    FROM top CROSS JOIN total
+    """,
+)
+def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Zipf head (operators/tfidf.py vocab_coverage): top-40
+    terms with cumulative token coverage — the pre-read for tokenizer vocab
+    sizing and max_df dedup caps. The global order materializes only the
+    top-k rows (TakeOrderedAndProject), never a full sort."""
+    from olake_spark.operators.tfidf import vocab_coverage
+
+    docs = table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text", top_k=40)

@@ -28,6 +28,8 @@ _CROSS_OK = {
     "audit_referential",  # 1-row agg x 1-row orphan count per relation
     "text_rare_token_ratio",  # 1-row corpus-count broadcast (lazy threshold)
     "text_unigram_info",  # 1-row total-token-count broadcast
+    "tfidf_top_terms",  # 1-row doc-count broadcast (lazy N for idf)
+    "vocab_coverage",  # 1-row total-occurrence broadcast over <= top-k rows
 }
 
 
