@@ -46,6 +46,7 @@ __all__ = [
     "rare_token_ratio",
     "unigram_info_score",
     "gopher_quality_flags",
+    "dup_span_stats",
 ]
 
 # GPT-2-style pretokenizer classes, simplified to the RE2-compatible subset
@@ -326,3 +327,49 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     for k in flags:
         passes = F.col(k) if passes is None else (passes & F.col(k))
     return out.withColumn("passes_gopher", passes)
+
+
+def dup_span_stats(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Cross-document duplicate-span exposure per document: the fraction of
+    a doc's word ``k``-gram positions whose k-gram also occurs in at least
+    one OTHER document (the sub-document duplication signal behind
+    train-set memorization studies — exact repeated spans, not whole-doc
+    near-dups, and invisible to doc-level dedup).
+
+    Returns ``(id, n_grams, n_dup_grams, dup_fraction)``; docs shorter than
+    k tokens report 0 grams and fraction 0.0. Scale shape mirrors
+    ``rare_token_ratio``: one explode for gram positions, a distinct
+    (doc, gram) pass folds to a VOCABULARY-sized document-frequency
+    relation, and the join back to positions is a gram equi-join — no
+    self-join of the corpus, no Python. Zipf-hot grams are exactly the
+    boilerplate being measured, so they are kept (bounded: each doc
+    contributes each position once).
+    """
+    toks = tokens(F.col(text_col))
+    pos = df.select(F.col(id_col), F.explode(ngrams(toks, k)).alias("g"))
+    gram_df = (
+        pos.select(id_col, "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_gdf"))
+    )
+    marked = pos.join(gram_df, "g").select(
+        id_col, (F.col("_gdf") >= 2).cast("int").alias("_dup")
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"), F.sum("_dup").alias("n_dup_grams")
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.round(
+                F.coalesce(F.col("n_dup_grams"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

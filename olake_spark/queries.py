@@ -1633,6 +1633,8 @@ _GATE_TAIL = [
     "profile_numeric_stats",
     "reformat_values",
     "partition_transforms",
+    "events_windowed_agg",
+    "incremental_cursor_scan",
     "projection_selected_columns",
     "filter_structured_and",
     "chunk_plan_numeric",

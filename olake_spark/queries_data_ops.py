@@ -1707,3 +1707,75 @@ def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return vocab_coverage(docs, "text", top_k=40)
+
+
+# ---------------------------------------------------------------------------
+# document chunking + duplicate-span exposure
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE (len(toks) - 32 + 23) // 24 + 1 END AS nc
+      FROM t
+    ),
+    e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM c)
+    SELECT doc_id, chunk_id::INT AS chunk_id,
+           (chunk_id*24 + 1)::INT AS start_token,
+           len(toks[(chunk_id*24 + 1) : (chunk_id*24 + 32)])::INT AS n_tokens,
+           array_to_string(toks[(chunk_id*24 + 1) : (chunk_id*24 + 32)], ' ')
+             AS chunk_text
+    FROM e
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding preprocessing (operators/chunking.py chunk_documents):
+    every document split into 32-token windows advancing 24 tokens, with
+    chunk index and 1-based start-token provenance. Pure array built-ins,
+    one explode, zero shuffle."""
+    from olake_spark.operators.chunking import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", window=32, stride=24)
+
+
+@register(
+    "dup_span_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, array_to_string(toks[i : i+4], ' ') AS g
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t)
+    ),
+    gdf AS (
+      SELECT g, count(*) AS gdf
+      FROM (SELECT DISTINCT doc_id, g FROM pos) GROUP BY g
+    ),
+    per_doc AS (
+      SELECT pos.doc_id, count(*)::BIGINT AS n_grams,
+             sum((gdf >= 2)::INT)::BIGINT AS n_dup_grams
+      FROM pos JOIN gdf USING (g) GROUP BY pos.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_grams, 0)::BIGINT AS n_grams,
+           coalesce(n_dup_grams, 0)::BIGINT AS n_dup_grams,
+           round(coalesce(n_dup_grams, 0) / greatest(coalesce(n_grams, 0), 1), 6)
+             AS dup_fraction
+    FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+    """,
+)
+def dup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span exposure (operators/quality.py
+    dup_span_stats): fraction of each doc's word 5-gram positions whose
+    gram recurs in another document — the exact-repeated-span signal that
+    doc-level dedup cannot see. One explode + a vocabulary-sized gram-df
+    join; the corpus never self-joins."""
+    from olake_spark.operators.quality import dup_span_stats
+
+    docs = table(spark, sf_dir, "documents")
+    return dup_span_stats(docs, "doc_id", "text", k=5)
