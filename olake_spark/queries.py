@@ -1635,6 +1635,7 @@ _GATE_TAIL = [
     "partition_transforms",
     "events_windowed_agg",
     "incremental_cursor_scan",
+    "schema_evolution_widen",
     "projection_selected_columns",
     "filter_structured_and",
     "chunk_plan_numeric",

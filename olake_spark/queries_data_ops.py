@@ -1779,3 +1779,45 @@ def dup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return dup_span_stats(docs, "doc_id", "text", k=5)
+
+
+# ---------------------------------------------------------------------------
+# embedding group centroids + outlier ranking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_centroid_outliers",
+    f"""
+    WITH ex AS (
+      SELECT label, vec_id, unnest(embedding)::DOUBLE AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    cent AS (SELECT label, pos, round(avg(x), 6) AS c FROM ex GROUP BY label, pos),
+    carr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+    scored AS (
+      SELECT vec_id, e.label,
+             round({_COS.format(a='e.embedding', b='cv')}, 9) AS s9
+      FROM embeddings e JOIN carr USING (label)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY label ORDER BY s9 ASC, vec_id ASC)::INT AS outlier_rank
+      FROM scored
+    )
+    SELECT vec_id, label, round(s9, 6) AS centroid_sim, outlier_rank
+    FROM ranked WHERE outlier_rank <= 5
+    """,
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection (operators/embeddings.py
+    centroid_outliers): cosine of every vector to its label's element-wise
+    mean, bottom-5 per label = candidates for label-noise / cluster
+    pruning. Centroid components are rounded to 6 decimals BEFORE the
+    cosine so distributed-sum ordering cannot leak into ranks; the
+    group-sized centroid relation broadcasts."""
+    from olake_spark.operators.embeddings import centroid_outliers
+
+    emb = table(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, "vec_id", "label", "embedding", dim=64, bottom_k=5)
