@@ -1636,6 +1636,7 @@ _GATE_TAIL = [
     "events_windowed_agg",
     "incremental_cursor_scan",
     "schema_evolution_widen",
+    "asof_join_last_order",
     "projection_selected_columns",
     "filter_structured_and",
     "chunk_plan_numeric",

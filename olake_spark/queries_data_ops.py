@@ -1821,3 +1821,47 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return centroid_outliers(emb, "vec_id", "label", "embedding", dim=64, bottom_k=5)
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filtering (hashed bag-of-words linear classifier)
+# ---------------------------------------------------------------------------
+
+
+def _classifier_oracle() -> str:
+    from olake_spark.operators.classifier import WEIGHT_SCALE, default_weights
+
+    wl = "[" + ", ".join(str(w) for w in default_weights(256)) + "]"
+    h = _H60.format(x="tok")
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    contrib AS (
+      SELECT doc_id, ({wl})[(({h}) % 256 + 1)::INT] AS w
+      FROM tok WHERE tok <> ''
+    ),
+    agg AS (
+      SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w)::BIGINT AS z
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(z, 0)::BIGINT AS logit_micro,
+           round(1.0/(1.0 + exp(-(coalesce(z, 0) / {float(WEIGHT_SCALE)}))), 6) AS score,
+           round(1.0/(1.0 + exp(-(coalesce(z, 0) / {float(WEIGHT_SCALE)}))), 6) >= 0.5
+             AS keep
+    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """
+
+
+@register("classify_quality_hashed_bow", _classifier_oracle())
+def classify_quality_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/classifier.py
+    classify_quality): a linear classifier over 256 hashed bag-of-words
+    buckets scores every document; keep = sigmoid >= 0.5. Weights are
+    integer micro-units so the logit is an exact order-free integer sum —
+    the decision boundary is engine-independent; the weight table is an
+    array literal in the plan (no join, no Python)."""
+    from olake_spark.operators.classifier import classify_quality, default_weights
+
+    docs = table(spark, sf_dir, "documents")
+    return classify_quality(docs, "doc_id", "text", default_weights(256))
