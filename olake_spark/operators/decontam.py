@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from olake_spark.operators.quality import ngrams
 from olake_spark.operators.text import tokens
 
-__all__ = ["ngram_overlap", "decontaminate"]
+__all__ = ["ngram_overlap", "decontaminate", "semantic_overlap", "semantic_decontaminate"]
 
 
 def ngram_overlap(
@@ -79,3 +79,58 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def semantic_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Corpus ids whose EMBEDDING is near (cosine ≥ ``threshold``) some
+    benchmark embedding — the semantic contamination n-gram matching cannot
+    see (paraphrases, translations, format-shuffled answers).
+
+    Same banded multi-table LSH shape as
+    ``similarity.cosine_near_dup_pairs`` but CROSS-set: corpus bands join
+    benchmark bands on (band, sig) — candidates are corpus × bucket, never
+    corpus × benchmark — and exact cosine verifies. The benchmark's banded
+    relation is tiny (eval sets are MB-scale) and broadcasts, so corpus
+    rows never shuffle. Output: distinct contaminated ``(id)``.
+    """
+    from olake_spark.operators.dedup import cap_buckets
+    from olake_spark.operators.similarity import (
+        banded_relation,
+        cosine_prenormed,
+        lsh_planes,
+    )
+
+    tables = lsh_planes()
+    dim = len(tables[0][0])
+    c = banded_relation(corpus, id_col, vec_col, tables, "_cid", "_cv", norm_col="_cn")
+    c = cap_buckets(c, ["band", "sig"], max_bucket_size)
+    b = banded_relation(benchmark, id_col, vec_col, tables, "_bid", "_bv", norm_col="_bn")
+    sim = F.round(cosine_prenormed("_cv", "_bv", "_cn", "_bn", dim), 6)
+    return (
+        c.join(F.broadcast(b), ["band", "sig"])
+        .select(F.col("_cid").alias(id_col), sim.alias("_sim"))
+        .filter(F.col("_sim") >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Corpus rows surviving semantic decontamination: one anti-join of the
+    corpus against ``semantic_overlap``'s contaminated-id set."""
+    hits = semantic_overlap(corpus, benchmark, id_col, vec_col, threshold, max_bucket_size)
+    return corpus.join(hits, id_col, "left_anti")

@@ -1637,6 +1637,7 @@ _GATE_TAIL = [
     "incremental_cursor_scan",
     "schema_evolution_widen",
     "asof_join_last_order",
+    "range_join_ship_window",
     "projection_selected_columns",
     "filter_structured_and",
     "chunk_plan_numeric",

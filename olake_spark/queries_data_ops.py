@@ -1865,3 +1865,35 @@ def classify_quality_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return classify_quality(docs, "doc_id", "text", default_weights(256))
+
+
+@register(
+    "decontaminate_semantic",
+    f"""
+    WITH bands AS ({_lsh_bands_sql('embedding')}),
+    hits AS (
+      SELECT DISTINCT c.vec_id
+      FROM bands c JOIN bands b
+        ON c.band = b.band AND c.sig = b.sig
+       AND c.vec_id < 450 AND b.vec_id >= 450
+      WHERE round({_COS.format(a='c.embedding', b='b.embedding')}, 6) >= 0.3
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id < 450 AND vec_id NOT IN (SELECT vec_id FROM hits)
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (operators/decontam.py
+    semantic_decontaminate): corpus = vectors < 450, benchmark = the rest;
+    a corpus row is dropped iff it collides with a benchmark vector in any
+    LSH table AND exact cosine >= 0.3 — the paraphrase-level contamination
+    the n-gram pass (decontaminate_overlap) cannot see. Benchmark bands
+    broadcast; corpus rows never shuffle."""
+    from olake_spark.operators.decontam import semantic_decontaminate
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 450)
+    bench = emb.filter(F.col("vec_id") >= 450)
+    return semantic_decontaminate(corpus, bench, "vec_id", "embedding", 0.3).select(
+        "vec_id", "label"
+    )
