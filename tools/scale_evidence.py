@@ -132,6 +132,16 @@ def candidate_pairs(bucketed: DataFrame, keys: list[str]) -> tuple[int, int]:
     return int(row["pairs"] or 0), int(row["max_bucket"] or 0)
 
 
+def cross_candidate_pairs(bt_a: DataFrame, bt_b: DataFrame, keys: list[str]) -> int:
+    """Exact CROSS-set join output size: Σ over buckets of n_a(b) · n_b(b) —
+    the candidate count an incremental (batch vs corpus-index) band join
+    emits before verification."""
+    ca = bt_a.groupBy(*keys).agg(F.count(F.lit(1)).alias("ca"))
+    cb = bt_b.groupBy(*keys).agg(F.count(F.lit(1)).alias("cb"))
+    row = ca.join(cb, keys).agg(F.sum(F.col("ca") * F.col("cb")).alias("pairs")).first()
+    return int(row["pairs"] or 0)
+
+
 def shuffle_write_bytes(spark) -> int:
     """Total shuffle write across all completed stages (Spark REST API)."""
     base = spark.sparkContext.uiWebUrl
@@ -284,6 +294,65 @@ def main() -> None:
         eb["lo"]["capped_pairs"], eb["hi"]["capped_pairs"], args.scale_lo, args.scale
     )
     out["embedding_lsh"] = eb
+
+    # ---- incremental dedup: batch-vs-corpus-index candidates ----------------
+    # the claim to verify: with the corpus contributing only its (capped)
+    # band index, candidates stay proportional to the BATCH — growing the
+    # corpus 4x must not grow the daily join superlinearly
+    from olake_spark.operators.dedup import incremental_minhash_dedup
+
+    inc: dict = {}
+    batch = scaled_documents(spark, args.sf_dir, 1).cache()
+    n_batch = batch.count()
+    batch_bt = _band_table(
+        minhash_signatures(batch, "doc_id", "text"), "doc_id", 4, 4
+    ).cache()
+    for tag, sc in [("lo", args.scale_lo), ("hi", args.scale)]:
+        corpus = scaled_documents(spark, args.sf_dir, sc).cache()
+        n_corpus = corpus.count()
+        idx_bt = _band_table(
+            minhash_signatures(corpus, "doc_id", "text"), "doc_id", 4, 4
+        ).cache()
+        uncapped = cross_candidate_pairs(batch_bt, idx_bt, ["band", "bh"])
+        capped = cross_candidate_pairs(
+            batch_bt, cap_buckets(idx_bt, ["band", "bh"], args.cap), ["band", "bh"]
+        )
+        inc[tag] = {
+            "batch_docs": n_batch,
+            "corpus_docs": n_corpus,
+            "uncapped_pairs": uncapped,
+            "capped_pairs": capped,
+        }
+        idx_bt.unpersist()
+        corpus.unpersist()
+    # exponent w.r.t. CORPUS growth at fixed batch: ~1 uncapped means the
+    # boilerplate bucket scales with the corpus; ~0 capped means the daily
+    # join is corpus-size-independent
+    inc["corpus_growth_exp_uncapped"] = growth_exponent(
+        inc["lo"]["uncapped_pairs"], inc["hi"]["uncapped_pairs"], args.scale_lo, args.scale
+    )
+    inc["corpus_growth_exp_capped"] = growth_exponent(
+        inc["lo"]["capped_pairs"], inc["hi"]["capped_pairs"], args.scale_lo, args.scale
+    )
+    corpus = scaled_documents(spark, args.sf_dir, args.scale).cache()
+    corpus.count()
+    idx_sigs = minhash_signatures(corpus, "doc_id", "text").cache()
+    idx_sigs.count()
+    inc["e2e_uncapped"] = timed(
+        spark,
+        lambda: incremental_minhash_dedup(batch, idx_sigs, "doc_id", "text").count(),
+    )
+    inc["e2e_capped"] = timed(
+        spark,
+        lambda: incremental_minhash_dedup(
+            batch, idx_sigs, "doc_id", "text", max_bucket_size=args.cap
+        ).count(),
+    )
+    idx_sigs.unpersist()
+    corpus.unpersist()
+    batch_bt.unpersist()
+    batch.unpersist()
+    out["incremental_minhash"] = inc
 
     # ---- end-to-end wall + shuffle at the hi scale --------------------------
     docs = scaled_documents(spark, args.sf_dir, args.scale).cache()
