@@ -1638,6 +1638,7 @@ _GATE_TAIL = [
     "schema_evolution_widen",
     "asof_join_last_order",
     "range_join_ship_window",
+    "events_sessionize",
     "projection_selected_columns",
     "filter_structured_and",
     "chunk_plan_numeric",

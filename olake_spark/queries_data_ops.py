@@ -1897,3 +1897,50 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_decontaminate(corpus, bench, "vec_id", "embedding", 0.3).select(
         "vec_id", "label"
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle(bits: int = 16) -> str:
+    def q(expr: str, lo: float, hi: float) -> str:
+        span = float(hi) - float(lo)
+        top = float((1 << bits) - 1)
+        return (
+            f"floor(least(greatest(({expr}::DOUBLE - {float(lo)!r}) / {span!r} * {top!r},"
+            f" 0.0), {top!r}))::BIGINT"
+        )
+
+    dims = [q("user_id", 0.0, 2000.0), q('"value"', 0.0, 500.0)]
+    terms = []
+    for d, v in enumerate(dims):
+        for b in range(bits):
+            # full parens per term: DuckDB's << binds looser than +, so an
+            # unparenthesized sum of shifts chains into nested shifts
+            terms.append(f"(((({v}) >> {b}) & 1) << {b * len(dims) + d})")
+    z = " + ".join(terms)
+    return f"""
+    SELECT event_id, ({z})::BIGINT AS z
+    FROM events
+    """
+
+
+@register("zorder_key_events", _zorder_oracle())
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column data-skipping layout (sinks/zorder.py zorder_key): the
+    Morton interleave of 16-bit quantized (user_id, value) rank codes —
+    the key write_zordered range-partitions and sorts on so predicates on
+    EITHER column prune parquet row groups. Exact integer bit arithmetic,
+    fully codegen'd."""
+    from olake_spark.sinks.zorder import quantize_minmax, zorder_key
+
+    ev = table(spark, sf_dir, "events")
+    z = zorder_key(
+        [
+            quantize_minmax(F.col("user_id"), 0.0, 2000.0),
+            quantize_minmax(F.col("value"), 0.0, 500.0),
+        ]
+    )
+    return ev.select("event_id", z.alias("z"))
