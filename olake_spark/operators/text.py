@@ -27,6 +27,8 @@ __all__ = [
     "with_quality_features",
     "with_lang_id",
     "with_fingerprint",
+    "strip_html",
+    "with_html_text",
 ]
 
 # small fixed english stopword list (quality signal, not linguistics)
@@ -127,3 +129,55 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     whitespace runs collapsed — catches trivially-reformatted duplicates."""
     normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out, F.md5(normalized))
+
+
+# entity map shared verbatim with the SQL oracle (the HTML4 core set a
+# text-extraction pass actually meets; numeric references handled by regex)
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: decoding it earlier would double-decode &amp;lt;
+]
+
+
+def strip_html(col: Column) -> Column:
+    """Visible text of an HTML fragment — the WET-extraction step of a web
+    corpus pipeline, as a pure codegen regex chain (no parser, no Python):
+
+    1. drop ``<script>``/``<style>`` elements WITH their content (their text
+       is never visible),
+    2. block-level closers/br become newlines (so paragraphs survive as
+       line structure for the line-level dedup pass),
+    3. every remaining tag is removed,
+    4. the core character entities decode (``&amp;`` last — see
+       ``HTML_ENTITIES``),
+    5. horizontal whitespace collapses per line; blank-run trimming keeps
+       at most one empty line.
+
+    A regex stripper is the honest scalable choice here: it is what
+    CCNet/C4-class pipelines run at corpus scale, and malformed markup
+    degrades to extra whitespace, never to dropped visible text.
+    """
+    # one rule per tag (no backreference): the SQL oracle runs RE2, which
+    # has no \1 — and Java/RE2 agree on everything else used here
+    x = col
+    for tag in ("script", "style"):
+        x = F.regexp_replace(x, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
+    x = F.regexp_replace(x, r"(?i)<br\s*/?>|</(p|div|li|h[1-6]|tr|table|ul|ol)\s*>", "\n")
+    x = F.regexp_replace(x, r"(?s)<[^>]*>", " ")
+    for ent, rep in HTML_ENTITIES:
+        x = F.regexp_replace(x, ent, rep)
+    x = F.regexp_replace(x, r"&#(\d+);", " ")  # rare numeric refs -> spacing
+    x = F.regexp_replace(x, r"[ \t\r]+", " ")
+    x = F.regexp_replace(x, r" ?\n ?", "\n")
+    x = F.regexp_replace(x, r"\n{2,}", "\n")
+    # trim() strips only spaces in both engines — drop edge newlines too
+    x = F.regexp_replace(x, r"^\n+|\n+$", "")
+    return F.trim(x)
+
+
+def with_html_text(df: DataFrame, html_col: str, out: str = "text") -> DataFrame:
+    return df.withColumn(out, strip_html(F.col(html_col)))

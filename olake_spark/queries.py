@@ -1639,6 +1639,7 @@ _GATE_TAIL = [
     "asof_join_last_order",
     "range_join_ship_window",
     "events_sessionize",
+    "text_quality_score",
     "projection_selected_columns",
     "filter_structured_and",
     "chunk_plan_numeric",

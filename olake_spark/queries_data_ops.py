@@ -1944,3 +1944,65 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return ev.select("event_id", z.alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# HTML -> visible text extraction
+# ---------------------------------------------------------------------------
+
+_HTML_WRAP_SQL = (
+    "'<html><head><style>h1 {color: red}</style></head><body><h1>Doc &amp; ' || source"
+    " || '</h1><p>' || substring(text, 1, 80)"
+    " || '</p><br><div>tail &lt;x&gt;</div>"
+    "<script type=\"text/javascript\">var x = 1 < 2;</script></body></html>'"
+)
+
+
+def _strip_html_sql(x: str) -> str:
+    from olake_spark.operators.text import HTML_ENTITIES
+
+    for tag in ("script", "style"):
+        x = f"regexp_replace({x}, '(?is)<{tag}\\b[^>]*>.*?</{tag}\\s*>', ' ', 'g')"
+    x = (
+        f"regexp_replace({x}, '(?i)<br\\s*/?>|</(p|div|li|h[1-6]|tr|table|ul|ol)\\s*>',"
+        " chr(10), 'g')"
+    )
+    x = f"regexp_replace({x}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        rep_sql = "''''" if rep == "'" else f"'{rep}'"
+        x = f"regexp_replace({x}, '{ent}', {rep_sql}, 'g')"
+    x = f"regexp_replace({x}, '&#(\\d+);', ' ', 'g')"
+    x = f"regexp_replace({x}, '[ \\t\\r]+', ' ', 'g')"
+    x = f"regexp_replace({x}, ' ?\\n ?', chr(10), 'g')"
+    x = f"regexp_replace({x}, '\\n{{2,}}', chr(10), 'g')"
+    x = f"regexp_replace({x}, '^\\n+|\\n+$', '', 'g')"
+    return f"trim({x})"
+
+
+@register(
+    "html_text_extract",
+    f"""
+    WITH h AS (SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents)
+    SELECT doc_id, {_strip_html_sql('html')} AS text
+    FROM h
+    """,
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style visible-text extraction (operators/text.py strip_html):
+    documents wrapped in a deterministic HTML shell (head/style, headings,
+    entities, an inline script with a bare '<') are reduced back to their
+    visible text as a pure codegen regex chain — script/style content
+    dropped, block closers become line breaks (feeding line-level dedup),
+    entities decoded, whitespace normalized. No parser, no Python."""
+    from olake_spark.operators.text import strip_html
+
+    docs = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><style>h1 {color: red}</style></head><body><h1>Doc &amp; '),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.substring(F.col("text"), 1, 80),
+        F.lit('</p><br><div>tail &lt;x&gt;</div>'
+              '<script type="text/javascript">var x = 1 < 2;</script></body></html>'),
+    )
+    return docs.select("doc_id", strip_html(html).alias("text"))
