@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["audit_keys", "audit_referential", "audit_summary"]
+__all__ = ["audit_keys", "audit_referential", "audit_summary", "corpus_diff", "corpus_diff_summary"]
 
 
 def audit_keys(df: DataFrame, key_cols: list[str], name: str = "table") -> DataFrame:
@@ -86,3 +86,44 @@ def audit_summary(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the dataset-governance
+    view a training-data pipeline publishes with every release: per id,
+    whether the document was ``added``, ``removed``, ``changed`` (same id,
+    different normalized-content fingerprint) or ``unchanged``.
+
+    One full-outer equi-join on the id; content equality compares md5
+    fingerprints computed scan-side, so wide text never crosses the
+    shuffle — each side contributes (id, 32-byte fingerprint). Output:
+    (id, status, old_fingerprint, new_fingerprint).
+    """
+    from olake_spark.operators.dedup import normalize_text
+
+    def fp(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias(out)
+        )
+
+    o = fp(old, "old_fingerprint")
+    n = fp(new, "new_fingerprint")
+    status = (
+        F.when(F.col("old_fingerprint").isNull(), "added")
+        .when(F.col("new_fingerprint").isNull(), "removed")
+        .when(F.col("old_fingerprint") != F.col("new_fingerprint"), "changed")
+        .otherwise("unchanged")
+    )
+    return o.join(n, id_col, "full_outer").select(
+        F.col(id_col), status.alias("status"), "old_fingerprint", "new_fingerprint"
+    )
+
+
+def corpus_diff_summary(diff: DataFrame) -> DataFrame:
+    """(status, n) rollup of ``corpus_diff`` — the release-note line."""
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from olake_spark.operators.sampling import hash_bucket
 
-__all__ = ["pack_offsets", "deterministic_shuffle"]
+__all__ = ["pack_offsets", "deterministic_shuffle", "length_buckets", "length_bucket_stats"]
 
 
 def deterministic_shuffle(
@@ -106,4 +106,51 @@ def pack_offsets(
             (F.col("offset_in_seq") + F.col(token_col).cast("long")) > F.lit(budget),
         )
         .drop("_pk_h", "_pk_cum")
+    )
+
+
+def length_buckets(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Quantile length-bucketing for batched inference/eval: rows ranked by
+    (length, id) split into ``n_buckets`` equal-count buckets (``ntile``),
+    so every batch holds near-equal sequence lengths and padding waste is
+    minimized. Deterministic: ties break on the id.
+
+    Returns the input plus ``bucket`` (1-based). The global rank is one
+    range-partitioned sort — the same single exchange any global ordering
+    pays; downstream batching reads each bucket as a contiguous range.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    w = W.orderBy(F.col(len_col).asc(), F.col(id_col).asc())
+    return df.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """(bucket, n, min_len, max_len, padding_frac) per quantile bucket —
+    ``padding_frac`` is the fraction of a max_len-padded batch wasted on
+    padding: Σ(max_len − len) / (n · max_len), the number length-bucketed
+    batching exists to minimize."""
+    b = length_buckets(df, id_col, len_col, n_buckets)
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(len_col).cast("long").alias("min_len"),
+            F.max(len_col).cast("long").alias("max_len"),
+            F.round(
+                (F.max(len_col) * F.count(F.lit(1)) - F.sum(len_col))
+                / (F.max(len_col) * F.count(F.lit(1))),
+                6,
+            ).alias("padding_frac"),
+        )
     )

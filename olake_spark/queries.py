@@ -1640,6 +1640,8 @@ _GATE_TAIL = [
     "range_join_ship_window",
     "events_sessionize",
     "text_quality_score",
+    "text_lang_id",
+    "dedup_simhash",
     "projection_selected_columns",
     "filter_structured_and",
     "chunk_plan_numeric",

@@ -2006,3 +2006,81 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
               '<script type="text/javascript">var x = 1 < 2;</script></body></html>'),
     )
     return docs.select("doc_id", strip_html(html).alias("text"))
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff + length-bucketed batching
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_diff_versions",
+    f"""
+    WITH old_v AS (SELECT doc_id, md5({_NORM}) AS old_fingerprint FROM documents),
+    new_src AS (
+      SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000, text FROM documents WHERE doc_id < 30
+    ),
+    new_v AS (SELECT doc_id, md5({_NORM}) AS new_fingerprint FROM new_src)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN old_fingerprint <> new_fingerprint THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           old_fingerprint, new_fingerprint
+    FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
+    """,
+)
+def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-governance snapshot diff (operators/audit.py corpus_diff):
+    version N+1 drops every 7th doc, edits every 11th, and adds 30 new ids;
+    the diff labels each id added/removed/changed/unchanged. One
+    full-outer join on the id over scan-side fingerprints — wide text
+    never crosses the shuffle."""
+    from olake_spark.operators.audit import corpus_diff
+
+    docs = table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 1000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(old, new, "doc_id", "text")
+
+
+@register(
+    "length_bucket_stats",
+    """
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             ntile(8) OVER (ORDER BY n_chars ASC, doc_id ASC) AS bucket
+      FROM documents
+    )
+    SELECT bucket, count(*)::BIGINT AS n,
+           min(n_chars)::BIGINT AS min_len, max(n_chars)::BIGINT AS max_len,
+           round((max(n_chars) * count(*) - sum(n_chars))
+                 / (max(n_chars) * count(*)), 6) AS padding_frac
+    FROM b GROUP BY bucket
+    """,
+)
+def length_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile length-bucketing (operators/packing.py length_bucket_stats):
+    8 equal-count buckets by document length with per-bucket padding waste
+    — the batching layout that minimizes pad tokens for inference/eval.
+    ntile ties break on the id, so bucket assignment is deterministic."""
+    from olake_spark.operators.packing import length_bucket_stats
+
+    docs = table(spark, sf_dir, "documents")
+    return length_bucket_stats(docs, "doc_id", "n_chars", 8)
