@@ -55,12 +55,19 @@ BENCH_QUERIES = [
     "text_lang_id",
     "multimodal_features",
     "pack_sequences",
+    "zorder_key_events",
+    "chunk_documents",
+    "html_text_extract",
+    "classify_quality_hashed_bow",
+    "length_bucket_stats",
+    "tfidf_top_terms",
     # decode family (Arrow/mapPartitions Python) next
     "mysql_binlog_wire_decode",
     "kafka_registry_decode",
     "pgoutput_binary_decode",
     # cache-heavy dedup/similarity block
     "dedup_exact",
+    "dedup_incremental_minhash",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",

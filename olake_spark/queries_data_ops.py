@@ -1556,11 +1556,13 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_incremental_exact",
     f"""
-    WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 8 <> 7),
     batch AS (
-      SELECT doc_id, text, source, lang FROM documents WHERE doc_id >= 350
+      SELECT doc_id, text, source, lang FROM documents WHERE doc_id % 8 = 7
       UNION ALL
-      SELECT doc_id + 1000, text, source, lang FROM documents WHERE doc_id >= 480
+      SELECT doc_id + 1000000, text, source, lang FROM documents WHERE doc_id % 16 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text, source, lang FROM documents WHERE doc_id % 16 = 15
     ),
     idx AS (SELECT md5({_NORM}) AS fp FROM corpus GROUP BY 1),
     fresh AS (
@@ -1574,19 +1576,27 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-batch exact dedup against a persisted fingerprint index
-    (operators/dedup.py incremental_exact_dedup): corpus = docs < 400,
-    batch = a re-crawl overlapping the corpus (350-499) plus 20
-    within-batch redeliveries under new ids. Survivors are the genuinely
-    new fingerprints, first delivery wins inside the batch; the corpus
-    contributes only its index — its text is never rescanned."""
+    (operators/dedup.py incremental_exact_dedup). Modulo split so the
+    shape holds at every SF: corpus = 7/8 of docs; the batch holds the
+    fresh 1/8, a redelivery of corpus docs (%16==0) under new ids, and a
+    second copy of half the fresh docs (%16==15) under higher ids.
+    Survivors = exactly the fresh docs under their original ids —
+    redeliveries lose to the index, batch-internal copies lose to
+    first-wins; the corpus contributes only its index."""
     docs = table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") < 400)
+    sel = ["doc_id", "text", "source", "lang"]
+    corpus = docs.filter(F.col("doc_id") % 8 != 7)
     batch = (
-        docs.filter(F.col("doc_id") >= 350)
-        .select("doc_id", "text", "source", "lang")
+        docs.filter(F.col("doc_id") % 8 == 7)
+        .select(*sel)
         .unionByName(
-            docs.filter(F.col("doc_id") >= 480).select(
-                (F.col("doc_id") + 1000).alias("doc_id"), "text", "source", "lang"
+            docs.filter(F.col("doc_id") % 16 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source", "lang"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 16 == 15).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", "source", "lang"
             )
         )
     )
@@ -1613,7 +1623,7 @@ def _incremental_minhash_oracle(threshold: float = 0.7, num_bands: int = 4) -> s
     cand AS (
       SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
       FROM bands n JOIN bands c
-        ON n.band = c.band AND n.bh = c.bh AND n.doc_id >= 250 AND c.doc_id < 250
+        ON n.band = c.band AND n.bh = c.bh AND n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
     ),
     dupes AS (
       SELECT DISTINCT nid
@@ -1622,21 +1632,22 @@ def _incremental_minhash_oracle(threshold: float = 0.7, num_bands: int = 4) -> s
     )
     SELECT doc_id, source
     FROM documents
-    WHERE doc_id >= 250 AND doc_id NOT IN (SELECT nid FROM dupes)
+    WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT nid FROM dupes)
     """
 
 
 @register("dedup_incremental_minhash", _incremental_minhash_oracle())
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-batch NEAR-dup dedup against a persisted MinHash signature
-    index (operators/dedup.py incremental_minhash_dedup): corpus = docs
-    < 250 contributes only (id, m0..m15); batch = docs >= 250. A batch doc
+    index (operators/dedup.py incremental_minhash_dedup): corpus = 9/10
+    of docs contributes only (id, m0..m15); batch = the remaining tenth
+    (modulo split — the shape holds at every SF). A batch doc
     is dropped iff some corpus doc agrees on >= 1 LSH band AND the full
     signature estimates Jaccard >= 0.7 — candidates are batch x band-bucket,
     never batch x corpus."""
     docs = table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") < 250)
-    batch = docs.filter(F.col("doc_id") >= 250)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
     idx = dd.minhash_index(corpus, "doc_id", "text")
     return dd.incremental_minhash_dedup(batch, idx, "doc_id", "text", threshold=0.7).select(
         "doc_id", "source"
