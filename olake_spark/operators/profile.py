@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_numeric", "top_values", "histogram"]
+__all__ = ["profile_numeric", "top_values", "histogram", "dataset_card"]
 
 
 def profile_numeric(
@@ -119,3 +119,60 @@ def top_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select(F.col(col).alias("value"), "n", "rnk")
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+) -> DataFrame:
+    """The dataset-card metric block a corpus release publishes: one
+    (metric, value) row per headline number — document count, token
+    totals/means, exact-duplicate rate, and per-language share (from
+    ``lang_col`` when given). Everything rides two aggregation passes over
+    one scan shape: a global aggregate (count/sum/distinct-fingerprint)
+    and, optionally, a language groupBy — no joins, no Python.
+
+    ``value`` is always double (counts cast exactly); ratios round to 6
+    decimals so the card is engine-stable.
+    """
+    from olake_spark.operators.dedup import normalize_text
+    from olake_spark.operators.text import tokens
+
+    n_toks = F.size(tokens(F.col(text_col))).cast("long")
+    fp = F.md5(normalize_text(F.col(text_col)))
+    base = df.select(F.col(id_col), n_toks.alias("_nt"), fp.alias("_fp"))
+    g = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_nt").alias("tot"),
+        F.countDistinct("_fp").alias("nfp"),
+    )
+    card = g.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("n_docs").alias("metric"), F.col("n").cast("double").alias("value")),
+                F.struct(F.lit("total_tokens").alias("metric"), F.col("tot").cast("double").alias("value")),
+                F.struct(
+                    F.lit("mean_doc_tokens").alias("metric"),
+                    F.round(F.col("tot") / F.col("n"), 6).alias("value"),
+                ),
+                F.struct(
+                    F.lit("exact_dup_rate").alias("metric"),
+                    F.round(F.lit(1.0) - F.col("nfp") / F.col("n"), 6).alias("value"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.metric", "kv.value")
+    if lang_col is None:
+        return card
+    # denominator via a global window over the k-language counts frame
+    # (tiny by construction) — query building stays fully lazy, no action
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("c"))
+    shares = counts.select(
+        F.concat(F.lit("lang_share_"), F.col(lang_col)).alias("metric"),
+        F.round(F.col("c") / F.sum("c").over(W.partitionBy()), 6).alias("value"),
+    )
+    return card.unionByName(shares)

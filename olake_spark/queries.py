@@ -1642,6 +1642,7 @@ _GATE_TAIL = [
     "text_quality_score",
     "text_lang_id",
     "dedup_simhash",
+    "multimodal_features",
     "projection_selected_columns",
     "filter_structured_and",
     "chunk_plan_numeric",

@@ -2095,3 +2095,40 @@ def length_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return length_bucket_stats(docs, "doc_id", "n_chars", 8)
+
+
+@register(
+    "dataset_card",
+    f"""
+    WITH base AS (
+      SELECT doc_id, len({_TOKS})::BIGINT AS nt, md5({_NORM}) AS fp, lang FROM documents
+    ),
+    g AS (
+      SELECT count(*)::BIGINT AS n, sum(nt)::BIGINT AS tot,
+             count(DISTINCT fp)::BIGINT AS nfp
+      FROM base
+    ),
+    card AS (
+      SELECT 'n_docs' AS metric, n::DOUBLE AS value FROM g
+      UNION ALL SELECT 'total_tokens', tot::DOUBLE FROM g
+      UNION ALL SELECT 'mean_doc_tokens', round(tot::DOUBLE / n, 6) FROM g
+      UNION ALL SELECT 'exact_dup_rate', round(1.0 - nfp::DOUBLE / n, 6) FROM g
+    ),
+    shares AS (
+      SELECT 'lang_share_' || lang AS metric,
+             round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 6) AS value
+      FROM documents GROUP BY lang
+    )
+    SELECT metric, value FROM card UNION ALL SELECT metric, value FROM shares
+    """,
+)
+def dataset_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-note metric block (operators/profile.py dataset_card):
+    document count, token totals/means, exact-duplicate rate, language
+    shares — one global aggregate plus a language groupBy whose share
+    denominator rides a global window over the k-language counts (no
+    action during construction, no join)."""
+    from olake_spark.operators.profile import dataset_card
+
+    docs = table(spark, sf_dir, "documents")
+    return dataset_card(docs, "doc_id", "text", "lang")

@@ -54,3 +54,25 @@ def test_length_buckets_rejects_bad_n(spark):
     df = spark.createDataFrame([(1, 5)], ["doc_id", "len"])
     with pytest.raises(ValueError):
         length_buckets(df, "doc_id", "len", 0)
+
+
+def test_dataset_card_metrics(spark):
+    from olake_spark.operators.profile import dataset_card
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three", "en"),
+            (2, "ONE  TWO  three", "en"),  # exact dupe after normalization
+            (3, "quatre cinq", "fr"),
+            (4, "six seven eight nine", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    card = {r.metric: r.value for r in dataset_card(df, "doc_id", "text", "lang").collect()}
+    assert card["n_docs"] == 4.0
+    assert card["total_tokens"] == 3 + 3 + 2 + 4
+    assert card["mean_doc_tokens"] == 3.0
+    assert card["exact_dup_rate"] == 0.25
+    assert card["lang_share_en"] == 0.75 and card["lang_share_fr"] == 0.25
+    # no lang column: just the 4 headline rows
+    assert dataset_card(df, "doc_id", "text").count() == 4
