@@ -176,6 +176,11 @@ def main() -> None:
         best, rows = None, None
         for _ in range(reps):
             spark.catalog.clearCache()  # queries are independent; don't let
+            # full GC OUTSIDE the timed window: in a shared JVM the heap
+            # left by a previous query's caches/codegen otherwise lands as
+            # GC pauses inside whichever query runs next (observed 2-5x
+            # swings on the dedup block between runs of the same build)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()  # one query's caches skew the next
             rows = fn()
             dt = time.perf_counter() - t0

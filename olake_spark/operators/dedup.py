@@ -576,10 +576,16 @@ def incremental_minhash_dedup(
     num_bands: int = 4,
     shingle_size: int = 5,
     max_bucket_size: int | None = None,
+    cache_index: bool = True,
 ) -> DataFrame:
     """Rows of a new batch with NO near-duplicate (estimated Jaccard ≥
     ``threshold``) in an existing corpus, given only the corpus's MinHash
     signature index.
+
+    ``index_sigs`` is read twice (band table + signature verification);
+    ``cache_index`` (default) caches it so a COMPUTED index pipeline runs
+    once. Pass False when the index is already a persisted/bucketed table
+    — then two cheap scans beat materializing it into executor memory.
 
     Candidates come from a band equi-join of the batch's band table against
     the corpus index's band table (never batch × corpus); agreement of the
@@ -592,6 +598,8 @@ def incremental_minhash_dedup(
     k = _NUM_HASHES
     rpb = k // num_bands
     new_sigs = minhash_signatures(new_df, id_col, text_col, shingle_size).cache()
+    if cache_index:
+        index_sigs = index_sigs.cache()
     bt_new = _band_table(new_sigs, id_col, num_bands, rpb)
     bt_idx = cap_buckets(
         _band_table(index_sigs, id_col, num_bands, rpb), ["band", "bh"], max_bucket_size
