@@ -32,6 +32,7 @@ __all__ = [
     "split_train_test",
     "mixture_weighted_sample",
     "split_by_fingerprint",
+    "split_by_cluster",
     "mixture_by_tokens",
 ]
 
@@ -206,3 +207,23 @@ def mixture_by_tokens(
         .filter(hash_bucket(F.col(key_col), salt) < thr)
         .drop("_mix_f")
     )
+
+
+def split_by_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    test_fraction: float,
+    salt: str = "cluster-split",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """NEAR-dup-safe train/test split: the split key is the near-duplicate
+    CLUSTER id (from ``dedup.connected_components``), so a document and all
+    its near-duplicates always land on the same side — the leakage
+    ``split_by_fingerprint`` cannot close (byte-different paraphrases of a
+    test doc in train still inflate eval). One equi-join on the id (the
+    cluster frame is (id, cluster_id) — narrow), then the same
+    codegen-only md5-threshold decision as every split here."""
+    keyed = df.join(clusters.select(id_col, cluster_col), id_col)
+    is_test = hash_bucket(F.col(cluster_col), salt) < _threshold(test_fraction)
+    return keyed.withColumn("split", F.when(is_test, "test").otherwise("train"))

@@ -1643,6 +1643,8 @@ _GATE_TAIL = [
     "text_lang_id",
     "dedup_simhash",
     "multimodal_features",
+    "mysql_binlog_rows_decode",
+    "kafka_avro_decode",
     "projection_selected_columns",
     "filter_structured_and",
     "chunk_plan_numeric",

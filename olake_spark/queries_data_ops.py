@@ -2132,3 +2132,56 @@ def dataset_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return dataset_card(docs, "doc_id", "text", "lang")
+
+
+# ---------------------------------------------------------------------------
+# cluster-keyed survivors + near-dup-safe split
+# ---------------------------------------------------------------------------
+
+
+def _keep_canonical_oracle() -> str:
+    return f"""
+    WITH clusters AS MATERIALIZED ({_cluster_oracle()})
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+    WHERE c.doc_id = c.cluster_id
+    """
+
+
+@register("dedup_keep_canonical", _keep_canonical_oracle())
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialization step of the dedup pipeline (operators/dedup.py
+    keep_canonical): pairs -> connected components -> keep exactly the
+    min-id representative of every near-dup cluster, original columns
+    intact (singletons survive as their own representative)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_dups(docs, "doc_id", "text", 0.7)
+    clusters = dd.connected_components(docs.select("doc_id"), pairs)
+    return dd.keep_canonical(docs, clusters).select("doc_id", "source", "lang")
+
+
+def _cluster_split_oracle(test_fraction: float = 0.2) -> str:
+    bucket = _BUCKET_SQL.format(x="c.cluster_id::VARCHAR || 'cluster-split'")
+    return f"""
+    WITH clusters AS MATERIALIZED ({_cluster_oracle()})
+    SELECT d.doc_id, c.cluster_id,
+           CASE WHEN {bucket} < {int(test_fraction * _HS)}
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+    """
+
+
+@register("split_leakage_safe_neardup", _cluster_split_oracle())
+def split_leakage_safe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-safe train/test split (operators/sampling.py
+    split_by_cluster): the split key is the connected-component cluster id,
+    so a document and all its near-duplicates land on one side — closing
+    the paraphrase leakage a content-fingerprint split cannot."""
+    from olake_spark.operators.sampling import split_by_cluster
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_dups(docs, "doc_id", "text", 0.7)
+    clusters = dd.connected_components(docs.select("doc_id"), pairs)
+    return split_by_cluster(docs, clusters, "doc_id", 0.2).select(
+        "doc_id", "cluster_id", "split"
+    )

@@ -102,3 +102,27 @@ def test_minhash_bucket_cap_applies_to_index_side(spark):
     assert kept.count() == 1
     uncapped = incremental_minhash_dedup(batch, idx, "doc_id", "text", threshold=0.7)
     assert uncapped.count() == 0
+
+
+def test_split_by_cluster_keeps_near_dups_together(spark):
+    from olake_spark.operators.sampling import split_by_cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 9)], ["doc_id", "text"]
+    )
+    # two 3-doc clusters + two singletons
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4), (7, 7), (8, 8)],
+        ["doc_id", "cluster_id"],
+    )
+    out = split_by_cluster(docs, clusters, "doc_id", 0.5)
+    rows = out.collect()
+    assert len(rows) == 8 and set(out.columns) == {"doc_id", "text", "cluster_id", "split"}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # every cluster lands entirely on one side
+    assert all(len(sides) == 1 for sides in by_cluster.values())
+    # the decision depends only on cluster_id -> re-running agrees
+    again = {r.doc_id: r.split for r in split_by_cluster(docs, clusters, "doc_id", 0.5).collect()}
+    assert again == {r.doc_id: r.split for r in rows}
