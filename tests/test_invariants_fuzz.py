@@ -160,8 +160,16 @@ def test_connected_components_matches_union_find(spark, edges, n_nodes):
         pairs = spark.createDataFrame(pair_rows, ["id_a", "id_b"])
     else:
         pairs = spark.createDataFrame([], "id_a long, id_b long")
-    got = {
+    # BOTH execution paths must match the reference: the driver-side DSU
+    # (default for small edge sets) and the distributed min-label loop
+    # (forced via driver_collect_max=0)
+    got_dsu = {
         r["doc_id"]: r["cluster_id"]
         for r in connected_components(ids, pairs).collect()
     }
-    assert got == expected
+    assert got_dsu == expected
+    got_loop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(ids, pairs, driver_collect_max=0).collect()
+    }
+    assert got_loop == expected
