@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_numeric", "top_values", "histogram", "dataset_card"]
+__all__ = ["profile_numeric", "top_values", "histogram", "dataset_card", "profile_cardinality"]
 
 
 def profile_numeric(
@@ -176,3 +176,47 @@ def dataset_card(
         F.round(F.col("c") / F.sum("c").over(W.partitionBy()), 6).alias("value"),
     )
     return card.unionByName(shares)
+
+
+def profile_cardinality(df: DataFrame, cols: list[str], approx: bool = False) -> DataFrame:
+    """Per-column cardinality block: (col, n, n_nulls, n_distinct,
+    distinct_frac) — the profiler output that drives join-strategy and
+    bucketing decisions (a column with distinct_frac ≈ 1 is a key; ≈ 0 is
+    a category worth dictionary/broadcast treatment).
+
+    One aggregation pass for ALL columns. ``approx`` swaps exact
+    count-distinct for the HLL++ sketch (`approx_count_distinct`) — at
+    100 TB an exact distinct per column is a full shuffle each, the
+    sketch is one map-side-combinable aggregate; keep exact for oracles.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    cd = F.approx_count_distinct if approx else F.countDistinct
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            cd(c).alias(f"{c}__nd"),
+        ]
+    wide = df.agg(*aggs)
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(f"{c}__n").cast("long").alias("n"),
+                        F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+                        F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+                        F.round(
+                            F.col(f"{c}__nd")
+                            / F.greatest(F.col(f"{c}__n") - F.col(f"{c}__nulls"), F.lit(1)),
+                            6,
+                        ).alias("distinct_frac"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")

@@ -1645,6 +1645,7 @@ _GATE_TAIL = [
     "multimodal_features",
     "mysql_binlog_rows_decode",
     "kafka_avro_decode",
+    "profile_histogram",
     "projection_selected_columns",
     "filter_structured_and",
     "chunk_plan_numeric",

@@ -2185,3 +2185,39 @@ def split_leakage_safe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_by_cluster(docs, clusters, "doc_id", 0.2).select(
         "doc_id", "cluster_id", "split"
     )
+
+
+@register(
+    "profile_cardinality",
+    """
+    WITH g AS (
+      SELECT count(*)::BIGINT AS n,
+             sum((o_custkey IS NULL)::INT)::BIGINT AS ck_nulls,
+             count(DISTINCT o_custkey)::BIGINT AS ck_nd,
+             sum((o_orderstatus IS NULL)::INT)::BIGINT AS st_nulls,
+             count(DISTINCT o_orderstatus)::BIGINT AS st_nd,
+             sum((o_orderpriority IS NULL)::INT)::BIGINT AS pr_nulls,
+             count(DISTINCT o_orderpriority)::BIGINT AS pr_nd
+      FROM orders
+    )
+    SELECT 'o_custkey' AS col, n, ck_nulls AS n_nulls, ck_nd AS n_distinct,
+           round(ck_nd / greatest(n - ck_nulls, 1), 6) AS distinct_frac FROM g
+    UNION ALL
+    SELECT 'o_orderstatus', n, st_nulls, st_nd,
+           round(st_nd / greatest(n - st_nulls, 1), 6) FROM g
+    UNION ALL
+    SELECT 'o_orderpriority', n, pr_nulls, pr_nd,
+           round(pr_nd / greatest(n - pr_nulls, 1), 6) FROM g
+    """,
+)
+def profile_cardinality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column cardinality profile (operators/profile.py
+    profile_cardinality): count / nulls / exact distinct / distinct
+    fraction for three orders columns in ONE aggregation pass — the
+    numbers that drive key detection, bucketing, and broadcast decisions.
+    approx=True swaps in the HLL++ sketch at scale; exact here for the
+    oracle."""
+    from olake_spark.operators.profile import profile_cardinality
+
+    orders = table(spark, sf_dir, "orders")
+    return profile_cardinality(orders, ["o_custkey", "o_orderstatus", "o_orderpriority"])

@@ -76,3 +76,24 @@ def test_dataset_card_metrics(spark):
     assert card["lang_share_en"] == 0.75 and card["lang_share_fr"] == 0.25
     # no lang column: just the 4 headline rows
     assert dataset_card(df, "doc_id", "text").count() == 4
+
+
+def test_profile_cardinality(spark):
+    from olake_spark.operators.profile import profile_cardinality
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0), (3, "b", 5.0), (4, "b", 7.0)],
+        ["id", "cat", "v"],
+    )
+    out = {r.col: r for r in profile_cardinality(df, ["id", "cat", "v"]).collect()}
+    assert out["id"].n_distinct == 4 and out["id"].distinct_frac == 1.0
+    assert out["cat"].n_distinct == 2 and out["cat"].distinct_frac == 0.5
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
+    assert out["v"].distinct_frac == round(2 / 3, 6)
+    # approx path returns the same shape with sketch counts
+    approx = {r.col: r for r in profile_cardinality(df, ["cat"], approx=True).collect()}
+    assert approx["cat"].n == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_cardinality(df, [])
