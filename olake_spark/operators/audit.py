@@ -103,20 +103,27 @@ def corpus_diff(
     fingerprints computed scan-side, so wide text never crosses the
     shuffle — each side contributes (id, 32-byte fingerprint). Output:
     (id, status, old_fingerprint, new_fingerprint).
+
+    Presence is carried as explicit per-side flags, NOT inferred from
+    fingerprint nullness — an id present in both versions with NULL text
+    (md5 of NULL is NULL) is ``unchanged``/``changed`` by the null-safe
+    fingerprint comparison, never mislabeled ``added``.
     """
     from olake_spark.operators.dedup import normalize_text
 
-    def fp(df: DataFrame, out: str) -> DataFrame:
+    def fp(df: DataFrame, out: str, flag: str) -> DataFrame:
         return df.select(
-            F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias(out)
+            F.col(id_col),
+            F.md5(normalize_text(F.col(text_col))).alias(out),
+            F.lit(True).alias(flag),
         )
 
-    o = fp(old, "old_fingerprint")
-    n = fp(new, "new_fingerprint")
+    o = fp(old, "old_fingerprint", "_in_old")
+    n = fp(new, "new_fingerprint", "_in_new")
     status = (
-        F.when(F.col("old_fingerprint").isNull(), "added")
-        .when(F.col("new_fingerprint").isNull(), "removed")
-        .when(F.col("old_fingerprint") != F.col("new_fingerprint"), "changed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(~F.col("old_fingerprint").eqNullSafe(F.col("new_fingerprint")), "changed")
         .otherwise("unchanged")
     )
     return o.join(n, id_col, "full_outer").select(

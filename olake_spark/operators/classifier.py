@@ -12,9 +12,13 @@ exact integer sum, which is order-free — distributed aggregation gives the
 same bits on any partitioning, any engine. Only the final sigmoid touches
 floating point, applied once to the already-exact logit and rounded.
 
-Scale shape: one explode + one map-side-combinable integer sum per doc;
-the weight table is a plain array LITERAL in the plan (a few KB even at
-65k buckets) — no join, no broadcast variable, no Python.
+Scale shape: one explode + one map-side-combinable integer sum per doc.
+Small weight vectors (≤ ``ARRAY_LITERAL_MAX`` buckets) ride the plan as a
+plain array literal — no join, no broadcast, no Python. Larger vectors
+switch to a broadcast hash join on the bucket id: ``F.array`` of N
+literals is N expression nodes, and at 65k buckets that is the same
+Janino/constant-pool codegen blowup class the LSH signature path had —
+a broadcast of a 65k-row two-column table is KBs and keeps codegen small.
 
 ``default_weights`` generates a deterministic pseudo-trained weight vector
 (fixed seed) so the operator is exercisable end-to-end without shipping a
@@ -34,6 +38,11 @@ from olake_spark.operators.text import tokens
 __all__ = ["default_weights", "hashed_bow_logits", "classify_quality"]
 
 WEIGHT_SCALE = 1_000_000  # micro-units: weight doubles = w_int / 1e6
+
+# above this bucket count the weight vector joins as a broadcast table
+# instead of an array literal (each literal is one expression node; tens of
+# thousands of nodes risk Janino method/constant-pool limits in codegen)
+ARRAY_LITERAL_MAX = 2048
 
 
 def default_weights(n_buckets: int = 256, seed: int = 7) -> list[int]:
@@ -59,13 +68,25 @@ def hashed_bow_logits(
     b = len(weights)
     if b == 0:
         raise ValueError("weights must be non-empty")
-    wl = F.array(*[F.lit(int(w)) for w in weights])
     t = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")).filter(
         F.col("tok") != ""
     )
-    contrib = t.select(
-        id_col, F.element_at(wl, (hash60(F.col("tok")) % b + 1).cast("int")).alias("_w")
-    )
+    if b <= ARRAY_LITERAL_MAX:
+        wl = F.array(*[F.lit(int(w)) for w in weights])
+        contrib = t.select(
+            id_col, F.element_at(wl, (hash60(F.col("tok")) % b + 1).cast("int")).alias("_w")
+        )
+    else:
+        # broadcast weight table: (bucket, _w) is ≤ ~1 MB even at 65k buckets;
+        # the inner join is total (every bucket id 0..b-1 has a weight row)
+        wdf = t.sparkSession.createDataFrame(
+            [(i, int(w)) for i, w in enumerate(weights)], "bucket INT, _w BIGINT"
+        )
+        contrib = (
+            t.withColumn("bucket", (hash60(F.col("tok")) % b).cast("int"))
+            .join(F.broadcast(wdf), "bucket")
+            .select(id_col, "_w")
+        )
     agg = contrib.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"), F.sum("_w").alias("_z")
     )

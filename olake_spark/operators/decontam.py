@@ -82,12 +82,13 @@ def decontaminate(
 
 
 def semantic_overlap(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     benchmark: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.3,
     max_bucket_size: int | None = None,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus ids whose EMBEDDING is near (cosine ≥ ``threshold``) some
     benchmark embedding — the semantic contamination n-gram matching cannot
@@ -99,6 +100,13 @@ def semantic_overlap(
     corpus × benchmark — and exact cosine verifies. The benchmark's banded
     relation is tiny (eval sets are MB-scale) and broadcasts, so corpus
     rows never shuffle. Output: distinct contaminated ``(id)``.
+
+    ``corpus_index=`` accepts the PRECOMPUTED banded relation from
+    ``similarity.lsh_build_index`` (persisted bucketed on ``(band, sig)``) —
+    decontaminating against a new benchmark release then costs only the
+    benchmark's (tiny) signature pass, not a fresh L·b-plane sweep of the
+    100 TB corpus. The index must be built with the default plane
+    parameters this function banded-joins with.
     """
     from olake_spark.operators.dedup import cap_buckets
     from olake_spark.operators.similarity import (
@@ -109,7 +117,18 @@ def semantic_overlap(
 
     tables = lsh_planes()
     dim = len(tables[0][0])
-    c = banded_relation(corpus, id_col, vec_col, tables, "_cid", "_cv", norm_col="_cn")
+    if corpus_index is not None:
+        c = corpus_index.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("_cv"),
+            F.col("_norm").alias("_cn"),
+            "band",
+            "sig",
+        )
+    else:
+        if corpus is None:
+            raise ValueError("need corpus or a precomputed corpus_index")
+        c = banded_relation(corpus, id_col, vec_col, tables, "_cid", "_cv", norm_col="_cn")
     c = cap_buckets(c, ["band", "sig"], max_bucket_size)
     b = banded_relation(benchmark, id_col, vec_col, tables, "_bid", "_bv", norm_col="_bn")
     sim = F.round(cosine_prenormed("_cv", "_bv", "_cn", "_bn", dim), 6)
@@ -129,8 +148,14 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     max_bucket_size: int | None = None,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus rows surviving semantic decontamination: one anti-join of the
-    corpus against ``semantic_overlap``'s contaminated-id set."""
-    hits = semantic_overlap(corpus, benchmark, id_col, vec_col, threshold, max_bucket_size)
+    corpus against ``semantic_overlap``'s contaminated-id set. Pass
+    ``corpus_index=`` (see ``semantic_overlap``) to reuse a persisted banded
+    relation instead of re-signing the corpus per benchmark release."""
+    hits = semantic_overlap(
+        corpus, benchmark, id_col, vec_col, threshold, max_bucket_size,
+        corpus_index=corpus_index,
+    )
     return corpus.join(hits, id_col, "left_anti")

@@ -359,10 +359,17 @@ def connected_components(
     spark = ids.sparkSession
     if driver_collect_max > 0:
         # materializes the checkpoint; the loop's first convergence sync
-        # would have paid this same job
-        sample = edges.limit(driver_collect_max + 1).collect()
-        if len(sample) <= driver_collect_max:
-            labels_rows = _union_find_labels(sample)
+        # would have paid this same job. Arrow-batched toPandas, not
+        # collect(): two int64 columns transfer as ~16 B/edge (~16 MB at
+        # the 1M default) where a list of Row objects costs ~10× that in
+        # Python object overhead. Driver footprint is then dominated by
+        # the union-find dict (~100-200 MB worst-case at 2M distinct
+        # nodes) — acceptable for a driver, and the cap bounds it.
+        pdf = edges.limit(driver_collect_max + 1).toPandas()
+        if len(pdf) <= driver_collect_max:
+            labels_rows = _union_find_labels(
+                zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+            )
             labels = spark.createDataFrame(labels_rows, "node long, label long")
             return ids.join(
                 labels.withColumnRenamed("node", id_col), id_col, "left"
@@ -596,10 +603,16 @@ def incremental_exact_dedup(
     the corpus side shuffles zero bytes), then one window on the same key
     for within-batch first-wins; with a sort-merge anti-join the window
     reuses the join's partitioning. The full corpus text is never read.
+
+    NULL-text rows have no fingerprint and are DROPPED — defined behavior
+    matching the SQL oracle (``fingerprint NOT IN (...)`` is never true for
+    a NULL fingerprint), instead of a latent engine/oracle divergence.
     """
     fp = F.md5(normalize_text(F.col(text_col)))
-    fresh = new_df.withColumn("_fp", fp).join(
-        index.select(F.col("fingerprint").alias("_fp")), "_fp", "left_anti"
+    fresh = (
+        new_df.filter(F.col(text_col).isNotNull())
+        .withColumn("_fp", fp)
+        .join(index.select(F.col("fingerprint").alias("_fp")), "_fp", "left_anti")
     )
     from pyspark.sql import Window as W
 
@@ -634,6 +647,13 @@ def incremental_minhash_dedup(
     ``cache_index`` (default) caches it so a COMPUTED index pipeline runs
     once. Pass False when the index is already a persisted/bucketed table
     — then two cheap scans beat materializing it into executor memory.
+
+    Cache lifecycle: the batch signatures (and the index, when
+    ``cache_index``) are cached lazily here and stay cached after the
+    result materializes — the CALLER owns unpersisting them (e.g.
+    ``spark.catalog.clearCache()`` between daily runs in a long-lived
+    session); this function cannot unpersist before its lazy result has
+    been materialized downstream.
 
     Candidates come from a band equi-join of the batch's band table against
     the corpus index's band table (never batch × corpus); agreement of the

@@ -116,18 +116,55 @@ def length_buckets(
     n_buckets: int,
 ) -> DataFrame:
     """Quantile length-bucketing for batched inference/eval: rows ranked by
-    (length, id) split into ``n_buckets`` equal-count buckets (``ntile``),
+    (length, id) split into ``n_buckets`` equal-count buckets (SQL
+    ``ntile`` semantics: the first ``N % n`` buckets hold one extra row),
     so every batch holds near-equal sequence lengths and padding waste is
     minimized. Deterministic: ties break on the id.
 
-    Returns the input plus ``bucket`` (1-based). The global rank is one
-    range-partitioned sort — the same single exchange any global ordering
-    pays; downstream batching reads each bucket as a contiguous range.
+    Returns the input plus ``bucket`` (1-based). The global rank is
+    computed DISTRIBUTED — a bare ``ntile`` window would drag the whole
+    table into one partition. Instead: range-repartition a narrow
+    (id, len) projection on (len, id), rank within each range partition,
+    and add per-partition offsets (a partition-count-sized aggregate,
+    windowed driver-side-tiny and broadcast back). rank = local row_number
+    + offset of preceding partitions, independent of where the range
+    boundaries fall because (len, id) is a total order. The bucket is then
+    a pure function of (rank, N): exact ntile, no single-partition stage;
+    the wide input re-joins on the id at the end.
     """
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
-    w = W.orderBy(F.col(len_col).asc(), F.col(id_col).asc())
-    return df.withColumn("bucket", F.ntile(n_buckets).over(w))
+    narrow = df.select(id_col, len_col)
+    part = narrow.repartitionByRange(
+        F.col(len_col).asc(), F.col(id_col).asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    sizes = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # windows over the sizes frame touch one row per PARTITION — tiny by
+    # construction, the documented k-row single-partition pattern
+    w_prev = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(w_all).alias("_total"),
+    )
+    w_local = W.partitionBy("_pid").orderBy(F.col(len_col).asc(), F.col(id_col).asc())
+    ranked = part.withColumn("_rn", F.row_number().over(w_local)).join(
+        F.broadcast(offs), "_pid"
+    )
+    r = (F.col("_rn") + F.col("_off")).cast("double")
+    n = F.lit(n_buckets)
+    base = F.floor(F.col("_total") / n)  # small-bucket size
+    rem = F.col("_total") % n  # first `rem` buckets get base+1 rows
+    cut = (rem * (base + 1)).cast("double")
+    # double-precision ceil is exact while N·n < 2^53 — far past any real
+    # table; the quotient of two ≤2^53 integers can't round across an int
+    bucket = (
+        F.when(r <= cut, F.ceil(r / (base + F.lit(1)).cast("double")))
+        .otherwise(rem + F.ceil((r - cut) / base.cast("double")))
+        .cast("int")
+    )
+    return df.join(ranked.select(id_col, bucket.alias("bucket")), id_col)
 
 
 def length_bucket_stats(

@@ -47,6 +47,7 @@ __all__ = [
     "lsh_sigs_arrow",
     "lsh_bands",
     "banded_relation",
+    "lsh_build_index",
     "lsh_bucket_topk",
     "stride_centroids",
     "ivf_assign",
@@ -297,9 +298,35 @@ def banded_relation(
     ).select(out_id, out_vec, *([norm_col] if norm_col else []), "_b.band", "_b.sig")
 
 
+def lsh_build_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = _NUM_TABLES,
+    n_planes: int = _NUM_PLANES,
+    arrow: bool = True,
+) -> DataFrame:
+    """Materialize the banded LSH relation: ``(id, vec, _norm, band, sig)``,
+    one row per table per vector.
+
+    This is the corpus-wide half of every LSH query (L·b plane dots + a
+    norm per vector) and must be computed ONCE and persisted, not per query
+    run — write it through ``sinks.bucketed.write_bucketed`` on
+    ``(band, sig)`` so subsequent bucket equi-joins are exchange-free, then
+    hand the loaded table to ``lsh_bucket_topk(index=...)`` /
+    ``semantic_overlap(corpus_index=...)``. The caller owns plane-parameter
+    consistency: query it with the same ``n_tables``/``n_planes`` it was
+    built with (same contract as IVF's centroids)."""
+    tables = lsh_planes(n_tables, n_planes)
+    return banded_relation(
+        spread(corpus, id_col), id_col, vec_col, tables, id_col, vec_col, arrow,
+        norm_col="_norm",
+    )
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
@@ -307,6 +334,7 @@ def lsh_bucket_topk(
     n_planes: int = _NUM_PLANES,
     dim: int = _DIM,
     arrow: bool = True,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: search the union of the query's buckets across L
     banded LSH tables.
@@ -316,12 +344,30 @@ def lsh_bucket_topk(
     partitioned and bounded as the corpus scales — there is no fixed
     256-bucket ceiling. A pair colliding in several tables is scored once
     per collision and deduped by ``distinct()`` (collisions beyond the first
-    are exactly the near-neighbors — a vanishing fraction of candidates)."""
+    are exactly the near-neighbors — a vanishing fraction of candidates).
+
+    Index lifecycle (the 100 TB-relevant part): pass ``index=`` a
+    PRECOMPUTED banded relation from ``lsh_build_index`` (persisted bucketed
+    on ``(band, sig)``) so each query run computes only |Q|·L signatures —
+    the corpus-wide signature pass is an artifact, not a per-run cost.
+    Without ``index=`` the banded relation is derived inline from ``corpus``
+    (fixture/oracle mode)."""
     tables = lsh_planes(n_tables, n_planes)
-    c = banded_relation(
-        spread(corpus, id_col), id_col, vec_col, tables, "neighbor_id", "_cv", arrow,
-        norm_col="_cn",
-    )
+    if index is not None:
+        c = index.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            F.col("_norm").alias("_cn"),
+            "band",
+            "sig",
+        )
+    else:
+        if corpus is None:
+            raise ValueError("need corpus or a precomputed index")
+        c = banded_relation(
+            spread(corpus, id_col), id_col, vec_col, tables, "neighbor_id", "_cv", arrow,
+            norm_col="_cn",
+        )
     q = banded_relation(
         queries, id_col, vec_col, tables, "query_id", "_qv", arrow, norm_col="_qn"
     )

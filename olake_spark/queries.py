@@ -1353,6 +1353,155 @@ def pgoutput_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WAL2JSON_ORACLE = """
+SELECT CASE o_orderkey % 3 WHEN 0 THEN 'c' WHEN 1 THEN 'u' ELSE 'd' END AS _op_type,
+       o_orderkey AS id,
+       CASE WHEN o_orderkey % 3 = 2 THEN NULL ELSE o_orderstatus END AS status,
+       '0/' || lpad(upper(to_hex(o_orderkey)), 8, '0') AS lsn,
+       epoch_ms(o_orderdate::TIMESTAMP) AS ts_ms
+FROM orders WHERE o_orderkey % 31 = 0
+"""
+
+
+@register("wal2json_decode", _WAL2JSON_ORACLE)
+def wal2json_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wal2json CDC decode (pkg/waljs/types.go:41-57, filter.go:33-89)
+    driven end-to-end and fully declarative: orders rows are rendered into
+    real wal2json commit messages with ``to_json`` (insert/update/delete by
+    key mod 3 — deletes carry only ``oldkeys``, like REPLICA IDENTITY — plus
+    a non-DML ``truncate`` entry per commit that the decoder must drop),
+    decoded via ``decode_wal2json`` (from_json + explode, zero Python), and
+    typed through ``project_stream``. Delete rows surface only their key
+    columns; the op map is the reference's insert→c / update→u / delete→d."""
+    from pyspark.sql import types as T
+
+    from olake_spark.sources.files import spread
+    from olake_spark.streaming.wal2json import decode_wal2json, project_stream
+
+    k = F.col("o_orderkey")
+    st = F.col("o_orderstatus")
+    m3 = k % 3
+    kind = (
+        F.when(m3 == 0, F.lit("insert"))
+        .when(m3 == 1, F.lit("update"))
+        .otherwise(F.lit("delete"))
+    )
+    dml = F.struct(
+        kind.alias("kind"),
+        F.lit("public").alias("schema"),
+        F.lit("orders").alias("table"),
+        F.when(m3 != 2, F.array(F.lit("id"), F.lit("status"))).alias("columnnames"),
+        F.when(m3 != 2, F.array(F.lit("int8"), F.lit("text"))).alias("columntypes"),
+        F.when(m3 != 2, F.array(k.cast("string"), st)).alias("columnvalues"),
+        F.when(
+            m3 == 2,
+            F.struct(
+                F.array(F.lit("id")).alias("keynames"),
+                F.array(F.lit("int8")).alias("keytypes"),
+                F.array(k.cast("string")).alias("keyvalues"),
+            ),
+        ).alias("oldkeys"),
+    )
+    _null_arr = F.lit(None).cast("array<string>")
+    noise = F.struct(
+        F.lit("truncate").alias("kind"),
+        F.lit("public").alias("schema"),
+        F.lit("orders").alias("table"),
+        _null_arr.alias("columnnames"),
+        _null_arr.alias("columntypes"),
+        _null_arr.alias("columnvalues"),
+        F.lit(None)
+        .cast(
+            "struct<keynames:array<string>,keytypes:array<string>,keyvalues:array<string>>"
+        )
+        .alias("oldkeys"),
+    )
+    msg = F.to_json(
+        F.struct(
+            F.concat(F.lit("0/"), F.lpad(F.hex(k), 8, "0")).alias("nextlsn"),
+            F.date_format(F.col("o_orderdate").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias(
+                "timestamp"
+            ),
+            F.array(dml, noise).alias("change"),
+        )
+    )
+    raw = spread(table(spark, sf_dir, "orders").filter(k % 31 == 0), "o_orderkey").select(
+        msg.alias("value")
+    )
+    decoded = decode_wal2json(raw, tables=["orders"])
+    typed = project_stream(
+        decoded,
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("status", T.StringType())]
+        ),
+    )
+    return typed.select(
+        "_op_type",
+        "id",
+        "status",
+        F.col("_cdc_lsn").alias("lsn"),
+        F.unix_millis(F.col("_cdc_timestamp")).alias("ts_ms"),
+    )
+
+
+_GEO_ORACLE = """
+SELECT o_orderkey AS okey,
+       CASE WHEN o_orderkey % 5 = 0
+              THEN '07' || lower(hex(o_orderkey::VARCHAR))
+            WHEN o_orderkey % 2 = 0
+              THEN 'POINT (' || (o_orderkey % 1000)::VARCHAR || ' '
+                   || (o_orderkey % 100)::VARCHAR || '.5)'
+            ELSE 'LINESTRING (' || (o_orderkey % 9)::VARCHAR || ' '
+                 || (o_orderkey % 7)::VARCHAR || ', '
+                 || (o_orderkey % 9 + 1)::VARCHAR || ' '
+                 || (o_orderkey % 7 + 1)::VARCHAR || ')'
+       END AS wkt
+FROM orders WHERE o_orderkey % 19 = 0
+"""
+
+
+@register("geo_wkb_to_wkt", _GEO_ORACLE)
+def geo_wkb_to_wkt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB→WKT geometry normalization (utils/typeutils/reformat.go:512-545
+    ReformatGeoType) driven end-to-end: each partition encodes orders keys
+    into real SRID-prefixed WKB (little-endian POINT with a fractional
+    coordinate, big-endian LINESTRING for byte-order coverage, and an
+    undecodable blob that must fall back to lowercase hex of the whole
+    value), then ``geo_column`` (Arrow-batched pandas UDF) decodes. The
+    oracle states the expected WKT directly — Go-style %v float rendering:
+    integral coordinates print with no decimal part."""
+    import struct as _struct
+
+    from olake_spark.functions.geo import geo_column
+    from olake_spark.sources.files import spread
+
+    src = spread(
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 19 == 0)
+        .select("o_orderkey"),
+        "o_orderkey",
+    )
+
+    def encode_part(part):
+        for r in part:
+            k = int(r["o_orderkey"])
+            if k % 5 == 0:
+                blob = bytes([7]) + str(k).encode()  # undecodable → hex fallback
+            elif k % 2 == 0:
+                blob = _struct.pack("<i", 4326) + _struct.pack(
+                    "<BIdd", 1, 1, float(k % 1000), k % 100 + 0.5
+                )
+            else:
+                blob = _struct.pack("<i", 0) + _struct.pack(
+                    ">BIIdddd", 0, 2, 2,
+                    float(k % 9), float(k % 7), float(k % 9 + 1), float(k % 7 + 1),
+                )
+            yield (k, blob)
+
+    raw = spark.createDataFrame(src.rdd.mapPartitions(encode_part), "okey long, wkb binary")
+    return raw.select("okey", geo_column("wkb").alias("wkt"))
+
+
 _AVRO_ORACLE = """
 SELECT o_orderkey AS okey,
        CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS status,
@@ -1651,6 +1800,13 @@ _GATE_TAIL = [
     "chunk_plan_numeric",
     "sample_stratified",
     "embedding_quantize_int8",
+    # round-4 rotation: twice-driver-green (r2+r3) queries out, making window
+    # room for the persisted-LSH path, wal2json/geo oracle promotions, and
+    # the composed curation+incremental-dedup pipeline
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "kafka_registry_decode",
 ]
 
 

@@ -542,6 +542,35 @@ def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_topk_lsh_indexed",
+    f"""
+    WITH bands AS ({_lsh_bands_sql('embedding')}),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, band, sig FROM bands WHERE vec_id < 5),
+    scored AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+             round({_COS.format(a='q.qv', b='c.embedding')}, 9) AS s9
+      FROM q JOIN bands c ON c.band = q.band AND c.sig = q.sig AND c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, neighbor_id) AS "rank"
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, "rank", round(s9, 6) AS cosine_sim
+    FROM ranked WHERE "rank" <= 5
+    """,
+)
+def similarity_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k answered from a PRECOMPUTED banded relation
+    (``lsh_build_index`` → ``lsh_bucket_topk(index=...)`` — the round-3
+    verdict's artifact-lifecycle fix, mirroring the IVF index): the
+    corpus-wide signature pass is the build step, each query run signs only
+    the query set. Results must be identical to ``similarity_topk_lsh``,
+    so the oracle SQL is the same."""
+    emb = table(spark, sf_dir, "embeddings")
+    idx = sim.lsh_build_index(emb)
+    return sim.lsh_bucket_topk(emb.filter(F.col("vec_id") < 5), index=idx, k=5)
+
+
+@register(
     "embedding_near_dup_pairs",
     f"""
     WITH bands AS ({_lsh_bands_sql('embedding')})
@@ -2038,7 +2067,7 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
            CASE WHEN o.doc_id IS NULL THEN 'added'
                 WHEN n.doc_id IS NULL THEN 'removed'
-                WHEN old_fingerprint <> new_fingerprint THEN 'changed'
+                WHEN old_fingerprint IS DISTINCT FROM new_fingerprint THEN 'changed'
                 ELSE 'unchanged' END AS status,
            old_fingerprint, new_fingerprint
     FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id

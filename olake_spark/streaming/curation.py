@@ -4,16 +4,21 @@ The continuous-ingest form of the batch ``curation_pipeline``: documents
 arrive as file drops (the landing pattern of every crawl/export pipeline),
 each micro-batch is quality-gated with the same codegen expressions the
 batch operators use, content fingerprints key a first-wins stateful dedup
-(``applyInPandasWithState`` — state = one 60-bit flag per seen fingerprint,
-bounded by distinct content), and survivors append to parquet under a
-checkpoint, so restarts are exactly-once and a re-delivered file changes
-nothing.
+(``applyInPandasWithState`` — state = one seen-flag per fingerprint), and
+survivors append to parquet under a checkpoint, so restarts are
+exactly-once and a re-delivered file changes nothing within the TTL.
 
 Scale notes: the quality filter is stateless and runs scan-side; the only
 stateful shuffle keys on the content fingerprint (uniform by construction
 — md5); ``availableNow`` triggers bounded drains (the reference's bounded
 Kafka consume shape, see streaming/replay.py) while the same query without
-a trigger runs continuously.
+a trigger runs continuously. State is BOUNDED by default: each fingerprint
+carries a processing-time TTL refreshed on every sighting, so on a
+continuous crawl state size tracks fingerprints seen within the TTL — not
+every fingerprint ever — mirroring the reference's bounded-overlap dedup
+window (drivers/abstract/cdc.go:117-136). ``ttl_ms=None`` opts into
+NoTimeout (state = all fingerprints ever) for bounded corpora where a
+global forever-dedup is affordable and wanted.
 """
 
 from __future__ import annotations
@@ -25,9 +30,14 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 
 from olake_spark.operators.dedup import normalize_text
 from olake_spark.operators.text import tokens
-from olake_spark.streaming.stateful_dedup import _dedup_fn, _STATE_SCHEMA
+from olake_spark.streaming.stateful_dedup import _dedup_fn, _dedup_fn_ttl, _STATE_SCHEMA
 
 __all__ = ["stream_curate"]
+
+# default TTL: 24h — generous vs the redelivery windows of the sources this
+# pipeline fronts (file-drop re-uploads, Kafka redelivery, CDC re-sends are
+# minutes-to-hours); state holds only fingerprints seen in the last day
+DEFAULT_DEDUP_TTL_MS = 24 * 3600 * 1000
 
 
 def stream_curate(
@@ -39,12 +49,18 @@ def stream_curate(
     checkpoint_dir: str,
     min_tokens: int = 5,
     max_files_per_trigger: int | None = None,
-) -> None:
+    ttl_ms: int | None = DEFAULT_DEDUP_TTL_MS,
+):
     """Drain ``source_dir`` file drops through the curation stream once
     (``availableNow``): rows with ≥ ``min_tokens`` whitespace tokens and an
     unseen normalized-content fingerprint append to ``out_dir``. Re-running
     with the same ``checkpoint_dir`` picks up only new files; dedup state
-    persists across runs, so a duplicate delivered tomorrow still loses."""
+    persists across runs, so a duplicate delivered tomorrow still loses
+    (within ``ttl_ms`` of the last sighting — the fingerprint's state then
+    expires and a later redelivery passes; size ``ttl_ms`` to the source's
+    redelivery window, or pass ``None`` for unbounded forever-dedup).
+    Returns the finished ``StreamingQuery`` (for ``lastProgress`` state
+    metrics); the drain itself has already completed."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -54,20 +70,39 @@ def stream_curate(
         list(schema.fields) + [T.StructField("_fp", T.StringType())]
     )
     keyed = gated.withColumn("_fp", F.md5(normalize_text(F.col(text_col))))
+    out_cols = [f.name for f in keyed_schema.fields]
+    if ttl_ms is None:
+        fn, timeout = _dedup_fn(out_cols), GroupStateTimeout.NoTimeout
+    else:
+        fn, timeout = _dedup_fn_ttl(out_cols, ttl_ms), GroupStateTimeout.ProcessingTimeTimeout
     deduped = keyed.groupBy("_fp").applyInPandasWithState(
-        _dedup_fn([f.name for f in keyed_schema.fields]),
+        fn,
         outputStructType=keyed_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
-    (
-        deduped.drop("_fp")
-        .writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    # expiry is LAZY: timers fire only when a DATA batch runs. With the
+    # default no-data micro-batches, a pending processing-time timer makes
+    # the engine spin empty batches until the deadline — under availableNow
+    # that means a bounded drain parks for up to a full TTL (observed: hangs
+    # the drain). Lazy expiry keeps the drain bounded; state cleanup rides
+    # the next delivery, which is when it matters anyway.
+    no_data_conf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_no_data = spark.conf.get(no_data_conf, "true")
+    if ttl_ms is not None:
+        spark.conf.set(no_data_conf, "false")
+    try:
+        query = (
+            deduped.drop("_fp")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set(no_data_conf, prev_no_data)
+    return query

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["stream_dedup_first_wins", "stream_dedup_first_wins_tws"]
+__all__ = ["stream_dedup_first_wins", "stream_dedup_first_wins_tws", "_dedup_fn_ttl"]
 
 _STATE_SCHEMA = T.StructType([T.StructField("seen", T.LongType())])
 
@@ -43,6 +43,38 @@ def _dedup_fn(output_columns: list[str]):
                 first = pdf.iloc[[0]][output_columns]
         if first is not None:
             state.update((1,))
+            yield first
+
+    return fn
+
+
+def _dedup_fn_ttl(output_columns: list[str], ttl_ms: int):
+    """First-wins dedup with per-key processing-time TTL (bounded state).
+
+    Requires ``GroupStateTimeout.ProcessingTimeTimeout``. Each sighting
+    refreshes the deadline, so a key's state expires ``ttl_ms`` after its
+    LAST delivery — state size is bounded by keys seen within the TTL, not
+    keys ever seen (the reference's bounded-overlap reasoning,
+    drivers/abstract/cdc.go:117-136). A duplicate redelivered after the TTL
+    passes through again — the documented trade for bounded state; size the
+    TTL to the source's redelivery window."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # deadline passed with no new delivery — forget
+            return
+        if state.exists:
+            state.setTimeoutDuration(ttl_ms)  # refresh on redelivery
+            return
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]][output_columns]
+        if first is not None:
+            state.update((1,))
+            state.setTimeoutDuration(ttl_ms)
             yield first
 
     return fn

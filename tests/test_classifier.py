@@ -54,3 +54,42 @@ def test_empty_weights_rejected(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         hashed_bow_logits(df, "doc_id", "text", [])
+
+
+@pytest.fixture()
+def no_codegen_fallback(spark):
+    """Fail hard if any stage's generated Java exceeds the 64 KB method
+    limit instead of silently running interpreted."""
+    prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    yield
+    spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
+def test_broadcast_weight_path_at_65k_buckets(spark, no_codegen_fallback):
+    """B=65,536 takes the broadcast-join path (an F.array literal that size
+    is ~65k expression nodes — Janino/constant-pool blowup); with codegen
+    fallback disabled this throws if the stage ever regresses out of
+    codegen, and the result must equal the array-literal path's on a
+    weight vector both paths can run."""
+    from olake_spark.operators.classifier import ARRAY_LITERAL_MAX
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} shared words here") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    big = default_weights(65_536)
+    out = {r.doc_id: r for r in classify_quality(df, "doc_id", "text", big).collect()}
+    assert len(out) == 20 and all(r.n_tokens == 5 for r in out.values())
+
+    # differential: same weights through both paths must agree bit-for-bit.
+    # ARRAY_LITERAL_MAX-sized vector runs as a literal; replicating it to
+    # 2×ARRAY_LITERAL_MAX with w[i % B] preserved forces the join path while
+    # keeping hash(token) % B bucket→weight assignments identical.
+    small = default_weights(ARRAY_LITERAL_MAX)
+    doubled = small + small  # w[i] == w[i + B] → same weight per token
+    a = {r.doc_id: r.logit_micro
+         for r in hashed_bow_logits(df, "doc_id", "text", small).collect()}
+    b = {r.doc_id: r.logit_micro
+         for r in hashed_bow_logits(df, "doc_id", "text", doubled).collect()}
+    assert a == b

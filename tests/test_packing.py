@@ -82,3 +82,28 @@ def test_mixture_weighted_sample_hits_targets(spark):
     # deterministic: identical sample on re-run
     again = mixture_weighted_sample(df, "doc_id", "lang", weights)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_length_buckets_matches_ntile(spark):
+    """The distributed rank+formula path must reproduce SQL ntile exactly —
+    including the remainder rule (first N%n buckets get the extra row) —
+    across bucket counts that do and don't divide the row count."""
+    from pyspark.sql import Window as W
+
+    from olake_spark.operators.packing import length_buckets
+
+    rows = [(i, (i * 37) % 19 + 1) for i in range(103)]  # ties in len, ids unique
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"]).repartition(7)
+    for n in (1, 3, 8, 64, 103, 200):
+        got = {
+            r.doc_id: r.bucket
+            for r in length_buckets(df, "doc_id", "n_chars", n).collect()
+        }
+        want = {
+            r.doc_id: r.bucket
+            for r in df.withColumn(
+                "bucket",
+                F.ntile(n).over(W.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())),
+            ).collect()
+        }
+        assert got == want, f"n_buckets={n}"

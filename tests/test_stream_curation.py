@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import types as T
 
 from olake_spark.streaming.curation import stream_curate
@@ -66,3 +68,54 @@ def test_stream_curate_filters_dedups_and_resumes(spark, tmp_path):
     stream_curate(spark, f"{src}/d*", SCHEMA, "text", out, ckpt, min_tokens=5,
                   max_files_per_trigger=1)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 5, 7}
+
+
+def _state_rows(query) -> int | None:
+    """numRowsTotal from the drain's last batch that reported state metrics."""
+    for progress in reversed(query.recentProgress):
+        ops = progress.get("stateOperators") or []
+        if ops:
+            return ops[0]["numRowsTotal"]
+    return None
+
+
+def test_stream_curate_ttl_expires_and_bounds_state(spark, tmp_path):
+    """Bounded-state contract: redeliveries within the TTL keep state flat
+    (one row per live fingerprint, refreshed not duplicated); a fingerprint
+    with no sighting for > TTL is REMOVED from the store at the next batch,
+    and a redelivery after expiry passes through again — the documented
+    trade that keeps state ∝ fingerprints-within-TTL on a continuous crawl."""
+    src = str(tmp_path / "drops")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    good = "a sufficiently long document about spark streaming state"
+    other = "another long unique document that triggers the timeout batch"
+    ttl = 500  # ms — tiny so the test can watch expiry
+
+    _write_drop(spark, f"{src}/d0000", [(1, good)])
+    q = stream_curate(spark, f"{src}/d*", SCHEMA, "text", out, ckpt,
+                      min_tokens=5, ttl_ms=ttl)
+    assert _state_rows(q) == 1
+
+    # redelivery WITHIN the TTL: dropped, and state stays flat (refresh, not grow)
+    _write_drop(spark, f"{src}/d0001", [(2, good)])
+    q = stream_curate(spark, f"{src}/d*", SCHEMA, "text", out, ckpt,
+                      min_tokens=5, ttl_ms=ttl)
+    assert _state_rows(q) == 1
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
+
+    # deadline lapses; the next batch (new unrelated doc) fires the timeout
+    # and REMOVES the expired fingerprint — state holds only the live one
+    time.sleep(2.0)
+    _write_drop(spark, f"{src}/d0002", [(3, other)])
+    q = stream_curate(spark, f"{src}/d*", SCHEMA, "text", out, ckpt,
+                      min_tokens=5, ttl_ms=ttl)
+    assert _state_rows(q) == 1
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
+
+    # redelivery AFTER expiry passes again — bounded state's documented trade
+    time.sleep(2.0)
+    _write_drop(spark, f"{src}/d0003", [(4, good)])
+    stream_curate(spark, f"{src}/d*", SCHEMA, "text", out, ckpt,
+                  min_tokens=5, ttl_ms=ttl)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 4}
