@@ -1807,6 +1807,7 @@ _GATE_TAIL = [
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
     "kafka_registry_decode",
+    "similarity_topk_ivf",
 ]
 
 

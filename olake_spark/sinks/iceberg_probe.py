@@ -9,10 +9,12 @@ MERGE upsert, partition transforms, schema evolution, snapshot properties
 
 Probe order (first hit wins):
 
-1. ``OLAKE_SPARK_ICEBERG_JAR`` — explicit path to an
-   ``iceberg-spark-runtime`` jar.
+1. ``OLAKE_SPARK_ICEBERG_JAR`` — explicit path to a vendored/offline
+   ``iceberg-spark-runtime`` jar (or a directory containing one).
 2. ``~/.ivy2*/jars`` — a previously ``--packages``-resolved runtime.
-3. the pyspark distribution's own ``jars/`` directory.
+3. ``$SPARK_HOME/jars`` — a distribution-level Spark install (e.g.
+   ``/opt/spark``), which is where this environment's Spark lives.
+4. the pyspark pip package's own ``jars/`` directory.
 
 When nothing resolves the suite is *skipped, never faked* — there is no
 bundled jar and no network in some environments (including this one). Set
@@ -37,11 +39,20 @@ _RUNTIME_GLOB = "*iceberg-spark-runtime*.jar"
 def find_iceberg_jar() -> str | None:
     """Locate an Iceberg Spark runtime jar without touching the network."""
     explicit = os.environ.get("OLAKE_SPARK_ICEBERG_JAR")
-    if explicit and os.path.isfile(explicit):
-        return explicit
+    if explicit:
+        if os.path.isfile(explicit):
+            return explicit
+        if os.path.isdir(explicit):  # vendored-jar directory
+            hits = sorted(glob.glob(os.path.join(explicit, _RUNTIME_GLOB)))
+            if hits:
+                return hits[-1]
     candidates: list[str] = []
     for ivy in glob.glob(os.path.expanduser("~/.ivy2*")):
         candidates += glob.glob(os.path.join(ivy, "jars", _RUNTIME_GLOB))
+    spark_home = os.environ.get("SPARK_HOME")
+    if spark_home:
+        candidates += glob.glob(os.path.join(spark_home, "jars", _RUNTIME_GLOB))
+    candidates += glob.glob(os.path.join("/opt/spark", "jars", _RUNTIME_GLOB))
     try:
         import pyspark
 

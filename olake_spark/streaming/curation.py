@@ -32,7 +32,26 @@ from olake_spark.operators.dedup import normalize_text
 from olake_spark.operators.text import tokens
 from olake_spark.streaming.stateful_dedup import _dedup_fn, _dedup_fn_ttl, _STATE_SCHEMA
 
-__all__ = ["stream_curate"]
+__all__ = ["stream_curate", "curate_batch"]
+
+
+def curate_batch(df, id_col: str, text_col: str, min_tokens: int = 5):
+    """Batch-equivalent of ``stream_curate``'s gate + dedup: rows with ≥
+    ``min_tokens`` tokens, one survivor (min id) per normalized-content
+    fingerprint. The streaming path's first-wins equals this when arrivals
+    are id-ordered; the composed-pipeline tests pin the two equal so the
+    streaming and batch halves of a curation pipeline cannot drift apart."""
+    from pyspark.sql import Window as W
+
+    gated = df.filter(F.size(tokens(F.col(text_col))) >= min_tokens)
+    fp = F.md5(normalize_text(F.col(text_col)))
+    keep = F.col(id_col) == F.min(id_col).over(W.partitionBy("_fp"))
+    return (
+        gated.withColumn("_fp", fp)
+        .withColumn("_keep", keep)
+        .filter("_keep")
+        .drop("_fp", "_keep")
+    )
 
 # default TTL: 24h — generous vs the redelivery windows of the sources this
 # pipeline fronts (file-drop re-uploads, Kafka redelivery, CDC re-sends are

@@ -4,9 +4,14 @@
 
 With this in the suite, ``pytest tests/`` alone certifies every registry
 entry: the driver covers the window, this test covers the rest. It runs the
-gate in a subprocess because the mirror intentionally builds its own
+gate in subprocesses because the mirror intentionally builds its own
 vanilla SparkSession (no engine confs), which must not contaminate (or be
 contaminated by) the shared test session.
+
+The tail is split across CONCURRENT shard subprocesses (each with its own
+JVM + DuckDB): the fixture queries are latency-bound, not CPU-bound, so
+overlapping three sessions cuts the gate's wall time ~2-3× and keeps the
+whole pytest run near its pre-91-query duration as the registry grows.
 """
 
 import subprocess
@@ -14,6 +19,7 @@ import sys
 
 REPO = "/root/repo"
 SF_DIR = "/root/testdata/sf0.01"
+N_SHARDS = 3
 
 
 def test_registry_tail_passes_driver_mirror_gate():
@@ -24,23 +30,35 @@ def test_registry_tail_passes_driver_mirror_gate():
     names = list(entry.queries())
     tail = names[DRIVER_WINDOW_SIZE:]
     assert tail, "registry fits the driver window; nothing to certify"
-    proc = subprocess.run(
-        [
-            sys.executable,
-            f"{REPO}/tools/check_correctness.py",
-            "--vanilla",
-            "--exact",
-            SF_DIR,
-            *tail,
-        ],
-        capture_output=True,
-        text=True,
-        timeout=1800,
-        cwd=REPO,
-    )
-    out = proc.stdout + proc.stderr
-    assert proc.returncode == 0, f"registry tail gate failed:\n{out[-4000:]}"
+    shards = [tail[i::N_SHARDS] for i in range(N_SHARDS)]
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                f"{REPO}/tools/check_correctness.py",
+                "--vanilla",
+                "--exact",
+                SF_DIR,
+                *shard,
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=REPO,
+        )
+        for shard in shards
+        if shard
+    ]
+    outs = []
+    for proc in procs:
+        out, _ = proc.communicate(timeout=1800)
+        outs.append((proc.returncode, out))
+    failed = [out[-4000:] for rc, out in outs if rc != 0]
+    assert not failed, "registry tail gate failed:\n" + "\n---\n".join(failed)
     # every tail query must actually have been exercised (a typo'd name
     # would silently verify nothing)
-    checked = out.count("PASS ") + out.count("FAIL ")
-    assert checked == len(tail), f"expected {len(tail)} checks, saw {checked}:\n{out[-2000:]}"
+    checked = sum(out.count("PASS ") + out.count("FAIL ") for _, out in outs)
+    assert checked == len(tail), (
+        f"expected {len(tail)} checks, saw {checked}:\n"
+        + "\n---\n".join(out[-1500:] for _, out in outs)
+    )

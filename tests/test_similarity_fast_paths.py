@@ -206,3 +206,44 @@ def test_prenormed_cosine_bit_identical(spark, emb):
         (sim.cosine_prenormed("a", "b", "an", "bn", 64) - sim.cosine("a", "b", 64)).alias("d")
     ).agg(F.max(F.abs("d"))).first()[0]
     assert diff == 0.0
+
+
+def test_lsh_index_path_identical_to_inline(spark, emb):
+    """lsh_bucket_topk(index=...) — the persisted-artifact lifecycle — must
+    reproduce the inline-corpus path exactly, and the index reused across
+    two different query sets (the point of persisting it)."""
+    q1 = emb.filter(F.col("vec_id") < 5)
+    q2 = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 8))
+    idx = sim.lsh_build_index(emb).cache()
+    try:
+        for q in (q1, q2):
+            inline = sorted(map(tuple, sim.lsh_bucket_topk(q, emb, k=5).collect()))
+            via_idx = sorted(map(tuple, sim.lsh_bucket_topk(q, index=idx, k=5).collect()))
+            assert inline == via_idx and inline
+    finally:
+        idx.unpersist()
+    with pytest.raises(ValueError):
+        sim.lsh_bucket_topk(q1)  # neither corpus nor index
+
+
+def test_semantic_overlap_corpus_index_identical(spark, emb):
+    """semantic_overlap(corpus_index=...): decontaminating against a new
+    benchmark release from a persisted banded relation must flag exactly
+    the ids the inline corpus pass flags."""
+    from olake_spark.operators.decontam import semantic_overlap
+
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    bench = emb.filter(F.col("vec_id") % 17 == 0)
+    idx = sim.lsh_build_index(corpus, n_tables=sim._NUM_TABLES,
+                              n_planes=sim._NUM_PLANES).cache()
+    try:
+        inline = {r.vec_id for r in semantic_overlap(corpus, bench).collect()}
+        via_idx = {
+            r.vec_id
+            for r in semantic_overlap(None, bench, corpus_index=idx).collect()
+        }
+        assert inline == via_idx and inline
+    finally:
+        idx.unpersist()
+    with pytest.raises(ValueError):
+        semantic_overlap(None, bench)

@@ -119,3 +119,48 @@ def test_stream_curate_ttl_expires_and_bounds_state(spark, tmp_path):
     stream_curate(spark, f"{src}/d*", SCHEMA, "text", out, ckpt,
                   min_tokens=5, ttl_ms=ttl)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 4}
+
+
+def test_composed_stream_curate_then_incremental_dedup(spark, tmp_path):
+    """The production daily shape composed end-to-end: streaming curation
+    gate → daily incremental MinHash against the persisted corpus index.
+    Pins (a) the streamed curation output equal to ``curate_batch`` (the
+    batch equivalent the oracle query verifies), and (b) the incremental
+    dedup consuming the stream's output schema directly — interface drift
+    between the streaming and batch halves fails here."""
+    from olake_spark.operators.dedup import incremental_minhash_dedup, minhash_index
+    from olake_spark.streaming.curation import curate_batch, stream_curate
+
+    corpus = spark.createDataFrame(
+        [
+            (100 + i, f"corpus document number {100 + i} holding several distinct tokens")
+            for i in range(20)
+        ],
+        SCHEMA,
+    )
+    idx = minhash_index(corpus, "doc_id", "text")
+
+    arrivals = [
+        (1, "a sufficiently long document about spark streaming state"),
+        (2, "too short"),  # quality-gated
+        (3, "a sufficiently long document about spark streaming state"),  # dup of 1
+        (4, "corpus document number 105 holding several distinct tokens"),  # in corpus
+        (5, "another long unique arrival that survives every stage today"),
+    ]
+    src = str(tmp_path / "drops")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_drop(spark, f"{src}/d0000", arrivals[:3])
+    _write_drop(spark, f"{src}/d0001", arrivals[3:])
+    stream_curate(spark, f"{src}/d*", SCHEMA, "text", out, ckpt, min_tokens=5,
+                  max_files_per_trigger=1)
+    streamed = spark.read.parquet(out)
+
+    arr_df = spark.createDataFrame(arrivals, SCHEMA)
+    batch = curate_batch(arr_df, "doc_id", "text", min_tokens=5)
+    assert {r.doc_id for r in streamed.collect()} == {
+        r.doc_id for r in batch.collect()
+    } == {1, 4, 5}
+
+    final = incremental_minhash_dedup(streamed, idx, "doc_id", "text", threshold=0.7)
+    assert {r.doc_id for r in final.collect()} == {1, 5}  # 4 matches the corpus

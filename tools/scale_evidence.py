@@ -185,6 +185,9 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--cap", type=int, default=50, help="max_bucket_size for LSH joins")
     ap.add_argument("--max-df", type=int, default=100, help="n-gram document-frequency cap")
+    ap.add_argument("--merge-scale", type=int, default=2000,
+                    help="hi key-replication factor for the CoW-vs-MOR target")
+    ap.add_argument("--merge-scale-lo", type=int, default=200)
     ap.add_argument("--out", default="SCALE_EVIDENCE.json")
     args = ap.parse_args()
 
@@ -382,6 +385,64 @@ def main() -> None:
         lambda: cosine_near_dup_pairs(emb, n_planes=np_, max_bucket_size=args.cap).count(),
     )
     emb.unpersist()
+
+    # ---- MERGE path: CoW vs MOR at scaled target size -----------------------
+    # Claim under test (README "CDC upsert ships both Iceberg strategies"):
+    # a MOR commit is O(|batch|) — the same fixed changelog batch appends a
+    # collapsed delta regardless of how big the target table is — while a
+    # CoW MERGE rewrites the whole table, so its cost tracks target size.
+    # Build targets at scale_lo× and scale× the events changelog (replica-
+    # shifted keys so the target genuinely grows), replay the SAME batch
+    # through both strategies, report wall + shuffle + parquet files
+    # written per commit, plus the (off-ingest-path) MOR compact cost.
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from olake_spark.queries import _events_changelog
+    from olake_spark.sinks.table import ManagedTable
+
+    def _pq_files(path: str) -> set:
+        return set(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+    mg: dict = {}
+    batch = _events_changelog(spark, args.sf_dir).cache()
+    mg["batch_rows"] = batch.count()
+    merge_tmp = _tempfile.mkdtemp(prefix="olake_scale_merge_")
+    # the changelog collapses to ~1% distinct keys, so target scales must be
+    # large for the table to dwarf the batch — the regime the claim is about
+    for tag, sc in [("lo", args.merge_scale_lo), ("hi", args.merge_scale)]:
+        seed = (
+            _events_changelog(spark, args.sf_dir)
+            .select("*", F.explode(F.sequence(F.lit(0), F.lit(sc - 1))).alias("_r"))
+            .withColumn(
+                "user_id",
+                F.col("user_id").cast("long")
+                + F.col("_r").cast("long") * F.lit(1_000_000_000),
+            )
+            .drop("_r")
+        )
+        row: dict = {"target_scale": sc}
+        for mode in ("cow", "mor"):
+            path = f"{merge_tmp}/{mode}_{tag}"
+            t = ManagedTable(spark, path)
+            if mode == "cow":
+                t.upsert(seed, ["user_id"], ["lsn"])
+            else:
+                t.upsert_mor(seed, ["user_id"], ["lsn"])
+            row["target_rows"] = t.read().count()
+            before = _pq_files(path)
+            fn = t.upsert if mode == "cow" else t.upsert_mor
+            res = timed(spark, lambda f=fn: f(batch, ["user_id"], ["lsn"]) or 0)
+            res.pop("rows_out", None)  # commit version, not a row count
+            res["files_written"] = len(_pq_files(path) - before)
+            row[mode] = res
+            if mode == "mor" and tag == "hi":
+                row["mor_compact"] = timed(spark, lambda tt=t: tt.compact() or 0)
+        mg[tag] = row
+    batch.unpersist()
+    _shutil.rmtree(merge_tmp, ignore_errors=True)
+    out["merge_cow_vs_mor"] = mg
 
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=2)
