@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
+    "similarity_topk_pq",
     "embedding_near_dup_pairs",
     "curation_pipeline",
     # GC-heavy iterative query last so its heap pressure doesn't bleed

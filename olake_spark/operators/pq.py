@@ -1,0 +1,280 @@
+"""Product quantization (PQ) for embedding columns — compressed ANN.
+
+The memory half of billion-scale similarity search (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011 — the IVF-PQ design
+every FAISS deployment runs): split each d-dim vector into ``m`` subspaces,
+learn a small codebook per subspace, and store each vector as ``m`` small
+code ids. At d=64 float32 → m=4 bytes that is a 64× compression — the
+difference between "the corpus index fits in executor memory" and not, at
+100 TB of embeddings.
+
+Query-time scoring is ADC (asymmetric distance computation): the query
+stays exact; its dot product against any corpus vector is approximated by
+``Σ_j LUT_j[code_j]`` where ``LUT_j = dot(query_sub_j, codebook_j[·])`` is
+an m×k table computed once per query — k·m dot products instead of N.
+
+Spark shapes (all joins broadcast or map-side combinable):
+
+- codebooks are tiny (m·k rows) and BROADCAST everywhere;
+- ``pq_encode`` scores N·m·k candidate (vector-subspace, centroid) rows
+  map-side and argmins with ``max_by`` — partial aggregation keeps the
+  shuffle at one row per (vector, subspace): the same plan shape as
+  ``ivf_assign``;
+- ``pq_topk`` joins the exploded code table against a broadcast per-query
+  LUT on (sub, code) — corpus rows never shuffle for the join — and the
+  (query, id) score sum combines map-side (each id contributes m rows).
+
+Determinism: everything quantizes to ``floor(x·scale)`` integers first
+(cosine/dot ranking is scale-invariant), so every distance and ADC score
+is an EXACT integer below 2^53 — bit-identical under any partitioning and
+in the DuckDB oracle, the same trick as ``ivf_train_centroids``. Ties
+break on the lowest code / neighbor id.
+
+Codebooks come in two flavors, mirroring the IVF centroid precedent:
+``pq_stride_codebooks`` (deterministic sub-slices of every stride-th
+vector — oracle-reproducible) and ``pq_train_codebooks`` (per-subspace
+quantized Lloyd's k-means, the production path, reusing the exact-integer
+``ivf_train_centroids`` machinery per subspace).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "pq_stride_codebooks",
+    "pq_train_codebooks",
+    "pq_encode",
+    "pq_topk",
+]
+
+_DIM = 64
+_M = 4  # subspaces
+_SCALE = 10_000
+
+
+def _quantized(vec_col: str, scale: int) -> Column:
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(scale))).cast("double"),
+    )
+
+
+def _sub_structs(qv: Column, m: int, dim: int) -> Column:
+    """array<struct<sub,sv>> of the m sub-slices (slice is 1-based)."""
+    sub_len = dim // m
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sub"),
+                F.slice(qv, j * sub_len + 1, sub_len).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def _int_dot(a: str, b: str, n: int) -> Column:
+    """Unrolled integer-valued dot (stays in codegen; exact below 2^53)."""
+    acc = F.lit(0.0)
+    for i in range(n):
+        acc = acc + F.col(a)[i] * F.col(b)[i]
+    return acc
+
+
+def _int_sqdist(a: str, b: str, n: int) -> Column:
+    acc = F.lit(0.0)
+    for i in range(n):
+        d = F.col(a)[i] - F.col(b)[i]
+        acc = acc + d * d
+    return acc
+
+
+def pq_stride_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = _M,
+    dim: int = _DIM,
+    stride: int = 97,
+    scale: int = _SCALE,
+) -> DataFrame:
+    """Deterministic codebooks: the quantized sub-slices of every
+    ``stride``-th vector; code id = source vector id. Oracle-reproducible
+    stand-in for trained codebooks (the IVF ``stride_centroids``
+    precedent). Output: (sub, code, cv)."""
+    qv = _quantized(vec_col, scale)
+    rows = corpus.filter((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("code"), qv.alias("_qv")
+    )
+    return rows.select(
+        "code", F.explode(_sub_structs(F.col("_qv"), m, dim)).alias("_s")
+    ).select(F.col("_s.sub").alias("sub"), "code", F.col("_s.sv").alias("cv"))
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = _M,
+    dim: int = _DIM,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = _SCALE,
+) -> DataFrame:
+    """Per-subspace quantized Lloyd's k-means under squared-L2 — the
+    production codebooks (PQ trains and encodes with the SAME metric; the
+    cosine-based ``ivf_train_centroids`` is deliberately not reused).
+
+    Exact-integer discipline throughout: sub-vectors quantize to
+    ``floor(x·scale)``, assignment distances are exact integer sums, and
+    the centroid update is the FLOOR-mean ``floor(Σx / n)`` per dimension
+    — floor of an exact-integer ratio, so centroids stay integral and the
+    whole training is bit-identical under any partitioning/engine. Init =
+    the first k vectors by id (deterministic); code ids are the init
+    vectors' ids. Each iteration is two map-side-combinable shuffles per
+    subspace (argmin via ``max_by``, update via posexplode + (code, dim)
+    aggregate of k·d result rows); the m subspace trainings are
+    independent lazy plans unioned at the end."""
+    sub_len = dim // m
+    parts = []
+    for j in range(m):
+        qv = _quantized(vec_col, scale)
+        sliced = corpus.select(
+            F.col(id_col).alias("_vid"),
+            F.slice(qv, j * sub_len + 1, sub_len).alias("sv"),
+        )
+        cb = (
+            sliced.orderBy("_vid")
+            .limit(k)
+            .select(F.col("_vid").alias("code"), F.col("sv").alias("cv"))
+        )
+        for _ in range(iters):
+            scored = sliced.crossJoin(F.broadcast(cb)).select(
+                "_vid", "sv", "code", _int_sqdist("sv", "cv", sub_len).alias("_d2")
+            )
+            assigned = scored.groupBy("_vid").agg(
+                F.max_by(
+                    F.struct(F.col("code").alias("c"), F.col("sv").alias("v")),
+                    F.struct((-F.col("_d2")).alias("d"), (-F.col("code")).alias("t")),
+                ).alias("_b")
+            ).select(F.col("_b.c").alias("code"), F.col("_b.v").alias("sv"))
+            by_dim = assigned.select(
+                "code", F.posexplode(F.col("sv")).alias("_pos", "_x")
+            )
+            sums = by_dim.groupBy("code", "_pos").agg(
+                F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n")
+            )
+            cb = (
+                sums.groupBy("code")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "_pos",
+                                F.floor(F.col("_s") / F.col("_n").cast("double"))
+                                .cast("double")
+                                .alias("_mv"),
+                            )
+                        )
+                    ).alias("_pm")
+                )
+                .select(
+                    "code", F.expr("transform(_pm, s -> s._mv)").alias("cv")
+                )
+                # same load-bearing lazy cache as ivf_train_centroids: every
+                # downstream consumer (encode, LUT, next iteration) embeds
+                # this plan — uncached it re-runs the whole training
+                .cache()
+            )
+        parts.append(cb.select(F.lit(j).alias("sub"), "code", "cv"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = _M,
+    dim: int = _DIM,
+    scale: int = _SCALE,
+) -> DataFrame:
+    """(id, sub, code): nearest sub-centroid per (vector, subspace) by
+    exact-integer squared L2; ties break on the lowest code id.
+
+    This is the corpus-side build step — persist its output (the whole
+    index is m small ints per vector) and hand it to ``pq_topk``. The
+    argmin is ``max_by`` over the broadcast codebook join, so partial
+    aggregation reduces map-side and the shuffle carries one row per
+    (vector, subspace)."""
+    sub_len = dim // m
+    qv = _quantized(vec_col, scale)
+    vs = corpus.select(
+        F.col(id_col), F.explode(_sub_structs(qv, m, dim)).alias("_s")
+    ).select(id_col, F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
+    scored = vs.join(F.broadcast(codebooks), "sub").select(
+        id_col,
+        "sub",
+        "code",
+        _int_sqdist("sv", "cv", sub_len).alias("_d2"),
+    )
+    best = F.max_by(
+        F.col("code"), F.struct((-F.col("_d2")).alias("d"), (-F.col("code")).alias("c"))
+    )
+    return scored.groupBy(id_col, "sub").agg(best.alias("code"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = _M,
+    dim: int = _DIM,
+    scale: int = _SCALE,
+) -> DataFrame:
+    """ADC top-k by approximate dot product over the PQ-compressed corpus.
+
+    Output: (query_id, neighbor_id, rank, adc_dot) — ``adc_dot`` is the
+    exact-integer Σ_sub dot(query_sub, codebook[code]) MIPS score (PQ
+    approximates the VECTOR, the arithmetic on the approximation is
+    exact, so the oracle reproduces it bit-for-bit). Self-matches
+    excluded; ties rank by neighbor id.
+
+    The per-query LUT (|Q|·m·k rows) broadcasts; the corpus code table
+    joins it on (sub, code) with no shuffle of corpus rows, and the
+    (query, neighbor) sum combines map-side. Compose with an IVF cell
+    filter on ``codes`` for the classic IVF-PQ pruned scan."""
+    sub_len = dim // m
+    qv = _quantized(vec_col, scale)
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(_sub_structs(qv, m, dim)).alias("_s")
+    ).select("query_id", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("qsv"))
+    lut = qs.join(codebooks, "sub").select(
+        "query_id", "sub", "code", _int_dot("qsv", "cv", sub_len).alias("_pd")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_pd").alias("adc_dot"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dot").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "rank",
+            F.col("adc_dot").cast("long").alias("adc_dot"),
+        )
+    )

@@ -1808,6 +1808,7 @@ _GATE_TAIL = [
     "similarity_topk_bruteforce",
     "kafka_registry_decode",
     "similarity_topk_ivf",
+    "dedup_minhash_clusters",
 ]
 
 

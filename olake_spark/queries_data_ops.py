@@ -570,6 +570,76 @@ def similarity_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_bucket_topk(emb.filter(F.col("vec_id") < 5), index=idx, k=5)
 
 
+_PQ_SUB_LEN = 16  # 64 dims / 4 subspaces
+_PQ_SQDIST = (
+    "list_sum(list_transform(range(1, {n}+1), "
+    "i -> (sv[i]-cv[i])*(sv[i]-cv[i])))".format(n=_PQ_SUB_LEN)
+)
+_PQ_DOT = (
+    "list_sum(list_transform(range(1, {n}+1), "
+    "i -> qsv[i]*cv[i]))".format(n=_PQ_SUB_LEN)
+)
+
+_PQ_ORACLE = f"""
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 10000.0)) AS v
+      FROM embeddings
+    ),
+    subids AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+    cb AS (
+      SELECT sub, vec_id AS code,
+             list_slice(v, sub*{_PQ_SUB_LEN}+1, sub*{_PQ_SUB_LEN}+{_PQ_SUB_LEN}) AS cv
+      FROM qv CROSS JOIN subids WHERE vec_id % 97 = 0
+    ),
+    subs AS (
+      SELECT vec_id, sub,
+             list_slice(v, sub*{_PQ_SUB_LEN}+1, sub*{_PQ_SUB_LEN}+{_PQ_SUB_LEN}) AS sv
+      FROM qv CROSS JOIN subids
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, cb.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {_PQ_SQDIST}, cb.code) AS rn
+        FROM subs s JOIN cb ON cb.sub = s.sub
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.sub, cb.code,
+             list_sum(list_transform(range(1, {_PQ_SUB_LEN}+1), i -> q.sv[i]*cb.cv[i])) AS pd
+      FROM subs q JOIN cb ON cb.sub = q.sub WHERE q.vec_id < 3
+    ),
+    scored AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.pd)::BIGINT AS adc_dot
+      FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        AND l.query_id <> e.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, "rank", adc_dot FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dot DESC, neighbor_id)::INT AS "rank"
+      FROM scored
+    ) WHERE "rank" <= 5
+    """
+
+
+@register("similarity_topk_pq", _PQ_ORACLE)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pq.py — the FAISS IVF-PQ
+    compression half): stride codebooks (oracle-reproducible), exact-
+    integer squared-L2 encode, per-query LUT, MIPS ranking by the exact
+    Σ_sub dot(query_sub, codebook[code]) score. The corpus index is m
+    small ints per vector — 64× compression at d=64/m=4 — and the oracle
+    reproduces every adc_dot bit-for-bit because PQ approximates the
+    VECTOR while the arithmetic on the approximation stays integral."""
+    from olake_spark.operators import pq as _pq
+
+    emb = table(spark, sf_dir, "embeddings")
+    cb = _pq.pq_stride_codebooks(emb)
+    codes = _pq.pq_encode(emb, cb)
+    return _pq.pq_topk(emb.filter(F.col("vec_id") < 3), codes, cb, k=5)
+
+
 @register(
     "embedding_near_dup_pairs",
     f"""

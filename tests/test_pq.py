@@ -1,0 +1,122 @@
+"""Product quantization: encode determinism, ADC arithmetic, training."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark.operators import pq
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_stride_codebooks_shape(spark, emb):
+    cb = pq.pq_stride_codebooks(emb)
+    rows = cb.collect()
+    n_codes = emb.filter(F.col("vec_id") % 97 == 0).count()
+    assert len(rows) == n_codes * pq._M
+    assert {r.sub for r in rows} == set(range(pq._M))
+    assert all(len(r.cv) == pq._DIM // pq._M for r in rows)
+    # quantized integral components
+    assert all(float(x).is_integer() for r in rows[:8] for x in r.cv)
+
+
+def test_encode_partitioning_invariant_and_exact(spark, emb):
+    """Code assignment is an exact-integer argmin — identical under any
+    partitioning, and equal to a driver-side recomputation."""
+    cb = pq.pq_stride_codebooks(emb)
+    a = {(r.vec_id, r.sub): r.code for r in pq.pq_encode(emb, cb).collect()}
+    b = {
+        (r.vec_id, r.sub): r.code
+        for r in pq.pq_encode(emb.repartition(13), cb).collect()
+    }
+    assert a == b and len(a) == emb.count() * pq._M
+
+    # driver-side recompute for a handful of vectors
+    books = {}
+    for r in cb.collect():
+        books.setdefault(r.sub, []).append((r.code, [float(x) for x in r.cv]))
+    sub_len = pq._DIM // pq._M
+    for row in emb.limit(5).collect():
+        qv = [math.floor(x * pq._SCALE) for x in row.embedding]
+        for j in range(pq._M):
+            sv = qv[j * sub_len : (j + 1) * sub_len]
+            best = min(
+                books[j],
+                key=lambda cc: (sum((a - b) ** 2 for a, b in zip(sv, cc[1])), cc[0]),
+            )[0]
+            assert a[(row.vec_id, j)] == best
+
+
+def test_adc_dot_is_exact_reconstructed_dot(spark, emb):
+    """adc_dot must equal the exact integer dot of the quantized query
+    against the RECONSTRUCTED (codebook-decoded) corpus vector — ADC's
+    defining identity. Verified driver-side for every (query, neighbor)
+    pair the top-k emits."""
+    cb = pq.pq_stride_codebooks(emb)
+    codes = pq.pq_encode(emb, cb).cache()
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = pq.pq_topk(queries, codes, cb, k=4).collect()
+    assert {r.query_id for r in out} == {0, 1, 2}
+    assert all(1 <= r.rank <= 4 for r in out)
+
+    books = {}
+    for r in cb.collect():
+        books.setdefault(r.sub, {})[r.code] = [float(x) for x in r.cv]
+    code_map = {}
+    for r in codes.collect():
+        code_map.setdefault(r.vec_id, {})[r.sub] = r.code
+    qvecs = {
+        r.vec_id: [math.floor(x * pq._SCALE) for x in r.embedding]
+        for r in queries.collect()
+    }
+    sub_len = pq._DIM // pq._M
+    for r in out:
+        q = qvecs[r.query_id]
+        want = 0
+        for j in range(pq._M):
+            cv = books[j][code_map[r.neighbor_id][j]]
+            qs = q[j * sub_len : (j + 1) * sub_len]
+            want += sum(int(a) * int(b) for a, b in zip(qs, cv))
+        assert r.adc_dot == want
+    codes.unpersist()
+
+
+def test_trained_codebooks_reduce_quantization_error(spark, emb):
+    """Trained (L2 k-means) codebooks must beat the stride codebooks on
+    total squared reconstruction error — the objective k-means descends —
+    and be partitioning-invariant like every exact-integer operator."""
+    stride_cb = pq.pq_stride_codebooks(emb)
+    trained_cb = pq.pq_train_codebooks(emb, k=8, iters=2)
+
+    t1 = sorted(map(tuple, trained_cb.select("sub", "code", F.to_json("cv")).collect()))
+    t2 = sorted(
+        map(
+            tuple,
+            pq.pq_train_codebooks(emb.repartition(7), k=8, iters=2)
+            .select("sub", "code", F.to_json("cv"))
+            .collect(),
+        )
+    )
+    assert t1 == t2
+
+    def total_err(cb) -> float:
+        codes = pq.pq_encode(emb, cb)
+        sub_len = pq._DIM // pq._M
+        qv = pq._quantized("embedding", pq._SCALE)
+        vs = emb.select(
+            F.col("vec_id"), F.explode(pq._sub_structs(qv, pq._M, pq._DIM)).alias("_s")
+        ).select("vec_id", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
+        joined = vs.join(codes, ["vec_id", "sub"]).join(cb, ["sub", "code"])
+        return joined.agg(
+            F.sum(pq._int_sqdist("sv", "cv", sub_len))
+        ).first()[0]
+
+    assert total_err(trained_cb) < total_err(stride_cb)

@@ -89,3 +89,37 @@ def test_project_stream_types(spark):
     row = project_stream(ch, schema).first()
     assert row["id"] == 7 and row["name"] == "ann" and row["bal"] == 10.5
     assert row["_cdc_lsn"] == "0/9"
+
+
+def test_decode_adversarial_values_roundtrip(spark):
+    """JSON-escaping corners through the full encode→decode round trip in
+    one batch: quotes, backslashes, newlines/tabs, unicode (incl.
+    astral-plane), JSON-lookalike payloads, empty and long strings. The
+    decoder must hand every value back byte-identical in the data map."""
+    nasty = [
+        'quote " inside',
+        "backslash \\ and \\\\ double",
+        "newline\nand\ttab",
+        "unicode: héllo wörld — 中文 🚀",
+        '{"looks": "like json", "arr": [1,2]}',
+        "",
+        "trailing space ",
+        "a" * 5000,
+        "null",  # the STRING 'null', not a null
+        "línea\r\ncarriage",
+    ]
+    msgs = [
+        _msg(f"0/{i:X}", [_ins("t", ["id", "payload"], [i, v])])
+        for i, v in enumerate(nasty)
+    ]
+    out = {
+        int(r.data["id"]): r.data["payload"]
+        for r in decode_wal2json(_raw(spark, msgs)).collect()
+    }
+    assert out == dict(enumerate(nasty))
+
+    # a genuine JSON null value must surface as a NULL map entry, distinct
+    # from the string 'null'
+    null_msg = _msg("0/FF", [_ins("t", ["id", "payload"], [99, None])])
+    row = decode_wal2json(_raw(spark, [null_msg])).collect()[0]
+    assert row.data["id"] == "99" and row.data["payload"] is None
