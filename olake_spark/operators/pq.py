@@ -48,6 +48,8 @@ __all__ = [
     "pq_train_codebooks",
     "pq_encode",
     "pq_topk",
+    "ivfpq_index",
+    "ivfpq_topk",
 ]
 
 _DIM = 64
@@ -263,6 +265,86 @@ def pq_topk(
     )
     scored = (
         codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_pd").alias("adc_dot"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dot").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "rank",
+            F.col("adc_dot").cast("long").alias("adc_dot"),
+        )
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = _M,
+    dim: int = _DIM,
+    scale: int = _SCALE,
+) -> DataFrame:
+    """The full IVF-PQ index: (id, _cell, sub, code) — coarse cell for
+    pruning, PQ codes for compressed scoring. Build ONCE, persist bucketed
+    on ``_cell`` (the pruning key); per vector it is m+1 small ints: the
+    memory shape that lets a 100 TB corpus's index live in executor RAM."""
+    from olake_spark.operators.similarity import ivf_assign
+
+    cells = ivf_assign(
+        corpus.select(id_col, vec_col), centroids, id_col, vec_col, dim
+    ).select(id_col, "_cell")
+    codes = pq_encode(corpus, codebooks, id_col, vec_col, m, dim, scale)
+    return codes.join(cells, id_col).select(id_col, "_cell", "sub", "code")
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+    m: int = _M,
+    dim: int = _DIM,
+    scale: int = _SCALE,
+) -> DataFrame:
+    """The classic IVF-PQ pruned scan: assign each query to its ``nprobe``
+    nearest coarse cells, ADC-score ONLY those cells' vectors from their
+    PQ codes. Cost per query = K centroid dots + nprobe/n_cells of the
+    corpus scored from m-int codes — neither the raw corpus nor the index
+    ever shuffles: the per-query LUT is replicated per probed cell and
+    broadcast, the index joins it on (_cell, sub, code).
+
+    Output: (query_id, neighbor_id, rank, adc_dot), ranked per query by
+    the exact-integer ADC score, ties on neighbor id."""
+    from olake_spark.operators.similarity import ivf_assign
+
+    sub_len = dim // m
+    qcells = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        centroids, "query_id", "_qv", dim, nprobe=nprobe,
+    ).select("query_id", "_cell")
+    qv = _quantized(vec_col, scale)
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(_sub_structs(qv, m, dim)).alias("_s")
+    ).select("query_id", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("qsv"))
+    lut = (
+        qs.join(codebooks, "sub")
+        .select("query_id", "sub", "code", _int_dot("qsv", "cv", sub_len).alias("_pd"))
+        .join(qcells, "query_id")  # replicate the LUT per probed cell
+    )
+    scored = (
+        index.join(F.broadcast(lut), ["_cell", "sub", "code"])
         .filter(F.col("query_id") != F.col(id_col))
         .groupBy("query_id", id_col)
         .agg(F.sum("_pd").alias("adc_dot"))

@@ -1809,6 +1809,7 @@ _GATE_TAIL = [
     "kafka_registry_decode",
     "similarity_topk_ivf",
     "dedup_minhash_clusters",
+    "embedding_near_dup_pairs",
 ]
 
 

@@ -623,6 +623,87 @@ _PQ_ORACLE = f"""
     """
 
 
+_IVFPQ_ORACLE = f"""
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 10000.0)) AS v
+      FROM embeddings
+    ),
+    subids AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+    cb AS (
+      SELECT sub, vec_id AS code,
+             list_slice(v, sub*{_PQ_SUB_LEN}+1, sub*{_PQ_SUB_LEN}+{_PQ_SUB_LEN}) AS cv
+      FROM qv CROSS JOIN subids WHERE vec_id % 97 = 0
+    ),
+    subs AS (
+      SELECT vec_id, sub,
+             list_slice(v, sub*{_PQ_SUB_LEN}+1, sub*{_PQ_SUB_LEN}+{_PQ_SUB_LEN}) AS sv
+      FROM qv CROSS JOIN subids
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, cb.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {_PQ_SQDIST}, cb.code) AS rn
+        FROM subs s JOIN cb ON cb.sub = s.sub
+      ) WHERE rn = 1
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS ccv FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    assign AS (
+      SELECT e.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({_COS.format(a='e.embedding', b='c.ccv')}, 9) DESC,
+                        c.cent_id) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rn = 1),
+    qcells AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM assign
+      WHERE vec_id < 3 AND rn <= 2
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.sub, cb.code,
+             list_sum(list_transform(range(1, {_PQ_SUB_LEN}+1), i -> q.sv[i]*cb.cv[i])) AS pd
+      FROM subs q JOIN cb ON cb.sub = q.sub WHERE q.vec_id < 3
+    ),
+    scored AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.pd)::BIGINT AS adc_dot
+      FROM enc e
+      JOIN cells ce ON ce.vec_id = e.vec_id
+      JOIN qcells qc ON qc.cell = ce.cell
+      JOIN lut l ON l.query_id = qc.query_id AND l.sub = e.sub AND l.code = e.code
+      WHERE l.query_id <> e.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, "rank", adc_dot FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dot DESC, neighbor_id)::INT AS "rank"
+      FROM scored
+    ) WHERE "rank" <= 3
+    """
+
+
+@register("similarity_topk_ivfpq", _IVFPQ_ORACLE)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic IVF-PQ pruned scan composed end-to-end (operators/pq.py
+    ivfpq_index / ivfpq_topk): coarse stride-centroid cells prune the
+    corpus to each query's nprobe=2 nearest cells, PQ codes ADC-score only
+    those cells' vectors. The persisted artifact is (id, cell, m codes) —
+    m+1 small ints per vector — and neither the corpus nor the index
+    shuffles at query time (per-query LUT replicated per probed cell and
+    broadcast). Exact-integer ADC keeps the oracle bit-for-bit."""
+    from olake_spark.operators import pq as _pq
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = sim.stride_centroids(emb)
+    cb = _pq.pq_stride_codebooks(emb)
+    idx = _pq.ivfpq_index(emb, cents, cb)
+    return _pq.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 3), idx, cb, cents, k=3, nprobe=2
+    )
+
+
 @register("similarity_topk_pq", _PQ_ORACLE)
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (operators/pq.py — the FAISS IVF-PQ

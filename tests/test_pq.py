@@ -120,3 +120,38 @@ def test_trained_codebooks_reduce_quantization_error(spark, emb):
         ).first()[0]
 
     assert total_err(trained_cb) < total_err(stride_cb)
+
+
+def test_ivfpq_prunes_to_probed_cells(spark, emb):
+    """IVF-PQ = PQ restricted to the query's probed cells: every emitted
+    neighbor must live in one of the query's nprobe nearest cells, scores
+    must equal the unpruned ADC scores for those neighbors, and raising
+    nprobe can only widen the candidate pool."""
+    from olake_spark.operators.similarity import ivf_assign, stride_centroids
+
+    cents = stride_centroids(emb)
+    cb = pq.pq_stride_codebooks(emb)
+    idx = pq.ivfpq_index(emb, cents, cb).cache()
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    out1 = pq.ivfpq_topk(queries, idx, cb, cents, k=50, nprobe=1).collect()
+    out2 = pq.ivfpq_topk(queries, idx, cb, cents, k=50, nprobe=2).collect()
+    assert len(out2) >= len(out1)
+
+    cell_of = {r.vec_id: r._cell for r in idx.select("vec_id", "_cell").distinct().collect()}
+    qcells = {}
+    for r in ivf_assign(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")),
+        cents, "query_id", "_qv", 64, nprobe=2,
+    ).collect():
+        qcells.setdefault(r.query_id, set()).add(r._cell)
+    assert all(cell_of[r.neighbor_id] in qcells[r.query_id] for r in out2)
+
+    # pruned scores equal the unpruned ADC scores on the surviving pairs
+    codes = idx.select("vec_id", "sub", "code")
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_dot
+        for r in pq.pq_topk(queries, codes, cb, k=10_000).collect()
+    }
+    assert all(full[(r.query_id, r.neighbor_id)] == r.adc_dot for r in out2)
+    idx.unpersist()

@@ -246,6 +246,26 @@ def main() -> None:
         )
         print("ivf", out["ivf"][-1], flush=True)
 
+    # ---- PQ: compression's recall cost (full scan, compressed scores) -----
+    # ADC ranks by approximate dot products against 64×-compressed codes;
+    # recall@k vs exact cosine measures what the compression costs. m is
+    # the knob: more subspaces = finer reconstruction = higher recall.
+    from olake_spark.operators import pq as pqm
+
+    out["pq"] = []
+    for m in (4, 8, 16):
+        cb = pqm.pq_stride_codebooks(emb, m=m)
+        codes = pqm.pq_encode(emb, cb, m=m)
+        approx = pqm.pq_topk(queries, codes, cb, k=args.k, m=m)
+        out["pq"].append(
+            {
+                "m": m,
+                "compression_x": round(64 * 4 / m, 1),  # vs float32 vectors
+                "recall_at_k": recall_at_k(exact, approx, args.k),
+            }
+        )
+        print("pq", out["pq"][-1], flush=True)
+
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out))
