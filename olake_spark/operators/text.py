@@ -29,6 +29,8 @@ __all__ = [
     "with_fingerprint",
     "strip_html",
     "with_html_text",
+    "SCRIPT_CLASSES",
+    "with_script_stats",
 ]
 
 # small fixed english stopword list (quality signal, not linguistics)
@@ -181,3 +183,51 @@ def strip_html(col: Column) -> Column:
 
 def with_html_text(df: DataFrame, html_col: str, out: str = "text") -> DataFrame:
     return df.withColumn(out, strip_html(F.col(html_col)))
+
+
+# Unicode script classes for script detection — (name, java_regex,
+# re2_regex): Spark's regexp_replace speaks Java character classes
+# (\uXXXX), DuckDB's speaks RE2 (\x{XXXX}); the oracle generator renders
+# the same ranges in RE2 so both engines count identical characters.
+# Priority order = tie-break order for the dominant script.
+SCRIPT_CLASSES: list[tuple[str, str, str]] = [
+    ("latin", "[A-Za-z]", "[A-Za-z]"),
+    ("cyrillic", "[\\u0400-\\u04FF]", "[\\x{0400}-\\x{04FF}]"),
+    ("cjk", "[\\u4E00-\\u9FFF]", "[\\x{4E00}-\\x{9FFF}]"),
+    ("arabic", "[\\u0600-\\u06FF]", "[\\x{0600}-\\x{06FF}]"),
+    ("digit", "[0-9]", "[0-9]"),
+]
+
+
+def with_script_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode script profile — the script-level complement of
+    the marker-word language id (multilingual corpora are routed by script
+    BEFORE language: CJK/Arabic/Cyrillic text never reaches a Latin
+    marker-word model).
+
+    Adds, per script class: ``n_<script>`` (character count via the
+    count-by-deletion identity ``length(s) - length(replace(s, cls, ''))``
+    — pure codegen, no explode), ``ratio_<script>`` (of total chars,
+    round-6), plus ``n_chars_total`` and ``dominant_script`` (max count;
+    ties break by the fixed class order; empty text → 'none'). All counts
+    are exact integers, so the profile is partitioning- and
+    engine-independent."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty profile
+    total = F.length(txt)
+    counts = {
+        name: (total - F.length(F.regexp_replace(txt, jre, ""))).cast("long")
+        for name, jre, _ in SCRIPT_CLASSES
+    }
+    out = df.withColumn("n_chars_total", total.cast("long"))
+    for name in counts:
+        out = out.withColumn(f"n_{name}", counts[name])
+    for name in counts:
+        out = out.withColumn(
+            f"ratio_{name}",
+            F.when(total > 0, F.round(counts[name] / total, 6)).otherwise(F.lit(0.0)),
+        )
+    mx = F.greatest(*counts.values())
+    dominant = F.when(mx == 0, F.lit("none"))
+    for name, _, _ in SCRIPT_CLASSES:
+        dominant = dominant.when(counts[name] == mx, F.lit(name))
+    return out.withColumn("dominant_script", dominant)

@@ -1810,6 +1810,7 @@ _GATE_TAIL = [
     "similarity_topk_ivf",
     "dedup_minhash_clusters",
     "embedding_near_dup_pairs",
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -1834,6 +1834,58 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _script_stats_oracle() -> str:
+    from olake_spark.operators.text import SCRIPT_CLASSES
+
+    counts = ", ".join(
+        f"(length(text) - length(regexp_replace(text, '{re2}', '', 'g')))::BIGINT"
+        f" AS n_{name}"
+        for name, _, re2 in SCRIPT_CLASSES
+    )
+    names = [name for name, _, _ in SCRIPT_CLASSES]
+    gr = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    ratios = ", ".join(
+        f"CASE WHEN n_chars_total > 0 THEN round(n_{n} / n_chars_total::DOUBLE, 6)"
+        f" ELSE 0.0 END AS ratio_{n}"
+        for n in names
+    )
+    dominant = (
+        "CASE WHEN " + gr + " = 0 THEN 'none' "
+        + " ".join(f"WHEN n_{n} = {gr} THEN '{n}'" for n in names)
+        + " END AS dominant_script"
+    )
+    return f"""
+    WITH src AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    c AS (
+      SELECT doc_id, length(text)::BIGINT AS n_chars_total, {counts}
+      FROM src
+    )
+    SELECT doc_id, n_chars_total, {', '.join(f'n_{n}' for n in names)},
+           {ratios}, {dominant}
+    FROM c
+    """
+
+
+@register("text_script_stats", _script_stats_oracle())
+def text_script_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling (operators/text.py with_script_stats):
+    per-doc character counts/ratios for Latin/Cyrillic/CJK/Arabic/digit
+    classes + dominant script — the script-level router multilingual
+    corpora apply before any language model. Count-by-deletion keeps it
+    pure codegen; the oracle renders the same ranges in RE2."""
+    from olake_spark.operators.text import SCRIPT_CLASSES, with_script_stats
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    names = [n for n, _, _ in SCRIPT_CLASSES]
+    return with_script_stats(docs, "text").select(
+        "doc_id",
+        "n_chars_total",
+        *[f"n_{n}" for n in names],
+        *[f"ratio_{n}" for n in names],
+        "dominant_script",
+    )
+
+
 def _curate_incremental_oracle(threshold: float = 0.7, num_bands: int = 4) -> str:
     """Composed pipeline oracle: stream_curate's batch-equivalent gate +
     first-wins dedup over today's arrivals, then incremental MinHash

@@ -179,3 +179,32 @@ def test_gopher_rules_flags(spark):
     for d in out.values():
         flags = [d[k] for k in d if k.startswith("ok_")]
         assert d["passes_gopher"] == all(flags)
+
+
+def test_script_stats_multilingual(spark):
+    """Script counts/ratios/dominant on genuinely multi-script text."""
+    from olake_spark.operators.text import with_script_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "Привет мир"),
+            (3, "你好世界"),
+            (4, "مرحبا بالعالم"),
+            (5, "mixed 你好 text with 123 and Привет"),
+            (6, ""),
+            (7, None),
+            (8, "1234567890"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in with_script_stats(df, "text").collect()}
+    assert out[1].dominant_script == "latin" and out[1].n_latin == 10
+    assert out[2].dominant_script == "cyrillic" and out[2].n_cyrillic == 9
+    assert out[3].dominant_script == "cjk" and out[3].n_cjk == 4
+    assert out[4].dominant_script == "arabic"
+    assert out[5].n_cjk == 2 and out[5].n_cyrillic == 6 and out[5].n_digit == 3
+    assert out[5].dominant_script == "latin"  # 'mixed text with and' wins
+    assert out[6].dominant_script == "none" and out[6].n_chars_total == 0
+    assert out[7].dominant_script == "none" and out[7].n_chars_total == 0
+    assert out[8].dominant_script == "digit" and out[8].ratio_digit == 1.0
