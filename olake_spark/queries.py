@@ -1570,7 +1570,10 @@ SELECT o_orderkey AS okey,
        CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus || '!' ELSE o_orderstatus END AS status,
        CAST(round(o_totalprice * 100) AS BIGINT)
          + CASE WHEN o_orderkey % 3 = 1 THEN 111 ELSE 0 END AS price_cents,
-       epoch_ms(o_orderdate::TIMESTAMP + (o_orderkey % 1000) * INTERVAL 1 SECOND) AS ts_ms
+       epoch_ms(o_orderdate::TIMESTAMP + (o_orderkey % 1000) * INTERVAL 1 SECOND) AS ts_ms,
+       '12345678-1234-5678-1234-567812345678:' || o_orderkey AS gtid,
+       epoch_us(o_orderdate::TIMESTAMP + (o_orderkey % 1000) * INTERVAL 1 SECOND)
+         + (o_orderkey % 1000) AS event_ts_us
 FROM orders WHERE o_orderkey % 29 = 0
 """
 
@@ -1587,9 +1590,18 @@ def mysql_binlog_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mapPartitions`` (each partition is a protocol slice opening with its
     TABLE_MAP, exactly how a bounded binlog batch arrives) and compared
     typed. Update events carry (before, after) image pairs and only the
-    after image (status||'!', price+1.11) must survive."""
+    after image (status||'!', price+1.11) must survive. Each transaction
+    opens with a GTID event carrying the MySQL ≥8.0.1 7-byte µs commit
+    timestamps (binlog.go:121-126): odd keys use the flag-set form
+    (original ≠ immediate — the original wins, filter.go:98-100), even
+    keys flag-clear; the decoded event timestamp must be the µs-precision
+    GTID time, not the header's seconds, and rows carry the GTID string."""
+    import uuid as _uuid
+
     from olake_spark.sources.files import spread
     from olake_spark.streaming import binlog_wire as bw
+
+    _sid = _uuid.UUID("12345678-1234-5678-1234-567812345678").bytes
 
     cols = [bw.TYPE_LONG, bw.TYPE_VARCHAR, bw.TYPE_NEWDECIMAL, bw.TYPE_DATETIME2]
     meta = [0, 64, (12 << 8) | 2, 0]
@@ -1617,6 +1629,14 @@ def mysql_binlog_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             created = _dt.datetime(d.year, d.month, d.day) + _dt.timedelta(seconds=k % 1000)
             base = [k, r["o_orderstatus"], _price(cents), created]
             v2 = k % 2 == 0
+            final_us = (
+                created - _dt.datetime(1970, 1, 1)
+            ) // _dt.timedelta(microseconds=1) + k % 1000
+            if v2:  # flag-clear: original == immediate
+                yield (bw.encode_gtid(_sid, k, immediate_us=final_us),)
+            else:  # flag-set: distinct original must win over immediate
+                yield (bw.encode_gtid(_sid, k, immediate_us=final_us + 7,
+                                      original_us=final_us),)
             if k % 3 == 0:
                 ev = bw.encode_rows_event(42, "insert", [base], cols, meta, v2=v2, log_pos=k)
             elif k % 3 == 1:
@@ -1634,6 +1654,8 @@ def mysql_binlog_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("data")["status"].alias("status"),
         F.regexp_replace(F.col("data")["price"], r"\.", "").cast("bigint").alias("price_cents"),
         F.unix_millis(F.to_timestamp(F.col("data")["created"])).alias("ts_ms"),
+        F.col("gtid"),
+        F.unix_micros(F.col("ts")).alias("event_ts_us"),
     )
 
 

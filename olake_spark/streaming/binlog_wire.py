@@ -50,6 +50,7 @@ __all__ = [
     "encode_rotate",
     "encode_table_map",
     "encode_rows_event",
+    "encode_gtid",
     "BINLOG_DECODED_SCHEMA",
 ]
 
@@ -61,6 +62,10 @@ FORMAT_DESCRIPTION_EVENT = 0x0F
 TABLE_MAP_EVENT = 0x13
 WRITE_ROWS_V1, UPDATE_ROWS_V1, DELETE_ROWS_V1 = 0x17, 0x18, 0x19
 WRITE_ROWS_V2, UPDATE_ROWS_V2, DELETE_ROWS_V2 = 0x1E, 0x1F, 0x20
+GTID_EVENT = 0x21
+ANONYMOUS_GTID_EVENT = 0x22
+
+_TS55 = (1 << 55) - 1  # 7-byte commit timestamps carry 55 µs bits + a flag bit
 
 _V1 = {WRITE_ROWS_V1: "insert", UPDATE_ROWS_V1: "update", DELETE_ROWS_V1: "delete"}
 _V2 = {WRITE_ROWS_V2: "insert", UPDATE_ROWS_V2: "update", DELETE_ROWS_V2: "delete"}
@@ -347,6 +352,13 @@ class BinlogDecoder:
         self.column_names = column_names or {}
         self.checksum = checksum
         self.tables: dict[int, TableMap] = {}
+        # per-transaction GTID state: every transaction opens with a GTID
+        # (or anonymous-GTID) event; its µs original-commit timestamp
+        # (MySQL ≥8.0.1) overrides the seconds-precision header timestamp
+        # on every row of the transaction (binlog.go:121-126,
+        # filter.go:98-100)
+        self.gtid: str | None = None
+        self.gtid_ts_us: int | None = None
 
     # -- event bodies --------------------------------------------------------
 
@@ -459,15 +471,54 @@ class BinlogDecoder:
         if etype == TABLE_MAP_EVENT:
             self._table_map(body)
             return []
+        if etype in (GTID_EVENT, ANONYMOUS_GTID_EVENT):
+            self._gtid(body, anonymous=etype == ANONYMOUS_GTID_EVENT)
+            return []
         if etype in _V1 or etype in _V2:
             op = _V1.get(etype) or _V2[etype]
             rows = self._rows(body, op, etype in _V2)
+            if self.gtid_ts_us is not None:
+                # µs-precision GTID original-commit timestamp (MySQL
+                # ≥8.0.1) wins over the header's seconds (filter.go:98-100)
+                row_ts = dt.datetime(1970, 1, 1) + dt.timedelta(
+                    microseconds=self.gtid_ts_us
+                )
+            else:
+                row_ts = dt.datetime.fromtimestamp(ts, dt.UTC).replace(tzinfo=None)
             for r in rows:
                 r["file"] = self.file
                 r["pos"] = log_pos
-                r["ts"] = dt.datetime.fromtimestamp(ts, dt.UTC).replace(tzinfo=None)
+                r["ts"] = row_ts
+                r["gtid"] = self.gtid
             return rows
-        return []  # FORMAT_DESCRIPTION / GTID / XID / query — not row events
+        return []  # FORMAT_DESCRIPTION / XID / query — not row events
+
+    def _gtid(self, body: bytes, anonymous: bool) -> None:
+        """GTID / ANONYMOUS_GTID event: transaction id + (≥8.0.1) 7-byte
+        µs commit timestamps. Layout: flags(1) sid(16) gno(8) lt_type(1)
+        [last_committed(8) sequence_number(8)] [immediate_ts(7)
+        [original_ts(7) iff immediate's bit 55 set — else original ==
+        immediate]]. Older servers stop before the timestamps."""
+        import uuid as _uuid
+
+        sid, gno = body[1:17], int.from_bytes(body[17:25], "little")
+        self.gtid = None if anonymous else f"{_uuid.UUID(bytes=sid)}:{gno}"
+        self.gtid_ts_us = None
+        pos = 25
+        if len(body) > pos and body[pos] == 2:  # logical-clock typecode
+            pos += 1 + 16  # last_committed + sequence_number
+        if len(body) >= pos + 7:
+            imm = int.from_bytes(body[pos : pos + 7], "little")
+            pos += 7
+            if imm >> 55:  # original differs from immediate
+                if len(body) >= pos + 7:
+                    self.gtid_ts_us = (
+                        int.from_bytes(body[pos : pos + 7], "little") & _TS55
+                    )
+            else:
+                self.gtid_ts_us = imm & _TS55
+            if self.gtid_ts_us == 0:  # pre-8.0.1 servers send zeros
+                self.gtid_ts_us = None
 
 
 def decode_binlog_events(
@@ -490,6 +541,7 @@ BINLOG_DECODED_SCHEMA = T.StructType(
         T.StructField("file", T.StringType()),
         T.StructField("pos", T.LongType()),
         T.StructField("ts", T.TimestampType()),
+        T.StructField("gtid", T.StringType()),
     ]
 )
 
@@ -516,7 +568,7 @@ def decode_binlog_df(
         ):
             yield (
                 ev["schema"], ev["table"], ev["op"], ev["data"],
-                ev["file"], ev["pos"], ev["ts"],
+                ev["file"], ev["pos"], ev["ts"], ev["gtid"],
             )
 
     return raw.rdd.mapPartitions(run).toDF(BINLOG_DECODED_SCHEMA)
@@ -527,6 +579,30 @@ def decode_binlog_df(
 
 def _header(etype: int, ts: int, body_len: int, log_pos: int) -> bytes:
     return struct.pack("<IBIIIH", ts, etype, 1, HEADER_LEN + body_len, log_pos, 0)
+
+
+def encode_gtid(
+    sid: bytes,
+    gno: int,
+    immediate_us: int | None = None,
+    original_us: int | None = None,
+    anonymous: bool = False,
+    ts: int = 0,
+    log_pos: int = 0,
+) -> bytes:
+    """GTID / ANONYMOUS_GTID event. ``immediate_us=None`` emits the
+    pre-8.0.1 short form (no commit timestamps); ``original_us`` defaults
+    to the immediate timestamp (the flag-clear wire form)."""
+    body = bytes([1]) + sid + gno.to_bytes(8, "little")
+    body += bytes([2]) + (0).to_bytes(8, "little") + (1).to_bytes(8, "little")
+    if immediate_us is not None:
+        if original_us is None or original_us == immediate_us:
+            body += (immediate_us & _TS55).to_bytes(7, "little")
+        else:
+            body += ((immediate_us & _TS55) | (1 << 55)).to_bytes(7, "little")
+            body += (original_us & _TS55).to_bytes(7, "little")
+    etype = ANONYMOUS_GTID_EVENT if anonymous else GTID_EVENT
+    return _header(etype, ts, len(body), log_pos) + body
 
 
 def encode_rotate(next_file: str, position: int = 4, ts: int = 0) -> bytes:

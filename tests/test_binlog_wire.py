@@ -148,3 +148,51 @@ def test_decode_binlog_df(spark):
     assert byid[7]["data"]["name"] == "n7"
     assert byid[7]["data"]["price"] == "7.25"
     assert byid[49]["pos"] == 149
+
+
+def test_gtid_event_microsecond_timestamp_and_sticky_state():
+    """GTID event (MySQL >=8.0.1): the 7-byte original-commit timestamp
+    overrides the header's seconds on every row of the transaction
+    (binlog.go:121-126, filter.go:98-100); the GTID string tags rows;
+    anonymous and pre-8.0.1 (no-timestamp) forms fall back to header
+    seconds."""
+    import datetime as dt
+    import uuid
+
+    from olake_spark.streaming.binlog_wire import (
+        BinlogDecoder,
+        TYPE_LONG,
+        encode_gtid,
+        encode_rows_event,
+        encode_table_map,
+    )
+
+    sid = uuid.UUID("12345678-1234-5678-1234-567812345678")
+    us = 1_709_287_200_123_456  # 2024-03-01 10:00:00.123456 UTC
+    dec = BinlogDecoder("f.000001", {("db", "t"): ["id"]})
+    tm = encode_table_map(7, "db", "t", [TYPE_LONG], [0])
+    rows_ev = encode_rows_event(7, "insert", [[1]], [TYPE_LONG], [0], ts=1_709_287_205)
+
+    # flag-clear form: original == immediate
+    dec.decode(encode_gtid(sid.bytes, 42, immediate_us=us))
+    dec.decode(tm)
+    (r1,) = dec.decode(rows_ev)
+    assert r1["ts"] == dt.datetime(2024, 3, 1, 10, 0, 0, 123456)
+    assert r1["gtid"] == f"{sid}:42"
+
+    # flag-set form: distinct original wins over immediate
+    dec.decode(encode_gtid(sid.bytes, 43, immediate_us=us + 999, original_us=us + 5))
+    (r2,) = dec.decode(rows_ev)
+    assert r2["ts"] == dt.datetime(2024, 3, 1, 10, 0, 0, 123461)
+    assert r2["gtid"] == f"{sid}:43"
+
+    # anonymous GTID: timestamp still applies, no gtid string
+    dec.decode(encode_gtid(sid.bytes, 0, immediate_us=us, anonymous=True))
+    (r3,) = dec.decode(rows_ev)
+    assert r3["ts"].microsecond == 123456 and r3["gtid"] is None
+
+    # pre-8.0.1 short form: no timestamps -> header seconds fallback
+    dec.decode(encode_gtid(sid.bytes, 44))
+    (r4,) = dec.decode(rows_ev)
+    assert r4["ts"] == dt.datetime(2024, 3, 1, 10, 0, 5)
+    assert r4["gtid"] == f"{sid}:44"
