@@ -80,8 +80,13 @@ BENCH_QUERIES = [
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
     "embedding_near_dup_pairs",
     "curation_pipeline",
+    "curate_incremental_pipeline",
+    "wal2json_decode",
+    "geo_wkb_to_wkt",
+    "text_script_stats",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
     # into anything else
     "dedup_minhash_clusters",

@@ -463,7 +463,22 @@ class BinlogDecoder:
         ts, etype, _server, _size, log_pos, _flags = struct.unpack_from(
             "<IBIIIH", event, 0
         )
-        body = event[HEADER_LEN : len(event) - 4 if self.checksum else len(event)]
+        if self.checksum:
+            # binlog_checksum=CRC32 appends zlib crc32(header+body); verify
+            # before trusting the payload — the reference inherits this from
+            # go-mysql's event parser, which rejects corrupt events rather
+            # than decoding garbage
+            import zlib
+
+            want = int.from_bytes(event[-4:], "little")
+            got = zlib.crc32(event[:-4]) & 0xFFFFFFFF
+            if got != want:
+                raise ValueError(
+                    f"binlog event checksum mismatch: {got:#010x} != {want:#010x}"
+                )
+            body = event[HEADER_LEN : len(event) - 4]
+        else:
+            body = event[HEADER_LEN:]
         if etype == ROTATE_EVENT:
             # u64 first-event position, then the next file name (no NUL)
             self.file = body[8:].decode()

@@ -196,3 +196,35 @@ def test_gtid_event_microsecond_timestamp_and_sticky_state():
     (r4,) = dec.decode(rows_ev)
     assert r4["ts"] == dt.datetime(2024, 3, 1, 10, 0, 5)
     assert r4["gtid"] == f"{sid}:44"
+
+
+def test_checksum_verified_not_just_stripped():
+    """binlog_checksum=CRC32: a valid trailing crc32 decodes; a corrupt one
+    raises instead of silently decoding garbage (the reference inherits
+    this from go-mysql's event parser)."""
+    import zlib
+
+    import pytest
+
+    from olake_spark.streaming.binlog_wire import (
+        BinlogDecoder,
+        TYPE_LONG,
+        encode_rows_event,
+        encode_table_map,
+    )
+
+    def with_crc(ev: bytes) -> bytes:
+        return ev + (zlib.crc32(ev) & 0xFFFFFFFF).to_bytes(4, "little")
+
+    tm = encode_table_map(9, "db", "t", [TYPE_LONG], [0])
+    ins = encode_rows_event(9, "insert", [[5]], [TYPE_LONG], [0])
+
+    dec = BinlogDecoder("f", {("db", "t"): ["id"]}, checksum=True)
+    dec.decode(with_crc(tm))
+    (row,) = dec.decode(with_crc(ins))
+    assert row["data"]["id"] == "5"
+
+    bad = bytearray(with_crc(ins))
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        dec.decode(bytes(bad))
