@@ -180,3 +180,40 @@ _avro_value = st.fixed_dictionaries(
 def test_avro_encode_decode_roundtrip(v):
     codec = AvroCodec(_AVRO_SCHEMA)
     assert codec.decode(codec.encode(v)) == v
+
+
+# ---------------------------------------------------------------------------
+# GTID event: µs commit timestamps round-trip through all wire forms
+# ---------------------------------------------------------------------------
+
+_us = st.integers(0, (1 << 55) - 1)
+
+
+@given(
+    gno=st.integers(1, 2**62),
+    imm=_us,
+    delta=st.integers(0, 10**9),
+    anonymous=st.booleans(),
+    short_form=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_gtid_timestamp_roundtrip(gno, imm, delta, anonymous, short_form):
+    import uuid
+
+    sid = uuid.UUID(int=gno * 2654435761 % (1 << 128)).bytes
+    dec = bw.BinlogDecoder()
+    if short_form:  # pre-8.0.1: no timestamps on the wire
+        dec.decode(bw.encode_gtid(sid, gno, anonymous=anonymous))
+        assert dec.gtid_ts_us is None
+    else:
+        orig = max(0, imm - delta)
+        dec.decode(
+            bw.encode_gtid(sid, gno, immediate_us=imm, original_us=orig,
+                           anonymous=anonymous)
+        )
+        # zero means "server didn't stamp" and must behave like absent
+        assert dec.gtid_ts_us == (orig or None)
+    if anonymous:
+        assert dec.gtid is None
+    else:
+        assert dec.gtid is not None and dec.gtid.endswith(f":{gno}")
