@@ -344,9 +344,13 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=2)
     compact = {
-        "metric": "olake_spark wall sec (headlines; full map in BENCH_FULL.json)",
+        "metric": (
+            f"olake_spark wall sec, sum of all {len(timings)} tracked workloads"
+            " (headline subset below; full map in BENCH_FULL.json)"
+        ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "n_queries": len(timings),
         "queries": {
             n: timings[n]
             for n in list(HEADLINES) + COMPACT_WATCHLIST

@@ -89,6 +89,8 @@ def semantic_overlap(
     threshold: float = 0.3,
     max_bucket_size: int | None = None,
     corpus_index: DataFrame | None = None,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Corpus ids whose EMBEDDING is near (cosine ≥ ``threshold``) some
     benchmark embedding — the semantic contamination n-gram matching cannot
@@ -105,17 +107,25 @@ def semantic_overlap(
     ``similarity.lsh_build_index`` (persisted bucketed on ``(band, sig)``) —
     decontaminating against a new benchmark release then costs only the
     benchmark's (tiny) signature pass, not a fresh L·b-plane sweep of the
-    100 TB corpus. The index must be built with the default plane
-    parameters this function banded-joins with.
+    100 TB corpus. Pass the SAME ``n_tables``/``n_planes`` the index was
+    built with: the benchmark side signs with these planes, and mismatched
+    signature widths would band-join to nothing (a silent all-clean result)
+    — which is why the knobs are explicit parameters here rather than an
+    implicit default the index may not share.
     """
     from olake_spark.operators.dedup import cap_buckets
     from olake_spark.operators.similarity import (
+        _NUM_PLANES,
+        _NUM_TABLES,
         banded_relation,
         cosine_prenormed,
         lsh_planes,
     )
 
-    tables = lsh_planes()
+    tables = lsh_planes(
+        n_tables if n_tables is not None else _NUM_TABLES,
+        n_planes if n_planes is not None else _NUM_PLANES,
+    )
     dim = len(tables[0][0])
     if corpus_index is not None:
         c = corpus_index.select(
@@ -149,13 +159,16 @@ def semantic_decontaminate(
     threshold: float = 0.3,
     max_bucket_size: int | None = None,
     corpus_index: DataFrame | None = None,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Corpus rows surviving semantic decontamination: one anti-join of the
     corpus against ``semantic_overlap``'s contaminated-id set. Pass
     ``corpus_index=`` (see ``semantic_overlap``) to reuse a persisted banded
-    relation instead of re-signing the corpus per benchmark release."""
+    relation instead of re-signing the corpus per benchmark release, with
+    the index's ``n_tables``/``n_planes``."""
     hits = semantic_overlap(
         corpus, benchmark, id_col, vec_col, threshold, max_bucket_size,
-        corpus_index=corpus_index,
+        corpus_index=corpus_index, n_tables=n_tables, n_planes=n_planes,
     )
     return corpus.join(hits, id_col, "left_anti")

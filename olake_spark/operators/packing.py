@@ -131,6 +131,11 @@ def length_buckets(
     boundaries fall because (len, id) is a total order. The bucket is then
     a pure function of (rank, N): exact ntile, no single-partition stage;
     the wide input re-joins on the id at the end.
+
+    Contract: ``id_col`` must be a UNIQUE, NON-NULL key — it is the
+    join-back identity (a duplicated id would multiply rows through the
+    equi-join; a NULL id would drop its row). Surrogate-key it first if
+    the natural id does not qualify.
     """
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")

@@ -139,7 +139,16 @@ def pq_train_codebooks(
     vectors' ids. Each iteration is two map-side-combinable shuffles per
     subspace (argmin via ``max_by``, update via posexplode + (code, dim)
     aggregate of k·d result rows); the m subspace trainings are
-    independent lazy plans unioned at the end."""
+    independent lazy plans unioned at the end.
+
+    Cache lifecycle: each iteration's k-row codebook is cached lazily
+    (load-bearing — uncached, every downstream consumer would re-run the
+    whole training); superseded iterations' caches stay registered until
+    the CALLER clears them (``spark.catalog.clearCache()`` between
+    trainings in a long-lived session — the same ownership contract as
+    ``incremental_minhash_dedup``). The leak is m·(iters−1) DataFrames of
+    k rows each — bytes, not gigabytes — but unbounded across sessions
+    that train repeatedly without clearing."""
     sub_len = dim // m
     parts = []
     for j in range(m):

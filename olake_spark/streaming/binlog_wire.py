@@ -575,6 +575,17 @@ def decode_binlog_df(
     slice of the log is self-contained. Output matches the pgoutput/wal2json
     decoders' shape; feed it to ``streaming.binlog.decode_rows_events``-style
     downstream or ``wal2json.project_stream`` for typing.
+
+    GTID-derived fields (``gtid``, the µs-precision ``ts``) are
+    per-TRANSACTION state, and unlike TABLE_MAP the server does NOT re-send
+    the GTID event before every rows event — so they are exact only when
+    slice boundaries respect transaction boundaries (each partition starts
+    at or before a transaction's GTID event, as a replication reader or a
+    per-transaction Kafka framing naturally provides). A slice that starts
+    MID-transaction degrades gracefully: its leading rows carry
+    ``gtid=NULL`` and the header's seconds-precision timestamp — never
+    another transaction's values, because each partition's decoder starts
+    with empty GTID state.
     """
 
     def run(part: Iterator) -> Iterator:

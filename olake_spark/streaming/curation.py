@@ -80,6 +80,19 @@ def stream_curate(
     redelivery window, or pass ``None`` for unbounded forever-dedup).
     Returns the finished ``StreamingQuery`` (for ``lastProgress`` state
     metrics); the drain itself has already completed."""
+    # expiry is LAZY: timers fire only when a DATA batch runs. With the
+    # default no-data micro-batches, a pending processing-time timer makes
+    # the engine spin empty batches until the deadline — under availableNow
+    # that means a bounded drain parks for up to a full TTL (observed: hangs
+    # the drain). Lazy expiry keeps the drain bounded; state cleanup rides
+    # the next delivery, which is when it matters anyway. The conf is set on
+    # a CLONED session (same SparkContext, isolated SQL conf) so other
+    # streaming queries in the caller's session — which may rely on no-data
+    # batches for their own timers/watermarks — never see it, and concurrent
+    # drains cannot race on a set/restore of session-global state.
+    if ttl_ms is not None:
+        spark = spark.newSession()
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -101,27 +114,14 @@ def stream_curate(
         outputMode="append",
         timeoutConf=timeout,
     )
-    # expiry is LAZY: timers fire only when a DATA batch runs. With the
-    # default no-data micro-batches, a pending processing-time timer makes
-    # the engine spin empty batches until the deadline — under availableNow
-    # that means a bounded drain parks for up to a full TTL (observed: hangs
-    # the drain). Lazy expiry keeps the drain bounded; state cleanup rides
-    # the next delivery, which is when it matters anyway.
-    no_data_conf = "spark.sql.streaming.noDataMicroBatches.enabled"
-    prev_no_data = spark.conf.get(no_data_conf, "true")
-    if ttl_ms is not None:
-        spark.conf.set(no_data_conf, "false")
-    try:
-        query = (
-            deduped.drop("_fp")
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set(no_data_conf, prev_no_data)
+    query = (
+        deduped.drop("_fp")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
     return query
