@@ -47,6 +47,8 @@ __all__ = [
     "unigram_info_score",
     "gopher_quality_flags",
     "dup_span_stats",
+    "source_quality_report",
+    "source_quality_filter",
 ]
 
 # GPT-2-style pretokenizer classes, simplified to the RE2-compatible subset
@@ -373,3 +375,89 @@ def dup_span_stats(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Dat
             ).alias("dup_fraction"),
         )
     )
+
+
+def source_quality_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_docs: int = 10,
+    min_quality: float = 0.5,
+    max_dup_rate: float = 0.2,
+) -> DataFrame:
+    """Per-source (domain/crawl-feed) hygiene report — the RefinedWeb /
+    FineWeb pattern of filtering at the SOURCE level, where spam and
+    boilerplate concentrate, before any per-document pass: aggregate
+    doc-level quality scores and the exact-dup rate per source, and flag
+    sources failing either bar (with a ``min_docs`` support floor so a
+    two-document source can't be condemned on noise).
+
+    Output: (source, n_docs, sum_quality_micro, mean_quality, dup_rate,
+    flagged). The flag decision is EXACT-INTEGER arithmetic end to end:
+    round-6 doc scores become micro-units (×1e6, integral), the group sum
+    is an order-free integer, and both threshold comparisons cross-multiply
+    instead of dividing — identical bits on any partitioning and in the
+    SQL oracle. ``mean_quality``/``dup_rate`` are derived round-6 ratios of
+    those exact integers, for the report reader.
+
+    Scale shape: one map-side-combinable aggregate keyed by source (plus
+    the distinct-fingerprint sub-aggregate); sources are few relative to
+    documents, so the shuffled frame is tiny.
+    """
+    from olake_spark.operators.dedup import normalize_text
+    from olake_spark.operators.text import with_quality_features
+
+    scored = with_quality_features(
+        df.select(source_col, id_col, text_col), text_col
+    )
+    per_doc = scored.select(
+        source_col,
+        F.round(F.col("quality_score") * 1e6).cast("long").alias("_q"),
+        F.md5(normalize_text(F.col(text_col))).alias("_fp"),
+    )
+    agg = per_doc.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_q").alias("sum_quality_micro"),
+        F.count_distinct("_fp").alias("_nfp"),
+    )
+    mq = F.lit(int(round(min_quality * 1e6)))
+    md = F.lit(int(round(max_dup_rate * 1e6)))
+    dup_micro = (F.col("n_docs") - F.col("_nfp")) * F.lit(1_000_000)
+    flagged = (F.col("n_docs") >= F.lit(int(min_docs))) & (
+        (F.col("sum_quality_micro") < mq * F.col("n_docs"))
+        | (dup_micro > md * F.col("n_docs"))
+    )
+    return agg.select(
+        source_col,
+        "n_docs",
+        "sum_quality_micro",
+        F.round(F.col("sum_quality_micro") / (F.col("n_docs") * F.lit(1e6)), 6).alias(
+            "mean_quality"
+        ),
+        F.round(
+            (F.col("n_docs") - F.col("_nfp")) / F.col("n_docs").cast("double"), 6
+        ).alias("dup_rate"),
+        flagged.alias("flagged"),
+    )
+
+
+def source_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_docs: int = 10,
+    min_quality: float = 0.5,
+    max_dup_rate: float = 0.2,
+) -> DataFrame:
+    """Corpus minus every document from a flagged source: one anti-join
+    against the (tiny, AQE-broadcast) flagged-source set."""
+    bad = (
+        source_quality_report(
+            df, id_col, text_col, source_col, min_docs, min_quality, max_dup_rate
+        )
+        .filter(F.col("flagged"))
+        .select(source_col)
+    )
+    return df.join(bad, source_col, "left_anti")

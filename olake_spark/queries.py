@@ -1833,6 +1833,7 @@ _GATE_TAIL = [
     "dedup_minhash_clusters",
     "embedding_near_dup_pairs",
     "dedup_ngram_jaccard",
+    "pgoutput_binary_decode",
 ]
 
 

@@ -1834,6 +1834,56 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SRC_MIN_DOCS, _SRC_MIN_Q, _SRC_MAX_DUP = 10, 0.62, 0.05
+
+
+@register(
+    "source_quality_report",
+    f"""
+    WITH feat AS (
+      SELECT source, text,
+             length(text)::DOUBLE AS n_chars,
+             len({{toks}})::DOUBLE AS n_tokens,
+             (length(text) - length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')))::DOUBLE AS n_punct,
+             len(list_filter({{toks}}, x -> list_contains({{stops}}, x)))::DOUBLE AS n_stop
+      FROM documents
+    ), scored AS (
+      SELECT source,
+             CAST(round(round((least(n_chars/500.0, 1.0)
+                    + (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+                    + (1.0 - CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END)) / 3.0,
+                   6) * 1e6) AS BIGINT) AS q,
+             md5({{norm}}) AS fp
+      FROM feat
+    ), agg AS (
+      SELECT source, count(*)::BIGINT AS n_docs, sum(q)::BIGINT AS sum_quality_micro,
+             count(DISTINCT fp)::BIGINT AS nfp
+      FROM scored GROUP BY source
+    )
+    SELECT source, n_docs, sum_quality_micro,
+           round(sum_quality_micro / (n_docs * 1000000.0), 6) AS mean_quality,
+           round((n_docs - nfp) / n_docs::DOUBLE, 6) AS dup_rate,
+           (n_docs >= {_SRC_MIN_DOCS} AND (sum_quality_micro < {int(_SRC_MIN_Q * 1e6)} * n_docs
+             OR (n_docs - nfp) * 1000000 > {int(_SRC_MAX_DUP * 1e6)} * n_docs)) AS flagged
+    FROM agg
+    """.replace("{toks}", _TOKS).replace("{stops}", _stop_list()).replace("{norm}", _NORM),
+)
+def source_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level corpus hygiene (operators/quality.py
+    source_quality_report — the RefinedWeb/FineWeb domain-filtering
+    pattern): per-source doc count, order-free exact-integer quality sum,
+    exact-dup rate, and the flag decision (support floor + two cross-
+    multiplied integer thresholds). Feeds source_quality_filter's
+    anti-join."""
+    from olake_spark.operators.quality import source_quality_report
+
+    docs = table(spark, sf_dir, "documents")
+    return source_quality_report(
+        docs, "doc_id", "text", "source",
+        min_docs=_SRC_MIN_DOCS, min_quality=_SRC_MIN_Q, max_dup_rate=_SRC_MAX_DUP,
+    )
+
+
 def _script_stats_oracle() -> str:
     from olake_spark.operators.text import SCRIPT_CLASSES
 

@@ -208,3 +208,40 @@ def test_script_stats_multilingual(spark):
     assert out[6].dominant_script == "none" and out[6].n_chars_total == 0
     assert out[7].dominant_script == "none" and out[7].n_chars_total == 0
     assert out[8].dominant_script == "digit" and out[8].ratio_digit == 1.0
+
+
+def test_source_quality_filter_flags_and_drops(spark):
+    """A spammy source (all-duplicate content) and a junk source (pure
+    punctuation) get flagged and dropped; a healthy source survives; a
+    source below the support floor is never condemned."""
+    from olake_spark.operators.quality import (
+        source_quality_filter,
+        source_quality_report,
+    )
+
+    good_text = [
+        f"a perfectly reasonable document number {i} about data engineering"
+        for i in range(12)
+    ]
+    rows = (
+        [(i, good_text[i], "healthy") for i in range(12)]
+        + [(100 + i, "identical spam payload repeated forever", "spammy")
+           for i in range(12)]
+        + [(200 + i, "!!! ??? ;;; ::: ,,, ... !!! ??? ;;;", "junk")
+           for i in range(12)]
+        + [(300 + i, "!!! ???", "tiny") for i in range(3)]  # below support floor
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    rep = {
+        r.source: r
+        for r in source_quality_report(
+            df, min_docs=10, min_quality=0.5, max_dup_rate=0.2
+        ).collect()
+    }
+    assert not rep["healthy"].flagged and rep["healthy"].dup_rate == 0.0
+    assert rep["spammy"].flagged and rep["spammy"].dup_rate > 0.9
+    assert rep["junk"].flagged and rep["junk"].mean_quality < 0.5
+    assert not rep["tiny"].flagged  # n_docs < min_docs: no verdict
+
+    kept = source_quality_filter(df, min_docs=10, min_quality=0.5, max_dup_rate=0.2)
+    assert {r.source for r in kept.collect()} == {"healthy", "tiny"}
