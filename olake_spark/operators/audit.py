@@ -21,7 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["audit_keys", "audit_referential", "audit_summary", "corpus_diff", "corpus_diff_summary"]
+__all__ = [
+    "audit_keys",
+    "audit_referential",
+    "audit_summary",
+    "corpus_diff",
+    "corpus_diff_summary",
+    "numeric_outlier_stats",
+]
 
 
 def audit_keys(df: DataFrame, key_cols: list[str], name: str = "table") -> DataFrame:
@@ -134,3 +141,58 @@ def corpus_diff(
 def corpus_diff_summary(diff: DataFrame) -> DataFrame:
     """(status, n) rollup of ``corpus_diff`` — the release-note line."""
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def numeric_outlier_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier profile for a numeric column: exact median,
+    MAD (median absolute deviation), and the count/fraction of rows beyond
+    ``k`` scaled MADs — the data-quality check that survives the skewed,
+    heavy-tailed distributions where mean/stddev z-scores drown (a handful
+    of corrupt values drag the mean toward themselves; the median doesn't
+    move).
+
+    Output: (group, n, median, mad, n_outliers, outlier_frac). Exact
+    medians (Spark ``median`` = exact interpolated percentile, identical
+    to the SQL oracle's), scale factor 1.4826 (the normal-consistency
+    constant) applied to the MAD for the familiar ~k-sigma reading. A
+    group whose MAD is 0 (over half its values identical) flags every
+    value differing from the median at all.
+
+    Scale shape: two grouped exact-median aggregates (each a per-group
+    sort — unavoidable for exact medians; groups are processed
+    independently so skew is bounded by the largest group) + one counting
+    aggregate, joined on the (few) group keys.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"), F.median(v).alias("median")
+    )
+    dev = df.join(med, group_col).select(
+        group_col, "n", "median", F.abs(v - F.col("median")).alias("_ad")
+    )
+    mad = dev.groupBy(group_col, "n", "median").agg(F.median("_ad").alias("mad"))
+    cut = F.lit(float(k)) * F.lit(1.4826) * F.col("mad")
+    flagged = (
+        dev.join(mad.select(group_col, "mad"), group_col)
+        .select(group_col, (F.col("_ad") > cut).cast("long").alias("_o"))
+        .groupBy(group_col)
+        .agg(F.sum("_o").alias("n_outliers"))
+    )
+    return (
+        mad.join(flagged, group_col)
+        .select(
+            group_col,
+            "n",
+            F.round("median", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n").cast("double"), 6).alias(
+                "outlier_frac"
+            ),
+        )
+    )

@@ -1834,6 +1834,7 @@ _GATE_TAIL = [
     "embedding_near_dup_pairs",
     "dedup_ngram_jaccard",
     "pgoutput_binary_decode",
+    "cdc_upsert_batched",
 ]
 
 

@@ -1834,6 +1834,40 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "audit_numeric_outliers",
+    """
+    WITH med AS (
+      SELECT l_returnflag AS grp, count(*)::BIGINT AS n,
+             median(l_extendedprice::DOUBLE) AS med
+      FROM lineitem GROUP BY 1
+    ), dev AS (
+      SELECT m.grp, m.n, m.med, abs(l.l_extendedprice::DOUBLE - m.med) AS ad
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.grp
+    ), mad AS (
+      SELECT grp, n, med, median(ad) AS mad FROM dev GROUP BY 1, 2, 3
+    ), flagged AS (
+      SELECT d.grp, sum((d.ad > 3.0 * 1.4826 * m.mad)::BIGINT)::BIGINT AS n_outliers
+      FROM dev d JOIN mad m ON d.grp = m.grp GROUP BY 1
+    )
+    SELECT m.grp AS l_returnflag, m.n, round(m.med, 6) AS median,
+           round(m.mad, 6) AS mad, f.n_outliers,
+           round(f.n_outliers / m.n::DOUBLE, 6) AS outlier_frac
+    FROM mad m JOIN flagged f ON m.grp = f.grp
+    """,
+)
+def audit_numeric_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust numeric outlier audit (operators/audit.py
+    numeric_outlier_stats): per return flag, exact median + MAD of
+    extended price and the count beyond 3 scaled MADs — the heavy-tail-
+    safe alternative to mean/stddev z-scores. Exact interpolated medians
+    match bit-for-bit across engines."""
+    from olake_spark.operators.audit import numeric_outlier_stats
+
+    li = table(spark, sf_dir, "lineitem")
+    return numeric_outlier_stats(li, "l_returnflag", "l_extendedprice", k=3.0)
+
+
 _SRC_MIN_DOCS, _SRC_MIN_Q, _SRC_MAX_DUP = 10, 0.62, 0.05
 
 

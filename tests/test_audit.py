@@ -61,3 +61,24 @@ def test_histogram_rejects_bad_range(spark):
     df = spark.range(1).select(F.col("id").cast("double").alias("x"))
     with pytest.raises(ValueError):
         histogram(df, "x", 5.0, 5.0, 4)
+
+
+def test_numeric_outlier_stats_mad(spark):
+    """Median/MAD flags the planted spike and ignores the clean group; the
+    MAD=0 degenerate case flags any deviation at all."""
+    from olake_spark.operators.audit import numeric_outlier_stats
+
+    rows = (
+        [("clean", float(100 + i)) for i in range(-5, 6)]       # 95..105
+        + [("spiky", float(100 + i)) for i in range(-5, 6)]
+        + [("spiky", 1_000_000.0)]                              # corrupt value
+        + [("const", 7.0)] * 10 + [("const", 9.0)]              # MAD = 0
+    )
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = {r.grp: r for r in numeric_outlier_stats(df, "grp", "v", k=3.0).collect()}
+    assert out["clean"].median == 100.0 and out["clean"].n_outliers == 0
+    # even count (12): exact interpolated median of 95..105 + spike = 100.5
+    assert out["spiky"].n_outliers == 1 and out["spiky"].median == 100.5
+    # the spike cannot drag the robust center: medians agree across groups
+    assert out["spiky"].mad == out["clean"].mad
+    assert out["const"].mad == 0.0 and out["const"].n_outliers == 1
