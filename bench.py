@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "wal2json_decode",
     "geo_wkb_to_wkt",
     "text_script_stats",
+    "source_quality_report",
+    "audit_numeric_outliers",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
     # into anything else
     "dedup_minhash_clusters",
