@@ -156,43 +156,59 @@ def numeric_outlier_stats(
     of corrupt values drag the mean toward themselves; the median doesn't
     move).
 
-    Output: (group, n, median, mad, n_outliers, outlier_frac). Exact
-    medians (Spark ``median`` = exact interpolated percentile, identical
-    to the SQL oracle's), scale factor 1.4826 (the normal-consistency
-    constant) applied to the MAD for the familiar ~k-sigma reading. A
-    group whose MAD is 0 (over half its values identical) flags every
-    value differing from the median at all.
+    Output: (group, n, n_nulls, median, mad, n_outliers, outlier_frac).
+    Exact medians (Spark ``median`` = exact interpolated percentile,
+    identical to the SQL oracle's), scale factor 1.4826 (the normal-
+    consistency constant) applied to the MAD for the familiar ~k-sigma
+    reading. A group whose MAD is 0 (over half its values identical) flags
+    every value differing from the median at all.
+
+    NULL semantics (this is a data-quality operator — NULLs are a signal,
+    not noise to average away): ``n`` counts NON-NULL values only,
+    ``n_nulls`` reports the NULLs explicitly, and ``outlier_frac`` is over
+    the non-null values — NULL rows neither dilute the denominator nor
+    hide an all-NULL group (which surfaces as n=0, n_nulls=k, NULL
+    median/mad rather than vanishing or reporting a NULL verdict).
 
     Scale shape: two grouped exact-median aggregates (each a per-group
     sort — unavoidable for exact medians; groups are processed
     independently so skew is bounded by the largest group) + one counting
-    aggregate, joined on the (few) group keys.
+    aggregate, joined on the (few) group keys. Internal columns are
+    ``_``-prefixed so input frames carrying columns named n/median/mad
+    cannot collide.
     """
     v = F.col(value_col).cast("double")
-    med = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n"), F.median(v).alias("median")
+    nulls = df.groupBy(group_col).agg(
+        F.sum(v.isNull().cast("long")).alias("n_nulls")
     )
-    dev = df.join(med, group_col).select(
-        group_col, "n", "median", F.abs(v - F.col("median")).alias("_ad")
+    vals = df.filter(v.isNotNull())
+    med = vals.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"), F.median(v).alias("_med")
     )
-    mad = dev.groupBy(group_col, "n", "median").agg(F.median("_ad").alias("mad"))
-    cut = F.lit(float(k)) * F.lit(1.4826) * F.col("mad")
+    dev = vals.join(med, group_col).select(
+        group_col, "_n", "_med", F.abs(v - F.col("_med")).alias("_ad")
+    )
+    mad = dev.groupBy(group_col, "_n", "_med").agg(F.median("_ad").alias("_mad"))
+    cut = F.lit(float(k)) * F.lit(1.4826) * F.col("_mad")
     flagged = (
-        dev.join(mad.select(group_col, "mad"), group_col)
+        dev.join(mad.select(group_col, "_mad"), group_col)
         .select(group_col, (F.col("_ad") > cut).cast("long").alias("_o"))
         .groupBy(group_col)
-        .agg(F.sum("_o").alias("n_outliers"))
+        .agg(F.sum("_o").alias("_n_out"))
     )
     return (
-        mad.join(flagged, group_col)
+        nulls.join(mad, group_col, "left")
+        .join(flagged, group_col, "left")
         .select(
             group_col,
-            "n",
-            F.round("median", 6).alias("median"),
-            F.round("mad", 6).alias("mad"),
-            "n_outliers",
-            F.round(F.col("n_outliers") / F.col("n").cast("double"), 6).alias(
-                "outlier_frac"
-            ),
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n"),
+            F.col("n_nulls"),
+            F.round("_med", 6).alias("median"),
+            F.round("_mad", 6).alias("mad"),
+            F.coalesce(F.col("_n_out"), F.lit(0)).alias("n_outliers"),
+            F.when(
+                F.col("_n") > 0,
+                F.round(F.col("_n_out") / F.col("_n").cast("double"), 6),
+            ).alias("outlier_frac"),
         )
     )

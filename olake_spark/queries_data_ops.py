@@ -1837,23 +1837,30 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "audit_numeric_outliers",
     """
-    WITH med AS (
-      SELECT l_returnflag AS grp, count(*)::BIGINT AS n,
-             median(l_extendedprice::DOUBLE) AS med
+    WITH nulls AS (
+      SELECT l_returnflag AS grp,
+             sum((l_extendedprice IS NULL)::BIGINT)::BIGINT AS n_nulls
       FROM lineitem GROUP BY 1
+    ), vals AS (
+      SELECT l_returnflag AS grp, l_extendedprice::DOUBLE AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), med AS (
+      SELECT grp, count(*)::BIGINT AS n, median(v) AS med FROM vals GROUP BY 1
     ), dev AS (
-      SELECT m.grp, m.n, m.med, abs(l.l_extendedprice::DOUBLE - m.med) AS ad
-      FROM lineitem l JOIN med m ON l.l_returnflag = m.grp
+      SELECT vals.grp, m.n, m.med, abs(vals.v - m.med) AS ad
+      FROM vals JOIN med m ON vals.grp = m.grp
     ), mad AS (
       SELECT grp, n, med, median(ad) AS mad FROM dev GROUP BY 1, 2, 3
     ), flagged AS (
       SELECT d.grp, sum((d.ad > 3.0 * 1.4826 * m.mad)::BIGINT)::BIGINT AS n_outliers
       FROM dev d JOIN mad m ON d.grp = m.grp GROUP BY 1
     )
-    SELECT m.grp AS l_returnflag, m.n, round(m.med, 6) AS median,
-           round(m.mad, 6) AS mad, f.n_outliers,
-           round(f.n_outliers / m.n::DOUBLE, 6) AS outlier_frac
-    FROM mad m JOIN flagged f ON m.grp = f.grp
+    SELECT nu.grp AS l_returnflag, coalesce(m.n, 0) AS n, nu.n_nulls,
+           round(m.med, 6) AS median, round(m.mad, 6) AS mad,
+           coalesce(f.n_outliers, 0) AS n_outliers,
+           CASE WHEN m.n > 0 THEN round(f.n_outliers / m.n::DOUBLE, 6) END AS outlier_frac
+    FROM nulls nu LEFT JOIN mad m ON nu.grp = m.grp
+    LEFT JOIN flagged f ON nu.grp = f.grp
     """,
 )
 def audit_numeric_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1897,8 +1904,8 @@ _SRC_MIN_DOCS, _SRC_MIN_Q, _SRC_MAX_DUP = 10, 0.62, 0.05
     SELECT source, n_docs, sum_quality_micro,
            round(sum_quality_micro / (n_docs * 1000000.0), 6) AS mean_quality,
            round((n_docs - nfp) / n_docs::DOUBLE, 6) AS dup_rate,
-           (n_docs >= {_SRC_MIN_DOCS} AND (sum_quality_micro < {int(_SRC_MIN_Q * 1e6)} * n_docs
-             OR (n_docs - nfp) * 1000000 > {int(_SRC_MAX_DUP * 1e6)} * n_docs)) AS flagged
+           (n_docs >= {_SRC_MIN_DOCS} AND (sum_quality_micro < {int(round(_SRC_MIN_Q * 1e6))} * n_docs
+             OR (n_docs - nfp) * 1000000 > {int(round(_SRC_MAX_DUP * 1e6))} * n_docs)) AS flagged
     FROM agg
     """.replace("{toks}", _TOKS).replace("{stops}", _stop_list()).replace("{norm}", _NORM),
 )

@@ -59,6 +59,31 @@ def curate_batch(df, id_col: str, text_col: str, min_tokens: int = 5):
 DEFAULT_DEDUP_TTL_MS = 24 * 3600 * 1000
 
 
+def _cloned_session(spark: SparkSession) -> SparkSession:
+    """A session sharing the SparkContext with the caller's session-level
+    SQL confs COPIED (``newSession()`` would drop them — a session patched
+    with e.g. ``nanosAsLong`` or a session timezone would silently read
+    differently in the drain). The JVM's ``cloneSession`` copies session
+    state; PySpark doesn't expose it, so this reaches through py4j and
+    falls back to ``newSession()`` + copying the known load-bearing confs."""
+    try:
+        jclone = spark._jsparkSession.cloneSession()
+        return SparkSession(spark.sparkContext, jclone)
+    except Exception:
+        clone = spark.newSession()
+        for key in (
+            "spark.sql.session.timeZone",
+            "spark.sql.legacy.parquet.nanosAsLong",
+            "spark.sql.execution.arrow.pyspark.enabled",
+            "spark.sql.shuffle.partitions",
+        ):
+            try:
+                clone.conf.set(key, spark.conf.get(key))
+            except Exception:  # conf unset in the source session
+                pass
+        return clone
+
+
 def stream_curate(
     spark: SparkSession,
     source_dir: str,
@@ -91,7 +116,7 @@ def stream_curate(
     # batches for their own timers/watermarks — never see it, and concurrent
     # drains cannot race on a set/restore of session-global state.
     if ttl_ms is not None:
-        spark = spark.newSession()
+        spark = _cloned_session(spark)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

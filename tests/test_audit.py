@@ -73,8 +73,10 @@ def test_numeric_outlier_stats_mad(spark):
         + [("spiky", float(100 + i)) for i in range(-5, 6)]
         + [("spiky", 1_000_000.0)]                              # corrupt value
         + [("const", 7.0)] * 10 + [("const", 9.0)]              # MAD = 0
+        + [("holey", float(i)) for i in (1, 2, 3)] + [("holey", None)] * 7
+        + [("void", None)] * 4                                  # all-NULL group
     )
-    df = spark.createDataFrame(rows, ["grp", "v"])
+    df = spark.createDataFrame(rows, "grp string, v double")
     out = {r.grp: r for r in numeric_outlier_stats(df, "grp", "v", k=3.0).collect()}
     assert out["clean"].median == 100.0 and out["clean"].n_outliers == 0
     # even count (12): exact interpolated median of 95..105 + spike = 100.5
@@ -82,3 +84,10 @@ def test_numeric_outlier_stats_mad(spark):
     # the spike cannot drag the robust center: medians agree across groups
     assert out["spiky"].mad == out["clean"].mad
     assert out["const"].mad == 0.0 and out["const"].n_outliers == 1
+    # NULLs are reported, never averaged away: n counts values only, the
+    # fraction's denominator excludes NULLs, all-NULL groups still surface
+    assert out["holey"].n == 3 and out["holey"].n_nulls == 7
+    assert out["holey"].median == 2.0 and out["holey"].outlier_frac == 0.0
+    assert out["void"].n == 0 and out["void"].n_nulls == 4
+    assert out["void"].median is None and out["void"].n_outliers == 0
+    assert out["void"].outlier_frac is None

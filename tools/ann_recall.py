@@ -86,10 +86,10 @@ def main() -> None:
     spark = get_spark("olake_spark_ann_recall")
     emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet").cache()
     n_corpus = emb.count()
-    # deterministic spread-out query sample: every ceil(N/n_queries)-th id,
-    # lowest ids first — ordered BEFORE limit so the kept subset never
-    # depends on scan/partition order
-    stride = max(1, n_corpus // args.n_queries)
+    # deterministic spread-out query sample: every ceil(N/n_queries)-th id
+    # (ceil, so the sample spans the whole id range with ≤ n_queries hits),
+    # ordered BEFORE limit so the kept subset never depends on scan order
+    stride = max(1, -(-n_corpus // args.n_queries))
     queries = (
         emb.filter(F.col("vec_id") % stride == 0)
         .orderBy("vec_id")
