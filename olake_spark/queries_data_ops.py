@@ -704,6 +704,102 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQT_K, _PQT_ITERS = 8, 2
+
+
+def _pq_subspace_kmeans_cte(sub: int, k: int = _PQT_K, iters: int = _PQT_ITERS) -> str:
+    """Unrolled per-subspace L2 Lloyd's iterations over quantized
+    sub-vectors — init = first k by id, assignment = exact-integer squared
+    distance (ties → lowest code), update = per-dimension floor-mean
+    (floor of an exact-integer ratio) — mirroring pq_train_codebooks."""
+    sqd = (
+        "list_sum(list_transform(range(1, {n}+1), "
+        "i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])))".format(n=_PQ_SUB_LEN)
+    )
+    parts = [
+        f"s{sub}c0 AS (SELECT vec_id AS code, sv AS cv FROM subs"
+        f" WHERE sub = {sub} ORDER BY vec_id LIMIT {k})"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""s{sub}a{i} AS (
+      SELECT s.vec_id, s.sv, c.code,
+             row_number() OVER (PARTITION BY s.vec_id
+               ORDER BY {sqd}, c.code) AS rn
+      FROM (SELECT vec_id, sv FROM subs WHERE sub = {sub}) s
+      CROSS JOIN s{sub}c{i-1} c
+    )"""
+        )
+        parts.append(
+            f"""s{sub}c{i} AS (
+      SELECT code, list(m ORDER BY pos) AS cv FROM (
+        SELECT code, pos, floor(sum(x) / count(*)) AS m
+        FROM (SELECT code, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos
+              FROM s{sub}a{i} WHERE rn = 1)
+        GROUP BY code, pos
+      ) GROUP BY code
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_PQ_TRAINED_ORACLE = f"""
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 10000.0)) AS v
+      FROM embeddings
+    ),
+    subids AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+    subs AS (
+      SELECT vec_id, sub,
+             list_slice(v, sub*{_PQ_SUB_LEN}+1, sub*{_PQ_SUB_LEN}+{_PQ_SUB_LEN}) AS sv
+      FROM qv CROSS JOIN subids
+    ),
+    {",    ".join(_pq_subspace_kmeans_cte(j) for j in range(4))},
+    cb AS (
+      {" UNION ALL ".join(f"SELECT {j} AS sub, code, cv FROM s{j}c{_PQT_ITERS}" for j in range(4))}
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, cb.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {_PQ_SQDIST}, cb.code) AS rn
+        FROM subs s JOIN cb ON cb.sub = s.sub
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.sub, cb.code,
+             list_sum(list_transform(range(1, {_PQ_SUB_LEN}+1), i -> q.sv[i]*cb.cv[i])) AS pd
+      FROM subs q JOIN cb ON cb.sub = q.sub WHERE q.vec_id < 3
+    ),
+    scored AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id, CAST(sum(l.pd) AS BIGINT) AS adc_dot
+      FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        AND l.query_id <> e.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, "rank", adc_dot FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dot DESC, neighbor_id)::INT AS "rank"
+      FROM scored
+    ) WHERE "rank" <= 5
+    """
+
+
+@register("similarity_topk_pq_trained", _PQ_TRAINED_ORACLE)
+def similarity_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION PQ path end-to-end under the exact-value oracle:
+    per-subspace L2 k-means codebooks (quantized integers, floor-mean
+    updates — operators/pq.py pq_train_codebooks), encode, ADC top-k.
+    Completes the trained-component story the IVF family already has
+    (similarity_topk_ivf_trained)."""
+    from olake_spark.operators import pq as _pq
+
+    emb = table(spark, sf_dir, "embeddings")
+    cb = _pq.pq_train_codebooks(emb, k=_PQT_K, iters=_PQT_ITERS)
+    codes = _pq.pq_encode(emb, cb)
+    return _pq.pq_topk(emb.filter(F.col("vec_id") < 3), codes, cb, k=5)
+
+
 @register("similarity_topk_pq", _PQ_ORACLE)
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (operators/pq.py — the FAISS IVF-PQ

@@ -24,6 +24,7 @@ _CROSS_OK = {
     "similarity_topk_ivf_nprobe",
     "similarity_topk_ivf_trained",
     "similarity_topk_ivfpq",  # ivf_assign's broadcast-centroid scoring
+    "similarity_topk_pq_trained",  # k-means assign: broadcast-codebook scoring
     "ivf_kmeans_quantized",
     "bm25_keyword_scores",
     "audit_referential",  # 1-row agg x 1-row orphan count per relation
