@@ -444,6 +444,48 @@ def main() -> None:
     _shutil.rmtree(merge_tmp, ignore_errors=True)
     out["merge_cow_vs_mor"] = mg
 
+    # ---- PQ index size: the compression claim as bytes on disk --------------
+    # The docstring's "64× at d=64/m=4" is the in-memory arithmetic
+    # (256 float32 bytes → m uint8 codes); what a lake actually stores is
+    # parquet, whose encodings (dictionary, RLE) already compress both
+    # sides — so measure the ratio that survives on disk, per m.
+    from olake_spark.operators import pq as pqm
+    from olake_spark.operators.similarity import stride_centroids
+
+    def _dir_bytes(path: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    pq_tmp = _tempfile.mkdtemp(prefix="olake_scale_pq_")
+    emb_raw = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+    emb_raw.write.mode("overwrite").parquet(f"{pq_tmp}/raw")
+    raw_bytes = _dir_bytes(f"{pq_tmp}/raw")
+    cents = stride_centroids(emb_raw)
+    sizes = {"raw_bytes": raw_bytes, "n_vectors": emb_raw.count(), "by_m": []}
+    for m in (4, 8, 16):
+        cb = pqm.pq_stride_codebooks(emb_raw, m=m)
+        idx = pqm.ivfpq_index(emb_raw, cents, cb, m=m)
+        # store codes packed one row per vector (cell + array<code>) — the
+        # layout a real index table uses, not the exploded join form
+        packed = idx.groupBy("vec_id", "_cell").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sub"), F.col("code")))
+            ).alias("_sc")
+        ).select(
+            "vec_id", "_cell", F.expr("transform(_sc, s -> s.code)").alias("codes")
+        )
+        packed.write.mode("overwrite").parquet(f"{pq_tmp}/pq_{m}")
+        b = _dir_bytes(f"{pq_tmp}/pq_{m}")
+        sizes["by_m"].append(
+            {"m": m, "index_bytes": b, "disk_ratio": round(raw_bytes / b, 1)}
+        )
+    _shutil.rmtree(pq_tmp, ignore_errors=True)
+    out["pq_index_size"] = sizes
+
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out, indent=2))
