@@ -96,15 +96,26 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Stub: real implementation decodes, resizes, re-encodes in the pandas
-    kernel. The stub keeps payloads and stamps the target size into meta —
-    exercising the same schema/batch path."""
-    return media.withColumn(
-        "meta",
-        F.to_json(
-            F.struct(F.lit(width).alias("target_w"), F.lit(height).alias("target_h"))
-        ),
-    )
+    """Resize through the REAL batch path: an Arrow-batched ``mapInPandas``
+    kernel receives (media_id, payload, media_type, meta) record batches
+    and returns the same schema — exactly where a PIL/cv2
+    decode→resize→re-encode goes. The stub kernel passes payload bytes
+    through untouched and stamps the target size into meta, so schema,
+    binary Arrow transfer, and batch iteration are exercised end-to-end;
+    swapping in a real codec changes only the two marked lines."""
+    import json as _json
+
+    meta_json = _json.dumps({"target_w": int(width), "target_h": int(height)})
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            # real codec: out["payload"] = [reencode(resize(decode(b))) ...]
+            out["payload"] = out["payload"]  # stub: bytes pass through
+            out["meta"] = meta_json
+            yield out
+
+    return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:

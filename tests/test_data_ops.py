@@ -287,3 +287,31 @@ def test_drop_duplicate_lines_semantics(spark):
     assert out[4]["text"] == "" and out[4]["n_dropped"] == 0
     # unique lines keep their relative order
     assert out[1]["text"].splitlines()[0] == "alpha one"
+
+
+def test_multimodal_resize_batch_path_roundtrip(spark):
+    """resize_images runs the REAL mapInPandas batch path: payload binary
+    survives the Arrow round trip byte-identical, meta carries the target
+    size, the schema is the canonical media shape, and the 1-row-in →
+    1-row-out contract holds."""
+    import json
+
+    from olake_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        attach_binary_payload,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some payload text"), (2, "ниже unicode bytes 中文")],
+        ["doc_id", "text"],
+    )
+    media = attach_binary_payload(docs, "text", "doc_id")
+    out = resize_images(media, 224, 224)
+    assert out.schema == MEDIA_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    src = {r.media_id: r for r in media.collect()}
+    assert len(rows) == 2
+    for mid, r in rows.items():
+        assert bytes(r.payload) == bytes(src[mid].payload)  # byte-identical
+        assert json.loads(r.meta) == {"target_w": 224, "target_h": 224}
