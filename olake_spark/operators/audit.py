@@ -168,7 +168,12 @@ def numeric_outlier_stats(
     ``n_nulls`` reports the NULLs explicitly, and ``outlier_frac`` is over
     the non-null values — NULL rows neither dilute the denominator nor
     hide an all-NULL group (which surfaces as n=0, n_nulls=k, NULL
-    median/mad rather than vanishing or reporting a NULL verdict).
+    median/mad rather than vanishing or reporting a NULL verdict). A NULL
+    *group key* is a real group here: all internal joins run on a
+    null-safe string key (NULL → a ``\\x00`` sentinel no real value
+    carries), so the NULL group reports its true median/MAD/outlier
+    counts instead of the n=0/NULL row a plain equi-join (which never
+    matches NULL keys) would silently produce.
 
     Scale shape: two grouped exact-median aggregates (each a per-group
     sort — unavoidable for exact medians; groups are processed
@@ -178,27 +183,30 @@ def numeric_outlier_stats(
     cannot collide.
     """
     v = F.col(value_col).cast("double")
+    # null-safe join key: NULL group → sentinel (\x00-prefixed so no real
+    # value collides); every internal join runs on this, never the raw key
+    gk = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null>"))
     nulls = df.groupBy(group_col).agg(
         F.sum(v.isNull().cast("long")).alias("n_nulls")
+    ).withColumn("_gk", gk)
+    vals = df.filter(v.isNotNull()).select(gk.alias("_gk"), v.alias("_v"))
+    med = vals.groupBy("_gk").agg(
+        F.count(F.lit(1)).alias("_n"), F.median("_v").alias("_med")
     )
-    vals = df.filter(v.isNotNull())
-    med = vals.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("_n"), F.median(v).alias("_med")
+    dev = vals.join(med, "_gk").select(
+        "_gk", "_n", "_med", F.abs(F.col("_v") - F.col("_med")).alias("_ad")
     )
-    dev = vals.join(med, group_col).select(
-        group_col, "_n", "_med", F.abs(v - F.col("_med")).alias("_ad")
-    )
-    mad = dev.groupBy(group_col, "_n", "_med").agg(F.median("_ad").alias("_mad"))
+    mad = dev.groupBy("_gk", "_n", "_med").agg(F.median("_ad").alias("_mad"))
     cut = F.lit(float(k)) * F.lit(1.4826) * F.col("_mad")
     flagged = (
-        dev.join(mad.select(group_col, "_mad"), group_col)
-        .select(group_col, (F.col("_ad") > cut).cast("long").alias("_o"))
-        .groupBy(group_col)
+        dev.join(mad.select("_gk", "_mad"), "_gk")
+        .select("_gk", (F.col("_ad") > cut).cast("long").alias("_o"))
+        .groupBy("_gk")
         .agg(F.sum("_o").alias("_n_out"))
     )
     return (
-        nulls.join(mad, group_col, "left")
-        .join(flagged, group_col, "left")
+        nulls.join(mad, "_gk", "left")
+        .join(flagged, "_gk", "left")
         .select(
             group_col,
             F.coalesce(F.col("_n"), F.lit(0)).alias("n"),

@@ -109,26 +109,27 @@ def semantic_overlap(
     benchmark's (tiny) signature pass, not a fresh L·b-plane sweep of the
     100 TB corpus. Pass the SAME ``n_tables``/``n_planes`` the index was
     built with: the benchmark side signs with these planes, and mismatched
-    signature widths would band-join to nothing (a silent all-clean result)
-    — which is why the knobs are explicit parameters here rather than an
-    implicit default the index may not share.
+    signature widths would band-join to nothing (a silent all-clean result).
+    Indexes from ``lsh_build_index`` carry their build params as stamp
+    columns and ``check_index_params`` turns a mismatch into a LOUD
+    execution-time error instead of a decontamination false-negative.
     """
     from olake_spark.operators.dedup import cap_buckets
     from olake_spark.operators.similarity import (
         _NUM_PLANES,
         _NUM_TABLES,
         banded_relation,
+        check_index_params,
         cosine_prenormed,
         lsh_planes,
     )
 
-    tables = lsh_planes(
-        n_tables if n_tables is not None else _NUM_TABLES,
-        n_planes if n_planes is not None else _NUM_PLANES,
-    )
+    eff_tables = n_tables if n_tables is not None else _NUM_TABLES
+    eff_planes = n_planes if n_planes is not None else _NUM_PLANES
+    tables = lsh_planes(eff_tables, eff_planes)
     dim = len(tables[0][0])
     if corpus_index is not None:
-        c = corpus_index.select(
+        c = check_index_params(corpus_index, eff_tables, eff_planes).select(
             F.col(id_col).alias("_cid"),
             F.col(vec_col).alias("_cv"),
             F.col("_norm").alias("_cn"),

@@ -354,6 +354,10 @@ def connected_components(
     edges = _ck(
         pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
         .unionByName(pairs.select(F.col(pair_b).alias("src"), F.col(pair_a).alias("dst")))
+        # a NULL endpoint is no edge — and on the driver fast path a single
+        # NULL would promote the pandas int64 columns to float64, where
+        # int(nan) raises and ids above 2^53 silently lose precision
+        .na.drop()
         .distinct()
     )
     spark = ids.sparkSession
@@ -366,6 +370,13 @@ def connected_components(
         # the union-find dict (~100-200 MB worst-case at 2M distinct
         # nodes) — acceptable for a driver, and the cap bounds it.
         pdf = edges.limit(driver_collect_max + 1).toPandas()
+        if len(pdf) and not all(pdf[c].dtype == "int64" for c in ("src", "dst")):
+            # belt-and-braces after na.drop(): float64 here would mean a
+            # lossy >2^53 id path into the union-find — fail, don't corrupt
+            raise TypeError(
+                f"connected_components edge ids collected as "
+                f"{dict(pdf.dtypes)} — expected int64 both sides"
+            )
         if len(pdf) <= driver_collect_max:
             labels_rows = _union_find_labels(
                 zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy())

@@ -411,10 +411,16 @@ def source_quality_report(
     scored = with_quality_features(
         df.select(source_col, id_col, text_col), text_col
     )
+    # NULL-text docs: score 0 micro (worst quality, not skipped — they still
+    # count in n_docs so they must weigh on the mean) and a definite ''
+    # fingerprint (md5(NULL) is NULL and count_distinct would DROP it,
+    # inflating dup_rate as if every NULL-text doc were a duplicate).
     per_doc = scored.select(
         source_col,
-        F.round(F.col("quality_score") * 1e6).cast("long").alias("_q"),
-        F.md5(normalize_text(F.col(text_col))).alias("_fp"),
+        F.coalesce(
+            F.round(F.col("quality_score") * 1e6).cast("long"), F.lit(0)
+        ).alias("_q"),
+        F.md5(F.coalesce(normalize_text(F.col(text_col)), F.lit(""))).alias("_fp"),
     )
     agg = per_doc.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),

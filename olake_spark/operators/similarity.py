@@ -48,6 +48,7 @@ __all__ = [
     "lsh_bands",
     "banded_relation",
     "lsh_build_index",
+    "check_index_params",
     "lsh_bucket_topk",
     "stride_centroids",
     "ivf_assign",
@@ -314,14 +315,51 @@ def lsh_build_index(
     run — write it through ``sinks.bucketed.write_bucketed`` on
     ``(band, sig)`` so subsequent bucket equi-joins are exchange-free, then
     hand the loaded table to ``lsh_bucket_topk(index=...)`` /
-    ``semantic_overlap(corpus_index=...)``. The caller owns plane-parameter
-    consistency: query it with the same ``n_tables``/``n_planes`` it was
-    built with (same contract as IVF's centroids)."""
+    ``semantic_overlap(corpus_index=...)``. The index carries its build
+    params as ``_lsh_tables``/``_lsh_planes`` literal columns (constant →
+    parquet dictionary-encodes them to nothing); consumers verify them
+    against the planes they sign queries with and FAIL LOUDLY on mismatch
+    instead of band-joining to nothing (a silent all-clean/empty result)."""
     tables = lsh_planes(n_tables, n_planes)
     return banded_relation(
         spread(corpus, id_col), id_col, vec_col, tables, id_col, vec_col, arrow,
         norm_col="_norm",
+    ).withColumns(
+        {
+            "_lsh_tables": F.lit(int(n_tables)),
+            "_lsh_planes": F.lit(int(n_planes)),
+        }
     )
+
+
+def check_index_params(index: DataFrame, n_tables: int, n_planes: int) -> DataFrame:
+    """Guard an LSH index against mismatched plane parameters.
+
+    If the index carries ``_lsh_tables``/``_lsh_planes`` stamps (written by
+    ``lsh_build_index``), attach an execution-time ``assert_true`` that the
+    caller's ``n_tables``/``n_planes`` match — a mismatch would otherwise
+    band-join to NOTHING and silently report zero candidates (for
+    decontamination, a false "corpus fully clean"). The check is lazy (a
+    filter over a runtime-raising expression, no Spark action at plan-build
+    time) and free: the stamp columns are constants. Unstamped (pre-stamp
+    or hand-built) indexes pass through unchecked, as before."""
+    if not {"_lsh_tables", "_lsh_planes"} <= set(index.columns):
+        return index
+    ok = (F.col("_lsh_tables") == F.lit(int(n_tables))) & (
+        F.col("_lsh_planes") == F.lit(int(n_planes))
+    )
+    msg = F.concat(
+        F.lit("LSH index built with (n_tables, n_planes)=("),
+        F.col("_lsh_tables").cast("string"),
+        F.lit(", "),
+        F.col("_lsh_planes").cast("string"),
+        F.lit(f") but queried with ({int(n_tables)}, {int(n_planes)}); "
+              "a mismatch band-joins to nothing — rebuild the index or pass "
+              "the index's own parameters"),
+    )
+    # assert_true(ok) is NULL when ok (row kept) and raises when not; as a
+    # filter it cannot be pruned away by column pruning.
+    return index.filter(F.assert_true(ok, msg).isNull())
 
 
 def lsh_bucket_topk(
@@ -354,7 +392,7 @@ def lsh_bucket_topk(
     (fixture/oracle mode)."""
     tables = lsh_planes(n_tables, n_planes)
     if index is not None:
-        c = index.select(
+        c = check_index_params(index, n_tables, n_planes).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cv"),
             F.col("_norm").alias("_cn"),

@@ -81,11 +81,18 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     mean_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(
         F.lit(0.0)
     )
-    score = (
-        F.least(n_chars / F.lit(500.0), F.lit(1.0))
-        + (F.lit(1.0) - punct_ratio)
-        + (F.lit(1.0) - stop_ratio)
-    ) / F.lit(3.0)
+    # NULL text scores 0, not a silent perfect 1.0: least() IGNORES a NULL
+    # operand (both here and in ANSI SQL), so least(NULL/500, 1.0) is 1.0
+    # and the two ratio terms default to 0 — a NULL doc would top the
+    # quality ranking without the explicit guard
+    score = F.when(c.isNull(), F.lit(0.0)).otherwise(
+        (
+            F.least(n_chars / F.lit(500.0), F.lit(1.0))
+            + (F.lit(1.0) - punct_ratio)
+            + (F.lit(1.0) - stop_ratio)
+        )
+        / F.lit(3.0)
+    )
     return (
         df.withColumn("n_tokens", n_tokens.cast("long"))
         .withColumn("punct_ratio", F.round(punct_ratio, 6))

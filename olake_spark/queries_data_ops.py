@@ -71,7 +71,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(punct_ratio, 6) AS punct_ratio,
            round(stop_ratio, 6) AS stopword_ratio,
            round(mtl, 6) AS mean_token_len,
-           round((least(n_chars/500.0, 1.0) + (1.0 - punct_ratio) + (1.0 - stop_ratio)) / 3.0, 6)
+           round(CASE WHEN n_chars IS NULL THEN 0.0 ELSE
+             (least(n_chars/500.0, 1.0) + (1.0 - punct_ratio) + (1.0 - stop_ratio)) / 3.0 END, 6)
              AS quality_score
     FROM ratios
     """.replace("{stops}", _stop_list()),
@@ -1449,9 +1450,10 @@ def mixture_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), scored AS (
       SELECT doc_id, lang, text, n_tokens::BIGINT AS n_tokens,
-             round((least(n_chars/500.0, 1.0)
+             round(CASE WHEN n_chars IS NULL THEN 0.0 ELSE
+                   (least(n_chars/500.0, 1.0)
                     + (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
-                    + (1.0 - CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END)) / 3.0,
+                    + (1.0 - CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END)) / 3.0 END,
                    6) AS quality_score
       FROM feat
     ), kept AS (
@@ -1944,19 +1946,19 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT grp, count(*)::BIGINT AS n, median(v) AS med FROM vals GROUP BY 1
     ), dev AS (
       SELECT vals.grp, m.n, m.med, abs(vals.v - m.med) AS ad
-      FROM vals JOIN med m ON vals.grp = m.grp
+      FROM vals JOIN med m ON vals.grp IS NOT DISTINCT FROM m.grp
     ), mad AS (
       SELECT grp, n, med, median(ad) AS mad FROM dev GROUP BY 1, 2, 3
     ), flagged AS (
       SELECT d.grp, sum((d.ad > 3.0 * 1.4826 * m.mad)::BIGINT)::BIGINT AS n_outliers
-      FROM dev d JOIN mad m ON d.grp = m.grp GROUP BY 1
+      FROM dev d JOIN mad m ON d.grp IS NOT DISTINCT FROM m.grp GROUP BY 1
     )
     SELECT nu.grp AS l_returnflag, coalesce(m.n, 0) AS n, nu.n_nulls,
            round(m.med, 6) AS median, round(m.mad, 6) AS mad,
            coalesce(f.n_outliers, 0) AS n_outliers,
            CASE WHEN m.n > 0 THEN round(f.n_outliers / m.n::DOUBLE, 6) END AS outlier_frac
-    FROM nulls nu LEFT JOIN mad m ON nu.grp = m.grp
-    LEFT JOIN flagged f ON nu.grp = f.grp
+    FROM nulls nu LEFT JOIN mad m ON nu.grp IS NOT DISTINCT FROM m.grp
+    LEFT JOIN flagged f ON nu.grp IS NOT DISTINCT FROM f.grp
     """,
 )
 def audit_numeric_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1986,11 +1988,12 @@ _SRC_MIN_DOCS, _SRC_MIN_Q, _SRC_MAX_DUP = 10, 0.62, 0.05
       FROM documents
     ), scored AS (
       SELECT source,
-             CAST(round(round((least(n_chars/500.0, 1.0)
+             coalesce(CAST(round(round(CASE WHEN n_chars IS NULL THEN 0.0 ELSE
+                   (least(n_chars/500.0, 1.0)
                     + (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
-                    + (1.0 - CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END)) / 3.0,
-                   6) * 1e6) AS BIGINT) AS q,
-             md5({{norm}}) AS fp
+                    + (1.0 - CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END)) / 3.0 END,
+                   6) * 1e6) AS BIGINT), 0) AS q,
+             md5(coalesce({{norm}}, '')) AS fp
       FROM feat
     ), agg AS (
       SELECT source, count(*)::BIGINT AS n_docs, sum(q)::BIGINT AS sum_quality_micro,
