@@ -1,4 +1,5 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with REAL
+pure-stdlib image kernels.
 
 Design for image/audio/video at 100 TB: media lives as an opaque ``binary``
 column (or an object-store URI column) beside typed metadata; all decode /
@@ -7,30 +8,44 @@ feature-extract / resize / frame-sample work runs as **Arrow-batched
 serde, and the pipeline partitions by input splits (no shuffle) unless the
 caller groups (e.g. frames → video).
 
-The actual codecs (PIL/ffmpeg/librosa) are not in this container, so the
-decode kernels are stubbed: ``decode_stub=True`` computes deterministic
-features from the raw bytes (length, md5, a fake "dimension" from the hash)
-— the Spark-side plumbing (schemas, batch iteration, binary Arrow transfer,
-UDF signatures) is real and tested; swapping in a real codec changes only
-the inner pandas function.
+The image kernels actually transform pixels: ``functions/imagecodec.py``
+decodes/encodes 24-bit BMP and 8-bit PNG (stdlib ``zlib``), resizes with an
+exact integer nearest-neighbor map, and computes an int64 pixel checksum a
+SQL oracle can reproduce from the pixel function alone — so decode →
+resize → re-encode → decode is verified pixel-exact cross-engine. Formats
+beyond BMP/PNG (JPEG/WebP/video/audio) need codecs this container doesn't
+ship; payloads the codec can't parse surface as NULL dimensions, never a
+fake value.
+
+Reference parity: the reference engine stops at row-level sync (no media
+kernels); this family implements the builder brief's multimodal
+requirement.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from olake_spark.functions import imagecodec as ic
+
 __all__ = [
     "MEDIA_SCHEMA",
+    "FEATURE_SCHEMA",
     "attach_binary_payload",
+    "synthesize_images",
     "extract_features",
     "resize_images",
     "sample_frames",
+    "synth_dims",
+    "synth_pixels",
 ]
 
 # canonical media-table shape: id + payload + typed metadata
@@ -48,80 +63,168 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("content_hash", T.StringType(), True),
-        T.StructField("fake_width", T.IntegerType(), True),
-        T.StructField("fake_height", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),  # bmp|png|NULL
+        T.StructField("width", T.IntegerType(), True),  # NULL if undecodable
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pix_checksum", T.LongType(), True),
     ]
 )
 
 
 def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Build a media-shaped table from a text column (testdata has no real
-    media; UTF-8 bytes stand in for an opaque payload)."""
+    """Build a media-shaped table from a text column (UTF-8 bytes stand in
+    for an opaque payload — generic binary plumbing, not a decodable
+    image; ``extract_features`` reports NULL dimensions for these)."""
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
-        F.lit("image").alias("media_type"),
+        F.lit("blob").alias("media_type"),
         F.to_json(F.struct(F.length(F.col(text_col)).alias("n_chars"))).alias("meta"),
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[str, int, int]:
-    """Deterministic stand-in for a codec: md5 + pseudo-dimensions."""
-    h = hashlib.md5(payload).hexdigest()
-    return h, int(h[:4], 16) % 1920 + 1, int(h[4:8], 16) % 1080 + 1
+# ---------------------------------------------------------------------------
+# deterministic synthetic images (fixture generator — the testdata carries
+# no real media, so images are synthesized distributedly from ids; the SQL
+# oracle recomputes every derived quantity from these same closed forms)
+# ---------------------------------------------------------------------------
+
+# dims: 8..64 wide, 8..48 tall — enough variety to hit BMP row padding
+# (w % 4 ≠ 0), up- and down-scaling, and both formats
+def synth_dims(media_id: int) -> tuple[int, int]:
+    return 8 + (media_id * 7) % 57, 8 + (media_id * 11) % 41
 
 
-def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
-    """Arrow-batched feature extraction over the binary payload column."""
-    if not decode_stub:
-        raise NotImplementedError(
-            "real codecs (PIL/ffmpeg) unavailable in this environment; "
-            "pass decode_stub=True or plug a codec into the pandas kernel"
-        )
+def synth_pixels(media_id: int, w: int, h: int) -> np.ndarray:
+    """R=(id*7+x*13+y*31)%256, G=(id*3+x*5+y*11)%256, B=(id+x+y)%256."""
+    y, x = np.mgrid[0:h, 0:w]
+    i = int(media_id)
+    r = (i * 7 + x * 13 + y * 31) % 256
+    g = (i * 3 + x * 5 + y * 11) % 256
+    b = (i + x + y) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def synthesize_images(
+    ids: DataFrame, id_col: str = "media_id", fmt: str | None = None
+) -> DataFrame:
+    """One deterministic synthetic image per input id, encoded for real:
+    even ids → BMP, odd ids → PNG (or force ``fmt=``). Runs as an
+    Arrow-batched ``mapInPandas`` over the id frame — generation is
+    distributed and partition-independent (everything derives from the
+    id), the shape real media ingestion has after a binary-file read."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(lambda b: _fake_decode(bytes(b)))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": pdf["payload"].map(lambda b: len(bytes(b))).astype("int64"),
-                    "content_hash": feats.map(lambda f: f[0]),
-                    "fake_width": feats.map(lambda f: f[1]).astype("int32"),
-                    "fake_height": feats.map(lambda f: f[2]).astype("int32"),
-                }
+            out = []
+            for mid in pdf[id_col].astype("int64"):
+                mid = int(mid)
+                w, h = synth_dims(mid)
+                arr = synth_pixels(mid, w, h)
+                f = fmt or ("bmp" if mid % 2 == 0 else "png")
+                payload = ic.encode_bmp(arr) if f == "bmp" else ic.encode_png(arr)
+                out.append(
+                    (mid, payload, "image", json.dumps({"w": w, "h": h, "fmt": f}))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "media_type", "meta"])
+
+    return ids.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# decode kernels
+# ---------------------------------------------------------------------------
+
+
+def _feature_row(mid: int, payload: bytes | None):
+    if payload is None:
+        return (mid, None, None, None, None, None, None)
+    data = bytes(payload)
+    md5 = hashlib.md5(data).hexdigest()
+    try:
+        arr = ic.decode_image(data)
+    except ValueError:
+        return (mid, len(data), md5, None, None, None, None)
+    h, w = arr.shape[:2]
+    return (
+        mid, len(data), md5, ic.detect_format(data), w, h, ic.pixel_checksum(arr)
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL feature extraction: decode the payload (BMP/PNG),
+    report (n_bytes, md5, format, width, height, pixel checksum). Payloads
+    the codec can't parse get NULL format/dims/checksum — undecodable media
+    is a surfaced data-quality signal, never a fabricated dimension."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _feature_row(int(m), p)
+                for m, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "content_hash", "format",
+                    "width", "height", "pix_checksum",
+                ],
             )
+            yield out
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize through the REAL batch path: an Arrow-batched ``mapInPandas``
-    kernel receives (media_id, payload, media_type, meta) record batches
-    and returns the same schema — exactly where a PIL/cv2
-    decode→resize→re-encode goes. The stub kernel passes payload bytes
-    through untouched and stamps the target size into meta, so schema,
-    binary Arrow transfer, and batch iteration are exercised end-to-end;
-    swapping in a real codec changes only the two marked lines."""
-    import json as _json
+    """REAL resize through the Arrow batch path: decode each payload,
+    nearest-neighbor resize to (width, height), re-encode in the SAME
+    format, and stamp the actual output dims into ``meta``.
 
-    meta_json = _json.dumps({"target_w": int(width), "target_h": int(height)})
+    The output schema is DERIVED FROM THE INPUT (not a fixed literal), so
+    frames carrying extra columns keep them untouched — only ``payload``
+    and (if present) ``meta`` change. Undecodable payloads pass through
+    unchanged with an ``"undecodable"`` meta marker rather than failing
+    the batch: at 100 TB a poison image must not kill the stage.
+    """
+    meta_cols = {f.name for f in media.schema.fields}
+    has_meta = "meta" in meta_cols
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            # real codec: out["payload"] = [reencode(resize(decode(b))) ...]
-            out["payload"] = out["payload"]  # stub: bytes pass through
-            out["meta"] = meta_json
+            payloads, metas = [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    payloads.append(None)
+                    metas.append(json.dumps({"resize": "null-payload"}))
+                    continue
+                data = bytes(p)
+                try:
+                    arr = ic.decode_image(data)
+                except ValueError:
+                    payloads.append(data)
+                    metas.append(json.dumps({"resize": "undecodable"}))
+                    continue
+                res = ic.resize_nearest(arr, width, height)
+                fmt = ic.detect_format(data)
+                enc = ic.encode_bmp(res) if fmt == "bmp" else ic.encode_png(res)
+                payloads.append(enc)
+                metas.append(
+                    json.dumps({"w": int(width), "h": int(height), "fmt": fmt})
+                )
+            out["payload"] = payloads
+            if has_meta:
+                out["meta"] = metas
             yield out
 
-    return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    return media.mapInPandas(kernel, schema=media.schema)
 
 
 def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Stub frame sampler: one deterministic 'frame' row per payload chunk of
     ``every_n`` KiB — the explode shape (1 video row → N frame rows) that a
-    real ffmpeg kernel produces."""
+    real ffmpeg kernel produces. Video containers need codecs this
+    environment doesn't ship; the image path above is fully real."""
     n_frames = F.greatest(
         (F.length("payload") / F.lit(every_n * 1024)).cast("int"), F.lit(1)
     )

@@ -1835,6 +1835,9 @@ _GATE_TAIL = [
     "dedup_ngram_jaccard",
     "pgoutput_binary_decode",
     "cdc_upsert_batched",
+    # round-5 rotation (tools/rotate_window.py): longest-driver-green
+    # window queries out, making room for the round's new oracle queries
+    "similarity_topk_lsh",
 ]
 
 

@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from olake_spark.operators import dedup as dd
 from olake_spark.operators import similarity as sim
 from olake_spark.operators import text as tx
-from olake_spark.operators.multimodal import attach_binary_payload, extract_features
 from olake_spark.queries import register, table
 
 # ---------------------------------------------------------------------------
@@ -887,20 +886,125 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# pixel function shared (as closed-form SQL) with the Python synthesizer:
+# R=(id*7+x*13+y*31)%256, G=(id*3+x*5+y*11)%256, B=(id+x+y)%256; checksum
+# weight = (y*W + x + 1); dims w=8+(id*7)%57, h=8+(id*11)%41. The SQL
+# oracle never touches the codec — a checksum match proves the Python
+# decode(encode(pixels)) path reproduced every pixel at every position.
+def _pix_sql(i: str, x: str, y: str) -> str:
+    return (
+        f"((({i})*7 + ({x})*13 + ({y})*31) % 256"
+        f" + 2*((({i})*3 + ({x})*5 + ({y})*11) % 256)"
+        f" + 4*((({i}) + ({x}) + ({y})) % 256))"
+    )
+
+
 @register(
     "multimodal_features",
-    """
-    SELECT doc_id AS media_id,
-           octet_length(encode(text))::BIGINT AS n_bytes,
-           md5(text) AS content_hash,
-           (('0x' || substring(md5(text),1,4))::INT % 1920 + 1) AS fake_width,
-           (('0x' || substring(md5(text),5,4))::INT % 1080 + 1) AS fake_height
-    FROM documents
+    f"""
+    WITH dims AS (
+      SELECT doc_id::BIGINT AS id, 8 + (doc_id*7) % 57 AS w, 8 + (doc_id*11) % 41 AS h
+      FROM documents
+    ), ys AS (
+      SELECT id, w, h, unnest(generate_series(0, h - 1)) AS y FROM dims
+    ), cells AS (
+      SELECT id, w, h, y, unnest(generate_series(0, w - 1)) AS x FROM ys
+    ), px AS (
+      SELECT id, w, h,
+             sum((y*w + x + 1) * {_pix_sql("id", "x", "y")})::BIGINT AS cks
+      FROM cells
+      GROUP BY 1, 2, 3
+    )
+    SELECT id AS media_id,
+           (54 + h * ((3*w + 3) // 4 * 4))::BIGINT AS n_bytes,
+           'bmp' AS format, w::INT AS width, h::INT AS height,
+           cks AS pix_checksum
+    FROM px
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_binary_payload(table(spark, sf_dir, "documents"), "text", "doc_id")
-    return extract_features(media, decode_stub=True)
+    """REAL image feature extraction (operators/multimodal.py): synthesize
+    one deterministic BMP per document id in a distributed Arrow kernel,
+    then decode it for real (pure-stdlib codec) and report byte size,
+    dimensions, and an exact position-weighted pixel checksum. The oracle
+    recomputes n_bytes from the BMP layout formula (54-byte header +
+    4-byte-padded rows) and the checksum from the pixel closed form — no
+    codec on the oracle side, so agreement proves the decode is
+    pixel-exact."""
+    from olake_spark.operators.multimodal import extract_features, synthesize_images
+
+    ids = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+    media = synthesize_images(ids, fmt="bmp")
+    return extract_features(media).drop("content_hash")
+
+
+@register(
+    "multimodal_decode_resize",
+    f"""
+    WITH dims AS (
+      SELECT doc_id::BIGINT AS id, 8 + (doc_id*7) % 57 AS w, 8 + (doc_id*11) % 41 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt
+      FROM documents WHERE doc_id % 7 = 0
+    ), oys AS (
+      SELECT id, w, h, unnest(generate_series(0, h - 1)) AS y FROM dims
+    ), ocells AS (
+      SELECT id, w, h, y, unnest(generate_series(0, w - 1)) AS x FROM oys
+    ), orig AS (
+      SELECT id, sum((y*w + x + 1) * {_pix_sql("id", "x", "y")})::BIGINT AS cks
+      FROM ocells GROUP BY 1
+    ), res AS (
+      SELECT d.id,
+             sum((gy.y*24 + gx.x + 1) *
+                 {_pix_sql("d.id", "(gx.x*d.w)//24", "(gy.y*d.h)//16")})::BIGINT AS cks
+      FROM dims d,
+           generate_series(0, 15) gy(y),
+           generate_series(0, 23) gx(x)
+      GROUP BY 1
+    )
+    SELECT d.id AS media_id, d.fmt, d.w::INT AS orig_w, d.h::INT AS orig_h,
+           o.cks AS orig_checksum,
+           24::INT AS res_w, 16::INT AS res_h, r.cks AS res_checksum
+    FROM dims d JOIN orig o ON d.id = o.id JOIN res r ON d.id = r.id
+    """,
+)
+def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal image pipeline, pixel-verified cross-engine:
+    synthesize mixed BMP/PNG images → decode (real codec) → exact
+    nearest-neighbor resize to 24×16 → re-encode in the same format →
+    decode AGAIN and checksum. The oracle computes both checksums purely
+    from the pixel closed form and the NN index map (src = out*in//24),
+    so a hash match proves decode→resize→encode→decode reproduced every
+    pixel of every image in both formats. All stages are Arrow-batched
+    ``mapInPandas`` kernels over id-derived data — no shuffle until the
+    final join on the unique media_id."""
+    from olake_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        synthesize_images,
+    )
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+        .filter(F.col("media_id") % 7 == 0)
+    )
+    media = synthesize_images(ids)
+    orig = extract_features(media).select(
+        "media_id",
+        F.col("format").alias("fmt"),
+        F.col("width").alias("orig_w"),
+        F.col("height").alias("orig_h"),
+        F.col("pix_checksum").alias("orig_checksum"),
+    )
+    resized = extract_features(resize_images(media, 24, 16)).select(
+        "media_id",
+        F.col("width").alias("res_w"),
+        F.col("height").alias("res_h"),
+        F.col("pix_checksum").alias("res_checksum"),
+    )
+    return orig.join(resized, "media_id")
 
 
 # ---------------------------------------------------------------------------

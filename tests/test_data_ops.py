@@ -116,12 +116,53 @@ def test_multimodal_plumbing(spark, docs):
     feats = {r.media_id: r for r in extract_features(media).collect()}
     assert feats[1].n_bytes == len("the quick brown fox jumps over the lazy dog")
     assert len(feats[1].content_hash) == 32
-    assert 1 <= feats[1].fake_width <= 1920
-    with pytest.raises(NotImplementedError):
-        extract_features(media, decode_stub=False)
+    # text bytes are not an image: NULL dims surfaced, never fabricated
+    assert feats[1].format is None and feats[1].width is None
+    assert feats[1].pix_checksum is None
     frames = sample_frames(media).collect()
     assert {r.media_id for r in frames} == {1, 2}
     assert all(r.frame_idx == 0 for r in frames)  # tiny payloads → 1 frame
+
+
+def test_multimodal_real_decode_kernel(spark):
+    """extract_features decodes REAL pixels: synthesized BMP/PNG images
+    round-trip through the Arrow batch path with exact dims + checksums."""
+    import numpy as np
+
+    from olake_spark.functions import imagecodec as ic
+    from olake_spark.operators.multimodal import (
+        synth_dims,
+        synth_pixels,
+        synthesize_images,
+    )
+
+    ids = spark.range(1, 9).withColumnRenamed("id", "media_id")
+    feats = {
+        r.media_id: r
+        for r in extract_features(synthesize_images(ids)).collect()
+    }
+    assert len(feats) == 8
+    for mid, r in feats.items():
+        w, h = synth_dims(mid)
+        assert (r.width, r.height) == (w, h)
+        assert r.format == ("bmp" if mid % 2 == 0 else "png")
+        assert r.pix_checksum == ic.pixel_checksum(synth_pixels(mid, w, h))
+        if r.format == "bmp":
+            assert r.n_bytes == 54 + h * ((3 * w + 3) // 4 * 4)
+    # resize then re-decode: pixels match a driver-side reference resize
+    from olake_spark.operators.multimodal import resize_images
+
+    res = {
+        r.media_id: r
+        for r in extract_features(
+            resize_images(synthesize_images(ids), 24, 16)
+        ).collect()
+    }
+    for mid, r in res.items():
+        w, h = synth_dims(mid)
+        expect = ic.resize_nearest(synth_pixels(mid, w, h), 24, 16)
+        assert (r.width, r.height) == (24, 16)
+        assert r.pix_checksum == ic.pixel_checksum(expect)
 
 
 def test_ngram_jaccard_df_cap_bounds_hot_ngram(spark):
@@ -289,29 +330,34 @@ def test_drop_duplicate_lines_semantics(spark):
     assert out[1]["text"].splitlines()[0] == "alpha one"
 
 
-def test_multimodal_resize_batch_path_roundtrip(spark):
-    """resize_images runs the REAL mapInPandas batch path: payload binary
-    survives the Arrow round trip byte-identical, meta carries the target
-    size, the schema is the canonical media shape, and the 1-row-in →
-    1-row-out contract holds."""
+def test_multimodal_resize_preserves_schema_and_extra_columns(spark):
+    """resize_images derives its output schema from the INPUT frame: extra
+    columns survive untouched (the round-4 fixed-schema kernel silently
+    dropped them), undecodable payloads pass through byte-identical with a
+    surfaced marker instead of failing the batch, and real images come
+    back actually resized."""
     import json
 
-    from olake_spark.operators.multimodal import (
-        MEDIA_SCHEMA,
-        attach_binary_payload,
-        resize_images,
-    )
+    from olake_spark.functions import imagecodec as ic
+    from olake_spark.operators.multimodal import resize_images, synth_pixels
 
-    docs = spark.createDataFrame(
-        [(1, "some payload text"), (2, "ниже unicode bytes 中文")],
-        ["doc_id", "text"],
+    img = ic.encode_png(synth_pixels(5, 10, 8))
+    rows = [
+        (1, bytearray(img), "image", "{}", "keep-me-1"),
+        (2, bytearray(b"not an image"), "blob", "{}", "keep-me-2"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string, "
+              "meta string, extra string"
     )
-    media = attach_binary_payload(docs, "text", "doc_id")
-    out = resize_images(media, 224, 224)
-    assert out.schema == MEDIA_SCHEMA
-    rows = {r.media_id: r for r in out.collect()}
-    src = {r.media_id: r for r in media.collect()}
-    assert len(rows) == 2
-    for mid, r in rows.items():
-        assert bytes(r.payload) == bytes(src[mid].payload)  # byte-identical
-        assert json.loads(r.meta) == {"target_w": 224, "target_h": 224}
+    out = resize_images(media, 4, 4)
+    assert out.schema == media.schema  # derived, not a fixed literal
+    got = {r.media_id: r for r in out.collect()}
+    assert got[1].extra == "keep-me-1" and got[2].extra == "keep-me-2"
+    # the image is genuinely 4×4 now
+    resized = ic.decode_image(bytes(got[1].payload))
+    assert resized.shape == (4, 4, 3)
+    assert json.loads(got[1].meta)["fmt"] == "png"
+    # poison payload: unchanged bytes, loud meta marker, no stage failure
+    assert bytes(got[2].payload) == b"not an image"
+    assert json.loads(got[2].meta) == {"resize": "undecodable"}

@@ -1,0 +1,145 @@
+"""Pure-stdlib image codec: BMP/PNG round-trips, all PNG filter types,
+exact NN resize, and the oracle-reproducible pixel checksum.
+
+The forward PNG filterer here is written from the PNG spec (RFC 2083 §6)
+independently of the decoder, so filter tests are differential, not
+self-confirming.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from olake_spark.functions import imagecodec as ic
+
+rng = np.random.RandomState(7)
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_from_raw(w: int, h: int, ctype: int, raw: bytes) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _forward_filter(img: np.ndarray, ftypes: list[int]) -> bytes:
+    """Apply PNG row filters per spec (independent reimplementation)."""
+    h, w, nch = img.shape
+    stride = w * nch
+    flat = img.reshape(h, stride).astype(int)
+    out = bytearray()
+    for y, ft in zip(range(h), ftypes):
+        out.append(ft)
+        for x in range(stride):
+            cur = flat[y, x]
+            left = flat[y, x - nch] if x >= nch else 0
+            up = flat[y - 1, x] if y else 0
+            ul = flat[y - 1, x - nch] if y and x >= nch else 0
+            if ft == 0:
+                v = cur
+            elif ft == 1:
+                v = cur - left
+            elif ft == 2:
+                v = cur - up
+            elif ft == 3:
+                v = cur - (left + up) // 2
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                v = cur - pred
+            out.append(v & 0xFF)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (13, 7), (64, 48), (1, 1), (5, 3)])
+def test_bmp_png_roundtrip(w, h):
+    a = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(ic.decode_image(ic.encode_bmp(a)), a)
+    assert np.array_equal(ic.decode_image(ic.encode_png(a)), a)
+
+
+def test_bmp_topdown_decode():
+    a = rng.randint(0, 256, (6, 10, 3), dtype=np.uint8)
+    data = bytearray(ic.encode_bmp(a))
+    # flip to top-down: negate height, reverse pixel row order
+    struct.pack_into("<i", data, 22, -6)
+    stride = (3 * 10 + 3) // 4 * 4
+    rows = bytes(data[54:])
+    flipped = b"".join(
+        rows[(5 - y) * stride : (6 - y) * stride] for y in range(6)
+    )
+    assert np.array_equal(ic.decode_image(bytes(data[:54]) + flipped), a)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_each_filter_type(ftype):
+    a = rng.randint(0, 256, (9, 6, 3), dtype=np.uint8)
+    raw = _forward_filter(a, [ftype] * 9)
+    assert np.array_equal(ic.decode_image(_png_from_raw(6, 9, 2, raw)), a)
+
+
+def test_png_mixed_filters_gray_and_rgba():
+    ft = [0, 1, 2, 3, 4, 2, 1]
+    g = rng.randint(0, 256, (7, 5, 1), dtype=np.uint8)
+    png = _png_from_raw(5, 7, 0, _forward_filter(g, ft))
+    assert np.array_equal(ic.decode_image(png), np.repeat(g, 3, axis=2))
+    rgba = rng.randint(0, 256, (7, 5, 4), dtype=np.uint8)
+    png = _png_from_raw(5, 7, 6, _forward_filter(rgba, ft))
+    assert np.array_equal(ic.decode_image(png), rgba[:, :, :3])
+
+
+def test_resize_nearest_exact_mapping():
+    a = rng.randint(0, 256, (10, 9, 3), dtype=np.uint8)
+    up = ic.resize_nearest(a, 20, 25)
+    down = ic.resize_nearest(a, 4, 5)
+    for y in range(5):
+        for x in range(4):
+            assert (down[y, x] == a[y * 10 // 5, x * 9 // 4]).all()
+    for y in range(25):
+        for x in range(20):
+            assert (up[y, x] == a[y * 10 // 25, x * 9 // 20]).all()
+    # identity resize is the identity
+    assert np.array_equal(ic.resize_nearest(a, 9, 10), a)
+
+
+def test_pixel_checksum_formula_and_sensitivity():
+    a = rng.randint(0, 256, (4, 6, 3), dtype=np.uint8)
+    expected = sum(
+        (y * 6 + x + 1)
+        * (int(a[y, x, 0]) + 2 * int(a[y, x, 1]) + 4 * int(a[y, x, 2]))
+        for y in range(4)
+        for x in range(6)
+    )
+    assert ic.pixel_checksum(a) == expected
+    assert ic.pixel_checksum(a[:, :, ::-1]) != expected  # channel swap
+    assert ic.pixel_checksum(a[::-1]) != expected  # vertical flip
+
+
+def test_undecodable_raises():
+    with pytest.raises(ValueError):
+        ic.decode_image(b"not an image at all")
+    with pytest.raises(ValueError):
+        ic.decode_image(b"BM" + b"\x00" * 10)  # truncated BMP
+    # interlaced PNG refused, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    png = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="interlace"):
+        ic.decode_image(png)
