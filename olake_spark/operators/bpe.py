@@ -1,0 +1,190 @@
+"""Merges-driven byte-pair-encoding tokenization (Sennrich et al. 2016;
+the GPT-2 tokenizer shape: pretokenize with a regex, BPE-merge within each
+pretoken).
+
+Token counts are THE unit the mixture/packing operators budget by
+(``mixture_by_tokens``, ``pack_sequences``); the regex estimate in
+``quality.with_bpe_token_estimate`` is a lower bound. This module encodes
+for real against a ranked merges table.
+
+Merge semantics — chosen to be EXACTLY reproducible in ANSI SQL: merges
+apply **in rank order, one left-to-right non-overlapping replace-all pass
+each** over a separator-wrapped symbol string (every symbol wrapped in
+``\\x1f``, so a pair pattern can only match at symbol boundaries). For a
+training-order-valid merge list (each merge's operands are single
+characters or outputs of strictly earlier merges — the only kind BPE
+training produces), this is equivalent to the classic min-rank merge loop:
+applying merge r can only create pairs involving r's output symbol, which
+only later-ranked merges reference. The DuckDB oracle runs the identical
+algorithm as a nested ``replace()`` chain — no recursion, no UDF.
+
+Scale shape (the 100 TB story): encoding cost is paid per DISTINCT
+pretoken (vocabulary-sized, Zipf-bounded), not per corpus row — the corpus
+pass is regexp pretokenize + posexplode (no shuffle), the kernel runs over
+the deduplicated pretoken set, and results join back by pretoken (AQE
+broadcasts the vocabulary side at any realistic size) before one
+map-side-combinable aggregation keyed by the unique doc id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from olake_spark.operators.quality import BPE_PRETOKEN_RE
+
+__all__ = [
+    "DEFAULT_MERGES",
+    "SEP",
+    "encode_word",
+    "encode_distinct_pretokens",
+    "bpe_encode",
+    "validate_merges",
+]
+
+SEP = "\x1f"  # unit separator: wraps every symbol; stripped from input text
+
+# A fixed ~70-rank character-level merge table (training-order valid:
+# every operand is a single char or the output of an earlier merge).
+# Any deterministic ranked list IS a tokenizer; this one approximates
+# English bigram frequency with a few multi-level merges and digit/punct
+# runs so tests exercise 2nd/3rd-level behavior.
+DEFAULT_MERGES: list[tuple[str, str]] = [
+    # level 1: frequent English character bigrams
+    ("t", "h"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"),
+    ("r", "e"), ("h", "e"), ("a", "t"), ("e", "n"), ("n", "d"),
+    ("o", "r"), ("e", "s"), ("t", "i"), ("t", "e"), ("e", "d"),
+    ("i", "s"), ("i", "t"), ("a", "l"), ("a", "r"), ("s", "t"),
+    ("t", "o"), ("n", "t"), ("n", "g"), ("s", "e"), ("h", "a"),
+    ("o", "u"), ("i", "o"), ("l", "e"), ("v", "e"), ("c", "o"),
+    ("m", "e"), ("d", "e"), ("h", "i"), ("r", "i"), ("r", "o"),
+    ("i", "c"), ("n", "e"), ("e", "a"), ("r", "a"), ("c", "e"),
+    ("l", "i"), ("c", "h"), ("l", "l"), ("b", "e"), ("m", "a"),
+    ("s", "i"), ("o", "m"), ("u", "r"), ("w", "h"), ("i", "d"),
+    ("a", "s"), ("o", "f"),
+    # digit runs
+    ("0", "0"), ("1", "9"), ("2", "0"), ("00", "0"),
+    # punctuation runs
+    (".", "."), ("..", "."), ("-", "-"), ("!", "!"),
+    # level 2+: operands produced by earlier merges
+    ("th", "e"), ("an", "d"), ("in", "g"), ("io", "n"), ("ti", "on"),
+    ("e", "nt"), ("er", "s"), ("th", "at"), ("the", "re"), ("ha", "t"),
+    ("w", "as"), ("or", "e"), ("is", "h"), ("at", "ion"),
+]
+
+
+def validate_merges(merges: list[tuple[str, str]]) -> None:
+    """Assert training-order validity: each operand is a single character
+    or the output of a strictly earlier merge. This is what makes the
+    rank-order replace-all pass equivalent to the min-rank merge loop."""
+    produced: set[str] = set()
+    for i, (a, b) in enumerate(merges):
+        for op in (a, b):
+            if len(op) > 1 and op not in produced:
+                raise ValueError(
+                    f"merge #{i} ({a!r},{b!r}): operand {op!r} is neither a "
+                    "char nor an earlier merge's output"
+                )
+            if SEP in op:
+                raise ValueError(f"merge operand contains the separator: {op!r}")
+        produced.add(a + b)
+
+
+def _wrap_word(word: str) -> str:
+    return "".join(SEP + c + SEP for c in word)
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """BPE-encode one pretoken: rank-ordered replace-all passes over the
+    wrapped symbol string. Mirrors the SQL oracle operation-for-operation
+    (Python ``str.replace`` IS the left-to-right non-overlapping pass)."""
+    s = _wrap_word(word)
+    for a, b in merges:
+        pat = SEP + a + SEP + SEP + b + SEP
+        if pat in s:
+            s = s.replace(pat, SEP + a + b + SEP)
+    return s[1:-1].split(SEP + SEP) if s else []
+
+
+def encode_distinct_pretokens(
+    pretokens: DataFrame, merges: list[tuple[str, str]], pt_col: str = "pt"
+) -> DataFrame:
+    """Arrow-batched kernel over the DISTINCT pretoken set →
+    ``(pt, n_toks, tok_str)``; ``tok_str`` is the space-joined token
+    sequence (pretokens never contain whitespace, so the join is
+    unambiguous). Merges ship with the closure — a list of ~100 pairs,
+    far below broadcast thresholds."""
+    ms = list(merges)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, tuple[int, str]] = {}
+        for pdf in batches:
+            out = []
+            for pt in pdf[pt_col]:
+                hit = cache.get(pt)
+                if hit is None:
+                    toks = encode_word(pt, ms)
+                    hit = (len(toks), " ".join(toks))
+                    cache[pt] = hit
+                out.append((pt, hit[0], hit[1]))
+            yield pd.DataFrame(out, columns=["pt", "n_toks", "tok_str"])
+
+    return pretokens.mapInPandas(kernel, "pt string, n_toks long, tok_str string")
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Per-document REAL BPE accounting:
+    ``(id, n_pretokens, n_bpe_tokens, token_hash)`` where ``token_hash``
+    is md5 of the full space-joined token sequence in document order — a
+    hash match against the oracle proves the exact token-by-token output,
+    not just counts. Docs with no pretokens (empty/NULL text) report
+    0 / md5('').
+
+    Dataflow: pretokenize (JVM regex, no shuffle) → posexplode → DISTINCT
+    pretokens (vocabulary-sized) → Arrow kernel encodes each once → join
+    back on pretoken → one aggregation keyed by the unique doc id. Token
+    work is ∝ vocabulary, not corpus.
+    """
+    merges = DEFAULT_MERGES if merges is None else merges
+    validate_merges(merges)
+    base = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.regexp_replace(F.col(text_col), SEP, ""), F.lit(BPE_PRETOKEN_RE), 0
+        ).alias("_pts"),
+    )
+    expl = base.select(id_col, F.posexplode("_pts").alias("_pos", "pt"))
+    tok = encode_distinct_pretokens(expl.select("pt").distinct(), merges)
+    per_doc = (
+        expl.join(tok, "pt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_pretokens"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("_pos", "tok_str"))
+                        ),
+                        lambda x: x["tok_str"],
+                    ),
+                    " ",
+                )
+            ).alias("token_hash"),
+        )
+    )
+    return base.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_pretokens", F.lit(0)).alias("n_pretokens"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+        F.coalesce("token_hash", F.md5(F.lit(""))).alias("token_hash"),
+    )

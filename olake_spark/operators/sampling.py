@@ -168,6 +168,7 @@ def mixture_by_tokens(
     text_col: str,
     weights: dict[str, float],
     salt: str = "mixtok",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """``mixture_weighted_sample`` with TOKEN budgets instead of row counts —
     what a pretraining mix actually targets: weights describe each source's
@@ -182,6 +183,11 @@ def mixture_by_tokens(
     mass converges to ``f_s · n_s`` in expectation. Same scale shape as the
     row-count form: one map-side-combinable aggregation, fraction arithmetic
     in-plan, broadcast join + codegen filter — the scan never shuffles.
+
+    ``token_count_col`` selects a precomputed per-doc token-count column
+    (e.g. real BPE counts from ``operators.bpe.bpe_encode`` joined onto the
+    frame) instead of the whitespace-token size — the budget is then in the
+    same units the training run bills in.
     """
     from olake_spark.operators.text import tokens
 
@@ -190,7 +196,10 @@ def mixture_by_tokens(
         [(s, float(w)) for s, w in weights.items()],
         f"`{strata_col}` string, _mix_wt double",
     )
-    tok = F.size(tokens(F.col(text_col))).cast("long")
+    if token_count_col is not None:
+        tok = F.col(token_count_col).cast("long")
+    else:
+        tok = F.size(tokens(F.col(text_col))).cast("long")
     counts = (
         df.groupBy(strata_col)
         .agg(F.sum(tok).alias("_mix_n"))

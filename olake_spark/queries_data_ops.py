@@ -25,6 +25,11 @@ _TOKS = f"string_split({_NORM}, ' ')"
 _H60 = "('0x' || substring(md5({x}),1,15))::BIGINT"
 _PUNCT_SQL = "'[.,!?;:''\"()\\[\\]{}-]'"
 
+# GPT-2-style pretokenizer regex as a SQL literal (quotes doubled)
+from olake_spark.operators.quality import BPE_PRETOKEN_RE as _BPE_RE  # noqa: E402
+
+BPE_SQL_RE = _BPE_RE.replace("'", "''")
+
 
 def _stop_list() -> str:
     return "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS) + "]"
@@ -1234,6 +1239,65 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bpe_tokens",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
     )
+
+
+def _bpe_oracle() -> str:
+    """Build the real-BPE oracle: the IDENTICAL rank-ordered replace-all
+    algorithm as ``operators.bpe.encode_word``, expressed as one nested
+    ``replace()`` chain over separator-wrapped symbol strings — no
+    recursion, no UDF, runs on the DISTINCT pretoken set only."""
+    from olake_spark.operators.bpe import DEFAULT_MERGES, SEP
+
+    re_sql = BPE_SQL_RE  # pretokenizer regex, quotes doubled for SQL
+    expr = "regexp_replace(pt, '(.)', chr(31)||'\\1'||chr(31), 'g')"
+    for a, b in DEFAULT_MERGES:
+        pat = SEP + a + SEP + SEP + b + SEP
+        rep = SEP + a + b + SEP
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return f"""
+    WITH docs_f AS (
+      SELECT doc_id, replace(text, chr(31), '') AS t
+      FROM documents WHERE doc_id % 3 = 0
+    ), pre AS (
+      SELECT doc_id, regexp_extract_all(t, '{re_sql}') AS pts FROM docs_f
+    ), expl AS (
+      SELECT doc_id, unnest(pts) AS pt, generate_subscripts(pts, 1) AS pos
+      FROM pre
+    ), dpt AS (
+      SELECT DISTINCT pt FROM expl
+    ), enc AS (
+      SELECT pt, {expr} AS state FROM dpt
+    ), tok AS (
+      SELECT pt,
+             len(string_split(substr(state, 2, length(state)-2),
+                              chr(31)||chr(31)))::BIGINT AS n_toks,
+             replace(replace(state, chr(31)||chr(31), ' '), chr(31), '') AS tok_str
+      FROM enc
+    ), per_doc AS (
+      SELECT e.doc_id, count(*)::BIGINT AS n_pretokens,
+             sum(t2.n_toks)::BIGINT AS n_bpe_tokens,
+             md5(string_agg(t2.tok_str, ' ' ORDER BY e.pos)) AS token_hash
+      FROM expl e JOIN tok t2 USING (pt) GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(p.n_pretokens, 0) AS n_pretokens,
+           coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+           coalesce(p.token_hash, md5('')) AS token_hash
+    FROM docs_f d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@register("text_bpe_encode", _bpe_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL merges-driven BPE encoding (operators/bpe.py): per document,
+    the exact pretoken count, true BPE token count, and an md5 over the
+    full in-order token sequence — the oracle runs the identical
+    rank-ordered merge algorithm in pure SQL, so a hash match proves
+    token-for-token agreement. Encoding cost is per DISTINCT pretoken
+    (vocabulary-sized), not per corpus row."""
+    from olake_spark.operators.bpe import bpe_encode
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return bpe_encode(docs, "doc_id", "text")
 
 
 @register(

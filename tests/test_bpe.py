@@ -1,0 +1,128 @@
+"""Real merges-driven BPE: algorithm equivalence, edge cases, and the
+mixture_by_tokens integration.
+
+The equivalence test implements the CLASSIC GPT-2 merge loop (find the
+min-rank adjacent pair, merge all its occurrences left-to-right, repeat)
+independently and checks `encode_word`'s rank-ordered replace-all passes
+produce identical tokens on randomized words — the property that makes
+the nested-replace SQL oracle a faithful BPE.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+
+from olake_spark.operators.bpe import (
+    DEFAULT_MERGES,
+    bpe_encode,
+    encode_word,
+    validate_merges,
+)
+
+
+def _gpt2_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference: classic min-rank merge loop (GPT-2 bpe())."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        pairs = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+        best = min(pairs, key=lambda p: ranks.get(p, float("inf")))
+        if best not in ranks:
+            break
+        a, b = best
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_default_merges_training_order_valid():
+    validate_merges(DEFAULT_MERGES)
+
+
+def test_validate_rejects_dangling_operand():
+    with pytest.raises(ValueError, match="neither a char"):
+        validate_merges([("ab", "c")])  # 'ab' never produced
+
+
+def test_encode_word_known_cases():
+    assert encode_word("the", DEFAULT_MERGES) == ["the"]
+    assert encode_word("and", DEFAULT_MERGES) == ["and"]
+    assert encode_word("x", DEFAULT_MERGES) == ["x"]
+    assert encode_word("thththe", DEFAULT_MERGES) == ["th", "th", "the"]
+    assert encode_word("...", DEFAULT_MERGES) == ["..."]
+    # ('0','0') outranks ('2','0'): 2|000, then ('00','0') completes 000
+    assert encode_word("2000", DEFAULT_MERGES) == ["2", "000"]
+    # unknown chars stay single symbols
+    assert encode_word("zq", DEFAULT_MERGES) == ["z", "q"]
+
+
+def test_equivalence_with_gpt2_merge_loop():
+    rng = random.Random(17)
+    alphabet = "theandingorswcxz.-!0129 "
+    for _ in range(400):
+        word = "".join(
+            rng.choice(alphabet.strip()) for _ in range(rng.randint(1, 16))
+        )
+        assert encode_word(word, DEFAULT_MERGES) == _gpt2_encode(
+            word, DEFAULT_MERGES
+        ), word
+    # token concatenation always reconstructs the word (no loss)
+    for word in ["thinking", "nationhood", "a-b-c", "19-2000...!!"]:
+        assert "".join(encode_word(word, DEFAULT_MERGES)) == word
+
+
+def test_bpe_encode_dataframe_with_null_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, ""), (3, None), (4, "the the the")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bpe_encode(df).collect()}
+    assert out[1].n_pretokens == 2  # 'the', 'cat'
+    assert out[1].n_bpe_tokens == 1 + 2  # the | c at
+    expect = hashlib.md5(b"the c at").hexdigest()
+    assert out[1].token_hash == expect
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for did in (2, 3):
+        assert out[did].n_pretokens == 0
+        assert out[did].n_bpe_tokens == 0
+        assert out[did].token_hash == empty_md5
+    assert out[4].n_bpe_tokens == 3
+    expect = hashlib.md5(b"the the the").hexdigest()
+    assert out[4].token_hash == expect
+
+
+def test_mixture_by_tokens_consumes_real_counts(spark):
+    from olake_spark.operators.sampling import mixture_by_tokens
+
+    rows = [(i, "en", "the and that " * 50) for i in range(40)]
+    rows += [(100 + i, "fr", "zq xv wk " * 50) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    counts = bpe_encode(df).select("doc_id", "n_bpe_tokens")
+    with_counts = df.join(counts, "doc_id")
+    out = mixture_by_tokens(
+        with_counts, "doc_id", "lang", "text",
+        {"en": 0.5, "fr": 0.5}, token_count_col="n_bpe_tokens",
+    )
+    # en docs are ~3 BPE tokens per 3 words, fr docs ~6 (unmergeable chars):
+    # with REAL counts the en stratum is the budget-limiting one, so en is
+    # kept whole and fr downsampled — the whitespace estimate (equal counts)
+    # would keep both whole. Retained token mass per stratum ≈ equal.
+    got = {r[0]: r[1] for r in
+           out.groupBy("lang").sum("n_bpe_tokens").collect()}
+    assert got["en"] == 40 * 150  # limiting stratum kept whole
+    assert got["fr"] < 40 * 450  # fr genuinely downsampled
+    # and the whitespace-count path (no token_count_col) keeps everything
+    ws = mixture_by_tokens(
+        with_counts, "doc_id", "lang", "text", {"en": 0.5, "fr": 0.5}
+    )
+    assert ws.count() == 80
