@@ -178,6 +178,188 @@ def growth_exponent(lo_pairs: int, hi_pairs: int, lo: int, hi: int) -> float:
     return round(math.log(hi_pairs / lo_pairs) / math.log(hi / lo), 2)
 
 
+def headline_scaling(spark, sf_dir: str, hi_scale: int = 10) -> dict:
+    """Volume-linearity proof for the vs-BASELINE headliners.
+
+    The bench headline numbers rest on sf0.1 (~600k lineitem rows); this
+    section replicates lineitem and the events changelog ``hi_scale``×
+    (replica-shifted keys, cast to long FIRST — ANSI overflow) and runs
+    the SAME full_load (scan → stamp → sink) and cdc_replay (3-batch MOR
+    MERGE + compact) paths at 1× and ``hi_scale``×. Done = rows/s flat
+    within noise: the path has no super-linear term (no driver collect,
+    no global sort, shuffles keyed and partial-aggregated), so 10× data
+    costs 10× wall — the property that extrapolates to a 1000-executor
+    cluster where per-partition volume, not total volume, is what an
+    executor sees.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from olake_spark.functions.olake_columns import stamp_olake_columns
+    from olake_spark.queries import _events_changelog, table
+    from olake_spark.sinks.table import ManagedTable
+    from olake_spark.sources.files import spread
+    from olake_spark.streaming.replay import replay_batches
+
+    tmp = _tempfile.mkdtemp(prefix="olake_headline_scale_")
+    res: dict = {"sf_dir": sf_dir, "hi_scale": hi_scale,
+                 "full_load": [], "cdc_replay": []}
+
+    def _gc():
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+
+    def _replicate(df, key: str, s: int):
+        if s == 1:
+            return df
+        return (
+            df.select("*", F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("_r"))
+            .withColumn(
+                key,
+                F.col(key).cast("long")
+                + F.col("_r").cast("long") * F.lit(1_000_000_000),
+            )
+            .drop("_r")
+        )
+
+    try:
+        for s in (1, hi_scale):
+            # materialize the scaled input first so the timed path is
+            # exactly the bench's: parquet scan → stamp → parquet sink
+            path = f"{tmp}/input_{s}x"
+            _replicate(table(spark, sf_dir, "lineitem"), "l_orderkey", s)\
+                .write.mode("overwrite").parquet(path)
+            inp = spark.read.parquet(path)
+            rows = inp.count()
+            best = None
+            for _ in range(3 if s == 1 else 2):
+                _gc()
+                t0 = time.perf_counter()
+                out_df = stamp_olake_columns(
+                    spread(inp, "l_orderkey"),
+                    pk_cols=["l_orderkey", "l_linenumber"],
+                )
+                out_df.write.mode("overwrite").parquet(f"{tmp}/fl_out")
+                w = time.perf_counter() - t0
+                best = w if best is None else min(best, w)
+            res["full_load"].append(
+                {"scale": s, "rows": rows, "wall_s": round(best, 2),
+                 "rows_per_s": int(rows / best)}
+            )
+        for s in (1, hi_scale):
+            ch = _replicate(
+                _events_changelog(spark, sf_dir), "user_id", s
+            ).cache()
+            n = ch.count()
+            lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+            c1 = int(lo) + (int(hi) - int(lo)) // 3
+            c2 = int(lo) + 2 * (int(hi) - int(lo)) // 3
+            batches = [
+                ch.filter(F.col("lsn") <= c1),
+                ch.filter((F.col("lsn") > c1) & (F.col("lsn") <= c2)),
+                ch.filter(F.col("lsn") > c2),
+            ]
+            best = None
+            for r in range(3 if s == 1 else 2):
+                _gc()
+                t0 = time.perf_counter()
+                t = ManagedTable(spark, f"{tmp}/cdc_{s}_{r}")
+                replay_batches(t, batches, ["user_id"], "lsn", mor=True)
+                t.compact()
+                w = time.perf_counter() - t0
+                best = w if best is None else min(best, w)
+            ch.unpersist()
+            res["cdc_replay"].append(
+                {"scale": s, "rows": n, "wall_s": round(best, 2),
+                 "rows_per_s": int(n / best)}
+            )
+        for k in ("full_load", "cdc_replay"):
+            lo_r, hi_r = res[k][0]["rows_per_s"], res[k][1]["rows_per_s"]
+            res[k + "_rps_ratio_hi_vs_1x"] = round(hi_r / lo_r, 3)
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
+def mor_read_amplification(
+    spark,
+    sf_dir: str,
+    target_scale: int = 50,
+    checkpoints: tuple[int, ...] = (1, 4, 16, 64),
+) -> dict:
+    """Read-amplification vs pending-delta count for the MOR table.
+
+    A MOR commit is O(|batch|), but every un-compacted delta group joins
+    the read-time resolve (union of base + k deltas → one keyed window).
+    This measures resolve wall at 0/1/4/16/64 pending deltas against a
+    ``target_scale``× base, plus the post-compact read — the curve that
+    justifies a documented compaction threshold (compact when resolve
+    cost stops being dominated by the base scan).
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from olake_spark.queries import _events_changelog
+    from olake_spark.sinks.table import ManagedTable
+
+    tmp = _tempfile.mkdtemp(prefix="olake_mor_amp_")
+    res: dict = {"target_scale": target_scale, "points": []}
+    try:
+        base = (
+            _events_changelog(spark, sf_dir)
+            .select("*", F.explode(F.sequence(F.lit(0), F.lit(target_scale - 1))).alias("_r"))
+            .withColumn(
+                "user_id",
+                F.col("user_id").cast("long")
+                + F.col("_r").cast("long") * F.lit(1_000_000_000),
+            )
+            .drop("_r")
+        )
+        batch = (
+            _events_changelog(spark, sf_dir)
+            .withColumn("lsn", F.col("lsn").cast("long"))
+            .cache()
+        )
+        res["batch_rows"] = batch.count()
+        t = ManagedTable(spark, f"{tmp}/t")
+        t.upsert_mor(base, ["user_id"], ["lsn"])
+
+        def _read_wall() -> tuple[float, int]:
+            best, n = None, 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = t.read().count()
+                w = time.perf_counter() - t0
+                best = w if best is None else min(best, w)
+            return round(best, 2), n
+
+        w, n = _read_wall()
+        res["base_rows"] = n
+        res["points"].append({"pending_deltas": 0, "read_wall_s": w})
+        pending = 0
+        for cp in checkpoints:
+            while pending < cp:
+                pending += 1
+                t.upsert_mor(
+                    batch.withColumn("lsn", F.col("lsn") + F.lit(pending)),
+                    ["user_id"],
+                    ["lsn"],
+                )
+            w, _ = _read_wall()
+            res["points"].append({"pending_deltas": cp, "read_wall_s": w})
+        t0 = time.perf_counter()
+        t.compact()
+        res["compact_wall_s"] = round(time.perf_counter() - t0, 2)
+        w, _ = _read_wall()
+        res["post_compact_read_wall_s"] = w
+        batch.unpersist()
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=20)
@@ -189,7 +371,36 @@ def main() -> None:
                     help="hi key-replication factor for the CoW-vs-MOR target")
     ap.add_argument("--merge-scale-lo", type=int, default=200)
     ap.add_argument("--out", default="SCALE_EVIDENCE.json")
+    ap.add_argument("--only", default=None,
+                    help="run a single section (headline_scaling | mor_read_amp) "
+                         "and MERGE it into --out instead of the full sweep")
+    ap.add_argument("--headline-sf-dir", default="/root/testdata/sf0.1",
+                    help="SF for the headline_scaling section (the bench SF)")
+    ap.add_argument("--headline-scale", type=int, default=10)
     args = ap.parse_args()
+
+    if args.only:
+        from olake_spark.session import get_spark
+
+        spark = get_spark("olake_spark_scale_evidence")
+        if args.only == "headline_scaling":
+            block = headline_scaling(
+                spark, args.headline_sf_dir, args.headline_scale
+            )
+        elif args.only == "mor_read_amp":
+            block = mor_read_amplification(spark, args.sf_dir)
+        else:
+            raise SystemExit(f"unknown section {args.only!r}")
+        try:
+            with open(args.out) as fh:
+                out = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            out = {}
+        out[args.only] = block
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=2)
+        print(json.dumps(block, indent=2))
+        return
 
     from olake_spark.operators.dedup import (
         _band_table,
