@@ -805,6 +805,87 @@ def similarity_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq.pq_topk(emb.filter(F.col("vec_id") < 3), codes, cb, k=5)
 
 
+# the composition query trains at 1 Lloyd's iteration per k-means (gate
+# budget: each trained component is separately proven at 2 iterations by
+# ivf_kmeans_quantized / similarity_topk_pq_trained; this query proves the
+# trained COMPOSITION, and 1 vs 2 iterations changes nothing about that)
+_IVFPQT_ITERS = 1
+
+_IVFPQ_TRAINED_ORACLE = f"""
+    WITH {_kmeans_cte(iters=_IVFPQT_ITERS)},
+    assign AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({_COS.format(a='e.embedding', b='c.cv')}, 9) DESC,
+                        c.cid) AS rn
+      FROM embeddings e CROSS JOIN c{_IVFPQT_ITERS} c
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+    qcells AS (SELECT vec_id AS query_id, cid AS cell FROM assign
+               WHERE rn <= 2 AND vec_id < 3),
+    subids AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+    subs AS (
+      SELECT vec_id, sub,
+             list_slice(v, sub*{_PQ_SUB_LEN}+1, sub*{_PQ_SUB_LEN}+{_PQ_SUB_LEN}) AS sv
+      FROM qv CROSS JOIN subids
+    ),
+    {",    ".join(_pq_subspace_kmeans_cte(j, iters=_IVFPQT_ITERS) for j in range(4))},
+    cb AS (
+      {" UNION ALL ".join(f"SELECT {j} AS sub, code, cv FROM s{j}c{_IVFPQT_ITERS}" for j in range(4))}
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, cb.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {_PQ_SQDIST}, cb.code) AS rn
+        FROM subs s JOIN cb ON cb.sub = s.sub
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.sub, cb.code,
+             list_sum(list_transform(range(1, {_PQ_SUB_LEN}+1), i -> q.sv[i]*cb.cv[i])) AS pd
+      FROM subs q JOIN cb ON cb.sub = q.sub WHERE q.vec_id < 3
+    ),
+    scored AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id, CAST(sum(l.pd) AS BIGINT) AS adc_dot
+      FROM enc e
+      JOIN cells cv ON cv.vec_id = e.vec_id
+      JOIN qcells qc ON qc.cell = cv.cell
+      JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        AND l.query_id = qc.query_id AND l.query_id <> e.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, "rank", adc_dot FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dot DESC, neighbor_id)::INT AS "rank"
+      FROM scored
+    ) WHERE "rank" <= 3
+    """
+
+
+@register("similarity_topk_ivfpq_trained", _IVFPQ_TRAINED_ORACLE)
+def similarity_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF-PQ path end-to-end: TRAINED coarse centroids
+    (quantized Lloyd's, ivf_train_centroids) + TRAINED per-subspace PQ
+    codebooks (pq_train_codebooks) composed into the pruned ADC scan
+    (ivfpq_index → ivfpq_topk, nprobe=2) — the full FAISS-shaped pipeline
+    with every learned component under the exact-value oracle. The oracle
+    reuses the existing k-means CTE machinery (coarse + 4 subspaces), no
+    fresh unrolls; pruning parity (nprobe=n_cells ≡ unpruned PQ over the
+    same trained artifacts) is pinned in tests/test_pq.py."""
+    from olake_spark.operators import pq as _pq
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = sim.ivf_train_centroids(
+        emb, k=_KMEANS_K, iters=_IVFPQT_ITERS, quantize_scale=_KMEANS_SCALE
+    )
+    cb = _pq.pq_train_codebooks(emb, k=_PQT_K, iters=_IVFPQT_ITERS)
+    idx = _pq.ivfpq_index(emb, cents, cb)
+    return _pq.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 3), idx, cb, cents, k=3, nprobe=2
+    )
+
+
 @register("similarity_topk_pq", _PQ_ORACLE)
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (operators/pq.py — the FAISS IVF-PQ

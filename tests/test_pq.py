@@ -155,3 +155,31 @@ def test_ivfpq_prunes_to_probed_cells(spark, emb):
     }
     assert all(full[(r.query_id, r.neighbor_id)] == r.adc_dot for r in out2)
     idx.unpersist()
+
+
+def test_trained_ivfpq_pruning_parity(spark, emb):
+    """The TRAINED composition (trained coarse centroids + trained
+    codebooks) obeys the same pruning contract as the stride artifacts:
+    probing every cell reproduces the unpruned trained-PQ ranking exactly,
+    and nprobe is monotone in candidate coverage."""
+    from olake_spark.operators.similarity import ivf_train_centroids
+
+    cents = ivf_train_centroids(emb, k=8, iters=1, quantize_scale=10_000)
+    cb = pq.pq_train_codebooks(emb, k=8, iters=1)
+    idx = pq.ivfpq_index(emb, cents, cb).cache()
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    out1 = pq.ivfpq_topk(queries, idx, cb, cents, k=50, nprobe=1).collect()
+    out_all = pq.ivfpq_topk(queries, idx, cb, cents, k=50, nprobe=8).collect()
+    assert len(out_all) >= len(out1)
+
+    codes = idx.select("vec_id", "sub", "code")
+    unpruned = {
+        (r.query_id, r.neighbor_id): (r.rank, r.adc_dot)
+        for r in pq.pq_topk(queries, codes, cb, k=50).collect()
+    }
+    pruned = {
+        (r.query_id, r.neighbor_id): (r.rank, r.adc_dot) for r in out_all
+    }
+    assert pruned == unpruned  # all cells probed == no pruning at all
+    idx.unpersist()
