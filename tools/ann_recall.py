@@ -71,6 +71,85 @@ def candidate_fraction(
     return round(cand / float(n_q * n_corpus), 4)
 
 
+def clustered_section(spark, n_corpus: int, k: int, n_queries: int) -> dict:
+    """Recall on a CLUSTERED corpus — the regime real embedding spaces
+    live in (the fixture's near-random vectors are the worst case for
+    top-k LSH and make recall floors look dire; see the module
+    docstring). Deterministic mixture: C=20 integer-formula centers,
+    every vector = its cluster's center + bounded integer-formula noise
+    (within-cluster cosine ≈ 0.95+, cross-cluster ≈ 0.1) — no RNG, so
+    numbers reproduce anywhere. Reports recall@k + candidate fraction
+    per (L, b) and per nprobe with TRAINED centroids, and a
+    ``recommended`` block: the cheapest configs reaching ≥0.9 recall."""
+    from olake_spark.operators import similarity as sim
+
+    C, DIM, EPS_NUM, EPS_DEN = 20, 64, 1, 4  # noise amplitude = 0.25
+    ids = spark.range(n_corpus).select(F.col("id").cast("long").alias("vec_id"))
+    d = F.sequence(F.lit(0), F.lit(DIM - 1))
+    cl = F.col("vec_id") % C
+
+    def _center(dd):
+        return ((cl * 31 + dd * 17) % 200 - 100) / F.lit(100.0)
+
+    def _noise(dd):
+        return (
+            ((F.col("vec_id") * 13 + dd * 7) % 200 - 100)
+            / F.lit(100.0) * F.lit(EPS_NUM) / F.lit(EPS_DEN)
+        )
+
+    emb = ids.select(
+        "vec_id",
+        F.transform(d, lambda dd: _center(dd) + _noise(dd)).alias("embedding"),
+    ).cache()
+    emb.count()
+    stride = max(1, -(-n_corpus // n_queries))
+    queries = (
+        emb.filter(F.col("vec_id") % stride == 0).orderBy("vec_id")
+        .limit(n_queries).cache()
+    )
+    exact = sim.brute_force_topk(queries, emb, k=k).cache()
+    exact.count()
+
+    res: dict = {"n_corpus": n_corpus, "n_clusters": C, "k": k,
+                 "lsh": [], "ivf": []}
+    for n_tables, n_planes in [(2, 8), (4, 8), (8, 8), (4, 12), (8, 12)]:
+        approx = sim.lsh_bucket_topk(
+            queries, emb, k=k, n_tables=n_tables, n_planes=n_planes
+        )
+        tables = sim.lsh_planes(n_tables, n_planes)
+        cb = sim.banded_relation(emb, "vec_id", "embedding", tables, "_cid", "_v")
+        qb = sim.banded_relation(queries, "vec_id", "embedding", tables, "_qid", "_v")
+        rec = recall_at_k(exact, approx, k)
+        frac = candidate_fraction(queries, cb, qb, n_corpus)
+        res["lsh"].append(
+            {"n_tables": n_tables, "n_planes": n_planes, "recall_at_k": rec,
+             "candidate_fraction": frac,
+             "lift": round(rec / frac, 1) if frac else None}
+        )
+        print("clustered lsh", res["lsh"][-1], flush=True)
+
+    cents = sim.ivf_train_centroids(emb, k=C, iters=2, quantize_scale=10_000).cache()
+    idx = sim.ivf_build_index(emb, cents).cache()
+    idx.count()
+    for nprobe in (1, 2, 4):
+        approx = sim.ivf_topk(queries, centroids=cents, index=idx, k=k, nprobe=nprobe)
+        res["ivf"].append(
+            {"nprobe": nprobe, "n_cells": C,
+             "recall_at_k": recall_at_k(exact, approx, k),
+             "cells_fraction": round(nprobe / C, 4)}
+        )
+        print("clustered ivf", res["ivf"][-1], flush=True)
+
+    ok_lsh = [c for c in res["lsh"] if c["recall_at_k"] >= 0.9]
+    ok_ivf = [c for c in res["ivf"] if c["recall_at_k"] >= 0.9]
+    res["recommended"] = {
+        "lsh": min(ok_lsh, key=lambda c: c["candidate_fraction"]) if ok_lsh else None,
+        "ivf": min(ok_ivf, key=lambda c: c["cells_fraction"]) if ok_ivf else None,
+    }
+    emb.unpersist()
+    return res
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -78,7 +157,27 @@ def main() -> None:
     ap.add_argument("--n-queries", type=int, default=50)
     ap.add_argument("--near-dup-threshold", type=float, default=0.35)
     ap.add_argument("--out", default="ANN_RECALL.json")
+    ap.add_argument("--only", default=None,
+                    help="'clustered' runs just the clustered-corpus section "
+                         "and merges it into --out")
+    ap.add_argument("--clustered-n", type=int, default=10_000)
     args = ap.parse_args()
+
+    if args.only == "clustered":
+        from olake_spark.session import get_spark
+
+        spark = get_spark("olake_spark_ann_recall")
+        block = clustered_section(spark, args.clustered_n, args.k, args.n_queries)
+        try:
+            with open(args.out) as fh:
+                out = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            out = {}
+        out["clustered"] = block
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=2)
+        print(json.dumps(block, indent=2))
+        return
 
     from olake_spark.operators import similarity as sim
     from olake_spark.session import get_spark
