@@ -94,6 +94,7 @@ def stream_curate(
     min_tokens: int = 5,
     max_files_per_trigger: int | None = None,
     ttl_ms: int | None = DEFAULT_DEDUP_TTL_MS,
+    progress_path: str | None = None,
 ):
     """Drain ``source_dir`` file drops through the curation stream once
     (``availableNow``): rows with ≥ ``min_tokens`` whitespace tokens and an
@@ -104,7 +105,10 @@ def stream_curate(
     expires and a later redelivery passes; size ``ttl_ms`` to the source's
     redelivery window, or pass ``None`` for unbounded forever-dedup).
     Returns the finished ``StreamingQuery`` (for ``lastProgress`` state
-    metrics); the drain itself has already completed."""
+    metrics); the drain itself has already completed. ``progress_path``
+    appends one JSON line per micro-batch (rows/sec, state rows, state
+    memory — ``streaming/observe.py``) so drain throughput and state
+    growth are artifacts, not guesses."""
     # expiry is LAZY: timers fire only when a DATA batch runs. With the
     # default no-data micro-batches, a pending processing-time timer makes
     # the engine spin empty batches until the deadline — under availableNow
@@ -149,4 +153,8 @@ def stream_curate(
         .start()
     )
     query.awaitTermination()
+    if progress_path is not None:
+        from olake_spark.streaming.observe import write_progress_jsonl
+
+        write_progress_jsonl(query, progress_path)
     return query

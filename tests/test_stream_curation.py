@@ -164,3 +164,34 @@ def test_composed_stream_curate_then_incremental_dedup(spark, tmp_path):
 
     final = incremental_minhash_dedup(streamed, idx, "doc_id", "text", threshold=0.7)
     assert {r.doc_id for r in final.collect()} == {1, 5}  # 4 matches the corpus
+
+
+def test_progress_artifact_written(spark, tmp_path):
+    """stream_curate(progress_path=) appends one JSON line per micro-batch
+    with the state/throughput fields drain_summary rolls up."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from olake_spark.streaming.curation import stream_curate
+    from olake_spark.streaming.observe import drain_summary
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    rows = [(i, f"unique document body number {i} with enough tokens here")
+            for i in range(20)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/drop_0000")
+    prog = str(tmp_path / "progress.jsonl")
+    stream_curate(
+        spark, f"{src}/drop_*", schema, "text",
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), progress_path=prog,
+    )
+    recs = [json.loads(line) for line in open(prog)]
+    assert recs, "no progress lines written"
+    s = drain_summary(recs)
+    assert s["input_rows"] == 20
+    assert s["peak_state_rows"] == 20  # one fingerprint per unique doc
+    assert s["peak_state_memory_bytes"] > 0
+    assert s["rows_per_sec_busy"] > 0
