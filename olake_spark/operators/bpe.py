@@ -42,6 +42,7 @@ __all__ = [
     "encode_word",
     "encode_distinct_pretokens",
     "bpe_encode",
+    "bpe_train_merges",
     "validate_merges",
 ]
 
@@ -133,6 +134,103 @@ def encode_distinct_pretokens(
             yield pd.DataFrame(out, columns=["pt", "n_toks", "tok_str"])
 
     return pretokens.mapInPandas(kernel, "pt string, n_toks long, tok_str string")
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """DISTRIBUTED BPE TRAINING: learn the top ``n_merges`` merges from the
+    corpus (Sennrich et al. 2016) as ONE lazy plan — no driver-side argmax.
+
+    Classic BPE training is a loop of "count adjacent symbol pairs, merge
+    the most frequent everywhere"; the data-dependent step (which pair won)
+    normally forces a driver round-trip per merge. Here each iteration's
+    winner is a 1-row frame (groupBy + orderBy(cnt desc, a, b) + limit 1)
+    CROSS-JOINED (broadcast, 1 row) back onto the symbol states, and the
+    merge applies via ``F.replace`` with COLUMN arguments — so all
+    ``n_merges`` iterations unroll into a single deferred plan, exactly
+    reproducible by an unrolled SQL oracle (same trick as the quantized
+    k-means family).
+
+    Scale shape: training state is one row per DISTINCT pretoken with its
+    corpus frequency (vocabulary-sized, Zipf-bounded) — pair counts are
+    weighted by frequency so the result equals training over the raw
+    corpus, at vocabulary cost.
+
+    The lazy unroll is the ORACLE-VERIFIABLE form and is meant for small
+    ``n_merges``: each ``best`` subtree feeds both the output union and
+    the next state, so the plan doubles per iteration (Spark's
+    ReuseExchange recovers most of the repeated aggregation work, but
+    analysis cost grows ~2^K). Training a real vocabulary (30k+ merges)
+    is a driver loop over the same two steps with the state DataFrame
+    persisted per iteration — same distributed shape, one action per
+    merge, no plan blowup.
+
+    Output: (rank, a, b, cnt) — the learned ranked merge table, directly
+    consumable by ``bpe_encode(merges=...)``. Ties break (cnt desc, a, b).
+    """
+    base = df.select(
+        F.regexp_extract_all(
+            F.regexp_replace(F.col(text_col), SEP, ""), F.lit(BPE_PRETOKEN_RE), 0
+        ).alias("_pts"),
+    )
+    pts = (
+        base.select(F.explode("_pts").alias("pt"))
+        .groupBy("pt")
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    states = pts.select(
+        F.regexp_replace(F.col("pt"), "(.)", SEP + "$1" + SEP).alias("state"),
+        "wt",
+    )
+    winners = []
+    for i in range(int(n_merges)):
+        syms = F.split(
+            F.expr("substring(state, 2, length(state) - 2)"), SEP + SEP
+        )
+        pairs = states.select(
+            "wt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(syms) - 1, F.lit(1))),
+                    # try_element_at: under ANSI mode a past-the-end index
+                    # raises; single-symbol states have no pair and must
+                    # yield NULL b (filtered) instead of an error
+                    lambda j: F.struct(
+                        F.element_at(syms, j).alias("a"),
+                        F.try_element_at(syms, j + 1).alias("b"),
+                    ),
+                )
+            ).alias("_p"),
+        ).filter(F.col("_p.b").isNotNull()).select(
+            F.col("_p.a").alias("a"), F.col("_p.b").alias("b"), "wt"
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("wt").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+        )
+        winners.append(best.select(F.lit(i).alias("rank"), "a", "b", "cnt"))
+        pat = F.concat(
+            F.lit(SEP), F.col("_wa"), F.lit(SEP + SEP), F.col("_wb"), F.lit(SEP)
+        )
+        rep = F.concat(F.lit(SEP), F.col("_wa"), F.col("_wb"), F.lit(SEP))
+        states = (
+            states.crossJoin(
+                F.broadcast(
+                    best.select(F.col("a").alias("_wa"), F.col("b").alias("_wb"))
+                )
+            )
+            .select(F.replace(F.col("state"), pat, rep).alias("state"), "wt")
+        )
+    out = winners[0]
+    for w_df in winners[1:]:
+        out = out.unionByName(w_df)
+    return out
 
 
 def bpe_encode(

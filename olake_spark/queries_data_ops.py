@@ -1367,6 +1367,66 @@ def _bpe_oracle() -> str:
     """
 
 
+def _bpe_train_oracle(n_merges: int = 6) -> str:
+    """Unrolled distributed-BPE-training oracle: per iteration, adjacent
+    weighted pair counts over the wrapped symbol states, deterministic
+    argmax (cnt desc, a, b), replace-everywhere — the same single lazy
+    plan shape the Spark operator unrolls."""
+
+    def it(i: int) -> str:
+        return f"""
+    p{i} AS (
+      SELECT wt, syms[j] AS a, syms[j+1] AS b FROM (
+        SELECT wt, syms, generate_subscripts(syms, 1) AS j FROM (
+          SELECT wt, string_split(substr(state, 2, length(state)-2),
+                                  chr(31)||chr(31)) AS syms
+          FROM s{i-1})
+      ) WHERE j < len(syms)
+    ),
+    b{i} AS (SELECT a, b, sum(wt)::BIGINT AS cnt FROM p{i}
+             GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+    s{i} AS (SELECT replace(st.state,
+                    chr(31)||bb.a||chr(31)||chr(31)||bb.b||chr(31),
+                    chr(31)||bb.a||bb.b||chr(31)) AS state, st.wt
+             FROM s{i-1} st CROSS JOIN b{i} bb)"""
+
+    unions = "\n      UNION ALL ".join(
+        f'SELECT {i - 1} AS "rank", a, b, cnt FROM b{i}'
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH docs_f AS (
+      SELECT replace(text, chr(31), '') AS t
+      FROM documents WHERE doc_id % 3 = 0
+    ), pts AS (
+      SELECT pt, count(*)::BIGINT AS wt FROM (
+        SELECT unnest(regexp_extract_all(t, '{BPE_SQL_RE}')) AS pt FROM docs_f
+      ) GROUP BY pt
+    ),
+    s0 AS (SELECT regexp_replace(pt, '(.)', chr(31)||'\\1'||chr(31), 'g') AS state, wt
+           FROM pts),
+    {','.join(it(i) for i in range(1, n_merges + 1))}
+    SELECT * FROM (
+      {unions}
+    )
+    """
+
+
+@register("bpe_train_merges", _bpe_train_oracle(5))
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BPE TRAINING (operators/bpe.py bpe_train_merges): learn
+    the corpus's top-5 merges as ONE lazy plan — each iteration's argmax
+    is a 1-row broadcast cross join and the merge applies via replace()
+    with column arguments, so the data-dependent loop unrolls without any
+    driver round-trip (the quantized-k-means trick applied to tokenizer
+    training). Training state is one row per DISTINCT pretoken weighted
+    by corpus frequency: vocabulary cost, corpus-equivalent result."""
+    from olake_spark.operators.bpe import bpe_train_merges
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return bpe_train_merges(docs, "doc_id", "text", n_merges=5)
+
+
 @register("text_bpe_encode", _bpe_oracle())
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL merges-driven BPE encoding (operators/bpe.py): per document,

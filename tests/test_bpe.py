@@ -126,3 +126,24 @@ def test_mixture_by_tokens_consumes_real_counts(spark):
         with_counts, "doc_id", "lang", "text", {"en": 0.5, "fr": 0.5}
     )
     assert ws.count() == 80
+
+
+def test_bpe_train_merges_learns_and_feeds_encode(spark):
+    """The distributed trainer learns the corpus's most frequent pairs in
+    rank order, its output is training-order valid by construction, and it
+    plugs straight into bpe_encode(merges=...)."""
+    from olake_spark.operators.bpe import bpe_train_merges, encode_word
+
+    docs = spark.createDataFrame(
+        [(0, "the cat and the hat"), (1, "the cat sat"), (2, "and the band ran")],
+        "doc_id long, text string",
+    )
+    learned = [
+        (r.a, r.b)
+        for r in bpe_train_merges(docs, n_merges=3).orderBy("rank").collect()
+    ]
+    # differential vs the reference trainer (see /tmp probe): an/at/he
+    assert learned == [("a", "n"), ("a", "t"), ("h", "e")]
+    validate_merges(learned)
+    assert encode_word("ant", learned) == ["an", "t"]
+    assert encode_word("he", learned) == ["he"]

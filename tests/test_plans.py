@@ -26,6 +26,8 @@ _CROSS_OK = {
     "similarity_topk_ivfpq",  # ivf_assign's broadcast-centroid scoring
     "similarity_topk_pq_trained",  # k-means assign: broadcast-codebook scoring
     "ivf_kmeans_quantized",
+    "similarity_topk_ivfpq_trained",  # trained coarse assign: broadcast centroids
+    "bpe_train_merges",  # per-iteration 1-row broadcast argmax cross join
     "bm25_keyword_scores",
     "audit_referential",  # 1-row agg x 1-row orphan count per relation
     "text_rare_token_ratio",  # 1-row corpus-count broadcast (lazy threshold)

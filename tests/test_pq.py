@@ -96,11 +96,22 @@ def test_trained_codebooks_reduce_quantization_error(spark, emb):
     stride_cb = pq.pq_stride_codebooks(emb)
     trained_cb = pq.pq_train_codebooks(emb, k=8, iters=2)
 
-    t1 = sorted(map(tuple, trained_cb.select("sub", "code", F.to_json("cv")).collect()))
+    # partitioning invariance on a subset at 1 iteration: the property is
+    # about exact-integer floor-mean updates, not training depth — the
+    # full-depth/full-corpus run above already feeds the error assertion
+    sub = emb.filter(F.col("vec_id") < 300)
+    t1 = sorted(
+        map(
+            tuple,
+            pq.pq_train_codebooks(sub, k=8, iters=1)
+            .select("sub", "code", F.to_json("cv"))
+            .collect(),
+        )
+    )
     t2 = sorted(
         map(
             tuple,
-            pq.pq_train_codebooks(emb.repartition(7), k=8, iters=2)
+            pq.pq_train_codebooks(sub.repartition(7), k=8, iters=1)
             .select("sub", "code", F.to_json("cv"))
             .collect(),
         )
