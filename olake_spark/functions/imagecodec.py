@@ -126,21 +126,28 @@ def _unfilter(raw: bytes, w: int, h: int, nch: int) -> np.ndarray:
             out[y] = row
         elif ftype == 2:  # Up
             out[y] = (row + prev) & 0xFF
-        elif ftype == 3:  # Average — left term is sequential along x
-            cur = out[y]
-            for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ftype in (1, 4):  # Sub / Paeth — sequential along x
-            cur = out[y]
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                if ftype == 1:
-                    cur[x] = (row[x] + left) & 0xFF
-                else:
-                    up = int(prev[x])
-                    ul = int(prev[x - bpp]) if x >= bpp else 0
-                    cur[x] = (row[x] + _paeth(left, up, ul)) & 0xFF
+        elif ftype == 1:
+            # Sub, VECTORIZED: out[x] = Σ residuals over the x ≡ x₀ (mod
+            # bpp) lane, mod 256 — cumsum in int then &0xFF (mod
+            # distributes over addition). The common real-encoder filter
+            # must not cost a per-pixel Python loop in the decode kernel.
+            lanes = row.reshape(-1, bpp).astype(np.int64)
+            out[y] = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint16).reshape(stride)
+        elif ftype in (3, 4):  # Average / Paeth — left term is sequential
+            # along x; plain-list arithmetic beats per-element numpy
+            # scalar indexing ~10× in the interpreter
+            r_l, p_l = row.tolist(), prev.tolist()
+            cur = [0] * stride
+            if ftype == 3:
+                for x in range(stride):
+                    left = cur[x - bpp] if x >= bpp else 0
+                    cur[x] = (r_l[x] + ((left + p_l[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    left = cur[x - bpp] if x >= bpp else 0
+                    ul = p_l[x - bpp] if x >= bpp else 0
+                    cur[x] = (r_l[x] + _paeth(left, p_l[x], ul)) & 0xFF
+            out[y] = cur
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
     return out.astype(np.uint8).reshape(h, w, nch)
@@ -220,14 +227,20 @@ def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode BMP or PNG bytes to an HxWx3 uint8 RGB array (raises on
-    anything else — callers that want NULL-on-undecodable catch this)."""
+    """Decode BMP or PNG bytes to an HxWx3 uint8 RGB array.
+
+    EVERY decode failure surfaces as ``ValueError`` — corrupt DEFLATE
+    streams (``zlib.error``), truncated headers (``struct.error``), and
+    malformed chunk indexing are normalized here so kernel callers can
+    catch one exception type and honor the poison-payload contract
+    (NULL dims / pass-through, never a dead stage)."""
     fmt = detect_format(data)
-    if fmt == "bmp":
-        return _decode_bmp(data)
-    if fmt == "png":
-        return _decode_png(data)
-    raise ValueError("unrecognized image payload (not BMP/PNG)")
+    if fmt is None:
+        raise ValueError("unrecognized image payload (not BMP/PNG)")
+    try:
+        return _decode_bmp(data) if fmt == "bmp" else _decode_png(data)
+    except (zlib.error, struct.error, IndexError, OverflowError) as exc:
+        raise ValueError(f"corrupt {fmt} payload: {exc}") from exc
 
 
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -182,8 +182,12 @@ def bpe_train_merges(
         .groupBy("pt")
         .agg(F.count(F.lit(1)).alias("wt"))
     )
+    # (?s): Java '.' skips Unicode line terminators (U+2028/29, U+0085)
+    # without DOTALL, while RE2's matches them — such chars are legal
+    # inside symbol-run pretokens, and an unwrapped one would fuse into a
+    # garbage symbol and diverge from the oracle and encode_word
     states = pts.select(
-        F.regexp_replace(F.col("pt"), "(.)", SEP + "$1" + SEP).alias("state"),
+        F.regexp_replace(F.col("pt"), "(?s)(.)", SEP + "$1" + SEP).alias("state"),
         "wt",
     )
     winners = []

@@ -370,16 +370,25 @@ def connected_components(
         # the union-find dict (~100-200 MB worst-case at 2M distinct
         # nodes) — acceptable for a driver, and the cap bounds it.
         pdf = edges.limit(driver_collect_max + 1).toPandas()
-        if len(pdf) and not all(pdf[c].dtype == "int64" for c in ("src", "dst")):
-            # belt-and-braces after na.drop(): float64 here would mean a
-            # lossy >2^53 id path into the union-find — fail, don't corrupt
-            raise TypeError(
-                f"connected_components edge ids collected as "
-                f"{dict(pdf.dtypes)} — expected int64 both sides"
-            )
         if len(pdf) <= driver_collect_max:
+            import numpy as _np
+
+            if len(pdf) and not all(
+                _np.issubdtype(pdf[c].dtype, _np.integer) for c in ("src", "dst")
+            ):
+                # belt-and-braces after na.drop(): a FLOAT dtype here would
+                # mean a lossy >2^53 id path into the union-find — fail,
+                # don't corrupt. Any integer width (int32 ids are common)
+                # is lossless and fine; the guard only applies when the
+                # driver fast path is actually taken.
+                raise TypeError(
+                    f"connected_components edge ids collected as "
+                    f"{dict(pdf.dtypes)} — expected integer dtypes"
+                )
+            # tolist(): plain Python ints — numpy scalars of any width
+            # (int32 ids included) would trip createDataFrame's LongType
             labels_rows = _union_find_labels(
-                zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+                zip(pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist())
             )
             labels = spark.createDataFrame(labels_rows, "node long, label long")
             return ids.join(

@@ -51,10 +51,17 @@ __all__ = [
     "source_quality_filter",
 ]
 
-# GPT-2-style pretokenizer classes, simplified to the RE2-compatible subset
-# so the same pattern runs in Spark (Java regex) and DuckDB (RE2) oracles:
+# GPT-2-style pretokenizer classes, simplified so the SAME pattern means
+# the SAME thing in Spark (Java regex) and DuckDB (RE2) oracles:
 # contraction suffixes, letter runs, digit runs, non-space symbol runs.
-BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s']+"
+# Whitespace is the EXPLICIT class below, never `\s`: Java's \s includes
+# vertical tab (0x0B) while RE2's does not, so `\s` pretokenizes text
+# containing VT differently in the two engines (verified divergence) —
+# with the explicit class both agree byte-for-byte.
+BPE_WS_CLASS = r" \t\n\r\f\x0B"
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9" + BPE_WS_CLASS + r"']+"
+)
 
 
 def ngrams(toks: Column, n: int) -> Column:

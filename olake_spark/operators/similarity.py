@@ -321,14 +321,24 @@ def lsh_build_index(
     against the planes they sign queries with and FAIL LOUDLY on mismatch
     instead of band-joining to nothing (a silent all-clean/empty result)."""
     tables = lsh_planes(n_tables, n_planes)
-    return banded_relation(
-        spread(corpus, id_col), id_col, vec_col, tables, id_col, vec_col, arrow,
-        norm_col="_norm",
-    ).withColumns(
-        {
-            "_lsh_tables": F.lit(int(n_tables)),
-            "_lsh_planes": F.lit(int(n_planes)),
-        }
+    return (
+        banded_relation(
+            spread(corpus, id_col), id_col, vec_col, tables, id_col, vec_col, arrow,
+            norm_col="_norm",
+        )
+        .withColumns(
+            {
+                "_lsh_tables": F.lit(int(n_tables)),
+                "_lsh_planes": F.lit(int(n_planes)),
+            }
+        )
+        # schema-level stamp too: survives the parquet round trip in the
+        # Spark schema footer and lets consumers verify at PLAN time —
+        # the row-level assert can't fire on an EMPTY (e.g. mis-pathed)
+        # index, which would otherwise still band-join to silent-clean
+        .withMetadata(
+            "band", {"lsh_tables": int(n_tables), "lsh_planes": int(n_planes)}
+        )
     )
 
 
@@ -341,8 +351,24 @@ def check_index_params(index: DataFrame, n_tables: int, n_planes: int) -> DataFr
     band-join to NOTHING and silently report zero candidates (for
     decontamination, a false "corpus fully clean"). The check is lazy (a
     filter over a runtime-raising expression, no Spark action at plan-build
-    time) and free: the stamp columns are constants. Unstamped (pre-stamp
-    or hand-built) indexes pass through unchecked, as before."""
+    time) and free: the stamp columns are constants. The schema-metadata
+    stamp on ``band`` is additionally checked HERE, at plan-build time —
+    it covers the EMPTY-index case (a mis-pathed load has no rows for the
+    row-level assert to see, and would otherwise still band-join to a
+    silent all-clean). Unstamped (pre-stamp or hand-built) indexes pass
+    through unchecked, as before."""
+    meta = next(
+        (f.metadata for f in index.schema.fields if f.name == "band"), None
+    ) or {}
+    if meta.get("lsh_tables") is not None:
+        built = (int(meta["lsh_tables"]), int(meta.get("lsh_planes", -1)))
+        if built != (int(n_tables), int(n_planes)):
+            raise ValueError(
+                f"LSH index built with (n_tables, n_planes)={built} but "
+                f"queried with ({int(n_tables)}, {int(n_planes)}); a "
+                "mismatch band-joins to nothing — rebuild the index or "
+                "pass the index's own parameters"
+            )
     if not {"_lsh_tables", "_lsh_planes"} <= set(index.columns):
         return index
     ok = (F.col("_lsh_tables") == F.lit(int(n_tables))) & (

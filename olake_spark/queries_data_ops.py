@@ -1297,20 +1297,24 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs, "doc_id", "text", top_ns=(2, 3), dup_ns=(5,))
 
 
+_WS_RE = "[ \\t\\n\\r\\f\\x0B]+"  # explicit class: Java \s ∋ VT, RE2 \s ∌ VT
+
+
 @register(
     "text_bpe_tokens",
-    """
+    f"""
     SELECT doc_id,
-           len(regexp_extract_all(text,
-               '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s'']+'))::BIGINT
+           len(regexp_extract_all(text, '{BPE_SQL_RE}'))::BIGINT
              AS n_bpe_tokens,
-           len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_ws_tokens
+           len(string_split_regex(trim(text), '{_WS_RE}'))::BIGINT AS n_ws_tokens
     FROM documents
     """,
 )
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-2-pretokenizer-regex token estimate vs whitespace token count —
-    the cost-accounting pair a curation pipeline tracks per document."""
+    the cost-accounting pair a curation pipeline tracks per document. The
+    oracle derives from the SAME module constant as the operator (drift
+    impossible) and whitespace is the explicit cross-engine class."""
     from olake_spark.operators.quality import with_bpe_token_estimate
 
     docs = table(spark, sf_dir, "documents")
@@ -1318,7 +1322,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id",
         "n_bpe_tokens",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(F.split(F.trim(F.col("text")), _WS_RE)).cast("long").alias("n_ws_tokens"),
     )
 
 
@@ -1330,7 +1334,7 @@ def _bpe_oracle() -> str:
     from olake_spark.operators.bpe import DEFAULT_MERGES, SEP
 
     re_sql = BPE_SQL_RE  # pretokenizer regex, quotes doubled for SQL
-    expr = "regexp_replace(pt, '(.)', chr(31)||'\\1'||chr(31), 'g')"
+    expr = "regexp_replace(pt, '(?s)(.)', chr(31)||'\\1'||chr(31), 'g')"
     for a, b in DEFAULT_MERGES:
         pat = SEP + a + SEP + SEP + b + SEP
         rep = SEP + a + b + SEP
@@ -1403,7 +1407,7 @@ def _bpe_train_oracle(n_merges: int = 6) -> str:
         SELECT unnest(regexp_extract_all(t, '{BPE_SQL_RE}')) AS pt FROM docs_f
       ) GROUP BY pt
     ),
-    s0 AS (SELECT regexp_replace(pt, '(.)', chr(31)||'\\1'||chr(31), 'g') AS state, wt
+    s0 AS (SELECT regexp_replace(pt, '(?s)(.)', chr(31)||'\\1'||chr(31), 'g') AS state, wt
            FROM pts),
     {','.join(it(i) for i in range(1, n_merges + 1))}
     SELECT * FROM (

@@ -78,5 +78,14 @@ def drain_summary(records: list[dict]) -> dict:
         "peak_state_memory_bytes": max(
             (r["state_memory_bytes"] or 0 for r in records), default=0
         ),
-        "sink_output_rows": sum(r["sink_output_rows"] or 0 for r in records),
+        # file sinks report -1 ("unknown") for numOutputRows; summing the
+        # sentinel would yield a nonsense negative total — unknown batches
+        # contribute nothing, and all-unknown rolls up as None
+        "sink_output_rows": (
+            sum(v)
+            if (v := [r["sink_output_rows"] for r in records
+                      if r["sink_output_rows"] is not None
+                      and r["sink_output_rows"] >= 0])
+            else None
+        ),
     }

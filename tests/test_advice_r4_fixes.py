@@ -43,12 +43,20 @@ def test_index_param_mismatch_raises_not_silent_clean(spark):
         bench, benchmark=bench, corpus_index=idx, n_tables=2, n_planes=8, threshold=0.9
     )
     assert {r.vec_id for r in hits.collect()} == {10}
-    # mismatched planes: used to return an empty (all-clean) frame; now raises
-    bad = semantic_overlap(
-        bench, benchmark=bench, corpus_index=idx, n_tables=2, n_planes=12, threshold=0.9
-    )
+    # mismatched planes: used to return an empty (all-clean) frame; the
+    # schema-metadata stamp now fails PLAN BUILD, before any execution
     with pytest.raises(Exception, match="n_tables, n_planes"):
-        bad.collect()
+        semantic_overlap(
+            bench, benchmark=bench, corpus_index=idx,
+            n_tables=2, n_planes=12, threshold=0.9,
+        )
+    # an EMPTY mis-pathed index (rows can't trigger the lazy assert) still
+    # fails loudly via the metadata stamp
+    with pytest.raises(Exception, match="n_tables, n_planes"):
+        semantic_overlap(
+            bench, benchmark=bench, corpus_index=idx.filter("vec_id < 0"),
+            n_tables=2, n_planes=12, threshold=0.9,
+        )
 
 
 def test_lsh_bucket_topk_checks_index_params(spark):
@@ -62,18 +70,29 @@ def test_lsh_bucket_topk_checks_index_params(spark):
     ok = lsh_bucket_topk(q, index=idx, k=3, n_tables=2, n_planes=8)
     ok.collect()  # no raise
     with pytest.raises(Exception, match="n_tables, n_planes"):
-        lsh_bucket_topk(q, index=idx, k=3, n_tables=4, n_planes=8).collect()
+        lsh_bucket_topk(q, index=idx, k=3, n_tables=4, n_planes=8)
+    # metadata stripped (e.g. a transformation rebuilt the column): the
+    # row-level lazy assert still catches the mismatch at execution
+    stripped = idx.withMetadata("band", {})
+    lazy_bad = lsh_bucket_topk(stripped, index=stripped, k=3, n_tables=4, n_planes=8)
+    with pytest.raises(Exception, match="n_tables, n_planes"):
+        lazy_bad.collect()
 
 
 def test_unstamped_index_passes_through(spark):
     from olake_spark.operators.similarity import check_index_params, lsh_build_index
 
-    idx = lsh_build_index(
-        spark.createDataFrame([(1, _vec(1))], ["vec_id", "embedding"]),
-        n_tables=2,
-        n_planes=8,
-    ).drop("_lsh_tables", "_lsh_planes")
-    # hand-built / pre-stamp index: caller owns consistency, no check
+    idx = (
+        lsh_build_index(
+            spark.createDataFrame([(1, _vec(1))], ["vec_id", "embedding"]),
+            n_tables=2,
+            n_planes=8,
+        )
+        .drop("_lsh_tables", "_lsh_planes")
+        .withMetadata("band", {})
+    )
+    # hand-built / pre-stamp index (no stamp columns, no schema metadata):
+    # caller owns consistency, no check
     assert check_index_params(idx, 99, 99).count() == 2  # 2 tables → 2 rows
 
 
@@ -137,3 +156,15 @@ def test_cc_null_pairs_dropped(spark):
            connected_components(ids, pairs, "doc_id", "a", "b").collect()}
     assert out[1] == out[2]  # the real edge
     assert out[4] == 4 and out[5] == 5  # NULL edges did not link anything
+
+
+def test_cc_int32_ids_supported(spark):
+    """int32 id columns are lossless and must take the driver fast path
+    (the first dtype guard rejected anything non-int64)."""
+    from olake_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "doc_id int")
+    pairs = spark.createDataFrame([(1, 2)], "a int, b int")
+    out = {r.doc_id: r.cluster_id
+           for r in connected_components(ids, pairs, "doc_id", "a", "b").collect()}
+    assert out[1] == out[2] and out[3] == 3

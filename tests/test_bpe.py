@@ -147,3 +147,37 @@ def test_bpe_train_merges_learns_and_feeds_encode(spark):
     validate_merges(learned)
     assert encode_word("ant", learned) == ["an", "t"]
     assert encode_word("he", learned) == ["he"]
+
+
+def test_pretokenizer_cross_engine_parity_on_nasty_whitespace(spark):
+    """Java \\s includes VT (0x0B), RE2's does not, and Java '.' skips
+    U+2028 - the explicit whitespace class and (?s) wrap must make Spark
+    and DuckDB pretokenize/wrap these byte-for-byte identically."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from olake_spark.operators.bpe import SEP, encode_word
+    from olake_spark.operators.quality import BPE_PRETOKEN_RE
+
+    texts = ["!\x0b!", "a\u2028b", "x\u0085y", "tab\tsep", "nl\na", "v\x0b\x0bw"]
+    srows = (
+        spark.createDataFrame([(t,) for t in texts], "t string")
+        .select("t", F.regexp_extract_all("t", F.lit(BPE_PRETOKEN_RE), 0).alias("p"))
+        .collect()
+    )
+    con = duckdb.connect()
+    for r in srows:
+        duck = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [r.t, BPE_PRETOKEN_RE]
+        ).fetchone()[0]
+        assert list(r.p) == list(duck), repr(r.t)
+    # trainer wrap parity: (?s)(.) wraps EVERY char incl. U+2028, matching
+    # encode_word's python per-char wrap
+    wrapped = (
+        spark.createDataFrame([("a\u2028b",)], "pt string")
+        .select(F.regexp_replace("pt", "(?s)(.)", SEP + "$1" + SEP).alias("s"))
+        .first()
+        .s
+    )
+    assert wrapped == "".join(SEP + c + SEP for c in "a\u2028b")
+    assert encode_word("a\u2028b", []) == ["a", "\u2028", "b"]

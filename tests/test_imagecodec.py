@@ -143,3 +143,35 @@ def test_undecodable_raises():
     png = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="interlace"):
         ic.decode_image(png)
+
+
+def test_corrupt_payloads_normalize_to_valueerror():
+    """Every decode failure mode must surface as ValueError — the kernels
+    catch exactly that to honor the poison-payload contract (a corrupt
+    IDAT used to escape as zlib.error and kill the stage)."""
+    a = rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)
+    good = ic.encode_png(a)
+    # valid signature+IHDR, garbage DEFLATE bytes in IDAT
+    corrupt_idat = (
+        good[: good.index(b"IDAT") - 4]
+        + _chunk(b"IDAT", b"\x99garbage-not-deflate\x00")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt png"):
+        ic.decode_image(corrupt_idat)
+    # truncated IHDR body (struct.error inside)
+    short_ihdr = PNG_SIG + _chunk(b"IHDR", b"\x00\x00\x00\x04")
+    with pytest.raises(ValueError):
+        ic.decode_image(short_ihdr)
+    # BMP with trashed header fields
+    bmp = bytearray(ic.encode_bmp(a))
+    with pytest.raises(ValueError):
+        ic.decode_image(bytes(bmp[:30]))
+
+
+def test_sub_filter_vectorized_matches_reference():
+    """The cumsum-lane Sub decode equals the sequential definition on a
+    wide row (regression for the vectorization)."""
+    a = rng.randint(0, 256, (3, 257, 3), dtype=np.uint8)
+    raw = _forward_filter(a, [1, 1, 1])
+    assert np.array_equal(ic.decode_image(_png_from_raw(257, 3, 2, raw)), a)
