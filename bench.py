@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "text_quality_score",
     "text_lang_id",
     "multimodal_features",
+    "multimodal_decode_resize",
+    "text_bpe_encode",
+    "bpe_train_merges",
     "pack_sequences",
     "zorder_key_events",
     "chunk_documents",

@@ -5,7 +5,8 @@ exactly-once DB/Kafka/S3 → Iceberg/Parquet replication engine written in Go),
 re-expressed Spark-first: declarative DataFrame plans, Catalyst pushdown,
 Structured-Streaming-style bounded drains, and MERGE-semantics upsert sinks —
 plus large-scale training-data operators (dedup, similarity search, text
-analysis, multimodal plumbing) layered on the same engine.
+analysis incl. real BPE tokenization/training, multimodal columns with real
+pure-stdlib image decode/resize kernels) layered on the same engine.
 
 Subpackages
 -----------
