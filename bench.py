@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "text_lang_id",
     "multimodal_features",
     "multimodal_decode_resize",
+    "multimodal_audio_decode",
     "text_bpe_encode",
     "bpe_train_merges",
     "pack_sequences",

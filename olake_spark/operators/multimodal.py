@@ -39,13 +39,19 @@ from olake_spark.functions import imagecodec as ic
 __all__ = [
     "MEDIA_SCHEMA",
     "FEATURE_SCHEMA",
+    "AUDIO_FEATURE_SCHEMA",
     "attach_binary_payload",
     "synthesize_images",
+    "synthesize_audio",
     "extract_features",
+    "extract_audio_features",
     "resize_images",
+    "resample_audio",
     "sample_frames",
     "synth_dims",
     "synth_pixels",
+    "synth_audio_params",
+    "synth_samples",
 ]
 
 # canonical media-table shape: id + payload + typed metadata
@@ -211,6 +217,123 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 payloads.append(enc)
                 metas.append(
                     json.dumps({"w": int(width), "h": int(height), "fmt": fmt})
+                )
+            out["payload"] = payloads
+            if has_meta:
+                out["meta"] = metas
+            yield out
+
+    return media.mapInPandas(kernel, schema=media.schema)
+
+
+# ---------------------------------------------------------------------------
+# audio: WAV (RIFF PCM16) — as real as the image path
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),  # NULL if undecodable
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),  # max |sample|
+        T.StructField("sum_abs", T.LongType(), True),  # exact Σ|sample|
+        T.StructField("sample_checksum", T.LongType(), True),
+    ]
+)
+
+
+def synth_audio_params(media_id: int) -> tuple[int, int]:
+    """(n_samples, rate): 800..2399 samples, rate 8k/16k by parity."""
+    return 800 + (media_id * 37) % 1600, 8000 if media_id % 2 == 0 else 16000
+
+
+def synth_samples(media_id: int, n: int) -> np.ndarray:
+    """sample[i] = ((id*31 + i*17) % 4001) - 2000 — int16-range closed form."""
+    i = np.arange(n, dtype=np.int64)
+    return (((int(media_id) * 31 + i * 17) % 4001) - 2000).astype(np.int16)
+
+
+def synthesize_audio(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """One deterministic RIFF PCM16 clip per id (real encode), the audio
+    twin of ``synthesize_images`` — distributed, id-derived, Arrow-batched."""
+    from olake_spark.functions import audiocodec as ac
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col].astype("int64"):
+                mid = int(mid)
+                n, rate = synth_audio_params(mid)
+                payload = ac.encode_wav(synth_samples(mid, n), rate)
+                out.append(
+                    (mid, payload, "audio", json.dumps({"n": n, "rate": rate}))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "media_type", "meta"])
+
+    return ids.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL WAV decode per payload: byte size, sample rate, sample count,
+    peak amplitude, exact Σ|sample|, and the position-weighted checksum.
+    Non-WAV / corrupt payloads surface NULL audio fields, never values."""
+    from olake_spark.functions import audiocodec as ac
+
+    def row(mid: int, payload):
+        if payload is None:
+            return (mid, None, None, None, None, None, None)
+        data = bytes(payload)
+        try:
+            rate, s = ac.decode_wav(data)
+        except ValueError:
+            return (mid, len(data), None, None, None, None, None)
+        a = s.astype(np.int64)
+        return (
+            mid, len(data), rate, len(s), int(np.abs(a).max(initial=0)),
+            int(np.abs(a).sum()), ac.sample_checksum(s),
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [row(int(m), p) for m, p in zip(pdf["media_id"], pdf["payload"])],
+                columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields],
+            )
+
+    return media.mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
+
+
+def resample_audio(media: DataFrame, factor: int) -> DataFrame:
+    """REAL decimation resample through the batch path: decode, keep every
+    ``factor``-th sample, re-encode at rate//factor. Schema derives from
+    the input (extra columns preserved); undecodable payloads pass through
+    with a marker — same contracts as ``resize_images``."""
+    from olake_spark.functions import audiocodec as ac
+
+    has_meta = "meta" in {f.name for f in media.schema.fields}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads, metas = [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    payloads.append(None)
+                    metas.append(json.dumps({"resample": "null-payload"}))
+                    continue
+                data = bytes(p)
+                try:
+                    rate, s = ac.decode_wav(data)
+                except ValueError:
+                    payloads.append(data)
+                    metas.append(json.dumps({"resample": "undecodable"}))
+                    continue
+                ds = ac.decimate(s, factor)
+                new_rate = max(rate // factor, 1)
+                payloads.append(ac.encode_wav(ds, new_rate))
+                metas.append(
+                    json.dumps({"rate": new_rate, "n": int(len(ds)), "factor": factor})
                 )
             out["payload"] = payloads
             if has_meta:

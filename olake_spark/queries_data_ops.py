@@ -1093,6 +1093,77 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orig.join(resized, "media_id")
 
 
+# audio sample closed form: s(i) = ((id*31 + i*17) % 4001) - 2000;
+# n = 800 + (id*37) % 1600; rate = 8k (even id) / 16k (odd);
+# WAV bytes = 44 + 2n; decimation by 3 keeps indices 3i'
+def _snd_sql(i: str, x: str) -> str:
+    return f"((({i})*31 + ({x})*17) % 4001 - 2000)"
+
+
+@register(
+    "multimodal_audio_decode",
+    f"""
+    WITH params AS (
+      SELECT doc_id::BIGINT AS id,
+             800 + (doc_id*37) % 1600 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate
+      FROM documents WHERE doc_id % 5 = 0
+    ), idx AS (
+      SELECT id, n, rate, unnest(generate_series(0, n - 1)) AS i FROM params
+    ), feats AS (
+      SELECT id,
+             max(abs({_snd_sql("id", "i")}))::INT AS peak,
+             sum(abs({_snd_sql("id", "i")}))::BIGINT AS sum_abs,
+             sum((i + 1) * {_snd_sql("id", "i")})::BIGINT AS sample_checksum
+      FROM idx GROUP BY id
+    ), ridx AS (
+      SELECT id, n, unnest(generate_series(0, (n + 2) // 3 - 1)) AS j FROM params
+    ), rfeats AS (
+      SELECT id, sum((j + 1) * {_snd_sql("id", "j*3")})::BIGINT AS res_checksum
+      FROM ridx GROUP BY id
+    )
+    SELECT p.id AS media_id, (44 + 2*p.n)::BIGINT AS n_bytes,
+           p.rate::INT AS sample_rate, p.n::BIGINT AS n_samples,
+           f.peak, f.sum_abs, f.sample_checksum,
+           (p.rate // 3)::INT AS res_rate, ((p.n + 2) // 3)::BIGINT AS res_n_samples,
+           r.res_checksum
+    FROM params p JOIN feats f ON p.id = f.id JOIN rfeats r ON p.id = r.id
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio pipeline, sample-verified cross-engine: synthesize
+    RIFF PCM16 clips (real stdlib encode) → decode and feature-extract
+    (peak, exact Σ|s|, position-weighted checksum) → decimate ×3 →
+    re-encode → decode AGAIN. The oracle computes every number from the
+    sample closed form and the decimation index map — no codec on the
+    oracle side, so agreement proves decode→resample→encode→decode is
+    sample-exact for every clip. Arrow-batched kernels, one join on the
+    unique media id."""
+    from olake_spark.operators.multimodal import (
+        extract_audio_features,
+        resample_audio,
+        synthesize_audio,
+    )
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+        .filter(F.col("media_id") % 5 == 0)
+    )
+    media = synthesize_audio(ids)
+    orig = extract_audio_features(media).select(
+        "media_id", "n_bytes", "sample_rate", "n_samples",
+        "peak", "sum_abs", "sample_checksum",
+    )
+    res = extract_audio_features(resample_audio(media, 3)).select(
+        "media_id",
+        F.col("sample_rate").alias("res_rate"),
+        F.col("n_samples").alias("res_n_samples"),
+        F.col("sample_checksum").alias("res_checksum"),
+    )
+    return orig.join(res, "media_id")
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling (hash-threshold family)
 # ---------------------------------------------------------------------------
