@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "multimodal_decode_resize",
     "multimodal_audio_decode",
+    "multimodal_video_frames",
     "text_bpe_encode",
     "bpe_train_merges",
     "pack_sequences",

@@ -34,6 +34,8 @@ __all__ = [
     "decode_image",
     "encode_bmp",
     "encode_png",
+    "encode_apng",
+    "decode_apng",
     "resize_nearest",
     "pixel_checksum",
     "detect_format",
@@ -219,6 +221,128 @@ def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
         + _chunk(b"IDAT", zlib.compress(bytes(raw), level))
         + _chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG) — the "video" container a stdlib can afford
+# ---------------------------------------------------------------------------
+#
+# APNG is the public animated extension of PNG (acTL/fcTL/fdAT chunks);
+# every frame's pixel data is an INDEPENDENT zlib stream filtered exactly
+# like PNG rows, so the still-image machinery above decodes each frame.
+# Scope (what our encoder emits, what the decoder accepts): full-frame
+# frames at offset (0,0), dispose/blend 0 (source replaces) — offsets,
+# dispose/blend composition, and interlacing raise ValueError rather than
+# mis-decode. Real-world video containers (mp4/mkv + H.264 etc.) need
+# codecs this environment doesn't ship and stay honestly out of scope.
+
+
+def encode_apng(frames: list[np.ndarray], delay_den: int = 10) -> bytes:
+    """Animated PNG from full-size HxWx3 frames (color type 2, filter 0,
+    one independent zlib stream per frame)."""
+    if not frames:
+        raise ValueError("encode_apng needs at least one frame")
+    h, w, c = frames[0].shape
+    if c != 3 or any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("encode_apng expects equal-size HxWx3 frames")
+
+    def raw(arr: np.ndarray) -> bytes:
+        body = bytearray()
+        for y in range(h):
+            body.append(0)
+            body += arr[y].tobytes()
+        return zlib.compress(bytes(body), 6)
+
+    out = bytearray(_PNG_SIG)
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, f in enumerate(frames):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, 1, delay_den, 0, 0
+        )
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        if i == 0:
+            out += _chunk(b"IDAT", raw(f))
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + raw(f))
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng(data: bytes) -> list[np.ndarray]:
+    """All frames of an APNG as HxWx3 uint8 arrays (a plain PNG decodes
+    as one frame). Same failure contract as ``decode_image``: everything
+    malformed or out of the supported profile raises ``ValueError``."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG/APNG file")
+    try:
+        pos = 8
+        w = h = depth = ctype = None
+        n_frames = None
+        frames: list[bytearray] = []  # compressed stream per frame
+        cur: bytearray | None = None
+        default_image_is_frame = False
+        idat = bytearray()
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack_from(">I", data, pos)
+            tag = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + length]
+            if len(body) != length:
+                raise ValueError("truncated chunk")
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                    ">IIBBBBB", body
+                )
+                if depth != 8 or inter != 0 or ctype not in (0, 2, 6):
+                    raise ValueError("unsupported (A)PNG profile")
+            elif tag == b"acTL":
+                (n_frames, _plays) = struct.unpack(">II", body)
+            elif tag == b"fcTL":
+                (_seq, fw, fh, fx, fy, _dn, _dd, dispose, blend) = struct.unpack(
+                    ">IIIIIHHBB", body
+                )
+                if (fw, fh, fx, fy) != (w, h, 0, 0) or dispose or blend:
+                    raise ValueError(
+                        "unsupported APNG frame (offset/partial/dispose/blend)"
+                    )
+                cur = bytearray()
+                frames.append(cur)
+                if not idat:  # fcTL before IDAT → default image is frame 0
+                    default_image_is_frame = True
+            elif tag == b"IDAT":
+                idat += body
+                if default_image_is_frame and frames:
+                    frames[0] += body
+            elif tag == b"fdAT":
+                if cur is None:
+                    raise ValueError("fdAT before any fcTL")
+                cur += body[4:]  # skip sequence number
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if w is None:
+            raise ValueError("missing IHDR")
+        if n_frames is None:  # plain PNG
+            return [_decode_png(data)]
+        if len(frames) != n_frames:
+            raise ValueError(
+                f"acTL declares {n_frames} frames, found {len(frames)}"
+            )
+        nch = {0: 1, 2: 3, 6: 4}[ctype]
+        out = []
+        for stream in frames:
+            arr = _unfilter(zlib.decompress(bytes(stream)), w, h, nch)
+            if ctype == 0:
+                arr = np.repeat(arr, 3, axis=2)
+            elif ctype == 6:
+                arr = arr[:, :, :3].copy()
+            out.append(arr)
+        return out
+    except (zlib.error, struct.error, IndexError, OverflowError) as exc:
+        raise ValueError(f"corrupt APNG payload: {exc}") from exc
 
 
 # ---------------------------------------------------------------------------

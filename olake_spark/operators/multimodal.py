@@ -48,10 +48,14 @@ __all__ = [
     "resize_images",
     "resample_audio",
     "sample_frames",
+    "synthesize_videos",
+    "FRAME_SCHEMA",
     "synth_dims",
     "synth_pixels",
     "synth_audio_params",
     "synth_samples",
+    "synth_video_params",
+    "synth_frame_seed",
 ]
 
 # canonical media-table shape: id + payload + typed metadata
@@ -343,16 +347,88 @@ def resample_audio(media: DataFrame, factor: int) -> DataFrame:
     return media.mapInPandas(kernel, schema=media.schema)
 
 
-def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """Stub frame sampler: one deterministic 'frame' row per payload chunk of
-    ``every_n`` KiB — the explode shape (1 video row → N frame rows) that a
-    real ffmpeg kernel produces. Video containers need codecs this
-    environment doesn't ship; the image path above is fully real."""
-    n_frames = F.greatest(
-        (F.length("payload") / F.lit(every_n * 1024)).cast("int"), F.lit(1)
-    )
-    return media.select(
-        "media_id",
-        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
-        F.md5(F.concat(F.col("payload").cast("string"), F.lit("|frame"))).alias("frame_hash"),
-    )
+# ---------------------------------------------------------------------------
+# video: APNG — the public animated container a stdlib can decode
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),  # NULL if undecodable
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pix_checksum", T.LongType(), True),
+    ]
+)
+
+
+def synth_video_params(media_id: int) -> tuple[int, int, int]:
+    """(n_frames, w, h): 2-5 frames, small deterministic dims."""
+    i = int(media_id)
+    return 2 + i % 4, 8 + (i * 5) % 17, 8 + (i * 3) % 13
+
+
+def synth_frame_seed(media_id: int, t: int) -> int:
+    """Frame t's pixels reuse the image closed form under this seed."""
+    return int(media_id) * 131 + 7 * t
+
+
+def synthesize_videos(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """One deterministic APNG clip per id (REAL animated-PNG encode, one
+    independent zlib stream per frame) — the video member of the
+    synthesize_* fixture family."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col].astype("int64"):
+                mid = int(mid)
+                nf, w, h = synth_video_params(mid)
+                frames = [
+                    synth_pixels(synth_frame_seed(mid, t), w, h)
+                    for t in range(nf)
+                ]
+                payload = ic.encode_apng(frames)
+                out.append(
+                    (mid, payload, "video",
+                     json.dumps({"n_frames": nf, "w": w, "h": h, "fmt": "apng"}))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "media_type", "meta"])
+
+    return ids.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: decode the APNG payload and emit one row per
+    every ``every_n``-th frame with its true dimensions and pixel
+    checksum — the 1-video-row → N-frame-rows explode shape, with actual
+    decoded pixels behind it. A plain PNG/undecodable payload yields one
+    surfaced row with NULL frame fields (a PNG is a 1-frame clip and
+    samples normally). Compressed video containers (mp4/H.264 …) need
+    codecs this environment doesn't ship and surface as NULL rows."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                if p is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                try:
+                    frames = ic.decode_apng(bytes(p))
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                for t in range(0, len(frames), max(int(every_n), 1)):
+                    f = frames[t]
+                    rows.append(
+                        (mid, len(frames), t, f.shape[1], f.shape[0],
+                         ic.pixel_checksum(f))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(kernel, FRAME_SCHEMA)

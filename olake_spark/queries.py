@@ -1850,6 +1850,9 @@ _GATE_TAIL = [
     # round-5 rotation (tools/rotate_window.py): longest-driver-green
     # window queries out, making room for the round's new oracle queries
     "similarity_topk_ivf_trained",
+    # round-5 rotation (tools/rotate_window.py): longest-driver-green
+    # window queries out, making room for the round's new oracle queries
+    "semantic_dedup",
 ]
 
 

@@ -1093,6 +1093,54 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orig.join(resized, "media_id")
 
 
+@register(
+    "multimodal_video_frames",
+    f"""
+    WITH params AS (
+      SELECT doc_id::BIGINT AS id,
+             2 + doc_id % 4 AS nf,
+             8 + (doc_id*5) % 17 AS w,
+             8 + (doc_id*3) % 13 AS h
+      FROM documents WHERE doc_id % 9 = 0
+    ), frames AS (
+      SELECT id, nf, w, h, unnest(generate_series(0, nf - 1)) AS t FROM params
+    ), sampled AS (
+      SELECT * FROM frames WHERE t % 2 = 0
+    ), ys AS (
+      SELECT id, nf, w, h, t, id*131 + 7*t AS seed,
+             unnest(generate_series(0, h - 1)) AS y
+      FROM sampled
+    ), cells AS (
+      SELECT id, nf, w, h, t, seed, y, unnest(generate_series(0, w - 1)) AS x
+      FROM ys
+    )
+    SELECT id AS media_id, nf::INT AS n_frames, t::INT AS frame_idx,
+           w::INT AS width, h::INT AS height,
+           sum((y*w + x + 1) * {_pix_sql("seed", "x", "y")})::BIGINT AS pix_checksum
+    FROM cells
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (operators/multimodal.py sample_frames):
+    synthesize APNG clips (real animated-PNG encodes, one independent
+    zlib stream per frame), decode every 2nd frame, and checksum its
+    pixels. The oracle computes frame counts, dims, and per-frame
+    checksums purely from the frame-seed pixel closed form — agreement
+    proves the container walk + per-frame DEFLATE decode + unfilter
+    reproduced every pixel of every sampled frame. This makes all three
+    modalities (image / audio / video) REAL decode paths under the
+    exact-value gate."""
+    from olake_spark.operators.multimodal import sample_frames, synthesize_videos
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+        .filter(F.col("media_id") % 9 == 0)
+    )
+    return sample_frames(synthesize_videos(ids), every_n=2)
+
+
 # audio sample closed form: s(i) = ((id*31 + i*17) % 4001) - 2000;
 # n = 800 + (id*37) % 1600; rate = 8k (even id) / 16k (odd);
 # WAV bytes = 44 + 2n; decimation by 3 keeps indices 3i'

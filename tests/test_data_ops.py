@@ -119,9 +119,37 @@ def test_multimodal_plumbing(spark, docs):
     # text bytes are not an image: NULL dims surfaced, never fabricated
     assert feats[1].format is None and feats[1].width is None
     assert feats[1].pix_checksum is None
+    # ...and not a video either: one surfaced NULL row per payload
     frames = sample_frames(media).collect()
     assert {r.media_id for r in frames} == {1, 2}
-    assert all(r.frame_idx == 0 for r in frames)  # tiny payloads → 1 frame
+    assert all(r.n_frames is None and r.frame_idx is None for r in frames)
+
+
+def test_multimodal_real_video_frames(spark):
+    """sample_frames decodes REAL APNG clips: per sampled frame, true
+    dims + pixel checksums match a driver-side reference decode."""
+    from olake_spark.functions import imagecodec as ic
+    from olake_spark.operators.multimodal import (
+        sample_frames,
+        synth_frame_seed,
+        synth_pixels,
+        synth_video_params,
+        synthesize_videos,
+    )
+
+    ids = spark.range(1, 7).withColumnRenamed("id", "media_id")
+    rows = sample_frames(synthesize_videos(ids), every_n=2).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid in range(1, 7):
+        nf, w, h = synth_video_params(mid)
+        got = sorted(by_media[mid], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == list(range(0, nf, 2))
+        for r in got:
+            assert (r.n_frames, r.width, r.height) == (nf, w, h)
+            expect = synth_pixels(synth_frame_seed(mid, r.frame_idx), w, h)
+            assert r.pix_checksum == ic.pixel_checksum(expect)
 
 
 def test_multimodal_real_decode_kernel(spark):

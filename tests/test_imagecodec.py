@@ -175,3 +175,34 @@ def test_sub_filter_vectorized_matches_reference():
     a = rng.randint(0, 256, (3, 257, 3), dtype=np.uint8)
     raw = _forward_filter(a, [1, 1, 1])
     assert np.array_equal(ic.decode_image(_png_from_raw(257, 3, 2, raw)), a)
+
+
+def test_apng_roundtrip_and_contracts():
+    frames = [rng.randint(0, 256, (6, 9, 3), dtype=np.uint8) for _ in range(4)]
+    data = ic.encode_apng(frames)
+    out = ic.decode_apng(data)
+    assert len(out) == 4
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+    # plain PNG decodes as a 1-frame clip
+    png = ic.encode_png(frames[0])
+    one = ic.decode_apng(png)
+    assert len(one) == 1 and np.array_equal(one[0], frames[0])
+    # frame-count mismatch and corrupt frame stream both normalize to
+    # ValueError (poison contract)
+    bad = bytearray(data)
+    actl_at = data.index(b"acTL")
+    struct.pack_into(">I", bad, actl_at + 4, 9)  # declare 9 frames
+    with pytest.raises(ValueError, match="declares 9"):
+        ic.decode_apng(bytes(bad))
+    fdat_at = data.index(b"fdAT")
+    corrupt = bytearray(data)
+    corrupt[fdat_at + 12 : fdat_at + 20] = b"\x00" * 8
+    with pytest.raises(ValueError):
+        ic.decode_apng(bytes(corrupt))
+    # out-of-profile frames (offset) refused, not mis-composited
+    fctl_at = data.index(b"fcTL")
+    off = bytearray(data)
+    struct.pack_into(">I", off, fctl_at + 4 + 12, 2)  # x_offset = 2
+    with pytest.raises(ValueError, match="offset|unsupported"):
+        ic.decode_apng(bytes(off))
