@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "multimodal_decode_resize",
     "multimodal_audio_decode",
     "multimodal_video_frames",
+    "image_phash_dedup",
     "text_bpe_encode",
     "bpe_train_merges",
     "pack_sequences",

@@ -36,6 +36,8 @@ __all__ = [
     "encode_png",
     "encode_apng",
     "decode_apng",
+    "parse_apng_streams",
+    "decode_frame_stream",
     "resize_nearest",
     "pixel_checksum",
     "detect_format",
@@ -200,6 +202,17 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
+def _filter0_stream(arr: np.ndarray, level: int) -> bytes:
+    """Filter-0 row serialization + DEFLATE — the one encode pipeline both
+    ``encode_png`` and ``encode_apng`` share."""
+    h = arr.shape[0]
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += arr[y].tobytes()
+    return zlib.compress(bytes(raw), level)
+
+
 def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
     """Color-type-2 (RGB) PNG encode, filter 0 per row, one IDAT chunk.
 
@@ -211,14 +224,10 @@ def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
     if c != 3:
         raise ValueError("encode_png expects HxWx3 RGB")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = bytearray()
-    for y in range(h):
-        raw.append(0)
-        raw += arr[y].tobytes()
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw), level))
+        + _chunk(b"IDAT", _filter0_stream(arr, level))
         + _chunk(b"IEND", b"")
     )
 
@@ -237,7 +246,9 @@ def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
 # codecs this environment doesn't ship and stay honestly out of scope.
 
 
-def encode_apng(frames: list[np.ndarray], delay_den: int = 10) -> bytes:
+def encode_apng(
+    frames: list[np.ndarray], delay_den: int = 10, level: int = 6
+) -> bytes:
     """Animated PNG from full-size HxWx3 frames (color type 2, filter 0,
     one independent zlib stream per frame)."""
     if not frames:
@@ -245,13 +256,6 @@ def encode_apng(frames: list[np.ndarray], delay_den: int = 10) -> bytes:
     h, w, c = frames[0].shape
     if c != 3 or any(f.shape != (h, w, 3) for f in frames):
         raise ValueError("encode_apng expects equal-size HxWx3 frames")
-
-    def raw(arr: np.ndarray) -> bytes:
-        body = bytearray()
-        for y in range(h):
-            body.append(0)
-            body += arr[y].tobytes()
-        return zlib.compress(bytes(body), 6)
 
     out = bytearray(_PNG_SIG)
     out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
@@ -264,18 +268,22 @@ def encode_apng(frames: list[np.ndarray], delay_den: int = 10) -> bytes:
         out += _chunk(b"fcTL", fctl)
         seq += 1
         if i == 0:
-            out += _chunk(b"IDAT", raw(f))
+            out += _chunk(b"IDAT", _filter0_stream(f, level))
         else:
-            out += _chunk(b"fdAT", struct.pack(">I", seq) + raw(f))
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + _filter0_stream(f, level))
             seq += 1
     out += _chunk(b"IEND", b"")
     return bytes(out)
 
 
-def decode_apng(data: bytes) -> list[np.ndarray]:
-    """All frames of an APNG as HxWx3 uint8 arrays (a plain PNG decodes
-    as one frame). Same failure contract as ``decode_image``: everything
-    malformed or out of the supported profile raises ``ValueError``."""
+def parse_apng_streams(
+    data: bytes,
+) -> tuple[int, int, int, list[bytes]] | None:
+    """Parse an APNG container into ``(w, h, ctype, per-frame compressed
+    streams)`` WITHOUT inflating any pixel data — frame-sampling callers
+    decode only the streams they keep (``decode_frame_stream``). Returns
+    ``None`` for a plain PNG (no acTL). Everything malformed or out of
+    the supported profile raises ``ValueError``."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG/APNG file")
     try:
@@ -296,10 +304,18 @@ def decode_apng(data: bytes) -> list[np.ndarray]:
                 w, h, depth, ctype, comp, filt, inter = struct.unpack(
                     ">IIBBBBB", body
                 )
-                if depth != 8 or inter != 0 or ctype not in (0, 2, 6):
+                if (
+                    depth != 8
+                    or comp != 0
+                    or filt != 0
+                    or inter != 0
+                    or ctype not in (0, 2, 6)
+                ):
                     raise ValueError("unsupported (A)PNG profile")
             elif tag == b"acTL":
                 (n_frames, _plays) = struct.unpack(">II", body)
+                if n_frames == 0:  # spec: num_frames must be >= 1
+                    raise ValueError("acTL declares zero frames")
             elif tag == b"fcTL":
                 (_seq, fw, fh, fx, fy, _dn, _dd, dispose, blend) = struct.unpack(
                     ">IIIIIHHBB", body
@@ -326,23 +342,40 @@ def decode_apng(data: bytes) -> list[np.ndarray]:
         if w is None:
             raise ValueError("missing IHDR")
         if n_frames is None:  # plain PNG
-            return [_decode_png(data)]
+            return None
         if len(frames) != n_frames:
             raise ValueError(
                 f"acTL declares {n_frames} frames, found {len(frames)}"
             )
-        nch = {0: 1, 2: 3, 6: 4}[ctype]
-        out = []
-        for stream in frames:
-            arr = _unfilter(zlib.decompress(bytes(stream)), w, h, nch)
-            if ctype == 0:
-                arr = np.repeat(arr, 3, axis=2)
-            elif ctype == 6:
-                arr = arr[:, :, :3].copy()
-            out.append(arr)
-        return out
+        return w, h, ctype, [bytes(s) for s in frames]
     except (zlib.error, struct.error, IndexError, OverflowError) as exc:
         raise ValueError(f"corrupt APNG payload: {exc}") from exc
+
+
+def decode_frame_stream(stream: bytes, w: int, h: int, ctype: int) -> np.ndarray:
+    """Inflate + unfilter one frame's compressed stream (from
+    ``parse_apng_streams``) to an HxWx3 uint8 array."""
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    try:
+        arr = _unfilter(zlib.decompress(stream), w, h, nch)
+    except (zlib.error, struct.error, IndexError, OverflowError) as exc:
+        raise ValueError(f"corrupt APNG frame stream: {exc}") from exc
+    if ctype == 0:
+        return np.repeat(arr, 3, axis=2)
+    if ctype == 6:
+        return arr[:, :, :3].copy()
+    return arr
+
+
+def decode_apng(data: bytes) -> list[np.ndarray]:
+    """All frames of an APNG as HxWx3 uint8 arrays (a plain PNG decodes
+    as one frame). Same failure contract as ``decode_image``: everything
+    malformed or out of the supported profile raises ``ValueError``."""
+    parsed = parse_apng_streams(data)
+    if parsed is None:  # plain PNG
+        return [_decode_png(data)]
+    w, h, ctype, streams = parsed
+    return [decode_frame_stream(s, w, h, ctype) for s in streams]
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,9 @@ __all__ = [
     "resample_audio",
     "sample_frames",
     "synthesize_videos",
+    "dhash_of",
+    "image_dhash",
+    "image_near_dups",
     "FRAME_SCHEMA",
     "synth_dims",
     "synth_pixels",
@@ -146,6 +149,15 @@ def synthesize_images(
 # ---------------------------------------------------------------------------
 
 
+def _exact_frame(rows: list[tuple], columns: list[str]) -> pd.DataFrame:
+    """Build a pandas frame with ``dtype=object`` so int64 columns in
+    batches mixing poison (None) and valid rows are NOT coerced to
+    float64 — that coercion silently rounds values above 2^53 (audio
+    checksums legitimately reach ~4e18). Arrow converts object columns
+    of Python ints/None to exact int64."""
+    return pd.DataFrame(rows, columns=columns, dtype=object)
+
+
 def _feature_row(mid: int, payload: bytes | None):
     if payload is None:
         return (mid, None, None, None, None, None, None)
@@ -173,14 +185,13 @@ def extract_features(media: DataFrame) -> DataFrame:
                 _feature_row(int(m), p)
                 for m, p in zip(pdf["media_id"], pdf["payload"])
             ]
-            out = pd.DataFrame(
+            yield _exact_frame(
                 rows,
-                columns=[
+                [
                     "media_id", "n_bytes", "content_hash", "format",
                     "width", "height", "pix_checksum",
                 ],
             )
-            yield out
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
 
@@ -300,9 +311,9 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
+            yield _exact_frame(
                 [row(int(m), p) for m, p in zip(pdf["media_id"], pdf["payload"])],
-                columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields],
+                [f.name for f in AUDIO_FEATURE_SCHEMA.fields],
             )
 
     return media.mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
@@ -399,14 +410,139 @@ def synthesize_videos(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     return ids.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# perceptual image dedup: dHash + Hamming band join
+# ---------------------------------------------------------------------------
+
+DHASH_BITS = 64
+DHASH_BANDS = 8  # 8 bands x 8 bits: pigeonhole-lossless for hamming < 8
+
+
+def dhash_of(arr: np.ndarray) -> int:
+    """64-bit difference hash (public dHash algorithm): integer luma
+    gray = (299R + 587G + 114B)//1000, exact NN resample to a 9x8 grid,
+    bit(y,x) = gray(x+1,y) > gray(x,y), position y*8+x. Returned as a
+    SIGNED 64-bit value (two's complement wrap) so Spark longs and the
+    SQL oracle's BIGINT agree bit-for-bit."""
+    a = arr.astype(np.int64)
+    g = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    h_, w_ = g.shape
+    xs = (np.arange(9, dtype=np.int64) * w_) // 9
+    ys = (np.arange(8, dtype=np.int64) * h_) // 8
+    sg = g[np.ix_(ys, xs)]
+    bits = sg[:, 1:] > sg[:, :-1]
+    h = 0
+    for pos, b in enumerate(bits.reshape(-1)):  # row-major: pos = y*8 + x
+        if b:
+            h |= 1 << pos
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),  # NULL if undecodable
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual hash per image through the Arrow batch path: decode the
+    payload (real BMP/PNG codec) and compute its 64-bit dHash. dHash is
+    scale- and brightness-shift-invariant by construction (it compares
+    neighboring resampled luma cells), which is what makes it the standard
+    near-dup key for image corpora. Undecodable payloads surface a NULL
+    hash — poison never fabricates a bucket."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                if p is None:
+                    rows.append((mid, None))
+                    continue
+                try:
+                    arr = ic.decode_image(bytes(p))
+                except ValueError:
+                    rows.append((mid, None))
+                    continue
+                rows.append((mid, dhash_of(arr)))
+            yield _exact_frame(rows, ["media_id", "dhash"])
+
+    return media.mapInPandas(kernel, DHASH_SCHEMA)
+
+
+def image_near_dups(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Image pairs with hamming(dhash) <= max_hamming via the pigeonhole
+    band join (8 byte-bands over 64 bits): any pair within hamming < 8
+    shares at least one exact band, so the candidate generator is
+    LOSSLESS for max_hamming <= 7 — recall 1.0 with no all-pairs scan.
+    Corpus shuffles once on (band, value); ``max_bucket_size`` bounds
+    mega-buckets at corpus scale (same contract as the text SimHash/LSH
+    family). Returns (id_a, id_b, hamming) with id_a < id_b."""
+    from olake_spark.operators.dedup import cap_buckets
+
+    if max_hamming >= DHASH_BANDS:
+        raise ValueError("pigeonhole exactness requires max_hamming < num bands")
+    width = DHASH_BITS // DHASH_BANDS
+    sh = hashes.filter(F.col(hash_col).isNotNull())
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftrightunsigned(F.col(hash_col), j * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bv"),
+            )
+            for j in range(DHASH_BANDS)
+        ]
+    )
+    bt = sh.select(id_col, hash_col, F.explode(bands).alias("b")).select(
+        id_col, hash_col, F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    bt = cap_buckets(bt, ["band", "bv"], max_bucket_size)
+    a, b = bt.alias("a"), bt.alias("b")
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hash_col}").alias("h_a"),
+            F.col(f"b.{hash_col}").alias("h_b"),
+        )
+        .distinct()
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """REAL frame sampling: decode the APNG payload and emit one row per
     every ``every_n``-th frame with its true dimensions and pixel
     checksum — the 1-video-row → N-frame-rows explode shape, with actual
-    decoded pixels behind it. A plain PNG/undecodable payload yields one
-    surfaced row with NULL frame fields (a PNG is a 1-frame clip and
-    samples normally). Compressed video containers (mp4/H.264 …) need
-    codecs this environment doesn't ship and surface as NULL rows."""
+    decoded pixels behind it. A plain PNG is a 1-frame clip and samples
+    normally (a real row with n_frames=1). An undecodable payload yields
+    one surfaced row with NULL frame fields — never a vanished media_id.
+    Compressed video containers (mp4/H.264 …) need codecs this
+    environment doesn't ship and surface as NULL rows.
+
+    Only the SAMPLED frames are inflated: ``parse_apng_streams`` splits
+    the container into per-frame compressed streams without decompressing,
+    so for every_n=N roughly (N-1)/N of the DEFLATE+unfilter work is
+    skipped in this hot kernel."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -416,19 +552,27 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 if p is None:
                     rows.append((mid, None, None, None, None, None))
                     continue
+                step = max(int(every_n), 1)
                 try:
-                    frames = ic.decode_apng(bytes(p))
+                    parsed = ic.parse_apng_streams(bytes(p))
+                    if parsed is None:  # plain PNG = 1-frame clip
+                        wanted = [(0, ic.decode_image(bytes(p)))]
+                        nf = 1
+                    else:
+                        w, h, ctype, streams = parsed
+                        nf = len(streams)
+                        wanted = [
+                            (t, ic.decode_frame_stream(streams[t], w, h, ctype))
+                            for t in range(0, nf, step)
+                        ]
                 except ValueError:
                     rows.append((mid, None, None, None, None, None))
                     continue
-                for t in range(0, len(frames), max(int(every_n), 1)):
-                    f = frames[t]
+                for t, f in wanted:
                     rows.append(
-                        (mid, len(frames), t, f.shape[1], f.shape[0],
+                        (mid, nf, t, f.shape[1], f.shape[0],
                          ic.pixel_checksum(f))
                     )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
-            )
+            yield _exact_frame(rows, [f.name for f in FRAME_SCHEMA.fields])
 
     return media.mapInPandas(kernel, FRAME_SCHEMA)

@@ -1835,24 +1835,16 @@ _GATE_TAIL = [
     "dedup_ngram_jaccard",
     "pgoutput_binary_decode",
     "cdc_upsert_batched",
-    # round-5 rotation (tools/rotate_window.py): longest-driver-green
+    # round-5 rotations (tools/rotate_window.py): longest-driver-green
     # window queries out, making room for the round's new oracle queries
     "similarity_topk_lsh",
-    # round-5 rotation (tools/rotate_window.py): longest-driver-green
-    # window queries out, making room for the round's new oracle queries
     "mysql_binlog_wire_decode",
-    # round-5 rotation (tools/rotate_window.py): longest-driver-green
-    # window queries out, making room for the round's new oracle queries
     "similarity_topk_ivf_nprobe",
-    # round-5 rotation (tools/rotate_window.py): longest-driver-green
-    # window queries out, making room for the round's new oracle queries
     "ivf_kmeans_quantized",
-    # round-5 rotation (tools/rotate_window.py): longest-driver-green
-    # window queries out, making room for the round's new oracle queries
     "similarity_topk_ivf_trained",
-    # round-5 rotation (tools/rotate_window.py): longest-driver-green
-    # window queries out, making room for the round's new oracle queries
     "semantic_dedup",
+    "decontaminate_overlap",
+    "bm25_keyword_scores",
 ]
 
 

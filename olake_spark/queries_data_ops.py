@@ -1212,6 +1212,121 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orig.join(res, "media_id")
 
 
+# integer luma for the dHash oracle: gray = (299R + 587G + 114B) // 1000
+# over the same pixel closed form the synthesizer uses
+def _gray_sql(seed: str, x: str, y: str) -> str:
+    r = f"((({seed})*7 + ({x})*13 + ({y})*31) % 256)"
+    g = f"((({seed})*3 + ({x})*5 + ({y})*11) % 256)"
+    b = f"((({seed}) + ({x}) + ({y})) % 256)"
+    return f"((299*{r} + 587*{g} + 114*{b}) // 1000)"
+
+
+# assemble 64 dHash bits into a SIGNED BIGINT (two's-complement wrap via
+# HUGEINT) so the oracle's value equals Spark's long bit-for-bit
+_DHASH_SUM = "sum(bit::HUGEINT * (1::HUGEINT << (y*8 + x)))"
+_DHASH_WRAP = (
+    f"CASE WHEN {_DHASH_SUM} >= 9223372036854775808::HUGEINT"
+    f" THEN ({_DHASH_SUM} - 18446744073709551616::HUGEINT)::BIGINT"
+    f" ELSE {_DHASH_SUM}::BIGINT END"
+)
+
+
+@register(
+    "image_dhash",
+    f"""
+    WITH dims AS (
+      SELECT doc_id::BIGINT AS id, 8 + (doc_id*7) % 57 AS w, 8 + (doc_id*11) % 41 AS h
+      FROM documents WHERE doc_id % 11 = 0
+    ), bits AS (
+      SELECT d.id, gy.y, gx.x,
+             CASE WHEN {_gray_sql("d.id", "(((gx.x+1)*d.w)//9)", "((gy.y*d.h)//8)")}
+                   > {_gray_sql("d.id", "((gx.x*d.w)//9)", "((gy.y*d.h)//8)")}
+                  THEN 1 ELSE 0 END AS bit
+      FROM dims d, generate_series(0, 7) gy(y), generate_series(0, 7) gx(x)
+    )
+    SELECT id AS media_id, {_DHASH_WRAP} AS dhash
+    FROM bits GROUP BY id
+    """,
+)
+def image_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit perceptual difference hash (dHash — the public image
+    near-dup key) computed by REAL decode: synthesize mixed BMP/PNG
+    images, decode them with the stdlib codec, integer-luma them, NN
+    resample to 9x8, and compare neighboring cells into a signed 64-bit
+    hash. The oracle rebuilds every bit from the pixel closed form and
+    assembles the same two's-complement BIGINT — agreement pins all 64
+    bits of every image's hash across both engines and both formats."""
+    from olake_spark.operators.multimodal import image_dhash, synthesize_images
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+        .filter(F.col("media_id") % 11 == 0)
+    )
+    return image_dhash(synthesize_images(ids))
+
+
+@register(
+    "image_phash_dedup",
+    f"""
+    WITH dims AS (
+      SELECT doc_id::BIGINT AS id, 8 + (doc_id*7) % 57 AS w, 8 + (doc_id*11) % 41 AS h
+      FROM documents WHERE doc_id % 6 = 0
+    ), ob AS (
+      SELECT d.id, gy.y, gx.x,
+             CASE WHEN {_gray_sql("d.id", "(((gx.x+1)*d.w)//9)", "((gy.y*d.h)//8)")}
+                   > {_gray_sql("d.id", "((gx.x*d.w)//9)", "((gy.y*d.h)//8)")}
+                  THEN 1 ELSE 0 END AS bit
+      FROM dims d, generate_series(0, 7) gy(y), generate_series(0, 7) gx(x)
+    ), cb AS (
+      -- the 32x24-resized copy: dHash grid -> copy pixel -> original
+      -- pixel, both floor maps composed explicitly (never simplified away)
+      SELECT d.id + 100000000 AS id, gy.y, gx.x,
+             CASE WHEN {_gray_sql("d.id", "((((((gx.x+1)*32)//9))*d.w)//32)", "((((gy.y*24)//8)*d.h)//24)")}
+                   > {_gray_sql("d.id", "(((((gx.x*32)//9))*d.w)//32)", "((((gy.y*24)//8)*d.h)//24)")}
+                  THEN 1 ELSE 0 END AS bit
+      FROM dims d, generate_series(0, 7) gy(y), generate_series(0, 7) gx(x)
+    ), all_h AS (
+      SELECT id, {_DHASH_WRAP} AS dhash FROM ob GROUP BY id
+      UNION ALL
+      SELECT id, {_DHASH_WRAP} AS dhash FROM cb GROUP BY id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+    FROM all_h a JOIN all_h b ON a.id < b.id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+    """,
+)
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end: synthesize a corpus, plant a
+    rescaled (32x24) copy of every image under a shifted id, decode ALL
+    payloads for real, dHash them, and find every pair within Hamming
+    distance 6 via the pigeonhole band join (8 byte-bands — lossless for
+    hamming < 8, so Spark's banded candidate generation must equal the
+    oracle's brute-force all-pairs scan exactly). Demonstrates the
+    standard image near-dup pipeline (decode -> dHash -> banded Hamming
+    join) with scale-correct shape: one corpus shuffle on (band, value),
+    no all-pairs comparison on the Spark side."""
+    from olake_spark.operators.multimodal import (
+        image_dhash,
+        image_near_dups,
+        resize_images,
+        synthesize_images,
+    )
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+        .filter(F.col("media_id") % 6 == 0)
+    )
+    orig = synthesize_images(ids)
+    copies = resize_images(orig, 32, 24).withColumn(
+        "media_id", F.col("media_id") + F.lit(100000000)
+    )
+    hashes = image_dhash(orig.unionByName(copies))
+    return image_near_dups(hashes, max_hamming=6)
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling (hash-threshold family)
 # ---------------------------------------------------------------------------

@@ -96,3 +96,26 @@ def test_audio_kernels_end_to_end(spark):
     assert f.n_bytes == 16 and f.sample_rate is None and f.sample_checksum is None
     r = resample_audio(bad, 2).first()
     assert bytes(r.payload) == b"mp3-or-something"
+
+
+def test_mixed_poison_batch_keeps_int64_exact(spark):
+    """A mapInPandas batch mixing a poison (None-field) row with a long
+    valid clip must NOT round the int64 checksum through float64: pandas
+    coerces int columns with NaN to float64, silently corrupting values
+    above 2^53 (regression — _exact_frame object-dtype fix)."""
+    from olake_spark.operators.multimodal import extract_audio_features
+
+    n = 1_000_000
+    s = np.full(n, 30000, dtype=np.int16)
+    s[0] = 30001  # make the checksum ODD: float64 would round it even
+    expected = ac.sample_checksum(s)
+    assert expected > 2**53 and expected % 2 == 1
+    wav = ac.encode_wav(s, 16000)
+    media = spark.createDataFrame(
+        [(1, None, "audio", None), (2, wav, "audio", None)],
+        "media_id long, payload binary, media_type string, meta string",
+    ).coalesce(1)  # force both rows into ONE kernel batch
+    rows = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert rows[1].sample_checksum is None
+    assert rows[2].sample_checksum == expected
+    assert rows[2].n_samples == n

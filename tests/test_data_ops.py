@@ -389,3 +389,92 @@ def test_multimodal_resize_preserves_schema_and_extra_columns(spark):
     # poison payload: unchanged bytes, loud meta marker, no stage failure
     assert bytes(got[2].payload) == b"not an image"
     assert json.loads(got[2].meta) == {"resize": "undecodable"}
+
+
+def test_zero_frame_apng_surfaces_null_row(spark):
+    """An APNG whose acTL declares 0 frames is poison: sample_frames must
+    emit one NULL-field row for it, never silently drop the media_id
+    (regression — decode_apng used to return [])."""
+    import struct as _struct
+
+    from olake_spark.functions import imagecodec as ic
+    from olake_spark.operators.multimodal import sample_frames, synth_pixels
+
+    png = ic.encode_png(synth_pixels(1, 4, 4))
+
+    def chunk(tag, body):
+        import zlib as _z
+        return (
+            _struct.pack(">I", len(body)) + tag + body
+            + _struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        png[:8]
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"acTL", _struct.pack(">II", 0, 0))
+        + png[png.index(b"IDAT") - 4 : png.index(b"IEND") - 4]
+        + chunk(b"IEND", b"")
+    )
+    media = spark.createDataFrame(
+        [(7, data, "video", None)],
+        "media_id long, payload binary, media_type string, meta string",
+    )
+    rows = sample_frames(media).collect()
+    assert len(rows) == 1 and rows[0].media_id == 7
+    assert rows[0].n_frames is None and rows[0].frame_idx is None
+
+
+def test_image_dhash_properties(spark):
+    """dHash contracts: (a) exact 2x NN upscale preserves the hash
+    bit-for-bit (floor-map composition), (b) global brightness shift
+    without clipping preserves it, (c) the banded Hamming join equals a
+    brute-force all-pairs scan (pigeonhole losslessness), (d) poison
+    payloads surface NULL hashes and never enter buckets."""
+    import itertools
+
+    import numpy as np
+
+    from olake_spark.functions import imagecodec as ic
+    from olake_spark.operators.multimodal import (
+        dhash_of,
+        image_dhash,
+        image_near_dups,
+        synth_dims,
+        synth_pixels,
+        synthesize_images,
+    )
+
+    arr = synth_pixels(3, *synth_dims(3))
+    h0 = dhash_of(arr)
+    # (a) 2x upscale: floor(floor(n/9)/2) == floor(n/18) → identical hash
+    up = ic.resize_nearest(arr, arr.shape[1] * 2, arr.shape[0] * 2)
+    assert dhash_of(up) == h0
+    # (b) brightness shift (no clipping: values stay < 206+40)
+    small = np.minimum(arr, 200)
+    assert dhash_of(np.clip(small.astype(np.int64) + 40, 0, 255).astype(np.uint8)) == dhash_of(small)
+    # (c) banded join == brute force on a real corpus slice
+    ids = spark.range(0, 40).select(F.col("id").alias("media_id"))
+    hashes = image_dhash(synthesize_images(ids))
+    rows = {r.media_id: r.dhash for r in hashes.collect()}
+    brute = sorted(
+        (a, b, bin(rows[a] ^ rows[b]).count("1"))
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if bin(rows[a] ^ rows[b]).count("1") <= 6
+    )
+    banded = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in image_near_dups(hashes, max_hamming=6).collect()
+    )
+    assert banded == brute
+    # (d) poison: NULL hash surfaced, excluded from pairing
+    media = spark.createDataFrame(
+        [(1, None, "image", None), (2, b"not-an-image", "image", None)],
+        "media_id long, payload binary, media_type string, meta string",
+    )
+    hs = image_dhash(media).collect()
+    assert all(r.dhash is None for r in hs)
+    assert image_near_dups(image_dhash(media)).count() == 0
+    # pigeonhole precondition enforced
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_near_dups(hashes, max_hamming=8)

@@ -206,3 +206,56 @@ def test_apng_roundtrip_and_contracts():
     struct.pack_into(">I", off, fctl_at + 4 + 12, 2)  # x_offset = 2
     with pytest.raises(ValueError, match="offset|unsupported"):
         ic.decode_apng(bytes(off))
+
+
+def test_apng_zero_frame_actl_refused():
+    """acTL declaring 0 frames (spec: num_frames >= 1) must raise, not
+    return [] — a [] return made sample_frames silently DROP the media
+    row instead of surfacing a NULL row (regression)."""
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    a = rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)
+    idat = ic.encode_png(a)
+    idat_body = idat[idat.index(b"IDAT") + 4 :]
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"acTL", struct.pack(">II", 0, 0))
+        + idat[idat.index(b"IDAT") - 4 : idat.index(b"IEND") - 4]
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="zero frames"):
+        ic.decode_apng(data)
+    with pytest.raises(ValueError, match="zero frames"):
+        ic.parse_apng_streams(data)
+
+
+def test_apng_out_of_profile_header_refused():
+    """decode_apng must enforce the same IHDR comp/filt checks as
+    _decode_png — an APNG with filter-method or compression-method != 0
+    is refused, never decoded as if method 0 (regression)."""
+    frames = [rng.randint(0, 256, (4, 4, 3), dtype=np.uint8) for _ in range(2)]
+    data = ic.encode_apng(frames)
+    ihdr_at = data.index(b"IHDR")
+    for byte_off in (9, 10):  # comp, filt bytes inside the IHDR body
+        bad = bytearray(data)
+        bad[ihdr_at + 4 + byte_off] = 1
+        # CRC now wrong too, but profile check fires first on the parse
+        with pytest.raises(ValueError, match="profile|corrupt"):
+            ic.decode_apng(bytes(bad))
+
+
+def test_parse_streams_selective_decode_matches_full():
+    """parse_apng_streams + decode_frame_stream on a subset equals the
+    corresponding frames of a full decode_apng — the sample_frames fast
+    path decodes only sampled indices."""
+    frames = [rng.randint(0, 256, (5, 7, 3), dtype=np.uint8) for _ in range(5)]
+    data = ic.encode_apng(frames)
+    full = ic.decode_apng(data)
+    w, h, ctype, streams = ic.parse_apng_streams(data)
+    assert (w, h, ctype, len(streams)) == (7, 5, 2, 5)
+    for t in (0, 2, 4):
+        assert np.array_equal(
+            ic.decode_frame_stream(streams[t], w, h, ctype), full[t]
+        )
+    # plain PNG → None (caller falls back to decode_image)
+    assert ic.parse_apng_streams(ic.encode_png(frames[0])) is None

@@ -19,7 +19,7 @@ import sys
 
 REPO = "/root/repo"
 SF_DIR = "/root/testdata/sf0.01"
-N_SHARDS = 5  # tail is 55 queries and latency-bound; 5 concurrent JVMs
+N_SHARDS = 5  # tail is ~57 queries and latency-bound; 5 concurrent JVMs
 
 
 def test_registry_tail_passes_driver_mirror_gate():

@@ -103,11 +103,14 @@ def apply_rotation(names: list[str], round_tag: str) -> None:
     m = re.search(r"_GATE_TAIL = \[\n(.*?)\n\]", src, re.DOTALL)
     if not m:
         raise SystemExit("could not locate the _GATE_TAIL literal")
-    addition = (
-        f"    # {round_tag} rotation (tools/rotate_window.py): longest-"
+    header = (
+        f"    # {round_tag} rotations (tools/rotate_window.py): longest-"
         "driver-green\n    # window queries out, making room for the "
         "round's new oracle queries\n"
-        + "".join(f'    "{n}",\n' for n in names)
+    )
+    # one header per round: skip it if this round's block already exists
+    addition = ("" if header in m.group(1) + "\n" else header) + "".join(
+        f'    "{n}",\n' for n in names
     )
     src = src[: m.end(1)] + "\n" + addition.rstrip("\n") + src[m.end(1):]
     with open(path, "w") as fh:
