@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_exact_substr_spans",
+    "dedup_strip_substr",
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
     "similarity_topk_ivf",

@@ -526,6 +526,152 @@ def ngram_jaccard_pairs(
     )
 
 
+def _positional_grams(
+    df: DataFrame, id_col: str, text_col: str, min_len: int
+) -> DataFrame:
+    """(id, p, h): every token position p (1-based) with the 60-bit hash
+    of the ``min_len``-gram starting there. Docs shorter than min_len
+    contribute nothing; NULL text contributes nothing."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    t = spread(df, id_col).select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    idx = F.when(n >= min_len, F.sequence(F.lit(1), n - (min_len - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    pg = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("p"),
+            hash60(F.array_join(F.slice("_toks", i, min_len), " ")).alias("h"),
+        ),
+    )
+    return t.select(id_col, F.explode(pg).alias("_pg")).select(
+        id_col, F.col("_pg.p").alias("p"), F.col("_pg.h").alias("h")
+    )
+
+
+def _merge_spans(hits: DataFrame, id_col: str, min_len: int) -> DataFrame:
+    """Merge duplicated gram positions into maximal spans: positions p1 <
+    p2 coalesce iff p2 - p1 <= min_len (their token ranges [p, p+L-1]
+    overlap or touch). Classic islands window, partitioned per doc — the
+    sort is bounded by a single document's hit count, never the corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("p")
+    isl = hits.withColumn("_prev", F.lag("p").over(w)).withColumn(
+        "_isl",
+        F.sum(
+            F.when(
+                F.col("_prev").isNull() | (F.col("p") - F.col("_prev") > min_len),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    return isl.groupBy(id_col, "_isl").agg(
+        F.min("p").alias("span_start"),
+        (F.max("p") + (min_len - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 5,
+    min_docs: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-document exact-substring spans — the distributed k-gram
+    formulation of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": suffix-array substring
+    dedup; a positional inverted index over ``min_len``-grams finds the
+    same >=min_len-token repeats as a join-friendly Spark plan).
+
+    Every maximal run of token positions whose min_len-gram occurs in
+    >= ``min_docs`` distinct documents is reported as (doc, span_start,
+    span_end, span_len, n_grams) in 1-based token coordinates. Shape at
+    scale: one shuffle of (id, p, h) on the gram hash for the document-
+    frequency count, one shuffle back on id for the span merge; the
+    per-doc window sorts only that document's duplicated positions.
+    ``max_df`` drops boilerplate grams above a document frequency (they
+    re-enter no span) to bound the hit volume of stop-phrases.
+
+    Reference parity: the reference engine has no corpus operators; this
+    is part of the builder brief's training-data pipeline family.
+    """
+    grams = _positional_grams(df, id_col, text_col, min_len).cache()
+    dfreq = grams.groupBy("h").agg(F.count_distinct(F.col(id_col)).alias("_df"))
+    keep = dfreq.filter(F.col("_df") >= min_docs)
+    if max_df is not None:
+        keep = keep.filter(F.col("_df") <= max_df)
+    hits = grams.join(keep.select("h"), "h").select(id_col, "p")
+    return _merge_spans(hits, id_col, min_len).select(
+        id_col,
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        "n_grams",
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Remove cross-document duplicated substrings from every document
+    EXCEPT the canonical occurrence (the smallest ``id_col`` containing
+    the gram keeps it) — the removal step of ExactSubstr dedup with a
+    deterministic keep-one policy. Returns (id, clean_text, n_removed)
+    for the documents that lost tokens; untouched documents are not
+    rewritten (at corpus scale the cleaned minority is the delta you
+    re-materialize, not the whole corpus).
+
+    Plan shape: gram-hash shuffle for (min doc, df) per gram, id shuffle
+    for span merge, and one final per-doc sort of kept tokens (bounded by
+    document length) — no self-join, no all-pairs anything."""
+    grams = _positional_grams(df, id_col, text_col, min_len).cache()
+    win = grams.groupBy("h").agg(
+        F.min(id_col).alias("_win"), F.count_distinct(F.col(id_col)).alias("_df")
+    )
+    dup = win.filter(F.col("_df") >= 2)
+    if max_df is not None:
+        dup = dup.filter(F.col("_df") <= max_df)
+    removable = (
+        grams.join(dup, "h")
+        .filter(F.col(id_col) != F.col("_win"))
+        .select(id_col, "p")
+    )
+    spans = _merge_spans(removable, id_col, min_len)
+    removed_pos = spans.select(
+        id_col, F.explode(F.sequence("span_start", "span_end")).alias("p")
+    ).distinct()
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    tokpos = (
+        spread(df, id_col)
+        .select(F.col(id_col), F.posexplode(toks).alias("p0", "tok"))
+        .select(id_col, (F.col("p0") + 1).alias("p"), "tok")
+    )
+    # keep = tokens not covered by any removed span; rebuild in order
+    kept = tokpos.join(removed_pos, [id_col, "p"], "left_anti")
+    n_rem = removed_pos.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_removed"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    return n_rem.join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce("clean_text", F.lit("")).alias("clean_text"), "n_removed"
+    )
+
+
 def drop_duplicate_lines(
     df: DataFrame,
     id_col: str,

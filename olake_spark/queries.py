@@ -1845,6 +1845,8 @@ _GATE_TAIL = [
     "semantic_dedup",
     "decontaminate_overlap",
     "bm25_keyword_scores",
+    "pack_sequences",
+    "corpus_shuffle",
 ]
 
 

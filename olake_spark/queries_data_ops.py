@@ -2268,6 +2268,110 @@ def mixture_token_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# positional 5-gram CTEs shared by the two ExactSubstr queries
+_SUBSTR_GRAMS = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    grams AS (
+      SELECT doc_id, l, unnest(generate_series(1, len(l) - 4)) AS p
+      FROM toks WHERE len(l) >= 5
+    ),
+    gh AS (
+      SELECT doc_id, p,
+        {_H60.format(x="array_to_string(l[p:p+4], ' ')")} AS h
+      FROM grams
+    )"""
+
+_SUBSTR_ISLANDS = """
+    pre AS (
+      SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             sum(CASE WHEN prev IS NULL OR p - prev > 5 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING)
+               AS island
+      FROM pre
+    )"""
+
+
+@register(
+    "dedup_exact_substr_spans",
+    f"""
+    WITH {_SUBSTR_GRAMS},
+    dup AS (SELECT h FROM gh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.p FROM gh g JOIN dup USING (h)),
+    {_SUBSTR_ISLANDS}
+    SELECT doc_id, min(p)::INT AS span_start, (max(p)+4)::INT AS span_end,
+           (max(p)+4-min(p)+1)::INT AS span_len, count(*) AS n_grams
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup, detection half (Lee et al. 2022): every maximal
+    run of token positions whose 5-gram occurs in >= 2 distinct documents,
+    reported as 1-based spans. The distributed plan is a positional
+    inverted index (one shuffle on the gram hash for document frequency,
+    one shuffle on doc id for the islands merge; the window sorts only a
+    single document's duplicated positions) — the join-friendly
+    equivalent of the paper's suffix-array scan. The oracle rebuilds
+    identical spans with SQL window islands over the same grams."""
+    docs = table(spark, sf_dir, "documents")
+    return dd.duplicate_spans(docs, "doc_id", "text", min_len=5, min_docs=2)
+
+
+@register(
+    "dedup_strip_substr",
+    f"""
+    WITH {_SUBSTR_GRAMS},
+    win AS (
+      SELECT h, min(doc_id) AS win, count(DISTINCT doc_id) AS df
+      FROM gh GROUP BY h
+    ),
+    hits AS (
+      SELECT g.doc_id, g.p FROM gh g JOIN win w USING (h)
+      WHERE w.df >= 2 AND g.doc_id != w.win
+    ),
+    {_SUBSTR_ISLANDS},
+    spans AS (
+      SELECT doc_id, min(p) AS span_start, max(p)+4 AS span_end
+      FROM isl GROUP BY doc_id, island
+    ),
+    rpos AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, unnest(generate_series(span_start, span_end)) AS p
+        FROM spans)
+    ),
+    tp AS (
+      SELECT doc_id, l, unnest(generate_series(1, len(l))) AS p FROM toks
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.l[t.p] AS tok
+      FROM tp t LEFT JOIN rpos r ON t.doc_id = r.doc_id AND t.p = r.p
+      WHERE r.p IS NULL
+    ),
+    nrem AS (SELECT doc_id, count(*) AS n_removed FROM rpos GROUP BY doc_id),
+    reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT n.doc_id, coalesce(r.clean_text, '') AS clean_text, n.n_removed
+    FROM nrem n LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def dedup_strip_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup, removal half: delete every cross-document
+    duplicated >=5-token span from all but its canonical occurrence (the
+    smallest doc_id containing the gram keeps it — deterministic, so both
+    engines agree exactly), and return the rewritten documents with their
+    removed-token counts. Only changed documents are emitted: at corpus
+    scale the cleaned minority is the delta you re-materialize. The
+    oracle replays the same winner policy, islands merge, and ordered
+    token rebuild in pure SQL."""
+    docs = table(spark, sf_dir, "documents")
+    return dd.strip_duplicate_spans(docs, "doc_id", "text", min_len=5)
+
+
 @register(
     "dedup_line_level",
     f"""

@@ -478,3 +478,40 @@ def test_image_dhash_properties(spark):
     # pigeonhole precondition enforced
     with pytest.raises(ValueError, match="pigeonhole"):
         image_near_dups(hashes, max_hamming=8)
+
+
+def test_exact_substr_spans_and_strip(spark):
+    """ExactSubstr family on a planted fixture: span boundaries are
+    maximal+exact, and the strip pass removes every duplicated span
+    except the canonical (min doc_id) occurrence."""
+    from olake_spark.operators import dedup as xd
+
+    rows = [
+        (1, "a b c d e f g h unique1 tail1"),
+        (2, "x y a b c d e f g h z unique2"),  # shares an 8-token run with 1
+        (3, "totally different words here only five six seven"),
+        (4, "x y a b c d e f g h z unique2"),  # exact dup of 2
+        (5, "short text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len, r.n_grams)
+        for r in xd.duplicate_spans(df, "doc_id", "text", min_len=5).collect()
+    )
+    # doc1: grams p=1..4 duplicated -> span [1,8]; docs 2/4: all 8 grams
+    assert spans == [(1, 1, 8, 8, 4), (2, 1, 12, 12, 8), (4, 1, 12, 12, 8)]
+    out = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in xd.strip_duplicate_spans(df, "doc_id", "text", min_len=5).collect()
+    }
+    # doc1 is canonical for the shared run (keeps it, absent from output);
+    # doc2 loses the run but keeps its own unique tokens; doc4 (loser of
+    # both gram families) is fully stripped
+    assert set(out) == {2, 4}
+    assert out[2] == ("x y z unique2", 8)
+    assert out[4] == ("", 12)
+    # max_df drops boilerplate grams from span generation
+    many = [(i, "stop phrase every doc shares verbatim plus %d" % i) for i in range(20)]
+    mdf = spark.createDataFrame(many, "doc_id long, text string")
+    assert xd.duplicate_spans(mdf, "doc_id", "text", 5, 2, max_df=10).count() == 0
+    assert xd.duplicate_spans(mdf, "doc_id", "text", 5, 2).count() == 20
