@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "multimodal_audio_decode",
     "multimodal_video_frames",
     "image_phash_dedup",
+    "audio_fp_dedup",
     "text_bpe_encode",
     "bpe_train_merges",
     "pack_sequences",

@@ -52,6 +52,9 @@ __all__ = [
     "dhash_of",
     "image_dhash",
     "image_near_dups",
+    "audio_fingerprint_of",
+    "audio_fingerprint",
+    "amplify_audio",
     "FRAME_SCHEMA",
     "synth_dims",
     "synth_pixels",
@@ -350,6 +353,98 @@ def resample_audio(media: DataFrame, factor: int) -> DataFrame:
                 metas.append(
                     json.dumps({"rate": new_rate, "n": int(len(ds)), "factor": factor})
                 )
+            out["payload"] = payloads
+            if has_meta:
+                out["meta"] = metas
+            yield out
+
+    return media.mapInPandas(kernel, schema=media.schema)
+
+
+AUDIO_FP_WINDOWS = 65  # 65 energy windows -> 64 comparison bits
+
+
+def audio_fingerprint_of(samples: np.ndarray) -> int:
+    """64-bit audio energy fingerprint: bucket samples into 65 windows by
+    w(i) = (i*65)//n, sum |sample| per window (exact int), bit w =
+    energy[w+1] > energy[w]. Amplitude-scale invariant (c*|s| preserves
+    every comparison) — the audio twin of the image dHash. Signed 64-bit
+    wrap so Spark longs and BIGINT oracles agree bit-for-bit."""
+    n = len(samples)
+    if n < AUDIO_FP_WINDOWS:
+        raise ValueError(f"audio fingerprint needs >= {AUDIO_FP_WINDOWS} samples")
+    a = np.abs(samples.astype(np.int64))
+    idx = (np.arange(n, dtype=np.int64) * AUDIO_FP_WINDOWS) // n
+    e = np.bincount(idx, weights=a, minlength=AUDIO_FP_WINDOWS).astype(np.int64)
+    h = 0
+    for w in range(AUDIO_FP_WINDOWS - 1):
+        if e[w + 1] > e[w]:
+            h |= 1 << w
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Perceptual audio hash through the Arrow batch path: decode the WAV
+    payload and compute its 64-bit energy fingerprint (``afp``). Pairs
+    within a small Hamming distance are near-duplicate clips — feed the
+    result to ``image_near_dups(hash_col="afp")`` for the lossless
+    banded join. Undecodable / too-short payloads surface NULL."""
+    from olake_spark.functions import audiocodec as ac
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("afp", T.LongType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                if p is None:
+                    rows.append((mid, None))
+                    continue
+                try:
+                    _rate, s = ac.decode_wav(bytes(p))
+                    rows.append((mid, audio_fingerprint_of(s)))
+                except ValueError:
+                    rows.append((mid, None))
+            yield _exact_frame(rows, ["media_id", "afp"])
+
+    return media.mapInPandas(kernel, schema)
+
+
+def amplify_audio(media: DataFrame, factor: int) -> DataFrame:
+    """Integer amplitude scaling through the batch path (decode, multiply,
+    re-encode) — clipping-free inputs stay sample-exact. Schema derives
+    from the input; undecodable payloads pass through with a marker."""
+    from olake_spark.functions import audiocodec as ac
+
+    has_meta = "meta" in {f.name for f in media.schema.fields}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads, metas = [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    payloads.append(None)
+                    metas.append(json.dumps({"amplify": "null-payload"}))
+                    continue
+                data = bytes(p)
+                try:
+                    rate, s = ac.decode_wav(data)
+                except ValueError:
+                    payloads.append(data)
+                    metas.append(json.dumps({"amplify": "undecodable"}))
+                    continue
+                scaled = np.clip(
+                    s.astype(np.int64) * factor, -32768, 32767
+                ).astype(np.int16)
+                payloads.append(ac.encode_wav(scaled, rate))
+                metas.append(json.dumps({"amplify": factor}))
             out["payload"] = payloads
             if has_meta:
                 out["meta"] = metas

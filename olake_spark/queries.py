@@ -1847,6 +1847,7 @@ _GATE_TAIL = [
     "bm25_keyword_scores",
     "pack_sequences",
     "corpus_shuffle",
+    "mixture_weighted_sample",
 ]
 
 

@@ -1221,14 +1221,18 @@ def _gray_sql(seed: str, x: str, y: str) -> str:
     return f"((299*{r} + 587*{g} + 114*{b}) // 1000)"
 
 
-# assemble 64 dHash bits into a SIGNED BIGINT (two's-complement wrap via
+# assemble 64 hash bits into a SIGNED BIGINT (two's-complement wrap via
 # HUGEINT) so the oracle's value equals Spark's long bit-for-bit
-_DHASH_SUM = "sum(bit::HUGEINT * (1::HUGEINT << (y*8 + x)))"
-_DHASH_WRAP = (
-    f"CASE WHEN {_DHASH_SUM} >= 9223372036854775808::HUGEINT"
-    f" THEN ({_DHASH_SUM} - 18446744073709551616::HUGEINT)::BIGINT"
-    f" ELSE {_DHASH_SUM}::BIGINT END"
-)
+def _bits_wrap(pos: str) -> str:
+    s = f"sum(bit::HUGEINT * (1::HUGEINT << ({pos})))"
+    return (
+        f"CASE WHEN {s} >= 9223372036854775808::HUGEINT"
+        f" THEN ({s} - 18446744073709551616::HUGEINT)::BIGINT"
+        f" ELSE {s}::BIGINT END"
+    )
+
+
+_DHASH_WRAP = _bits_wrap("y*8 + x")
 
 
 @register(
@@ -1325,6 +1329,74 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashes = image_dhash(orig.unionByName(copies))
     return image_near_dups(hashes, max_hamming=6)
+
+
+@register(
+    "audio_fp_dedup",
+    f"""
+    WITH params AS (
+      SELECT doc_id::BIGINT AS id, 800 + (doc_id*37) % 1600 AS n
+      FROM documents WHERE doc_id % 4 = 0
+    ), idx AS (
+      SELECT id, n, unnest(generate_series(0, n - 1)) AS i FROM params
+    ), eo AS (
+      SELECT id, (i*65)//n AS w,
+             sum(abs({_snd_sql("id", "i")}))::BIGINT AS e
+      FROM idx GROUP BY 1, 2
+    ), ec AS (
+      SELECT id + 100000000 AS id, (i*65)//n AS w,
+             sum(abs(3 * ({_snd_sql("id", "i")})))::BIGINT AS e
+      FROM idx GROUP BY 1, 2
+    ), eall AS (
+      SELECT * FROM eo UNION ALL SELECT * FROM ec
+    ), bits AS (
+      SELECT a.id, a.w AS pos,
+             CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM eall a JOIN eall b ON a.id = b.id AND b.w = a.w + 1
+      WHERE a.w < 64
+    ), fps AS (
+      SELECT id, {_bits_wrap("pos")} AS afp FROM bits GROUP BY id
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.afp AS afp_a,
+           bit_count(xor(a.afp, b.afp))::INT AS hamming
+    FROM fps a JOIN fps b ON a.id < b.id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 6
+    """,
+)
+def audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup — near-dup keys now span all three
+    modalities: synthesize WAV clips, plant a 3x-amplified re-encode of
+    each under a shifted id, decode everything for real, compute the
+    64-bit energy fingerprint (65 windows by w=(i*65)//n, bit =
+    energy[w+1] > energy[w]; amplitude-scale invariant by construction),
+    and find pairs within Hamming 6 via the same lossless 8-band
+    pigeonhole join as the image family. The oracle recomputes both
+    fingerprints from the sample closed form (the copy's energies from
+    scratch with the explicit 3x term, never the algebraic shortcut) and
+    brute-forces all pairs — pair membership AND all 64 bits of every
+    paired clip's fingerprint are pinned cross-engine."""
+    from olake_spark.operators.multimodal import (
+        amplify_audio,
+        audio_fingerprint,
+        image_near_dups,
+        synthesize_audio,
+    )
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+        .filter(F.col("media_id") % 4 == 0)
+    )
+    media = synthesize_audio(ids)
+    copies = amplify_audio(media, 3).withColumn(
+        "media_id", F.col("media_id") + F.lit(100000000)
+    )
+    fps = audio_fingerprint(media.unionByName(copies))
+    pairs = image_near_dups(fps, hash_col="afp", max_hamming=6)
+    return pairs.join(
+        fps.select(F.col("media_id").alias("id_a"), F.col("afp").alias("afp_a")),
+        "id_a",
+    ).select("id_a", "id_b", "afp_a", "hamming")
 
 
 # ---------------------------------------------------------------------------

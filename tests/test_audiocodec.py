@@ -119,3 +119,39 @@ def test_mixed_poison_batch_keeps_int64_exact(spark):
     assert rows[1].sample_checksum is None
     assert rows[2].sample_checksum == expected
     assert rows[2].n_samples == n
+
+
+def test_audio_fingerprint_invariance_and_kernel(spark):
+    """Energy fingerprint contracts: amplitude scaling (no clipping)
+    preserves all 64 bits; reordering samples changes them; the Spark
+    kernel equals the driver-side reference; poison surfaces NULL."""
+    from olake_spark.operators.multimodal import (
+        amplify_audio,
+        audio_fingerprint,
+        audio_fingerprint_of,
+        synth_samples,
+        synthesize_audio,
+    )
+
+    s = synth_samples(5, 900)
+    fp = audio_fingerprint_of(s)
+    assert audio_fingerprint_of((s.astype(np.int64) * 7).astype(np.int16)) == fp
+    assert audio_fingerprint_of(s[::-1].copy()) != fp
+    with pytest.raises(ValueError, match="needs"):
+        audio_fingerprint_of(s[:64])
+
+    ids = spark.range(1, 6).withColumnRenamed("id", "media_id")
+    media = synthesize_audio(ids)
+    got = {r.media_id: r.afp for r in audio_fingerprint(media).collect()}
+    for mid in range(1, 6):
+        n, _ = __import__("olake_spark.operators.multimodal", fromlist=["synth_audio_params"]).synth_audio_params(mid)
+        assert got[mid] == audio_fingerprint_of(synth_samples(mid, n))
+    # amplified re-encode keeps the fingerprint through a REAL decode
+    amp = {r.media_id: r.afp for r in audio_fingerprint(amplify_audio(media, 3)).collect()}
+    assert amp == got
+    # poison
+    bad = spark.createDataFrame(
+        [(9, None, "audio", None), (10, b"junk", "audio", None)],
+        "media_id long, payload binary, media_type string, meta string",
+    )
+    assert all(r.afp is None for r in audio_fingerprint(bad).collect())
