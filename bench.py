@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "multimodal_video_frames",
     "image_phash_dedup",
     "audio_fp_dedup",
+    "video_phash_dedup",
     "text_bpe_encode",
     "bpe_train_merges",
     "pack_sequences",

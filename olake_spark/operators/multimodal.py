@@ -55,6 +55,8 @@ __all__ = [
     "audio_fingerprint_of",
     "audio_fingerprint",
     "amplify_audio",
+    "resize_videos",
+    "video_fingerprint",
     "FRAME_SCHEMA",
     "synth_dims",
     "synth_pixels",
@@ -622,6 +624,85 @@ def image_near_dups(
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def resize_videos(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL per-frame video resize through the batch path: decode every
+    APNG frame, nearest-neighbor resize, re-encode the clip. Schema
+    derives from the input; undecodable payloads pass through with a
+    marker — same contracts as ``resize_images``/``resample_audio``."""
+    has_meta = "meta" in {f.name for f in media.schema.fields}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads, metas = [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    payloads.append(None)
+                    metas.append(json.dumps({"resize": "null-payload"}))
+                    continue
+                data = bytes(p)
+                try:
+                    frames = ic.decode_apng(data)
+                except ValueError:
+                    payloads.append(data)
+                    metas.append(json.dumps({"resize": "undecodable"}))
+                    continue
+                res = [ic.resize_nearest(f, width, height) for f in frames]
+                payloads.append(ic.encode_apng(res))
+                metas.append(
+                    json.dumps(
+                        {"w": int(width), "h": int(height), "n_frames": len(res)}
+                    )
+                )
+            out["payload"] = payloads
+            if has_meta:
+                out["meta"] = metas
+            yield out
+
+    return media.mapInPandas(kernel, schema=media.schema)
+
+
+def video_fingerprint(media: DataFrame) -> DataFrame:
+    """Perceptual video hash: the dHash of the clip's MIDDLE frame
+    (index n_frames//2 — the standard representative-keyframe choice).
+    Only that frame's compressed stream is inflated
+    (``parse_apng_streams``), so the kernel cost per clip is one frame's
+    DEFLATE+unfilter regardless of clip length. Scale-invariant like the
+    image dHash; pairs feed ``image_near_dups(hash_col="vfp")``.
+    Undecodable payloads surface NULL."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField("vfp", T.LongType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                if p is None:
+                    rows.append((mid, None, None))
+                    continue
+                try:
+                    parsed = ic.parse_apng_streams(bytes(p))
+                    if parsed is None:  # plain PNG = 1-frame clip
+                        rows.append((mid, 1, dhash_of(ic.decode_image(bytes(p)))))
+                        continue
+                    w, h, ctype, streams = parsed
+                    mid_frame = ic.decode_frame_stream(
+                        streams[len(streams) // 2], w, h, ctype
+                    )
+                    rows.append((mid, len(streams), dhash_of(mid_frame)))
+                except ValueError:
+                    rows.append((mid, None, None))
+            yield _exact_frame(rows, ["media_id", "n_frames", "vfp"])
+
+    return media.mapInPandas(kernel, schema)
 
 
 def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:

@@ -1848,6 +1848,7 @@ _GATE_TAIL = [
     "pack_sequences",
     "corpus_shuffle",
     "mixture_weighted_sample",
+    "curation_pipeline",
 ]
 
 

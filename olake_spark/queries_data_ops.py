@@ -1332,6 +1332,74 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_phash_dedup",
+    f"""
+    WITH params AS (
+      SELECT doc_id::BIGINT AS id,
+             2 + doc_id % 4 AS nf,
+             8 + (doc_id*5) % 17 AS w,
+             8 + (doc_id*3) % 13 AS h
+      FROM documents WHERE doc_id % 8 = 0
+    ), seeds AS (
+      SELECT id, w, h, id*131 + 7*(nf//2) AS seed FROM params
+    ), ob AS (
+      SELECT s.id, gy.y, gx.x,
+             CASE WHEN {_gray_sql("s.seed", "(((gx.x+1)*s.w)//9)", "((gy.y*s.h)//8)")}
+                   > {_gray_sql("s.seed", "((gx.x*s.w)//9)", "((gy.y*s.h)//8)")}
+                  THEN 1 ELSE 0 END AS bit
+      FROM seeds s, generate_series(0, 7) gy(y), generate_series(0, 7) gx(x)
+    ), cb AS (
+      SELECT s.id + 100000000 AS id, gy.y, gx.x,
+             CASE WHEN {_gray_sql("s.seed", "((((((gx.x+1)*32)//9))*s.w)//32)", "((((gy.y*24)//8)*s.h)//24)")}
+                   > {_gray_sql("s.seed", "(((((gx.x*32)//9))*s.w)//32)", "((((gy.y*24)//8)*s.h)//24)")}
+                  THEN 1 ELSE 0 END AS bit
+      FROM seeds s, generate_series(0, 7) gy(y), generate_series(0, 7) gx(x)
+    ), all_h AS (
+      SELECT id, {_DHASH_WRAP} AS vfp FROM ob GROUP BY id
+      UNION ALL
+      SELECT id, {_DHASH_WRAP} AS vfp FROM cb GROUP BY id
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.vfp AS vfp_a,
+           bit_count(xor(a.vfp, b.vfp))::INT AS hamming
+    FROM all_h a JOIN all_h b ON a.id < b.id
+    WHERE bit_count(xor(a.vfp, b.vfp)) <= 6
+    """,
+)
+def video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO dedup — the triad is complete (image dHash, audio
+    energy fingerprint, video keyframe hash): synthesize APNG clips,
+    plant a per-frame-rescaled (32x24) copy of each under a shifted id,
+    decode only the MIDDLE frame of every clip (selective stream decode),
+    dHash it, and find pairs within Hamming 6 via the lossless 8-band
+    join. The oracle recomputes both keyframe hashes from the frame-seed
+    pixel closed form (the copy through the explicitly composed floor
+    maps) and brute-forces all pairs — membership plus all 64 bits of
+    every paired clip's fingerprint are pinned cross-engine."""
+    from olake_spark.operators.multimodal import (
+        image_near_dups,
+        resize_videos,
+        synthesize_videos,
+        video_fingerprint,
+    )
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+        .filter(F.col("media_id") % 8 == 0)
+    )
+    media = synthesize_videos(ids)
+    copies = resize_videos(media, 32, 24).withColumn(
+        "media_id", F.col("media_id") + F.lit(100000000)
+    )
+    fps = video_fingerprint(media.unionByName(copies)).select("media_id", "vfp")
+    pairs = image_near_dups(fps, hash_col="vfp", max_hamming=6)
+    return pairs.join(
+        fps.select(F.col("media_id").alias("id_a"), F.col("vfp").alias("vfp_a")),
+        "id_a",
+    ).select("id_a", "id_b", "vfp_a", "hamming")
+
+
+@register(
     "audio_fp_dedup",
     f"""
     WITH params AS (

@@ -515,3 +515,54 @@ def test_exact_substr_spans_and_strip(spark):
     mdf = spark.createDataFrame(many, "doc_id long, text string")
     assert xd.duplicate_spans(mdf, "doc_id", "text", 5, 2, max_df=10).count() == 0
     assert xd.duplicate_spans(mdf, "doc_id", "text", 5, 2).count() == 20
+
+
+def test_video_fingerprint_keyframe_and_dedup(spark):
+    """Video keyframe hash: equals the middle frame's dHash computed
+    driver-side; per-frame-rescaled copies pair up through the banded
+    join; poison surfaces NULL."""
+    from olake_spark.functions import imagecodec as ic
+    from olake_spark.operators.multimodal import (
+        dhash_of,
+        image_near_dups,
+        resize_videos,
+        synth_frame_seed,
+        synth_pixels,
+        synth_video_params,
+        synthesize_videos,
+        video_fingerprint,
+    )
+
+    ids = spark.range(1, 7).withColumnRenamed("id", "media_id")
+    media = synthesize_videos(ids)
+    got = {r.media_id: (r.n_frames, r.vfp) for r in video_fingerprint(media).collect()}
+    for mid in range(1, 7):
+        nf, w, h = synth_video_params(mid)
+        mid_frame = synth_pixels(synth_frame_seed(mid, nf // 2), w, h)
+        assert got[mid] == (nf, dhash_of(mid_frame))
+    # 2x upscaled clips keep the fingerprint bit-for-bit (floor-map
+    # composition), so every planted pair lands at hamming 0
+    up = {}
+    for mid in range(1, 7):
+        nf, w, h = synth_video_params(mid)
+        frames = [
+            ic.resize_nearest(synth_pixels(synth_frame_seed(mid, t), w, h), w * 2, h * 2)
+            for t in range(nf)
+        ]
+        up[mid] = frames
+    copies = resize_videos(media, 32, 24)  # exercises the real resize path
+    assert copies.count() == 6
+    fps = video_fingerprint(media).select("media_id", "vfp")
+    fps2 = video_fingerprint(
+        copies.withColumn("media_id", F.col("media_id") + 100)
+    ).select("media_id", "vfp")
+    pairs = image_near_dups(fps.unionByName(fps2), hash_col="vfp", max_hamming=6)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every original should pair with its rescaled copy (tiny dims make
+    # the composed-grid hash drift small)
+    assert sum((m, m + 100) in found for m in range(1, 7)) >= 4
+    bad = spark.createDataFrame(
+        [(9, None, "video", None)],
+        "media_id long, payload binary, media_type string, meta string",
+    )
+    assert video_fingerprint(bad).collect()[0].vfp is None
