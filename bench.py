@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "image_phash_dedup",
     "audio_fp_dedup",
     "video_phash_dedup",
+    "webdataset_ingest",
     "text_bpe_encode",
     "bpe_train_merges",
     "pack_sequences",

@@ -1849,6 +1849,7 @@ _GATE_TAIL = [
     "corpus_shuffle",
     "mixture_weighted_sample",
     "curation_pipeline",
+    "audit_pk_health",
 ]
 
 

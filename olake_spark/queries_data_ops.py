@@ -1332,6 +1332,36 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "webdataset_ingest",
+    """
+    SELECT (doc_id // 8)::BIGINT AS shard_id,
+           lpad(doc_id::VARCHAR, 8, '0') AS key,
+           md5('doc-' || doc_id || ':' || repeat('ab', doc_id % 17)) AS txt_md5,
+           length('doc-' || doc_id || ':' || repeat('ab', doc_id % 17))::BIGINT
+             AS txt_size,
+           (doc_id % 10)::BIGINT AS cls
+    FROM documents
+    """,
+)
+def webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard ingest end-to-end (sources/webdataset.py):
+    build REAL POSIX tar shards (8 docs per shard, {key}.txt + {key}.cls
+    members, stdlib tarfile), then walk every shard and group members
+    into training samples INSIDE the shard kernel — zero shuffle after
+    the shard build, because the format guarantees samples never span
+    shards. The oracle recomputes every sample's key, text md5/size, and
+    label from the member closed forms — agreement proves the tar
+    encode -> walk -> sample-grouping pipeline is byte-exact."""
+    from olake_spark.sources.webdataset import (
+        group_samples,
+        synthesize_tar_shards,
+    )
+
+    ids = table(spark, sf_dir, "documents").select("doc_id")
+    return group_samples(synthesize_tar_shards(ids, docs_per_shard=8))
+
+
+@register(
     "video_phash_dedup",
     f"""
     WITH params AS (
