@@ -576,6 +576,7 @@ def image_near_dups(
     hash_col: str = "dhash",
     max_hamming: int = 6,
     max_bucket_size: int | None = None,
+    keep_hashes: bool = False,
 ) -> DataFrame:
     """Image pairs with hamming(dhash) <= max_hamming via the pigeonhole
     band join (8 byte-bands over 64 bits): any pair within hamming < 8
@@ -583,7 +584,9 @@ def image_near_dups(
     LOSSLESS for max_hamming <= 7 — recall 1.0 with no all-pairs scan.
     Corpus shuffles once on (band, value); ``max_bucket_size`` bounds
     mega-buckets at corpus scale (same contract as the text SimHash/LSH
-    family). Returns (id_a, id_b, hamming) with id_a < id_b."""
+    family). Returns (id_a, id_b, hamming) with id_a < id_b;
+    ``keep_hashes=True`` adds (h_a, h_b) so callers that need the
+    fingerprints don't recompute the hash pipeline with a re-join."""
     from olake_spark.operators.dedup import cap_buckets
 
     if max_hamming >= DHASH_BANDS:
@@ -621,7 +624,12 @@ def image_near_dups(
             F.col(f"b.{hash_col}").alias("h_b"),
         )
         .distinct()
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .select(
+            "id_a",
+            "id_b",
+            *(["h_a", "h_b"] if keep_hashes else []),
+            ham.cast("int").alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -1335,7 +1335,7 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "webdataset_ingest",
     """
     SELECT (doc_id // 8)::BIGINT AS shard_id,
-           lpad(doc_id::VARCHAR, 8, '0') AS key,
+           printf('%08d', doc_id) AS key,
            md5('doc-' || doc_id || ':' || repeat('ab', doc_id % 17)) AS txt_md5,
            length('doc-' || doc_id || ':' || repeat('ab', doc_id % 17))::BIGINT
              AS txt_size,
@@ -1422,11 +1422,9 @@ def video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.col("media_id") + F.lit(100000000)
     )
     fps = video_fingerprint(media.unionByName(copies)).select("media_id", "vfp")
-    pairs = image_near_dups(fps, hash_col="vfp", max_hamming=6)
-    return pairs.join(
-        fps.select(F.col("media_id").alias("id_a"), F.col("vfp").alias("vfp_a")),
-        "id_a",
-    ).select("id_a", "id_b", "vfp_a", "hamming")
+    # keep_hashes avoids a second full decode pass just to re-attach vfp_a
+    pairs = image_near_dups(fps, hash_col="vfp", max_hamming=6, keep_hashes=True)
+    return pairs.select("id_a", "id_b", F.col("h_a").alias("vfp_a"), "hamming")
 
 
 @register(
@@ -1490,11 +1488,10 @@ def audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.col("media_id") + F.lit(100000000)
     )
     fps = audio_fingerprint(media.unionByName(copies))
-    pairs = image_near_dups(fps, hash_col="afp", max_hamming=6)
-    return pairs.join(
-        fps.select(F.col("media_id").alias("id_a"), F.col("afp").alias("afp_a")),
-        "id_a",
-    ).select("id_a", "id_b", "afp_a", "hamming")
+    # keep_hashes: the band join already carries each side's fingerprint,
+    # so no second decode pass / re-join is needed to surface afp_a
+    pairs = image_near_dups(fps, hash_col="afp", max_hamming=6, keep_hashes=True)
+    return pairs.select("id_a", "id_b", F.col("h_a").alias("afp_a"), "hamming")
 
 
 # ---------------------------------------------------------------------------

@@ -103,8 +103,14 @@ def synthesize_tar_shards(
     This is the fixture generator — real ingestion starts at
     ``untar_members`` over payloads read from any blob source."""
     grouped = (
-        ids.select((F.col(id_col) / docs_per_shard).cast("long").alias("shard_id"),
-                   F.col(id_col).cast("long").alias("_id"))
+        ids.select(
+            # integral DIV, not float-divide-then-cast: exact for every id,
+            # and floor (not truncate-toward-zero) semantics match id // n
+            F.expr(f"CAST({id_col} AS BIGINT) DIV {int(docs_per_shard)}").alias(
+                "shard_id"
+            ),
+            F.col(id_col).cast("long").alias("_id"),
+        )
         .groupBy("shard_id")
         .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
     )
@@ -146,13 +152,18 @@ def untar_members(shards: DataFrame) -> DataFrame:
                 if p is None:
                     rows.append((sid, None, None, None))
                     continue
+                shard_rows = []
                 try:
                     for name, body in _walk(bytes(p)):
-                        rows.append(
+                        shard_rows.append(
                             (sid, name, len(body), hashlib.md5(body).hexdigest())
                         )
                 except (tarfile.TarError, OSError, EOFError):
-                    rows.append((sid, None, None, None))
+                    # a mid-walk failure poisons the WHOLE shard: partial
+                    # members are discarded so the contract stays exactly
+                    # one NULL row per corrupt shard (same as group_samples)
+                    shard_rows = [(sid, None, None, None)]
+                rows.extend(shard_rows)
             yield pd.DataFrame(rows, columns=[f.name for f in MEMBER_SCHEMA.fields],
                                dtype=object)
 
@@ -164,8 +175,11 @@ def group_samples(shards: DataFrame) -> DataFrame:
     the shard kernel: members sharing a basename key pair into one sample
     row ({key}.txt -> text md5/size, {key}.cls -> integer label) with no
     shuffle, because samples are contiguous within a shard by contract.
-    Unknown extensions are ignored; a key missing a member surfaces NULL
-    for that column."""
+    Unknown extensions are ignored (they create no sample). Granularity
+    of failure: a malformed MEMBER (e.g. a non-integer .cls body) NULLs
+    only that field of its own sample; a shard whose tar walk itself
+    fails surfaces exactly one all-NULL row with partial samples
+    discarded."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -175,23 +189,29 @@ def group_samples(shards: DataFrame) -> DataFrame:
                 if p is None:
                     rows.append((sid, None, None, None, None))
                     continue
+                shard_rows = []
                 try:
                     samples: dict[str, dict] = {}
                     for name, body in _walk(bytes(p)):
                         key, _, ext = name.rpartition(".")
-                        s = samples.setdefault(key, {})
                         if ext == "txt":
+                            s = samples.setdefault(key, {})
                             s["txt_md5"] = hashlib.md5(body).hexdigest()
                             s["txt_size"] = len(body)
                         elif ext == "cls":
-                            s["cls"] = int(body.decode() or "0")
+                            s = samples.setdefault(key, {})
+                            try:
+                                s["cls"] = int(body.decode())
+                            except (ValueError, UnicodeDecodeError):
+                                s["cls"] = None  # malformed label, loud NULL
                     for key, s in samples.items():
-                        rows.append(
+                        shard_rows.append(
                             (sid, key, s.get("txt_md5"), s.get("txt_size"),
                              s.get("cls"))
                         )
-                except (tarfile.TarError, OSError, EOFError, ValueError):
-                    rows.append((sid, None, None, None, None))
+                except (tarfile.TarError, OSError, EOFError):
+                    shard_rows = [(sid, None, None, None, None)]
+                rows.extend(shard_rows)
             yield pd.DataFrame(rows, columns=[f.name for f in SAMPLE_SCHEMA.fields],
                                dtype=object)
 

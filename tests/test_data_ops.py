@@ -521,7 +521,6 @@ def test_video_fingerprint_keyframe_and_dedup(spark):
     """Video keyframe hash: equals the middle frame's dHash computed
     driver-side; per-frame-rescaled copies pair up through the banded
     join; poison surfaces NULL."""
-    from olake_spark.functions import imagecodec as ic
     from olake_spark.operators.multimodal import (
         dhash_of,
         image_near_dups,
@@ -540,17 +539,9 @@ def test_video_fingerprint_keyframe_and_dedup(spark):
         nf, w, h = synth_video_params(mid)
         mid_frame = synth_pixels(synth_frame_seed(mid, nf // 2), w, h)
         assert got[mid] == (nf, dhash_of(mid_frame))
-    # 2x upscaled clips keep the fingerprint bit-for-bit (floor-map
-    # composition), so every planted pair lands at hamming 0
-    up = {}
-    for mid in range(1, 7):
-        nf, w, h = synth_video_params(mid)
-        frames = [
-            ic.resize_nearest(synth_pixels(synth_frame_seed(mid, t), w, h), w * 2, h * 2)
-            for t in range(nf)
-        ]
-        up[mid] = frames
-    copies = resize_videos(media, 32, 24)  # exercises the real resize path
+    # rescaled copies (32x24 per frame, the real resize path) pair with
+    # their originals through the banded join at small hamming
+    copies = resize_videos(media, 32, 24)
     assert copies.count() == 6
     fps = video_fingerprint(media).select("media_id", "vfp")
     fps2 = video_fingerprint(

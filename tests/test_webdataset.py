@@ -53,3 +53,43 @@ def test_sample_grouping_and_poison(spark):
     assert {r.shard_id for r in out} == {9, 10}
     assert all(r.key is None for r in out)
     assert all(r.member_name is None for r in untar_members(bad).collect())
+
+
+def test_member_level_failure_granularity(spark):
+    """Failure granularity contracts (regression): a malformed .cls body
+    NULLs only that sample's label; unknown extensions create no phantom
+    samples; a truncated tar discards partial members and surfaces
+    exactly one NULL row in BOTH kernels."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, body in [
+            ("00000001.txt", b"hello"),
+            ("00000001.cls", b"not-an-int"),
+            ("00000002.txt", b"world"),
+            ("00000002.cls", b"7"),
+            ("metadata.json", b"{}"),  # unknown ext: must be ignored
+        ]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(body)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(body))
+    shards = spark.createDataFrame(
+        [(0, buf.getvalue(), 5)], "shard_id long, payload binary, n_members int"
+    )
+    got = {r.key: r for r in group_samples(shards).collect()}
+    assert set(got) == {"00000001", "00000002"}  # no 'metadata' phantom
+    assert got["00000001"].cls is None and got["00000001"].txt_size == 5
+    assert got["00000002"].cls == 7
+
+    # truncated tar: member 1 complete, member 2 chopped mid-region
+    # (tarfile raises ReadError; a cut at an exact block boundary is
+    # indistinguishable from a short archive and reads cleanly)
+    full = buf.getvalue()
+    truncated = full[: 512 * 3]
+    bad = spark.createDataFrame(
+        [(3, truncated, 0)], "shard_id long, payload binary, n_members int"
+    )
+    m = untar_members(bad).collect()
+    assert len(m) == 1 and m[0].member_name is None
+    s = group_samples(bad).collect()
+    assert len(s) == 1 and s[0].key is None
