@@ -283,6 +283,66 @@ def headline_scaling(spark, sf_dir: str, hi_scale: int = 10) -> dict:
     return res
 
 
+def phash_growth(spark, sf_dir: str, lo_scale: int = 1, hi_scale: int = 4) -> dict:
+    """Candidate-volume growth of the perceptual-hash band join.
+
+    Corpus = synthesized images (one planted 32x24-rescaled copy each) at
+    N and ``hi_scale``*N. The 8-band pigeonhole join's candidate volume is
+    driven by bucket occupancy: the synthetic gradient fixture repeats
+    coarse hash patterns across ids, so UNCAPPED growth shows the
+    mega-bucket quadratic risk, and ``max_bucket_size`` (the documented
+    scale control, same contract as the MinHash/SimHash families) bounds
+    it back to ~linear. Both exponents are recorded; the planted pairs
+    stay recovered under the cap."""
+    from olake_spark.operators.multimodal import (
+        image_dhash,
+        image_near_dups,
+        resize_images,
+        synthesize_images,
+    )
+
+    n0 = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    res: dict = {"sf_dir": sf_dir, "base_images": n0, "runs": []}
+    counts: dict[tuple[int, bool], int] = {}
+    for scale in (lo_scale, hi_scale):
+        ids = spark.range(0, n0 * scale).withColumnRenamed("id", "media_id")
+        orig = synthesize_images(ids)
+        copies = resize_images(orig, 32, 24).withColumn(
+            "media_id", F.col("media_id") + F.lit(10**9)
+        )
+        hashes = image_dhash(orig.unionByName(copies)).cache()
+        hashes.count()  # materialize once; both joins reuse it
+        for capped in (False, True):
+            t0 = time.time()
+            pairs = image_near_dups(
+                hashes, max_hamming=6, max_bucket_size=50 if capped else None
+            )
+            n_pairs = pairs.count()
+            planted = pairs.filter(
+                F.col("id_b") - F.col("id_a") == 10**9
+            ).count()
+            counts[(scale, capped)] = n_pairs
+            res["runs"].append(
+                {
+                    "scale": scale,
+                    "images": 2 * n0 * scale,
+                    "capped": capped,
+                    "pairs": n_pairs,
+                    "planted_recovered": planted,
+                    "planted_total": n0 * scale,
+                    "wall_s": round(time.time() - t0, 2),
+                }
+            )
+        hashes.unpersist()
+    res["growth_exponent_uncapped"] = growth_exponent(
+        counts[(lo_scale, False)], counts[(hi_scale, False)], lo_scale, hi_scale
+    )
+    res["growth_exponent_capped"] = growth_exponent(
+        counts[(lo_scale, True)], counts[(hi_scale, True)], lo_scale, hi_scale
+    )
+    return res
+
+
 def mor_read_amplification(
     spark,
     sf_dir: str,
@@ -372,7 +432,8 @@ def main() -> None:
     ap.add_argument("--merge-scale-lo", type=int, default=200)
     ap.add_argument("--out", default="SCALE_EVIDENCE.json")
     ap.add_argument("--only", default=None,
-                    help="run a single section (headline_scaling | mor_read_amp) "
+                    help="run a single section (headline_scaling | mor_read_amp "
+                         "| phash_growth) "
                          "and MERGE it into --out instead of the full sweep")
     ap.add_argument("--headline-sf-dir", default="/root/testdata/sf0.1",
                     help="SF for the headline_scaling section (the bench SF)")
@@ -389,6 +450,8 @@ def main() -> None:
             )
         elif args.only == "mor_read_amp":
             block = mor_read_amplification(spark, args.sf_dir)
+        elif args.only == "phash_growth":
+            block = phash_growth(spark, args.sf_dir)
         else:
             raise SystemExit(f"unknown section {args.only!r}")
         try:
