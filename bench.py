@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "audio_fp_dedup",
     "video_phash_dedup",
     "webdataset_ingest",
+    "media_incremental_dedup",
     "text_bpe_encode",
     "bpe_train_merges",
     "pack_sequences",

@@ -52,6 +52,7 @@ __all__ = [
     "dhash_of",
     "image_dhash",
     "image_near_dups",
+    "incremental_phash_dedup",
     "audio_fingerprint_of",
     "audio_fingerprint",
     "amplify_audio",
@@ -361,6 +362,73 @@ def resample_audio(media: DataFrame, factor: int) -> DataFrame:
             yield out
 
     return media.mapInPandas(kernel, schema=media.schema)
+
+
+def incremental_phash_dedup(
+    new_hashes: DataFrame,
+    index_hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+    cache_index: bool = True,
+) -> DataFrame:
+    """Ingest-time perceptual dedup: rows of a NEW media batch with no
+    near-duplicate (Hamming <= max_hamming) in an existing corpus's hash
+    index — the media twin of ``dedup.incremental_minhash_dedup``. Works
+    over any of the 64-bit perceptual hashes (image ``dhash``, audio
+    ``afp``, video ``vfp``), so one persisted index per modality serves
+    daily ingest.
+
+    Shape: band the batch and the index, equi-join batch-bands x
+    index-bands (never batch x corpus — cost ∝ |batch| + candidates),
+    Hamming-verify candidates (lossless for max_hamming < 8), and one
+    anti-join removes batch ids with any index match. Persist the index's
+    band table bucketed on (band, bv) at scale and the daily join is
+    exchange-free on the corpus side. Within-batch dups are a separate
+    ``image_near_dups`` pass over the (small) surviving batch."""
+    from olake_spark.operators.dedup import cap_buckets
+
+    if max_hamming >= DHASH_BANDS:
+        raise ValueError("pigeonhole exactness requires max_hamming < num bands")
+    if cache_index:
+        index_hashes = index_hashes.cache()
+    width = DHASH_BITS // DHASH_BANDS
+
+    def bands(df: DataFrame) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftrightunsigned(F.col(hash_col), j * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("bv"),
+                )
+                for j in range(DHASH_BANDS)
+            ]
+        )
+        out = (
+            df.filter(F.col(hash_col).isNotNull())
+            .select(id_col, hash_col, F.explode(arr).alias("b"))
+            .select(
+                id_col, hash_col,
+                F.col("b.band").alias("band"), F.col("b.bv").alias("bv"),
+            )
+        )
+        return cap_buckets(out, ["band", "bv"], max_bucket_size)
+
+    bt_new, bt_idx = bands(new_hashes).alias("n"), bands(index_hashes).alias("i")
+    ham = F.bit_count(F.col(f"n.{hash_col}").bitwiseXOR(F.col(f"i.{hash_col}")))
+    dup_ids = (
+        bt_new.join(
+            bt_idx,
+            (F.col("n.band") == F.col("i.band")) & (F.col("n.bv") == F.col("i.bv")),
+        )
+        .filter(ham <= max_hamming)
+        .select(F.col(f"n.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return new_hashes.join(dup_ids, id_col, "left_anti")
 
 
 AUDIO_FP_WINDOWS = 65  # 65 energy windows -> 64 comparison bits

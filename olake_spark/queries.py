@@ -1850,6 +1850,7 @@ _GATE_TAIL = [
     "mixture_weighted_sample",
     "curation_pipeline",
     "audit_pk_health",
+    "audit_referential",
 ]
 
 

@@ -1332,6 +1332,83 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_incremental_dedup",
+    f"""
+    WITH dims AS (
+      SELECT doc_id::BIGINT AS id, 8 + (doc_id*7) % 57 AS w, 8 + (doc_id*11) % 41 AS h
+      FROM documents WHERE doc_id % 6 = 0
+    ), ib AS (  -- corpus index: originals
+      SELECT d.id, gy.y, gx.x,
+             CASE WHEN {_gray_sql("d.id", "(((gx.x+1)*d.w)//9)", "((gy.y*d.h)//8)")}
+                   > {_gray_sql("d.id", "((gx.x*d.w)//9)", "((gy.y*d.h)//8)")}
+                  THEN 1 ELSE 0 END AS bit
+      FROM dims d, generate_series(0, 7) gy(y), generate_series(0, 7) gx(x)
+    ), idx AS (SELECT id, {_DHASH_WRAP} AS dhash FROM ib GROUP BY id),
+    cdims AS (
+      SELECT doc_id::BIGINT AS id, 8 + (doc_id*7) % 57 AS w, 8 + (doc_id*11) % 41 AS h
+      FROM documents WHERE doc_id % 12 = 0
+    ), cb AS (  -- new batch part 1: rescaled copies of indexed originals
+      SELECT d.id + 100000000 AS id, gy.y, gx.x,
+             CASE WHEN {_gray_sql("d.id", "((((((gx.x+1)*32)//9))*d.w)//32)", "((((gy.y*24)//8)*d.h)//24)")}
+                   > {_gray_sql("d.id", "(((((gx.x*32)//9))*d.w)//32)", "((((gy.y*24)//8)*d.h)//24)")}
+                  THEN 1 ELSE 0 END AS bit
+      FROM cdims d, generate_series(0, 7) gy(y), generate_series(0, 7) gx(x)
+    ), fdims AS (  -- new batch part 2: genuinely fresh images
+      SELECT doc_id::BIGINT + 500000000 AS id,
+             8 + ((doc_id + 500000000)*7) % 57 AS w,
+             8 + ((doc_id + 500000000)*11) % 41 AS h
+      FROM documents WHERE doc_id % 6 = 0
+    ), fb AS (
+      SELECT d.id, gy.y, gx.x,
+             CASE WHEN {_gray_sql("d.id", "(((gx.x+1)*d.w)//9)", "((gy.y*d.h)//8)")}
+                   > {_gray_sql("d.id", "((gx.x*d.w)//9)", "((gy.y*d.h)//8)")}
+                  THEN 1 ELSE 0 END AS bit
+      FROM fdims d, generate_series(0, 7) gy(y), generate_series(0, 7) gx(x)
+    ), newh AS (
+      SELECT id, {_DHASH_WRAP} AS dhash FROM cb GROUP BY id
+      UNION ALL
+      SELECT id, {_DHASH_WRAP} AS dhash FROM fb GROUP BY id
+    )
+    SELECT n.id AS media_id, n.dhash
+    FROM newh n
+    WHERE NOT EXISTS (
+      SELECT 1 FROM idx i WHERE bit_count(xor(n.dhash, i.dhash)) <= 6
+    )
+    """,
+)
+def media_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time media dedup against a persisted perceptual index
+    (operators/multimodal.py incremental_phash_dedup — the media twin of
+    incremental MinHash dedup): the corpus's dHash index meets a new
+    batch that is half rescaled copies of indexed images, half genuinely
+    fresh images. The banded batch-x-index join (cost ∝ batch, lossless
+    for Hamming < 8) drops the copies; the fresh images survive. The
+    oracle brute-forces NOT EXISTS over every (new, index) pair — the
+    surviving set and every survivor's 64-bit hash must match exactly."""
+    from olake_spark.operators.multimodal import (
+        image_dhash,
+        incremental_phash_dedup,
+        resize_images,
+        synthesize_images,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    idx_ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).filter(
+        F.col("media_id") % 6 == 0
+    )
+    index = image_dhash(synthesize_images(idx_ids))
+    copy_ids = idx_ids.filter(F.col("media_id") % 12 == 0)
+    copies = resize_images(synthesize_images(copy_ids), 32, 24).withColumn(
+        "media_id", F.col("media_id") + F.lit(100000000)
+    )
+    fresh = synthesize_images(
+        idx_ids.select((F.col("media_id") + F.lit(500000000)).alias("media_id"))
+    )
+    new_hashes = image_dhash(copies.unionByName(fresh))
+    return incremental_phash_dedup(new_hashes, index, max_hamming=6)
+
+
+@register(
     "webdataset_ingest",
     """
     SELECT (doc_id // 8)::BIGINT AS shard_id,

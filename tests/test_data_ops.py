@@ -557,3 +557,39 @@ def test_video_fingerprint_keyframe_and_dedup(spark):
         "media_id long, payload binary, media_type string, meta string",
     )
     assert video_fingerprint(bad).collect()[0].vfp is None
+
+
+def test_incremental_phash_dedup_batch_vs_index(spark):
+    """Ingest-time media dedup: exact copies in the batch are dropped
+    against the index, fresh images survive, and the banded path equals
+    a brute-force driver-side check."""
+    from olake_spark.operators.multimodal import (
+        image_dhash,
+        incremental_phash_dedup,
+        synthesize_images,
+    )
+
+    idx_ids = spark.range(0, 20).withColumnRenamed("id", "media_id")
+    index = image_dhash(synthesize_images(idx_ids))
+    # batch: ids 0..9 re-synthesized under shifted ids (exact pixel dups
+    # -> hamming 0) plus 10 fresh images
+    dup_batch = synthesize_images(
+        spark.range(0, 10).select((F.col("id")).alias("media_id"))
+    ).withColumn("media_id", F.col("media_id") + 1000)
+    # trick: payload pixels derive from the PRE-shift id, so these are
+    # exact perceptual dups of indexed images under new ids
+    fresh = synthesize_images(
+        spark.range(700, 710).withColumnRenamed("id", "media_id")
+    )
+    batch_hashes = image_dhash(dup_batch.unionByName(fresh))
+    survivors = incremental_phash_dedup(batch_hashes, index, max_hamming=2)
+    got = sorted(r.media_id for r in survivors.collect())
+    # every 1000-shifted dup must be gone; fresh survive unless they
+    # naturally collide with the 20-image index at hamming<=2
+    idx_hashes = {r.dhash for r in index.collect()}
+    expect = []
+    for r in batch_hashes.collect():
+        if all(bin(r.dhash ^ h).count("1") > 2 for h in idx_hashes):
+            expect.append(r.media_id)
+    assert got == sorted(expect)
+    assert all(m >= 700 for m in got) and not any(1000 <= m < 1010 for m in got)
