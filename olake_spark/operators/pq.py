@@ -50,6 +50,9 @@ __all__ = [
     "pq_topk",
     "ivfpq_index",
     "ivfpq_topk",
+    "sq8_stats",
+    "sq8_encode",
+    "sq8_topk",
 ]
 
 _DIM = 64
@@ -367,5 +370,115 @@ def ivfpq_topk(
             F.col(id_col).alias("neighbor_id"),
             "rank",
             F.col("adc_dot").cast("long").alias("adc_dot"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the third standard FAISS compression tier
+# ---------------------------------------------------------------------------
+#
+# Per-dimension 8-bit quantization (FAISS ScalarQuantizer QT_8bit): train
+# (min_i, span_i) per dimension, store each vector as d uint8 codes — 4×
+# compression at float32, much cheaper to train than PQ and the usual
+# first rung before PQ/IVF-PQ. Scoring stays asymmetric and EXACT-integer:
+#   score_255(q, c) = Σ_i q_i·(255·min_i + span_i·code_i)
+#                   = 255 · Σ_i q_i·x̂_i       (x̂ = dequantized corpus value)
+# so ranking equals dequantized-dot ranking while every intermediate is an
+# integer below 2^53 — bit-identical in Spark and the DuckDB oracle.
+# Shapes: stats are d rows (broadcast); encode is one broadcast join, no
+# corpus shuffle; scoring broadcasts the (tiny) query weight table across
+# the code table — the same intentional broadcast cross join as
+# brute_force_topk.
+
+
+def sq8_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = _SCALE,
+) -> DataFrame:
+    """(i, mn, span): per-dimension min and range of the quantized corpus
+    — the trained SQ8 artifact (d rows; persist and broadcast)."""
+    expl = corpus.select(
+        F.posexplode(_quantized(vec_col, scale)).alias("i", "x")
+    )
+    return expl.groupBy("i").agg(
+        F.min("x").alias("mn"), (F.max("x") - F.min("x")).alias("span")
+    )
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = _SCALE,
+) -> DataFrame:
+    """(id, i, code): 8-bit code per (vector, dimension) —
+    ``floor(((x-mn)*255)/span)`` clamped to [0, 255]; a zero-span
+    dimension codes to 0. One broadcast join against the d-row stats;
+    the corpus never shuffles."""
+    expl = corpus.select(
+        F.col(id_col),
+        F.posexplode(_quantized(vec_col, scale)).alias("i", "x"),
+    )
+    code = F.when(F.col("span") == 0, F.lit(0.0)).otherwise(
+        F.least(
+            F.lit(255.0),
+            F.greatest(
+                F.lit(0.0),
+                F.floor(((F.col("x") - F.col("mn")) * F.lit(255.0)) / F.col("span")),
+            ),
+        )
+    )
+    return expl.join(F.broadcast(stats), "i").select(
+        id_col, "i", code.alias("code")
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    stats: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = _SCALE,
+) -> DataFrame:
+    """Asymmetric SQ8 top-k: exact queries against 8-bit corpus codes.
+
+    Per (query, dim): weight ``w = q_i·span_i`` and constant term
+    ``q_i·255·mn_i``; the score joins the broadcast query-weight table to
+    the code table on the dimension — corpus rows never shuffle for the
+    join and the per-(query, neighbor) sum combines map-side. Ties break
+    on the lowest neighbor id, like every ranking in this module."""
+    qexpl = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(_quantized(vec_col, scale)).alias("i", "q"),
+    )
+    qw = qexpl.join(F.broadcast(stats), "i").select(
+        "query_id",
+        "i",
+        (F.col("q") * F.col("span")).alias("w"),
+        (F.col("q") * F.lit(255.0) * F.col("mn")).alias("cterm"),
+    )
+    scored = (
+        codes.join(F.broadcast(qw), "i")
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("w") * F.col("code") + F.col("cterm")).alias("sq_score"))
+    )
+    win = W.partitionBy("query_id").orderBy(
+        F.col("sq_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "rank",
+            F.col("sq_score").cast("long").alias("sq_score"),
         )
     )

@@ -1851,6 +1851,7 @@ _GATE_TAIL = [
     "curation_pipeline",
     "audit_pk_health",
     "audit_referential",
+    "text_rare_token_ratio",
 ]
 
 

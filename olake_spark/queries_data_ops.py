@@ -886,6 +886,61 @@ def similarity_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_SQ8_ORACLE = """
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 10000.0)) AS v
+      FROM embeddings
+    ),
+    idx AS (SELECT unnest(generate_series(1, 64)) AS gi),
+    ex AS (SELECT vec_id, gi - 1 AS i, v[gi] AS x FROM qv CROSS JOIN idx),
+    st AS (SELECT i, min(x) AS mn, max(x) - min(x) AS span FROM ex GROUP BY i),
+    codes AS (
+      SELECT e.vec_id, e.i,
+             CASE WHEN st.span = 0 THEN 0.0
+                  ELSE least(255.0, greatest(0.0,
+                         floor(((e.x - st.mn) * 255.0) / st.span)))
+             END AS code
+      FROM ex e JOIN st ON st.i = e.i
+    ),
+    qw AS (
+      SELECT e.vec_id AS query_id, e.i,
+             e.x * st.span AS w, e.x * 255.0 * st.mn AS cterm
+      FROM ex e JOIN st ON st.i = e.i
+      WHERE e.vec_id < 3
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(sum(q.w * c.code + q.cterm) AS BIGINT) AS sq_score
+      FROM codes c JOIN qw q ON q.i = c.i AND q.query_id <> c.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, "rank", sq_score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sq_score DESC, neighbor_id)::INT AS "rank"
+      FROM scored
+    ) WHERE "rank" <= 5
+    """
+
+
+@register("similarity_topk_sq8", _SQ8_ORACLE)
+def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization top-k (operators/pq.py sq8_*) — the third
+    FAISS compression tier next to LSH/IVF and PQ: per-dimension 8-bit
+    codes (4x compression at float32), asymmetric exact-query scoring,
+    where score_255(q,c) = 255 * dot(q, dequantized(c)) keeps every
+    intermediate an exact integer below 2^53 so the DuckDB oracle
+    reproduces the ranking AND the score bit-for-bit. Train stats are d
+    rows (broadcast); encode is one broadcast join (no corpus shuffle);
+    scoring joins the broadcast per-query weight table on the dimension
+    and the per-(query, neighbor) sum combines map-side."""
+    from olake_spark.operators import pq as _pq
+
+    emb = table(spark, sf_dir, "embeddings")
+    stats = _pq.sq8_stats(emb)
+    codes = _pq.sq8_encode(emb, stats)
+    return _pq.sq8_topk(emb.filter(F.col("vec_id") < 3), codes, stats, k=5)
+
+
 @register("similarity_topk_pq", _PQ_ORACLE)
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (operators/pq.py — the FAISS IVF-PQ

@@ -194,3 +194,55 @@ def test_trained_ivfpq_pruning_parity(spark, emb):
     }
     assert pruned == unpruned  # all cells probed == no pruning at all
     idx.unpersist()
+
+
+def test_sq8_codes_in_range_and_deterministic(spark, emb):
+    stats = pq.sq8_stats(emb)
+    srows = {r.i: (r.mn, r.span) for r in stats.collect()}
+    assert set(srows) == set(range(pq._DIM))
+    assert all(span >= 0 for _, span in srows.values())
+    codes = pq.sq8_encode(emb, stats)
+    a = {(r.vec_id, r.i): r.code for r in codes.collect()}
+    b = {
+        (r.vec_id, r.i): r.code
+        for r in pq.sq8_encode(emb.repartition(13), stats).collect()
+    }
+    assert a == b and len(a) == emb.count() * pq._DIM
+    assert all(0 <= c <= 255 and float(c).is_integer() for c in a.values())
+
+
+def test_sq8_score_is_exact_dequantized_dot(spark, emb):
+    """sq_score == 255 * dot(q, dequantized(c)) recomputed driver-side."""
+    stats = pq.sq8_stats(emb)
+    srows = {r.i: (float(r.mn), float(r.span)) for r in stats.collect()}
+    codes = pq.sq8_encode(emb, stats)
+    top = pq.sq8_topk(emb.filter(F.col("vec_id") < 2), codes, stats, k=3)
+    code_map = {}
+    for r in codes.filter(F.col("vec_id") < 50).collect():
+        code_map.setdefault(r.vec_id, {})[r.i] = float(r.code)
+    qvecs = {
+        r.vec_id: [math.floor(x * pq._SCALE) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    }
+    checked = 0
+    for r in top.collect():
+        if r.neighbor_id not in code_map:
+            continue
+        q = qvecs[r.query_id]
+        expect = sum(
+            q[i] * (255.0 * srows[i][0] + srows[i][1] * code_map[r.neighbor_id][i])
+            for i in range(pq._DIM)
+        )
+        assert r.sq_score == int(expect)
+        checked += 1
+    assert checked >= 1 or top.count() > 0
+
+
+def test_sq8_zero_span_dimension_codes_to_zero(spark):
+    rows = [(i, [float(i % 7), 0.5]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    stats = pq.sq8_stats(df)
+    span_by_i = {r.i: r.span for r in stats.collect()}
+    assert span_by_i[1] == 0
+    codes = {(r.vec_id, r.i): r.code for r in pq.sq8_encode(df, stats).collect()}
+    assert all(codes[(v, 1)] == 0 for v in range(10))
