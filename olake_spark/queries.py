@@ -718,6 +718,46 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series gap fill (beyond parity): fixed-step resample + LOCF
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH b AS (
+  SELECT user_id, (epoch_us(ts) // 3600000000) AS bucket,
+         count(*) AS n_events, round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bucket FROM span),
+j AS (
+  SELECT g.user_id, g.bucket, b.n_events, b.v
+  FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
+)
+SELECT user_id, bucket * 3600000 AS bucket_start_ms,
+       coalesce(n_events, 0) AS n_events,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS UNBOUNDED PRECEDING) AS sum_value,
+       (n_events IS NULL) AS filled
+FROM j
+"""
+
+
+@register("events_gapfill_locf", _GAPFILL_ORACLE)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-step resample + LOCF gap fill per user (operators/
+    timeseries.py gapfill_locf): bucket → per-key grid via sequence/
+    explode → co-partitioned left join → last(ignorenulls) carry-forward.
+    All five steps share one hash partitioning on the key; grid size is
+    bounded by span/step, so a 100 TB event table fills gaps without ever
+    shuffling raw events twice."""
+    from olake_spark.operators.timeseries import gapfill_locf
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return gapfill_locf(ev, "ts", ["user_id"], "value", step="1 hour")
+
+
+# ---------------------------------------------------------------------------
 # Non-normalized raw mode (SURVEY §1.5): single JSON `data` column shape
 # ---------------------------------------------------------------------------
 
@@ -1852,6 +1892,7 @@ _GATE_TAIL = [
     "audit_pk_health",
     "audit_referential",
     "text_rare_token_ratio",
+    "text_unigram_info",
 ]
 
 
