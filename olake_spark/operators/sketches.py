@@ -1,0 +1,163 @@
+"""Mergeable distinct-count sketches — KMV (k-minimum-values) and
+HyperLogLog — with bit-exact, oracle-reproducible state.
+
+OLAP engines ship these as approximate COUNT(DISTINCT) accelerators
+(Apache DataSketches, Druid, BigQuery HLL++). At 100 TB the point is the
+MERGE property: per-partition sketch state is tiny and combines
+associatively, so a distinct-count over any group-by rolls up without
+re-touching raw rows. Both sketches here derive every register from the
+same deterministic 60-bit md5 prefix hash used by the dedup family, so
+the sketch STATE (not just the estimate) is identical in Spark and the
+DuckDB oracle — the gate checks the registers bit-for-bit and the
+estimate as one exact-integer division rounded late.
+
+KMV (Bar-Yossef et al. 2002): keep the k smallest distinct hash values;
+with U = k-th minimum / 2^60, estimate = (k-1)/U. Union of sketches =
+k smallest of the concatenation — trivially mergeable.
+
+HLL (Flajolet et al. 2007): bucket = hash mod m, rho = leading-zero rank
+of the remaining 55 bits; register = max(rho). The harmonic-mean sum is
+kept INTEGRAL by scaling: S = Σ_j 2^(RHO_SCALE - M_j) (every term an
+exact power of two ≤ 2^RHO_SCALE, m terms — fits a BIGINT), estimate =
+alpha·m²·2^RHO_SCALE / S computed as ONE double division of two exact
+integers, identical across engines. Raw estimate only (no small-range
+linear-counting branch — ln() is libm-dependent and would break the
+cross-engine bit-match); the zero-register count V is surfaced so a
+consumer can apply its own correction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["kmv_sketch", "kmv_union_estimate", "hll_sketch"]
+
+HASH_BITS = 60
+HLL_M = 32  # registers (2^5); alpha_32 = 0.697 per the HLL paper
+HLL_ALPHA = 0.697
+RHO_SCALE = 56  # max rho = 55-bit value all zeros -> rho 56
+
+
+def _h60(col) -> F.Column:
+    """The repo-wide stable 60-bit hash (md5 hex prefix)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, value_col: str, keys: list[str], k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct estimate.
+
+    One shuffle on (keys, hash) for the distinct, one on keys for the
+    top-k window — the window input is already distinct hashes, so skew
+    is bounded by per-group cardinality, and at scale the k-smallest
+    selection combines map-side via the row_number + filter plan AQE
+    compiles to. Returns (keys..., n_kept, kth_hash, est_distinct)."""
+    hashed = df.select(*keys, _h60(F.col(value_col)).alias("_h")).distinct()
+    w = W.partitionBy(*keys).orderBy("_h")
+    kept = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    est = (
+        F.lit(float(k - 1))
+        * F.lit(float(2**HASH_BITS))
+        / F.col("kth_hash").cast("double")
+    )
+    return (
+        kept.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("_h").alias("kth_hash"))
+        .select(
+            *keys,
+            "n_kept",
+            "kth_hash",
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(F.round(est, 4))
+            .alias("est_distinct"),
+        )
+    )
+
+
+def kmv_union_estimate(
+    df: DataFrame, value_col: str, keys: list[str], k: int = 64
+) -> DataFrame:
+    """Distinct estimate of the UNION of all groups, computed by merging
+    the per-group sketches (k smallest of the concatenated hash sets) —
+    never re-touching the raw rows. Returns one row."""
+    hashed = df.select(*keys, _h60(F.col(value_col)).alias("_h")).distinct()
+    w = W.partitionBy(*keys).orderBy("_h")
+    kept = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    merged = (
+        kept.select("_h")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(W.orderBy("_h")))
+        .filter(F.col("_rn") <= k)
+    )
+    est = (
+        F.lit(float(k - 1))
+        * F.lit(float(2**HASH_BITS))
+        / F.col("kth_hash").cast("double")
+    )
+    return (
+        merged.groupBy()
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("_h").alias("kth_hash"))
+        .select(
+            "n_kept",
+            "kth_hash",
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(F.round(est, 4))
+            .alias("est_union_distinct"),
+        )
+    )
+
+
+def hll_sketch(df: DataFrame, value_col: str, keys: list[str]) -> DataFrame:
+    """Per-group HLL-32: exact-integer registers and scaled harmonic sum.
+
+    Register state is a per-(key, bucket) MAX — fully map-side
+    combinable, the canonical 100 TB distinct-count shape (per-partition
+    32-register state, merged by max). Empty buckets enter the harmonic
+    sum as rho=0 via a per-key dense grid (32 rows per key, from a
+    literal sequence — no extra shuffle beyond the register groupBy).
+
+    Returns (keys..., harmonic_scaled, n_zero_regs, est_distinct)."""
+    h = df.select(*keys, _h60(F.col(value_col)).alias("_h"))
+    bucket = F.pmod(F.col("_h"), F.lit(HLL_M))
+    rest = F.expr(f"_h div {HLL_M}")  # 55-bit remainder (integer division)
+    rho = F.when(F.col("_rest") == 0, F.lit(RHO_SCALE)).otherwise(
+        F.lit(RHO_SCALE) - F.length(F.bin(F.col("_rest")))
+    )
+    regs = (
+        h.select(*keys, bucket.alias("_b"), rest.alias("_rest"))
+        .select(*keys, "_b", rho.alias("_rho"))
+        .groupBy(*keys, "_b")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    grid = (
+        regs.select(*keys)
+        .distinct()
+        .select(*keys, F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("_b"))
+    )
+    dense = grid.join(regs, [*keys, "_b"], "left").select(
+        *keys, "_b", F.coalesce(F.col("_m"), F.lit(0)).alias("_m")
+    )
+    numerator = HLL_ALPHA * HLL_M * HLL_M * float(2**RHO_SCALE)
+    per_key = dense.groupBy(*keys).agg(
+        F.sum(F.expr(f"shiftleft(1L, {RHO_SCALE} - _m)")).alias(
+            "harmonic_scaled"
+        ),
+        F.sum(F.when(F.col("_m") == 0, 1).otherwise(0)).alias("n_zero_regs"),
+    )
+    return per_key.select(
+        *keys,
+        "harmonic_scaled",
+        "n_zero_regs",
+        F.round(
+            F.lit(numerator) / F.col("harmonic_scaled").cast("double"), 4
+        ).alias("est_distinct"),
+    )

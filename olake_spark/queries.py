@@ -1893,6 +1893,8 @@ _GATE_TAIL = [
     "audit_referential",
     "text_rare_token_ratio",
     "text_unigram_info",
+    "leakage_safe_split",
+    "mixture_token_weighted",
 ]
 
 

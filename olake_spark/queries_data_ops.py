@@ -3656,3 +3656,84 @@ def profile_cardinality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = table(spark, sf_dir, "orders")
     return profile_cardinality(orders, ["o_custkey", "o_orderstatus", "o_orderpriority"])
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (operators/sketches.py): KMV + HLL-32
+# ---------------------------------------------------------------------------
+
+from olake_spark.operators import sketches as sk  # noqa: E402
+
+_SK_H = "('0x' || substring(md5(user_id::VARCHAR),1,15))::BIGINT"
+_KMV_NUM = repr(63.0 * float(2**sk.HASH_BITS))
+_HLL_NUM = repr(sk.HLL_ALPHA * sk.HLL_M * sk.HLL_M * float(2**sk.RHO_SCALE))
+
+_KMV_ORACLE = f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {_SK_H} AS h FROM events
+    ),
+    rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ),
+    kept AS (SELECT * FROM rk WHERE rn <= 64)
+    SELECT event_type, count(*)::BIGINT AS n_kept, max(h) AS kth_hash,
+           CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                ELSE round({_KMV_NUM} / max(h)::DOUBLE, 4)
+           END AS est_distinct
+    FROM kept GROUP BY 1
+    """
+
+
+@register("sketch_kmv_distinct", _KMV_ORACLE)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user sketch per event type
+    (operators/sketches.py kmv_sketch, k=64): the sketch STATE (k-th
+    minimum hash) is bit-exact in the oracle, the estimate one exact
+    division rounded late. The 100 TB story is mergeability — per-
+    partition k-smallest sets combine associatively, so the distinct
+    count never re-shuffles raw rows."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    return sk.kmv_sketch(ev, "user_id", ["event_type"], k=64)
+
+
+_HLL_ORACLE = f"""
+    WITH h AS (
+      SELECT event_type, {_SK_H} AS h FROM events
+    ),
+    r AS (SELECT event_type, h % {sk.HLL_M} AS b, h // {sk.HLL_M} AS rest FROM h),
+    rr AS (
+      SELECT event_type, b,
+             CASE WHEN rest = 0 THEN {sk.RHO_SCALE}
+                  ELSE {sk.RHO_SCALE} - length(bin(rest)) END AS rho
+      FROM r
+    ),
+    regs AS (SELECT event_type, b, max(rho) AS m FROM rr GROUP BY 1, 2),
+    gridb AS (SELECT unnest(generate_series(0, {sk.HLL_M - 1})) AS b),
+    keysd AS (SELECT DISTINCT event_type FROM regs),
+    dense AS (
+      SELECT k.event_type, g.b, coalesce(regs.m, 0) AS m
+      FROM keysd k CROSS JOIN gridb g
+      LEFT JOIN regs ON regs.event_type = k.event_type AND regs.b = g.b
+    )
+    SELECT event_type,
+           sum((1::BIGINT << ({sk.RHO_SCALE} - m)))::BIGINT AS harmonic_scaled,
+           sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_regs,
+           round({_HLL_NUM} / sum((1::BIGINT << ({sk.RHO_SCALE} - m)))::DOUBLE, 4)
+             AS est_distinct
+    FROM dense GROUP BY 1
+    """
+
+
+@register("sketch_hll_distinct", _HLL_ORACLE)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog-32 distinct-user sketch per event type
+    (operators/sketches.py hll_sketch): registers are map-side-
+    combinable MAXes; the harmonic sum stays an exact BIGINT by scaling
+    each 2^-M_j term to 2^(56-M_j), so the sketch state AND the raw
+    estimate (one double division, rounded late) match the oracle
+    bit-for-bit. No libm in the plan — the linear-counting correction is
+    intentionally left to the consumer (n_zero_regs is surfaced)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    return sk.hll_sketch(ev, "user_id", ["event_type"])
