@@ -1895,6 +1895,7 @@ _GATE_TAIL = [
     "text_unigram_info",
     "leakage_safe_split",
     "mixture_token_weighted",
+    "dedup_line_level",
 ]
 
 

@@ -3737,3 +3737,76 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     intentionally left to the consumer (n_zero_regs is surfaced)."""
     ev = table(spark, sf_dir, "events").select("event_type", "user_id")
     return sk.hll_sketch(ev, "user_id", ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join (operators/bloom.py): runtime-filter pruning
+# ---------------------------------------------------------------------------
+
+_BLM = "('0x' || substring(md5({k}::VARCHAR || ':{j}'),1,15))::BIGINT % 64"
+
+_BLOOM_ORACLE = f"""
+    WITH dim AS (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT ({_BLM.format(k='s_suppkey', j=0)}) AS pos FROM dim
+        UNION ALL
+        SELECT ({_BLM.format(k='s_suppkey', j=1)}) FROM dim
+      )
+    ),
+    probe AS (
+      SELECT l_suppkey,
+             ({_BLM.format(k='l_suppkey', j=0)}) AS q0,
+             ({_BLM.format(k='l_suppkey', j=1)}) AS q1
+      FROM lineitem
+    ),
+    flagged AS (
+      SELECT p.l_suppkey,
+             (b0.pos IS NOT NULL AND b1.pos IS NOT NULL) AS pass,
+             (d.s_suppkey IS NOT NULL) AS is_true
+      FROM probe p
+      LEFT JOIN bits b0 ON b0.pos = p.q0
+      LEFT JOIN bits b1 ON b1.pos = p.q1
+      LEFT JOIN dim d ON d.s_suppkey = p.l_suppkey
+    )
+    SELECT count(*)::BIGINT AS n_scanned,
+           sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_pass_bloom,
+           sum(CASE WHEN is_true THEN 1 ELSE 0 END)::BIGINT AS n_true_match,
+           sum(CASE WHEN pass AND NOT is_true THEN 1 ELSE 0 END)::BIGINT
+             AS n_false_pos
+    FROM flagged
+    """
+
+
+@register("bloom_semi_join_prune", _BLOOM_ORACLE)
+def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pruning audit (operators/bloom.py): a 64-bit/2-hash
+    Bloom of a selective supplier subset probed against every lineitem
+    row via broadcast joins — one fact scan, zero fact shuffles. The
+    md5-derived bit set makes the EXACT false-positive rows reproducible
+    in the oracle (n_bits deliberately tiny at gate scale so FPs exist
+    and the accounting is exercised; production default is
+    n_bits ≈ 10x|dim|). Spark's InjectRuntimeFilter does this natively
+    with might_contain — this is the portable, oracle-checkable form of
+    the same plan shape."""
+    from olake_spark.operators import bloom as bl
+
+    sup = table(spark, sf_dir, "supplier")
+    dim = sup.filter(F.col("s_nationkey") < 5).select("s_suppkey")
+    bits = bl.bloom_build(dim, "s_suppkey", n_bits=64, n_hashes=2)
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey")
+    audit = bl.bloom_prune_audit(li, "l_suppkey", bits, n_bits=64, n_hashes=2)
+    truth = audit.join(
+        F.broadcast(dim.withColumn("_true", F.lit(True))),
+        audit.l_suppkey == dim.s_suppkey,
+        "left",
+    )
+    is_true = F.coalesce(F.col("_true"), F.lit(False))
+    return truth.groupBy().agg(
+        F.count(F.lit(1)).alias("n_scanned"),
+        F.sum(F.when(F.col("_bloom_pass"), 1).otherwise(0)).alias("n_pass_bloom"),
+        F.sum(F.when(is_true, 1).otherwise(0)).alias("n_true_match"),
+        F.sum(F.when(F.col("_bloom_pass") & ~is_true, 1).otherwise(0)).alias(
+            "n_false_pos"
+        ),
+    )
