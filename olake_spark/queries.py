@@ -1896,6 +1896,7 @@ _GATE_TAIL = [
     "leakage_safe_split",
     "mixture_token_weighted",
     "dedup_line_level",
+    "text_gopher_rules",
 ]
 
 

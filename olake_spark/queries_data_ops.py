@@ -3810,3 +3810,57 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_pos"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q-gram fuzzy join (operators/fuzzy.py): edit-distance match, no cross join
+# ---------------------------------------------------------------------------
+
+_QG = """unnest(list_distinct(CASE WHEN length(s) >= 3
+      THEN list_transform(generate_series(1, length(s)-2), i -> substring(s, i, 3))
+      ELSE []::VARCHAR[] END)) AS g"""
+
+_FUZZY_ORACLE = f"""
+    WITH probes AS (
+      SELECT p_partkey AS probe_id, lower(substring(p_name, 2)) AS s
+      FROM part WHERE p_partkey % 37 = 0
+    ),
+    corpus AS (SELECT p_partkey, lower(p_name) AS s FROM part),
+    pg AS (SELECT probe_id, s, {_QG} FROM probes),
+    cg AS (SELECT p_partkey, s, {_QG} FROM corpus),
+    pairs AS (
+      SELECT pg.probe_id, cg.p_partkey,
+             count(*)::BIGINT AS n_shared,
+             any_value(pg.s) AS ls, any_value(cg.s) AS rs
+      FROM pg JOIN cg ON cg.g = pg.g
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, p_partkey, n_shared,
+           levenshtein(ls, rs)::INT AS dist
+    FROM pairs
+    WHERE n_shared >= 2 AND abs(length(ls) - length(rs)) <= 2
+      AND levenshtein(ls, rs) <= 2
+    """
+
+
+@register("fuzzy_join_qgram", _FUZZY_ORACLE)
+def fuzzy_join_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-gram indexed fuzzy join (operators/fuzzy.py, Gravano et al.
+    VLDB'01): probes are part names with the first character dropped
+    (true edit distance 1), matched against the full part corpus through
+    an inverted 3-gram index -> shared-gram count >= 2 -> length filter
+    -> levenshtein <= 2 verification. The cross join never exists; the
+    gram join is the only shuffle and the verify runs on candidates
+    only."""
+    from olake_spark.operators.fuzzy import fuzzy_join
+
+    part = table(spark, sf_dir, "part")
+    probes = part.filter(F.col("p_partkey") % 37 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.col("p_name").substr(F.lit(2), F.length("p_name")).alias("probe_name"),
+    )
+    return fuzzy_join(
+        probes, part.select("p_partkey", "p_name"),
+        "probe_id", "probe_name", "p_partkey", "p_name",
+        q=3, min_shared=2, max_dist=2,
+    )
