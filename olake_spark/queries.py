@@ -1897,6 +1897,7 @@ _GATE_TAIL = [
     "mixture_token_weighted",
     "dedup_line_level",
     "text_gopher_rules",
+    "dedup_incremental_exact",
 ]
 
 

@@ -3864,3 +3864,66 @@ def fuzzy_join_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", "probe_name", "p_partkey", "p_name",
         q=3, min_shared=2, max_dist=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank (operators/graph.py): Pregel dataflow, K unrolled rounds
+# ---------------------------------------------------------------------------
+
+_PR_ITER = """
+    c{i} AS (
+      SELECT e.dst AS node, sum(r.pr // o.d)::BIGINT AS cs
+      FROM e JOIN r{p} r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT n.node,
+             (SELECT b FROM base) + (85 * coalesce(c.cs, 0)) // 100 AS pr
+      FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+    )"""
+
+_PAGERANK_ORACLE = f"""
+    WITH e AS (
+      SELECT DISTINCT 's' || l_suppkey::VARCHAR AS src,
+                      'c' || o_custkey::VARCHAR AS dst
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    base AS (
+      SELECT (15 * (1000000000000 // count(*))) // 100 AS b,
+             1000000000000 // count(*) AS r0
+      FROM nodes
+    ),
+    outdeg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY 1),
+    r0 AS (SELECT node, (SELECT r0 FROM base) AS pr FROM nodes),
+    {",".join(_PR_ITER.format(i=i, p=i - 1) for i in range(1, 4))}
+    SELECT node, pr FROM (
+      SELECT node, pr, row_number() OVER (ORDER BY pr DESC, node) AS rn
+      FROM r3
+    ) WHERE rn <= 20
+    """
+
+
+@register("graph_pagerank", _PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank, 3 rounds, over the supplier->customer
+    trade graph (distinct lineitem x orders pairs, ids namespaced with
+    's'/'c' prefixes). Every round is the Pregel join+agg dataflow with
+    floor-division mass splitting - bit-identical to the oracle's 3
+    unrolled CTE rounds. Top-20 by final rank, ties on node id."""
+    from pyspark.sql import Window as W
+    from olake_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    pr = pagerank(edges, iters=3)
+    w = W.orderBy(F.col("pr").desc(), F.col("node"))
+    return (
+        pr.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+        .select("node", "pr")
+    )

@@ -34,6 +34,7 @@ _CROSS_OK = {
     "text_unigram_info",  # 1-row total-token-count broadcast
     "tfidf_top_terms",  # 1-row doc-count broadcast (lazy N for idf)
     "vocab_coverage",  # 1-row total-occurrence broadcast over <= top-k rows
+    "graph_pagerank",  # 1-row node-count broadcast (lazy N for rank mass)
 }
 
 
