@@ -1898,6 +1898,7 @@ _GATE_TAIL = [
     "dedup_line_level",
     "text_gopher_rules",
     "dedup_incremental_exact",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -3927,3 +3927,48 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 20)
         .select("node", "pr")
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset WRITE planner (sources/webdataset.py wds_write_plan)
+# ---------------------------------------------------------------------------
+
+_WDS_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, strlen(text)::BIGINT AS sz,
+             {_BUCKET_SQL.format(x="doc_id::VARCHAR || 'wds'")} AS h
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, sz, h, (h % 4)::INT AS stream,
+             coalesce(sum(sz) OVER (
+               PARTITION BY h % 4 ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cum_before
+      FROM t
+    )
+    SELECT doc_id, stream,
+           (cum_before // 4096)::BIGINT AS shard_seq,
+           (cum_before % 4096)::BIGINT AS offset_bytes
+    FROM cum
+    """
+
+
+@register("webdataset_write_plan", _WDS_ORACLE)
+def webdataset_write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard-WRITE assignment (sources/webdataset.py
+    wds_write_plan): documents hash into 4 writer streams, lay
+    head-to-tail in (hash, key) order, and cut a new tar shard every
+    4096 payload bytes — samples never split, shards overrun by at most
+    one sample. Same two-level prefix-sum dataflow as pack_offsets (one
+    shuffle, one window per stream, no global sort); the oracle pins
+    every (stream, shard_seq, offset_bytes). The actual tar bytes
+    (wds_build_shards) round-trip through the ingest kernels in
+    tests/test_webdataset.py."""
+    from olake_spark.sources.webdataset import wds_write_plan
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length("text").cast("long").alias("sz")
+    )
+    plan = wds_write_plan(docs, "doc_id", "sz", shard_bytes=4096, n_streams=4)
+    return plan.select("doc_id", "stream", "shard_seq", "offset_bytes")

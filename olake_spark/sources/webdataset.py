@@ -39,6 +39,9 @@ __all__ = [
     "untar_members",
     "group_samples",
     "synth_member_text",
+    "WRITE_SHARD_SCHEMA",
+    "wds_write_plan",
+    "wds_build_shards",
 ]
 
 SHARD_SCHEMA = T.StructType(
@@ -216,3 +219,100 @@ def group_samples(shards: DataFrame) -> DataFrame:
                                dtype=object)
 
     return shards.mapInPandas(kernel, SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Write side: deterministic shard assignment + real tar shard building
+# ---------------------------------------------------------------------------
+
+WRITE_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("stream", T.IntegerType(), False),
+        T.StructField("shard_seq", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_members", T.IntegerType(), True),
+    ]
+)
+
+
+def wds_write_plan(
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    shard_bytes: int,
+    n_streams: int = 4,
+    seed: str = "wds",
+) -> DataFrame:
+    """Deterministic WebDataset shard assignment — the WRITE planner.
+
+    Samples hash into ``n_streams`` writer streams (the parallelism unit),
+    are laid head-to-tail per stream in (hash, key) order, and a new shard
+    starts every ``shard_bytes`` of payload: shard = exclusive-prefix-sum
+    // shard_bytes — a sample is never split, so shards may overrun by at
+    most one sample (the WebDataset convention). The same two-level
+    prefix-sum dataflow as pack_offsets: one shuffle on the stream, one
+    window per stream, no global sort, no driver state. Fully
+    SQL-expressible, so the oracle pins every (stream, shard_seq,
+    offset_bytes) assignment.
+
+    Adds: ``stream``, ``shard_seq``, ``offset_bytes``, and ``_wds_h``
+    (the intra-stream order key ``wds_build_shards`` sorts by)."""
+    if shard_bytes <= 0:
+        raise ValueError(f"shard_bytes must be positive, got {shard_bytes}")
+    from olake_spark.operators.sampling import hash_bucket
+    from pyspark.sql import Window as W
+
+    h = hash_bucket(F.col(key_col), seed)
+    out = df.withColumn("_wds_h", h).withColumn(
+        "stream", F.pmod(F.col("_wds_h"), F.lit(n_streams)).cast("int")
+    )
+    w = (
+        W.partitionBy("stream")
+        .orderBy(F.col("_wds_h"), F.col(key_col))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0)).cast("long")
+    return (
+        out.withColumn("_wds_cum", cum)
+        .withColumn("shard_seq", F.expr(f"_wds_cum div {int(shard_bytes)}"))
+        .withColumn("offset_bytes", F.col("_wds_cum") % shard_bytes)
+        .drop("_wds_cum")
+    )
+
+
+def wds_build_shards(
+    plan: DataFrame, key_col: str, payload_col: str
+) -> DataFrame:
+    """Materialize REAL tar shard bytes from a ``wds_write_plan`` frame:
+    one USTAR archive per (stream, shard_seq), members named
+    ``{key}.txt`` in the plan's (hash, key) order, mtime/uid/gid zeroed
+    so shard bytes are a pure function of the content. One shuffle on the
+    shard identity; each shard builds inside its own Arrow batch.
+    Round-trips through ``untar_members``/``group_samples``."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_wds_h", key_col])
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for key, body in zip(pdf[key_col], pdf[payload_col]):
+                body = bytes(body) if body is not None else b""
+                info = tarfile.TarInfo(name=f"{key}.txt")
+                info.size = len(body)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(body))
+        return pd.DataFrame(
+            [
+                (
+                    int(pdf["stream"].iloc[0]),
+                    int(pdf["shard_seq"].iloc[0]),
+                    buf.getvalue(),
+                    len(pdf),
+                )
+            ],
+            columns=["stream", "shard_seq", "payload", "n_members"],
+            dtype=object,
+        )
+
+    return plan.groupBy("stream", "shard_seq").applyInPandas(
+        build, WRITE_SHARD_SCHEMA
+    )

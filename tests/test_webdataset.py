@@ -15,6 +15,7 @@ from olake_spark.sources.webdataset import (
     synthesize_tar_shards,
     untar_members,
 )
+from olake_spark.sources import webdataset as wds
 
 
 def test_tar_shards_roundtrip(spark):
@@ -93,3 +94,65 @@ def test_member_level_failure_granularity(spark):
     assert len(m) == 1 and m[0].member_name is None
     s = group_samples(bad).collect()
     assert len(s) == 1 and s[0].key is None
+
+
+def test_write_plan_shard_byte_bound(spark):
+    docs = spark.createDataFrame(
+        [(i, 100 + (i % 7) * 30) for i in range(200)], "doc_id long, sz long"
+    )
+    plan = wds.wds_write_plan(docs, "doc_id", "sz", shard_bytes=1000, n_streams=3)
+    rows = plan.collect()
+    # every sample STARTS inside its shard's byte budget
+    assert all(0 <= r.offset_bytes < 1000 for r in rows)
+    # per (stream, shard) the non-final shards are filled past nothing:
+    # offsets are the exclusive prefix sums of sizes in (h, key) order
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault((r.stream, r.shard_seq), []).append(r)
+    for grp in by_shard.values():
+        grp = sorted(grp, key=lambda r: r.offset_bytes)
+        run = grp[0].offset_bytes
+        for r in grp:
+            assert r.offset_bytes == run % 1000
+            run += r.sz
+    # determinism under repartition
+    again = {
+        (r.doc_id): (r.stream, r.shard_seq, r.offset_bytes)
+        for r in wds.wds_write_plan(
+            docs.repartition(11), "doc_id", "sz", 1000, 3
+        ).collect()
+    }
+    assert {r.doc_id: (r.stream, r.shard_seq, r.offset_bytes) for r in rows} == again
+
+
+def test_build_shards_roundtrip_through_ingest(spark):
+    docs = spark.createDataFrame(
+        [(i, f"payload body {i} " * (1 + i % 5)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    sized = docs.withColumn("payload", F.encode("text", "utf-8")).withColumn(
+        "sz", F.octet_length("text").cast("long")
+    )
+    plan = wds.wds_write_plan(sized, "doc_id", "sz", shard_bytes=512, n_streams=2)
+    shards = wds.wds_build_shards(plan, "doc_id", "payload")
+    built = shards.collect()
+    assert sum(r.n_members for r in built) == 60
+    # re-ingest with the READ kernels: keys and content md5s must match
+    readable = shards.select(
+        (F.col("stream").cast("long") * 1_000_000 + F.col("shard_seq")).alias(
+            "shard_id"
+        ),
+        "payload",
+        F.col("n_members").cast("int").alias("n_members"),
+    )
+    samples = {r.key: r for r in wds.group_samples(readable).collect()}
+    import hashlib
+
+    for row in docs.collect():
+        got = samples[str(row.doc_id)]
+        assert got.txt_md5 == hashlib.md5(row.text.encode()).hexdigest()
+        assert got.txt_size == len(row.text.encode())
+    # shard bytes are a pure function of content (rebuild -> identical)
+    again = {(r.stream, r.shard_seq): bytes(r.payload) for r in
+             wds.wds_build_shards(plan, "doc_id", "payload").collect()}
+    assert {(r.stream, r.shard_seq): bytes(r.payload) for r in built} == again
