@@ -101,6 +101,15 @@ BENCH_QUERIES = [
     "text_script_stats",
     "source_quality_report",
     "audit_numeric_outliers",
+    # round-5 late additions: sketches / time-series / join machinery
+    "similarity_topk_sq8",
+    "events_gapfill_locf",
+    "sketch_kmv_distinct",
+    "sketch_hll_distinct",
+    "bloom_semi_join_prune",
+    "fuzzy_join_qgram",
+    "graph_pagerank",
+    "webdataset_write_plan",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
     # into anything else
     "dedup_minhash_clusters",

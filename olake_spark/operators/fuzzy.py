@@ -1,26 +1,29 @@
-"""Q-gram indexed fuzzy string join — edit-distance matching without the
-cross join.
+"""Q-gram fuzzy string join with prefix filtering — edit-distance matching
+without the cross join, at index volume O(q·d) per string.
 
-The classic approximate-string-join (Gravano et al., VLDB 2001): two
-strings within Levenshtein distance d of each other share at least
-max(len) - q + 1 - q·d q-grams, so an inverted index on q-grams plus a
-shared-gram count threshold generates a CANDIDATE set that provably
-contains every true match — then the exact distance verifies only the
-candidates. At 100 TB the plan is: explode distinct grams (linear),
-equi-join on the gram (hash shuffle on gram — the inverted index), count
-shared grams per pair (map-side combinable), verify survivors with
-``levenshtein`` (built-in, JVM-side). The cross join never exists.
+Candidate generation (Gravano et al. VLDB'01 + the prefix-filtering
+principle of Chaudhuri et al. ICDE'06 / Xiao et al. PPJoin): two strings
+within Levenshtein distance d share all but at most q·d of their q-grams,
+so under ANY global total order on grams, their first q·d+1 grams (the
+"prefix") must intersect — it suffices to index only each string's q·d+1
+RAREST grams (rarity = document frequency on the right side; ties on the
+gram). Hot grams almost never reach a prefix, so the inverted-index join
+stays skew-free without any df-cap, and every true match is still
+guaranteed to surface (the filter is lossless for the claimed distance).
 
-Skew note: ultra-common grams create hot partitions; ``max_df`` drops
-grams whose document frequency on the RIGHT exceeds the cap before the
-join (the same df-cap the n-gram dedup family uses). Dropping a gram can
-only shrink the candidate set, so pair it with a min_shared that still
-guarantees the distance bound you verify at.
+Plan shape at 100 TB: one agg for the gram df table, one window per side
+to rank grams (partitioned by the string id — parallel), an equi-join on
+the prefix grams (the only pairwise shuffle, with per-string fan-in
+bounded by q·d+1), distinct pairs, then ``levenshtein`` verification on
+candidates only. The cross join never exists; candidate volume scales
+with how many strings genuinely share RARE grams, not with vocabulary
+popularity.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = ["qgram_set", "fuzzy_join"]
@@ -47,13 +50,15 @@ def fuzzy_join(
     right_id: str,
     right_col: str,
     q: int = 3,
-    min_shared: int = 2,
     max_dist: int = 2,
-    max_df: int | None = None,
 ) -> DataFrame:
-    """(left_id, right_id, n_shared, dist) pairs with
-    shared-distinct-grams >= min_shared, |len diff| <= max_dist, and
-    levenshtein(lower(l), lower(r)) <= max_dist."""
+    """(left_id, right_id, dist) pairs with |len diff| <= max_dist and
+    levenshtein(lower(l), lower(r)) <= max_dist, found through a
+    prefix-filtered q-gram index (lossless for the claimed distance).
+
+    Strings shorter than q chars produce no grams and therefore no
+    candidates — pre-filter or pad if sub-q probes must match."""
+    pref = q * max_dist + 1
     lg = left.select(
         F.col(left_id),
         F.lower(F.col(left_col)).alias("_ls"),
@@ -64,30 +69,33 @@ def fuzzy_join(
         F.lower(F.col(right_col)).alias("_rs"),
         F.explode(qgram_set(F.col(right_col), q)).alias("_g"),
     )
-    if max_df is not None:
-        hot = (
-            rg.groupBy("_g")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("_g")
-        )
-        lg = lg.join(F.broadcast(hot), "_g", "left_anti")
-        rg = rg.join(F.broadcast(hot), "_g", "left_anti")
-    pairs = (
-        lg.join(rg, "_g")
-        .groupBy(left_id, right_id)
-        .agg(
-            F.count(F.lit(1)).alias("n_shared"),
-            F.first("_ls").alias("_ls"),
-            F.first("_rs").alias("_rs"),
-        )
-        .filter(F.col("n_shared") >= min_shared)
-        .filter(
-            F.abs(F.length("_ls") - F.length("_rs")) <= max_dist
-        )
+    # global rarity order = document frequency on the RIGHT (distinct
+    # grams per string, so count(*) is df); unseen grams rank first on
+    # the left — harmless (they cannot join) but keeps one total order
+    df_tbl = rg.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    lw = W.partitionBy(left_id).orderBy("_df", "_g")
+    rw = W.partitionBy(right_id).orderBy("_df", "_g")
+    lpref = (
+        lg.join(df_tbl, "_g", "left")
+        .withColumn("_df", F.coalesce("_df", F.lit(0)))
+        .withColumn("_rn", F.row_number().over(lw))
+        .filter(F.col("_rn") <= pref)
+        .select(left_id, "_ls", "_g")
+    )
+    rpref = (
+        rg.join(df_tbl, "_g")
+        .withColumn("_rn", F.row_number().over(rw))
+        .filter(F.col("_rn") <= pref)
+        .select(right_id, "_rs", "_g")
+    )
+    cand = (
+        lpref.join(rpref, "_g")
+        .select(left_id, right_id, "_ls", "_rs")
+        .distinct()
+        .filter(F.abs(F.length("_ls") - F.length("_rs")) <= max_dist)
     )
     return (
-        pairs.withColumn("dist", F.levenshtein("_ls", "_rs"))
+        cand.withColumn("dist", F.levenshtein("_ls", "_rs"))
         .filter(F.col("dist") <= max_dist)
-        .select(left_id, right_id, "n_shared", "dist")
+        .select(left_id, right_id, "dist")
     )

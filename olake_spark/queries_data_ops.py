@@ -3813,7 +3813,7 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q-gram fuzzy join (operators/fuzzy.py): edit-distance match, no cross join
+# Q-gram fuzzy join (operators/fuzzy.py): prefix-filtered, no cross join
 # ---------------------------------------------------------------------------
 
 _QG = """unnest(list_distinct(CASE WHEN length(s) >= 3
@@ -3822,47 +3822,78 @@ _QG = """unnest(list_distinct(CASE WHEN length(s) >= 3
 
 _FUZZY_ORACLE = f"""
     WITH probes AS (
-      SELECT p_partkey AS probe_id, lower(substring(p_name, 2)) AS s
-      FROM part WHERE p_partkey % 37 = 0
+      SELECT min(p_partkey) AS probe_id, lower(substring(p_name, 2)) AS s
+      FROM part WHERE p_partkey % 37 = 0 GROUP BY 2
     ),
-    corpus AS (SELECT p_partkey, lower(p_name) AS s FROM part),
+    corpus AS (
+      SELECT min(p_partkey) AS p_partkey, lower(p_name) AS s
+      FROM part GROUP BY 2
+    ),
     pg AS (SELECT probe_id, s, {_QG} FROM probes),
     cg AS (SELECT p_partkey, s, {_QG} FROM corpus),
-    pairs AS (
-      SELECT pg.probe_id, cg.p_partkey,
-             count(*)::BIGINT AS n_shared,
-             any_value(pg.s) AS ls, any_value(cg.s) AS rs
-      FROM pg JOIN cg ON cg.g = pg.g
-      GROUP BY 1, 2
+    dfq AS (SELECT g, count(*) AS df FROM cg GROUP BY 1),
+    lpref AS (
+      SELECT probe_id, s, g FROM (
+        SELECT pg.probe_id, pg.s, pg.g,
+               row_number() OVER (PARTITION BY pg.probe_id
+                 ORDER BY coalesce(dfq.df, 0), pg.g) AS rn
+        FROM pg LEFT JOIN dfq ON dfq.g = pg.g
+      ) WHERE rn <= 7
+    ),
+    rpref AS (
+      SELECT p_partkey, s, g FROM (
+        SELECT cg.p_partkey, cg.s, cg.g,
+               row_number() OVER (PARTITION BY cg.p_partkey
+                 ORDER BY dfq.df, cg.g) AS rn
+        FROM cg JOIN dfq ON dfq.g = cg.g
+      ) WHERE rn <= 7
+    ),
+    cand AS (
+      SELECT DISTINCT l.probe_id, r.p_partkey, l.s AS ls, r.s AS rs
+      FROM lpref l JOIN rpref r ON r.g = l.g
+      WHERE abs(length(l.s) - length(r.s)) <= 2
     )
-    SELECT probe_id, p_partkey, n_shared,
-           levenshtein(ls, rs)::INT AS dist
-    FROM pairs
-    WHERE n_shared >= 2 AND abs(length(ls) - length(rs)) <= 2
-      AND levenshtein(ls, rs) <= 2
+    SELECT probe_id, p_partkey, levenshtein(ls, rs)::INT AS dist
+    FROM cand WHERE levenshtein(ls, rs) <= 2
     """
 
 
 @register("fuzzy_join_qgram", _FUZZY_ORACLE)
 def fuzzy_join_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q-gram indexed fuzzy join (operators/fuzzy.py, Gravano et al.
-    VLDB'01): probes are part names with the first character dropped
-    (true edit distance 1), matched against the full part corpus through
-    an inverted 3-gram index -> shared-gram count >= 2 -> length filter
-    -> levenshtein <= 2 verification. The cross join never exists; the
-    gram join is the only shuffle and the verify runs on candidates
-    only."""
+    """Prefix-filtered q-gram fuzzy join (operators/fuzzy.py; Gravano
+    VLDB'01 count bound + Chaudhuri/PPJoin prefix filtering): probes are
+    part names with the first character dropped (true edit distance 1),
+    matched against the full part corpus by indexing only each string's
+    q*d+1 = 7 RAREST 3-grams (rarity = corpus df) -> equi-join on prefix
+    grams -> length filter -> levenshtein <= 2 verification. Lossless for
+    the claimed distance, and hot grams never reach a prefix, so the one
+    pairwise shuffle is skew-free by construction."""
     from olake_spark.operators.fuzzy import fuzzy_join
 
     part = table(spark, sf_dir, "part")
-    probes = part.filter(F.col("p_partkey") % 37 == 0).select(
-        F.col("p_partkey").alias("probe_id"),
-        F.col("p_name").substr(F.lit(2), F.length("p_name")).alias("probe_name"),
+    # match on the DISTINCT-string domain (the fixture's names repeat
+    # heavily; production string-matching dedupes first and fans out by
+    # joining back) - representative id = min key per distinct string
+    probes = (
+        part.filter(F.col("p_partkey") % 37 == 0)
+        .select(
+            "p_partkey",
+            F.lower(
+                F.col("p_name").substr(F.lit(2), F.length("p_name"))
+            ).alias("probe_name"),
+        )
+        .groupBy("probe_name")
+        .agg(F.min("p_partkey").alias("probe_id"))
+    )
+    corpus = (
+        part.select("p_partkey", F.lower("p_name").alias("p_name"))
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("p_partkey"))
     )
     return fuzzy_join(
-        probes, part.select("p_partkey", "p_name"),
+        probes, corpus,
         "probe_id", "probe_name", "p_partkey", "p_name",
-        q=3, min_shared=2, max_dist=2,
+        q=3, max_dist=2,
     )
 
 

@@ -1,4 +1,5 @@
-"""Q-gram fuzzy join: planted-typo recall, df-cap path, short strings."""
+"""Prefix-filtered q-gram fuzzy join: planted-typo recall (lossless
+filter), hot-gram skew immunity, short strings."""
 
 from __future__ import annotations
 
@@ -24,27 +25,62 @@ def test_fuzzy_join_finds_planted_typos(spark):
         "pid long, pname string",
     )
     out = fuzzy_join(
-        probes, corpus, "pid", "pname", "rid", "name",
-        q=3, min_shared=2, max_dist=2,
+        probes, corpus, "pid", "pname", "rid", "name", q=3, max_dist=2
     ).collect()
     got = {(r.pid, r.rid): r.dist for r in out}
     assert got[(10, 1)] == 1 and got[(20, 2)] == 1
     assert not any(pid == 30 for pid, _ in got)
 
 
-def test_fuzzy_join_max_df_drops_hot_grams_only(spark):
-    # 'aaa' appears in every corpus row -> dropped at max_df=2; the pair
-    # still matches through its distinctive grams
+def test_prefix_filter_is_lossless_under_edit_mutations(spark):
+    """Every string within the claimed distance MUST surface — the
+    prefix-filter theorem, exercised over systematic 1- and 2-edit
+    mutations of diverse corpus strings."""
+    base = [
+        "alpha bravo charlie",
+        "delta echo foxtrot",
+        "golf hotel india jazz",
+        "kilo lima mike november",
+    ]
     corpus = spark.createDataFrame(
-        [(i, f"aaaa distinct{i} word") for i in range(5)],
+        [(i, s) for i, s in enumerate(base)], "rid long, name string"
+    )
+    probes = []
+    pid = 0
+    for i, s in enumerate(base):
+        probes.append((pid, i, s[1:]))  # 1 deletion
+        pid += 1
+        probes.append((pid, i, "x" + s[2:]))  # 1 del + 1 sub
+        pid += 1
+        probes.append((pid, i, s[:5] + "zz" + s[7:]))  # 2 subs
+        pid += 1
+    pdf = spark.createDataFrame(
+        [(p, s) for p, _, s in probes], "pid long, pname string"
+    )
+    got = {
+        (r.pid, r.rid)
+        for r in fuzzy_join(
+            pdf, corpus, "pid", "pname", "rid", "name", q=3, max_dist=2
+        ).collect()
+    }
+    for p, i, _ in probes:
+        assert (p, i) in got, f"lost planted mutation pid={p} of rid={i}"
+
+
+def test_hot_grams_never_reach_prefix(spark):
+    # a gram shared by every corpus row ('aaaa') must not blow up the
+    # candidate set: prefix slots go to the rare distinct{i} grams.
+    # max_dist=1 so only the true source row qualifies (at 2, cross-id
+    # pairs like distinct3->distinct7 are genuine 2-edit matches)
+    corpus = spark.createDataFrame(
+        [(i, f"aaaa distinct{i} word") for i in range(50)],
         "rid long, name string",
     )
     probes = spark.createDataFrame(
         [(99, "aaaa distinct3 wordx")], "pid long, pname string"
     )
     out = fuzzy_join(
-        probes, corpus, "pid", "pname", "rid", "name",
-        q=3, min_shared=2, max_dist=2, max_df=2,
+        probes, corpus, "pid", "pname", "rid", "name", q=3, max_dist=1
     ).collect()
     assert {(r.pid, r.rid) for r in out} == {(99, 3)}
 
