@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_sketch", "kmv_union_estimate", "hll_sketch"]
+__all__ = ["kmv_sketch", "kmv_union_estimate", "kmv_overlap", "hll_sketch"]
 
 HASH_BITS = 60
 HLL_M = 32  # registers (2^5); alpha_32 = 0.697 per the HLL paper
@@ -160,4 +160,65 @@ def hll_sketch(df: DataFrame, value_col: str, keys: list[str]) -> DataFrame:
         F.round(
             F.lit(numerator) / F.col("harmonic_scaled").cast("double"), 4
         ).alias("est_distinct"),
+    )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """Jaccard / intersection / union estimates between two groups' value
+    sets from their MERGED KMV sketches (Beyer et al., SIGMOD 2007):
+    within the k smallest hashes of A∪B, the fraction rho that occur in
+    BOTH per-group sketches estimates the Jaccard similarity, and
+    |A∩B| ≈ rho · |A∪B|-estimate. Everything up to the two final
+    divisions is exact integers — the gate checks the merged sketch
+    state itself. One row: (n_merged, kth_union_hash, n_both, est_union,
+    est_jaccard, est_intersection)."""
+    hashed = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(F.col(group_col).alias("_grp"), _h60(F.col(value_col)).alias("_h"))
+        .distinct()
+    )
+    w = W.partitionBy("_grp").orderBy("_h")
+    kept = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    both = (
+        kept.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n_grp"))
+        .withColumn("_in_both", F.col("_n_grp") == 2)
+    )
+    merged = both.withColumn("_rn", F.row_number().over(W.orderBy("_h"))).filter(
+        F.col("_rn") <= k
+    )
+    est_union = F.when(
+        F.col("n_merged") < k, F.col("n_merged").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(float(2**HASH_BITS))
+        / F.col("kth_union_hash").cast("double")
+    )
+    agg = merged.groupBy().agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.max("_h").alias("kth_union_hash"),
+        F.sum(F.when(F.col("_in_both"), 1).otherwise(0)).alias("n_both"),
+    )
+    return agg.select(
+        "n_merged",
+        "kth_union_hash",
+        "n_both",
+        F.round(est_union, 4).alias("est_union"),
+        F.round(
+            F.col("n_both").cast("double") / F.col("n_merged").cast("double"), 6
+        ).alias("est_jaccard"),
+        F.round(
+            (F.col("n_both").cast("double") / F.col("n_merged").cast("double"))
+            * est_union,
+            4,
+        ).alias("est_intersection"),
     )

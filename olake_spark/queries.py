@@ -758,6 +758,125 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pivot / unpivot / rollup / JSON extraction: core analytics surface
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {", ".join(
+         f"round(sum(CASE WHEN event_type = '{t}' THEN value END), 4) AS {t}"
+         for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+@register("events_pivot_by_type", _PIVOT_ORACLE)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot (native DataFrame.pivot with an EXPLICIT value list —
+    at 100 TB never let pivot run its implicit distinct-scan job): one
+    hash aggregation producing per-user columns per event type. Absent
+    cells stay NULL, matching the conditional-sum oracle."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 4))
+    )
+
+
+_UNPIVOT_ORACLE = """
+WITH u AS (
+  SELECT 'l_quantity' AS metric, l_quantity::DOUBLE AS value FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', l_extendedprice::DOUBLE FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', l_discount::DOUBLE FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', l_tax::DOUBLE FROM lineitem
+)
+SELECT metric, count(value) AS n, round(sum(value), 2) AS sum_value
+FROM u GROUP BY metric
+"""
+
+
+@register("lineitem_unpivot_metrics", _UNPIVOT_ORACLE)
+def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (DataFrame.unpivot / SQL stack): four measure columns
+    melt into (metric, value) rows in one scan — no self-union of the
+    fact table — then a tiny 4-group aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return melted.groupBy("metric").agg(
+        F.count("value").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT grouping(l_returnflag, l_linestatus)::INT AS gid,
+       l_returnflag, l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@register("lineitem_rollup", _ROLLUP_ORACLE)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (native rollup — one pass, Spark expands the
+    grouping sets inside the aggregate, no re-scan per level) with the
+    bitmask grouping_id disambiguating real NULL keys from subtotal
+    rows."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    ).select("gid", "l_returnflag", "l_linestatus", "n", "sum_qty")
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       count(k) AS n,
+       sum(k)::BIGINT AS sum_k,
+       min(k)::BIGINT AS min_k,
+       max(k)::BIGINT AS max_k
+FROM (
+  SELECT event_type,
+         json_extract_string(props, '$.k')::BIGINT AS k
+  FROM events
+) GROUP BY event_type
+"""
+
+
+@register("events_json_extract", _JSON_ORACLE)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (get_json_object — JVM-side JsonPath,
+    no Python): pull a typed field out of a JSON properties column and
+    aggregate. The 100 TB form of 'my events have a JSON blob': extract
+    stays in the scan stage, codegen end-to-end."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Non-normalized raw mode (SURVEY §1.5): single JSON `data` column shape
 # ---------------------------------------------------------------------------
 
@@ -1899,6 +2018,11 @@ _GATE_TAIL = [
     "text_gopher_rules",
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "chunk_documents",
+    "dup_span_stats",
+    "embedding_centroid_outliers",
 ]
 
 

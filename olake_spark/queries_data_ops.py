@@ -4003,3 +4003,55 @@ def webdataset_write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plan = wds_write_plan(docs, "doc_id", "sz", shard_bytes=4096, n_streams=4)
     return plan.select("doc_id", "stream", "shard_seq", "offset_bytes")
+
+
+# ---------------------------------------------------------------------------
+# KMV set-overlap estimate (operators/sketches.py kmv_overlap)
+# ---------------------------------------------------------------------------
+
+_KMV_OVL_ORACLE = f"""
+    WITH h AS (
+      SELECT DISTINCT event_type AS grp, {_SK_H} AS h
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    kept AS (
+      SELECT grp, h FROM (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM h
+      ) WHERE rn <= 64
+    ),
+    b2 AS (
+      SELECT h, (count(*) = 2) AS in_both FROM kept GROUP BY h
+    ),
+    merged AS (
+      SELECT h, in_both FROM (
+        SELECT h, in_both, row_number() OVER (ORDER BY h) AS rn FROM b2
+      ) WHERE rn <= 64
+    ),
+    agg AS (
+      SELECT count(*)::BIGINT AS n_merged, max(h) AS kth_union_hash,
+             sum(CASE WHEN in_both THEN 1 ELSE 0 END)::BIGINT AS n_both
+      FROM merged
+    )
+    SELECT n_merged, kth_union_hash, n_both,
+           round(CASE WHEN n_merged < 64 THEN n_merged::DOUBLE
+                 ELSE {_KMV_NUM} / kth_union_hash::DOUBLE END, 4) AS est_union,
+           round(n_both::DOUBLE / n_merged::DOUBLE, 6) AS est_jaccard,
+           round((n_both::DOUBLE / n_merged::DOUBLE) *
+                 (CASE WHEN n_merged < 64 THEN n_merged::DOUBLE
+                  ELSE {_KMV_NUM} / kth_union_hash::DOUBLE END), 4)
+             AS est_intersection
+    FROM agg
+    """
+
+
+@register("sketch_kmv_overlap", _KMV_OVL_ORACLE)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard / intersection / union estimates between the click-user
+    and view-user sets from MERGED KMV sketches (Beyer et al. SIGMOD'07):
+    within the 64 smallest union hashes, the both-sketch fraction rho
+    estimates Jaccard and rho x union-estimate the intersection size -
+    the corpus-overlap primitive (how much does source A duplicate
+    source B?) computed purely on mergeable sketch state."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    return sk.kmv_overlap(ev, "user_id", "event_type", "click", "view", k=64)

@@ -64,3 +64,27 @@ def test_hll_envelope_and_partition_invariance(spark):
             and a[et].est_distinct == b[et].est_distinct
         )
         assert 0 <= a[et].n_zero_regs <= sk.HLL_M
+
+
+def test_kmv_overlap_estimates_jaccard(spark):
+    # A = 0..599, B = 300..899 -> union 900, intersection 300, J = 1/3
+    rows = [("a", i) for i in range(600)] + [("b", i) for i in range(300, 900)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    r = sk.kmv_overlap(df, "v", "g", "a", "b", k=64).collect()[0]
+    assert r.n_merged == 64
+    assert 0.10 <= r.est_jaccard <= 0.60  # true 0.333, k=64 noise belt
+    assert 0.4 * 900 <= r.est_union <= 2.2 * 900
+    assert 0.2 * 300 <= r.est_intersection <= 3.0 * 300
+
+
+def test_kmv_overlap_disjoint_and_identical(spark):
+    rows = [("a", i) for i in range(200)] + [("b", i + 10_000) for i in range(200)]
+    r = sk.kmv_overlap(
+        spark.createDataFrame(rows, "g string, v int"), "v", "g", "a", "b", k=64
+    ).collect()[0]
+    assert r.n_both == 0 and r.est_jaccard == 0.0 and r.est_intersection == 0.0
+    same = [("a", i) for i in range(200)] + [("b", i) for i in range(200)]
+    r2 = sk.kmv_overlap(
+        spark.createDataFrame(same, "g string, v int"), "v", "g", "a", "b", k=64
+    ).collect()[0]
+    assert r2.est_jaccard == 1.0
