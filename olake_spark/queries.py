@@ -2023,6 +2023,7 @@ _GATE_TAIL = [
     "chunk_documents",
     "dup_span_stats",
     "embedding_centroid_outliers",
+    "classify_quality_hashed_bow",
 ]
 
 

@@ -4055,3 +4055,70 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     source B?) computed purely on mergeable sketch state."""
     ev = table(spark, sf_dir, "events").select("event_type", "user_id")
     return sk.kmv_overlap(ev, "user_id", "event_type", "click", "view", k=64)
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (operators/incremental_agg.py)
+# ---------------------------------------------------------------------------
+
+_HLL_NUM2 = repr(sk.HLL_ALPHA * sk.HLL_M * sk.HLL_M * float(2**sk.RHO_SCALE))
+
+_INC_ROLLUP_ORACLE = f"""
+    WITH v AS (
+      SELECT event_type, round(value * 1000000)::BIGINT AS vm, user_id
+      FROM events
+    ),
+    basic AS (
+      SELECT event_type, count(*)::BIGINT AS n, sum(vm)::BIGINT AS sum_micros,
+             min(vm) AS min_micros, max(vm) AS max_micros
+      FROM v GROUP BY 1
+    ),
+    h AS (SELECT event_type, {_SK_H} AS h FROM events),
+    r AS (SELECT event_type, h % {sk.HLL_M} AS b, h // {sk.HLL_M} AS rest FROM h),
+    rr AS (
+      SELECT event_type, b,
+             CASE WHEN rest = 0 THEN {sk.RHO_SCALE}
+                  ELSE {sk.RHO_SCALE} - length(bin(rest)) END AS rho
+      FROM r
+    ),
+    regs AS (SELECT event_type, b, max(rho) AS m FROM rr GROUP BY 1, 2),
+    gridb AS (SELECT unnest(generate_series(0, {sk.HLL_M - 1})) AS b),
+    keysd AS (SELECT DISTINCT event_type FROM regs),
+    dense AS (
+      SELECT k.event_type, g.b, coalesce(regs.m, 0) AS m
+      FROM keysd k CROSS JOIN gridb g
+      LEFT JOIN regs ON regs.event_type = k.event_type AND regs.b = g.b
+    ),
+    harm AS (
+      SELECT event_type,
+             sum((1::BIGINT << ({sk.RHO_SCALE} - m)))::BIGINT AS harmonic_scaled,
+             sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_regs
+      FROM dense GROUP BY 1
+    )
+    SELECT b.event_type, n, sum_micros, min_micros, max_micros,
+           harmonic_scaled, n_zero_regs,
+           round({_HLL_NUM2} / harmonic_scaled::DOUBLE, 4) AS est_distinct
+    FROM basic b JOIN harm USING (event_type)
+    """
+
+
+@register("incremental_rollup_merge", _INC_ROLLUP_ORACLE)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup refresh WITHOUT rescanning history
+    (operators/incremental_agg.py): events split disjointly (event_id %
+    5), each half builds its own mergeable per-key state (count / exact
+    micro-unit sum / min / max / HLL registers), the two states MERGE
+    (sums + element-wise register max) and finalize. The oracle is the
+    FULL recompute over all events - so the gate itself proves
+    merge(state(A), state(B)) == state(A | B), the associativity
+    contract a 1000-partition ingestion rollup rests on."""
+    from olake_spark.operators import incremental_agg as ia
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value", "user_id",
+                                               "event_id")
+    old = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    s_old = ia.agg_state(old, ["event_type"], "value", "user_id")
+    s_new = ia.agg_state(delta, ["event_type"], "value", "user_id")
+    merged = ia.agg_state_merge(s_old.unionByName(s_new), ["event_type"])
+    return ia.agg_finalize(merged, ["event_type"])
