@@ -218,7 +218,25 @@ def bpe_train_merges(
             .orderBy(F.col("cnt").desc(), "a", "b")
             .limit(1)
         )
-        winners.append(best.select(F.lit(i).alias("rank"), "a", "b", "cnt"))
+        # lazy loud guard: a global agg ALWAYS yields one row, so if the
+        # corpus ran out of adjacent pairs before n_merges iterations the
+        # assert fires at action time instead of the crossJoin silently
+        # emptying `states` and truncating the merge table
+        checked = best.groupBy().agg(
+            F.count(F.lit(1)).alias("_nb"),
+            F.first("a").alias("a"),
+            F.first("b").alias("b"),
+            F.first("cnt").alias("cnt"),
+        ).filter(
+            F.assert_true(
+                F.col("_nb") > 0,
+                F.lit(
+                    f"bpe_train_merges: corpus exhausted before merge {i} "
+                    "(no adjacent pairs left) — lower n_merges"
+                ),
+            ).isNull()
+        )
+        winners.append(checked.select(F.lit(i).alias("rank"), "a", "b", "cnt"))
         pat = F.concat(
             F.lit(SEP), F.col("_wa"), F.lit(SEP + SEP), F.col("_wb"), F.lit(SEP)
         )
@@ -226,7 +244,9 @@ def bpe_train_merges(
         states = (
             states.crossJoin(
                 F.broadcast(
-                    best.select(F.col("a").alias("_wa"), F.col("b").alias("_wb"))
+                    checked.select(
+                        F.col("a").alias("_wa"), F.col("b").alias("_wb")
+                    )
                 )
             )
             .select(F.replace(F.col("state"), pat, rep).alias("state"), "wt")

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from olake_spark.operators.joins import ns_eq_join
 from olake_spark.operators.sketches import HLL_M, HLL_ALPHA, RHO_SCALE, _h60
 
 __all__ = ["agg_state", "agg_state_merge", "agg_finalize"]
@@ -69,7 +70,9 @@ def agg_state(
         .distinct()
         .select(*keys, F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("_b"))
     )
-    dense = grid.join(regs, [*keys, "_b"], "left").select(
+    # null-safe joins throughout: a NULL group key is a real group and
+    # must survive into (and merge within) the persisted rollup state
+    dense = ns_eq_join(grid, regs, list(keys), ["_b"], "left").select(
         *keys, "_b", F.coalesce(F.col("_m"), F.lit(0)).alias("_m")
     )
     packed = dense.groupBy(*keys).agg(
@@ -78,7 +81,7 @@ def agg_state(
             lambda x: x["_m"],
         ).alias("hll_regs")
     )
-    return basic.join(packed, list(keys))
+    return ns_eq_join(basic, packed, list(keys))
 
 
 def agg_state_merge(states: DataFrame, keys: list[str]) -> DataFrame:
@@ -104,7 +107,7 @@ def agg_state_merge(states: DataFrame, keys: list[str]) -> DataFrame:
             ).alias("hll_regs")
         )
     )
-    return basic.join(regs, list(keys))
+    return ns_eq_join(basic, regs, list(keys))
 
 
 def agg_finalize(state: DataFrame, keys: list[str]) -> DataFrame:

@@ -24,7 +24,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "ns_eq_join"]
+
+
+def ns_eq_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    extra: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """NULL-safe equi-join: ``keys`` compare with ``<=>`` so a NULL group
+    key matches its NULL counterpart instead of silently dropping the
+    group (the classic rollup-state data-loss bug); ``extra`` columns
+    join with plain ``=`` (known non-null, e.g. a dense grid ordinal).
+
+    Catalyst extracts ``EqualNullSafe`` as an equi-join key, so this
+    still plans as a shuffled hash / sort-merge join — never a
+    nested-loop — and costs the same as the unsafe form at 100 TB.
+    Output carries the LEFT side's key columns once, plus both sides'
+    non-key columns."""
+    extra = list(extra or [])
+    lhs, rhs = left.alias("_nsl"), right.alias("_nsr")
+    cond = None
+    for k in keys:
+        c = F.col(f"_nsl.{k}").eqNullSafe(F.col(f"_nsr.{k}"))
+        cond = c if cond is None else cond & c
+    for k in extra:
+        c = F.col(f"_nsl.{k}") == F.col(f"_nsr.{k}")
+        cond = c if cond is None else cond & c
+    dropped = set(keys) | set(extra)
+    out = [F.col(f"_nsl.{c}") for c in left.columns] + [
+        F.col(f"_nsr.{c}") for c in right.columns if c not in dropped
+    ]
+    return lhs.join(rhs, cond, how).select(*out)
 
 
 def asof_join(

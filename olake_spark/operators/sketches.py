@@ -143,7 +143,11 @@ def hll_sketch(df: DataFrame, value_col: str, keys: list[str]) -> DataFrame:
         .distinct()
         .select(*keys, F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("_b"))
     )
-    dense = grid.join(regs, [*keys, "_b"], "left").select(
+    # null-safe grid join: a NULL group key would otherwise match nothing
+    # and report a fixed bogus all-zero-register estimate
+    from olake_spark.operators.joins import ns_eq_join
+
+    dense = ns_eq_join(grid, regs, list(keys), ["_b"], "left").select(
         *keys, "_b", F.coalesce(F.col("_m"), F.lit(0)).alias("_m")
     )
     numerator = HLL_ALPHA * HLL_M * HLL_M * float(2**RHO_SCALE)

@@ -18,8 +18,9 @@ Scale: steps 2-5 all hash-partition by the same keys, so AQE coalesces
 them onto one exchange; a key with a pathological span (years of gap at
 1-second step) bounds its own grid rows, and the window in step 5 is
 per-key sequential — skew is bounded by the widest key span, not by data
-volume. Values carried by LOCF are pre-rounded aggregates, so the fill is
-bit-exact and order-free (oracle-reproducible in DuckDB).
+volume. Values carried by LOCF are exact micro-unit BIGINT sums divided
+late, so the fill is bit-exact and partition-order-free
+(oracle-reproducible in DuckDB).
 """
 
 from __future__ import annotations
@@ -28,9 +29,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from olake_spark.operators.joins import ns_eq_join
 from olake_spark.operators.sessions import _gap_seconds
 
 __all__ = ["bucketize", "gapfill_locf"]
+
+_MICROS = 1_000_000
 
 
 def bucketize(
@@ -40,7 +44,10 @@ def bucketize(
     value_col: str,
     step: str = "1 hour",
 ) -> DataFrame:
-    """Per-(key, bucket) count + rounded sum on a fixed-step grid."""
+    """Per-(key, bucket) count + exact micro-unit sum on a fixed-step
+    grid. The sum is over round(value*10^6) BIGINTs (the incremental_agg
+    pattern) — a raw double sum would be partition-order-dependent and
+    could flip a rounding boundary between runs/engines."""
     step_us = int(_gap_seconds(step) * 1_000_000)
     return (
         df.withColumn(
@@ -49,7 +56,9 @@ def bucketize(
         .groupBy(*keys, "_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 4).alias("_v"),
+            F.sum(
+                F.round(F.col(value_col) * _MICROS).cast("long")
+            ).alias("_v_micros"),
         )
     )
 
@@ -75,7 +84,9 @@ def gapfill_locf(
     grid = span.select(
         *keys, F.explode(F.sequence("_mn", "_mx")).alias("_bucket")
     )
-    j = grid.join(per, [*keys, "_bucket"], "left")
+    # null-safe join: a NULL-key group's buckets would otherwise all
+    # report n_events=0 / filled=true despite real data
+    j = ns_eq_join(grid, per, list(keys), ["_bucket"], "left")
     w = (
         W.partitionBy(*keys)
         .orderBy("_bucket")
@@ -85,6 +96,9 @@ def gapfill_locf(
         *keys,
         (F.col("_bucket") * F.lit(step_us // 1000)).alias("bucket_start_ms"),
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
-        F.last("_v", ignorenulls=True).over(w).alias("sum_value"),
+        F.round(
+            F.last("_v_micros", ignorenulls=True).over(w) / F.lit(float(_MICROS)),
+            4,
+        ).alias("sum_value"),
         F.col("n_events").isNull().alias("filled"),
     )

@@ -724,20 +724,21 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAPFILL_ORACLE = """
 WITH b AS (
   SELECT user_id, (epoch_us(ts) // 3600000000) AS bucket,
-         count(*) AS n_events, round(sum(value), 4) AS v
+         count(*) AS n_events,
+         sum(round(value * 1000000)::BIGINT) AS vmic
   FROM events GROUP BY 1, 2
 ),
 span AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1),
 grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bucket FROM span),
 j AS (
-  SELECT g.user_id, g.bucket, b.n_events, b.v
+  SELECT g.user_id, g.bucket, b.n_events, b.vmic
   FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
 )
 SELECT user_id, bucket * 3600000 AS bucket_start_ms,
        coalesce(n_events, 0) AS n_events,
-       last_value(v IGNORE NULLS) OVER (
+       round(last_value(vmic IGNORE NULLS) OVER (
          PARTITION BY user_id ORDER BY bucket
-         ROWS UNBOUNDED PRECEDING) AS sum_value,
+         ROWS UNBOUNDED PRECEDING) / 1000000, 4) AS sum_value,
        (n_events IS NULL) AS filled
 FROM j
 """

@@ -181,3 +181,16 @@ def test_pretokenizer_cross_engine_parity_on_nasty_whitespace(spark):
     )
     assert wrapped == "".join(SEP + c + SEP for c in "a\u2028b")
     assert encode_word("a\u2028b", []) == ["a", "\u2028", "b"]
+
+
+def test_bpe_train_exhausted_corpus_raises_loudly(spark):
+    # regression (r5 ADVICE): asking for more merges than the corpus has
+    # adjacent pairs must raise at action time, not silently truncate
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from olake_spark.operators.bpe import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id int, text string")
+    with pytest.raises(Exception, match="exhausted"):
+        bpe_train_merges(df, n_merges=4).collect()

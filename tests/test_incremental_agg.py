@@ -65,3 +65,21 @@ def test_overlapping_distinct_values_dont_double_count(spark):
 def test_merge_single_state_is_identity(spark):
     s = ia.agg_state(_df(spark, 0, 150), KEYS, "value", "uid")
     assert _state_rows(ia.agg_state_merge(s, KEYS)) == _state_rows(s)
+
+
+def test_null_group_key_survives_state_and_merge(spark):
+    # regression (r5 ADVICE): agg_state/agg_state_merge joins must be
+    # null-safe — a NULL-key group was silently dropped from the rollup
+    df = spark.createDataFrame(
+        [(None, 1.5, 1), (None, 2.5, 2), ("a", 1.0, 3)],
+        "g string, value double, uid int",
+    )
+    s = ia.agg_state(df, ["g"], "value", "uid")
+    rows = {r.g: r for r in s.collect()}
+    assert set(rows) == {None, "a"}
+    assert rows[None].n == 2 and rows[None].sum_micros == 4_000_000
+    merged = ia.agg_state_merge(s.unionByName(s), ["g"])
+    m = {r.g: r for r in merged.collect()}
+    assert m[None].n == 4 and m[None].sum_micros == 8_000_000
+    fin = {r.g: r for r in ia.agg_finalize(merged, ["g"]).collect()}
+    assert fin[None].est_distinct > 0

@@ -88,3 +88,16 @@ def test_kmv_overlap_disjoint_and_identical(spark):
         spark.createDataFrame(same, "g string, v int"), "v", "g", "a", "b", k=64
     ).collect()[0]
     assert r2.est_jaccard == 1.0
+
+
+def test_hll_null_group_key_gets_real_estimate(spark):
+    # regression: the dense-grid join must be null-safe — a NULL group's
+    # registers previously all coalesced to 0 (bogus fixed estimate)
+    df = spark.createDataFrame(
+        [(None, i) for i in range(500)] + [("a", i % 5) for i in range(50)],
+        "g string, v int",
+    )
+    out = {r.g: r for r in sk.hll_sketch(df, "v", ["g"]).collect()}
+    assert set(out) == {None, "a"}
+    assert out[None].n_zero_regs < sk.HLL_M  # registers actually populated
+    assert 0.3 * 500 <= out[None].est_distinct <= 3.0 * 500

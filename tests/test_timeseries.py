@@ -51,3 +51,19 @@ def test_gapfill_partition_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_gapfill_null_group_key_keeps_real_data(spark):
+    # regression: grid join must be null-safe — a NULL-key group's buckets
+    # previously all reported n_events=0 / filled=true despite real data
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [(None, t0, 1.0), (None, t0 + dt.timedelta(hours=2), 2.0)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    out = sorted(
+        gapfill_locf(df, "ts", ["user_id"], "value").collect(),
+        key=lambda r: r.bucket_start_ms,
+    )
+    assert [r.user_id for r in out] == [None, None, None]
+    assert [r.n_events for r in out] == [1, 0, 1]
+    assert [r.filled for r in out] == [False, True, False]
+    assert [r.sum_value for r in out] == [1.0, 1.0, 2.0]
