@@ -50,6 +50,8 @@ __all__ = [
     "pq_topk",
     "ivfpq_index",
     "ivfpq_topk",
+    "ivf_residuals",
+    "ivfadc_topk",
     "sq8_stats",
     "sq8_encode",
     "sq8_topk",
@@ -144,70 +146,71 @@ def pq_train_codebooks(
     aggregate of k·d result rows); the m subspace trainings are
     independent lazy plans unioned at the end.
 
-    Cache lifecycle: each iteration's k-row codebook is cached lazily
+    All m subspaces train inside ONE lazy plan keyed on ``sub`` (the
+    per-subspace trainings are data-independent, so a single broadcast
+    join on ``sub`` + per-(vid, sub) argmin + per-(sub, code, dim) update
+    carries all of them) — m× fewer jobs and m× less plan analysis than
+    looping subspaces in Python, with bit-identical output (init per sub
+    = first k vectors by id either way).
+
+    Cache lifecycle: each iteration's m·k-row codebook is cached lazily
     (load-bearing — uncached, every downstream consumer would re-run the
     whole training); superseded iterations' caches stay registered until
     the CALLER clears them (``spark.catalog.clearCache()`` between
     trainings in a long-lived session — the same ownership contract as
-    ``incremental_minhash_dedup``). The leak is m·(iters−1) DataFrames of
-    k rows each — bytes, not gigabytes — but unbounded across sessions
+    ``incremental_minhash_dedup``). The leak is (iters−1) DataFrames of
+    m·k rows each — bytes, not gigabytes — but unbounded across sessions
     that train repeatedly without clearing."""
     sub_len = dim // m
-    parts = []
-    for j in range(m):
-        qv = _quantized(vec_col, scale)
-        sliced = corpus.select(
-            F.col(id_col).alias("_vid"),
-            F.slice(qv, j * sub_len + 1, sub_len).alias("sv"),
+    qv = _quantized(vec_col, scale)
+    sliced = corpus.select(
+        F.col(id_col).alias("_vid"), F.explode(_sub_structs(qv, m, dim)).alias("_s")
+    ).select("_vid", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
+    wk = W.partitionBy("sub").orderBy("_vid")
+    cb = (
+        sliced.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select("sub", F.col("_vid").alias("code"), F.col("sv").alias("cv"))
+    )
+    for _ in range(iters):
+        scored = sliced.join(F.broadcast(cb), "sub").select(
+            "_vid", "sub", "sv", "code", _int_sqdist("sv", "cv", sub_len).alias("_d2")
+        )
+        assigned = scored.groupBy("_vid", "sub").agg(
+            F.max_by(
+                F.struct(F.col("code").alias("c"), F.col("sv").alias("v")),
+                F.struct((-F.col("_d2")).alias("d"), (-F.col("code")).alias("t")),
+            ).alias("_b")
+        ).select("sub", F.col("_b.c").alias("code"), F.col("_b.v").alias("sv"))
+        by_dim = assigned.select(
+            "sub", "code", F.posexplode(F.col("sv")).alias("_pos", "_x")
+        )
+        sums = by_dim.groupBy("sub", "code", "_pos").agg(
+            F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n")
         )
         cb = (
-            sliced.orderBy("_vid")
-            .limit(k)
-            .select(F.col("_vid").alias("code"), F.col("sv").alias("cv"))
-        )
-        for _ in range(iters):
-            scored = sliced.crossJoin(F.broadcast(cb)).select(
-                "_vid", "sv", "code", _int_sqdist("sv", "cv", sub_len).alias("_d2")
-            )
-            assigned = scored.groupBy("_vid").agg(
-                F.max_by(
-                    F.struct(F.col("code").alias("c"), F.col("sv").alias("v")),
-                    F.struct((-F.col("_d2")).alias("d"), (-F.col("code")).alias("t")),
-                ).alias("_b")
-            ).select(F.col("_b.c").alias("code"), F.col("_b.v").alias("sv"))
-            by_dim = assigned.select(
-                "code", F.posexplode(F.col("sv")).alias("_pos", "_x")
-            )
-            sums = by_dim.groupBy("code", "_pos").agg(
-                F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n")
-            )
-            cb = (
-                sums.groupBy("code")
-                .agg(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                "_pos",
-                                F.floor(F.col("_s") / F.col("_n").cast("double"))
-                                .cast("double")
-                                .alias("_mv"),
-                            )
+            sums.groupBy("sub", "code")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "_pos",
+                            F.floor(F.col("_s") / F.col("_n").cast("double"))
+                            .cast("double")
+                            .alias("_mv"),
                         )
-                    ).alias("_pm")
-                )
-                .select(
-                    "code", F.expr("transform(_pm, s -> s._mv)").alias("cv")
-                )
-                # same load-bearing lazy cache as ivf_train_centroids: every
-                # downstream consumer (encode, LUT, next iteration) embeds
-                # this plan — uncached it re-runs the whole training
-                .cache()
+                    )
+                ).alias("_pm")
             )
-        parts.append(cb.select(F.lit(j).alias("sub"), "code", "cv"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            .select(
+                "sub", "code", F.expr("transform(_pm, s -> s._mv)").alias("cv")
+            )
+            # same load-bearing lazy cache as ivf_train_centroids: every
+            # downstream consumer (encode, LUT, next iteration) embeds
+            # this plan — uncached it re-runs the whole training
+            .cache()
+        )
+    return cb
 
 
 def pq_encode(
@@ -364,6 +367,147 @@ def ivfpq_topk(
     w = W.partitionBy("query_id").orderBy(F.col("adc_dot").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "rank",
+            F.col("adc_dot").cast("long").alias("adc_dot"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC proper (residual encoding) — FAISS's accuracy rung above raw IVF-PQ
+# ---------------------------------------------------------------------------
+#
+# Jégou et al. §IV: PQ-encode the RESIDUAL x − centroid(cell(x)) instead of
+# the raw vector. Residuals concentrate near zero, so the same m·k codebook
+# budget spends its resolution on the part of the vector the coarse
+# quantizer didn't explain — this is what makes small-m codes accurate at
+# scale. Scoring adds the centroid term back:
+#   dot(q, x̂) = dot(q, centroid_cell) + dot(q, r̂)
+# where dot(q, r̂) comes from the per-(query, cell-independent) residual
+# LUT and dot(q, centroid) is one dot per (query, probed cell). Everything
+# stays exact-integer (quantized vectors minus integral centroids), so the
+# oracle reproduces scores bit-for-bit.
+
+
+def _quantized_cent(centroids: DataFrame, scale: int, prequantized: bool) -> DataFrame:
+    """(_cell, _qc): integral centroid vectors. ``prequantized`` marks
+    centroids already in quantized units (e.g. the floor-mean of a trained
+    sum-centroid); otherwise raw centroids quantize like vectors do."""
+    qc = (
+        F.col("_cent_v").cast("array<double>")
+        if prequantized
+        else _quantized("_cent_v", scale)
+    )
+    return centroids.select(F.col("_cent_id").alias("_cell"), qc.alias("_qc"))
+
+
+def ivf_residuals(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = _DIM,
+    scale: int = _SCALE,
+    centroids_prequantized: bool = False,
+) -> DataFrame:
+    """(id, _cell, rv): each vector's coarse cell plus its exact-integer
+    residual ``floor(x·scale) − qc_cell`` — the IVFADC encode input. Train
+    ``pq_train_codebooks(…, vec_col="rv", scale=1)`` on this frame (the
+    residuals are already integral, so scale=1 passes them through).
+
+    One corpus pass for the assignment (broadcast centroids, map-side
+    argmax) and one broadcast join to subtract — the corpus shuffles once
+    on the id join, never on the centroid side."""
+    from olake_spark.operators.similarity import ivf_assign
+
+    cells = ivf_assign(
+        corpus.select(id_col, vec_col), centroids, id_col, vec_col, dim
+    ).select(id_col, "_cell")
+    qcent = _quantized_cent(centroids, scale, centroids_prequantized)
+    qx = corpus.select(F.col(id_col), _quantized(vec_col, scale).alias("_qx"))
+    return (
+        qx.join(cells, id_col)
+        .join(F.broadcast(qcent), "_cell")
+        .select(
+            id_col,
+            "_cell",
+            F.zip_with("_qx", "_qc", lambda a, b: a - b).alias("rv"),
+        )
+    )
+
+
+def ivfadc_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+    m: int = _M,
+    dim: int = _DIM,
+    scale: int = _SCALE,
+    centroids_prequantized: bool = False,
+) -> DataFrame:
+    """IVFADC pruned scan over RESIDUAL codes: per probed cell, score =
+    dot(q, centroid_cell) + Σ_sub LUT[code] where the LUT is the query's
+    dot against the residual codebooks. ``index`` is (id, _cell, sub,
+    code) with codes from residual-trained codebooks (``ivf_residuals`` →
+    ``pq_encode(vec_col="rv", scale=1)``).
+
+    Same shuffle discipline as ``ivfpq_topk``: the per-query LUT and the
+    per-(query, cell) centroid terms are tiny and broadcast; neither the
+    corpus nor the index ever shuffles. Output: (query_id, neighbor_id,
+    rank, adc_dot) with the exact-integer score, ties on neighbor id."""
+    from olake_spark.operators.similarity import ivf_assign
+
+    sub_len = dim // m
+    qcells = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        centroids, "query_id", "_qv", dim, nprobe=nprobe,
+    ).select("query_id", "_cell")
+    qv = _quantized(vec_col, scale)
+    # centroid term: one exact dot per (query, probed cell)
+    qcent = _quantized_cent(centroids, scale, centroids_prequantized)
+    cterm = (
+        queries.select(F.col(id_col).alias("query_id"), qv.alias("_q"))
+        .join(qcells, "query_id")
+        .join(F.broadcast(qcent), "_cell")
+        .select(
+            "query_id",
+            "_cell",
+            F.aggregate(
+                F.zip_with("_q", "_qc", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_ct"),
+        )
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(_sub_structs(qv, m, dim)).alias("_s")
+    ).select("query_id", F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("qsv"))
+    lut = (
+        qs.join(codebooks, "sub")
+        .select("query_id", "sub", "code", _int_dot("qsv", "cv", sub_len).alias("_pd"))
+        .join(qcells, "query_id")  # replicate the LUT per probed cell
+    )
+    scored = (
+        index.join(F.broadcast(lut), ["_cell", "sub", "code"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", "_cell", id_col)
+        .agg(F.sum("_pd").alias("_r"))
+    )
+    total = scored.join(F.broadcast(cterm), ["query_id", "_cell"]).select(
+        "query_id", id_col, (F.col("_r") + F.col("_ct")).alias("adc_dot")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dot").desc(), F.col(id_col).asc())
+    return (
+        total.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",

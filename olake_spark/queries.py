@@ -2025,6 +2025,9 @@ _GATE_TAIL = [
     "dup_span_stats",
     "embedding_centroid_outliers",
     "classify_quality_hashed_bow",
+    # r6 rotations (tools/rotate_window.py): longest-driver-green
+    # window queries out, making room for the round's new oracle queries
+    "decontaminate_semantic",
 ]
 
 

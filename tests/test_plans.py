@@ -27,6 +27,7 @@ _CROSS_OK = {
     "similarity_topk_pq_trained",  # k-means assign: broadcast-codebook scoring
     "ivf_kmeans_quantized",
     "similarity_topk_ivfpq_trained",  # trained coarse assign: broadcast centroids
+    "similarity_topk_ivfpq_residual",  # ivf_assign broadcast-centroid scoring
     "bpe_train_merges",  # per-iteration 1-row broadcast argmax cross join
     "bm25_keyword_scores",
     "audit_referential",  # 1-row agg x 1-row orphan count per relation

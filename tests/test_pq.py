@@ -246,3 +246,74 @@ def test_sq8_zero_span_dimension_codes_to_zero(spark):
     assert span_by_i[1] == 0
     codes = {(r.vec_id, r.i): r.code for r in pq.sq8_encode(df, stats).collect()}
     assert all(codes[(v, 1)] == 0 for v in range(10))
+
+
+def test_ivfadc_score_is_centroid_dot_plus_residual_adc(spark, emb):
+    """IVFADC exactness: with every cell probed, each emitted score must
+    equal dot(q, centroid_cell(n)) + sum_sub LUT[code(n, sub)] computed
+    independently from the collected artifacts — the Jegou residual
+    decomposition on exact integers."""
+    from olake_spark.operators.similarity import stride_centroids
+
+    sub = emb.filter(F.col("vec_id") < 300)
+    cents = stride_centroids(sub)
+    n_cells = cents.count()
+    res = pq.ivf_residuals(sub, cents).cache()
+    cb = pq.pq_stride_codebooks(res, vec_col="rv", scale=1)
+    codes = pq.pq_encode(res, cb, vec_col="rv", scale=1)
+    idx = codes.join(res.select("vec_id", "_cell"), "vec_id")
+    queries = sub.filter(F.col("vec_id") < 2)
+    out = pq.ivfadc_topk(queries, idx, cb, cents, k=10_000, nprobe=n_cells)
+
+    # independent reconstruction from collected artifacts
+    qq = {
+        r.vec_id: [math.floor(x * 10_000) for x in r.embedding]
+        for r in queries.collect()
+    }
+    qc = {
+        r._cent_id: [math.floor(x * 10_000) for x in r._cent_v]
+        for r in cents.collect()
+    }
+    cell_of = {r.vec_id: r._cell for r in res.select("vec_id", "_cell").collect()}
+    cv = {(r.sub, r.code): r.cv for r in cb.collect()}
+    code_of = {}
+    for r in codes.collect():
+        code_of.setdefault(r.vec_id, {})[r.sub] = r.code
+    got = {(r.query_id, r.neighbor_id): r.adc_dot for r in out.collect()}
+    assert got, "no pairs scored"
+    for (q, n), score in got.items():
+        cell = cell_of[n]
+        expect = sum(a * b for a, b in zip(qq[q], qc[cell]))
+        for s in range(4):
+            sl = qq[q][s * 16:(s + 1) * 16]
+            expect += sum(a * b for a, b in zip(sl, cv[(s, code_of[n][s])]))
+        assert score == int(expect), (q, n)
+    res.unpersist()
+
+
+def test_ivfadc_pruning_contract(spark, emb):
+    """nprobe restricts neighbors to probed cells; scores are unchanged
+    by pruning (same pairs score identically at higher nprobe)."""
+    from olake_spark.operators.similarity import stride_centroids
+
+    sub = emb.filter(F.col("vec_id") < 300)
+    cents = stride_centroids(sub)
+    n_cells = cents.count()
+    res = pq.ivf_residuals(sub, cents).cache()
+    cb = pq.pq_stride_codebooks(res, vec_col="rv", scale=1)
+    codes = pq.pq_encode(res, cb, vec_col="rv", scale=1)
+    idx = codes.join(res.select("vec_id", "_cell"), "vec_id")
+    queries = sub.filter(F.col("vec_id") < 2)
+    out1 = {
+        (r.query_id, r.neighbor_id): r.adc_dot
+        for r in pq.ivfadc_topk(queries, idx, cb, cents, k=10_000, nprobe=1).collect()
+    }
+    out_all = {
+        (r.query_id, r.neighbor_id): r.adc_dot
+        for r in pq.ivfadc_topk(
+            queries, idx, cb, cents, k=10_000, nprobe=n_cells
+        ).collect()
+    }
+    assert set(out1) <= set(out_all)
+    assert all(out_all[p] == s for p, s in out1.items())
+    res.unpersist()

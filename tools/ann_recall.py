@@ -140,6 +140,51 @@ def clustered_section(spark, n_corpus: int, k: int, n_queries: int) -> dict:
         )
         print("clustered ivf", res["ivf"][-1], flush=True)
 
+    # ---- raw-encode IVF-PQ vs residual-encode IVFADC at identical m -------
+    # same coarse cells (floor-mean of the trained centroids, so both
+    # variants prune identically), same m/k codebook budget — the recall
+    # difference isolates WHAT the codes encode: raw vectors vs residuals.
+    # On clustered data residuals concentrate near zero, so the same
+    # codebook budget resolves finer (Jégou et al. §IV).
+    from olake_spark.operators import pq as pqm
+
+    cmean = cents.select(
+        "_cent_id",
+        F.transform(
+            "_cent_v",
+            lambda c: F.floor(c / F.col("_n").cast("double")).cast("double"),
+        ).alias("_cent_v"),
+    ).cache()
+    m = 4
+    cb_raw = pqm.pq_train_codebooks(emb, k=16, iters=2, m=m)
+    idx_raw = pqm.ivfpq_index(emb, cmean, cb_raw, m=m).cache()
+    idx_raw.count()
+    resid = pqm.ivf_residuals(emb, cmean, centroids_prequantized=True).cache()
+    cb_res = pqm.pq_train_codebooks(resid, vec_col="rv", k=16, iters=2, m=m, scale=1)
+    codes_res = pqm.pq_encode(resid, cb_res, vec_col="rv", m=m, scale=1)
+    idx_res = codes_res.join(resid.select("vec_id", "_cell"), "vec_id").cache()
+    idx_res.count()
+    res["ivfpq_vs_ivfadc"] = []
+    for nprobe in (1, 2, 4):
+        raw_rec = recall_at_k(
+            exact,
+            pqm.ivfpq_topk(queries, idx_raw, cb_raw, cmean, k=k, nprobe=nprobe, m=m),
+            k,
+        )
+        resid_rec = recall_at_k(
+            exact,
+            pqm.ivfadc_topk(
+                queries, idx_res, cb_res, cmean, k=k, nprobe=nprobe, m=m,
+                centroids_prequantized=True,
+            ),
+            k,
+        )
+        res["ivfpq_vs_ivfadc"].append(
+            {"m": m, "codebook_k": 16, "nprobe": nprobe,
+             "raw_recall_at_k": raw_rec, "residual_recall_at_k": resid_rec}
+        )
+        print("ivfpq_vs_ivfadc", res["ivfpq_vs_ivfadc"][-1], flush=True)
+
     ok_lsh = [c for c in res["lsh"] if c["recall_at_k"] >= 0.9]
     ok_ivf = [c for c in res["ivf"] if c["recall_at_k"] >= 0.9]
     res["recommended"] = {
