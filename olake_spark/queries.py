@@ -2028,6 +2028,7 @@ _GATE_TAIL = [
     # r6 rotations (tools/rotate_window.py): longest-driver-green
     # window queries out, making room for the round's new oracle queries
     "decontaminate_semantic",
+    "zorder_key_events",
 ]
 
 

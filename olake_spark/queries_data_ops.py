@@ -4116,6 +4116,122 @@ def webdataset_write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# end-to-end media curation pipeline (the media twin of
+# curate_incremental_pipeline): WebDataset ingest → real decode →
+# perceptual dedup → quality gate → WebDataset re-shard write plan
+# ---------------------------------------------------------------------------
+
+_MEDIA_CURATE_ORACLE = f"""
+    WITH odims AS (
+      SELECT doc_id::BIGINT AS id, 8 + (doc_id*7) % 57 AS w, 8 + (doc_id*11) % 41 AS h
+      FROM documents WHERE doc_id % 6 = 0
+    ), ob AS (
+      SELECT d.id, gy.y, gx.x,
+             CASE WHEN {_gray_sql("d.id", "(((gx.x+1)*d.w)//9)", "((gy.y*d.h)//8)")}
+                   > {_gray_sql("d.id", "((gx.x*d.w)//9)", "((gy.y*d.h)//8)")}
+                  THEN 1 ELSE 0 END AS bit
+      FROM odims d, generate_series(0, 7) gy(y), generate_series(0, 7) gx(x)
+    ), cdims AS (
+      SELECT doc_id::BIGINT AS id, 8 + (doc_id*7) % 57 AS w, 8 + (doc_id*11) % 41 AS h
+      FROM documents WHERE doc_id % 12 = 0
+    ), cb AS (
+      SELECT d.id + 100000000 AS id, gy.y, gx.x,
+             CASE WHEN {_gray_sql("d.id", "((((((gx.x+1)*32)//9))*d.w)//32)", "((((gy.y*24)//8)*d.h)//24)")}
+                   > {_gray_sql("d.id", "(((((gx.x*32)//9))*d.w)//32)", "((((gy.y*24)//8)*d.h)//24)")}
+                  THEN 1 ELSE 0 END AS bit
+      FROM cdims d, generate_series(0, 7) gy(y), generate_series(0, 7) gx(x)
+    ), allm AS (
+      SELECT o.id, o.dhash, d.w, d.h
+      FROM (SELECT id, {_DHASH_WRAP} AS dhash FROM ob GROUP BY id) o
+      JOIN odims d ON d.id = o.id
+      UNION ALL
+      SELECT id, dhash, 32 AS w, 24 AS h
+      FROM (SELECT id, {_DHASH_WRAP} AS dhash FROM cb GROUP BY id)
+    ), losers AS (
+      SELECT DISTINCT b.id FROM allm a JOIN allm b ON a.id < b.id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+    ), kept AS (
+      SELECT * FROM allm
+      WHERE id NOT IN (SELECT id FROM losers) AND w >= 16 AND h >= 16
+    ), plan AS (
+      SELECT id, dhash, w, h,
+             {_BUCKET_SQL.format(x="printf('%08d', id) || 'wds'")} AS hh,
+             printf('%08d', id) AS key, (3*w*h)::BIGINT AS sz
+      FROM kept
+    ), cum AS (
+      SELECT id, dhash, w, h, (hh % 2)::INT AS stream,
+             coalesce(sum(sz) OVER (
+               PARTITION BY hh % 2 ORDER BY hh, key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cum_before
+      FROM plan
+    )
+    SELECT id AS media_id, w::INT AS width, h::INT AS height, dhash, stream,
+           (cum_before // 8192)::BIGINT AS shard_seq,
+           (cum_before % 8192)::BIGINT AS offset_bytes
+    FROM cum
+    """
+
+
+@register("media_curation_pipeline", _MEDIA_CURATE_ORACLE)
+def media_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal curation flow composed END-TO-END as one lazy
+    plan — the media twin of curate_incremental_pipeline: real tar shards
+    carrying real BMP payloads (with planted 32×24 rescaled copies under
+    shifted ids) are ingested (sources/webdataset.py untar_media, zero
+    post-read shuffle), every payload is DECODED for real (stdlib codec),
+    dHashed, near-dup'd via the lossless 8-band Hamming join (copies lose
+    to their smaller-id originals), quality-gated on the DECODED
+    dimensions (min(w, h) ≥ 16), and the survivors are assigned to output
+    WebDataset shards by the two-level prefix-sum write planner. The
+    oracle pins the surviving sample set AND every survivor's (stream,
+    shard_seq, offset) from closed forms — interface drift between any
+    two stages fails the query."""
+    from olake_spark.operators.multimodal import (
+        extract_features,
+        image_dhash,
+        image_near_dups,
+    )
+    from olake_spark.sources.webdataset import (
+        synthesize_media_tar_shards,
+        untar_media,
+        wds_write_plan,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    orig_ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).filter(
+        F.col("media_id") % 6 == 0
+    )
+    copy_ids = orig_ids.filter(F.col("media_id") % 12 == 0).select(
+        (F.col("media_id") + F.lit(100_000_000)).alias("media_id")
+    )
+    shards = synthesize_media_tar_shards(orig_ids.unionByName(copy_ids))
+    media = untar_media(shards)
+    feats = extract_features(media)
+    hashes = image_dhash(media)
+    losers = image_near_dups(hashes, max_hamming=6).select(
+        F.col("id_b").alias("media_id")
+    ).distinct()
+    kept = (
+        hashes.join(losers, "media_id", "left_anti")
+        .join(feats.select("media_id", "width", "height"), "media_id")
+        .filter((F.col("width") >= 16) & (F.col("height") >= 16))
+    )
+    plan = wds_write_plan(
+        kept.select(
+            "media_id", "dhash", "width", "height",
+            F.format_string("%08d", F.col("media_id")).alias("_key"),
+            (3 * F.col("width") * F.col("height")).cast("long").alias("_sz"),
+        ),
+        "_key", "_sz", shard_bytes=8192, n_streams=2,
+    )
+    return plan.select(
+        "media_id", "width", "height", "dhash", "stream", "shard_seq",
+        "offset_bytes",
+    )
+
+
+# ---------------------------------------------------------------------------
 # KMV set-overlap estimate (operators/sketches.py kmv_overlap)
 # ---------------------------------------------------------------------------
 

@@ -35,8 +35,11 @@ __all__ = [
     "SHARD_SCHEMA",
     "MEMBER_SCHEMA",
     "SAMPLE_SCHEMA",
+    "MEDIA_MEMBER_SCHEMA",
     "synthesize_tar_shards",
+    "synthesize_media_tar_shards",
     "untar_members",
+    "untar_media",
     "group_samples",
     "synth_member_text",
     "WRITE_SHARD_SCHEMA",
@@ -129,6 +132,121 @@ def synthesize_tar_shards(
             )
 
     return grouped.mapInPandas(kernel, SHARD_SCHEMA)
+
+
+# media tar fixtures: copy ids ≥ this base are NN-resized re-encodes of
+# their (id − base) original — the planted near-duplicates the perceptual
+# dedup stage of the media curation pipeline must find and drop
+MEDIA_COPY_BASE = 100_000_000
+
+MEDIA_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("media_id", T.LongType(), True),  # NULL = corrupt shard
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def synthesize_media_tar_shards(
+    ids: DataFrame, id_col: str = "media_id", docs_per_shard: int = 8
+) -> DataFrame:
+    """Real image-bearing tar shards: one ``{id:08d}.bmp`` member per id,
+    encoded with the real codec from the shared pixel closed form
+    (operators/multimodal.py synth_pixels). Ids at or above
+    ``MEDIA_COPY_BASE`` pack the 32×24 NN-resized re-encode of their base
+    image — planted rescaled near-duplicates whose bytes are still a pure
+    function of the member id, so the SQL oracle reproduces everything
+    downstream from closed forms. Same one-shuffle shape as
+    ``synthesize_tar_shards``."""
+    from olake_spark.functions import imagecodec as ic
+    from olake_spark.operators.multimodal import synth_dims, synth_pixels
+
+    def _member_bytes(mid: int) -> bytes:
+        if mid >= MEDIA_COPY_BASE:
+            base = mid - MEDIA_COPY_BASE
+            w, h = synth_dims(base)
+            arr = synth_pixels(base, w, h)
+            import numpy as np
+
+            ys = (np.arange(24, dtype=np.int64) * h) // 24
+            xs = (np.arange(32, dtype=np.int64) * w) // 32
+            arr = arr[np.ix_(ys, xs)]
+        else:
+            w, h = synth_dims(mid)
+            arr = synth_pixels(mid, w, h)
+        return ic.encode_bmp(arr)
+
+    grouped = (
+        ids.select(
+            F.expr(f"CAST({id_col} AS BIGINT) DIV {int(docs_per_shard)}").alias(
+                "shard_id"
+            ),
+            F.col(id_col).cast("long").alias("_id"),
+        )
+        .groupBy("shard_id")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, mids in zip(pdf["shard_id"], pdf["_ids"]):
+                buf = io.BytesIO()
+                with tarfile.open(
+                    fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+                ) as tf:
+                    for mid in (int(m) for m in mids):
+                        body = _member_bytes(mid)
+                        info = tarfile.TarInfo(name=f"{mid:08d}.bmp")
+                        info.size = len(body)
+                        info.mtime = 0
+                        tf.addfile(info, io.BytesIO(body))
+                rows.append((int(sid), buf.getvalue(), len(mids)))
+            yield pd.DataFrame(
+                rows, columns=["shard_id", "payload", "n_members"], dtype=object
+            )
+
+    return grouped.mapInPandas(kernel, SHARD_SCHEMA)
+
+
+def untar_media(shards: DataFrame) -> DataFrame:
+    """Tar walk that KEEPS member bodies for image members (.bmp/.png):
+    one row per media member, key parsed back to the numeric media id —
+    the ingest half of the media curation pipeline. Non-media members are
+    skipped; a corrupt shard surfaces exactly one NULL row (the same
+    poison contract as ``untar_members``). No shuffle — members stay in
+    their shard's partition and feed the decode kernels directly."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, p in zip(pdf["shard_id"], pdf["payload"]):
+                sid = int(sid)
+                if p is None:
+                    rows.append((sid, None, None))
+                    continue
+                shard_rows = []
+                try:
+                    for name, body in _walk(bytes(p)):
+                        key, _, ext = name.rpartition(".")
+                        if ext not in ("bmp", "png"):
+                            continue
+                        try:
+                            mid = int(key)
+                        except ValueError:
+                            mid = None  # malformed key: loud NULL id, body kept
+                        shard_rows.append((sid, mid, body))
+                except (tarfile.TarError, OSError, EOFError):
+                    shard_rows = [(sid, None, None)]
+                rows.extend(shard_rows)
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in MEDIA_MEMBER_SCHEMA.fields],
+                dtype=object,
+            )
+
+    return shards.mapInPandas(kernel, MEDIA_MEMBER_SCHEMA)
 
 
 def _walk(payload: bytes):

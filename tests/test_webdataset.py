@@ -156,3 +156,49 @@ def test_build_shards_roundtrip_through_ingest(spark):
     again = {(r.stream, r.shard_seq): bytes(r.payload) for r in
              wds.wds_build_shards(plan, "doc_id", "payload").collect()}
     assert {(r.stream, r.shard_seq): bytes(r.payload) for r in built} == again
+
+
+def test_media_tar_roundtrip_planted_copy_decodes(spark):
+    """synthesize_media_tar_shards packs real BMPs (copies = 32x24 NN
+    resizes of their base); untar_media hands back decodable payloads
+    whose pixels match the direct synthesis path."""
+    from olake_spark.functions import imagecodec as ic
+    from olake_spark.operators.multimodal import synth_dims, synth_pixels
+    from olake_spark.sources.webdataset import (
+        MEDIA_COPY_BASE,
+        synthesize_media_tar_shards,
+        untar_media,
+    )
+
+    ids = spark.createDataFrame(
+        [(6,), (12,), (12 + MEDIA_COPY_BASE,)], "media_id long"
+    )
+    out = {
+        int(r.media_id): bytes(r.payload)
+        for r in untar_media(synthesize_media_tar_shards(ids)).collect()
+    }
+    assert set(out) == {6, 12, 12 + MEDIA_COPY_BASE}
+    import numpy as np
+
+    for mid in (6, 12):
+        w, h = synth_dims(mid)
+        assert np.array_equal(ic.decode_image(out[mid]), synth_pixels(mid, w, h))
+    w, h = synth_dims(12)
+    arr = synth_pixels(12, w, h)
+    ys = (np.arange(24, dtype=np.int64) * h) // 24
+    xs = (np.arange(32, dtype=np.int64) * w) // 32
+    assert np.array_equal(
+        ic.decode_image(out[12 + MEDIA_COPY_BASE]), arr[np.ix_(ys, xs)]
+    )
+
+
+def test_untar_media_corrupt_shard_poisons(spark):
+    from olake_spark.sources.webdataset import untar_media
+
+    shards = spark.createDataFrame(
+        [(0, bytearray(b"not a tar at all" * 40), 1)],
+        "shard_id long, payload binary, n_members int",
+    )
+    rows = untar_media(shards).collect()
+    assert len(rows) == 1
+    assert rows[0].media_id is None and rows[0].payload is None
