@@ -363,15 +363,23 @@ def wds_write_plan(
 ) -> DataFrame:
     """Deterministic WebDataset shard assignment — the WRITE planner.
 
-    Samples hash into ``n_streams`` writer streams (the parallelism unit),
-    are laid head-to-tail per stream in (hash, key) order, and a new shard
-    starts every ``shard_bytes`` of payload: shard = exclusive-prefix-sum
-    // shard_bytes — a sample is never split, so shards may overrun by at
-    most one sample (the WebDataset convention). The same two-level
-    prefix-sum dataflow as pack_offsets: one shuffle on the stream, one
-    window per stream, no global sort, no driver state. Fully
-    SQL-expressible, so the oracle pins every (stream, shard_seq,
-    offset_bytes) assignment.
+    Samples hash into ``n_streams`` writer streams, are laid head-to-tail
+    per stream in (hash, key) order, and a new shard starts every
+    ``shard_bytes`` of payload: shard = exclusive-prefix-sum //
+    shard_bytes — a sample is never split, so shards may overrun by at
+    most one sample (the WebDataset convention). Fully SQL-expressible,
+    so the oracle pins every (stream, shard_seq, offset_bytes).
+
+    The prefix sum is computed DISTRIBUTED (the ``length_buckets`` idiom)
+    — a bare per-stream window would serialize each stream and cap
+    parallelism at ``n_streams``: range-repartition on the
+    (stream, hash, key) total order, exclusive-sum locally inside each
+    physical partition, then add per-(stream, partition) totals
+    prefix-summed over a partition-count-sized frame and broadcast back.
+    The result is independent of where the range boundaries fall because
+    (stream, hash, key) is a total order; parallelism =
+    ``spark.sql.shuffle.partitions``, not ``n_streams``. Keys must be
+    unique and non-null (they are the order tiebreak and join identity).
 
     Adds: ``stream``, ``shard_seq``, ``offset_bytes``, and ``_wds_h``
     (the intra-stream order key ``wds_build_shards`` sorts by)."""
@@ -384,17 +392,34 @@ def wds_write_plan(
     out = df.withColumn("_wds_h", h).withColumn(
         "stream", F.pmod(F.col("_wds_h"), F.lit(n_streams)).cast("int")
     )
-    w = (
-        W.partitionBy("stream")
+    part = out.repartitionByRange(
+        F.col("stream").asc(), F.col("_wds_h").asc(), F.col(key_col).asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    sizes = part.groupBy("stream", "_pid").agg(
+        F.sum(F.col(size_col)).cast("long").alias("_psz")
+    )
+    # windows over `sizes` touch one row per PARTITION — driver-tiny
+    w_prev = (
+        W.partitionBy("stream").orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "stream",
+        "_pid",
+        F.coalesce(F.sum("_psz").over(w_prev), F.lit(0)).cast("long").alias("_off"),
+    )
+    w_local = (
+        W.partitionBy("stream", "_pid")
         .orderBy(F.col("_wds_h"), F.col(key_col))
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    cum = F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0)).cast("long")
+    local = F.coalesce(F.sum(F.col(size_col)).over(w_local), F.lit(0)).cast("long")
     return (
-        out.withColumn("_wds_cum", cum)
+        part.withColumn("_lcum", local)
+        .join(F.broadcast(offs), ["stream", "_pid"])
+        .withColumn("_wds_cum", F.col("_lcum") + F.col("_off"))
         .withColumn("shard_seq", F.expr(f"_wds_cum div {int(shard_bytes)}"))
         .withColumn("offset_bytes", F.col("_wds_cum") % shard_bytes)
-        .drop("_wds_cum")
+        .drop("_wds_cum", "_lcum", "_pid")
     )
 
 

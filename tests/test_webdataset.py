@@ -202,3 +202,36 @@ def test_untar_media_corrupt_shard_poisons(spark):
     rows = untar_media(shards).collect()
     assert len(rows) == 1
     assert rows[0].media_id is None and rows[0].payload is None
+
+
+def test_write_plan_prefix_sum_is_distributed(spark):
+    """The write plan's exchange must be a RANGE partitioning over the
+    (stream, hash, key) total order — the two-level prefix sum replaced
+    the per-stream serialized window (r5 verdict #5) — and offsets must
+    equal the serial per-stream reference regardless of where the range
+    boundaries fall."""
+    from olake_spark.sources.webdataset import wds_write_plan
+
+    docs = spark.range(2000).select(
+        F.col("id").cast("string").alias("k"),
+        (F.col("id") % 50 + 1).cast("long").alias("sz"),
+    )
+    plan = wds_write_plan(docs, "k", "sz", shard_bytes=256, n_streams=2)
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(stream" in phys
+    # the big-table window runs per (stream, physical partition), never a
+    # bare per-stream window over the full data
+    assert "_pid" in phys
+
+    rows = plan.select("k", "sz", "_wds_h", "stream", "shard_seq",
+                       "offset_bytes").collect()
+    by_stream = {}
+    for r in rows:
+        by_stream.setdefault(r.stream, []).append(r)
+    assert len(by_stream) == 2
+    for st, rs in by_stream.items():
+        rs.sort(key=lambda r: (r._wds_h, r.k))
+        cum = 0
+        for r in rs:
+            assert (r.shard_seq, r.offset_bytes) == (cum // 256, cum % 256), r
+            cum += r.sz
