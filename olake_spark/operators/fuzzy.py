@@ -26,7 +26,139 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["qgram_set", "fuzzy_join"]
+__all__ = ["qgram_set", "fuzzy_join", "jaccard_join"]
+
+
+def jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float = 0.5,
+    audit: bool = True,
+) -> DataFrame:
+    """Token-set similarity SELF-join (PPJoin, Xiao et al. WWW'08): all
+    (id_a < id_b) pairs whose element sets have Jaccard ≥ ``threshold``,
+    without the cross join — the record-linkage form of prefix filtering.
+
+    Filters, all lossless for the claimed threshold:
+
+    - **prefix**: under the global (df, token) rarity order, a record of
+      size l indexes only its first ``l − ⌈t·l⌉ + 1`` tokens — two
+      t-similar sets MUST share a prefix token;
+    - **length**: ``t·max(la, lb) ≤ min(la, lb)``;
+    - **positional**: a shared prefix token at positions (pa, pb) bounds
+      the remaining overlap by ``1 + min(la−pa, lb−pb)``, which must
+      reach the required overlap ``t/(1+t)·(la+lb)``.
+
+    Float boundaries in the pruning bounds are relaxed by 1e-9 (pruning
+    slightly less never loses a match); the final verification is the
+    EXACT integer-scaled form ``o·(1+t) ≥ t·(la+lb)`` on the true
+    intersection size, so the emitted pairs equal a brute-force scan.
+
+    Plan shape at 100 TB: one agg for the token df table, one ranking
+    window per record id (parallel), an equi-join on prefix tokens (the
+    only pairwise shuffle, fan-in bounded by prefix length), distinct
+    pairs, then exact ``array_intersect`` verification on candidates
+    only. ``audit=True`` appends two constant columns — the filtered
+    candidate-pair count and the uncapped share-any-token pair count —
+    as 1-row broadcast joins, so the pruning ratio is measured in-band.
+
+    Output: (id_a, id_b, overlap, jaccard[, n_candidates,
+    n_uncapped_candidates))."""
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(F.col(set_col)).alias("_tk"),
+        )
+        .withColumn("_l", F.size("_tk"))
+        .filter(F.col("_l") > 0)
+    )
+    expl = base.select("_id", "_l", F.explode("_tk").alias("_t"))
+    df_tbl = expl.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    wpos = W.partitionBy("_id").orderBy("_df", "_t")
+    pos = expl.join(df_tbl, "_t").withColumn("_p", F.row_number().over(wpos))
+    # prefix length l − ⌈t·l⌉ + 1; the −1e-9 keeps a float ⌈⌉ at an exact
+    # integer boundary from rounding UP (which would shrink the prefix
+    # and lose matches) — relaxing DOWN only indexes one extra token
+    pref = pos.filter(
+        F.col("_p")
+        <= F.col("_l") - F.ceil(F.lit(t) * F.col("_l") - F.lit(1e-9)) + 1
+    ).select("_id", "_l", "_t", "_p")
+    a = pref.select(
+        F.col("_id").alias("id_a"), F.col("_l").alias("_la"),
+        "_t", F.col("_p").alias("_pa"),
+    )
+    b = pref.select(
+        F.col("_id").alias("id_b"), F.col("_l").alias("_lb"),
+        "_t", F.col("_p").alias("_pb"),
+    )
+    need = F.lit(t / (1.0 + t)) * (F.col("_la") + F.col("_lb")) - F.lit(1e-9)
+    cand = (
+        a.join(b, "_t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.lit(t) * F.greatest("_la", "_lb") - F.lit(1e-9)
+            <= F.least("_la", "_lb")
+        )
+        .filter(
+            F.lit(1) + F.least(
+                F.col("_la") - F.col("_pa"), F.col("_lb") - F.col("_pb")
+            )
+            >= need
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ver = (
+        cand.join(
+            base.select(
+                F.col("_id").alias("id_a"), F.col("_tk").alias("_ta"),
+                F.col("_l").alias("_la"),
+            ),
+            "id_a",
+        )
+        .join(
+            base.select(
+                F.col("_id").alias("id_b"), F.col("_tk").alias("_tb"),
+                F.col("_l").alias("_lb"),
+            ),
+            "id_b",
+        )
+        .withColumn("overlap", F.size(F.array_intersect("_ta", "_tb")))
+        # exact verification: o·(1+t) ≥ t·(la+lb) ⟺ Jaccard ≥ t
+        .filter(
+            F.col("overlap") * F.lit(1.0 + t)
+            >= F.lit(t) * (F.col("_la") + F.col("_lb"))
+        )
+    )
+    out = ver.select(
+        "id_a",
+        "id_b",
+        F.col("overlap").cast("int").alias("overlap"),
+        F.round(
+            F.col("overlap")
+            / (F.col("_la") + F.col("_lb") - F.col("overlap")),
+            6,
+        ).alias("jaccard"),
+    )
+    if not audit:
+        return out
+    n_cand = cand.groupBy().agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    uncapped = (
+        expl.select(F.col("_id").alias("_ua"), "_t")
+        .join(expl.select(F.col("_id").alias("_ub"), "_t"), "_t")
+        .filter(F.col("_ua") < F.col("_ub"))
+        .select("_ua", "_ub")
+        .distinct()
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_uncapped_candidates"))
+    )
+    return out.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(uncapped))
 
 
 def qgram_set(col, q: int = 3):

@@ -23,9 +23,18 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["sessionize", "session_stats", "stream_session_stats"]
+__all__ = [
+    "sessionize",
+    "session_stats",
+    "stream_session_stats",
+    "funnel_users",
+    "funnel_report",
+]
 
-_UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600, "hours": 3600}
+_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
 
 
 def _gap_seconds(gap: str) -> float:
@@ -103,3 +112,95 @@ def stream_session_stats(
         .awaitTermination()
     )
     return spark.table(name)
+
+
+def funnel_users(
+    df: "DataFrame",
+    user_col: str,
+    type_col: str,
+    time_col: str,
+    steps: list[str],
+    max_gap: str = "7 days",
+) -> "DataFrame":
+    """Per-user ordered funnel (first-match semantics): step i's timestamp
+    is the EARLIEST event of type ``steps[i]`` strictly after step i−1's
+    timestamp and within ``max_gap`` of it; a user stops at the first
+    step they never complete. Returns one row per user with
+    ``step{i}_us`` epoch-microsecond columns (NULL = step not reached).
+
+    One hash shuffle on the user: the k step columns are k chained Window
+    operators over the SAME partitioning (each step's min-over-condition
+    references the previous step's materialized column), so Catalyst
+    plans a single exchange followed by k window passes — no joins, no
+    per-step re-shuffle, the shape that survives a 100 TB events table.
+    """
+    from pyspark.sql import Window as W
+
+    gap_us = int(_gap_seconds(max_gap) * 1_000_000)
+    w = W.partitionBy(user_col)
+    cur = df.select(
+        user_col, type_col, F.unix_micros(F.col(time_col)).alias("_us")
+    )
+    prev = None
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = (
+                cond
+                & (F.col("_us") > F.col(prev))
+                & (F.col("_us") <= F.col(prev) + F.lit(gap_us))
+            )
+        name = f"step{i}_us"
+        cur = cur.withColumn(name, F.min(F.when(cond, F.col("_us"))).over(w))
+        prev = name
+    names = [f"step{i}_us" for i in range(len(steps))]
+    return cur.groupBy(user_col).agg(
+        *[F.max(n).alias(n) for n in names]  # per-user constants: dedup
+    )
+
+
+def funnel_report(
+    df: "DataFrame",
+    user_col: str,
+    type_col: str,
+    time_col: str,
+    steps: list[str],
+    max_gap: str = "7 days",
+) -> "DataFrame":
+    """The funnel rollup: one row per step with the user count that
+    reached it and conversion rates vs the first step and the previous
+    step (exact counts; rates = one double division rounded late, NULL
+    when the denominator is empty). Columns: (step, event_type, n_users,
+    conv_from_first, conv_from_prev)."""
+    per_user = funnel_users(df, user_col, type_col, time_col, steps, max_gap)
+    counts = per_user.groupBy().agg(
+        *[
+            F.count(f"step{i}_us").alias(f"_n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    structs = []
+    for i, s in enumerate(steps):
+        n_i = F.col(f"_n{i}")
+        first = F.when(
+            F.col("_n0") > 0,
+            F.round(n_i.cast("double") / F.col("_n0").cast("double"), 6),
+        )
+        prev = (
+            F.lit(1.0)
+            if i == 0
+            else F.when(
+                F.col(f"_n{i-1}") > 0,
+                F.round(n_i.cast("double") / F.col(f"_n{i-1}").cast("double"), 6),
+            )
+        )
+        structs.append(
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("event_type"),
+                n_i.alias("n_users"),
+                first.alias("conv_from_first"),
+                prev.alias("conv_from_prev"),
+            )
+        )
+    return counts.select(F.explode(F.array(*structs)).alias("_s")).select("_s.*")

@@ -718,6 +718,68 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ordered funnel (beyond parity): per-user A→B→C within a gap, one shuffle
+# ---------------------------------------------------------------------------
+
+_FUNNEL_GAP_US = 7 * 24 * 3600 * 1_000_000  # 7 days
+
+_FUNNEL_ORACLE = f"""
+WITH s0 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN s0 ON s0.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t
+    AND epoch_us(e.ts) <= s0.t + {_FUNNEL_GAP_US}
+  GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t
+    AND epoch_us(e.ts) <= s1.t + {_FUNNEL_GAP_US}
+  GROUP BY 1
+),
+n AS (
+  SELECT (SELECT count(*) FROM s0) AS n0,
+         (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2
+)
+SELECT 1::INT AS step, 'view' AS event_type, n0::BIGINT AS n_users,
+       CASE WHEN n0 > 0 THEN round(n0 / n0, 6) END AS conv_from_first,
+       1.0 AS conv_from_prev FROM n
+UNION ALL
+SELECT 2::INT, 'click', n1::BIGINT,
+       CASE WHEN n0 > 0 THEN round(n1 / n0, 6) END,
+       CASE WHEN n0 > 0 THEN round(n1 / n0, 6) END FROM n
+UNION ALL
+SELECT 3::INT, 'purchase', n2::BIGINT,
+       CASE WHEN n0 > 0 THEN round(n2 / n0, 6) END,
+       CASE WHEN n1 > 0 THEN round(n2 / n1, 6) END FROM n
+"""
+
+
+@register("events_funnel", _FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered funnel view→click→purchase within a 7-day
+    per-step gap, first-match semantics (operators/sessions.py
+    funnel_users/funnel_report): k chained Window passes over ONE hash
+    shuffle on user_id — each step's earliest-qualifying timestamp
+    references the previous step's materialized column, so Catalyst plans
+    a single exchange, no joins, no per-step re-shuffle. The report pins
+    exact per-step user counts and late-rounded conversion rates."""
+    from olake_spark.operators.sessions import funnel_report
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return funnel_report(
+        ev, "user_id", "event_type", "ts",
+        ["view", "click", "purchase"], max_gap="7 days",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-series gap fill (beyond parity): fixed-step resample + LOCF
 # ---------------------------------------------------------------------------
 
@@ -2029,6 +2091,8 @@ _GATE_TAIL = [
     # window queries out, making room for the round's new oracle queries
     "decontaminate_semantic",
     "zorder_key_events",
+    "html_text_extract",
+    "corpus_diff_versions",
 ]
 
 

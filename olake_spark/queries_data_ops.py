@@ -4007,6 +4007,90 @@ def fuzzy_join_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PPJoin token-set similarity self-join over 3-word shingles. The oracle
+# computes ground truth BRUTE-FORCE (all pairs, exact list_intersect) —
+# so a match proves the prefix+length+positional pruning is lossless —
+# and replicates the candidate pipeline only for the two audit counts.
+_JAC_T = 0.5
+_JAC_FRAC = repr(_JAC_T / (1.0 + _JAC_T))
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS})-2,1)+1),"
+    f" i -> array_to_string(({_TOKS})[i:i+2], ' ')))"
+)
+
+_JACCARD_JOIN_ORACLE = f"""
+    WITH b2 AS (
+      SELECT doc_id AS id, tk, len(tk) AS l FROM (
+        SELECT doc_id, {_SHINGLES} AS tk FROM documents
+      ) WHERE len(tk) > 0
+    ),
+    truth AS (
+      SELECT x.id AS id_a, y.id AS id_b,
+             len(list_intersect(x.tk, y.tk)) AS o, x.l AS la, y.l AS lb
+      FROM b2 x JOIN b2 y ON x.id < y.id
+      WHERE len(list_intersect(x.tk, y.tk)) * {1.0 + _JAC_T}
+            >= {_JAC_T} * (x.l + y.l)
+    ),
+    expl AS (SELECT id, l, unnest(tk) AS t FROM b2),
+    dftbl AS (SELECT t, count(*) AS df FROM expl GROUP BY 1),
+    pos AS (
+      SELECT e.id, e.l, e.t,
+             row_number() OVER (PARTITION BY e.id ORDER BY d.df, e.t) AS p
+      FROM expl e JOIN dftbl d ON d.t = e.t
+    ),
+    pref AS (
+      SELECT * FROM pos WHERE p <= l - ceil({_JAC_T}*l - 1e-9) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pref a JOIN pref b ON a.t = b.t AND a.id < b.id
+      WHERE {_JAC_T} * greatest(a.l, b.l) - 1e-9 <= least(a.l, b.l)
+        AND 1 + least(a.l - a.p, b.l - b.p)
+            >= {_JAC_FRAC} * (a.l + b.l) - 1e-9
+    ),
+    nc AS (SELECT count(*) AS n_candidates FROM cand),
+    nu AS (
+      SELECT count(*) AS n_uncapped_candidates FROM (
+        SELECT DISTINCT a.id, b.id
+        FROM expl a JOIN expl b ON a.t = b.t AND a.id < b.id
+      )
+    )
+    SELECT id_a, id_b, o::INT AS overlap,
+           round(o / (la + lb - o), 6) AS jaccard,
+           n_candidates::BIGINT AS n_candidates,
+           n_uncapped_candidates::BIGINT AS n_uncapped_candidates
+    FROM truth, nc, nu
+    """
+
+
+@register("fuzzy_join_jaccard", _JACCARD_JOIN_ORACLE)
+def fuzzy_join_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin token-set similarity self-join (operators/fuzzy.py
+    jaccard_join; Xiao et al. WWW'08) over 3-word shingles of the
+    documents corpus at Jaccard ≥ 0.5 — the record-linkage form users
+    reach for first. Prefix (rarest l−⌈t·l⌉+1 shingles under the global
+    df order) + length + positional filters prune candidates; exact
+    ``array_intersect`` verification on candidates only. The ORACLE's
+    pair set is brute-force ground truth, so agreement proves the
+    pruning lossless; the in-band audit columns (filtered vs
+    share-any-token candidate counts) measure the pruning ratio the
+    prefix filter exists for."""
+    from olake_spark.operators.dedup import word_ngrams
+    from olake_spark.operators.fuzzy import jaccard_join
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        word_ngrams(
+            F.split(
+                F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+                " ",
+            ),
+            3,
+        ).alias("sh"),
+    )
+    return jaccard_join(docs, "doc_id", "sh", threshold=_JAC_T)
+
+
 # ---------------------------------------------------------------------------
 # Integer PageRank (operators/graph.py): Pregel dataflow, K unrolled rounds
 # ---------------------------------------------------------------------------

@@ -89,3 +89,48 @@ def test_qgram_set_short_strings_empty(spark):
     df = spark.createDataFrame([("ab",), ("abc",), ("",)], "s string")
     rows = df.select(qgram_set(F.col("s")).alias("g")).collect()
     assert [r.g for r in rows] == [[], ["abc"], []]
+
+
+def test_jaccard_join_exact_vs_bruteforce_and_pruning(spark):
+    """jaccard_join's pairs equal a brute-force scan; the audit columns
+    show the prefix filter generated fewer candidates than share-any."""
+    from itertools import combinations
+
+    from olake_spark.operators.fuzzy import jaccard_join
+
+    sets = {
+        1: ["a", "b", "c", "d"],
+        2: ["a", "b", "c", "e"],          # J(1,2)=3/5=0.6
+        3: ["a", "x", "y", "z"],          # J(1,3)=1/7
+        4: ["b", "c", "d"],               # J(1,4)=3/4
+        5: ["p", "q"],
+        6: ["p", "q"],                    # J(5,6)=1
+        7: [],                            # empty: no pairs
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sets.items()], "id long, tk array<string>"
+    )
+    t = 0.5
+    got = {
+        (r.id_a, r.id_b): (r.overlap, r.jaccard)
+        for r in jaccard_join(df, "id", "tk", threshold=t).collect()
+    }
+    expect = {}
+    for a, b in combinations(sorted(k for k in sets if sets[k]), 2):
+        o = len(set(sets[a]) & set(sets[b]))
+        u = len(set(sets[a]) | set(sets[b]))
+        if o / u >= t:
+            expect[(a, b)] = o
+    assert {k: v[0] for k, v in got.items()} == expect
+    row = jaccard_join(df, "id", "tk", threshold=t).limit(1).collect()[0]
+    assert row.n_candidates <= row.n_uncapped_candidates
+
+
+def test_jaccard_join_threshold_validation(spark):
+    import pytest
+
+    from olake_spark.operators.fuzzy import jaccard_join
+
+    df = spark.createDataFrame([(1, ["a"])], "id long, tk array<string>")
+    with pytest.raises(ValueError):
+        jaccard_join(df, "id", "tk", threshold=0.0)

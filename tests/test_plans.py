@@ -36,6 +36,7 @@ _CROSS_OK = {
     "tfidf_top_terms",  # 1-row doc-count broadcast (lazy N for idf)
     "vocab_coverage",  # 1-row total-occurrence broadcast over <= top-k rows
     "graph_pagerank",  # 1-row node-count broadcast (lazy N for rank mass)
+    "fuzzy_join_jaccard",  # two 1-row candidate-count audit broadcasts
 }
 
 
