@@ -1,0 +1,95 @@
+"""Gate-budget guard (r5 verdict #7): the correctness gate is the round's
+iteration feedback loop, so its cost is budgeted — **no single query over
+~10 s (spark + oracle) at sf0.01, projected full gate under ~3.5 min**.
+This test FRESH-MEASURES the 5 worst queries from the recorded budget
+table (GATE_BUDGET.json, regenerated per round by tools/gate_budget.py)
+and projects the full gate from the fresh numbers plus the recorded rest
+— so gate creep is caught at commit time, not judge time.
+
+Caution (memory-documented): measurements under concurrent Spark load
+overstate badly; the assert margins leave ~1.5× headroom over the
+budget so suite-internal noise doesn't flake, while a genuinely
+budget-busting query (the old 17.8s pq oracle class) still fails."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+BUDGET_SINGLE_S = 10.0
+BUDGET_GATE_S = 210.0
+MARGIN = 1.5  # shared-suite noise headroom; the budget itself is the target
+
+
+@pytest.fixture(scope="module")
+def budget():
+    path = os.path.join(REPO, "GATE_BUDGET.json")
+    if not os.path.exists(path):
+        pytest.skip("GATE_BUDGET.json not generated yet (tools/gate_budget.py)")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def test_worst_queries_fresh_under_budget(spark, budget):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    recorded = budget["queries"]
+    # stale-name hygiene: renamed/removed queries shouldn't fail the guard
+    worst = [r["query"] for r in recorded if r["query"] in qs][:5]
+    assert worst, "budget table names don't match the registry"
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    fresh: dict[str, float] = {}
+    for name in worst:
+        # warm pass: JVM/codegen warmup is session noise, not query cost
+        # (gate_budget measures mid-session); then cold DATA via clearCache
+        qs[name](spark, SF).toPandas()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        qs[name](spark, SF).toPandas()
+        t_spark = time.time() - t0
+        t1 = time.time()
+        if name in oracles:
+            con.sql(oracles[name]).df()
+        fresh[name] = round(t_spark + (time.time() - t1), 2)
+        spark.catalog.clearCache()
+
+    over = {n: s for n, s in fresh.items() if s > BUDGET_SINGLE_S * MARGIN}
+    assert not over, (
+        f"gate budget busted: {over} (budget {BUDGET_SINGLE_S}s/query; "
+        "re-run tools/gate_budget.py on an idle machine to confirm, then "
+        "shrink the query or its oracle)"
+    )
+
+    rest = sum(
+        r["total_s"] for r in recorded if r["query"] not in fresh
+    )
+    projected = rest + sum(fresh.values())
+    assert projected < BUDGET_GATE_S * MARGIN, (
+        f"projected full gate {projected:.0f}s exceeds "
+        f"{BUDGET_GATE_S * MARGIN:.0f}s — the registry has outgrown the "
+        "gate budget; rotate heavier queries or cheapen oracles"
+    )
+
+
+def test_recorded_budget_is_clean(budget):
+    """The committed artifact itself must show zero over-budget queries
+    and a full gate under budget — regenerating it is part of the round."""
+    assert budget["over_budget"] == []
+    assert budget["gate_total_s"] < BUDGET_GATE_S
+    assert budget["budget_single_s"] == BUDGET_SINGLE_S
