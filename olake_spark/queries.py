@@ -402,6 +402,98 @@ def cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("user_id", "_op_type", "value", "ts_ms")
 
 
+_SCD2_ORACLE = f"""
+WITH changelog AS (
+  SELECT event_id, user_id, value, epoch_us(ts) AS lsn,
+         {_CDC_OP_SQL} AS op
+  FROM events
+), lagged AS (
+  SELECT *,
+         lag(op) OVER w AS prev_op,
+         lag(value) OVER w AS prev_value
+  FROM changelog
+  WINDOW w AS (PARTITION BY user_id ORDER BY lsn, event_id)
+), kept AS (
+  SELECT * FROM lagged
+  WHERE prev_op IS NULL OR op = 'd' OR prev_op = 'd'
+        OR NOT (value IS NOT DISTINCT FROM prev_value)
+), intervals AS (
+  SELECT user_id, value, op,
+         lsn AS valid_from,
+         lead(lsn) OVER (PARTITION BY user_id ORDER BY lsn, event_id) AS valid_to
+  FROM kept
+)
+SELECT user_id, value, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM intervals WHERE op <> 'd'
+"""
+
+
+@register("cdc_scd2_dimension", _SCD2_ORACLE)
+def cdc_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension history from the CDC changelog: one row per
+    VERSION of each key with half-open ``[valid_from, valid_to)`` intervals,
+    no-op updates collapsed, deletes closing the chain and re-creates
+    reopening it. The downstream-warehouse shape every consumer of the
+    reference's upsert stream re-derives — here it is one operator
+    (``operators.scd.scd2_history``): two window passes sharing a single
+    hash exchange on the key."""
+    from olake_spark.operators.scd import scd2_history
+
+    ch = _events_changelog(spark, sf_dir)
+    return scd2_history(
+        ch,
+        keys=["user_id"],
+        tracked=["value"],
+        order_cols=["lsn", "event_id"],
+    ).select("user_id", "value", "valid_from", "valid_to", "is_current")
+
+
+@register(
+    "cdc_timetravel_read",
+    f"""
+    WITH changelog AS (
+      SELECT event_id, user_id, value, epoch_us(ts) AS lsn, epoch_ms(ts) AS ts_ms,
+             {_CDC_OP_SQL} AS _op_type
+      FROM events
+    ), bounds AS (
+      SELECT min(lsn) AS lo, max(lsn) AS hi FROM changelog
+    ), ranked AS (
+      SELECT c.*, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC, event_id DESC) AS rn
+      FROM changelog c, bounds b
+      WHERE c.lsn <= b.lo + 2 * (b.hi - b.lo) // 3
+    )
+    SELECT user_id, _op_type, value, ts_ms
+    FROM ranked WHERE rn = 1 AND _op_type <> 'd'
+    """,
+)
+def cdc_timetravel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (Iceberg ``VERSION AS OF`` parity): land the
+    3-batch changelog as MOR commits v0..v2, then read **version 1** — the
+    table exactly as it stood after batch 2. Every ManagedTable commit is an
+    immutable manifest and superseded files are never vacuumed eagerly, so
+    an old snapshot is just an old manifest resolve — no data copy, same
+    read plan. Oracle replays the changelog bounded at the batch-2 cutoff."""
+    import tempfile
+
+    from olake_spark.sinks.table import ManagedTable
+    from olake_spark.streaming.replay import replay_batches
+
+    ch = _events_changelog(spark, sf_dir)
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    c1 = int(lo) + (int(hi) - int(lo)) // 3
+    c2 = int(lo) + 2 * (int(hi) - int(lo)) // 3
+    batches = [
+        ch.filter(F.col("lsn") <= c1),
+        ch.filter((F.col("lsn") > c1) & (F.col("lsn") <= c2)),
+        ch.filter(F.col("lsn") > c2),
+    ]
+    t = ManagedTable(spark, tempfile.mkdtemp(prefix="olake_tt_"))
+    replay_batches(t, batches, ["user_id"], "lsn", mor=True, order_cols=["lsn", "event_id"])
+    assert t.versions() == [0, 1, 2]
+    return t.read(version=1).select("user_id", "_op_type", "value", "ts_ms")
+
+
 # ---------------------------------------------------------------------------
 # Value reformat family (SURVEY §2.8): per-type coercions, JVM-side
 # ---------------------------------------------------------------------------
@@ -2093,6 +2185,8 @@ _GATE_TAIL = [
     "zorder_key_events",
     "html_text_extract",
     "corpus_diff_versions",
+    "length_bucket_stats",
+    "dataset_card",
 ]
 
 

@@ -166,8 +166,22 @@ class ManagedTable:
 
     # -- public API ----------------------------------------------------------
 
-    def read(self) -> DataFrame:
-        m = self._manifest()
+    def versions(self) -> list[int]:
+        """Committed manifest versions, oldest first (Iceberg snapshot ids)."""
+        return self._versions()
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Scan the table as of ``version`` (default: latest commit).
+
+        Time travel is free under the manifest design: every commit is an
+        immutable snapshot (files + schema + MOR state), so reading an older
+        version is just resolving that manifest — the same contract as
+        Iceberg's ``VERSION AS OF`` (the reference's destination keeps the
+        full snapshot chain for exactly this, destination/iceberg/iceberg.go).
+        Compaction rewrites files but commits a NEW version, so prior
+        snapshots stay readable until a retention sweep removes them.
+        """
+        m = self._manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not m["files"]:
             return self.spark.createDataFrame([], schema)
