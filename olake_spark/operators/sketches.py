@@ -32,7 +32,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_sketch", "kmv_union_estimate", "kmv_overlap", "hll_sketch"]
+__all__ = [
+    "kmv_sketch",
+    "kmv_union_estimate",
+    "kmv_overlap",
+    "hll_sketch",
+    "cms_sketch",
+    "cms_merge",
+    "cms_point_estimate",
+]
 
 HASH_BITS = 60
 HLL_M = 32  # registers (2^5); alpha_32 = 0.697 per the HLL paper
@@ -225,4 +233,91 @@ def kmv_overlap(
             * est_union,
             4,
         ).alias("est_intersection"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): mergeable frequency state
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_cell(value: F.Column, row: F.Column) -> F.Column:
+    """Row-seeded column index: the repo-wide 60-bit md5 hash of
+    ``row || '|' || value``, mod width — reproducible in ANSI SQL."""
+    return F.pmod(
+        _h60(F.concat(row.cast("string"), F.lit("|"), value.cast("string"))),
+        F.lit(CMS_WIDTH),
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Per-group count-min sketch STATE: sparse (row, cell) -> count.
+
+    The state is exact integers and merges by plain addition (union of two
+    sketches = groupBy sum of their cells), so per-partition partial
+    sketches combine associatively — the frequency twin of the KMV/HLL
+    distinct sketches above. Build order is chosen for scale: counts are
+    first collapsed per DISTINCT value (one map-side-combinable shuffle on
+    the raw key; distinct values <= rows), and only then fanned out x depth
+    into cells — the depth explosion touches the collapsed frame, never
+    the raw rows. Returns (keys..., r, c, cnt) with zero cells omitted
+    (a sparse sketch: absent cell == 0).
+    """
+    keys = list(keys or [])
+    per_val = (
+        df.select(*keys, F.col(value_col).alias("_v"))
+        .groupBy(*keys, "_v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+    cells = per_val.select(*keys, "_v", "_n", rows).select(
+        *keys,
+        "r",
+        _cms_cell(F.col("_v"), F.col("r")).alias("c"),
+        "_n",
+    )
+    return cells.groupBy(*keys, "r", "c").agg(F.sum("_n").alias("cnt"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Union of two sketches over the same (depth, width): cell-wise sum."""
+    keys = list(keys or [])
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_point_estimate(
+    state: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Frequency upper-bound estimate for each candidate value:
+    min over rows of the candidate's cell counter (the CMS guarantee:
+    est >= true count, with overestimate bounded by e*N/width w.p.
+    1 - e^-depth). Candidate set x depth joins the sparse state on
+    (r, c) — the state is sketch-sized, so Spark broadcasts it and the
+    probe never shuffles."""
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+    probes = candidates.select(F.col(value_col).alias("_v")).select(
+        "_v", rows
+    ).select("_v", "r", _cms_cell(F.col("_v"), F.col("r")).alias("c"))
+    joined = probes.join(F.broadcast(state), ["r", "c"], "left").select(
+        "_v", F.coalesce(F.col("cnt"), F.lit(0)).alias("_cell_cnt")
+    )
+    return (
+        joined.groupBy("_v")
+        .agg(F.min("_cell_cnt").alias("est_count"))
+        .select(F.col("_v").alias(value_col), "est_count")
     )

@@ -494,6 +494,48 @@ def cdc_timetravel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(version=1).select("user_id", "_op_type", "value", "ts_ms")
 
 
+_FILESKIP_ORACLE = """
+WITH src AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+), b AS (
+  SELECT min(ts_us) AS lo0, max(ts_us) AS hi0 FROM src
+)
+SELECT event_id, user_id, ts_us, value
+FROM src, b
+WHERE ts_us >= lo0 + (hi0 - lo0) * 3 // 10
+  AND ts_us <= lo0 + (hi0 - lo0) * 4 // 10
+"""
+
+
+@register("scan_fileskip_prune", _FILESKIP_ORACLE)
+def scan_fileskip_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping (Iceberg manifest-stats parity): land events
+    range-clustered on ``ts_us`` into 16 parquet files, build the per-file
+    min-max index in one scan (``operators.fileskip.minmax_index``), then
+    answer a 10%-of-timespan range query by reading ONLY the files whose
+    bounds intersect — the residual filter re-applied on the survivors.
+    Must equal the oracle's full-scan filter exactly; the builder asserts
+    real pruning happened (files_read < files_total), which holds because
+    ``repartitionByRange`` gave the files disjoint ts ranges."""
+    import tempfile
+
+    from olake_spark.operators.fileskip import minmax_index, pruned_read
+
+    src = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+    d = tempfile.mkdtemp(prefix="olake_fileskip_")
+    src.repartitionByRange(16, "ts_us").write.mode("overwrite").parquet(d)
+
+    idx = minmax_index(spark, d, ["ts_us"])
+    lo0, hi0 = src.agg(F.min("ts_us"), F.max("ts_us")).first()
+    lo = int(lo0) + (int(hi0) - int(lo0)) * 3 // 10
+    hi = int(lo0) + (int(hi0) - int(lo0)) * 4 // 10
+    out, audit = pruned_read(spark, idx, "ts_us", lo, hi)
+    assert audit["files_read"] < audit["files_total"], audit
+    return out.select("event_id", "user_id", "ts_us", "value")
+
+
 # ---------------------------------------------------------------------------
 # Value reformat family (SURVEY §2.8): per-type coercions, JVM-side
 # ---------------------------------------------------------------------------
@@ -2187,6 +2229,8 @@ _GATE_TAIL = [
     "corpus_diff_versions",
     "length_bucket_stats",
     "dataset_card",
+    "dedup_keep_canonical",
+    "split_leakage_safe_neardup",
 ]
 
 

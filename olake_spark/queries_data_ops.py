@@ -4367,6 +4367,59 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.kmv_overlap(ev, "user_id", "event_type", "click", "view", k=64)
 
 
+_CMS_CELL = (
+    "('0x' || substring(md5({r}::VARCHAR || '|' || {v}::VARCHAR),1,15))::BIGINT"
+    f" % {sk.CMS_WIDTH}"
+)
+
+_CMS_ORACLE = f"""
+    WITH rs AS (SELECT unnest(generate_series(0, {sk.CMS_DEPTH - 1})) AS r),
+    counts AS (
+      SELECT user_id, count(*)::BIGINT AS true_count FROM events GROUP BY 1
+    ),
+    cand AS (
+      SELECT user_id, true_count FROM counts
+      ORDER BY true_count DESC, user_id LIMIT 20
+    ),
+    cells AS (
+      SELECT rs.r, {_CMS_CELL.format(r="rs.r", v="e.user_id")} AS c,
+             count(*)::BIGINT AS cnt
+      FROM events e CROSS JOIN rs
+      GROUP BY 1, 2
+    )
+    SELECT cand.user_id, cand.true_count,
+           min(coalesce(cells.cnt, 0))::BIGINT AS est_count
+    FROM cand CROSS JOIN rs
+    LEFT JOIN cells ON cells.r = rs.r
+      AND cells.c = {_CMS_CELL.format(r="rs.r", v="cand.user_id")}
+    GROUP BY 1, 2
+    """
+
+
+@register("sketch_cms_heavy_hitters", _CMS_ORACLE)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency estimates
+    for the top-20 users by event volume. The sketch STATE is exact
+    integers in a sparse (row, cell) -> count relation (depth x width =
+    4 x 256 counters regardless of corpus size) and merges by plain cell
+    addition, so per-partition partials combine associatively; the probe
+    side broadcasts the sketch — never a raw-data shuffle. Estimates are
+    upper bounds (est_count >= true_count by construction), and the gate
+    pins every counter's exact value through the min-over-rows probe."""
+    ev = table(spark, sf_dir, "events").select("user_id")
+    state = sk.cms_sketch(ev, "user_id")
+    true_counts = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    est = sk.cms_point_estimate(state, true_counts, "user_id")
+    return true_counts.join(est, "user_id").select(
+        "user_id", "true_count", "est_count"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental rollup maintenance (operators/incremental_agg.py)
 # ---------------------------------------------------------------------------

@@ -101,3 +101,41 @@ def test_hll_null_group_key_gets_real_estimate(spark):
     assert set(out) == {None, "a"}
     assert out[None].n_zero_regs < sk.HLL_M  # registers actually populated
     assert 0.3 * 500 <= out[None].est_distinct <= 3.0 * 500
+
+
+def test_cms_estimate_upper_bounds_and_exact_when_sparse(spark):
+    # 50 distinct values in a 4x256 grid: collisions possible but the
+    # min-over-rows must never UNDER-estimate, and a value absent from
+    # the stream must estimate near zero (only collision mass)
+    rows = [(i % 50,) for i in range(1000)]
+    df = spark.createDataFrame(rows, "v int")
+    state = sk.cms_sketch(df, "v")
+    cand = spark.createDataFrame([(i,) for i in range(60)], "v int")
+    est = {r.v: r.est_count for r in sk.cms_point_estimate(state, cand, "v").collect()}
+    for v in range(50):
+        assert est[v] >= 20  # true count
+    for v in range(50, 60):
+        assert est[v] < 1000  # absent values see only collision mass
+
+
+def test_cms_merge_is_union(spark):
+    a = spark.createDataFrame([(i % 10,) for i in range(100)], "v int")
+    b = spark.createDataFrame([(i % 7,) for i in range(70)], "v int")
+    merged = sk.cms_merge(sk.cms_sketch(a, "v"), sk.cms_sketch(b, "v"))
+    whole = sk.cms_sketch(a.unionByName(b), "v")
+    m = {(r.r, r.c): r.cnt for r in merged.collect()}
+    w = {(r.r, r.c): r.cnt for r in whole.collect()}
+    assert m == w  # merge(state(A), state(B)) == state(A ∪ B), cell-exact
+
+
+def test_cms_per_group_keys(spark):
+    df = spark.createDataFrame(
+        [("g1", 1)] * 5 + [("g2", 1)] * 3, "g string, v int"
+    )
+    state = sk.cms_sketch(df, "v", keys=["g"])
+    by_g = {}
+    for r in state.collect():
+        by_g.setdefault(r.g, set()).add((r.r, r.c, r.cnt))
+    cells_g1 = {cnt for _, _, cnt in by_g["g1"]}
+    cells_g2 = {cnt for _, _, cnt in by_g["g2"]}
+    assert cells_g1 == {5} and cells_g2 == {3}
