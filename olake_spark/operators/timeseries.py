@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from olake_spark.operators.joins import ns_eq_join
 from olake_spark.operators.sessions import _gap_seconds
 
-__all__ = ["bucketize", "gapfill_locf"]
+__all__ = ["bucketize", "gapfill_locf", "retention_cohorts"]
 
 _MICROS = 1_000_000
 
@@ -101,4 +101,47 @@ def gapfill_locf(
             4,
         ).alias("sum_value"),
         F.col("n_events").isNull().alias("filled"),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    period_us: int = 7 * 86_400 * 1_000_000,
+) -> DataFrame:
+    """Cohort retention grid: users bucketed by first-seen period, counted
+    per (cohort, periods_since) with retention vs the cohort's size.
+
+    The analytics staple behind every "week-N retention" dashboard. Plan
+    shape: one hash shuffle on the user (first-seen min + per-(user,
+    period) distinct share it), then one map-side-combinable groupBy on
+    the tiny (cohort, delta) grid; cohort sizes come from the grid itself
+    (delta=0 row) via a broadcast self-join — raw events shuffle once.
+
+    Returns (cohort_period, periods_since, n_users, retention) where
+    ``retention`` = n_users / cohort size rounded to 6 (delta 0 row = 1.0
+    by construction; a cohort's later periods can never exceed it).
+    """
+    period = F.floor(F.unix_micros(F.col(time_col)) / F.lit(period_us)).cast("long")
+    up = df.select(F.col(user_col).alias("_u"), period.alias("_p")).distinct()
+    first = up.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    grid = (
+        up.join(first, "_u")
+        .groupBy(
+            F.col("_cohort").alias("cohort_period"),
+            (F.col("_p") - F.col("_cohort")).alias("periods_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    base = grid.filter(F.col("periods_since") == 0).select(
+        "cohort_period", F.col("n_users").alias("_cohort_size")
+    )
+    return grid.join(F.broadcast(base), "cohort_period").select(
+        "cohort_period",
+        "periods_since",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.col("_cohort_size").cast("double"), 6
+        ).alias("retention"),
     )

@@ -913,6 +913,42 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+_RETENTION_ORACLE = f"""
+WITH up AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS p FROM events
+),
+first AS (SELECT user_id, min(p) AS cohort FROM up GROUP BY 1),
+grid AS (
+  SELECT f.cohort AS cohort_period, up.p - f.cohort AS periods_since,
+         count(*)::BIGINT AS n_users
+  FROM up JOIN first f ON up.user_id = f.user_id
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT cohort_period, n_users AS cohort_size FROM grid WHERE periods_since = 0
+)
+SELECT g.cohort_period, g.periods_since, g.n_users,
+       round(g.n_users / base.cohort_size::DOUBLE, 6) AS retention
+FROM grid g JOIN base ON g.cohort_period = base.cohort_period
+"""
+
+
+@register("events_retention_cohort", _RETENTION_ORACLE)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention grid (operators/timeseries.retention_cohorts):
+    users bucketed by first-seen week, distinct-active counts per
+    (cohort, weeks_since) with late-rounded retention rates. One hash
+    shuffle on user_id feeds both the first-seen min and the per-(user,
+    week) distinct; the final grid groupBy is map-side-combinable and the
+    cohort-size self-join broadcasts — raw events never shuffle twice."""
+    from olake_spark.operators.timeseries import retention_cohorts
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    return retention_cohorts(ev, "user_id", "ts", period_us=_WEEK_US)
+
+
 # ---------------------------------------------------------------------------
 # Time-series gap fill (beyond parity): fixed-step resample + LOCF
 # ---------------------------------------------------------------------------
@@ -2231,6 +2267,9 @@ _GATE_TAIL = [
     "dataset_card",
     "dedup_keep_canonical",
     "split_leakage_safe_neardup",
+    "profile_cardinality",
+    "wal2json_decode",
+    "geo_wkb_to_wkt",
 ]
 
 

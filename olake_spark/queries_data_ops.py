@@ -4485,3 +4485,208 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_new = ia.agg_state(delta, ["event_type"], "value", "user_id")
     merged = ia.agg_state_merge(s_old.unionByName(s_new), ["event_type"])
     return ia.agg_finalize(merged, ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+from olake_spark.operators import dsir as _dsir  # noqa: E402
+
+_DSIR_H = "('0x' || substring(md5(f),1,15))::BIGINT"
+_DSIR_M = _dsir.DSIR_BUCKETS
+
+_DSIR_ORACLE = f"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, lang, unnest(toks) AS t, generate_subscripts(toks, 1) AS i
+      FROM norm
+    ),
+    feats AS (
+      SELECT doc_id, lang, 'u|' || t AS f FROM pos WHERE t <> ''
+      UNION ALL
+      SELECT a.doc_id, a.lang, 'b|' || a.t || ' ' || b.t AS f
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      WHERE a.t <> ''
+    ),
+    bucketed AS (SELECT doc_id, lang, {_DSIR_H} % {_DSIR_M} AS bucket FROM feats),
+    docb AS (
+      SELECT doc_id, bucket, count(*)::BIGINT AS cnt
+      FROM bucketed WHERE lang <> 'en' GROUP BY 1, 2
+    ),
+    rawb AS (SELECT bucket, sum(cnt)::BIGINT AS r_cnt FROM docb GROUP BY 1),
+    tgtb AS (
+      SELECT bucket, count(*)::BIGINT AS t_cnt
+      FROM bucketed WHERE lang = 'en' GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT sum(r_cnt) FROM rawb)::BIGINT AS R,
+             (SELECT coalesce(sum(t_cnt), 0) FROM tgtb)::BIGINT AS T
+    ),
+    ratio AS (
+      SELECT rawb.bucket,
+             round(ln(
+               ((coalesce(tgtb.t_cnt, 0) + 1) * (tot.R + {_DSIR_M}))::DOUBLE
+               / ((rawb.r_cnt + 1) * (tot.T + {_DSIR_M}))::DOUBLE
+             ) * 1000000, 0)::BIGINT AS lr_micros
+      FROM rawb LEFT JOIN tgtb ON rawb.bucket = tgtb.bucket CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT docb.doc_id, sum(cnt)::BIGINT AS n_features,
+             sum(cnt * lr_micros)::BIGINT AS score_micros
+      FROM docb JOIN ratio ON docb.bucket = ratio.bucket GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_features, 0)::BIGINT AS n_features,
+           coalesce(s.score_micros, 0)::BIGINT AS score_micros,
+           round(coalesce(s.score_micros, 0) / 1000000.0, 6) AS log_weight
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE lang <> 'en') d
+    LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
+
+
+@register("dsir_importance_weights", _DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. NeurIPS'23) target-likeness scores for the raw
+    pool (non-English docs) against the English target corpus: add-1
+    smoothed bag-of-hashed-ngrams likelihood ratio, summed per doc in
+    EXACT micro-unit integers (partition-order-free; the gate compares
+    the integer state, log_weight is its rounded double form). Both
+    corpus models are 1024-row tables built map-side and broadcast —
+    at 100 TB the raw pool shuffles once (per-doc feature counts) and
+    the model join never shuffles it again."""
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("lang") != "en")
+    target = docs.filter(F.col("lang") == "en")
+    return _dsir.dsir_log_weights(raw, target, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: fuzzy blocking -> CC -> survivorship (operators/entity.py)
+# ---------------------------------------------------------------------------
+
+# the slim fixture has no address column; a 32-hex md5 of the key is the
+# deterministic high-entropy stand-in (cross-entity edit distance ~27, so
+# only the engineered 1- and 2-char deletions fall under the threshold)
+_ER_RECORDS_SQL = """
+    cust AS (
+      SELECT c_custkey AS ck, c_name, md5(c_custkey::VARCHAR) AS a0, c_acctbal
+      FROM customer WHERE c_custkey < 300
+    ),
+    records AS (
+      SELECT ck*10+1 AS rid, c_name AS name, a0 AS addr, c_acctbal AS bal
+      FROM cust
+      UNION ALL
+      SELECT ck*10+2, upper(c_name),
+             substring(a0, 1, 5) || substring(a0, 7), NULL
+      FROM cust
+      UNION ALL
+      SELECT ck*10+3, c_name,
+             substring(a0, 1, 2) || substring(a0, 4, 5) || substring(a0, 10),
+             c_acctbal
+      FROM cust WHERE ck % 3 = 0
+    )
+"""
+
+_ER_ORACLE = f"""
+    WITH RECURSIVE {_ER_RECORDS_SQL},
+    pairs AS MATERIALIZED (
+      SELECT a.rid AS id_a, b.rid AS id_b
+      FROM records a JOIN records b ON a.rid < b.rid
+      WHERE abs(length(a.addr) - length(b.addr)) <= 2
+        AND levenshtein(lower(a.addr), lower(b.addr)) <= 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+      SELECT rec.rid,
+             least(rec.rid, coalesce(min(r.dst), rec.rid)) AS cluster_id
+      FROM records rec LEFT JOIN reach r ON r.src = rec.rid
+      GROUP BY rec.rid
+    ),
+    resolved AS (
+      SELECT records.*, labels.cluster_id FROM records
+      JOIN labels ON records.rid = labels.rid
+    ),
+    agg AS (
+      SELECT cluster_id, count(*)::BIGINT AS n_records,
+             min(name) AS name, max(bal) AS bal
+      FROM resolved GROUP BY 1
+    ),
+    best_addr AS (
+      SELECT cluster_id, addr FROM (
+        SELECT cluster_id, addr, row_number() OVER (
+          PARTITION BY cluster_id ORDER BY length(addr) DESC, addr ASC) AS rn
+        FROM resolved)
+      WHERE rn = 1
+    )
+    SELECT agg.cluster_id, agg.n_records, agg.name, agg.bal, best_addr.addr
+    FROM agg JOIN best_addr ON agg.cluster_id = best_addr.cluster_id
+    """
+
+
+def _er_records(spark: SparkSession, sf_dir: str):
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.md5(F.col("c_custkey").cast("string")).alias("a0"),
+            "c_acctbal",
+        )
+    )
+    r1 = cust.select(
+        (F.col("c_custkey") * 10 + 1).alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("a0").alias("addr"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    r2 = cust.select(
+        (F.col("c_custkey") * 10 + 2).alias("rid"),
+        F.upper("c_name").alias("name"),
+        F.expr("substring(a0, 1, 5) || substring(a0, 7)").alias("addr"),
+        F.lit(None).cast("double").alias("bal"),
+    )
+    r3 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") * 10 + 3).alias("rid"),
+        F.col("c_name").alias("name"),
+        F.expr(
+            "substring(a0, 1, 2) || substring(a0, 4, 5) || substring(a0, 10)"
+        ).alias("addr"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    return r1.unionByName(r2).unionByName(r3)
+
+
+@register("entity_resolution_golden", _ER_ORACLE)
+def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage end-to-end (operators/entity.py): dirty record
+    variants of each customer (deterministic 1- and 2-char address
+    deletions derived from the fixture) are matched via the LOSSLESS
+    prefix-filtered q-gram fuzzy join (never a cross join), grouped
+    transitively by connected components (r1~r2 d=1, r1~r3 d=2 chains a
+    3-record entity even where r2~r3 exceeds the threshold), and folded
+    to one golden record per entity by deterministic survivorship —
+    most-complete address, MIN name, MAX balance (NULLs lose). The
+    ORACLE brute-forces all pairs with levenshtein + a recursive
+    reachability CTE, so the gate proves the indexed path finds exactly
+    the clusters the quadratic path does."""
+    from olake_spark.operators.entity import golden_records, resolve_entities
+
+    records = _er_records(spark, sf_dir)
+    resolved = resolve_entities(records, "rid", "addr", max_dist=2)
+    return golden_records(
+        resolved, "rid", longest_cols=["addr"], min_cols=["name"], max_cols=["bal"]
+    ).select("cluster_id", "n_records", "name", "bal", "addr")

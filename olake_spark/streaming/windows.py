@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["windowed_agg", "stream_windowed_agg"]
+__all__ = ["windowed_agg", "stream_windowed_agg", "stream_event_join"]
 
 
 def _aggs(value_col: str | None) -> list[Column]:
@@ -91,3 +91,64 @@ def stream_windowed_agg(
         .awaitTermination()
     )
     return spark.table(name)
+
+
+def stream_event_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    left_schema: T.StructType,
+    right_schema: T.StructType,
+    key_col: str,
+    left_time: str,
+    right_time: str,
+    checkpoint_dir: str,
+    max_gap: str = "1 hour",
+    watermark: str = "1 hour",
+    query_name: str = "olake_stream_event_join",
+    output_dir: str | None = None,
+) -> DataFrame:
+    """Watermarked stream-stream INNER join on key + event-time interval:
+    a right event matches a left event of the same key arriving in
+    ``[left_time, left_time + max_gap]`` (the attribution-join shape:
+    click joins the view that preceded it).
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time distance, so Spark can EXPIRE buffered state once the
+    watermark passes — the state-boundedness contract that makes a
+    stream-stream join survive an unbounded run (without the interval
+    bound, both sides buffer forever). Append output mode: each matched
+    pair is emitted exactly once, when the watermark proves no earlier
+    match can still arrive. Column names must be disjoint apart from
+    ``key_col`` (standard Spark join hygiene; the key is equi-joined and
+    deduplicated in the output).
+    """
+    left = (
+        spark.readStream.schema(left_schema)
+        .parquet(left_dir)
+        .withWatermark(left_time, watermark)
+    )
+    right = (
+        spark.readStream.schema(right_schema)
+        .parquet(right_dir)
+        .withWatermark(right_time, watermark)
+    )
+    cond = (
+        (left[key_col] == right[key_col])
+        & (right[right_time] >= left[left_time])
+        & (right[right_time] <= F.expr(f"{left_time} + INTERVAL {max_gap}"))
+    )
+    joined = left.join(right, cond, "inner").drop(right[key_col])
+    writer = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    if output_dir is not None:
+        # durable sink: supports checkpoint RECOVERY, so later file drops
+        # resume the same query and emit only the new matches
+        writer.format("parquet").option("path", output_dir).start().awaitTermination()
+        return spark.read.schema(joined.schema).parquet(output_dir)
+    # memory sink: one-shot drains only (Spark refuses checkpoint recovery)
+    writer.format("memory").queryName(query_name).start().awaitTermination()
+    return spark.table(query_name)
