@@ -24,7 +24,7 @@ def emb(spark):
     return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
 
 
-def test_unrolled_dot_bit_identical_to_fold(spark, emb):
+def _check_unrolled_dot_bit_identical_to_fold(spark, emb):
     # both unrolled forms (Column chain and single-expr string) must
     # reproduce the sequential fold exactly — same IEEE op order, so not
     # "close": identical doubles
@@ -46,7 +46,7 @@ def test_unrolled_dot_bit_identical_to_fold(spark, emb):
     assert list(diff) == [0.0] * 6
 
 
-def test_arrow_sigs_match_column_sigs_default_size(spark, emb):
+def _check_arrow_sigs_match_column_sigs_default_size(spark, emb):
     tables = sim.lsh_planes()
     col_form = emb.select(
         "vec_id", F.explode(sim.lsh_bands(F.col("embedding"), tables)).alias("b")
@@ -61,7 +61,7 @@ def test_arrow_sigs_match_column_sigs_default_size(spark, emb):
     assert arrow_form.exceptAll(col_form).count() == 0
 
 
-def test_arrow_sigs_no_codegen_blowup_at_b24_L8(spark, emb):
+def _check_arrow_sigs_no_codegen_blowup_at_b24_L8(spark, emb):
     # the size the round-2 verdict flagged as codegen-blowup territory:
     # 8 tables x 24 planes x 64 dims. The Column form genuinely explodes
     # there (~37k expression nodes — JVM heap death), which is WHY the Arrow
@@ -100,7 +100,7 @@ def test_arrow_sigs_no_codegen_blowup_at_b24_L8(spark, emb):
     assert arrow_secs < 30
 
 
-def test_ivf_assign_maxby_matches_window(spark, emb):
+def _check_ivf_assign_maxby_matches_window(spark, emb):
     # the max_by aggregation form must reproduce the rank-window argmax
     # exactly (same round-9 score ordering, same centroid-id tiebreak)
     cents = sim.stride_centroids(emb)
@@ -128,12 +128,15 @@ def _window_rank1(vecs, cents):
     )
 
 
-def test_ivf_topk_accepts_persisted_index(spark, emb, tmp_path):
+def _check_ivf_topk_accepts_persisted_index(spark, emb):
+    import tempfile
+
+    tmp_path = tempfile.mkdtemp(prefix="olake_simfp_")
     # the 100 TB lifecycle: build the index once, persist it, feed it back —
     # results identical to the inline-assignment fixture path
     cents = sim.stride_centroids(emb)
     idx = sim.ivf_build_index(emb, cents)
-    path = str(tmp_path / "ivf_index")
+    path = tmp_path + "/ivf_index"
     idx.write.parquet(path)
     persisted = spark.read.parquet(path)
     queries = emb.filter(F.col("vec_id") < 5)
@@ -143,7 +146,7 @@ def test_ivf_topk_accepts_persisted_index(spark, emb, tmp_path):
     assert from_index.exceptAll(inline).count() == 0
 
 
-def test_ivf_topk_nprobe_superset_recall(spark, emb):
+def _check_ivf_topk_nprobe_superset_recall(spark, emb):
     # probing more cells can only add candidates: nprobe=2's result set per
     # query is at least as similar (first-rank sim is >= nprobe=1's)
     queries = emb.filter(F.col("vec_id") < 5)
@@ -159,7 +162,7 @@ def test_ivf_topk_nprobe_superset_recall(spark, emb):
     assert all(two[q] >= one[q] for q in one)
 
 
-def test_quantized_kmeans_deterministic_across_partitionings(spark, emb):
+def _check_quantized_kmeans_deterministic_across_partitionings(spark, emb):
     # the quantized trainer's claim: identical output under any physical
     # partitioning (the float-mean variant is last-ulp order-dependent)
     a = sim.ivf_train_centroids(emb, k=4, iters=2, quantize_scale=10_000)
@@ -195,7 +198,7 @@ def test_pair_scoring_stays_in_codegen(spark, emb, no_codegen_fallback):
     assert sim.ivf_topk(q, emb).count() > 0
 
 
-def test_prenormed_cosine_bit_identical(spark, emb):
+def _check_prenormed_cosine_bit_identical(spark, emb):
     pair = emb.select(
         F.col("embedding").alias("a"), F.reverse("embedding").alias("b")
     ).select(
@@ -208,7 +211,7 @@ def test_prenormed_cosine_bit_identical(spark, emb):
     assert diff == 0.0
 
 
-def test_lsh_index_path_identical_to_inline(spark, emb):
+def _check_lsh_index_path_identical_to_inline(spark, emb):
     """lsh_bucket_topk(index=...) — the persisted-artifact lifecycle — must
     reproduce the inline-corpus path exactly, and the index reused across
     two different query sets (the point of persisting it)."""
@@ -226,7 +229,7 @@ def test_lsh_index_path_identical_to_inline(spark, emb):
         sim.lsh_bucket_topk(q1)  # neither corpus nor index
 
 
-def test_semantic_overlap_corpus_index_identical(spark, emb):
+def _check_semantic_overlap_corpus_index_identical(spark, emb):
     """semantic_overlap(corpus_index=...): decontaminating against a new
     benchmark release from a persisted banded relation must flag exactly
     the ids the inline corpus pass flags."""
@@ -247,3 +250,18 @@ def test_semantic_overlap_corpus_index_identical(spark, emb):
         idx.unpersist()
     with pytest.raises(ValueError):
         semantic_overlap(None, bench)
+
+
+def test_fast_paths_concurrent(spark, emb):
+    """All independent fast-path parity checks, concurrently (see
+    tests/concurrency.py). The codegen-fallback check below stays
+    sequential: it flips a session conf."""
+    from concurrency import run_concurrently
+
+    checks = {
+        name[len("_check_"):]: (lambda fn=fn: fn(spark, emb))
+        for name, fn in sorted(globals().items())
+        if name.startswith("_check_") and callable(fn)
+    }
+    assert len(checks) == 10
+    run_concurrently(checks)
