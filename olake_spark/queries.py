@@ -787,6 +787,104 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Source/destination reconciliation (sync validation; the reference only
+# tracks counts — utils/logger stats — this is the row-level check)
+# ---------------------------------------------------------------------------
+
+_LI_COLS = [
+    ("l_orderkey", "BIGINT"),
+    ("l_partkey", "BIGINT"),
+    ("l_suppkey", "BIGINT"),
+    ("l_linenumber", "INTEGER"),
+    ("l_quantity", "DOUBLE"),
+    ("l_extendedprice", "DOUBLE"),
+    ("l_discount", "DOUBLE"),
+    ("l_tax", "DOUBLE"),
+    ("l_returnflag", "VARCHAR"),
+    ("l_linestatus", "VARCHAR"),
+    ("l_shipdate", "TIMESTAMP"),
+]
+
+
+def _checksum_oracle() -> str:
+    from olake_spark.operators.reconcile import fingerprint_sql
+
+    return f"""
+    SELECT CAST(floor(l_orderkey / 512) AS BIGINT) AS chunk_id,
+           count(*) AS n_rows,
+           bit_xor({fingerprint_sql(_LI_COLS)}) AS checksum
+    FROM lineitem
+    GROUP BY 1
+    """
+
+
+@register("sync_chunk_checksums", _checksum_oracle())
+def sync_chunk_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free per-PK-chunk checksums for cheap source/destination
+    comparison: one narrow codegen scan (concat_ws/md5/conv — zero
+    Python), |chunks| rows through the shuffle. The canonical row
+    rendering is engine-stable (micro-unit doubles, epoch-micros
+    timestamps, chr(30) NULL sentinel), which this oracle proves by
+    recomputing the identical 60-bit fingerprints in DuckDB."""
+    from olake_spark.operators.reconcile import chunk_checksums
+
+    li = table(spark, sf_dir, "lineitem")
+    return chunk_checksums(li, "l_orderkey", 512, [n for n, _ in _LI_COLS])
+
+
+_DIFF_ORACLE = """
+WITH dst AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT -o_orderkey AS o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 83 = 0
+)
+SELECT coalesce(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+       CASE WHEN d.o_orderkey IS NULL THEN 'removed'
+            WHEN s.o_orderkey IS NULL THEN 'added'
+            WHEN s.o_totalprice <> d.o_totalprice
+              OR s.o_orderstatus <> d.o_orderstatus THEN 'changed'
+       END AS status
+FROM orders s FULL OUTER JOIN dst d USING (o_orderkey)
+WHERE (d.o_orderkey IS NULL OR s.o_orderkey IS NULL
+       OR s.o_totalprice <> d.o_totalprice
+       OR s.o_orderstatus <> d.o_orderstatus)
+"""
+
+
+@register("sync_table_diff", _DIFF_ORACLE)
+def sync_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level drift report against a deterministically-perturbed copy
+    (dropped keys → 'removed', price bumps → 'changed', negated new keys
+    → 'added'). Both sides project to (pk, 60-bit fingerprint) map-side,
+    so the full-outer join shuffles thin tuples regardless of row width;
+    unchanged keys (the overwhelming majority) never leave the join."""
+    from olake_spark.operators.reconcile import table_diff
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    dst = o.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    ).unionByName(
+        o.where(F.col("o_orderkey") % 83 == 0).select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderstatus",
+        )
+    )
+    return table_diff(o, dst, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
 # Windowed event aggregation (beyond parity): tumbling event-time windows
 # ---------------------------------------------------------------------------
 
@@ -2270,6 +2368,8 @@ _GATE_TAIL = [
     "profile_cardinality",
     "wal2json_decode",
     "geo_wkb_to_wkt",
+    "similarity_topk_lsh_indexed",
+    "similarity_topk_ivfpq",
 ]
 
 
