@@ -1,0 +1,136 @@
+"""Time-series anomaly detection — rolling z-score + CUSUM change points.
+
+Monitoring staples for an ingestion engine (beyond parity; the reference
+stops at replication — `utils/logger/stats.go` counts rows, it never judges
+them). Both operators are single-window-pass, per-key sequential, and run
+on EXACT integer arithmetic so the anomaly/changepoint flags are
+partition-order-free and engine-reproducible (the DuckDB oracle recomputes
+them bit-for-bit).
+
+- ``rolling_zscore``: flag points whose deviation from the trailing-window
+  mean exceeds ``k`` trailing standard deviations. The test
+  ``(n·x − s)² > k²·(n·q − s²)`` is evaluated on scaled-integer
+  DECIMAL(38,0) terms — no float ever decides a flag; the reported
+  ``zscore`` is derived from the same exact integers and rounded late.
+- ``cusum_changepoints``: one-sided CUSUM drift detector. The textbook
+  recurrence ``S_i = max(0, S_{i−1} + (x_i − target) − slack)`` is not a
+  plain window aggregate, but it has a closed form over prefix sums:
+  with ``C_i = Σ_{j≤i} d_j``,  ``S_i = C_i − min(0, min_{j≤i} C_j)``.
+  Both terms are cumulative window functions — one ordered pass per key,
+  exact BIGINT throughout.
+
+Scale: one hash shuffle on the keys; within a key the window is
+sequential (bounded by the hottest key, the same skew profile as every
+sessionize/LOCF operator in this repo). All expressions are built-in
+column ops — whole-stage codegen, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["rolling_zscore", "cusum_changepoints"]
+
+_D38 = "decimal(38,0)"
+
+
+def rolling_zscore(
+    df: DataFrame,
+    time_col: str,
+    keys: list[str],
+    value_col: str,
+    window: int = 20,
+    k: int = 3,
+    min_n: int = 8,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key trailing-window z-score outlier flags.
+
+    The window is the previous ``window`` rows EXCLUDING the current one
+    (so a spike never suppresses itself), ordered by (time, value) for a
+    deterministic total order. ``scale`` must make ``value·scale`` exact
+    integers (centi-units for 2-decimal data). ``k`` is an integer number
+    of standard deviations; the flag compares
+    ``(n·x − s)² > k²·(n·q − s²)`` in DECIMAL(38,0) — exact. ``zscore``
+    = (n·x − s)/√(n·(n·q − s²)) is reported (rounded to 4) for humans;
+    the boolean is the contract.
+    """
+    v = F.round(F.col(value_col) * scale).cast("long")
+    order = [F.col(time_col).asc(), F.col(value_col).asc()]
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-window, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(v).over(w).cast(_D38)
+    q = F.sum((v * v).cast(_D38)).over(w)
+    x = v.cast(_D38)
+    nn = n.cast(_D38)
+    num = nn * x - s  # n·x − s
+    var_term = nn * q - s * s  # n·q − s²  (= n²·σ²_pop)
+    flagged = (num * num) > (F.lit(k * k).cast(_D38) * var_term)
+    z = F.when(
+        var_term > 0,
+        F.round(
+            num.cast("double")
+            / F.sqrt((nn * var_term).cast("double")),
+            4,
+        ),
+    )
+    return df.select(
+        *keys,
+        F.col(time_col),
+        F.col(value_col),
+        n.alias("n_window"),
+        z.alias("zscore"),
+        ((n >= min_n) & (var_term > 0) & flagged).alias("is_anomaly"),
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    time_col: str,
+    keys: list[str],
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+    scale: int = 100,
+) -> DataFrame:
+    """One-sided (upward) CUSUM per key, exact closed form.
+
+    ``d_i = scaled(x_i) − scaled(target) − scaled(slack)``;
+    ``S_i = C_i − min(0, running_min(C_i))`` where ``C`` is the running
+    sum of ``d`` — algebraically identical to the max(0, …) recurrence,
+    but expressible as two cumulative window aggregates. A row is an
+    ``alarm`` when ``S_i`` crosses ``threshold`` (scaled). Everything is
+    BIGINT; ``cusum`` is reported back in value units.
+    """
+    d = (
+        F.round(F.col(value_col) * scale).cast("long")
+        - F.lit(int(round(target * scale)))
+        - F.lit(int(round(slack * scale)))
+    )
+    order = [F.col(time_col).asc(), F.col(value_col).asc()]
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # two projections: a window function cannot nest inside another one
+    with_c = df.select(
+        *keys, F.col(time_col), F.col(value_col), F.sum(d).over(w).alias("_c")
+    )
+    run_min = F.least(F.lit(0).cast("long"), F.min("_c").over(w))
+    s_i = F.col("_c") - run_min
+    thr = int(round(threshold * scale))
+    return with_c.select(
+        *keys,
+        F.col(time_col),
+        F.col(value_col),
+        (s_i / F.lit(float(scale))).alias("cusum"),
+        (s_i > F.lit(thr)).alias("alarm"),
+    )

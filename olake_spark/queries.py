@@ -1089,6 +1089,94 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Anomaly detection (beyond parity): rolling z-score + CUSUM change points
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         round(value * 100)::BIGINT AS v
+  FROM events
+),
+w AS (
+  SELECT user_id, ts_us, value, v,
+    count(*) OVER win AS n,
+    sum(v::HUGEINT) OVER win AS s,
+    sum((v::HUGEINT) * (v::HUGEINT)) OVER win AS q
+  FROM e
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, value
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, ts_us, value,
+  n AS n_window,
+  CASE WHEN (n * q - s * s) > 0 THEN
+    round((n * v - s)::DOUBLE / sqrt((n * (n * q - s * s))::DOUBLE), 4)
+  END AS zscore,
+  (n >= 8 AND (n * q - s * s) > 0
+   AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s)) AS is_anomaly
+FROM w
+"""
+
+
+@register("events_rolling_zscore", _ZSCORE_ORACLE)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score outlier flags per user (operators/
+    anomaly.py rolling_zscore): the flag test (n·x − s)² > k²·(n·q − s²)
+    runs on exact DECIMAL(38,0) scaled integers, so the anomaly boolean
+    is partition-order-free and the DuckDB oracle reproduces it
+    bit-for-bit — no float ever decides a flag. One hash shuffle on
+    user_id, one ordered window pass, all codegen."""
+    from olake_spark.operators.anomaly import rolling_zscore
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+    return rolling_zscore(
+        ev, "ts_us", ["user_id"], "value", window=20, k=3, min_n=8, scale=100
+    )
+
+
+_CUSUM_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         round(value * 100)::BIGINT - 6000 - 500 AS d
+  FROM events
+),
+c AS (
+  SELECT user_id, ts_us, value, sum(d) OVER win AS cum
+  FROM e
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, value
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id, ts_us, value,
+  (cum - least(0, min(cum) OVER win)) / 100.0 AS cusum,
+  (cum - least(0, min(cum) OVER win)) > 20000 AS alarm
+FROM c
+WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, value
+               ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@register("events_cusum", _CUSUM_ORACLE)
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift alarms per user (operators/anomaly.py
+    cusum_changepoints): the max(0, S+d) recurrence is rewritten to its
+    closed form S_i = C_i − min(0, min_{j≤i} C_j) over BIGINT prefix
+    sums — two cumulative window aggregates instead of a sequential
+    Python fold, exact integers end to end. Oracle recomputes the same
+    closed form."""
+    from olake_spark.operators.anomaly import cusum_changepoints
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+    return cusum_changepoints(
+        ev, "ts_us", ["user_id"], "value",
+        target=60.0, slack=5.0, threshold=200.0, scale=100,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pivot / unpivot / rollup / JSON extraction: core analytics surface
 # ---------------------------------------------------------------------------
 
@@ -2370,6 +2458,8 @@ _GATE_TAIL = [
     "geo_wkb_to_wkt",
     "similarity_topk_lsh_indexed",
     "similarity_topk_ivfpq",
+    "similarity_topk_pq_trained",
+    "similarity_topk_pq",
 ]
 
 
