@@ -402,6 +402,64 @@ def cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("user_id", "_op_type", "value", "ts_ms")
 
 
+_IVM_ORACLE = f"""
+WITH changelog AS (
+  SELECT event_id, user_id, value, epoch_us(ts) AS lsn,
+         {_CDC_OP_SQL} AS _op_type
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY lsn DESC, event_id DESC) AS rn
+  FROM changelog
+), merged AS (
+  SELECT user_id, value FROM ranked WHERE rn = 1 AND _op_type <> 'd'
+), g AS (
+  SELECT floor(value / 100.0)::BIGINT AS grp,
+         round(value * 1000000)::BIGINT AS vm
+  FROM merged
+)
+SELECT grp, count(*)::BIGINT AS n,
+       round(sum(vm)::DOUBLE / 1000000, 4) AS sum_value,
+       round(min(vm)::DOUBLE / 1000000, 4) AS min_value,
+       round(max(vm)::DOUBLE / 1000000, 4) AS max_value,
+       round(sum(vm)::DOUBLE / (count(*) * 1000000)::DOUBLE, 4) AS avg_value
+FROM g GROUP BY grp
+"""
+
+
+@register("cdc_incremental_view", _IVM_ORACLE)
+def cdc_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware incremental view maintenance (operators/ivm.py):
+    a grouped aggregate view over the CDC-maintained table is refreshed
+    from the change batch alone — net-op collapse, before-images fetched
+    for touched PKs only, retract@old-group / insert@new-group deltas
+    (the group key is VALUE-derived, so updates migrate rows between
+    groups), null-safe full-outer fold, dirty-group-only min/max
+    recompute. The oracle aggregates the single-shot merged table, so
+    the gate proves refresh(view(A), A, B) ≡ view(merge(A, B)) — view
+    maintenance is invisible, with cost ∝ batch, never base size."""
+    from olake_spark.operators.ivm import (
+        incremental_view_refresh,
+        view_finalize,
+        view_state,
+    )
+    from olake_spark.operators.merge import latest_state
+
+    ch = _events_changelog(spark, sf_dir).withColumn(
+        "grp", F.floor(F.col("value") / 100.0).cast("long")
+    )
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    c1 = int(lo) + (int(hi) - int(lo)) // 2
+    part1 = ch.filter(F.col("lsn") <= c1)
+    part2 = ch.filter(F.col("lsn") > c1)
+    base = latest_state(part1, ["user_id"], ["lsn", "event_id"])
+    v0 = view_state(base, ["grp"], "value")
+    v1 = incremental_view_refresh(
+        v0, base, part2, ["user_id"], ["lsn", "event_id"], ["grp"], "value"
+    )
+    return view_finalize(v1, ["grp"])
+
+
 _SCD2_ORACLE = f"""
 WITH changelog AS (
   SELECT event_id, user_id, value, epoch_us(ts) AS lsn,
@@ -2460,6 +2518,7 @@ _GATE_TAIL = [
     "similarity_topk_ivfpq",
     "similarity_topk_pq_trained",
     "similarity_topk_pq",
+    "audit_numeric_outliers",
 ]
 
 
