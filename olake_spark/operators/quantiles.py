@@ -1,0 +1,130 @@
+"""Exact distributed order statistics — iterative histogram bisection,
+no global sort, no per-group sort buffer.
+
+Spark's own exact ``percentile`` aggregate materializes every group's
+values in an executor buffer (OOM at 100 TB groups) and
+``approx_percentile`` is, by contract, approximate. The scale-correct
+exact path is the classic selection-by-bisection: the k-th order
+statistic of a bounded integer domain is found by repeatedly
+histogramming the candidate range into B bins and descending into the
+bin that contains rank k — log_B(domain) passes, each a map-side
+combinable aggregation, never a shuffle of raw rows, never a sort.
+
+Shape per round (all (group, p) searches advance TOGETHER in one job):
+  data ⋈ broadcast(states) on group → filter v ∈ [lo, hi] (plus a
+  LITERAL global bound derived on the driver, so parquet min/max row
+  groups prune) → bin = (v − lo)·B/(hi − lo + 1) → count by
+  (group, p, bin) → collect ≤ |states|·B tiny rows → narrow each state.
+
+Values are exact round(v·10^6) BIGINT micro-units, so ranks and ties
+are well-defined and the result is bit-equal to the oracle's
+row_number-at-rank-k. NULL values are excluded (SQL order-statistic
+semantics). Driver state is |groups|·|ps| rows — the operator targets
+FEW groups over HUGE data (the window/row_number path covers the
+many-tiny-groups regime instead).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["exact_quantiles"]
+
+MICROS = 1_000_000
+
+
+def exact_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ps: list[float],
+    bins: int = 1024,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Exact per-group quantiles of ``value_col`` at probabilities ``ps``.
+
+    Returns (keys..., p, q) with q the value at 1-indexed rank
+    ``ceil(p·n)`` of the group's non-null values (value units, exact).
+    Group keys must be non-null (filter/bucket NULLs upstream).
+    """
+    spark: SparkSession = df.sparkSession
+    v = F.round(F.col(value_col) * MICROS).cast("long")
+    base = df.select(*keys, v.alias("_vm")).filter(F.col("_vm").isNotNull())
+
+    seed = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_vm").alias("_lo"),
+        F.max("_vm").alias("_hi"),
+    )
+    # states: one (group, p) search — tiny by contract (few groups)
+    states = []
+    for row in seed.collect():
+        key_vals = tuple(row[k] for k in keys)
+        for p in ps:
+            k_rank = max(1, math.ceil(p * row["_n"]))
+            states.append([*key_vals, float(p), int(k_rank), row["_lo"], row["_hi"]])
+
+    state_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in seed.select(*keys).schema.fields
+    )
+    for rnd in range(max_rounds):
+        open_states = [s for s in states if s[-2] < s[-1]]
+        if not open_states:
+            break
+        sdf = spark.createDataFrame(
+            open_states, f"{state_schema}, p double, k long, lo long, hi long"
+        )
+        glo = min(s[-2] for s in open_states)
+        ghi = max(s[-1] for s in open_states)
+        binned = (
+            base.filter(F.col("_vm").between(F.lit(glo), F.lit(ghi)))
+            .join(F.broadcast(sdf), keys)
+            .filter(F.col("_vm").between(F.col("lo"), F.col("hi")))
+            .select(
+                *keys,
+                "p",
+                # integer div, NOT /: double division could misplace a
+                # boundary value into the neighboring bin, breaking the
+                # driver's exact inverse bin-bound arithmetic
+                F.expr(f"((_vm - lo) * {bins}) div (hi - lo + 1)").alias("_bin"),
+            )
+            .groupBy(*keys, "p", "_bin")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        hist: dict[tuple, dict[int, int]] = {}
+        for r in binned.collect():
+            hist.setdefault(tuple(r[c] for c in keys) + (r["p"],), {})[r["_bin"]] = r["_c"]
+        for s in states:
+            sk, k_rank, lo, hi = tuple(s[: len(keys)]) + (s[len(keys)],), s[-3], s[-2], s[-1]
+            if lo >= hi:
+                continue
+            width_i = hi - lo + 1
+            acc = 0
+            for b in range(bins):
+                c = hist.get(sk, {}).get(b, 0)
+                if acc + c >= k_rank:
+                    # integer bin bounds mirror the Column expression exactly
+                    b_lo = lo + (b * width_i + bins - 1) // bins
+                    b_lo = max(lo, min(b_lo, hi))
+                    # first value v with (v-lo)*bins/width >= b is ceil;
+                    # last is the one before bin b+1 starts
+                    nxt = lo + ((b + 1) * width_i + bins - 1) // bins
+                    s[-3] = k_rank - acc
+                    s[-2] = b_lo
+                    s[-1] = min(hi, nxt - 1)
+                    break
+                acc += c
+    bad = [s for s in states if s[-2] < s[-1]]
+    if bad:
+        raise RuntimeError(
+            f"exact_quantiles: {len(bad)} searches unconverged after "
+            f"{max_rounds} rounds — raise max_rounds or bins"
+        )
+    out = [
+        [*s[: len(keys)], s[len(keys)], round(s[-2] / MICROS, 4)] for s in states
+    ]
+    return spark.createDataFrame(out, f"{state_schema}, p double, q double")

@@ -4690,3 +4690,40 @@ def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return golden_records(
         resolved, "rid", longest_cols=["addr"], min_cols=["name"], max_cols=["bal"]
     ).select("cluster_id", "n_records", "name", "bal", "addr")
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed order statistics (operators/quantiles.py)
+# ---------------------------------------------------------------------------
+
+_EXACT_Q_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag, round(l_extendedprice * 1000000)::BIGINT AS vm
+  FROM lineitem
+),
+n AS (SELECT l_returnflag, count(*) AS n FROM v GROUP BY 1),
+r AS (
+  SELECT l_returnflag, vm,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY vm) AS rk
+  FROM v
+)
+SELECT r.l_returnflag, p.p::DOUBLE AS p, round(vm::DOUBLE / 1000000, 4) AS q
+FROM r JOIN n USING (l_returnflag)
+JOIN (VALUES (0.5), (0.9), (0.99)) p(p) ON r.rk = ceil(p.p * n.n)
+"""
+
+
+@register("lineitem_exact_quantiles", _EXACT_Q_ORACLE)
+def lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group p50/p90/p99 with NO global sort and NO per-group
+    sort buffer (operators/quantiles.py): iterative histogram bisection
+    over exact micro-unit integers — log_B(domain) map-side-combinable
+    aggregation passes, each pruned by a literal global bound (parquet
+    row-group skipping), all (group, p) searches advancing in one job
+    per round. Bit-equal to the oracle's row_number-at-rank-ceil(p*n);
+    the scale story Spark's own exact `percentile` (executor sort
+    buffer) and `approx_percentile` (inexact by contract) both miss."""
+    from olake_spark.operators.quantiles import exact_quantiles
+
+    li = table(spark, sf_dir, "lineitem")
+    return exact_quantiles(li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9, 0.99])
