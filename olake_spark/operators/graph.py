@@ -72,3 +72,71 @@ def pagerank(
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact per-node triangle counts via degree-ordered orientation —
+    the classic trick that bounds wedge-join skew at O(sqrt(m)) out-degree
+    (Schank/Wagner forward algorithm; Cohen's MapReduce formulation).
+
+    A naive wedge join explodes on hub nodes (a degree-d node emits d^2
+    wedges). Orienting every edge from the endpoint with LOWER
+    (degree, id) rank to the higher one makes each triangle countable
+    exactly once at its lowest-rank corner, and caps any node's oriented
+    out-degree at O(sqrt(m)) — total wedge volume <= m^1.5 regardless of
+    skew, the published bound. Three shuffles end to end (degree agg,
+    wedge self-join on the pivot, closing-edge join); all exact BIGINT
+    counts. Node ids must be mutually comparable (one primitive type).
+
+    Returns (node, n_triangles) for every node of the simple undirected
+    graph (self-loops and duplicate/reverse edges collapse first).
+    """
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    ranked = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("_d").alias("_da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("_d").alias("_db")), "b")
+        .select(
+            "a", "b",
+            F.struct(F.col("_da").alias("d"), F.col("a").alias("i")).alias("_ra"),
+            F.struct(F.col("_db").alias("d"), F.col("b").alias("i")).alias("_rb"),
+        )
+    )
+    low_first = F.col("_ra") < F.col("_rb")
+    o = ranked.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(low_first, F.col("_rb")).otherwise(F.col("_ra")).alias("_rv"),
+    )
+    w1, w2 = o.alias("_w1"), o.alias("_w2")
+    wedges = w1.join(
+        w2,
+        (F.col("_w1.u") == F.col("_w2.u")) & (F.col("_w1._rv") < F.col("_w2._rv")),
+    ).select(
+        F.col("_w1.u").alias("p"), F.col("_w1.v").alias("x"), F.col("_w2.v").alias("y")
+    )
+    closed = wedges.join(
+        o.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    )
+    corners = (
+        closed.select(F.col("p").alias("node"))
+        .unionAll(closed.select(F.col("x").alias("node")))
+        .unionAll(closed.select(F.col("y").alias("node")))
+    )
+    counts = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    all_nodes = deg.select(F.col("n").alias("node"))
+    return all_nodes.join(counts, "node", "left").select(
+        "node", F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles")
+    )

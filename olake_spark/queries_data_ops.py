@@ -4727,3 +4727,66 @@ def lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     return exact_quantiles(li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9, 0.99])
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (operators/graph.py triangle_count)
+# ---------------------------------------------------------------------------
+
+_TRIANGLES_ORACLE = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_quantity <= 5
+),
+e AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM ps a JOIN ps b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+),
+tri AS (
+  SELECT e1.s1 AS n1, e1.s2 AS n2, e2.s2 AS n3
+  FROM e e1
+  JOIN e e2 ON e2.s1 = e1.s2
+  JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+),
+corners AS (
+  SELECT n1 AS node FROM tri
+  UNION ALL SELECT n2 FROM tri
+  UNION ALL SELECT n3 FROM tri
+),
+nodes AS (
+  SELECT s1 AS node FROM e UNION SELECT s2 FROM e
+)
+SELECT nodes.node, coalesce(c.n, 0)::BIGINT AS n_triangles
+FROM nodes LEFT JOIN (
+  SELECT node, count(*) AS n FROM corners GROUP BY 1
+) c ON c.node = nodes.node
+"""
+
+
+@register("graph_triangles", _TRIANGLES_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting on the supplier co-supply graph
+    (suppliers sharing a low-quantity part) via degree-ordered
+    orientation (operators/graph.py triangle_count): each triangle is
+    counted once at its lowest-(degree, id) corner, and the orientation
+    caps oriented out-degree at O(sqrt(m)) so the wedge join never
+    explodes on hubs — total wedge volume <= m^1.5, the published
+    Schank/Wagner bound, regardless of skew. The oracle brute-forces
+    the canonical triple join."""
+    from olake_spark.operators.graph import triangle_count
+
+    li = table(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") <= 5)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ps.alias("_ta"), ps.alias("_tb")
+    edges = a.join(
+        b,
+        (F.col("_ta.l_partkey") == F.col("_tb.l_partkey"))
+        & (F.col("_ta.l_suppkey") < F.col("_tb.l_suppkey")),
+    ).select(
+        F.col("_ta.l_suppkey").alias("src"), F.col("_tb.l_suppkey").alias("dst")
+    )
+    return triangle_count(edges)
