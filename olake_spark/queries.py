@@ -1069,6 +1069,50 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+),
+t AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(n) AS tn FROM t GROUP BY 1)
+SELECT t.from_type, t.to_type, t.n,
+       round(t.n::DOUBLE / tot.tn::DOUBLE, 6) AS p
+FROM t JOIN tot USING (from_type)
+"""
+
+
+@register("events_transition_matrix", _TRANSITION_ORACLE)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: one lead() window pass on the user_id shuffle, then a
+    map-side-combinable pair count; the per-source normalizer is a tiny
+    |types|-row aggregate joined back (broadcast at any scale). All
+    codegen — the path-analysis staple next to funnel/sessionize."""
+    w = W.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+    seq = (
+        table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    t = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("tn"))
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tn").cast("double"), 6).alias("p"),
+    )
+
+
 _WEEK_US = 7 * 86_400 * 1_000_000
 
 _RETENTION_ORACLE = f"""
@@ -2519,6 +2563,9 @@ _GATE_TAIL = [
     "similarity_topk_pq_trained",
     "similarity_topk_pq",
     "audit_numeric_outliers",
+    "source_quality_report",
+    "text_script_stats",
+    "curate_incremental_pipeline",
 ]
 
 
