@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PII_PATTERNS", "pii_counts", "redact_column", "redact_pii"]
+__all__ = [
+    "PII_PATTERNS",
+    "pii_counts",
+    "redact_column",
+    "redact_pii",
+    "k_anonymity_report",
+]
 
 # pattern order is the redaction order (deterministic output)
 PII_PATTERNS: dict[str, str] = {
@@ -49,3 +55,38 @@ def redact_column(col: Column) -> Column:
 def redact_pii(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
     """Redact all PII patterns in ``text_col`` (in place by default)."""
     return df.withColumn(out_col or text_col, redact_column(F.col(text_col)))
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l_diversity: int = 2,
+) -> DataFrame:
+    """Privacy audit before a dataset release: every equivalence class of
+    the quasi-identifier combination, with its size (k-anonymity), its
+    count of distinct sensitive values (l-diversity), and pass/fail flags.
+
+    A release is k-anonymous iff EVERY class has >= k members (each row
+    hides among at least k-1 others sharing its quasi-identifiers), and
+    l-diverse iff every class carries >= l distinct sensitive values (a
+    class of 50 rows all sharing one diagnosis still leaks it).
+
+    Plan: one hash shuffle on the quasi-identifier tuple; both the count
+    and the distinct-count are map-side combinable (count_distinct plans
+    a partial/expand aggregate, never a collect). NULL quasi-identifier
+    values form their own class (groupBy NULL semantics) — NULL is a
+    disclosure-relevant value, not a droppable one. Output is bounded by
+    class cardinality, not row count.
+    """
+    return df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.count_distinct(F.col(sensitive_col)).alias("sensitive_distinct"),
+    ).select(
+        *quasi_identifiers,
+        "class_size",
+        "sensitive_distinct",
+        (F.col("class_size") >= k).alias("k_anonymous"),
+        (F.col("sensitive_distinct") >= l_diversity).alias("l_diverse"),
+    )

@@ -32,7 +32,13 @@ from pyspark.sql import functions as F
 from olake_spark.operators.joins import ns_eq_join
 from olake_spark.operators.sessions import _gap_seconds
 
-__all__ = ["bucketize", "gapfill_locf", "retention_cohorts"]
+__all__ = [
+    "bucketize",
+    "gapfill_locf",
+    "retention_cohorts",
+    "sweepline_concurrency",
+    "ewma_last",
+]
 
 _MICROS = 1_000_000
 
@@ -144,4 +150,113 @@ def retention_cohorts(
         F.round(
             F.col("n_users").cast("double") / F.col("_cohort_size").cast("double"), 6
         ).alias("retention"),
+    )
+
+
+def sweepline_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval sweep-line: how many intervals are simultaneously open at
+    every boundary instant ("max concurrent sessions" / room-occupancy).
+
+    An interval is open on the CLOSED span [start, end] (both in epoch
+    micros): +1 lands at ``start``, -1 at ``end + 1µs``, and the running
+    sum of net deltas over the globally ordered distinct boundary
+    timestamps is the concurrency right after each boundary.
+
+    A naive running sum is a single-partition window over ALL boundaries —
+    the classic global-prefix-sum scale trap. This uses the two-level
+    decomposition instead (same shape as the WebDataset offset planner):
+
+      1. net delta per distinct boundary timestamp — one hash shuffle,
+         map-side combinable;
+      2. level 1: per-bucket (default 1 h) delta totals — tiny frame,
+         |buckets| rows;
+      3. level 2: exclusive running sum OVER the bucket totals — a window
+         over the tiny frame only (single task over |buckets| rows, never
+         over raw boundaries);
+      4. within-bucket running sum, window PARTITIONED BY bucket — fully
+         parallel — plus the bucket's carried-in offset.
+
+    At 100 TB the only global sequential work is step 3's |buckets|-row
+    scan (≈ 9k rows for a year of hourly buckets); every raw-data stage
+    is hash-partitioned. Returns (ts_us, concurrency) per boundary.
+    """
+    deltas = intervals.select(
+        F.col(start_col).alias("ts_us"), F.lit(1).alias("_d")
+    ).unionByName(
+        intervals.select(
+            (F.col(end_col) + F.lit(1)).alias("ts_us"), F.lit(-1).alias("_d")
+        )
+    )
+    net = deltas.groupBy("ts_us").agg(F.sum("_d").alias("_net"))
+    bucketed = net.withColumn("_bkt", F.floor(F.col("ts_us") / F.lit(int(bucket_us))))
+    lvl1 = bucketed.groupBy("_bkt").agg(F.sum("_net").alias("_bkt_sum"))
+    w_excl = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = lvl1.select(
+        "_bkt", F.coalesce(F.sum("_bkt_sum").over(w_excl), F.lit(0)).alias("_carry")
+    )
+    w_in = (
+        W.partitionBy("_bkt")
+        .orderBy("ts_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        bucketed.withColumn("_run", F.sum("_net").over(w_in))
+        .join(F.broadcast(offsets), "_bkt")
+        .select(
+            "ts_us",
+            (F.col("_carry") + F.col("_run")).cast("long").alias("concurrency"),
+        )
+    )
+
+
+def ewma_last(
+    df: DataFrame,
+    time_col: str,
+    keys: list[str],
+    value_col: str,
+    alpha: float = 0.25,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average, exact recursive
+    semantics: ewma_0 = v_0, ewma_t = (1-α)·ewma_{t-1} + α·v_t, returning
+    each key's FINAL smoothed value plus its observation count.
+
+    The recursion is inherently sequential per key, so it cannot be a
+    window aggregate; instead each key's ordered value list folds through
+    ``aggregate`` (a higher-order function — whole-stage codegen, no
+    Python). The fold runs the SAME IEEE-754 double sequence any other
+    engine's sequential fold runs, so the result is reproducible
+    bit-for-bit given the same order (the gate's DuckDB oracle folds via
+    ``list_reduce`` over an identically ordered list).
+
+    Scale: one hash shuffle on the keys; per-key cost is linear and the
+    collected list is bounded by the key's own row count — the same
+    per-key-sequence contract as sessionize/SCD2 (skew bounded by the
+    hottest key, not data volume). For per-ROW ewma trails, prefer
+    re-emitting inside ``transform`` — this variant returns one row per
+    key for bounded output.
+    """
+    order_cols = list(order_cols or [])
+    ordkey = F.struct(
+        F.unix_micros(F.col(time_col)).alias("_t"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    per_key = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(F.collect_list(ordkey)).alias("_seq"),
+    )
+    vals = F.transform(F.col("_seq"), lambda s: s["_v"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, v: acc * F.lit(1.0 - alpha) + v * F.lit(alpha),
+    )
+    return per_key.select(
+        *keys, "n", F.round(folded, 6).alias("ewma")
     )

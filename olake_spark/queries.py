@@ -2441,6 +2441,328 @@ def kafka_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join against the SCD2 dimension — feature-store /
+# audit semantics: each fact sees the version valid at its own timestamp
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = f"""
+WITH changelog AS (
+  SELECT event_id, user_id, value, epoch_us(ts) AS lsn,
+         {_CDC_OP_SQL} AS op
+  FROM events
+), lagged AS (
+  SELECT *,
+         lag(op) OVER w AS prev_op,
+         lag(value) OVER w AS prev_value
+  FROM changelog
+  WINDOW w AS (PARTITION BY user_id ORDER BY lsn, event_id)
+), kept AS (
+  SELECT * FROM lagged
+  WHERE prev_op IS NULL OR op = 'd' OR prev_op = 'd'
+        OR NOT (value IS NOT DISTINCT FROM prev_value)
+), intervals AS (
+  SELECT user_id, value, op,
+         lsn AS valid_from,
+         lead(lsn) OVER (PARTITION BY user_id ORDER BY lsn, event_id) AS valid_to
+  FROM kept
+), facts AS (
+  SELECT user_id, event_id, epoch_us(ts) + 1 AS fact_lsn
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT f.user_id, f.fact_lsn, f.event_id,
+       d.value AS dim_value,
+       (d.user_id IS NOT NULL) AS matched
+FROM facts f LEFT JOIN intervals d
+  ON d.user_id = f.user_id AND d.op <> 'd'
+     AND d.valid_from <= f.fact_lsn
+     AND (d.valid_to IS NULL OR f.fact_lsn < d.valid_to)
+"""
+
+
+@register("scd2_point_in_time_join", _PIT_ORACLE)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/scd.point_in_time_join): every third
+    changelog event, shifted 1µs forward, asks "which dimension version
+    was valid at my instant?" against the SCD2 history of the same
+    stream. NOT an interval equi-join (that fans every fact out by its
+    key's whole version chain) — versions and facts union into ONE
+    window pass per key, carrying the latest version's (valid_to, attrs)
+    struct forward and nulling carries whose interval closed before the
+    fact (deletion gaps). One hash shuffle, zero fan-out."""
+    from olake_spark.operators.scd import point_in_time_join, scd2_history
+
+    ch = _events_changelog(spark, sf_dir)
+    dim = scd2_history(
+        ch, keys=["user_id"], tracked=["value"], order_cols=["lsn", "event_id"]
+    )
+    facts = (
+        ch.filter(F.col("event_id") % 3 == 0)
+        .select("user_id", "event_id", (F.col("lsn") + 1).alias("fact_lsn"))
+    )
+    out = point_in_time_join(
+        facts, dim, keys=["user_id"], fact_time="fact_lsn", tracked=["value"]
+    )
+    return out.select(
+        "user_id", "fact_lsn", "event_id",
+        F.col("value").alias("dim_value"), "matched",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval sweep-line: concurrent-session curve via two-level prefix sum
+# ---------------------------------------------------------------------------
+
+_CONCURRENCY_ORACLE = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+), numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id, epoch_ms(min(ts)) AS start_ms,
+         epoch_ms(max(ts)) AS end_ms
+  FROM numbered GROUP BY 1, 2
+), d AS (
+  SELECT start_ms AS ts_ms, 1 AS dd FROM sess
+  UNION ALL
+  SELECT end_ms + 1, -1 FROM sess
+), net AS (
+  SELECT ts_ms, sum(dd) AS net FROM d GROUP BY 1
+)
+SELECT ts_ms,
+       (sum(net) OVER (ORDER BY ts_ms ROWS UNBOUNDED PRECEDING))::BIGINT
+         AS concurrency
+FROM net
+"""
+
+
+@register("events_concurrency", _CONCURRENCY_ORACLE)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-sessions curve (operators/timeseries.
+    sweepline_concurrency): sessionized intervals become +1/-1 boundary
+    deltas and the running net is the number of simultaneously open
+    sessions after each boundary. The naive form is a single-partition
+    global window; this is the two-level prefix-sum decomposition —
+    per-hour-bucket totals (tiny), an exclusive running sum over ONLY
+    the bucket frame, and a fully parallel within-bucket window — so no
+    task ever scans more than one bucket of boundaries."""
+    from olake_spark.operators.sessions import session_stats
+    from olake_spark.operators.timeseries import sweepline_concurrency
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    sess = session_stats(ev, "ts", ["user_id"], gap="30 minutes")
+    out = sweepline_concurrency(
+        sess, "start_ms", "end_ms", bucket_us=3_600_000
+    )
+    return out.select(F.col("ts_us").alias("ts_ms"), "concurrency")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy audit before a dataset release
+# ---------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH q AS (
+  SELECT c_nationkey, c_mktsegment,
+         floor(c_acctbal / 1000)::BIGINT AS bal_bucket
+  FROM customer
+)
+SELECT c_nationkey, c_mktsegment,
+       count(*)::BIGINT AS class_size,
+       count(DISTINCT bal_bucket)::BIGINT AS sensitive_distinct,
+       (count(*) >= 5) AS k_anonymous,
+       (count(DISTINCT bal_bucket) >= 3) AS l_diverse
+FROM q GROUP BY 1, 2
+"""
+
+
+@register("privacy_k_anonymity", _KANON_ORACLE)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity audit (operators/pii.k_anonymity_report)
+    over the (nation, market-segment) quasi-identifier classes with the
+    account-balance band as the sensitive attribute: one hash shuffle,
+    both measures map-side combinable, output bounded by class
+    cardinality — the release gate a privacy review runs before any
+    training corpus ships."""
+    from olake_spark.operators.pii import k_anonymity_report
+
+    cust = table(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return k_anonymity_report(
+        cust,
+        quasi_identifiers=["c_nationkey", "c_mktsegment"],
+        sensitive_col="bal_bucket",
+        k=5,
+        l_diversity=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair co-occurrence with lift (Apriori 2-itemset stage)
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+tot AS (SELECT count(DISTINCT b)::DOUBLE AS n FROM bi),
+sup AS (SELECT i, count(*) AS ni FROM bi GROUP BY 1),
+p AS (
+  SELECT a.i AS item_a, b2.i AS item_b, count(*)::BIGINT AS n_baskets
+  FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.item_a, p.item_b, p.n_baskets,
+       round(p.n_baskets * tot.n / (sa.ni * sb.ni), 6) AS lift
+FROM p
+JOIN sup sa ON sa.i = p.item_a
+JOIN sup sb ON sb.i = p.item_b
+CROSS JOIN tot
+"""
+
+
+@register("basket_pair_lift", _BASKET_ORACLE)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts co-ordered in the same order, with lift vs independence
+    (operators/basket.pair_counts_with_lift): the within-basket self-join
+    is co-partitioned on the order key (no second shuffle) and fan-out is
+    bounded by C(order size, 2) — TPC-H orders carry ≤ 7 lines, so the
+    pair stage is a small constant factor over the scan, never
+    catalog-quadratic. Support counts broadcast back; the basket total is
+    a lazy 1-row broadcast."""
+    from olake_spark.operators.basket import pair_counts_with_lift
+
+    li = table(spark, sf_dir, "lineitem")
+    return pair_counts_with_lift(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-key EWMA via ordered higher-order-function fold
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         list(value::DOUBLE ORDER BY epoch_us(ts), event_id) AS vs,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT user_id, n,
+       round(list_reduce(vs, (a, b) -> a * 0.75 + b * 0.25), 6) AS ewma
+FROM s
+"""
+
+
+@register("events_ewma", _EWMA_ORACLE)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exact EWMA (operators/timeseries.ewma_last): the
+    recursion ewma_t = 0.75·ewma_{t-1} + 0.25·v_t is inherently
+    sequential per key, so each key's ordered values fold through the
+    ``aggregate`` higher-order function — whole-stage codegen, no
+    Python, one hash shuffle, per-key cost linear in the key's own rows.
+    α = 1/4 is an exact binary fraction, so the fold runs the identical
+    IEEE-754 sequence in any engine and the oracle's ``list_reduce``
+    reproduces it bit-for-bit."""
+    from olake_spark.operators.timeseries import ewma_last
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return ewma_last(
+        ev, "ts", ["user_id"], "value", alpha=0.25, order_cols=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucketed ε-neighbor spatial self-join (exact integer micro-units)
+# ---------------------------------------------------------------------------
+
+_SPATIAL_ORACLE = """
+WITH pts AS (
+  SELECT vec_id, round(embedding[1]::DOUBLE * 1000000)::BIGINT AS x,
+         round(embedding[2]::DOUBLE * 1000000)::BIGINT AS y
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))::BIGINT
+         AS dist2_micros
+FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= 50000::BIGINT * 50000::BIGINT
+"""
+
+
+@register("spatial_eps_neighbor_pairs", _SPATIAL_ORACLE)
+def spatial_eps_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within ε = 0.05 on the embedding's first two
+    dimensions (operators/spatial.grid_neighbor_pairs): coordinates
+    quantize to BIGINT micro-units (exact — no FP boundary flips), any
+    qualifying pair shares the same or an adjacent ε-cell, so candidates
+    are an equi-join of points against their 3×3 neighborhood (fixed 9×
+    fan-out, ONE hash shuffle on the cell key) with an exact integer L2²
+    verify. The oracle is the brute-force O(n²) join — the gate proves
+    the grid candidate set is lossless."""
+    from olake_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).alias("x"),
+        F.element_at("embedding", 2).alias("y"),
+    )
+    return grid_neighbor_pairs(pts, "vec_id", "x", "y", eps=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group — Spark 4 WindowGroupLimit (map-side partial top-k)
+# ---------------------------------------------------------------------------
+
+_TOPK_GROUP_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) t
+WHERE rk <= 3
+"""
+
+
+@register("orders_topk_per_customer", _TOPK_GROUP_ORACLE)
+def orders_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (deterministic orderkey
+    tie-break) — the arg-max staple. Spark 4 rewrites the rank-filter
+    window into WindowGroupLimit and pushes a PARTIAL group limit to the
+    map side (tests/test_plans.py pins it), so each scan task forwards at
+    most k rows per key into the shuffle — at 100 TB the exchange carries
+    ~k·|customers| rows, not the order table."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -2566,6 +2888,13 @@ _GATE_TAIL = [
     "source_quality_report",
     "text_script_stats",
     "curate_incremental_pipeline",
+    "events_gapfill_locf",
+    "events_pivot_by_type",
+    "lineitem_unpivot_metrics",
+    "lineitem_rollup",
+    "events_json_extract",
+    "similarity_topk_ivfpq_trained",
+    "similarity_topk_sq8",
 ]
 
 
