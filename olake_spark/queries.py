@@ -2763,6 +2763,188 @@ def orders_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Robust outliers: median / MAD on exact micro-units (no mean/stddev
+# contamination by the outliers themselves)
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS g,
+         round(l_extendedprice * 1000000)::BIGINT AS vm
+  FROM lineitem
+), med AS (
+  SELECT g, vm AS medm FROM (
+    SELECT g, vm,
+           row_number() OVER (PARTITION BY g ORDER BY vm) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM v) t
+  WHERE rn = greatest(1, ceil(0.5 * n))
+), d AS (
+  SELECT v.g, v.vm, med.medm, abs(v.vm - med.medm) AS am
+  FROM v JOIN med USING (g)
+), mad AS (
+  SELECT g, am AS madm FROM (
+    SELECT g, am,
+           row_number() OVER (PARTITION BY g ORDER BY am) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM d) t
+  WHERE rn = greatest(1, ceil(0.5 * n))
+)
+SELECT d.g AS l_returnflag,
+       round(any_value(d.medm) / 1000000.0, 4) AS med,
+       round(any_value(mad.madm) / 1000000.0, 4) AS mad,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN d.am > 3 * mad.madm THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers
+FROM d JOIN mad USING (g)
+GROUP BY d.g
+"""
+
+
+@register("lineitem_mad_outliers", _MAD_ORACLE)
+def lineitem_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / MAD robust outlier report per return flag: unlike the
+    mean±3σ audit (audit_numeric_outliers), the median and MAD are not
+    dragged by the outliers being hunted. Both medians come from
+    operators/quantiles.exact_quantiles — iterative histogram bisection
+    on exact micro-unit BIGINTs, log_B(domain) map-side-combinable
+    passes, no global or per-group sort buffer — and the deviation flag
+    compares exact integers, so the oracle's rank-based median
+    reproduces every count bit-for-bit."""
+    from olake_spark.operators.quantiles import exact_quantiles
+
+    li = table(spark, sf_dir, "lineitem")
+    vm = F.round(F.col("l_extendedprice") * 1_000_000).cast("long")
+    v = li.select(F.col("l_returnflag"), vm.alias("_vm"))
+    med = exact_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5], bins=8192
+    ).select("l_returnflag", F.round(F.col("q") * 1_000_000).cast("long").alias("_medm"))
+    d = v.join(F.broadcast(med), "l_returnflag").withColumn(
+        "_am", F.abs(F.col("_vm") - F.col("_medm"))
+    )
+    # the MAD bisection re-scans its input once per round; cache the
+    # narrow deviation frame for those rounds only (the quantile result
+    # materializes driver-side, so the cache is released right after)
+    dev = d.withColumn("_adev", F.col("_am") / 1_000_000.0).cache()
+    try:
+        mad = exact_quantiles(
+            dev, ["l_returnflag"], "_adev", [0.5], bins=8192
+        ).select(
+            "l_returnflag",
+            F.round(F.col("q") * 1_000_000).cast("long").alias("_madm"),
+        )
+    finally:
+        dev.unpersist()
+    return (
+        d.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("_medm") / 1_000_000.0, 4).alias("med"),
+            F.round(F.first("_madm") / 1_000_000.0, 4).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("_am") > 3 * F.col("_madm"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed feature-store snapshot: leakage-safe history features + PIT dim
+# ---------------------------------------------------------------------------
+
+_FEATURE_SNAPSHOT_ORACLE = f"""
+WITH changelog AS (
+  SELECT event_id, user_id, value, epoch_us(ts) AS lsn,
+         round(value * 1000000)::BIGINT AS vmic,
+         {_CDC_OP_SQL} AS op
+  FROM events
+), hist AS (
+  SELECT *,
+         count(*) OVER w AS n_seen,
+         (sum(vmic) OVER w)::BIGINT AS sum_seen_micros
+  FROM changelog
+  WINDOW w AS (PARTITION BY user_id ORDER BY lsn, event_id
+               ROWS UNBOUNDED PRECEDING)
+), facts AS (
+  SELECT user_id, event_id, lsn + 1 AS fact_lsn,
+         n_seen, sum_seen_micros
+  FROM hist WHERE event_id % 3 = 0
+), lagged AS (
+  SELECT *,
+         lag(op) OVER w AS prev_op,
+         lag(value) OVER w AS prev_value
+  FROM changelog
+  WINDOW w AS (PARTITION BY user_id ORDER BY lsn, event_id)
+), kept AS (
+  SELECT * FROM lagged
+  WHERE prev_op IS NULL OR op = 'd' OR prev_op = 'd'
+        OR NOT (value IS NOT DISTINCT FROM prev_value)
+), intervals AS (
+  SELECT user_id, value, op,
+         lsn AS valid_from,
+         lead(lsn) OVER (PARTITION BY user_id ORDER BY lsn, event_id) AS valid_to
+  FROM kept
+)
+SELECT f.user_id, f.fact_lsn, f.event_id,
+       f.n_seen, f.sum_seen_micros,
+       d.value AS dim_value,
+       (d.user_id IS NOT NULL) AS matched
+FROM facts f LEFT JOIN intervals d
+  ON d.user_id = f.user_id AND d.op <> 'd'
+     AND d.valid_from <= f.fact_lsn
+     AND (d.valid_to IS NULL OR f.fact_lsn < d.valid_to)
+"""
+
+
+@register("feature_snapshot_pit", _FEATURE_SNAPSHOT_ORACLE)
+def feature_snapshot_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-snapshot export — the feature-store flow end to
+    end: (1) leakage-safe history features per entity (cumulative event
+    count + exact micro-unit value sum over everything AT OR BEFORE the
+    observation — never a future row), (2) the SCD2 dimension version
+    valid at each observation instant via the point-in-time join. Window
+    features and the PIT carry share the same user_id hash partitioning;
+    nothing in the plan can read the future, which is the property that
+    makes the exported snapshot trainable. One window pass for features,
+    one union+LOCF pass for the dimension."""
+    from olake_spark.operators.scd import point_in_time_join, scd2_history
+
+    ch = _events_changelog(spark, sf_dir).withColumn(
+        "vmic", F.round(F.col("value") * 1_000_000).cast("long")
+    )
+    wh = (
+        W.partitionBy("user_id")
+        .orderBy("lsn", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    hist = ch.select(
+        "user_id",
+        "event_id",
+        "lsn",
+        F.count(F.lit(1)).over(wh).alias("n_seen"),
+        F.sum("vmic").over(wh).alias("sum_seen_micros"),
+    )
+    facts = hist.filter(F.col("event_id") % 3 == 0).select(
+        "user_id",
+        "event_id",
+        (F.col("lsn") + 1).alias("fact_lsn"),
+        "n_seen",
+        "sum_seen_micros",
+    )
+    dim = scd2_history(
+        ch, keys=["user_id"], tracked=["value"], order_cols=["lsn", "event_id"]
+    )
+    out = point_in_time_join(
+        facts, dim, keys=["user_id"], fact_time="fact_lsn", tracked=["value"]
+    )
+    return out.select(
+        "user_id", "fact_lsn", "event_id", "n_seen", "sum_seen_micros",
+        F.col("value").alias("dim_value"), "matched",
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -2895,6 +3077,8 @@ _GATE_TAIL = [
     "events_json_extract",
     "similarity_topk_ivfpq_trained",
     "similarity_topk_sq8",
+    "multimodal_decode_resize",
+    "multimodal_video_frames",
 ]
 
 
