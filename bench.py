@@ -110,6 +110,14 @@ BENCH_QUERIES = [
     "fuzzy_join_qgram",
     "graph_pagerank",
     "webdataset_write_plan",
+    # round-6 additions: temporal joins / sweep-line / spatial / basket
+    "scd2_point_in_time_join",
+    "feature_snapshot_pit",
+    "events_concurrency",
+    "events_ewma",
+    "spatial_eps_neighbor_pairs",
+    "basket_pair_lift",
+    "orders_topk_per_customer",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
     # into anything else
     "dedup_minhash_clusters",

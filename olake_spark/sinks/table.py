@@ -357,6 +357,93 @@ class ManagedTable:
         resolved = self.read()
         return self.overwrite(resolved, properties)
 
+    def _manifest_files(self, version: int) -> set[str]:
+        m = self._manifest(version)
+        refs = set(m["files"])
+        for g in m.get("groups") or []:
+            refs.update(g["files"])
+        return refs
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg ``expireSnapshots`` parity: retire all but the newest
+        ``keep_last`` manifest versions and delete the data files no kept
+        snapshot references.
+
+        Every commit is an immutable snapshot, so time travel is free —
+        but so is unbounded storage growth: a compact() rewrites the base
+        yet the pre-compaction files stay alive for the old snapshots.
+        This is the retention sweep that caps it.
+
+        Ordering is crash-safe by construction: retired MANIFESTS are
+        unlinked first (after which no reader can resolve them), and only
+        then the data files that became unreferenced — a crash in between
+        strands orphan data files, never a manifest with missing files;
+        ``vacuum_orphans`` finishes the job. The newest version is always
+        kept. Returns ``{"expired_versions", "removed_files"}``.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self._versions()
+        keep, drop = vs[-keep_last:], vs[:-keep_last]
+        if not drop:
+            return {"expired_versions": [], "removed_files": 0}
+        live: set[str] = set()
+        for v in keep:
+            live |= self._manifest_files(v)
+        dead: set[str] = set()
+        for v in drop:
+            dead |= self._manifest_files(v)
+        for v in drop:
+            os.unlink(os.path.join(self._commits, f"v{v:012d}.json"))
+        removed = 0
+        for f in sorted(dead - live):
+            if os.path.exists(f):
+                os.remove(f)
+                removed += 1
+        self._sweep_empty_data_dirs()
+        return {"expired_versions": drop, "removed_files": removed}
+
+    def vacuum_orphans(self) -> int:
+        """Iceberg ``deleteOrphanFiles`` parity: remove files under the
+        table directory that no live manifest references — crash leftovers
+        from aborted writes, interrupted expiry sweeps, or speculative
+        tasks. Live data is resolved from ALL current manifest versions,
+        so a file any readable snapshot still needs is never touched.
+        Returns the number of files removed."""
+        live: set[str] = set()
+        for v in self._versions():
+            live |= self._manifest_files(v)
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for dirpath, _dirs, files in os.walk(data_root):
+                for f in files:
+                    p = os.path.join(dirpath, f)
+                    # _SUCCESS/.crc markers ride along with their dir; only
+                    # data files count as orphans
+                    if f.endswith(".parquet") and p not in live:
+                        os.remove(p)
+                        removed += 1
+        if os.path.isdir(self._commits):
+            for f in os.listdir(self._commits):
+                if f.startswith(".tmp-"):
+                    os.remove(os.path.join(self._commits, f))
+        self._sweep_empty_data_dirs()
+        return removed
+
+    def _sweep_empty_data_dirs(self) -> None:
+        """Remove data dirs whose parquet files are all gone (their
+        _SUCCESS/.crc markers go with them)."""
+        data_root = os.path.join(self.path, "data")
+        if not os.path.isdir(data_root):
+            return
+        for d in os.listdir(data_root):
+            full = os.path.join(data_root, d)
+            if os.path.isdir(full) and not any(
+                f.endswith(".parquet") for f in os.listdir(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+
     def drop(self) -> None:
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)
