@@ -37,6 +37,8 @@ _CROSS_OK = {
     "vocab_coverage",  # 1-row total-occurrence broadcast over <= top-k rows
     "graph_pagerank",  # 1-row node-count broadcast (lazy N for rank mass)
     "fuzzy_join_jaccard",  # two 1-row candidate-count audit broadcasts
+    "basket_pair_lift",  # 1-row basket-total broadcast (lazy lift denominator)
+    "dsir_importance_weights",  # 1-row corpus-total broadcasts (R, T)
 }
 
 
