@@ -39,6 +39,11 @@ VARIANTS: dict[str, dict] = {
         "spark.hadoop.parquet.summary.metadata.level": "NONE",
         "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs": "false",
     }},
+    # attribution probes (not candidate defaults — md5 _olake_id is parity):
+    # how much of the wall is the identity stamp at all, and how much is
+    # specifically md5 vs a cheap 64-bit hash?
+    "no_stamp": {"stamp": "none"},
+    "xxh64_id": {"stamp": "xxh64"},
 }
 
 _CHILD = """
@@ -55,11 +60,21 @@ sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 tmp = tempfile.mkdtemp(prefix="fl_tune_")
 rows = table(spark, sf_dir, "lineitem").count()
 
+from pyspark.sql import functions as F
+
 def rep():
     df = table(spark, sf_dir, "lineitem")
     if spec.get("spread", True):
         df = spread(df, "l_orderkey")
-    out = stamp_olake_columns(df, pk_cols=["l_orderkey", "l_linenumber"])
+    stamp = spec.get("stamp", "md5")
+    if stamp == "none":
+        out = df
+    elif stamp == "xxh64":
+        out = df.withColumn(
+            "_olake_id", F.xxhash64("l_orderkey", "l_linenumber").cast("string")
+        ).withColumn("_op_type", F.lit("r"))
+    else:
+        out = stamp_olake_columns(df, pk_cols=["l_orderkey", "l_linenumber"])
     if spec.get("coalesce"):
         out = out.coalesce(spec["coalesce"])
     out.write.mode("overwrite").parquet(tmp + "/full_load")
