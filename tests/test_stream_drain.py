@@ -18,7 +18,7 @@ _STRUCT = T.StructType(
 )
 
 
-def test_stream_drain_exactly_once(spark, tmp_path):
+def _case_drain_exactly_once(spark, tmp_path):
     changelog = _gen_changelog(n_ops=300, n_keys=40, seed=11)
     src = str(tmp_path / "changelog")
     # three LSN-ordered file drops, zero-padded so listing order == log order

@@ -41,7 +41,7 @@ def _batch_twin(views, clicks, gap="1 hour"):
     return views.join(clicks, cond, "inner").drop(clicks["user_id"])
 
 
-def test_stream_join_matches_batch(spark, sf_dir):
+def _case_join_matches_batch(spark, sf_dir):
     views, clicks = _views(spark, sf_dir), _clicks(spark, sf_dir)
     ld, rd, ck = (tempfile.mkdtemp(prefix=f"olake_ssj_{x}_") for x in "lrc")
     views.write.mode("overwrite").parquet(ld)
@@ -59,7 +59,7 @@ def test_stream_join_matches_batch(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
-def test_stream_join_incremental_no_duplicates(spark):
+def _case_join_incremental_no_duplicates(spark):
     ld, rd, ck, od = (tempfile.mkdtemp(prefix=f"olake_ssj2_{x}_") for x in "lrco")
     v1 = _mk(spark, [(1, 7, "2024-01-01 10:00:00")], VIEW_SCHEMA.replace("TIMESTAMP", "STRING"))
     v1 = v1.withColumn("view_ts", F.to_timestamp("view_ts"))

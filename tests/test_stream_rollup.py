@@ -47,7 +47,7 @@ def _ptr(state):
     return json.load(open(os.path.join(state, "_CURRENT")))
 
 
-def test_stream_rollup_matches_batch_and_resumes(spark, tmp_path):
+def _case_rollup_matches_batch_and_resumes(spark, tmp_path):
     src = str(tmp_path / "src")
     state = str(tmp_path / "state")
     ckpt = str(tmp_path / "ckpt")
@@ -76,7 +76,7 @@ def test_stream_rollup_matches_batch_and_resumes(spark, tmp_path):
     assert _state_rows(got2) == _state_rows(full2)
 
 
-def test_stream_rollup_compaction_prunes_and_matches(spark, tmp_path):
+def _case_rollup_compaction_prunes_and_matches(spark, tmp_path):
     src = str(tmp_path / "src")
     state = str(tmp_path / "state")
     ckpt = str(tmp_path / "ckpt")
