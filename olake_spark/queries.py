@@ -2945,6 +2945,93 @@ def feature_snapshot_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# GROUPING SETS — multi-granularity aggregate in one pass (beyond rollup)
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n,
+       sum(round(l_quantity * 100)::BIGINT)::BIGINT AS qty_cents,
+       grouping(l_returnflag)::INT * 2 + grouping(l_linestatus)::INT AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("lineitem_grouping_sets", _GROUPING_SETS_ORACLE)
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS at three granularities in ONE logical pass: Spark
+    plans an Expand (each row replicated once per set) feeding a single
+    map-side-combinable hash aggregate — one shuffle for all
+    granularities, versus three scans for three GROUP BYs.
+    ``grouping_id`` disambiguates a real NULL key from a rolled-up one
+    (the reason warehouse cubes can't just COALESCE). Quantities sum as
+    exact integer cents."""
+    li = table(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(qc).alias("qty_cents"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame trailing window — time-based moving aggregate
+# ---------------------------------------------------------------------------
+
+_RANGE_WINDOW_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         round(value * 1000000)::BIGINT AS vm
+  FROM events
+)
+SELECT user_id, event_id, ts_us,
+       (sum(vm) OVER (
+          PARTITION BY user_id ORDER BY ts_us
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))::BIGINT
+         AS trailing_1h_micros,
+       (count(*) OVER (
+          PARTITION BY user_id ORDER BY ts_us
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))::BIGINT
+         AS trailing_1h_n
+FROM e
+"""
+
+
+@register("events_range_window_sum", _RANGE_WINDOW_ORACLE)
+def events_range_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving sum/count per user with a RANGE frame —
+    the frame boundary is the TIME AXIS (everything within 3600s), not a
+    row count, which is what "requests in the last hour" actually means
+    when events arrive unevenly. One hash shuffle on the key, per-key
+    frames advance with a sliding two-pointer inside the sort — no
+    self-join, no explode. Values sum as exact micro-unit BIGINTs, so
+    the moving sum is partition-order-free."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    vm = F.round(F.col("value") * 1_000_000).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.sum(vm).over(w).alias("trailing_1h_micros"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -3079,6 +3166,8 @@ _GATE_TAIL = [
     "similarity_topk_sq8",
     "multimodal_decode_resize",
     "multimodal_video_frames",
+    "multimodal_audio_decode",
+    "image_dhash",
 ]
 
 
