@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "spatial_eps_neighbor_pairs",
     "basket_pair_lift",
     "orders_topk_per_customer",
+    "lineitem_grouping_sets",
+    "events_range_window_sum",
+    "lineitem_mad_outliers",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
     # into anything else
     "dedup_minhash_clusters",
