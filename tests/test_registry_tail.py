@@ -14,6 +14,7 @@ overlapping three sessions cuts the gate's wall time ~2-3× and keeps the
 whole pytest run near its pre-91-query duration as the registry grows.
 """
 
+import os
 import subprocess
 import sys
 
@@ -34,6 +35,9 @@ def test_registry_tail_passes_driver_mirror_gate():
     tail = names[DRIVER_WINDOW_SIZE:]
     assert tail, "registry fits the driver window; nothing to certify"
     shards = [tail[i::N_SHARDS] for i in range(N_SHARDS)]
+    # cap each vanilla JVM at 4 threads: 8 shards × the default local[8]
+    # oversubscribes 32 cores 2× and thrashes; sf0.01 queries are tiny
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
     procs = [
         subprocess.Popen(
             [
@@ -47,6 +51,7 @@ def test_registry_tail_passes_driver_mirror_gate():
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
+            env=env,
             cwd=REPO,
         )
         for shard in shards
