@@ -475,6 +475,86 @@ def stream_rollup_delta(spark, sf_dir: str) -> dict:
         shutil.rmtree(state, ignore_errors=True)
 
 
+def spatial_growth(spark, lo_n: int = 2_000, hi_n: int = 8_000) -> dict:
+    """Candidate growth of the grid ε-neighbor join at FIXED point density
+    (area grows with n — the way corpora actually grow; fixed-area growth
+    quadruples density and pair counts by geometry, not by algorithm).
+
+    Points derive deterministically from xxhash64(id): uniform in
+    [0, A)² with A = sqrt(n/ρ) for constant ρ. Candidates = post-cell-join
+    pre-distance-filter pairs (the join's real fan-in, mirroring
+    operators/spatial.py's quantization exactly); results = verified
+    pairs. Healthy exponent ≈ 1.0 for both — per-cell population is set
+    by ρ·ε², which does not move with n."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from olake_spark.operators.spatial import grid_neighbor_pairs
+
+    eps = 0.05
+    eps_u = int(round(eps * 1_000_000))
+    density = 2_000.0  # points per unit area
+
+    def points(n: int):
+        a = math.sqrt(n / density)
+        u1 = (F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(1_000_000))
+              / 1_000_000.0)
+        u2 = (F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(1_000_000))
+              / 1_000_000.0)
+        return spark.range(n).select(
+            F.col("id"), (u1 * a).alias("x"), (u2 * a).alias("y")
+        )
+
+    def measure(n: int) -> dict:
+        pts_raw = points(n)
+        q = pts_raw.select(
+            F.col("id"),
+            F.round(F.col("x") * 1_000_000).cast("long").alias("xu"),
+            F.round(F.col("y") * 1_000_000).cast("long").alias("yu"),
+        ).select(
+            "*",
+            F.floor(F.col("xu") / F.lit(eps_u)).alias("cx"),
+            F.floor(F.col("yu") / F.lit(eps_u)).alias("cy"),
+        )
+        off = F.explode(F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ]))
+        left = q.select(
+            F.col("id").alias("ida"), "cx", "cy", off.alias("o")
+        ).select(
+            "ida",
+            (F.col("cx") + F.col("o.dx")).alias("jx"),
+            (F.col("cy") + F.col("o.dy")).alias("jy"),
+        )
+        right = q.select(
+            F.col("id").alias("idb"), F.col("cx").alias("jx"),
+            F.col("cy").alias("jy"),
+        )
+        candidates = (
+            left.join(right, ["jx", "jy"])
+            .filter(F.col("ida") < F.col("idb"))
+            .count()
+        )
+        results = grid_neighbor_pairs(pts_raw, "id", "x", "y", eps=eps).count()
+        return {"n": n, "candidates": candidates, "result_pairs": results}
+
+    lo, hi = measure(lo_n), measure(hi_n)
+    return {
+        "eps": eps,
+        "density_pts_per_unit2": density,
+        "lo": lo,
+        "hi": hi,
+        "candidate_exponent": growth_exponent(
+            lo["candidates"], hi["candidates"], lo_n, hi_n
+        ),
+        "result_exponent": growth_exponent(
+            lo["result_pairs"], hi["result_pairs"], lo_n, hi_n
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=20)
@@ -509,6 +589,8 @@ def main() -> None:
             block = phash_growth(spark, args.sf_dir)
         elif args.only == "stream_rollup_delta":
             block = stream_rollup_delta(spark, args.sf_dir)
+        elif args.only == "spatial_growth":
+            block = spatial_growth(spark)
         else:
             raise SystemExit(f"unknown section {args.only!r}")
         try:
