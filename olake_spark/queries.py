@@ -3032,6 +3032,150 @@ def events_range_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact mode per group (deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag, round(l_quantity * 100)::BIGINT AS q_cents,
+         count(*)::BIGINT AS n
+  FROM lineitem GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_returnflag ORDER BY n DESC, q_cents ASC) AS rk
+  FROM c
+)
+SELECT l_returnflag, q_cents AS mode_q_cents, n AS mode_n FROM r WHERE rk = 1
+"""
+
+
+@register("lineitem_mode_per_flag", _MODE_ORACLE)
+def lineitem_mode_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode (most frequent value, smallest-value tie-break) per
+    group: two map-side-combinable aggregations sharing one hash family
+    — count per (group, value), then max_by over a (count, -value)
+    struct. No window, no sort buffer; ties break deterministically so
+    the oracle reproduces the exact row. Spark's own ``mode()`` is
+    tie-nondeterministic, which is why warehouses hand-roll exactly
+    this shape."""
+    li = table(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    c = li.groupBy("l_returnflag", qc.alias("q_cents")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # max_by over (n, -value): highest count wins, smallest value on ties
+    pick = F.max_by(
+        F.struct(F.col("q_cents"), F.col("n")),
+        F.struct(F.col("n"), (-F.col("q_cents")).alias("_nv")),
+    )
+    return c.groupBy("l_returnflag").agg(pick.alias("_m")).select(
+        "l_returnflag",
+        F.col("_m.q_cents").alias("mode_q_cents"),
+        F.col("_m.n").alias("mode_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern match (MATCH_RECOGNIZE-lite) over per-user event strings
+# ---------------------------------------------------------------------------
+
+_PATTERN_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(left(event_type, 1), '' ORDER BY epoch_us(ts), event_id)
+           AS s
+  FROM events GROUP BY 1
+)
+SELECT user_id, length(s)::BIGINT AS n_events,
+       (s LIKE '%vc%') AS has_view_click,
+       regexp_matches(s, 'v[^e]*p') AS purchase_after_view_no_error
+FROM seq
+"""
+
+
+@register("events_pattern_match", _PATTERN_ORACLE)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching, the MATCH_RECOGNIZE-lite form:
+    each user's ordered event-type initials collapse to ONE string (sort
+    inside ``array_sort`` on a (ts, id, initial) struct — no window), and
+    the patterns become regexes over it: adjacent view→click, and
+    view…purchase with no error between. One hash shuffle; regex cost is
+    per-user-string, bounded by the user's own event count — the
+    sessionless way to ask ordered-sequence questions at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    item = F.struct(
+        F.unix_micros(F.col("ts")).alias("_t"),
+        F.col("event_id").alias("_i"),
+        F.substring("event_type", 1, 1).alias("_c"),
+    )
+    seq = table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(item)), lambda s: s["_c"]
+            ),
+            "",
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        F.col("s").contains("vc").alias("has_view_click"),
+        (F.regexp_count(F.col("s"), F.lit("v[^e]*p")) > 0).alias(
+            "purchase_after_view_no_error"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period report (week totals + lag + % change)
+# ---------------------------------------------------------------------------
+
+_WOW_ORACLE = """
+WITH w AS (
+  SELECT epoch_us(ts) // 604800000000 AS week,
+         count(*)::BIGINT AS n,
+         sum(round(value * 1000000)::BIGINT)::BIGINT AS v_micros
+  FROM events GROUP BY 1
+)
+SELECT week, n, v_micros,
+       lag(n) OVER (ORDER BY week) AS prev_n,
+       CASE WHEN lag(n) OVER (ORDER BY week) > 0
+            THEN round((n - lag(n) OVER (ORDER BY week))
+                       / lag(n) OVER (ORDER BY week)::DOUBLE, 6)
+       END AS n_wow
+FROM w
+"""
+
+
+@register("events_week_over_week", _WOW_ORACLE)
+def events_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week dashboard staple: weekly totals (map-side
+    combinable, exact micro-unit sums), then lag + late-rounded percent
+    change over the tiny |weeks|-row frame — the single-partition window
+    runs over dozens of rows, never raw events."""
+    ev = table(spark, sf_dir, "events")
+    # integer div, not double /: a double quotient can land an ulp under
+    # an exact week boundary and truncate into the wrong bucket
+    week = F.expr("unix_micros(ts) div 604800000000")
+    vm = F.round(F.col("value") * 1_000_000).cast("long")
+    w = ev.groupBy(week.alias("week")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(vm).alias("v_micros")
+    )
+    win = W.orderBy("week")
+    prev = F.lag("n").over(win)
+    return w.select(
+        "week",
+        "n",
+        "v_micros",
+        prev.alias("prev_n"),
+        F.when(
+            prev > 0,
+            F.round((F.col("n") - prev) / prev.cast("double"), 6),
+        ).alias("n_wow"),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -3168,6 +3312,9 @@ _GATE_TAIL = [
     "multimodal_video_frames",
     "multimodal_audio_decode",
     "image_dhash",
+    "image_phash_dedup",
+    "media_incremental_dedup",
+    "webdataset_ingest",
 ]
 
 
