@@ -3176,6 +3176,125 @@ def events_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Time-weighted average over SCD2 validity intervals
+# ---------------------------------------------------------------------------
+
+_TWA_ORACLE = f"""
+WITH changelog AS (
+  SELECT event_id, user_id, value, epoch_us(ts) AS lsn,
+         {_CDC_OP_SQL} AS op
+  FROM events
+), bound AS (SELECT max(lsn) AS hi FROM changelog),
+lagged AS (
+  SELECT *,
+         lag(op) OVER w AS prev_op,
+         lag(value) OVER w AS prev_value
+  FROM changelog
+  WINDOW w AS (PARTITION BY user_id ORDER BY lsn, event_id)
+), kept AS (
+  SELECT * FROM lagged
+  WHERE prev_op IS NULL OR op = 'd' OR prev_op = 'd'
+        OR NOT (value IS NOT DISTINCT FROM prev_value)
+), intervals AS (
+  SELECT user_id, value, op,
+         lsn AS valid_from,
+         lead(lsn) OVER (PARTITION BY user_id ORDER BY lsn, event_id) AS valid_to
+  FROM kept
+), spans AS (
+  SELECT i.user_id,
+         round(i.value * 1000000)::BIGINT AS vm,
+         (coalesce(i.valid_to, b.hi) - i.valid_from)::BIGINT AS dur
+  FROM intervals i CROSS JOIN bound b
+  WHERE i.op <> 'd' AND coalesce(i.valid_to, b.hi) > i.valid_from
+)
+SELECT user_id,
+       sum(dur)::BIGINT AS observed_us,
+       round(sum(vm::HUGEINT * dur)::DOUBLE / (sum(dur) * 1000000.0), 6)
+         AS time_weighted_avg
+FROM spans GROUP BY 1
+"""
+
+
+@register("scd2_time_weighted_avg", _TWA_ORACLE)
+def scd2_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each key's tracked value over its SCD2
+    validity intervals — the correct "average account balance" when
+    versions live for unequal durations (a plain AVG over versions
+    over-weights churn-heavy keys). Open intervals clamp to the stream's
+    max LSN (lazy 1-row broadcast); weights and values multiply as exact
+    BIGINT micro-units and divide once at the end. Zero-width burst
+    versions carry zero weight and drop out — the same semantics the
+    point-in-time join assigns them."""
+    from olake_spark.operators.scd import scd2_history
+
+    ch = _events_changelog(spark, sf_dir)
+    hi = ch.agg(F.max("lsn").alias("_hi"))
+    dim = scd2_history(
+        ch, keys=["user_id"], tracked=["value"], order_cols=["lsn", "event_id"]
+    )
+    spans = (
+        dim.crossJoin(F.broadcast(hi))
+        .withColumn("_to", F.coalesce(F.col("valid_to"), F.col("_hi")))
+        .filter(F.col("_to") > F.col("valid_from"))
+        .select(
+            "user_id",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("_vm"),
+            (F.col("_to") - F.col("valid_from")).cast("long").alias("_dur"),
+        )
+    )
+    # value·duration products overflow BIGINT (1e9 µ-units × 1e13 µs);
+    # accumulate in DECIMAL(38,0) — exact, mergeable — divide once at the end
+    prod = F.col("_vm").cast("decimal(38,0)") * F.col("_dur")
+    return spans.groupBy("user_id").agg(
+        F.sum("_dur").alias("observed_us"),
+        F.round(
+            F.sum(prod).cast("double")
+            / (F.sum("_dur") * F.lit(1_000_000.0)),
+            6,
+        ).alias("time_weighted_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column-level encryption round trip (AES-GCM, JVM-side)
+# ---------------------------------------------------------------------------
+
+_ENCRYPT_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer WHERE c_custkey % 7 = 0
+"""
+
+
+@register("pii_column_encrypt_roundtrip", _ENCRYPT_ORACLE)
+def pii_column_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption at rest: sensitive columns encrypt with
+    AES-GCM (`aes_encrypt`, JVM codegen — the engine never sees plaintext
+    off-heap) under a per-dataset key, and authorized readers invert it
+    with `aes_decrypt`. GCM nonces make ciphertext non-deterministic, so
+    the GATE pins the round trip: decrypt(encrypt(x)) must equal the
+    oracle's plaintext bit-for-bit — a wrong key/mode/padding fails the
+    hash, not just a unit test. Complements functions/secrets.py (config
+    secrets) with data-plane crypto."""
+    key = F.lit("0123456789abcdef0123456789abcdef")  # 32-byte demo key
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    enc = cust.select(
+        "c_custkey",
+        F.aes_encrypt(F.col("c_name").cast("binary"), key).alias("_name_ct"),
+        F.aes_encrypt(
+            F.col("c_acctbal").cast("string").cast("binary"), key
+        ).alias("_bal_ct"),
+    )
+    return enc.select(
+        "c_custkey",
+        F.aes_decrypt(F.col("_name_ct"), key).cast("string").alias("c_name"),
+        F.aes_decrypt(F.col("_bal_ct"), key)
+        .cast("string")
+        .cast("double")
+        .alias("c_acctbal"),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -3315,6 +3434,8 @@ _GATE_TAIL = [
     "image_phash_dedup",
     "media_incremental_dedup",
     "webdataset_ingest",
+    "video_phash_dedup",
+    "audio_fp_dedup",
 ]
 
 
