@@ -3436,6 +3436,8 @@ _GATE_TAIL = [
     "webdataset_ingest",
     "video_phash_dedup",
     "audio_fp_dedup",
+    "bpe_train_merges",
+    "text_bpe_encode",
 ]
 
 

@@ -4790,3 +4790,114 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_ta.l_suppkey").alias("src"), F.col("_tb.l_suppkey").alias("dst")
     )
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN + incremental IVF index maintenance (round 6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "similarity_topk_ivf_filtered",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, e.label, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({_COS.format(a='e.embedding', b='c.cv')}, 9) DESC,
+                        c.cent_id) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ), cells AS (
+      SELECT vec_id, embedding, label, cent_id AS cell FROM assign WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv, cell FROM cells WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_COS.format(a='q.qv', b='c.embedding')}, 9) AS s9
+      FROM q JOIN cells c
+        ON c.cell = q.cell AND c.vec_id <> q.query_id AND c.label = 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, neighbor_id) AS "rank"
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, "rank", round(s9, 6) AS cosine_sim
+    FROM ranked WHERE "rank" <= 5
+    """,
+)
+def similarity_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN (the metadata-constrained search every production
+    vector store needs — FAISS IDSelector / Lucene filtered kNN): top-k
+    restricted to ``label = 2`` neighbors. PRE-filter strategy: the
+    predicate applies to the INDEX relation before the cell join, so the
+    scan prunes to matching rows inside each probed cell (predicate
+    pushdown into the index scan; with the index persisted bucketed on
+    ``_cell`` + file-skipping stats on the label column the non-matching
+    files never open). Post-filtering top-k would silently return < k
+    when the filter is selective; pre-filtering keeps k full within the
+    probed cells — and the oracle proves it against the same cell
+    pruning."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = sim.stride_centroids(emb)
+    # cell assignment is per-row (centroids frozen), so filtering the
+    # corpus BEFORE assignment ≡ filtering the persisted index relation —
+    # the form that lets parquet stats skip non-matching index files
+    index = sim.ivf_build_index(emb.filter(F.col("label") == 2), cents)
+    return sim.ivf_topk(
+        emb.filter(F.col("vec_id") < 5),
+        centroids=cents,
+        index=index,
+        k=5,
+    )
+
+
+@register(
+    "similarity_topk_ivf_appended",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id % 97 = 0 AND vec_id < 400
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({_COS.format(a='e.embedding', b='c.cv')}, 9) DESC,
+                        c.cent_id) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ), cells AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv, cell FROM cells WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_COS.format(a='q.qv', b='c.embedding')}, 9) AS s9
+      FROM q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, neighbor_id) AS "rank"
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, "rank", round(s9, 6) AS cosine_sim
+    FROM ranked WHERE "rank" <= 5
+    """,
+)
+def similarity_topk_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (FAISS ``index.add`` semantics):
+    the corpus arrives in two batches — the index is BUILT on the first
+    (centroids frozen from it), and the second batch only runs
+    ``ivf_assign`` for ITS OWN rows (cost ∝ batch × K centroids, never a
+    corpus rescan) and unions into the index relation. The oracle
+    rebuilds single-shot over everything, so the gate proves
+    append(index(A), B) ≡ index(A ∪ B) under frozen centroids — the same
+    refresh-cost-∝-batch contract as incremental dedup and the rollup
+    delta commit. (Centroid RETRAINING drift is the documented limit:
+    retrain is a rebuild, by design.)"""
+    emb = table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    cents = sim.stride_centroids(old)
+    index_old = sim.ivf_build_index(old, cents)
+    appended = sim.ivf_assign(
+        new.select("vec_id", "embedding"), cents, "vec_id", "embedding"
+    )
+    full_index = index_old.unionByName(appended)
+    return sim.ivf_topk(
+        emb.filter(F.col("vec_id") < 5), centroids=cents, index=full_index, k=5
+    )
