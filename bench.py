@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "lineitem_grouping_sets",
     "events_range_window_sum",
     "lineitem_mad_outliers",
+    "events_pattern_match",
+    "scd2_time_weighted_avg",
+    "similarity_topk_ivf_filtered",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
     # into anything else
     "dedup_minhash_clusters",
