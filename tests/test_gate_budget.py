@@ -27,7 +27,12 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 BUDGET_SINGLE_S = 10.0
-BUDGET_GATE_S = 210.0
+# full-gate cap tracks registry growth at a pinned per-query density:
+# ~1.45 s/query × 166 queries (r5: 135 s at 123 ≈ 1.1; the round-6 deltas
+# are the eager-bisection MAD/quantile queries and the trained-ANN family).
+# The cap is a creep alarm, not a target — raising it requires raising
+# this comment's arithmetic too.
+BUDGET_GATE_S = 240.0
 MARGIN = 1.5  # shared-suite noise headroom; the budget itself is the target
 
 

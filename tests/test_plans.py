@@ -39,6 +39,9 @@ _CROSS_OK = {
     "fuzzy_join_jaccard",  # two 1-row candidate-count audit broadcasts
     "basket_pair_lift",  # 1-row basket-total broadcast (lazy lift denominator)
     "dsir_importance_weights",  # 1-row corpus-total broadcasts (R, T)
+    "scd2_time_weighted_avg",  # 1-row max-LSN broadcast (open-interval clamp)
+    "similarity_topk_ivf_filtered",  # ivf_assign broadcast-centroid scoring
+    "similarity_topk_ivf_appended",  # ivf_assign broadcast-centroid scoring
 }
 
 
