@@ -54,8 +54,10 @@ def rolling_zscore(
     integers (centi-units for 2-decimal data). ``k`` is an integer number
     of standard deviations; the flag compares
     ``(n·x − s)² > k²·(n·q − s²)`` in DECIMAL(38,0) — exact. ``zscore``
-    = (n·x − s)/√(n·(n·q − s²)) is reported (rounded to 4) for humans;
-    the boolean is the contract.
+    = (n·x − s)/√(n·q − s²) is reported (rounded to 4) for humans — since
+    ``n·q − s² = n²·σ²_pop`` this is exactly ``(x − mean)/σ_pop``, the
+    population z-score, consistent with the flag (``|z| > k`` ⇔ flagged).
+    The boolean is the contract.
     """
     v = F.round(F.col(value_col) * scale).cast("long")
     order = [F.col(time_col).asc(), F.col(value_col).asc()]
@@ -75,8 +77,7 @@ def rolling_zscore(
     z = F.when(
         var_term > 0,
         F.round(
-            num.cast("double")
-            / F.sqrt((nn * var_term).cast("double")),
+            num.cast("double") / F.sqrt(var_term.cast("double")),
             4,
         ),
     )

@@ -46,9 +46,19 @@ def exact_quantiles(
 ) -> DataFrame:
     """Exact per-group quantiles of ``value_col`` at probabilities ``ps``.
 
-    Returns (keys..., p, q) with q the value at 1-indexed rank
-    ``ceil(p·n)`` of the group's non-null values (value units, exact).
-    Group keys must be non-null (filter/bucket NULLs upstream).
+    Returns (keys..., p, q, q_micros): ``q_micros`` is the EXACT
+    micro-unit BIGINT order statistic at 1-indexed rank ``ceil(p·n)`` of
+    the group's non-null values; ``q`` = round(q_micros/10^6, 4) is the
+    human-readable double (lossy past 4 decimals — downstream exact
+    arithmetic must use ``q_micros``, mirroring view_finalize's
+    late-divide pattern). Group keys must be non-null (filter/bucket
+    NULLs upstream).
+
+    Each bisection round aggregates per-bin (count, min, max); the
+    narrowed bounds are the ACTUAL min/max inside the chosen bin, not
+    its arithmetic boundaries — sparse or clustered domains collapse in
+    one round instead of log_B(domain) rounds, and a single-value bin
+    closes the search immediately.
     """
     spark: SparkSession = df.sparkSession
     v = F.round(F.col(value_col) * MICROS).cast("long")
@@ -87,35 +97,38 @@ def exact_quantiles(
             .select(
                 *keys,
                 "p",
+                "_vm",
                 # integer div, NOT /: double division could misplace a
                 # boundary value into the neighboring bin, breaking the
                 # driver's exact inverse bin-bound arithmetic
                 F.expr(f"((_vm - lo) * {bins}) div (hi - lo + 1)").alias("_bin"),
             )
             .groupBy(*keys, "p", "_bin")
-            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.min("_vm").alias("_bmin"),
+                F.max("_vm").alias("_bmax"),
+            )
         )
-        hist: dict[tuple, dict[int, int]] = {}
+        hist: dict[tuple, dict[int, tuple[int, int, int]]] = {}
         for r in binned.collect():
-            hist.setdefault(tuple(r[c] for c in keys) + (r["p"],), {})[r["_bin"]] = r["_c"]
+            hist.setdefault(tuple(r[c] for c in keys) + (r["p"],), {})[
+                r["_bin"]
+            ] = (r["_c"], r["_bmin"], r["_bmax"])
         for s in states:
             sk, k_rank, lo, hi = tuple(s[: len(keys)]) + (s[len(keys)],), s[-3], s[-2], s[-1]
             if lo >= hi:
                 continue
-            width_i = hi - lo + 1
             acc = 0
             for b in range(bins):
-                c = hist.get(sk, {}).get(b, 0)
+                c, bmin, bmax = hist.get(sk, {}).get(b, (0, None, None))
                 if acc + c >= k_rank:
-                    # integer bin bounds mirror the Column expression exactly
-                    b_lo = lo + (b * width_i + bins - 1) // bins
-                    b_lo = max(lo, min(b_lo, hi))
-                    # first value v with (v-lo)*bins/width >= b is ceil;
-                    # last is the one before bin b+1 starts
-                    nxt = lo + ((b + 1) * width_i + bins - 1) // bins
+                    # narrow to the values ACTUALLY present in the bin —
+                    # exact (the rank-k value is one of them) and far
+                    # tighter than the arithmetic bin boundaries
                     s[-3] = k_rank - acc
-                    s[-2] = b_lo
-                    s[-1] = min(hi, nxt - 1)
+                    s[-2] = bmin
+                    s[-1] = bmax
                     break
                 acc += c
     bad = [s for s in states if s[-2] < s[-1]]
@@ -125,6 +138,9 @@ def exact_quantiles(
             f"{max_rounds} rounds — raise max_rounds or bins"
         )
     out = [
-        [*s[: len(keys)], s[len(keys)], round(s[-2] / MICROS, 4)] for s in states
+        [*s[: len(keys)], s[len(keys)], round(s[-2] / MICROS, 4), int(s[-2])]
+        for s in states
     ]
-    return spark.createDataFrame(out, f"{state_schema}, p double, q double")
+    return spark.createDataFrame(
+        out, f"{state_schema}, p double, q double, q_micros long"
+    )

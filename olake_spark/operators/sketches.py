@@ -301,23 +301,38 @@ def cms_point_estimate(
     state: DataFrame,
     candidates: DataFrame,
     value_col: str,
+    keys: list[str] | None = None,
     depth: int = CMS_DEPTH,
 ) -> DataFrame:
     """Frequency upper-bound estimate for each candidate value:
     min over rows of the candidate's cell counter (the CMS guarantee:
     est >= true count, with overestimate bounded by e*N/width w.p.
     1 - e^-depth). Candidate set x depth joins the sparse state on
-    (r, c) — the state is sketch-sized, so Spark broadcasts it and the
-    probe never shuffles."""
+    (keys..., r, c) — the state is sketch-sized, so Spark broadcasts it
+    and the probe never shuffles.
+
+    ``keys`` must match the keys the state was built with
+    (``cms_sketch``/``cms_merge``): probing a keyed state without them
+    would min over cells of EVERY group, returning meaningless
+    estimates — so a keyed state probed key-less raises instead.
+    ``candidates`` must carry the same key columns when keys are used.
+    """
+    keys = list(keys or [])
+    extra = set(state.columns) - {"r", "c", "cnt"} - set(keys)
+    if extra:
+        raise ValueError(
+            f"cms_point_estimate: state carries group keys {sorted(extra)} "
+            "not passed via keys= — probing would mix cells across groups"
+        )
     rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
-    probes = candidates.select(F.col(value_col).alias("_v")).select(
-        "_v", rows
-    ).select("_v", "r", _cms_cell(F.col("_v"), F.col("r")).alias("c"))
-    joined = probes.join(F.broadcast(state), ["r", "c"], "left").select(
-        "_v", F.coalesce(F.col("cnt"), F.lit(0)).alias("_cell_cnt")
+    probes = candidates.select(*keys, F.col(value_col).alias("_v")).select(
+        *keys, "_v", rows
+    ).select(*keys, "_v", "r", _cms_cell(F.col("_v"), F.col("r")).alias("c"))
+    joined = probes.join(F.broadcast(state), [*keys, "r", "c"], "left").select(
+        *keys, "_v", F.coalesce(F.col("cnt"), F.lit(0)).alias("_cell_cnt")
     )
     return (
-        joined.groupBy("_v")
+        joined.groupBy(*keys, "_v")
         .agg(F.min("_cell_cnt").alias("est_count"))
-        .select(F.col("_v").alias(value_col), "est_count")
+        .select(*keys, F.col("_v").alias(value_col), "est_count")
     )

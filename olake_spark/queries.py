@@ -1212,7 +1212,7 @@ w AS (
 SELECT user_id, ts_us, value,
   n AS n_window,
   CASE WHEN (n * q - s * s) > 0 THEN
-    round((n * v - s)::DOUBLE / sqrt((n * (n * q - s * s))::DOUBLE), 4)
+    round((n * v - s)::DOUBLE / sqrt((n * q - s * s)::DOUBLE), 4)
   END AS zscore,
   (n >= 8 AND (n * q - s * s) > 0
    AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s)) AS is_anomaly
@@ -2819,7 +2819,7 @@ def lineitem_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = li.select(F.col("l_returnflag"), vm.alias("_vm"))
     med = exact_quantiles(
         li, ["l_returnflag"], "l_extendedprice", [0.5], bins=8192
-    ).select("l_returnflag", F.round(F.col("q") * 1_000_000).cast("long").alias("_medm"))
+    ).select("l_returnflag", F.col("q_micros").alias("_medm"))
     d = v.join(F.broadcast(med), "l_returnflag").withColumn(
         "_am", F.abs(F.col("_vm") - F.col("_medm"))
     )
@@ -2830,10 +2830,7 @@ def lineitem_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         mad = exact_quantiles(
             dev, ["l_returnflag"], "_adev", [0.5], bins=8192
-        ).select(
-            "l_returnflag",
-            F.round(F.col("q") * 1_000_000).cast("long").alias("_madm"),
-        )
+        ).select("l_returnflag", F.col("q_micros").alias("_madm"))
     finally:
         dev.unpersist()
     return (

@@ -4707,7 +4707,8 @@ r AS (
          row_number() OVER (PARTITION BY l_returnflag ORDER BY vm) AS rk
   FROM v
 )
-SELECT r.l_returnflag, p.p::DOUBLE AS p, round(vm::DOUBLE / 1000000, 4) AS q
+SELECT r.l_returnflag, p.p::DOUBLE AS p, round(vm::DOUBLE / 1000000, 4) AS q,
+       vm AS q_micros
 FROM r JOIN n USING (l_returnflag)
 JOIN (VALUES (0.5), (0.9), (0.99)) p(p) ON r.rk = ceil(p.p * n.n)
 """

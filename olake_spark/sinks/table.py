@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -403,13 +404,25 @@ class ManagedTable:
         self._sweep_empty_data_dirs()
         return {"expired_versions": drop, "removed_files": removed}
 
-    def vacuum_orphans(self) -> int:
+    def vacuum_orphans(self, older_than_s: float = 3 * 24 * 3600) -> int:
         """Iceberg ``deleteOrphanFiles`` parity: remove files under the
         table directory that no live manifest references — crash leftovers
         from aborted writes, interrupted expiry sweeps, or speculative
         tasks. Live data is resolved from ALL current manifest versions,
         so a file any readable snapshot still needs is never touched.
+
+        ``older_than_s`` is the mtime age cutoff (seconds; default 3 days,
+        matching Iceberg's ``deleteOrphanFiles`` ``olderThan`` default):
+        files and ``.tmp-`` manifests YOUNGER than it are skipped, because
+        this table supports optimistic concurrent writers (commit = write
+        data files, then link manifest) — a vacuum racing an in-flight
+        write would otherwise delete its freshly written data files before
+        the manifest links (silent data loss on a commit that then
+        "succeeds"), and removing its live ``.tmp-`` manifest turns the
+        racer's CommitConflict into a bare FileNotFoundError. Pass
+        ``older_than_s=0`` ONLY with quiesced writers (tests do).
         Returns the number of files removed."""
+        cutoff = time.time() - older_than_s
         live: set[str] = set()
         for v in self._versions():
             live |= self._manifest_files(v)
@@ -421,13 +434,18 @@ class ManagedTable:
                     p = os.path.join(dirpath, f)
                     # _SUCCESS/.crc markers ride along with their dir; only
                     # data files count as orphans
-                    if f.endswith(".parquet") and p not in live:
+                    if (
+                        f.endswith(".parquet")
+                        and p not in live
+                        and os.path.getmtime(p) <= cutoff
+                    ):
                         os.remove(p)
                         removed += 1
         if os.path.isdir(self._commits):
             for f in os.listdir(self._commits):
-                if f.startswith(".tmp-"):
-                    os.remove(os.path.join(self._commits, f))
+                p = os.path.join(self._commits, f)
+                if f.startswith(".tmp-") and os.path.getmtime(p) <= cutoff:
+                    os.remove(p)
         self._sweep_empty_data_dirs()
         return removed
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -89,13 +90,41 @@ def test_vacuum_removes_orphans_never_live_data(spark, table4):
     live_before = _parquet_files(t.path) - {stray}
     rows_before = t.read().count()
 
-    removed = t.vacuum_orphans()
+    # default (3-day olderThan, Iceberg parity): freshly written files are
+    # NOT touched — they may belong to an in-flight optimistic commit
+    assert t.vacuum_orphans() == 0
+    assert os.path.exists(stray)
+    assert os.path.exists(tmp_manifest)
+
+    # quiesced-writers sweep: age cutoff disabled
+    removed = t.vacuum_orphans(older_than_s=0)
     assert removed == 1
     assert not os.path.exists(stray)
     assert not os.path.exists(os.path.dirname(stray))  # empty dir swept
     assert not os.path.exists(tmp_manifest)
     assert _parquet_files(t.path) == live_before
     assert t.read().count() == rows_before
+
+
+def test_vacuum_age_cutoff_spares_in_flight_writer(spark, table4):
+    """An orphan older than the cutoff is removed while a concurrent
+    writer's just-written (not-yet-committed) data file survives."""
+    t = table4
+    old_dir = os.path.join(t.path, "data", "old")
+    os.makedirs(old_dir)
+    old = os.path.join(old_dir, "part-old.parquet")
+    with open(old, "wb") as fh:
+        fh.write(b"x")
+    stale = time.time() - 7200
+    os.utime(old, (stale, stale))
+    fresh_dir = os.path.join(t.path, "data", "inflight")
+    os.makedirs(fresh_dir)
+    fresh = os.path.join(fresh_dir, "part-inflight.parquet")
+    with open(fresh, "wb") as fh:
+        fh.write(b"y")
+    assert t.vacuum_orphans(older_than_s=3600) == 1
+    assert not os.path.exists(old)
+    assert os.path.exists(fresh)
 
 
 def test_mor_table_expire_then_read_resolves(spark):
