@@ -212,29 +212,37 @@ def bpe_train_merges(
         ).filter(F.col("_p.b").isNotNull()).select(
             F.col("_p.a").alias("a"), F.col("_p.b").alias("b"), "wt"
         )
-        best = (
-            pairs.groupBy("a", "b")
-            .agg(F.sum("wt").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
-        )
-        # lazy loud guard: a global agg ALWAYS yields one row, so if the
-        # corpus ran out of adjacent pairs before n_merges iterations the
-        # assert fires at action time instead of the crossJoin silently
-        # emptying `states` and truncating the merge table
-        checked = best.groupBy().agg(
-            F.count(F.lit(1)).alias("_nb"),
-            F.first("a").alias("a"),
-            F.first("b").alias("b"),
-            F.first("cnt").alias("cnt"),
-        ).filter(
-            F.assert_true(
-                F.col("_nb") > 0,
-                F.lit(
-                    f"bpe_train_merges: corpus exhausted before merge {i} "
-                    "(no adjacent pairs left) — lower n_merges"
-                ),
-            ).isNull()
+        counts = pairs.groupBy("a", "b").agg(F.sum("wt").alias("cnt"))
+        # fused argmax + lazy loud guard in ONE global agg: min_by over the
+        # (-cnt, a, b) struct is the winner (max count, ties to the
+        # lexicographically smallest pair), and the same agg's count(*)
+        # ALWAYS yields one row — so if the corpus ran out of adjacent
+        # pairs before n_merges iterations the assert fires at action time
+        # instead of the crossJoin silently emptying `states` and
+        # truncating the merge table
+        checked = (
+            counts.groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("_nb"),
+                F.min_by(
+                    F.struct("a", "b", "cnt"),
+                    F.struct((-F.col("cnt")).alias("_nc"), "a", "b"),
+                ).alias("_w"),
+            )
+            .filter(
+                F.assert_true(
+                    F.col("_nb") > 0,
+                    F.lit(
+                        f"bpe_train_merges: corpus exhausted before merge {i} "
+                        "(no adjacent pairs left) — lower n_merges"
+                    ),
+                ).isNull()
+            )
+            .select(
+                F.col("_w.a").alias("a"),
+                F.col("_w.b").alias("b"),
+                F.col("_w.cnt").alias("cnt"),
+            )
         )
         winners.append(checked.select(F.lit(i).alias("rank"), "a", "b", "cnt"))
         pat = F.concat(
@@ -250,6 +258,11 @@ def bpe_train_merges(
                 )
             )
             .select(F.replace(F.col("state"), pat, rep).alias("state"), "wt")
+            # lazy lineage cut: materializes at FIRST action (guard stays
+            # loud-at-action-time), then every later round reads the
+            # vocabulary-sized checkpoint instead of re-deriving rounds
+            # 0..i — plan growth linear in n_merges, not 2^K
+            .localCheckpoint(eager=False)
         )
     out = winners[0]
     for w_df in winners[1:]:

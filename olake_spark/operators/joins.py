@@ -43,12 +43,24 @@ def ns_eq_join(
     still plans as a shuffled hash / sort-merge join — never a
     nested-loop — and costs the same as the unsafe form at 100 TB.
     Output carries the LEFT side's key columns once, plus both sides'
-    non-key columns."""
+    non-key columns.
+
+    ``<=>`` is only emitted for a key that is NULLABLE on either side
+    (schema check); provably non-null keys join with plain ``=``, which
+    is semantically identical there but lets Catalyst keep its
+    null-filtering/reorder optimizations — so callers can use this
+    unconditionally without paying for the null-safety they don't need.
+    """
     extra = list(extra or [])
+    lnull = {f.name: f.nullable for f in left.schema.fields}
+    rnull = {f.name: f.nullable for f in right.schema.fields}
     lhs, rhs = left.alias("_nsl"), right.alias("_nsr")
     cond = None
     for k in keys:
-        c = F.col(f"_nsl.{k}").eqNullSafe(F.col(f"_nsr.{k}"))
+        if lnull.get(k, True) or rnull.get(k, True):
+            c = F.col(f"_nsl.{k}").eqNullSafe(F.col(f"_nsr.{k}"))
+        else:
+            c = F.col(f"_nsl.{k}") == F.col(f"_nsr.{k}")
         cond = c if cond is None else cond & c
     for k in extra:
         c = F.col(f"_nsl.{k}") == F.col(f"_nsr.{k}")

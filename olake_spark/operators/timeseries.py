@@ -5,19 +5,19 @@ replication): bucket each key's events onto a fixed time grid, materialize
 the missing buckets between the key's first and last observation, and
 carry the last observed aggregate forward (LOCF) into the gaps.
 
-Dataflow (one logical shuffle on the keys):
+Dataflow (raw rows shuffle once, map-side combined):
   1. bucket = floor(epoch_us / step_us)  — pure projection, no shuffle
-  2. per-(key, bucket) aggregate         — the one hash shuffle
-  3. per-key [min, max] bucket span → ``sequence``/``explode`` grid —
-     reuses the same key partitioning; grid size is bounded by
-     span/step per key, never by the raw event count
-  4. left join grid ↔ aggregates on (key, bucket) — co-partitioned
-  5. LOCF via ``last(ignorenulls)`` over (key, bucket) — same partitioning
+  2. per-(key, bucket) aggregate         — THE raw-row shuffle
+  3. ``lead(bucket)`` over (key) — regroups only the aggregated frame
+     (rows ≤ distinct (key, bucket), tiny vs raw) — finds each observed
+     bucket's gap extent
+  4. ``sequence``/``explode`` emits the gap rows already carrying the
+     observed row's aggregate — the LOCF fill IS the explode; no grid
+     frame, no join, no second window
 
-Scale: steps 2-5 all hash-partition by the same keys, so AQE coalesces
-them onto one exchange; a key with a pathological span (years of gap at
-1-second step) bounds its own grid rows, and the window in step 5 is
-per-key sequential — skew is bounded by the widest key span, not by data
+Scale: a key with a pathological span (years of gap at 1-second step)
+bounds its own grid rows, and the window in step 3 is per-key
+sequential — skew is bounded by the widest key span, not by data
 volume. Values carried by LOCF are exact micro-unit BIGINT sums divided
 late, so the fill is bit-exact and partition-order-free
 (oracle-reproducible in DuckDB).
@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from olake_spark.operators.joins import ns_eq_join
 from olake_spark.operators.sessions import _gap_seconds
 
 __all__ = [
@@ -84,29 +83,35 @@ def gapfill_locf(
     """
     step_us = int(_gap_seconds(step) * 1_000_000)
     per = bucketize(df, time_col, keys, value_col, step)
-    span = per.groupBy(*keys).agg(
-        F.min("_bucket").alias("_mn"), F.max("_bucket").alias("_mx")
-    )
-    grid = span.select(
-        *keys, F.explode(F.sequence("_mn", "_mx")).alias("_bucket")
-    )
-    # null-safe join: a NULL-key group's buckets would otherwise all
-    # report n_events=0 / filled=true despite real data
-    j = ns_eq_join(grid, per, list(keys), ["_bucket"], "left")
-    w = (
-        W.partitionBy(*keys)
-        .orderBy("_bucket")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return j.select(
-        *keys,
-        (F.col("_bucket") * F.lit(step_us // 1000)).alias("bucket_start_ms"),
-        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
-        F.round(
-            F.last("_v_micros", ignorenulls=True).over(w) / F.lit(float(_MICROS)),
-            4,
-        ).alias("sum_value"),
-        F.col("n_events").isNull().alias("filled"),
+    # grid + LOCF in ONE pass, no join: each observed bucket OWNS the gap
+    # up to the next observed bucket — lead() finds it, sequence/explode
+    # materializes the filled rows already carrying the LOCF value. One
+    # hash shuffle (bucketize) + a lead() window on the same partitioning
+    # (exchange reused); NULL keys are ordinary window partitions, so the
+    # NULL-group data-loss bug the old grid-join formulation needed
+    # ns_eq_join for cannot occur at all.
+    w = W.partitionBy(*keys).orderBy("_bucket")
+    nxt = F.lead("_bucket").over(w)
+    return (
+        per.withColumn("_stop", F.coalesce(nxt - 1, F.col("_bucket")))
+        .select(
+            *keys,
+            "n_events",
+            "_v_micros",
+            F.col("_bucket").alias("_obs"),
+            F.explode(F.sequence("_bucket", "_stop")).alias("_bucket"),
+        )
+        .select(
+            *keys,
+            (F.col("_bucket") * F.lit(step_us // 1000)).alias("bucket_start_ms"),
+            F.when(F.col("_bucket") == F.col("_obs"), F.col("n_events"))
+            .otherwise(F.lit(0))
+            .alias("n_events"),
+            F.round(F.col("_v_micros") / F.lit(float(_MICROS)), 4).alias(
+                "sum_value"
+            ),
+            (F.col("_bucket") != F.col("_obs")).alias("filled"),
+        )
     )
 
 

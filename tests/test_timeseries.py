@@ -53,6 +53,21 @@ def test_gapfill_partition_invariant(spark):
     assert a == b
 
 
+def test_gapfill_plan_two_exchanges_no_join(spark):
+    # the lead()+explode formulation: raw rows shuffle ONCE (map-side
+    # combined agg on (key, bucket)); the lead() window regroups only the
+    # aggregated frame on (key). The old grid-join formulation's third
+    # exchange (span groupBy) and its join must not reappear.
+    plan = (
+        gapfill_locf(_ev(spark), "ts", ["user_id"], "value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+
+
 def test_gapfill_null_group_key_keeps_real_data(spark):
     # regression: grid join must be null-safe — a NULL-key group's buckets
     # previously all reported n_events=0 / filled=true despite real data
