@@ -85,23 +85,71 @@ def exact_quantiles(
         open_states = [s for s in states if s[-2] < s[-1]]
         if not open_states:
             break
-        sdf = spark.createDataFrame(
-            open_states, f"{state_schema}, p double, k long, lo long, hi long"
-        )
         glo = min(s[-2] for s in open_states)
         ghi = max(s[-1] for s in open_states)
+        scoped = base.filter(F.col("_vm").between(F.lit(glo), F.lit(ghi)))
+        if len(open_states) <= 64:
+            # few-states fast path (the operator's contract regime): inline
+            # the search bounds as a literal CASE → array<struct> and
+            # explode — pure whole-stage codegen, no per-round broadcast
+            # exchange or createDataFrame job
+            by_group: dict[tuple, list] = {}
+            for s in open_states:
+                by_group.setdefault(tuple(s[: len(keys)]), []).append(s)
+            branch = None
+            for gk, group_states in by_group.items():
+                cond = None
+                for k, kv in zip(keys, gk):
+                    c = F.col(k) == F.lit(kv)
+                    cond = c if cond is None else cond & c
+                arr = F.array(
+                    *[
+                        F.struct(
+                            F.lit(float(s[len(keys)])).alias("p"),
+                            F.lit(int(s[-2])).alias("lo"),
+                            F.lit(int(s[-1])).alias("hi"),
+                        )
+                        for s in group_states
+                    ]
+                )
+                branch = (
+                    F.when(cond, arr) if branch is None else branch.when(cond, arr)
+                )
+            matched = (
+                scoped.withColumn("_st", F.explode(branch))
+                .filter(F.col("_vm").between(F.col("_st.lo"), F.col("_st.hi")))
+                .select(
+                    *keys,
+                    F.col("_st.p").alias("p"),
+                    "_vm",
+                    F.col("_st.lo").alias("_lo"),
+                    F.col("_st.hi").alias("_hi"),
+                )
+            )
+        else:
+            sdf = spark.createDataFrame(
+                open_states, f"{state_schema}, p double, k long, lo long, hi long"
+            )
+            matched = (
+                scoped.join(F.broadcast(sdf), keys)
+                .filter(F.col("_vm").between(F.col("lo"), F.col("hi")))
+                .select(
+                    *keys,
+                    "p",
+                    "_vm",
+                    F.col("lo").alias("_lo"),
+                    F.col("hi").alias("_hi"),
+                )
+            )
         binned = (
-            base.filter(F.col("_vm").between(F.lit(glo), F.lit(ghi)))
-            .join(F.broadcast(sdf), keys)
-            .filter(F.col("_vm").between(F.col("lo"), F.col("hi")))
-            .select(
+            matched.select(
                 *keys,
                 "p",
                 "_vm",
                 # integer div, NOT /: double division could misplace a
                 # boundary value into the neighboring bin, breaking the
                 # driver's exact inverse bin-bound arithmetic
-                F.expr(f"((_vm - lo) * {bins}) div (hi - lo + 1)").alias("_bin"),
+                F.expr(f"((_vm - _lo) * {bins}) div (_hi - _lo + 1)").alias("_bin"),
             )
             .groupBy(*keys, "p", "_bin")
             .agg(
