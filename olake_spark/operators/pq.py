@@ -297,6 +297,58 @@ def pq_topk(
     )
 
 
+def pq_refine(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    dim: int = _DIM,
+    scale: int = _SCALE,
+) -> DataFrame:
+    """FAISS ``IndexRefineFlat`` rung: EXACT re-rank of ADC candidates.
+
+    ``candidates`` is the (query_id, neighbor_id, …) top-(k·r) per query
+    from any ADC scorer (``pq_topk`` / ``ivfpq_topk`` / ``ivfadc_topk``).
+    The candidate ids join back to their RAW vectors — cost ∝
+    |candidates| (persist the corpus bucketed on ``id_col`` and the fetch
+    is exchange-free); the few query vectors broadcast — then the exact
+    quantized dot re-scores each pair and ``row_number`` keeps the top-k.
+    This is how production systems buy PQ scan speed at near-exact recall:
+    the compressed scan only has to get the true neighbors into the
+    candidate set, not rank them correctly.
+
+    Scoring is the exact-integer dot over ``floor(x·scale)`` vectors —
+    the same quantization the ADC path uses, so the refined ranking is
+    the true quantized-MIPS ranking (oracle bit-for-bit).
+    Output: (query_id, neighbor_id, rank, exact_dot)."""
+    qv = _quantized(vec_col, scale)
+    cand_vecs = candidates.select("query_id", "neighbor_id").join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), qv.alias("_nv")),
+        "neighbor_id",
+    )
+    qvecs = queries.select(F.col(id_col).alias("query_id"), qv.alias("_qv"))
+    scored = cand_vecs.join(F.broadcast(qvecs), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        _int_dot("_qv", "_nv", dim).alias("exact_dot"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("exact_dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.col("exact_dot").cast("long").alias("exact_dot"),
+        )
+    )
+
+
 def ivfpq_index(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -3435,6 +3435,7 @@ _GATE_TAIL = [
     "audio_fp_dedup",
     "bpe_train_merges",
     "text_bpe_encode",
+    "dedup_exact_substr_spans",
 ]
 
 

@@ -1071,6 +1071,86 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq.pq_topk(emb.filter(F.col("vec_id") < 3), codes, cb, k=5)
 
 
+_PQ_REFINED_ORACLE = f"""
+    WITH qv AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 10000.0)) AS v
+      FROM embeddings
+    ),
+    subids AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+    cb AS (
+      SELECT sub, vec_id AS code,
+             list_slice(v, sub*{_PQ_SUB_LEN}+1, sub*{_PQ_SUB_LEN}+{_PQ_SUB_LEN}) AS cv
+      FROM qv CROSS JOIN subids WHERE vec_id % 97 = 0
+    ),
+    subs AS (
+      SELECT vec_id, sub,
+             list_slice(v, sub*{_PQ_SUB_LEN}+1, sub*{_PQ_SUB_LEN}+{_PQ_SUB_LEN}) AS sv
+      FROM qv CROSS JOIN subids
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, cb.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {_PQ_SQDIST}, cb.code) AS rn
+        FROM subs s JOIN cb ON cb.sub = s.sub
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.sub, cb.code,
+             list_sum(list_transform(range(1, {_PQ_SUB_LEN}+1), i -> q.sv[i]*cb.cv[i])) AS pd
+      FROM subs q JOIN cb ON cb.sub = q.sub WHERE q.vec_id < 3
+    ),
+    scored AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.pd)::BIGINT AS adc_dot
+      FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        AND l.query_id <> e.vec_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc_dot DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= 9
+    ),
+    refined AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i]*n.v[i]))::BIGINT
+               AS exact_dot
+      FROM cand c
+      JOIN qv q ON q.vec_id = c.query_id
+      JOIN qv n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, "rank", exact_dot FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY exact_dot DESC, neighbor_id)::INT AS "rank"
+      FROM refined
+    ) WHERE "rank" <= 3
+    """
+
+
+@register("similarity_topk_pq_refined", _PQ_REFINED_ORACLE)
+def similarity_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS ``IndexRefineFlat`` composed end-to-end (r6 verdict #4): the
+    ADC scan returns top-(k·r)=9 CANDIDATES per query from the compressed
+    codes, then operators/pq.py pq_refine fetches only those 9 raw
+    vectors per query (join cost ∝ candidates — bucketed corpus makes it
+    exchange-free at scale) and re-scores them with the exact quantized
+    dot, keeping top-k=3. The compressed scan only has to get the true
+    neighbors INTO the candidate set, not rank them — PQ speed at
+    near-exact recall, the production recall rung above residual ADC
+    (ANN_RECALL.json pq_refine section logs recall + candidate
+    fraction)."""
+    from olake_spark.operators import pq as _pq
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cb = _pq.pq_stride_codebooks(emb)
+    codes = _pq.pq_encode(emb, cb)
+    cand = _pq.pq_topk(queries, codes, cb, k=9)
+    return _pq.pq_refine(cand, emb, queries, k=3)
+
+
 @register(
     "embedding_near_dup_pairs",
     f"""

@@ -11,7 +11,18 @@ SF_SMOKE = os.environ.get("OLAKE_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from olake_spark.session import get_spark
 
-    s = get_spark(app_name="olake_spark_tests", extra_conf={"spark.ui.enabled": "false"})
+    # suite-wall tuning (r6 verdict #1): unit tests run on KB-scale
+    # fixtures, where 32-thread / 32-shuffle-partition scheduling overhead
+    # dominates every action. local[8] + 4 shuffle partitions cuts the
+    # per-action floor ~2x without changing any semantics (partition-count
+    # sensitive behavior is covered by the sf0.01 gate and bench, which
+    # keep the production conf).
+    s = get_spark(
+        app_name="olake_spark_tests",
+        master="local[8]",
+        shuffle_partitions=4,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
     yield s
 
 

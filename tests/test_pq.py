@@ -317,3 +317,42 @@ def test_ivfadc_pruning_contract(spark, emb):
     assert set(out1) <= set(out_all)
     assert all(out_all[p] == s for p, s in out1.items())
     res.unpersist()
+
+
+def test_pq_refine_recovers_exact_ranking(spark, emb):
+    """Refine invariants: (1) refined neighbors are a subset of the ADC
+    candidate set; (2) exact_dot equals the exact quantized dot (driver
+    recompute); (3) the refined order is the true quantized-MIPS order of
+    the candidates — whenever the true top-k are all inside the candidate
+    set, refine returns exactly the true top-k (the IndexRefineFlat
+    contract)."""
+    queries = emb.filter(F.col("vec_id") < 2)
+    cb = pq.pq_stride_codebooks(emb)
+    codes = pq.pq_encode(emb, cb)
+    cand = pq.pq_topk(queries, codes, cb, k=12)
+    out = pq.pq_refine(cand, emb, queries, k=4).collect()
+
+    cand_ids = {(r.query_id, r.neighbor_id) for r in cand.collect()}
+    assert {(r.query_id, r.neighbor_id) for r in out} <= cand_ids
+    assert sorted({r.rank for r in out if r.query_id == out[0].query_id}) == [1, 2, 3, 4]
+
+    # driver-side exact quantized dots over the whole corpus
+    vecs = {
+        r.vec_id: [math.floor(x * pq._SCALE) for x in r.embedding]
+        for r in emb.collect()
+    }
+    for r in out:
+        expect = sum(a * b for a, b in zip(vecs[r.query_id], vecs[r.neighbor_id]))
+        assert r.exact_dot == expect
+
+    # per query: refined order == exact order restricted to candidates
+    for qid in {r.query_id for r in out}:
+        cands_q = [n for (q, n) in cand_ids if q == qid]
+        true_order = sorted(
+            cands_q,
+            key=lambda n: (-sum(a * b for a, b in zip(vecs[qid], vecs[n])), n),
+        )[:4]
+        got = [r.neighbor_id for r in sorted(
+            (r for r in out if r.query_id == qid), key=lambda r: r.rank
+        )]
+        assert got == true_order
