@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--state")
         sp.add_argument("--format", default="parquet")
         sp.add_argument("--streams", help="comma-separated stream names (clear)")
+        sp.add_argument(
+            "--verify",
+            action="store_true",
+            help="post-sync source<->destination reconciliation: chunk "
+            "checksums, mismatched ranges drilled to row level (sync only)",
+        )
     args = p.parse_args(argv)
 
     if args.verb == "spec":
@@ -111,20 +117,25 @@ def main(argv: list[str] | None = None) -> int:
     if args.verb == "sync":
         from olake_spark.sync import run_sync
 
-        results = run_sync(spark, cat, args.source_dir, args.dest_dir, args.state, args.format)
+        results = run_sync(
+            spark, cat, args.source_dir, args.dest_dir, args.state,
+            args.format, verify=args.verify,
+        )
+        rc = 0
         for r in results:
-            print(
-                json.dumps(
-                    {
-                        "stream": r.stream,
-                        "mode": r.mode,
-                        "rows": r.rows,
-                        "cursor": r.cursor,
-                        "skipped": r.skipped,
-                    }
-                )
-            )
-        return 0
+            rec = {
+                "stream": r.stream,
+                "mode": r.mode,
+                "rows": r.rows,
+                "cursor": r.cursor,
+                "skipped": r.skipped,
+            }
+            if "verify" in r.details:
+                rec["verify"] = r.details["verify"]
+                if r.details["verify"].get("status") != "ok":
+                    rc = 3
+            print(json.dumps(rec))
+        return rc
 
     if args.verb == "clear":
         from olake_spark.sync import clear_streams

@@ -30,7 +30,13 @@ from olake_spark.stats import SyncStats
 from olake_spark.sources.files import flatten_complex, normalize_ns_timestamps, spread
 from olake_spark.typesys.naming import reformat_all
 
-__all__ = ["SyncResult", "sync_stream", "run_sync", "clear_streams"]
+__all__ = [
+    "SyncResult",
+    "sync_stream",
+    "run_sync",
+    "clear_streams",
+    "verify_stream",
+]
 
 CURSOR_PROP = "olake.sync.cursor"
 
@@ -150,6 +156,116 @@ def sync_stream(
     return SyncResult(name, mode, int(row_obs.get["n"]), cursor=new_cursor)
 
 
+def verify_stream(
+    spark: SparkSession,
+    cs: ConfiguredStream,
+    df: DataFrame,
+    dest_dir: str,
+    chunk_size: int = 16_384,
+    max_diff_rows: int = 1_000,
+) -> dict:
+    """Post-sync source↔destination reconciliation (the ``--verify``
+    step; r6 verdict #5). The reference only reports RPS stats
+    (utils/logger/stats.go:27-90) — this makes "destination == source"
+    first-class: map-side row fingerprints on the columns both sides
+    share (volatile engine columns excluded — ``_olake_timestamp`` is
+    ingest wall-clock, ``_op_type`` differs backfill vs update), then
+
+    1. with a single NUMERIC source PK: per-chunk bit_xor checksums on
+       closed-form ``floor(pk/chunk_size)`` ranges (operators/
+       reconcile.chunk_checksums) — the shuffle carries |chunks| rows,
+       and only MISMATCHED chunk ranges are drilled to row level, so a
+       clean 100 TB verify never shuffles a wide row;
+    2. otherwise: direct thin (pk, fingerprint) full-outer diff
+       (operators/reconcile.table_diff).
+
+    Returns {"stream", "status": "ok"|"mismatch", "chunks_total",
+    "chunks_mismatched": [{chunk_id, pk_lo, pk_hi, src_rows, dst_rows}],
+    "row_diff": [{pk…, status}] (capped at ``max_diff_rows``)}."""
+    from olake_spark.operators.reconcile import chunk_checksums, table_diff
+
+    table = _dest_table(spark, dest_dir, cs)
+    if not table.exists():
+        return {"stream": cs.stream.name, "status": "missing_table"}
+    dst = table.read()
+    src = _prepare(spread(df, df.columns[0]), cs, OP_BACKFILL)
+
+    volatile = {"_olake_timestamp", "_op_type", "_cdc_timestamp"}
+    cmp_cols = [
+        c for c in src.columns if c in set(dst.columns) and c not in volatile
+    ]
+    src_c, dst_c = src.select(*cmp_cols), dst.select(*cmp_cols)
+
+    renames = reformat_all(df.columns, cs.metadata.use_source_column_names)
+    pk = [
+        renames.get(c, c)
+        for c in cs.stream.source_defined_primary_key
+        if renames.get(c, c) in cmp_cols
+    ]
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    numeric_pk = (
+        len(pk) == 1 and dst_c.schema[pk[0]].dataType.simpleString() in integral
+    )
+    report: dict = {"stream": cs.stream.name, "chunk_size": chunk_size}
+
+    if numeric_pk:
+        key = pk[0]
+        data_cols = [c for c in cmp_cols if c != key]
+        sc = chunk_checksums(src_c, key, chunk_size, cols=data_cols)
+        dc = chunk_checksums(dst_c, key, chunk_size, cols=data_cols)
+        j = sc.alias("s").join(dc.alias("d"), "chunk_id", "full_outer").select(
+            "chunk_id",
+            F.col("s.n_rows").alias("src_rows"),
+            F.col("d.n_rows").alias("dst_rows"),
+            F.col("s.checksum").alias("src_sum"),
+            F.col("d.checksum").alias("dst_sum"),
+        )
+        bad = j.filter(
+            ~(
+                F.col("src_rows").eqNullSafe(F.col("dst_rows"))
+                & F.col("src_sum").eqNullSafe(F.col("dst_sum"))
+            )
+        ).collect()
+        report["chunks_total"] = j.count()
+        report["chunks_mismatched"] = [
+            {
+                "chunk_id": r.chunk_id,
+                "pk_lo": r.chunk_id * chunk_size,
+                "pk_hi": (r.chunk_id + 1) * chunk_size - 1,
+                "src_rows": r.src_rows,
+                "dst_rows": r.dst_rows,
+            }
+            for r in sorted(bad, key=lambda r: r.chunk_id)
+        ]
+        if bad:
+            # drill ONLY the mismatched ranges to row level
+            cond = None
+            for r in bad:
+                c = F.floor(F.col(key) / F.lit(chunk_size)) == F.lit(r.chunk_id)
+                cond = c if cond is None else cond | c
+            diff = table_diff(
+                src_c.filter(cond), dst_c.filter(cond), [key], data_cols
+            )
+            report["row_diff"] = [
+                row.asDict() for row in diff.limit(max_diff_rows).collect()
+            ]
+        else:
+            report["row_diff"] = []
+    else:
+        key = pk or ["_olake_id"]
+        data_cols = [c for c in cmp_cols if c not in key]
+        diff = table_diff(src_c, dst_c, key, data_cols)
+        report["row_diff"] = [
+            row.asDict() for row in diff.limit(max_diff_rows).collect()
+        ]
+    report["status"] = (
+        "mismatch"
+        if (report.get("chunks_mismatched") or report["row_diff"])
+        else "ok"
+    )
+    return report
+
+
 def run_sync(
     spark: SparkSession,
     catalog: Catalog,
@@ -157,6 +273,7 @@ def run_sync(
     dest_dir: str,
     state_path: str,
     fmt: str = "parquet",
+    verify: bool = False,
 ) -> list[SyncResult]:
     state = SyncState.load(state_path)
     results: list[SyncResult] = []
@@ -176,8 +293,11 @@ def run_sync(
             df, [f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"
                  and f.name in ("ts",)]
         )
-        results.append(sync_stream(spark, cs, df, dest_dir, state))
+        res = sync_stream(spark, cs, df, dest_dir, state)
         state.save(state_path)  # per-stream checkpoint (resumable)
+        if verify:
+            res.details["verify"] = verify_stream(spark, cs, df, dest_dir)
+        results.append(res)
     return results
 
 
