@@ -555,6 +555,109 @@ def spatial_growth(spark, lo_n: int = 2_000, hi_n: int = 8_000) -> dict:
     }
 
 
+def pit_join_growth(
+    spark,
+    n_facts: int = 200_000,
+    n_keys: int = 5_000,
+    lo_churn: int = 4,
+    hi_churn: int = 16,
+) -> dict:
+    """Scale evidence for the union+LOCF point-in-time join (r6 verdict
+    #6): facts FIXED, dimension churn ×4 — the union formulation's rows
+    through the shuffle are |facts| + |versions| (O(|L|+|R|)), so wall
+    and shuffle bytes must track (|L|+|R|), NOT |L|·churn. The naive
+    interval-equi-join alternative fans every fact out by its key's full
+    version count before filtering — its pre-filter row count
+    (|facts|·churn) is reported alongside as the contrast: it QUADRUPLES
+    when churn does, while the union rows barely move.
+
+    Exponents are computed against total input rows (|L|+|R|); healthy
+    ≈ 1.0. Deterministic synthetic data (id-formula timestamps/values) —
+    no RNG, numbers reproduce anywhere."""
+    from pyspark.sql import functions as F
+
+    from olake_spark.operators.scd import point_in_time_join
+
+    T = 1_000_000  # time horizon
+
+    facts = spark.range(n_facts).select(
+        (F.col("id") % n_keys).alias("k"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(T)).alias("ts"),
+        F.col("id").alias("fact_id"),
+    )
+
+    def dim(churn: int):
+        step = T // churn
+        return (
+            spark.range(n_keys)
+            .select(F.col("id").alias("k"))
+            .crossJoin(
+                spark.range(churn).select(F.col("id").alias("j"))
+            )
+            .select(
+                "k",
+                (F.col("j") * step).alias("valid_from"),
+                F.when(
+                    F.col("j") < churn - 1, (F.col("j") + 1) * step
+                ).alias("valid_to"),
+                (F.col("k") * 31 + F.col("j")).alias("attr"),
+            )
+        )
+
+    def measure(churn: int) -> dict:
+        d = dim(churn)
+
+        def run():
+            # aggregate OVER the attached attribute — a bare count() lets
+            # Catalyst prune the unused window (and with it the whole
+            # join), measuring nothing
+            row = (
+                point_in_time_join(facts, d, ["k"], "ts", ["attr"])
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(F.xxhash64("attr")).alias("chk"),
+                )
+                .first()
+            )
+            time.sleep(1.0)  # let the UI stage metrics settle before reading
+            return int(row["n"])
+
+        m = timed(spark, run)
+        m["churn"] = churn
+        m["dim_rows"] = n_keys * churn
+        m["union_rows"] = n_facts + n_keys * churn  # what LOCF shuffles
+        m["naive_fanout_rows"] = n_facts * churn  # what the equi-join would
+        return m
+
+    measure(lo_churn)  # JIT/codegen warm-up, discarded
+    lo, hi = measure(lo_churn), measure(hi_churn)
+    out = {
+        "n_facts": n_facts,
+        "n_keys": n_keys,
+        "lo": lo,
+        "hi": hi,
+        # exponent of wall vs total input rows — ≈1.0 = linear in |L|+|R|
+        "wall_exponent_vs_input": growth_exponent(
+            max(1, int(lo["wall_sec"] * 1000)),
+            max(1, int(hi["wall_sec"] * 1000)),
+            lo["union_rows"],
+            hi["union_rows"],
+        ),
+        "union_rows_ratio": round(hi["union_rows"] / lo["union_rows"], 2),
+        "naive_fanout_ratio": round(
+            hi["naive_fanout_rows"] / lo["naive_fanout_rows"], 2
+        ),
+    }
+    if lo.get("shuffle_mb") and hi.get("shuffle_mb"):
+        out["shuffle_exponent_vs_input"] = growth_exponent(
+            max(1, int(lo["shuffle_mb"] * 10)),
+            max(1, int(hi["shuffle_mb"] * 10)),
+            lo["union_rows"],
+            hi["union_rows"],
+        )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=20)
@@ -591,6 +694,8 @@ def main() -> None:
             block = stream_rollup_delta(spark, args.sf_dir)
         elif args.only == "spatial_growth":
             block = spatial_growth(spark)
+        elif args.only == "pit_join_growth":
+            block = pit_join_growth(spark)
         else:
             raise SystemExit(f"unknown section {args.only!r}")
         try:
