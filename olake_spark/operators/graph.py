@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "k_core"]
 
 TOTAL_MASS = 10**12
 DAMP_NUM = 85  # damping 0.85 as the exact rational 85/100
@@ -140,3 +140,52 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return all_nodes.join(counts, "node", "left").select(
         "node", F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: each round recomputes UNDIRECTED
+    degrees over the surviving node set and removes nodes with degree
+    < ``k`` (Matula-Beck peeling, unrolled).
+
+    ``rounds`` is a FIXED contract, like pagerank's ``iters`` — the
+    result after exactly R peels, bit-identical to R unrolled SQL CTEs
+    (full convergence is a driver loop over the same body with a
+    checkpoint per round; the fixture domains here stabilize within the
+    configured R). Returns (node, degree) of the survivors — degree as
+    measured in the FINAL round, i.e. within the (R−1)-peeled subgraph.
+
+    Plan shape per round: the undirected edge relation semi-joins the
+    alive set on both endpoints (two hash joins on the same keys), then
+    one map-side-combinable degree count; a lazy localCheckpoint per
+    round keeps the unrolled plan linear. Self-loops are dropped
+    (standard k-core convention); duplicate edges collapse.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .unionByName(edges.select(b.alias("a"), a.alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    alive = und.select(F.col("a").alias("node")).distinct()
+    deg = None
+    for _ in range(int(rounds)):
+        e2 = und.join(
+            alive.select(F.col("node").alias("a")), "a", "left_semi"
+        ).join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+        deg = e2.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        alive = (
+            deg.filter(F.col("degree") >= k)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+    return deg.filter(F.col("degree") >= k).select("node", "degree")

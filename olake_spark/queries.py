@@ -3292,6 +3292,78 @@ def pii_column_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (operators/attribution.py): first/last/linear
+# conversion credit in one window pass
+# ---------------------------------------------------------------------------
+
+_ATTR_CHANNELS = ["click", "error", "signup", "view"]
+_ATTR_CH_SQL = "('click', 'error', 'signup', 'view')"
+_ATTR_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+),
+w AS (
+  SELECT user_id, event_type,
+    first_value(CASE WHEN event_type IN {_ATTR_CH_SQL} THEN event_type END
+                IGNORE NULLS) OVER win AS f,
+    last_value(CASE WHEN event_type IN {_ATTR_CH_SQL} THEN event_type END
+               IGNORE NULLS) OVER win AS l,
+    sum(CASE WHEN event_type IN {_ATTR_CH_SQL} THEN 1 ELSE 0 END)
+      OVER win AS nt,
+    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER win AS n0,
+    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER win AS n1,
+    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER win AS n2,
+    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER win AS n3
+  FROM e
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+conv AS (SELECT * FROM w WHERE event_type = 'purchase' AND nt > 0),
+lin AS (
+  SELECT s.channel AS channel, sum(s.lin)::BIGINT AS linear_micro FROM (
+    SELECT unnest([
+      struct_pack(channel := 'click',  lin := (n0 * 1000000) // nt),
+      struct_pack(channel := 'error',  lin := (n1 * 1000000) // nt),
+      struct_pack(channel := 'signup', lin := (n2 * 1000000) // nt),
+      struct_pack(channel := 'view',   lin := (n3 * 1000000) // nt)
+    ]) AS s FROM conv
+  ) GROUP BY 1
+),
+ft AS (SELECT f AS channel, count(*) AS first_touch FROM conv GROUP BY 1),
+lt AS (SELECT l AS channel, count(*) AS last_touch FROM conv GROUP BY 1)
+SELECT lin.channel,
+       coalesce(ft.first_touch, 0)::BIGINT AS first_touch,
+       coalesce(lt.last_touch, 0)::BIGINT AS last_touch,
+       lin.linear_micro
+FROM lin LEFT JOIN ft USING (channel) LEFT JOIN lt USING (channel)
+"""
+
+
+@register("events_attribution", _ATTR_ORACLE)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/linear multi-touch attribution (operators/
+    attribution.py) for 'purchase' conversions over the four touch
+    channels: ONE hash shuffle on the user, cumulative windows find each
+    conversion's prior-touch first/last/per-channel counts (no self-join,
+    no fan-out beyond the fixed |channels| credit explode), and linear
+    credit accumulates exact floor-micro BIGINTs — a float ratio sum
+    would be partition-order-dependent."""
+    from olake_spark.operators.attribution import multi_touch_attribution
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return multi_touch_attribution(
+        ev, "user_id", "ts_us", "event_type",
+        channels=_ATTR_CHANNELS, conversion="purchase",
+        tiebreak_col="event_id",
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -3436,6 +3508,10 @@ _GATE_TAIL = [
     "bpe_train_merges",
     "text_bpe_encode",
     "dedup_exact_substr_spans",
+    "dedup_strip_substr",
+    "sketch_kmv_distinct",
+    "sketch_hll_distinct",
+    "bloom_semi_join_prune",
 ]
 
 

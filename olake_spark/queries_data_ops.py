@@ -4994,3 +4994,183 @@ def similarity_topk_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(
         emb.filter(F.col("vec_id") < 5), centroids=cents, index=full_index, k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram LM (operators/lm.py): the KenLM-shaped quality filter on
+# exact-integer statistics
+# ---------------------------------------------------------------------------
+
+_BIGRAMS_SQL = (
+    f"list_filter(list_transform(range(1, greatest(len({_TOKS})-1,1)+1), "
+    f"i -> struct_pack(w1 := ({_TOKS})[i], w2 := ({_TOKS})[i+1])), "
+    "p -> p.w2 IS NOT NULL)"
+)
+
+_LM_TOP_ORACLE = f"""
+    WITH bg AS (
+      SELECT unnest({_BIGRAMS_SQL}) AS p FROM documents
+    ),
+    cnts AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cnt FROM bg GROUP BY 1, 2
+    )
+    SELECT w1, w2, cnt FROM (
+      SELECT *, row_number() OVER (ORDER BY cnt DESC, w1, w2) AS rn FROM cnts
+    ) WHERE rn <= 25
+    """
+
+
+@register("text_bigram_lm_top", _LM_TOP_ORACLE)
+def text_bigram_lm_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM training (operators/lm.py bigram_counts): one explode +
+    one map-side-combinable groupBy over whitespace tokens; the model
+    relation is vocabulary-sized (Zipf-bounded), never corpus-sized.
+    Reported as the deterministic top-25 (cnt desc, then bigram) so the
+    oracle pins the full count table through its head."""
+    from pyspark.sql import Window as W
+
+    from olake_spark.operators.lm import bigram_counts
+
+    lm = bigram_counts(table(spark, sf_dir, "documents"))
+    w = W.partitionBy().orderBy(F.col("cnt").desc(), "w1", "w2")
+    return (
+        lm.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("w1", "w2", "cnt")
+    )
+
+
+_LM_SCORE_ORACLE = f"""
+    WITH bg AS (
+      SELECT unnest({_BIGRAMS_SQL}) AS p FROM documents
+    ),
+    lm AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cnt FROM bg GROUP BY 1, 2
+    ),
+    occ AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+      FROM (SELECT doc_id, unnest({_BIGRAMS_SQL}) AS p
+            FROM documents WHERE doc_id < 120)
+    ),
+    j AS (
+      SELECT o.doc_id, coalesce(lm.cnt, 0) AS c
+      FROM occ o LEFT JOIN lm ON lm.w1 = o.w1 AND lm.w2 = o.w2
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_known,
+           round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) / count(*), 6)
+             AS coverage,
+           round(sum(c) / count(*), 4) AS avg_bigram_cnt
+    FROM j GROUP BY doc_id
+    """
+
+
+@register("text_bigram_lm_score", _LM_SCORE_ORACLE)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-distribution scoring against the corpus bigram LM (operators/
+    lm.py lm_coverage_score) — the CCNet/Gopher-style LM quality filter
+    on EXACT integers: per doc, the share of bigram occurrences the LM
+    saw >= 2 times and the mean observed count, integers divided once at
+    the end (same IEEE double in any engine — no float log-prob sum
+    whose addition order could flip a rounding). Corpus rows shuffle
+    once on doc_id; the vocabulary-sized LM broadcasts."""
+    from olake_spark.operators.lm import bigram_counts, lm_coverage_score
+
+    docs = table(spark, sf_dir, "documents")
+    lm = bigram_counts(docs)
+    return lm_coverage_score(
+        docs.filter(F.col("doc_id") < 120), lm, min_count=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (operators/graph.py k_core): fixed-round peeling
+# ---------------------------------------------------------------------------
+
+def _kcore_round_cte(i: int, k: int) -> str:
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    # reference, and the unrolled round chain re-expands EXPONENTIALLY
+    # without it (3.4 s -> 0.05 s oracle)
+    return (
+        f"d{i} AS MATERIALIZED (SELECT u.a AS node, count(*) AS degree "
+        f"FROM und u "
+        f"JOIN a{i-1} x ON u.a = x.node JOIN a{i-1} y ON u.b = y.node "
+        f"GROUP BY 1),\n"
+        f"a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE degree >= {k})"
+    )
+
+
+_KCORE_K, _KCORE_ROUNDS = 3, 6
+
+_KCORE_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0) a
+  JOIN (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT src, dst FROM pairs
+  WHERE ('0x' || substring(md5(src::VARCHAR || '|' || dst::VARCHAR), 1, 15))
+        ::BIGINT % 100 < 16
+),
+und AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS a, src AS b FROM edges WHERE src <> dst
+),
+a0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM und),
+{",".join(_kcore_round_cte(i, _KCORE_K) for i in range(1, _KCORE_ROUNDS + 1))}
+SELECT node, degree FROM d{_KCORE_ROUNDS} WHERE degree >= {_KCORE_K}
+"""
+
+
+@register("graph_kcore", _KCORE_ORACLE)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.py k_core; Matula-Beck
+    peeling, 6 unrolled rounds at k=3) over a deterministically
+    md5-sampled part co-occurrence graph — the dense-subgraph extractor
+    behind community mining and spam-graph pruning. Each round
+    semi-joins the surviving node set on both endpoints and recomputes
+    degrees map-side; a lazy checkpoint per round keeps the plan linear.
+    The fixture cascades (1604 -> 1547 survivors) and stabilizes inside
+    the 6-round contract, so the fixed-round result IS the 3-core;
+    degrees are exact integers and the oracle unrolls the same 6 CTE
+    rounds bit-for-bit. (The natural TPC-H co-occurrence graph is too
+    uniform to cascade — the 4%% edge sample is what makes peeling
+    non-trivial, and the sampling hash is the repo-wide md5 H60 so
+    DuckDB reproduces the same subgraph; quarter-orderkey scoping keeps the
+    brute-force pair CTE inside the gate budget.)"""
+    from olake_spark.operators.graph import k_core
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey") % 4 == 0)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    ).distinct()
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("src").cast("string"),
+                    F.col("dst").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    edges = pairs.filter(F.pmod(h, F.lit(100)) < 16)
+    return k_core(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
