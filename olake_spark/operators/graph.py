@@ -169,8 +169,8 @@ def k_core(
     a, b = F.col(src), F.col(dst)
     und = (
         edges.select(a.alias("a"), b.alias("b"))
-        .filter(F.col("a") != F.col("b"))
         .unionByName(edges.select(b.alias("a"), a.alias("b")))
+        .filter(F.col("a") != F.col("b"))  # AFTER the union: both branches
         .distinct()
         .localCheckpoint(eager=False)
     )
