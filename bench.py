@@ -124,6 +124,12 @@ BENCH_QUERIES = [
     "events_pattern_match",
     "scd2_time_weighted_avg",
     "similarity_topk_ivf_filtered",
+    # round-7 additions: exact re-rank / LM filter / attribution / k-core
+    "similarity_topk_pq_refined",
+    "text_bigram_lm_score",
+    "events_attribution",
+    "graph_kcore",
+    "events_daily_topk_users",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
     # into anything else
     "dedup_minhash_clusters",

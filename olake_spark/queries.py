@@ -3364,6 +3364,146 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Distribution analytics: ntile deciles, tumbling-window top-k, DAU/MAU
+# ---------------------------------------------------------------------------
+
+_DECILE_ORACLE = """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment, o.o_totalprice AS price, o.o_orderkey
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+t AS (
+  SELECT segment, price,
+         ntile(10) OVER (PARTITION BY segment
+                         ORDER BY price, o_orderkey) AS decile
+  FROM j
+)
+SELECT segment, decile,
+       count(*)::BIGINT AS n_orders,
+       min(price) AS min_price,
+       max(price) AS max_price
+FROM t GROUP BY 1, 2
+"""
+
+
+@register("orders_price_deciles", _DECILE_ORACLE)
+def orders_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment price decile table (ntile over a TOTAL order — price
+    then orderkey — so bucket boundaries are deterministic): count +
+    min/max per decile. One shuffle for the customer join (customer
+    broadcasts), one window pass per segment; the report is
+    |segments|·10 rows."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderkey"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("price"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("segment").orderBy("price", "o_orderkey")
+    return (
+        j.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("segment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+        )
+    )
+
+
+_DAILY_TOPK_ORACLE = """
+WITH d AS (
+  SELECT (epoch_us(ts) // 86400000000) AS day, user_id FROM events
+),
+cnt AS (SELECT day, user_id, count(*) AS n_events FROM d GROUP BY 1, 2),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY day
+            ORDER BY n_events DESC, user_id) AS rk
+  FROM cnt
+)
+SELECT day * 86400000 AS day_start_ms, user_id, n_events, rk::INT AS rk
+FROM rk WHERE rk <= 3
+"""
+
+
+@register("events_daily_topk_users", _DAILY_TOPK_ORACLE)
+def events_daily_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most active users per tumbling day: map-side-combinable
+    (day, user) count, then a per-day rank that compiles to Spark 4's
+    map-side WindowGroupLimit — the shuffle after the count carries at
+    most k rows per day per map task, not the whole per-user table."""
+    ev = table(spark, sf_dir, "events").select(
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).alias(
+            "day"
+        ),
+        "user_id",
+    )
+    cnt = ev.groupBy("day", "user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.partitionBy("day").orderBy(F.col("n_events").desc(), "user_id")
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            (F.col("day") * 86_400_000).alias("day_start_ms"),
+            "user_id",
+            "n_events",
+            "rk",
+        )
+    )
+
+
+_STICKINESS_ORACLE = """
+WITH d AS (
+  SELECT (epoch_us(ts) // 86400000000) AS day,
+         (year(ts) * 100 + month(ts)) AS ym,
+         user_id
+  FROM events
+),
+dau AS (SELECT day, any_value(ym) AS ym,
+               count(DISTINCT user_id) AS dau FROM d GROUP BY 1),
+mau AS (SELECT ym, count(DISTINCT user_id) AS mau FROM d GROUP BY 1)
+SELECT dau.day * 86400000 AS day_start_ms,
+       dau.dau, mau.mau,
+       round(dau.dau / mau.mau, 6) AS stickiness
+FROM dau JOIN mau USING (ym)
+"""
+
+
+@register("events_dau_mau_stickiness", _STICKINESS_ORACLE)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: two distinct-count aggregations that
+    SHARE the (day, ym, user) pre-distinct shuffle, then a broadcast join
+    of the |months|-row MAU side; the ratio divides exact integers once
+    (same IEEE double in any engine)."""
+    ev = table(spark, sf_dir, "events").select(
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).alias(
+            "day"
+        ),
+        (F.year("ts") * 100 + F.month("ts")).alias("ym"),
+        "user_id",
+    )
+    per_day = ev.select("day", "ym", "user_id").distinct()
+    dau = per_day.groupBy("day").agg(
+        F.first("ym").alias("ym"), F.count(F.lit(1)).alias("dau")
+    )
+    mau = (
+        ev.select("ym", "user_id")
+        .distinct()
+        .groupBy("ym")
+        .agg(F.count(F.lit(1)).alias("mau"))
+    )
+    return dau.join(F.broadcast(mau), "ym").select(
+        (F.col("day") * 86_400_000).alias("day_start_ms"),
+        "dau",
+        "mau",
+        F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -3512,6 +3652,9 @@ _GATE_TAIL = [
     "sketch_kmv_distinct",
     "sketch_hll_distinct",
     "bloom_semi_join_prune",
+    "fuzzy_join_qgram",
+    "graph_pagerank",
+    "webdataset_write_plan",
 ]
 
 
