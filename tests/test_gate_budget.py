@@ -28,11 +28,12 @@ TABLES = [
 ]
 BUDGET_SINGLE_S = 10.0
 # full-gate cap tracks registry growth at a pinned per-query density:
-# ~1.45 s/query × 166 queries (r5: 135 s at 123 ≈ 1.1; the round-6 deltas
-# are the eager-bisection MAD/quantile queries and the trained-ANN family).
-# The cap is a creep alarm, not a target — raising it requires raising
-# this comment's arithmetic too.
-BUDGET_GATE_S = 240.0
+# ~1.45 s/query × 174 queries (r5: 135 s at 123 ≈ 1.1; r6: 233 s at 166
+# ≈ 1.40; r7 measured 236.8 s at 174 ≈ 1.36 — density flat while the
+# registry grew, the round's fixture/oracle trims paying for the new
+# queries). The cap is a creep alarm, not a target — raising it requires
+# raising this comment's arithmetic too.
+BUDGET_GATE_S = 253.0
 MARGIN = 1.5  # shared-suite noise headroom; the budget itself is the target
 
 
