@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_zscore", "cusum_changepoints"]
+__all__ = ["rolling_zscore", "cusum_changepoints", "seasonal_baseline_outliers"]
 
 _D38 = "decimal(38,0)"
 
@@ -134,4 +134,67 @@ def cusum_changepoints(
         F.col(value_col),
         (s_i / F.lit(float(scale))).alias("cusum"),
         (s_i > F.lit(thr)).alias("alarm"),
+    )
+
+
+def seasonal_baseline_outliers(
+    df: DataFrame,
+    time_micros_col: str,
+    keys: list[str],
+    value_col: str,
+    k: int = 3,
+    min_n: int = 12,
+    scale: int = 100,
+) -> DataFrame:
+    """Seasonal-profile outliers: flag points that deviate from THEIR
+    SLOT's distribution — the hour-of-day baseline every ops dashboard
+    fits first (a 3am spike is judged against 3am traffic, not the
+    daily mean). Slots are (keys..., hour-of-day); the flag test is the
+    same exact-integer identity as ``rolling_zscore`` —
+    ``(n·x − s)² > k²·(n·q − s²)`` on DECIMAL(38,0) slot aggregates —
+    so no float decides a flag and the oracle reproduces it
+    bit-for-bit.
+
+    Plan: one map-side-combinable groupBy builds the |keys|·24-row slot
+    profile, which BROADCASTS back onto the raw rows — the raw relation
+    never shuffles (contrast the trailing-window form, which must).
+    Slots with fewer than ``min_n`` points or zero variance never flag.
+    ``time_micros_col`` is epoch MICROS (a long — the convention the
+    anomaly family shares; convert timestamps with ``unix_micros``).
+    """
+    hod = (
+        F.pmod(F.col(time_micros_col), F.lit(86_400_000_000))
+        / F.lit(3_600_000_000)
+    ).cast("int")
+    v = F.round(F.col(value_col) * scale).cast("long")
+    tagged = df.select(
+        *keys,
+        F.col(time_micros_col),
+        F.col(value_col),
+        hod.alias("hod"),
+        v.alias("_v"),
+    )
+    prof = tagged.groupBy(*keys, "hod").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_v").cast(_D38).alias("_s"),
+        F.sum((F.col("_v") * F.col("_v")).cast(_D38)).alias("_q"),
+    )
+    j = tagged.join(F.broadcast(prof), [*keys, "hod"])
+    x = F.col("_v").cast(_D38)
+    nn = F.col("_n").cast(_D38)
+    num = nn * x - F.col("_s")
+    var_term = nn * F.col("_q") - F.col("_s") * F.col("_s")
+    return j.select(
+        *keys,
+        F.col(time_micros_col),
+        F.col(value_col),
+        "hod",
+        F.round(F.col("_s").cast("double") / F.col("_n") / scale, 4).alias(
+            "slot_mean"
+        ),
+        (
+            (F.col("_n") >= min_n)
+            & (var_term > 0)
+            & ((num * num) > (F.lit(k * k).cast(_D38) * var_term))
+        ).alias("is_anomaly"),
     )

