@@ -3665,6 +3665,125 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_baseline_outliers(ev, "ts_us", [], "value", k=3, min_n=12)
 
 
+# ---------------------------------------------------------------------------
+# Data contracts + A/B distribution test + profile histogram
+# ---------------------------------------------------------------------------
+
+_EXPECT_ORACLE = """
+WITH t AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS p_qty,
+    sum(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS p_ship,
+    sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS p_rf,
+    sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS p_disc,
+    sum(CASE WHEN regexp_matches(l_linestatus, '^[OF]$')
+        THEN 1 ELSE 0 END) AS p_instr
+  FROM lineitem
+)
+SELECT e.expectation, t.n AS n_rows, e.p::BIGINT AS n_pass,
+       (t.n - e.p)::BIGINT AS n_fail, round(e.p / t.n, 6) AS pass_rate
+FROM t, (
+  SELECT unnest([
+    struct_pack(expectation := 'l_quantity_between',    p := (SELECT p_qty  FROM t)),
+    struct_pack(expectation := 'l_shipdate_not_null',   p := (SELECT p_ship FROM t)),
+    struct_pack(expectation := 'l_returnflag_in_set',   p := (SELECT p_rf   FROM t)),
+    struct_pack(expectation := 'l_discount_between',    p := (SELECT p_disc FROM t)),
+    struct_pack(expectation := 'l_linestatus_matches', p := (SELECT p_instr FROM t))
+  ]) AS e
+)
+"""
+
+
+@register("lineitem_expectations", _EXPECT_ORACLE)
+def lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract suite (operators/expectations.py): five
+    expectations over lineitem evaluate in ONE aggregation scan — each
+    predicate is a conditional count with map-side partial aggregation,
+    so a 100-expectation suite over 100 TB costs one pass, not 100
+    queries. NULL predicate results count as FAILURES (three-valued
+    logic would silently pass NULL rows through a between check)."""
+    from olake_spark.operators import expectations as ex
+
+    li = table(spark, sf_dir, "lineitem")
+    suite = [
+        ("l_quantity_between", F.col("l_quantity").between(1, 50)),
+        ex.expect_not_null("l_shipdate"),
+        ("l_returnflag_in_set", F.col("l_returnflag").isin(["A", "N", "R"])),
+        ("l_discount_between", F.col("l_discount").between(0.0, 0.1)),
+        ex.expect_matches("l_linestatus", "^[OF]$"),
+    ]
+    # rename helper outputs to match the oracle's stable names
+    suite[1] = ("l_shipdate_not_null", suite[1][1])
+    return ex.expectations_report(li, suite)
+
+
+_KS_ORACLE = """
+WITH pv AS (
+  SELECT round(value * 1000000)::BIGINT AS v,
+    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a,
+    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+  FROM events WHERE event_type IN ('purchase', 'view')
+  GROUP BY 1
+),
+cum AS (
+  SELECT sum(a) OVER w AS ca, sum(b) OVER w AS cb,
+         sum(a) OVER () AS na, sum(b) OVER () AS nb
+  FROM pv
+  WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+)
+SELECT any_value(na)::BIGINT AS n_a, any_value(nb)::BIGINT AS n_b,
+       max(abs(ca::HUGEINT * nb - cb::HUGEINT * na))::BIGINT AS d_num,
+       (any_value(na)::HUGEINT * any_value(nb))::BIGINT AS d_den,
+       round(max(abs(ca::HUGEINT * nb - cb::HUGEINT * na))::DOUBLE
+             / (any_value(na)::DOUBLE * any_value(nb)::DOUBLE), 6) AS ks
+FROM cum
+"""
+
+
+@register("events_ks_test", _KS_ORACLE)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the value
+    distributions of purchase vs view events (operators/abtest.py): the
+    ECDF difference maximizes over exact DECIMAL(38,0) cross-products
+    |c_a·n_b − c_b·n_a| — no float ECDF subtraction whose rounding could
+    flip the argmax — divided once at the end. Per-value counts shuffle
+    map-side-combined; the cumulative window runs over the
+    DISTINCT-VALUE relation (values-sized, not rows-sized)."""
+    from olake_spark.operators.abtest import ks_two_sample
+
+    return ks_two_sample(
+        table(spark, sf_dir, "events"), "event_type", "value",
+        "purchase", "view",
+    )
+
+
+_HIST_ORACLE = """
+WITH x AS (
+  SELECT l_extendedprice AS v FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+)
+SELECT least(19, greatest(0,
+         floor((v - 900.0) / 104100.0 * 20)))::INT AS bin,
+       count(*)::BIGINT AS n
+FROM x GROUP BY 1
+"""
+
+
+@register("lineitem_price_histogram", _HIST_ORACLE)
+def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range equi-width price histogram (operators/
+    profile.histogram): one groupBy over a closed-form bin expression —
+    no sort, no sketch, bit-reproducible (approx_percentile-style
+    profile sketches differ per engine). Out-of-range rows clamp into
+    the edge bins; 20-row output at any scale."""
+    from olake_spark.operators.profile import histogram
+
+    return histogram(
+        table(spark, sf_dir, "lineitem"), "l_extendedprice",
+        lo=900.0, hi=105_000.0, nbins=20,
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -3820,6 +3939,9 @@ _GATE_TAIL = [
     "incremental_rollup_merge",
     "cdc_incremental_view",
     "cdc_scd2_dimension",
+    "cdc_timetravel_read",
+    "scan_fileskip_prune",
+    "sync_chunk_checksums",
 ]
 
 
