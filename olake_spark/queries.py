@@ -3784,6 +3784,90 @@ def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Distributed dense ids + hierarchical share rollup
+# ---------------------------------------------------------------------------
+
+_DENSE_IDS_ORACLE = """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars, doc_id) AS row_id
+FROM documents
+"""
+
+
+@register("documents_dense_ids", _DENSE_IDS_ORACLE)
+def documents_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dense row ids WITHOUT a global sort (operators/ids.py
+    dense_ids): range-partition on the order columns (each partition
+    owns a contiguous key range), per-partition counts → driver prefix
+    offsets (|partitions| tiny rows), then a PARALLEL per-partition
+    row_number + offset. The oracle's row_number() OVER (ORDER BY …) is
+    the single-partition trap this operator exists to avoid — identical
+    output, distributed plan."""
+    from olake_spark.operators.ids import dense_ids
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return dense_ids(docs, ["n_chars", "doc_id"], id_col="row_id")
+
+
+_SHARE_ROLLUP_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         sum(round(o.o_totalprice * 1000000)::BIGINT) AS revm
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+       round(revm / 1000000.0, 2) AS revenue,
+       round(revm / sum(revm) OVER (PARTITION BY region), 6)
+         AS share_of_region,
+       round(revm / sum(revm) OVER (), 6) AS share_of_total
+FROM rev
+"""
+
+
+@register("revenue_share_rollup", _SHARE_ROLLUP_ORACLE)
+def revenue_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchical rollup: nation revenue with its
+    share of region and of total. Exact micro-unit BIGINT sums through
+    the one raw-row shuffle (customer/nation/region all broadcast); the
+    two share windows run over the |nations|-row aggregate. Ratios
+    divide exact integers once."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+            ).alias("revm")
+        )
+    )
+    wr = W.partitionBy("region")
+    wt = W.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round(F.col("revm") / 1_000_000.0, 2).alias("revenue"),
+        F.round(F.col("revm") / F.sum("revm").over(wr), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("revm") / F.sum("revm").over(wt), 6).alias(
+            "share_of_total"
+        ),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -3942,6 +4026,8 @@ _GATE_TAIL = [
     "cdc_timetravel_read",
     "scan_fileskip_prune",
     "sync_chunk_checksums",
+    "sync_table_diff",
+    "events_funnel",
 ]
 
 

@@ -83,3 +83,24 @@ def test_ks_hand_computed_shift(spark):
     )
     r = ks_two_sample(df, "g", "v", "a", "b").first()
     assert r.d_num == 2 and r.d_den == 4 and r.ks == 0.5
+
+
+def test_dense_ids_match_global_row_number(spark):
+    from olake_spark.operators.ids import dense_ids
+
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("tb")
+    ).repartition(7)
+    out = dense_ids(df, ["k", "tb"], id_col="rid", num_partitions=8)
+    rows = out.orderBy("rid").collect()
+    assert [r.rid for r in rows] == list(range(1, 1001))  # dense, 1-based
+    # ids follow the total order exactly
+    ordered = sorted(rows, key=lambda r: (r.k, r.tb))
+    assert [r.rid for r in ordered] == list(range(1, 1001))
+
+
+def test_dense_ids_requires_order_cols(spark):
+    from olake_spark.operators.ids import dense_ids
+
+    with pytest.raises(ValueError):
+        dense_ids(spark.range(3), [], id_col="rid")
