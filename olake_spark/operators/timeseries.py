@@ -37,9 +37,11 @@ __all__ = [
     "retention_cohorts",
     "sweepline_concurrency",
     "ewma_last",
+    "trend_slope",
 ]
 
 _MICROS = 1_000_000
+_D38 = "decimal(38,0)"
 
 
 def bucketize(
@@ -264,4 +266,50 @@ def ewma_last(
     )
     return per_key.select(
         *keys, "n", F.round(folded, 6).alias("ewma")
+    )
+
+
+def trend_slope(
+    df: DataFrame,
+    time_micros_col: str,
+    keys: list[str],
+    value_col: str,
+    time_unit_us: int = 3_600_000_000,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key least-squares trend slope — "is this metric drifting and
+    how fast" — in ONE map-side-combinable aggregation:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    with x = time in ``time_unit_us`` units RELATIVE to the key's first
+    observation wouldn't be map-side computable — so x is absolute time
+    in units (the slope is translation-invariant: shifting x changes Σx
+    and Σxy together and cancels in the formula; only the magnitudes
+    grow, which DECIMAL(38,0) absorbs). All five moments are exact
+    integers (y in ``scale`` units); the one division happens at the
+    end. Keys with < 2 points or zero time variance report NULL.
+
+    Returns (keys..., n, slope) with slope in value-units per
+    time-unit, rounded to 6.
+    """
+    x = F.floor(F.col(time_micros_col) / F.lit(time_unit_us)).cast(_D38)
+    y = F.round(F.col(value_col) * scale).cast("long").cast(_D38)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    nn = F.col("n").cast(_D38)
+    num = nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return agg.select(
+        *keys,
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (den != 0),
+            F.round(num.cast("double") / den.cast("double") / scale, 6),
+        ).alias("slope"),
     )

@@ -3868,6 +3868,43 @@ def revenue_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TREND_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         (epoch_us(ts) // 3600000000)::HUGEINT AS x,
+         (round(value * 100)::BIGINT)::HUGEINT AS y
+  FROM events
+),
+m AS (
+  SELECT user_id, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM e GROUP BY 1
+)
+SELECT user_id, n::BIGINT AS n,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0 THEN
+         round((n * sxy - sx * sy)::DOUBLE
+               / (n * sxx - sx * sx)::DOUBLE / 100, 6)
+       END AS slope
+FROM m
+"""
+
+
+@register("events_trend_slope", _TREND_ORACLE)
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend slope (operators/
+    timeseries.trend_slope) — "is this metric drifting, how fast" — in
+    ONE map-side-combinable aggregation: the five moments (n, Σx, Σy,
+    Σxy, Σx²) are exact DECIMAL(38,0) integers and the slope divides
+    once at the end. Absolute-time x is safe: the slope is
+    translation-invariant, the decimals absorb the magnitude."""
+    from olake_spark.operators.timeseries import trend_slope
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+    return trend_slope(ev, "ts_us", ["user_id"], "value")
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -4028,6 +4065,7 @@ _GATE_TAIL = [
     "sync_chunk_checksums",
     "sync_table_diff",
     "events_funnel",
+    "events_transition_matrix",
 ]
 
 

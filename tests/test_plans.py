@@ -42,6 +42,7 @@ _CROSS_OK = {
     "scd2_time_weighted_avg",  # 1-row max-LSN broadcast (open-interval clamp)
     "similarity_topk_ivf_filtered",  # ivf_assign broadcast-centroid scoring
     "similarity_topk_ivf_appended",  # ivf_assign broadcast-centroid scoring
+    "orders_chi2_independence",  # 1-row chi2-total broadcast onto the cells
 }
 
 
