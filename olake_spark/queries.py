@@ -4066,6 +4066,7 @@ _GATE_TAIL = [
     "sync_table_diff",
     "events_funnel",
     "events_transition_matrix",
+    "events_retention_cohort",
 ]
 
 

@@ -5174,3 +5174,79 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     edges = pairs.filter(F.pmod(h, F.lit(100)) < 16)
     return k_core(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (operators/graph.py personalized_pagerank)
+# ---------------------------------------------------------------------------
+
+_PPR_ITER = """
+    pc{i} AS (
+      SELECT e.dst AS node, sum(r.ppr // o.d)::BIGINT AS cs
+      FROM e JOIN pr{p} r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+      GROUP BY 1
+    ),
+    pr{i} AS (
+      SELECT n.node, n.b + (85 * coalesce(c.cs, 0)) // 100 AS ppr
+      FROM nodes2 n LEFT JOIN pc{i} c ON c.node = n.node
+    )"""
+
+_PPR_ORACLE = f"""
+    WITH e AS (
+      SELECT DISTINCT 's' || l_suppkey::VARCHAR AS src,
+                      'c' || o_custkey::VARCHAR AS dst
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    seeds AS (SELECT 's' || k::VARCHAR AS node
+              FROM (SELECT unnest([1, 2, 3, 4, 5]) AS k)),
+    sm AS (
+      SELECT node, 1000000000000 // (SELECT count(*) FROM seeds) AS m
+      FROM seeds
+    ),
+    nodes2 AS (
+      SELECT n.node, coalesce(s.m, 0)::BIGINT AS r0,
+             ((15 * coalesce(s.m, 0)) // 100)::BIGINT AS b
+      FROM nodes n LEFT JOIN sm s ON s.node = n.node
+    ),
+    outdeg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY 1),
+    pr0 AS (SELECT node, r0 AS ppr FROM nodes2),
+    {",".join(_PPR_ITER.format(i=i, p=i - 1) for i in range(1, 4))}
+    SELECT node, ppr FROM (
+      SELECT node, ppr, row_number() OVER (ORDER BY ppr DESC, node) AS rn
+      FROM pr3 WHERE ppr > 0
+    ) WHERE rn <= 20
+    """
+
+
+@register("graph_personalized_pagerank", _PPR_ORACLE)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a 5-supplier seed set over the
+    supplier->customer trade graph (operators/graph.py
+    personalized_pagerank; Haveliwala 2002): teleport mass returns to
+    the SEEDS, so the stationary mass ranks customers by proximity to
+    those suppliers — the related-items recommendation primitive. Same
+    exact-integer Pregel dataflow as graph_pagerank (floor-division
+    mass, 85//100 damping, 3 unrolled rounds) so the oracle reproduces
+    every ppr bit-for-bit; the seed relation broadcasts. Top-20 positive
+    ranks, ties on node id."""
+    from pyspark.sql import Window as W
+
+    from olake_spark.operators.graph import personalized_pagerank
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    seeds = spark.range(1, 6).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("node")
+    )
+    pr = personalized_pagerank(edges, seeds, iters=3).filter(F.col("ppr") > 0)
+    w = W.orderBy(F.col("ppr").desc(), F.col("node"))
+    return (
+        pr.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+        .select("node", "ppr")
+    )

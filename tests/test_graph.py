@@ -39,3 +39,26 @@ def test_pagerank_duplicate_edges_collapse(spark):
     a = sorted(map(tuple, pagerank(e, iters=2).collect()))
     b = sorted(map(tuple, pagerank(doubled, iters=2).collect()))
     assert a == b
+
+
+def test_personalized_pagerank_mass_concentrates_near_seeds(spark):
+    from olake_spark.operators.graph import personalized_pagerank
+
+    # two disconnected stars: seed star (a -> b, c) and far star (x -> y, z)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("x", "y"), ("x", "z")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    pr = {r.node: r.ppr for r in personalized_pagerank(edges, seeds, iters=3).collect()}
+    # the far component never receives mass
+    assert pr["x"] == pr["y"] == pr["z"] == 0
+    assert pr["a"] > 0 and pr["b"] > 0 and pr["b"] == pr["c"]
+    # partition invariance (exact integers)
+    pr2 = {
+        r.node: r.ppr
+        for r in personalized_pagerank(
+            edges.repartition(5), seeds, iters=3
+        ).collect()
+    }
+    assert pr == pr2
