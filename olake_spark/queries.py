@@ -4067,6 +4067,7 @@ _GATE_TAIL = [
     "events_funnel",
     "events_transition_matrix",
     "events_retention_cohort",
+    "events_rolling_zscore",
 ]
 
 

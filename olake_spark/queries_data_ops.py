@@ -5250,3 +5250,85 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 20)
         .select("node", "ppr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature binning with FROZEN edges (fit on train, transform everything) —
+# the train/serve-skew guard, composed from exact_quantiles
+# ---------------------------------------------------------------------------
+
+_BINNING_ORACLE = """
+WITH v AS (
+  SELECT l_orderkey, round(l_extendedprice * 1000000)::BIGINT AS vm
+  FROM lineitem
+),
+train AS (SELECT vm FROM v WHERE l_orderkey % 2 = 0),
+n AS (SELECT count(*) AS n FROM train),
+r AS (
+  SELECT vm, row_number() OVER (ORDER BY vm) AS rk FROM train
+),
+edges AS MATERIALIZED (
+  SELECT p.p, r.vm AS edge
+  FROM r JOIN n ON true
+  JOIN (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS p) p
+    ON r.rk = greatest(1, ceil(p.p * n.n))
+),
+binned AS (
+  SELECT v.vm, (SELECT count(*) FROM edges e WHERE e.edge <= v.vm) AS bin
+  FROM v
+)
+SELECT bin::INT AS bin, count(*)::BIGINT AS n,
+       round(min(vm) / 1000000.0, 2) AS min_price,
+       round(max(vm) / 1000000.0, 2) AS max_price
+FROM binned GROUP BY 1
+"""
+
+
+@register("feature_binning_frozen_edges", _BINNING_ORACLE)
+def feature_binning_frozen_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile feature binning with FROZEN edges — fit decile edges on
+    the TRAIN split only (even orderkeys) via operators/
+    quantiles.exact_quantiles (exact micro-unit order statistics, no
+    sort buffer), then transform the WHOLE relation against those
+    frozen edges: bin = |edges ≤ v| via a broadcast of the 9-row edge
+    set. This is the train/serve-skew guard — re-fitting edges on serve
+    data silently shifts bins; frozen edges can't. Report: per-bin count
+    + min/max (10 rows at any scale)."""
+    from olake_spark.operators.quantiles import exact_quantiles
+
+    li = table(spark, sf_dir, "lineitem")
+    vm = F.round(F.col("l_extendedprice") * 1_000_000).cast("long")
+    v = li.select(F.col("l_orderkey"), vm.alias("vm"))
+    train = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.lit(1).alias("_g"), "l_extendedprice"
+    )
+    # q_micros IS the exact micro-unit edge (exact_quantiles quantizes by
+    # 10^6 internally — feed it the raw price, never pre-scaled values,
+    # or the scaling would compound)
+    edges = exact_quantiles(
+        train, ["_g"], "l_extendedprice",
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9],
+        bins=8192,
+    ).select(F.col("q_micros").alias("edge"))
+    # bin per DISTINCT value (9x fan-out over the distinct relation only),
+    # then join the bin map back — binning the raw rows through the cross
+    # join would collapse duplicate values
+    vm_bins = (
+        v.select("vm").distinct()
+        .crossJoin(F.broadcast(edges))
+        .groupBy("vm")
+        .agg(
+            F.sum(
+                F.when(F.col("edge") <= F.col("vm"), 1).otherwise(0)
+            ).alias("bin")
+        )
+    )
+    return (
+        v.join(vm_bins, "vm")
+        .groupBy(F.col("bin").cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("vm") / 1_000_000.0, 2).alias("min_price"),
+            F.round(F.max("vm") / 1_000_000.0, 2).alias("max_price"),
+        )
+    )
