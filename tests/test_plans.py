@@ -43,6 +43,8 @@ _CROSS_OK = {
     "similarity_topk_ivf_filtered",  # ivf_assign broadcast-centroid scoring
     "similarity_topk_ivf_appended",  # ivf_assign broadcast-centroid scoring
     "orders_chi2_independence",  # 1-row chi2-total broadcast onto the cells
+    "graph_personalized_pagerank",  # 1-row seed-count broadcast (lazy mass)
+    "feature_binning_frozen_edges",  # 9-row frozen-edge broadcast bin map
 }
 
 
