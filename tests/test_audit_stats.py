@@ -65,3 +65,31 @@ def test_seasonal_baseline_flags_slot_outlier(spark):
     out = seasonal_baseline_outliers(df, "ts_us", [], "value", k=3, min_n=10)
     flagged = [(r.ts_us, r.hod) for r in out.collect() if r.is_anomaly]
     assert flagged == [(50 * 60_000_000, 0)]
+
+
+def test_trend_slope_exact_line_and_degenerates(spark):
+    from olake_spark.operators.timeseries import trend_slope
+
+    h = 3_600_000_000
+    rows = (
+        # key 'up': y = 2.5x + 1 exactly (slope 2.5/hour)
+        [("up", i * h, 1.0 + 2.5 * i) for i in range(6)]
+        # key 'flat': constant
+        + [("flat", i * h, 7.0) for i in range(4)]
+        # key 'one': single point -> NULL slope
+        + [("one", 0, 3.0)]
+        # key 'same_t': two points at the same time -> zero time variance
+        + [("same_t", h, 1.0), ("same_t", h, 9.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, ts_us long, v double")
+    out = {r.k: r for r in trend_slope(df, "ts_us", ["k"], "v").collect()}
+    assert out["up"].slope == 2.5
+    assert out["flat"].slope == 0.0
+    assert out["one"].slope is None
+    assert out["same_t"].slope is None
+    # partition invariance (exact integer moments)
+    out2 = {
+        r.k: r.slope
+        for r in trend_slope(df.repartition(7), "ts_us", ["k"], "v").collect()
+    }
+    assert out2 == {k: r.slope for k, r in out.items()}

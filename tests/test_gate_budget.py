@@ -28,9 +28,9 @@ TABLES = [
 ]
 BUDGET_SINGLE_S = 10.0
 # full-gate cap tracks registry growth at a pinned per-query density:
-# ~1.45 s/query × 174 queries (r5: 135 s at 123 ≈ 1.1; r6: 233 s at 166
-# ≈ 1.40; r7 measured 236.8 s at 174 ≈ 1.36 — density flat while the
-# registry grew, the round's fixture/oracle trims paying for the new
+# ~1.36 s/query × 186 queries (r5: 135 s at 123 ≈ 1.1; r6: 233 s at 166
+# ≈ 1.40; r7 close: 225.4 s at 186 ≈ 1.21 — density DOWN while the
+# registry grew 12%, the round's fixture/oracle trims paying for the new
 # queries). The cap is a creep alarm, not a target — raising it requires
 # raising this comment's arithmetic too.
 BUDGET_GATE_S = 253.0
