@@ -442,8 +442,17 @@ def main() -> None:
         )
         print("pq", out["pq"][-1], flush=True)
 
+    # MERGE into the existing artifact instead of clobbering it — the
+    # clustered section (incl. pq_refine) is produced by --only clustered
+    # and must survive a full-sweep refresh
+    try:
+        with open(args.out) as fh:
+            prev = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        prev = {}
+    prev.update(out)
     with open(args.out, "w") as fh:
-        json.dump(out, fh, indent=2)
+        json.dump(prev, fh, indent=2)
     print(json.dumps(out))
 
 
