@@ -232,18 +232,27 @@ def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
     1-9: observed count, observed share, Benford's expected share
     log10(1 + 1/d), and the absolute deviation.
 
-    The first digit extracts EXACTLY: integer micro-units divided by
-    10^(len-1) via integer arithmetic on the digit string — no float log
-    touches the bucketing (log10 only produces the REFERENCE column, a
-    per-digit literal). One map-side-combinable aggregation; shares are
-    integer ratios divided once."""
+    The first SIGNIFICANT digit extracts EXACTLY for any finite nonzero
+    numeric: the first [1-9] character of the value's own string
+    rendering. Any round-tripping decimal rendering of a value has the
+    same leading significant digit (the string parses back to the exact
+    value, and the first significant digit is a property of the value),
+    so Spark's and the oracle engine's repr differences cannot diverge
+    — and no fixed 10^6 scaling misbuckets near-power-of-10 doubles
+    (9.9999996 stays digit 9) or drops sub-micro values (1e-7 is digit
+    1). NULL / zero / NaN / ±Infinity rows are dropped (their rendering
+    has no [1-9]). No float log touches the bucketing (log10 only
+    produces the REFERENCE column, a per-digit literal). One
+    map-side-combinable aggregation; shares are integer ratios divided
+    once."""
     import math
 
-    v = F.abs(F.round(F.col(value_col) * 1_000_000).cast("long"))
-    digit = F.substring(v.cast("string"), 1, 1).cast("int")
+    s = F.regexp_extract(F.col(value_col).cast("string"), "[1-9]", 0)
     counts = (
-        df.filter(v > 0)
-        .select(digit.alias("digit"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(s.alias("_d"))
+        .filter(F.col("_d") != "")
+        .select(F.col("_d").cast("int").alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -273,7 +282,14 @@ def gini_concentration(
     over x sorted ascending (ties broken by key for a total order). One
     shuffle to aggregate per key, one global-window pass for ranks (the
     per-key relation is keys-sized, not rows-sized), one final division.
-    Returns a single row (n_keys, total_micro, gini)."""
+    Returns a single row (n_keys, total_micro, gini).
+
+    PRECONDITION: per-key totals must be non-negative — the sorted-
+    cumulative formula is meaningless over mixed-sign values (refunds /
+    chargebacks must be netted out or filtered by the caller first).
+    Violations fail LOUDLY at action time (min(x) is computed inside
+    the same final aggregation — zero extra stages), never a silent
+    nonsense coefficient."""
     per = df.groupBy(key_col).agg(
         F.sum(F.round(F.col(value_col) * 1_000_000).cast("long")).alias("_xm")
     )
@@ -287,18 +303,34 @@ def gini_concentration(
         (F.col("_i").cast("decimal(38,0)") * F.col("_xm").cast("decimal(38,0)"))
     )
     total = F.sum(F.col("_xm").cast("decimal(38,0)"))
-    return ranked.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        # BIGINT output (the fixture totals fit comfortably; a true
-        # 100 TB caller should read the decimal internals instead) —
-        # HUGEINT/decimal render differently across engine->pandas paths
-        total.cast("long").alias("total_micro"),
-        F.round(
-            (2.0 * ixm.cast("double"))
-            / (F.count(F.lit(1)).cast("double") * total.cast("double"))
-            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
-            6,
-        ).alias("gini"),
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            # BIGINT output (the fixture totals fit comfortably; a true
+            # 100 TB caller should read the decimal internals instead) —
+            # HUGEINT/decimal render differently across engine->pandas paths
+            total.cast("long").alias("total_micro"),
+            F.round(
+                (2.0 * ixm.cast("double"))
+                / (F.count(F.lit(1)).cast("double") * total.cast("double"))
+                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+                6,
+            ).alias("gini"),
+            F.min("_xm").alias("_min_xm"),
+        )
+        # loud non-negativity guard, BPE-style: same agg row, fires at
+        # action time instead of returning a meaningless coefficient
+        .filter(
+            F.assert_true(
+                F.col("_min_xm") >= 0,
+                F.lit(
+                    "gini_concentration: negative per-key total — the "
+                    "sorted-cumulative Gini formula requires non-negative "
+                    "values; net out refunds/chargebacks first"
+                ),
+            ).isNull()
+        )
+        .select("n_keys", "total_micro", "gini")
     )
 
 
@@ -316,9 +348,21 @@ def chi_square_independence(
     float cell sum would not be), losing at most 10⁻⁶ per cell to the
     floor, documented. Returns the per-cell table (observed, expected
     rounded for humans, exact cell micro) plus the chi2 total on every
-    row — the report is |rows|·|cols| cells."""
+    row — the report is the COMPLETE |rows|·|cols| grid: unobserved
+    (row, col) combinations are materialized with o=0 (their cell
+    statistic is e itself), because omitting them biases chi2 low on
+    any sparse contingency table. The grid is built from the two
+    distinct value sets (categorical by contract, so both are tiny and
+    the col side broadcasts — a 9-ish-row nested-loop, not a cartesian
+    over data)."""
     d38 = "decimal(38,0)"
-    cells = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("n"))
+    observed = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("n"))
+    grid = df.select(row_col).distinct().crossJoin(
+        F.broadcast(df.select(col_col).distinct())
+    )
+    cells = grid.join(observed, [row_col, col_col], "left").select(
+        row_col, col_col, F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
     rt = W.partitionBy(row_col)
     ct = W.partitionBy(col_col)
     gt = W.partitionBy()

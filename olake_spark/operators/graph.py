@@ -166,6 +166,8 @@ def k_core(
     round keeps the unrolled plan linear. Self-loops are dropped
     (standard k-core convention); duplicate edges collapse.
     """
+    if not isinstance(rounds, int) or isinstance(rounds, bool) or rounds < 1:
+        raise ValueError(f"rounds must be an int >= 1, got {rounds!r}")
     a, b = F.col(src), F.col(dst)
     und = (
         edges.select(a.alias("a"), b.alias("b"))
@@ -175,8 +177,8 @@ def k_core(
         .localCheckpoint(eager=False)
     )
     alive = und.select(F.col("a").alias("node")).distinct()
-    deg = None
-    for _ in range(int(rounds)):
+    deg = None  # always assigned: rounds >= 1 validated at entry
+    for _ in range(rounds):
         e2 = und.join(
             alive.select(F.col("node").alias("a")), "a", "left_semi"
         ).join(alive.select(F.col("node").alias("b")), "b", "left_semi")

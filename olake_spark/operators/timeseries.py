@@ -78,7 +78,10 @@ def gapfill_locf(
     step: str = "1 hour",
 ) -> DataFrame:
     """Resample to ``step`` buckets per key and fill interior gaps with the
-    last observed (rounded) aggregate; ``filled`` marks synthesized rows.
+    last NON-NULL (rounded) aggregate — classic LOCF: a bucket whose
+    observed values are all NULL also carries the previous non-null
+    aggregate forward (leading buckets before any non-null stay NULL);
+    ``filled`` marks synthesized rows.
 
     Returns (keys..., bucket_start_ms, n_events, sum_value, filled) with
     one row per grid bucket between each key's first and last event.
@@ -87,19 +90,28 @@ def gapfill_locf(
     per = bucketize(df, time_col, keys, value_col, step)
     # grid + LOCF in ONE pass, no join: each observed bucket OWNS the gap
     # up to the next observed bucket — lead() finds it, sequence/explode
-    # materializes the filled rows already carrying the LOCF value. One
-    # hash shuffle (bucketize) + a lead() window on the same partitioning
-    # (exchange reused); NULL keys are ordinary window partitions, so the
+    # materializes the filled rows already carrying the LOCF value. The
+    # carried value is last(_v_micros, ignorenulls=True), NOT the owning
+    # bucket's own aggregate: an observed bucket whose values are all
+    # NULL must inherit the previous non-null aggregate (and hand that
+    # on through its gap) rather than propagate NULL. Both windows share
+    # one (keys, _bucket) sort, so this is still one hash shuffle
+    # (bucketize) + one window stage on the same partitioning (exchange
+    # reused); NULL keys are ordinary window partitions, so the
     # NULL-group data-loss bug the old grid-join formulation needed
     # ns_eq_join for cannot occur at all.
     w = W.partitionBy(*keys).orderBy("_bucket")
     nxt = F.lead("_bucket").over(w)
+    locf = F.last("_v_micros", ignorenulls=True).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     return (
         per.withColumn("_stop", F.coalesce(nxt - 1, F.col("_bucket")))
+        .withColumn("_locf", locf)
         .select(
             *keys,
             "n_events",
-            "_v_micros",
+            "_locf",
             F.col("_bucket").alias("_obs"),
             F.explode(F.sequence("_bucket", "_stop")).alias("_bucket"),
         )
@@ -109,7 +121,7 @@ def gapfill_locf(
             F.when(F.col("_bucket") == F.col("_obs"), F.col("n_events"))
             .otherwise(F.lit(0))
             .alias("n_events"),
-            F.round(F.col("_v_micros") / F.lit(float(_MICROS)), 4).alias(
+            F.round(F.col("_locf") / F.lit(float(_MICROS)), 4).alias(
                 "sum_value"
             ),
             (F.col("_bucket") != F.col("_obs")).alias("filled"),

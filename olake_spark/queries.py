@@ -1179,11 +1179,13 @@ FROM j
 @register("events_gapfill_locf", _GAPFILL_ORACLE)
 def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-step resample + LOCF gap fill per user (operators/
-    timeseries.py gapfill_locf): bucket → per-key grid via sequence/
-    explode → co-partitioned left join → last(ignorenulls) carry-forward.
-    All five steps share one hash partitioning on the key; grid size is
-    bounded by span/step, so a 100 TB event table fills gaps without ever
-    shuffling raw events twice."""
+    timeseries.py gapfill_locf): bucketize → ONE window stage computing
+    lead(_bucket) (each observed bucket owns its gap) and
+    last(_v_micros, ignorenulls=True) (the LOCF value — all-NULL
+    buckets inherit, matching the oracle's last_value IGNORE NULLS) →
+    sequence/explode materializes gap rows already carrying the value.
+    No join at all; bucketize's hash exchange is reused by the window,
+    so a 100 TB event table fills gaps with raw events shuffled once."""
     from olake_spark.operators.timeseries import gapfill_locf
 
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
@@ -3515,11 +3517,12 @@ _BENFORD = [0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
 
 _BENFORD_ORACLE = f"""
 WITH v AS (
-  SELECT abs(round(o_totalprice * 1000000)::BIGINT) AS vm FROM orders
+  SELECT regexp_extract(o_totalprice::VARCHAR, '[1-9]') AS d FROM orders
+  WHERE o_totalprice IS NOT NULL
 ),
 c AS (
-  SELECT substring(vm::VARCHAR, 1, 1)::INT AS digit, count(*) AS n
-  FROM v WHERE vm > 0 GROUP BY 1
+  SELECT d::INT AS digit, count(*) AS n
+  FROM v WHERE d <> '' GROUP BY 1
 ),
 t AS (SELECT sum(n) AS tot FROM c)
 SELECT digit, n,
@@ -3537,8 +3540,10 @@ FROM c, t
 def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit screen over order prices (operators/
     audit.benford_first_digit) — the classic fabricated-data audit. The
-    leading digit extracts exactly from the integer micro-unit string
-    (no float log buckets anything; log10 only produces the per-digit
+    first SIGNIFICANT digit extracts exactly as the first [1-9] of the
+    value's own string rendering — engine-independent because any
+    round-tripping rendering shares its leading significant digit (no
+    float log buckets anything; log10 only produces the per-digit
     REFERENCE literal, shared verbatim with the oracle). One map-side
     aggregation; 9-row report."""
     from olake_spark.operators.audit import benford_first_digit
@@ -3586,7 +3591,17 @@ WITH j AS (
   SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 ),
-cells AS (SELECT segment, priority, count(*) AS n FROM j GROUP BY 1, 2),
+obs AS (SELECT segment, priority, count(*) AS n FROM j GROUP BY 1, 2),
+cells AS (
+  -- COMPLETE grid: unobserved (segment, priority) combos appear with n=0
+  -- (their cell statistic is e itself); omitting them biases chi2 low on
+  -- sparse tables (the Spark side materializes the same grid)
+  SELECT g.segment, g.priority, coalesce(o.n, 0) AS n
+  FROM (SELECT s.segment, p.priority
+        FROM (SELECT DISTINCT segment FROM j) s
+        CROSS JOIN (SELECT DISTINCT priority FROM j) p) g
+  LEFT JOIN obs o ON o.segment = g.segment AND o.priority = g.priority
+),
 w AS (
   SELECT segment, priority, n,
          sum(n) OVER (PARTITION BY segment) AS r,
@@ -3615,8 +3630,9 @@ def orders_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit.chi_square_independence). The cell statistic (o−e)²/e
     rewrites as (o·g − r·c)²/(g·r·c), accumulated as exact FLOOR-micro
     DECIMAL(38,0) integers — a float cell sum would be partition-order-
-    dependent. Report is |segments|·|priorities| cells with the total on
-    each row."""
+    dependent. Report is the COMPLETE |segments|·|priorities| grid:
+    unobserved combos carry o=0 (statistic = e) so sparse tables are
+    not biased low; both engines build the same grid."""
     from olake_spark.operators.audit import chi_square_independence
 
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")

@@ -93,3 +93,38 @@ def test_trend_slope_exact_line_and_degenerates(spark):
         for r in trend_slope(df.repartition(7), "ts_us", ["k"], "v").collect()
     }
     assert out2 == {k: r.slope for k, r in out.items()}
+
+
+def test_chi2_sparse_table_materializes_zero_cells(spark):
+    # (b, y) never observed: the grid must still carry it with o=0 and
+    # cell statistic e = r*c/g — omitting it biases chi2 low
+    rows = [("a", "x")] * 5 + [("a", "y")] * 5 + [("b", "x")] * 10
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {(r.r, r.c): r for r in chi_square_independence(df, "r", "c").collect()}
+    assert set(out) == {("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")}
+    zero = out[("b", "y")]
+    assert zero.n == 0 and zero.expected == 2.5
+    # (0*20 - 10*5)^2 * 1e6 div (20*10*5) = 2_500_000 (= e in micro)
+    assert zero.cell_chi2_micro == 2_500_000
+    # full hand-computed total: 833_333 + 2_500_000 + 833_333 + 2_500_000
+    assert zero.chi2_total_micro == 6_666_666
+
+
+def test_benford_first_significant_digit_exact(spark):
+    # near-power-of-10 doubles stay with their true leading digit and
+    # sub-micro values are bucketed, not dropped; 0/NaN/inf/NULL drop
+    rows = [(9.9999996,), (1.0e-7,), (0.0,), (float("nan",),),
+            (float("inf"),), (None,), (-0.25,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r.digit: r.n for r in benford_first_digit(df, "v").collect()}
+    assert out == {9: 1, 1: 1, 2: 1}
+
+
+def test_gini_negative_total_fails_loudly(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, 10.0), (1, -3.0)], "k int, v double"
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        gini_concentration(df, "k", "v").collect()

@@ -86,3 +86,12 @@ def test_kcore_peels_tail_into_core(spark):
     )
     core2 = {r.node: r.degree for r in k_core(noisy, k=2, rounds=2).collect()}
     assert core2 == core
+
+
+def test_k_core_rejects_bad_rounds(spark):
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2)], "src int, dst int")
+    for bad in (0, -1, 2.0, True):
+        with pytest.raises(ValueError, match="rounds"):
+            k_core(edges, k=2, rounds=bad)

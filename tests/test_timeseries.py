@@ -82,3 +82,29 @@ def test_gapfill_null_group_key_keeps_real_data(spark):
     assert [r.n_events for r in out] == [1, 0, 1]
     assert [r.filled for r in out] == [False, True, False]
     assert [r.sum_value for r in out] == [1.0, 1.0, 2.0]
+
+
+def test_gapfill_all_null_bucket_carries_last_nonnull(spark):
+    # an observed bucket whose values are ALL NULL must inherit the
+    # previous non-null aggregate (and hand it through its gap), matching
+    # the oracle's last_value(... IGNORE NULLS); leading buckets before
+    # any non-null stay NULL
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        # u1: hour0 = 5.0, hour1 observed but NULL value, gap hour2,
+        #     hour3 = 7.0
+        (1, t0, 5.0),
+        (1, t0 + dt.timedelta(hours=1), None),
+        (1, t0 + dt.timedelta(hours=3), 7.0),
+        # u2: leading NULL-valued bucket, then 2.0
+        (2, t0, None),
+        (2, t0 + dt.timedelta(hours=1), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = gapfill_locf(df, "ts", ["user_id"], "value").collect()
+    u1 = sorted([r for r in out if r.user_id == 1], key=lambda r: r.bucket_start_ms)
+    assert [r.n_events for r in u1] == [1, 1, 0, 1]
+    assert [r.filled for r in u1] == [False, False, True, False]
+    assert [r.sum_value for r in u1] == [5.0, 5.0, 5.0, 7.0]
+    u2 = sorted([r for r in out if r.user_id == 2], key=lambda r: r.bucket_start_ms)
+    assert [r.sum_value for r in u2] == [None, 2.0]
