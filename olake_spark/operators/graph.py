@@ -1,5 +1,7 @@
 """Iterative graph algorithms as fixed-iteration DataFrame dataflows —
-integer PageRank (connected components lives in operators/dedup.py).
+integer PageRank, triangle counting, k-core peeling, and fixed-round
+connected components (the convergence-loop/driver-DSU hybrid CC lives in
+operators/dedup.py).
 
 PageRank here is the Pregel dataflow expressed as K unrolled join+agg
 rounds, with ALL arithmetic in integer micro-units (rank mass of 10^12
@@ -22,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "k_core", "personalized_pagerank"]
+__all__ = [
+    "pagerank",
+    "k_core",
+    "personalized_pagerank",
+    "connected_components_fixed",
+]
 
 TOTAL_MASS = 10**12
 DAMP_NUM = 85  # damping 0.85 as the exact rational 85/100
@@ -251,3 +258,73 @@ def personalized_pagerank(
             ).alias("ppr"),
         )
     return ranks
+
+
+def connected_components_fixed(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, component) after exactly ``rounds`` of min-label
+    propagation + pointer shortcutting — the action-free, fixed-round
+    flavor of connected components (the convergence-loop + driver-DSU
+    hybrid lives in operators/dedup.connected_components; THIS variant
+    issues zero Spark actions during construction and is bit-identical
+    to ``rounds`` unrolled SQL CTE pairs, like pagerank/k_core).
+
+    Per round: (1) hash-min propagation — every node adopts
+    min(own label, labels of neighbors) via one join + one map-side-
+    combinable min; (2) pointer shortcutting — every node adopts its
+    label's own label (a labels-sized self-join), which halves the
+    remaining chain depth, so rounds needed is about diameter/2 rather
+    than diameter. Labels are always node ids, monotonically
+    non-increasing, so the fixed-round result is the true component
+    min-id once ``rounds`` covers the (shortcut-compressed) diameter —
+    a contract the caller asserts per graph family, exactly as k_core's
+    fixture does. For adversarially deep graphs at 100 TB, the known
+    upgrade is edge-rewriting contraction (large-star/small-star,
+    Kiveris et al. 2014), which shrinks the EDGE relation each round;
+    this variant keeps the edge relation fixed and is the right shape
+    for the short-diameter co-occurrence / near-dup graphs the pipeline
+    actually feeds it.
+
+    A lazy localCheckpoint after each hop keeps the unrolled plan
+    linear in ``rounds`` (the self-join would otherwise double the
+    lineage every round).
+    """
+    if not isinstance(rounds, int) or isinstance(rounds, bool) or rounds < 1:
+        raise ValueError(f"rounds must be an int >= 1, got {rounds!r}")
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .unionByName(edges.select(b.alias("a"), a.alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lab = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        neighbor = und.join(
+            lab.withColumnRenamed("node", "a"), "a"
+        ).select(F.col("b").alias("node"), "label")
+        prop = (
+            lab.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)  # pointer jump reads it twice
+        )
+        ptr = prop.select(
+            F.col("node").alias("label"), F.col("label").alias("_ll")
+        )
+        lab = (
+            prop.join(ptr, "label")
+            .select("node", F.col("_ll").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return lab.select("node", F.col("label").alias("component"))

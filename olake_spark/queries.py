@@ -3921,6 +3921,169 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_slope(ev, "ts_us", ["user_id"], "value")
 
 
+# ---------------------------------------------------------------------------
+# Survival analysis: exact-integer Kaplan-Meier over user lifetimes
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH subj AS (
+  SELECT user_id,
+         (epoch_us(max(ts)) // 3600000000)
+           - (epoch_us(min(ts)) // 3600000000) AS dur,
+         epoch_us(max(ts)) AS last_us
+  FROM events GROUP BY 1
+),
+cut AS (SELECT max(epoch_us(ts)) - 86400000000 AS cut_us FROM events),
+per AS (
+  SELECT dur,
+         sum(CASE WHEN last_us < (SELECT cut_us FROM cut)
+                  THEN 1 ELSE 0 END)::BIGINT AS d,
+         count(*)::BIGINT AS c
+  FROM subj GROUP BY 1
+),
+w1 AS (
+  SELECT dur, d,
+         (sum(c) OVER ()
+          - coalesce(sum(c) OVER (ORDER BY dur
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         )::BIGINT AS n_at_risk
+  FROM per
+),
+w2 AS (
+  SELECT dur, d, n_at_risk,
+         list(struct_pack(s := 0::BIGINT, n := n_at_risk, dd := d))
+           OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS pre
+  FROM w1
+)
+SELECT dur AS duration, n_at_risk, d AS n_events,
+       list_reduce(
+         list_prepend(
+           struct_pack(s := 1000000::BIGINT, n := 1::BIGINT, dd := 0::BIGINT),
+           pre),
+         (acc, x) -> struct_pack(s := (acc.s * (x.n - x.dd)) // x.n,
+                                 n := x.n, dd := x.dd)
+       ).s AS survival_micro
+FROM w2
+"""
+
+
+@register("events_survival_km", _KM_ORACLE)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curve over user lifetimes (operators/
+    survival.kaplan_meier): subjects are users, duration is hours
+    between first and last event, the churn event is observed when the
+    last event predates the corpus horizon minus 24h (later = censored).
+    The product-limit estimator is iterated exact-integer floor
+    division folded over the ordered period relation — the EWMA
+    recipe — so survival_micro is bit-identical to the oracle's
+    ``list_reduce``. Subjects aggregate in one shuffle; every window
+    runs on the tiny period grid. The corpus horizon enters as a 1-row
+    broadcast, never an eager action."""
+    from olake_spark.operators.survival import kaplan_meier
+
+    HOUR = 3_600_000_000
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("_us")
+    )
+    subj = ev.groupBy("user_id").agg(
+        F.min("_us").alias("_first_us"), F.max("_us").alias("_last_us")
+    )
+    cut = ev.groupBy().agg(
+        (F.max("_us") - F.lit(24 * HOUR)).alias("_cut_us")
+    )
+    subjects = subj.crossJoin(F.broadcast(cut)).select(
+        (
+            F.expr(f"_last_us div {HOUR}") - F.expr(f"_first_us div {HOUR}")
+        ).alias("dur"),
+        (F.col("_last_us") < F.col("_cut_us")).alias("observed"),
+    )
+    return kaplan_meier(subjects, "dur", "observed")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe leave-one-out target encoding (ML feature engineering)
+# ---------------------------------------------------------------------------
+
+_TE_LOO_ORACLE = """
+WITH f AS (
+  SELECT o_orderkey, o_orderpriority AS category,
+         round(o_totalprice * 1000000)::BIGINT AS own
+  FROM orders
+),
+cat AS (
+  SELECT category, sum(own)::BIGINT AS csum, count(*)::BIGINT AS ccnt
+  FROM f GROUP BY 1
+),
+tot AS (SELECT sum(own)::BIGINT AS gsum, count(*)::BIGINT AS gcnt FROM f)
+SELECT o_orderkey, category,
+       CASE WHEN ccnt > 1 THEN (csum - own) // (ccnt - 1)
+            ELSE (gsum - own) // (gcnt - 1) END AS te_micro
+FROM f JOIN cat USING (category), tot
+"""
+
+
+@register("orders_target_encoding_loo", _TE_LOO_ORACLE)
+def orders_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value (operators/features.target_encode_loo) — the leakage-safe
+    categorical encoding (each row's feature excludes its own label;
+    singleton categories fall back to the global LOO mean). Exact
+    BIGINT micro floor division. Plan: the category stats broadcast
+    onto the facts and the global stats are a 1-row broadcast — the
+    fact table NEVER shuffles and never meets a window, the shape that
+    survives any fact size."""
+    from olake_spark.operators.features import target_encode_loo
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return target_encode_loo(o, "o_orderpriority", "o_totalprice").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("category"),
+        "te_micro",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-key lag/rolling feature matrix (time-series training rows)
+# ---------------------------------------------------------------------------
+
+_LAG_FEATURES_ORACLE = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       round(value * 1000000)::BIGINT AS v_micro,
+       lag(round(value * 1000000)::BIGINT, 1) OVER w AS lag1_micro,
+       lag(round(value * 1000000)::BIGINT, 2) OVER w AS lag2_micro,
+       sum(round(value * 1000000)::BIGINT) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS roll3_sum_micro,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)::BIGINT AS roll3_n,
+       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS dt_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+@register("events_lag_features", _LAG_FEATURES_ORACLE)
+def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag/rolling feature matrix (operators/
+    features.lag_features) — the classic training-row builder: previous
+    two values, rolling sum/count of the preceding three, gap to the
+    previous event, all exact BIGINT micro-units with NULL where
+    history is short. Every feature is a window over the SAME
+    (user, time, event_id) spec: one exchange, one sort, all columns.
+    """
+    from olake_spark.operators.features import lag_features
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return lag_features(
+        ev, ["user_id"], "ts", "value", order_cols=["event_id"]
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -4084,6 +4247,10 @@ _GATE_TAIL = [
     "events_transition_matrix",
     "events_retention_cohort",
     "events_rolling_zscore",
+    "events_cusum",
+    "scd2_point_in_time_join",
+    "events_concurrency",
+    "privacy_k_anonymity",
 ]
 
 

@@ -5332,3 +5332,95 @@ def feature_binning_frozen_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("vm") / 1_000_000.0, 2).alias("max_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-round connected components (operators/graph.py
+# connected_components_fixed) — the action-free flavor of the dedup
+# cluster primitive, oracle-certified round by round
+# ---------------------------------------------------------------------------
+
+_CC_ROUNDS = 8
+
+
+def _cc_round_cte(i: int) -> str:
+    # AS MATERIALIZED is load-bearing (kcore lesson): DuckDB inlines plain
+    # CTEs at every reference and the round chain re-expands exponentially
+    return (
+        f"p{i} AS MATERIALIZED (SELECT node, min(label) AS label FROM ("
+        f"SELECT node, label FROM l{i-1} "
+        f"UNION ALL SELECT u.b AS node, x.label FROM und u "
+        f"JOIN l{i-1} x ON u.a = x.node) GROUP BY node),\n"
+        f"l{i} AS MATERIALIZED (SELECT x.node, y.label AS label "
+        f"FROM p{i} x JOIN p{i} y ON x.label = y.node)"
+    )
+
+
+_CC_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0) a
+  JOIN (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT src, dst FROM pairs
+  WHERE ('0x' || substring(md5(src::VARCHAR || '|' || dst::VARCHAR), 1, 15))
+        ::BIGINT % 100 < 8
+),
+und AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS a, src AS b FROM edges WHERE src <> dst
+),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und),
+{",".join(_cc_round_cte(i) for i in range(1, _CC_ROUNDS + 1))}
+SELECT node, label AS component FROM l{_CC_ROUNDS}
+"""
+
+
+@register("graph_connected_components", _CC_ORACLE)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round connected components (operators/graph.py
+    connected_components_fixed): min-label propagation + pointer
+    shortcutting, 8 unrolled rounds, over an md5-sampled (8%) part
+    co-occurrence graph that fragments into 19 components — the cluster
+    primitive behind every dedup "which duplicates are the same
+    document" step, here certified bit-for-bit against 8 unrolled CTE
+    round pairs (the dedup pipeline's convergence-loop twin lives in
+    operators/dedup.connected_components). The fixture stabilizes at
+    round 8 (round 9 changes nothing), so the fixed-round labels ARE
+    the true component min-ids. Labels-sized relations are all that
+    iterate; the raw pair fan-out happens once."""
+    from olake_spark.operators.graph import connected_components_fixed
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey") % 4 == 0)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    ).distinct()
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("src").cast("string"),
+                    F.col("dst").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    edges = pairs.filter(F.pmod(h, F.lit(100)) < 8)
+    return connected_components_fixed(edges, rounds=_CC_ROUNDS)

@@ -45,6 +45,8 @@ _CROSS_OK = {
     "orders_chi2_independence",  # 1-row chi2-total broadcast onto the cells
     "graph_personalized_pagerank",  # 1-row seed-count broadcast (lazy mass)
     "feature_binning_frozen_edges",  # 9-row frozen-edge broadcast bin map
+    "events_survival_km",  # 1-row corpus-horizon broadcast (lazy cutoff)
+    "orders_target_encoding_loo",  # 1-row global-LOO-stats broadcast
 }
 
 
