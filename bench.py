@@ -130,6 +130,11 @@ BENCH_QUERIES = [
     "events_attribution",
     "graph_kcore",
     "events_daily_topk_users",
+    # round-8 additions: survival / feature engineering / fixed-round CC
+    "events_survival_km",
+    "orders_target_encoding_loo",
+    "events_lag_features",
+    "graph_connected_components",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
     # into anything else
     "dedup_minhash_clusters",

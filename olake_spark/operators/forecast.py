@@ -1,0 +1,101 @@
+"""Forecasting primitives: Holt linear (double exponential) smoothing.
+
+Holt's method extends EWMA with a trend term:
+
+    l_t = alpha * v_t + (1 - alpha) * (l_{t-1} + b_{t-1})
+    b_t = beta * (l_t - l_{t-1}) + (1 - beta) * b_{t-1}
+
+— the level chases the series, the trend chases the level's motion, and
+the h-step forecast is l + h*b. Like EWMA (operators/timeseries.ewma_last)
+the recursion is inherently sequential per key, so each key's ordered
+values fold through the ``aggregate`` higher-order function with a
+struct(level, trend) accumulator — whole-stage codegen, no Python. With
+alpha and beta as exact binary fractions (default 1/4) the fold executes
+the identical IEEE-754 double sequence in any engine, so results are
+bit-identical to the oracle's ``list_reduce`` over an identically
+ordered struct list.
+
+Scale: one hash shuffle on the keys; the collected sequence is bounded
+by each key's own row count (the sessionize/SCD2 per-key-sequence
+contract — skew bounded by the hottest key, not data volume).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["holt_linear"]
+
+
+def holt_linear(
+    df: DataFrame,
+    time_col: str,
+    keys: list[str],
+    value_col: str,
+    alpha: float = 0.25,
+    beta: float = 0.25,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key Holt linear smoothing: returns each key's observation
+    count, final level, final trend, and 1-step-ahead forecast
+    (level + trend), all rounded to 6.
+
+    Initialization: l_0 = v_0, b_0 = 0 — the first element IS the
+    initial state (its pair is [v_0, 0]), which is exactly how the
+    oracle's init-less ``list_reduce`` starts, so no sentinel is needed
+    on the SQL side. ``alpha``/``beta`` should be exact binary
+    fractions (k/2^m) for cross-engine bit-reproducibility.
+
+    The update is pinned in its FLAT linear-combination form — the
+    algebraic expansion of the textbook two-step recursion:
+
+        l' = (alpha*v + (1-alpha)*l) + (1-alpha)*b
+        b' = (beta*alpha)*(v - l) + (1 - beta*alpha)*b
+
+    (substitute l'-l = alpha*(v-l) + (1-alpha)*b into the b update).
+    Pinning one flat op order makes the IEEE sequence engine-portable —
+    and each new field reads each old field exactly once, which matters
+    for the oracle: DuckDB 1.0.0's ``list_reduce`` evaluates a STRUCT
+    accumulator's fields sequentially and mutates the accumulator in
+    place (field 2 would see field 1's NEW value), so the oracle holds
+    state as a 2-element LIST, which folds correctly.
+    """
+    order_cols = list(order_cols or [])
+    ordkey = F.struct(
+        F.unix_micros(F.col(time_col)).alias("_t"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    per_key = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(F.collect_list(ordkey)).alias("_seq"),
+    )
+    vals = F.transform(F.col("_seq"), lambda s: s["_v"])
+    a, b1 = F.lit(float(alpha)), F.lit(1.0 - alpha)
+    ga = F.lit(float(beta * alpha))
+    g1a = F.lit(1.0 - beta * alpha)
+
+    def _step(acc, v):
+        # flat form, op order pinned to match the oracle char-for-char:
+        # (a*v + (1-a)*l) + (1-a)*b  /  (b*a)*(v-l) + (1-b*a)*b
+        return F.struct(
+            ((a * v + b1 * acc["l"]) + b1 * acc["b"]).alias("l"),
+            (ga * (v - acc["l"]) + g1a * acc["b"]).alias("b"),
+        )
+
+    init = F.struct(
+        F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b")
+    )
+    st = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        init,
+        _step,
+    )
+    return per_key.select(
+        *keys,
+        "n",
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+        F.round(st["l"] + st["b"], 6).alias("forecast_1"),
+    )

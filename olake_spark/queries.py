@@ -4084,6 +4084,114 @@ def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Holt linear (double exponential) smoothing — exact per-key struct fold
+# ---------------------------------------------------------------------------
+
+# state is a 2-element LIST [level, trend], NOT a struct: DuckDB 1.0.0's
+# list_reduce evaluates struct_pack fields sequentially and mutates the
+# accumulator in place (field 2 would read field 1's NEW value); a list
+# accumulator folds correctly. The flat update form is the operator's
+# pinned contract (see operators/forecast.py).
+_HOLT_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         list([value::DOUBLE, 0.0::DOUBLE]
+              ORDER BY epoch_us(ts), event_id) AS vs,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+f AS (
+  SELECT user_id, n,
+         list_reduce(vs, (acc, x) ->
+           [(0.25::DOUBLE * x[1] + 0.75::DOUBLE * acc[1])
+              + 0.75::DOUBLE * acc[2],
+            0.0625::DOUBLE * (x[1] - acc[1]) + 0.9375::DOUBLE * acc[2]]
+         ) AS st
+  FROM s
+)
+SELECT user_id, n, round(st[1], 6) AS level, round(st[2], 6) AS trend,
+       round(st[1] + st[2], 6) AS forecast_1
+FROM f
+"""
+
+
+@register("events_holt_forecast", _HOLT_ORACLE)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear smoothing + 1-step forecast (operators/
+    forecast.holt_linear): the level/trend double-recursion folds each
+    key's ordered values through ``aggregate`` with a struct(l, b)
+    accumulator — the EWMA recipe extended to 2-dimensional state.
+    alpha = beta = 1/4 are exact binary fractions, so the fold runs the
+    identical IEEE-754 sequence in any engine and the oracle's
+    struct-state ``list_reduce`` reproduces it bit-for-bit (the first
+    element IS the init state (v_0, 0) on both sides). One hash
+    shuffle; per-key cost linear in the key's own rows."""
+    from olake_spark.operators.forecast import holt_linear
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return holt_linear(
+        ev, "ts", ["user_id"], "value",
+        alpha=0.25, beta=0.25, order_cols=["event_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix from one exact-moment aggregation
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH v AS (
+  SELECT round(l_quantity * 1000000)::HUGEINT AS x0,
+         round(l_extendedprice * 1000000)::HUGEINT AS x1,
+         round(l_discount * 1000000)::HUGEINT AS x2,
+         round(l_tax * 1000000)::HUGEINT AS x3
+  FROM lineitem
+),
+m AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(x0) s0, sum(x1) s1, sum(x2) s2, sum(x3) s3,
+         sum(x0*x0) q0, sum(x1*x1) q1, sum(x2*x2) q2, sum(x3*x3) q3,
+         sum(x0*x1) p01, sum(x0*x2) p02, sum(x0*x3) p03,
+         sum(x1*x2) p12, sum(x1*x3) p13, sum(x2*x3) p23
+  FROM v
+)
+SELECT col_a, col_b, n::BIGINT AS n,
+       CASE WHEN ra > 0 AND rb > 0
+            THEN round(num::DOUBLE / (sqrt(ra::DOUBLE) * sqrt(rb::DOUBLE)), 6)
+       END AS corr
+FROM m, LATERAL (VALUES
+  ('l_quantity', 'l_extendedprice', n*p01 - s0*s1, n*q0 - s0*s0, n*q1 - s1*s1),
+  ('l_quantity', 'l_discount',      n*p02 - s0*s2, n*q0 - s0*s0, n*q2 - s2*s2),
+  ('l_quantity', 'l_tax',           n*p03 - s0*s3, n*q0 - s0*s0, n*q3 - s3*s3),
+  ('l_extendedprice', 'l_discount', n*p12 - s1*s2, n*q1 - s1*s1, n*q2 - s2*s2),
+  ('l_extendedprice', 'l_tax',      n*p13 - s1*s3, n*q1 - s1*s1, n*q3 - s3*s3),
+  ('l_discount', 'l_tax',           n*p23 - s2*s3, n*q2 - s2*s2, n*q3 - s3*s3)
+) t(col_a, col_b, num, ra, rb)
+"""
+
+
+@register("lineitem_correlation_matrix", _CORR_ORACLE)
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix of the four lineitem
+    measures from ONE map-side-combinable aggregation (operators/
+    correlation.corr_matrix): all k(k+3)/2 exact DECIMAL(38,0)
+    micro-unit moments accumulate in a single pass — never k passes,
+    never a window — then each pair combines exactly and finishes with
+    IEEE sqrt (correctly rounded by spec) + one division, the identical
+    float sequence in any engine. The 100 TB profiling shape."""
+    from olake_spark.operators.correlation import corr_matrix
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -4251,6 +4359,8 @@ _GATE_TAIL = [
     "scd2_point_in_time_join",
     "events_concurrency",
     "privacy_k_anonymity",
+    "basket_pair_lift",
+    "events_ewma",
 ]
 
 

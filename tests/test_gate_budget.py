@@ -28,11 +28,13 @@ TABLES = [
 ]
 BUDGET_SINGLE_S = 10.0
 # full-gate cap tracks registry growth at a pinned per-query density:
-# ~1.36 s/query × 186 queries (r5: 135 s at 123 ≈ 1.1; r6: 233 s at 166
-# ≈ 1.40; r7 close: 225.4 s at 186 ≈ 1.21 — density DOWN while the
-# registry grew 12%, the round's fixture/oracle trims paying for the new
-# queries). The cap is a creep alarm, not a target — raising it requires
-# raising this comment's arithmetic too.
+# (r5: 135 s at 123 ≈ 1.1 s/q; r6: 233 s at 166 ≈ 1.40; r7: 225.4 s at
+# 186 ≈ 1.21; r8: 243.9 s at 192 ≈ 1.27 — the 6 new queries cost 7.7 s
+# total, the rest is idle-machine noise band). The cap is a creep
+# alarm, not a target — raising it requires raising this comment's
+# arithmetic too. Caution: gate_budget measured with load still
+# draining from a just-finished suite reads ~10% high (r8 saw 270 s
+# fall back to 243.9 once load-average settled).
 BUDGET_GATE_S = 253.0
 MARGIN = 1.5  # shared-suite noise headroom; the budget itself is the target
 

@@ -658,6 +658,141 @@ def pit_join_growth(
     return out
 
 
+def km_growth(
+    spark,
+    lo_subjects: int = 100_000,
+    hi_subjects: int = 400_000,
+    n_periods: int = 1_000,
+) -> dict:
+    """Scale evidence for kaplan_meier (r8): subjects ×4 with the period
+    grid FIXED — the estimator's only subject-sized work is the one
+    map-side-combinable groupBy(duration); everything after (windows,
+    prefix fold) runs on the fixed |periods| relation. Healthy: wall and
+    shuffle exponents vs subjects ≈<=1.0, output rows identical at both
+    scales (the period grid does not grow with subjects).
+
+    Deterministic synthetic subjects (xxhash64 formulas, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from olake_spark.operators.survival import kaplan_meier
+
+    def subjects(n: int):
+        return spark.range(n).select(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(n_periods)).alias(
+                "dur"
+            ),
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(5)) < 3).alias(
+                "obs"
+            ),
+        )
+
+    def measure(n: int) -> dict:
+        df = subjects(n)
+
+        def run():
+            row = (
+                kaplan_meier(df, "dur", "obs")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(F.xxhash64("survival_micro")).alias("chk"),
+                )
+                .first()
+            )
+            time.sleep(1.0)
+            return int(row["n"])
+
+        m = timed(spark, run)
+        m["subjects"] = n
+        return m
+
+    measure(lo_subjects)  # warm-up, discarded
+    lo, hi = measure(lo_subjects), measure(hi_subjects)
+    return {
+        "n_periods": n_periods,
+        "lo": lo,
+        "hi": hi,
+        "wall_exponent_vs_subjects": growth_exponent(
+            max(1, int(lo["wall_sec"] * 1000)),
+            max(1, int(hi["wall_sec"] * 1000)),
+            lo_subjects,
+            hi_subjects,
+        ),
+        "period_rows_fixed": lo["rows_out"] == hi["rows_out"],
+    }
+
+
+def cc_growth(
+    spark,
+    lo_edges: int = 100_000,
+    hi_edges: int = 400_000,
+    avg_degree: int = 10,
+    rounds: int = 4,
+) -> dict:
+    """Scale evidence for connected_components_fixed (r8): edges ×4 at
+    constant average degree, rounds FIXED — each round is one edge⋈label
+    join + one map-side-combinable min + one labels-sized pointer jump,
+    all linear in |edges|. Healthy: wall/shuffle exponents ≈1.0
+    (anything ~2 would mean the label relation is fanning out).
+
+    Deterministic synthetic graph (xxhash64 endpoints, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from olake_spark.operators.graph import connected_components_fixed
+
+    def graph(n_edges: int):
+        n_nodes = max(2, n_edges // avg_degree)
+        return spark.range(n_edges).select(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(11)), F.lit(n_nodes)).alias(
+                "src"
+            ),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(13)), F.lit(n_nodes)).alias(
+                "dst"
+            ),
+        )
+
+    def measure(n_edges: int) -> dict:
+        g = graph(n_edges)
+
+        def run():
+            row = (
+                connected_components_fixed(g, rounds=rounds)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct(F.col("component")).alias("ncomp"),
+                )
+                .first()
+            )
+            time.sleep(1.0)
+            return int(row["n"])
+
+        m = timed(spark, run)
+        m["edges"] = n_edges
+        return m
+
+    measure(lo_edges)  # warm-up, discarded
+    lo, hi = measure(lo_edges), measure(hi_edges)
+    out = {
+        "avg_degree": avg_degree,
+        "rounds": rounds,
+        "lo": lo,
+        "hi": hi,
+        "wall_exponent_vs_edges": growth_exponent(
+            max(1, int(lo["wall_sec"] * 1000)),
+            max(1, int(hi["wall_sec"] * 1000)),
+            lo_edges,
+            hi_edges,
+        ),
+    }
+    if lo.get("shuffle_mb") and hi.get("shuffle_mb"):
+        out["shuffle_exponent_vs_edges"] = growth_exponent(
+            max(1, int(lo["shuffle_mb"] * 10)),
+            max(1, int(hi["shuffle_mb"] * 10)),
+            lo_edges,
+            hi_edges,
+        )
+    return out
+
+
 def skew_salted_join(spark, n_rows: int = 2_000_000, n_keys: int = 1_000,
                      n_salt: int = 8) -> dict:
     """Measured proof that explicit salting (operators/skew.salted_join)
@@ -797,6 +932,10 @@ def main() -> None:
             block = pit_join_growth(spark)
         elif args.only == "skew_salted_join":
             block = skew_salted_join(spark)
+        elif args.only == "km_growth":
+            block = km_growth(spark)
+        elif args.only == "cc_growth":
+            block = cc_growth(spark)
         else:
             raise SystemExit(f"unknown section {args.only!r}")
         try:
