@@ -130,11 +130,14 @@ BENCH_QUERIES = [
     "events_attribution",
     "graph_kcore",
     "events_daily_topk_users",
-    # round-8 additions: survival / feature engineering / fixed-round CC
+    # round-8 additions: survival / feature engineering / fixed-round CC /
+    # Holt forecast / one-pass correlation matrix
     "events_survival_km",
     "orders_target_encoding_loo",
     "events_lag_features",
     "graph_connected_components",
+    "events_holt_forecast",
+    "lineitem_correlation_matrix",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
     # into anything else
     "dedup_minhash_clusters",

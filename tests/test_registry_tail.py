@@ -14,6 +14,7 @@ overlapping three sessions cuts the gate's wall time ~2-3× and keeps the
 whole pytest run near its pre-91-query duration as the registry grows.
 """
 
+import json
 import os
 import subprocess
 import sys
@@ -26,6 +27,30 @@ SF_DIR = "/root/testdata/sf0.01"
 N_SHARDS = 8
 
 
+def _balanced_shards(tail: list[str]) -> list[list[str]]:
+    """LPT bin-packing by recorded per-query gate cost (GATE_BUDGET.json):
+    the wall of the whole gate is the SLOWEST shard, and round-robin used
+    to deal several multi-second dedup/similarity queries into one shard
+    (r8 measured: 163 s round-robin vs ~sum/8 balanced). Queries missing
+    from the budget table (just added this round) assume the median cost;
+    no table at all falls back to round-robin."""
+    try:
+        with open(os.path.join(REPO, "GATE_BUDGET.json")) as fh:
+            rows = json.load(fh)["queries"]
+        cost = {r["query"]: float(r["total_s"]) for r in rows}
+    except (OSError, KeyError, json.JSONDecodeError):
+        return [tail[i::N_SHARDS] for i in range(N_SHARDS)]
+    known = sorted(cost.values())
+    median = known[len(known) // 2] if known else 1.0
+    shards: list[list[str]] = [[] for _ in range(N_SHARDS)]
+    loads = [0.0] * N_SHARDS
+    for name in sorted(tail, key=lambda n: -cost.get(n, median)):
+        i = loads.index(min(loads))
+        shards[i].append(name)
+        loads[i] += cost.get(name, median)
+    return shards
+
+
 def test_registry_tail_passes_driver_mirror_gate():
     sys.path.insert(0, REPO)
     import __spark_entry__ as entry
@@ -34,7 +59,7 @@ def test_registry_tail_passes_driver_mirror_gate():
     names = list(entry.queries())
     tail = names[DRIVER_WINDOW_SIZE:]
     assert tail, "registry fits the driver window; nothing to certify"
-    shards = [tail[i::N_SHARDS] for i in range(N_SHARDS)]
+    shards = _balanced_shards(tail)
     # cap each vanilla JVM at 4 threads: 8 shards × the default local[8]
     # oversubscribes 32 cores 2× and thrashes; sf0.01 queries are tiny
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
