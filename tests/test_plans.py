@@ -194,3 +194,39 @@ def test_unigram_info_no_python_eval(spark):
     plan = _plan(spark, "text_unigram_info")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_r8_query_plan_shapes(spark):
+    """Pin the round-8 queries' physical shapes — the properties their
+    docstrings claim. Checked from ONE plan build each (cheap)."""
+    # LOO target encoding: the fact table never shuffles — the only hash
+    # exchange carries the 5-row category partial aggregates; facts meet
+    # the stats via broadcast only, and nothing sorts
+    plan = _plan(spark, "orders_target_encoding_loo")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("BroadcastExchange") == 2, plan
+    assert "Sort " not in plan, plan
+
+    # lag features: ONE exchange + ONE sort feeds every window column
+    plan = _plan(spark, "events_lag_features")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+
+    # correlation matrix: single partial->final aggregation, zero hash
+    # exchanges (the 1-row final agg gathers partials), zero Python
+    plan = _plan(spark, "lineitem_correlation_matrix")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "EvalPython" not in plan, plan
+
+    # Holt fold: one hash exchange (the per-key agg), no Sort node (the
+    # ordering is array_sort inside the agg, not a shuffle sort)
+    plan = _plan(spark, "events_holt_forecast")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Sort " not in plan, plan
+
+    # Kaplan-Meier: subjects cross the network pre-aggregated (two hash
+    # exchanges: user agg, duration agg); the single-partition windows
+    # run on the tiny period grid AFTER the duration groupBy
+    plan = _plan(spark, "events_survival_km")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange SinglePartition") == 2, plan

@@ -21,10 +21,10 @@ import sys
 
 REPO = "/root/repo"
 SF_DIR = "/root/testdata/sf0.01"
-# tail has grown past 100 queries and each shard is latency-bound (JVM
-# spawn + per-query fixed cost); 8 concurrent vanilla JVMs at local[8]
-# oversubscribe 32 cores acceptably and cut the wall ~2×
-N_SHARDS = 8
+# tail has grown past 140 queries and each shard is latency-bound (JVM
+# spawn + cold-JIT per query family); measured sweep at 142 tail queries:
+# 8x4=94s, 12x3=83s, 16x2=97s (2 threads starve the queries), 10x4=81s
+N_SHARDS = 10
 
 
 def _balanced_shards(tail: list[str]) -> list[list[str]]:
@@ -60,8 +60,9 @@ def test_registry_tail_passes_driver_mirror_gate():
     tail = names[DRIVER_WINDOW_SIZE:]
     assert tail, "registry fits the driver window; nothing to certify"
     shards = _balanced_shards(tail)
-    # cap each vanilla JVM at 4 threads: 8 shards × the default local[8]
-    # oversubscribes 32 cores 2× and thrashes; sf0.01 queries are tiny
+    # cap each vanilla JVM at 4 threads: 10 shards x 4 = 40 threads
+    # oversubscribe 32 cores ~1.25x (fine, latency-bound); fewer threads
+    # per JVM starves individual queries (16x2 measured slower)
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
     procs = [
         subprocess.Popen(
