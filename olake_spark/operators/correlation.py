@@ -31,7 +31,13 @@ _D38 = "decimal(38,0)"
 def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """(col_a, col_b, n, corr) for every unordered column pair, from one
     aggregation pass. ``corr`` is NULL for a zero-variance column (the
-    radicand is 0), mirroring SQL semantics of 0/0."""
+    radicand is 0), mirroring SQL semantics of 0/0.
+
+    NULL contract: ``n`` is count(*) over ALL rows while the moment sums
+    skip NULLs — so a column with NULLs biases its pairs (the standard
+    one-pass trade-off; pairwise-complete would need a pass per pair).
+    Callers with NULLs should filter first; the audit family's
+    completeness checks exist to catch exactly this upstream."""
     if len(cols) < 2:
         raise ValueError(f"need at least 2 columns, got {cols!r}")
     x = {

@@ -39,14 +39,21 @@ def target_encode_loo(
     window — the plan is scan -> two broadcast joins -> project, which
     survives any fact-table size (a partitionBy(category) window would
     shuffle everything and serialize on hot categories).
+
+    NULL handling: rows with a NULL target are excluded from BOTH the
+    leave-one-out sums and the peer counts (the encoding is the mean of
+    the non-null peers; a count(*) denominator would silently dilute
+    it), and their own te_micro is NULL. Rows with a NULL category drop
+    out of the output entirely (equi-join semantics in every engine) —
+    impute a sentinel category upstream if they matter.
     """
     own = F.round(F.col(target_col) * _MICROS).cast("long")
     facts = df.withColumn("_own", own)
     cat = facts.groupBy(category_col).agg(
-        F.sum("_own").alias("_csum"), F.count(F.lit(1)).alias("_ccnt")
+        F.sum("_own").alias("_csum"), F.count("_own").alias("_ccnt")
     )
     glob = facts.groupBy().agg(
-        F.sum("_own").alias("_gsum"), F.count(F.lit(1)).alias("_gcnt")
+        F.sum("_own").alias("_gsum"), F.count("_own").alias("_gcnt")
     )
     num = F.when(
         F.col("_ccnt") > 1, F.col("_csum") - F.col("_own")
@@ -56,11 +63,16 @@ def target_encode_loo(
     )
     # exact BIGINT floor division (num >= 0 by construction for
     # non-negative targets; negative targets floor toward -inf in both
-    # engines via the subtract-pmod identity)
-    te = (
-        (num - F.pmod(num, den)).cast("decimal(38,0)")
-        / den.cast("decimal(38,0)")
-    ).cast("long")
+    # engines via the subtract-pmod identity). den == 0 (the table's only
+    # non-null target asking for a leave-one-out mean of nobody) yields
+    # NULL, never an ANSI division error.
+    te = F.when(
+        den > 0,
+        (
+            (num - F.pmod(num, den)).cast("decimal(38,0)")
+            / den.cast("decimal(38,0)")
+        ).cast("long"),
+    )
     return (
         facts.join(F.broadcast(cat), category_col)
         .join(F.broadcast(glob))
@@ -87,6 +99,12 @@ def lag_features(
     SAME (keys, order) spec, so Catalyst plans a single exchange + one
     sort feeding all the window functions. Per-key cost is linear in
     the key's own rows — skew bounded by the hottest key.
+
+    ``time_col`` must be non-null (engines disagree on NULL placement
+    in ORDER BY, so a NULL timestamp would reorder the lag sequence
+    cross-engine); NULL values are fine — they ride the windows as
+    NULLs and the rolling count simply skips them (F.sum ignores NULL,
+    roll3_n counts ROWS in the frame, both mirrored by the oracle).
     """
     order_cols = list(order_cols or [])
     us = F.unix_micros(F.col(time_col))

@@ -53,8 +53,16 @@ def kaplan_meier(
     prefix fold on the tiny period relation. The prefix arrays make the
     fold O(k^2) in the period count k — bounded by the duration grid,
     not by subjects.
+
+    NULL durations are EXCLUDED (SQL order-statistic semantics, and the
+    engines disagree on NULL placement in ORDER BY — Spark sorts NULLS
+    FIRST ascending, most SQL engines NULLS LAST — so a NULL period
+    would silently diverge cross-engine); filter or impute upstream if
+    they carry meaning.
     """
-    per = subjects.groupBy(F.col(duration_col).alias("duration")).agg(
+    per = subjects.filter(F.col(duration_col).isNotNull()).groupBy(
+        F.col(duration_col).alias("duration")
+    ).agg(
         F.sum(
             F.when(F.col(observed_col), F.lit(1)).otherwise(F.lit(0))
         ).cast("long").alias("d"),

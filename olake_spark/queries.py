@@ -4011,13 +4011,14 @@ WITH f AS (
   FROM orders
 ),
 cat AS (
-  SELECT category, sum(own)::BIGINT AS csum, count(*)::BIGINT AS ccnt
+  SELECT category, sum(own)::BIGINT AS csum, count(own)::BIGINT AS ccnt
   FROM f GROUP BY 1
 ),
-tot AS (SELECT sum(own)::BIGINT AS gsum, count(*)::BIGINT AS gcnt FROM f)
+tot AS (SELECT sum(own)::BIGINT AS gsum, count(own)::BIGINT AS gcnt FROM f)
 SELECT o_orderkey, category,
        CASE WHEN ccnt > 1 THEN (csum - own) // (ccnt - 1)
-            ELSE (gsum - own) // (gcnt - 1) END AS te_micro
+            WHEN gcnt > 1 THEN (gsum - own) // (gcnt - 1)
+       END AS te_micro
 FROM f JOIN cat USING (category), tot
 """
 

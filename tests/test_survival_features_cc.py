@@ -97,3 +97,35 @@ def test_connected_components_fixed_validates_rounds(spark):
     for bad in (0, -2, 1.5, True):
         with pytest.raises(ValueError, match="rounds"):
             connected_components_fixed(edges, rounds=bad)
+
+
+def test_target_encode_loo_null_semantics(spark):
+    # NULL targets: excluded from sums AND counts; their own te is NULL.
+    # NULL categories: dropped (equi-join). Peers' encodings unaffected.
+    rows = [
+        (1, "A", 1.0), (2, "A", 3.0), (3, "A", None),
+        (4, None, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    out = {r.id: r.te_micro for r in target_encode_loo(df, "cat", "y").collect()}
+    assert set(out) == {1, 2, 3}  # NULL-category row dropped
+    assert out[1] == 3_000_000 and out[2] == 1_000_000  # NULL peer ignored
+    assert out[3] is None
+
+
+def test_target_encode_loo_degenerate_single_value(spark):
+    # the table's only non-null target has nobody to average: NULL, not
+    # an ANSI division-by-zero error
+    df = spark.createDataFrame(
+        [(1, "A", 5.0), (2, "B", None)], "id long, cat string, y double"
+    )
+    out = {r.id: r.te_micro for r in target_encode_loo(df, "cat", "y").collect()}
+    assert out == {1: None, 2: None}
+
+
+def test_kaplan_meier_null_durations_excluded(spark):
+    rows = [(2, True), (None, True), (3, False)]
+    df = spark.createDataFrame(rows, "dur long, obs boolean")
+    out = {r.duration: r for r in kaplan_meier(df, "dur", "obs").collect()}
+    assert set(out) == {2, 3}
+    assert out[2].n_at_risk == 2  # the NULL subject never enters at-risk
