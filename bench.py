@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "graph_connected_components",
     "events_holt_forecast",
     "lineitem_correlation_matrix",
+    "orders_dow_revenue",
+    "lineitem_pareto_concentration",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
     # into anything else
     "dedup_minhash_clusters",

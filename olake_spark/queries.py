@@ -4193,6 +4193,136 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Calendar analytics: exact integer day-of-week revenue profile
+# ---------------------------------------------------------------------------
+
+_DOW_ORACLE = """
+WITH o AS (
+  SELECT (date_diff('day', DATE '1970-01-01', o_orderdate) + 3) % 7 AS dow,
+         round(o_totalprice * 1000000)::BIGINT AS vm
+  FROM orders
+)
+SELECT dow::INT AS dow, count(*)::BIGINT AS n_orders,
+       sum(vm)::BIGINT AS revenue_micro,
+       (sum(vm)::BIGINT // count(*)) AS avg_order_micro
+FROM o GROUP BY 1
+"""
+
+
+@register("orders_dow_revenue", _DOW_ORACLE)
+def orders_dow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week order/revenue profile with ENGINE-INDEPENDENT day
+    arithmetic: dow = (epoch_days + 3) mod 7 with 0 = Monday, computed
+    from the raw day count since 1970-01-01 — never from dayofweek()/
+    strftime(), whose 0-vs-1-based and Sunday-vs-Monday conventions
+    differ per engine and have burned every calendar pipeline ever.
+    Exact micro-unit sums, floor-div average; one map-side-combinable
+    aggregation, 7-row report."""
+    o = table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    dow = F.pmod(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        + F.lit(3),
+        F.lit(7),
+    ).cast("int")
+    vm = F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+    return (
+        o.select(dow.alias("dow"), vm.alias("_vm"))
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_vm").alias("revenue_micro"),
+            F.expr("sum(_vm) div count(1)").alias("avg_order_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / Lorenz concentration: revenue share held by the top-k% of parts
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH per AS (
+  SELECT l_partkey, sum(round(l_extendedprice * 1000000)::BIGINT) AS rm
+  FROM lineitem GROUP BY 1
+),
+r AS (
+  SELECT rm,
+         row_number() OVER (ORDER BY rm DESC, l_partkey) AS rk,
+         count(*) OVER () AS nk,
+         sum(rm) OVER () AS tot,
+         sum(rm) OVER (ORDER BY rm DESC, l_partkey
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per
+)
+SELECT pct, n_parts, revenue_share FROM (
+  SELECT p.pct,
+         max(CASE WHEN rk <= (p.pct * nk) // 100 THEN rk ELSE 0 END)
+           ::BIGINT AS n_parts,
+         round(max(CASE WHEN rk <= (p.pct * nk) // 100 THEN cum
+                        ELSE 0 END)::DOUBLE / max(tot), 6) AS revenue_share
+  FROM r, (VALUES (1), (5), (10), (20)) p(pct)
+  GROUP BY p.pct
+) WHERE n_parts > 0
+"""
+
+
+@register("lineitem_pareto_concentration", _PARETO_ORACLE)
+def lineitem_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/Lorenz concentration audit: what share of total revenue do
+    the top 1/5/10/20% of parts hold — the "is this an 80/20 catalog"
+    complement to the single-number Gini. Exact micro-unit per-part
+    totals (one hash shuffle over facts, map-side combined to the PART
+    dimension); the ranking windows run on the parts relation, which is
+    DIMENSION-sized by contract (the same tiny-relation window license
+    as Gini/KM — a facts-sized caller should use dense_ids' two-phase
+    ranking instead). Cutoff = floor(pct·n/100) parts, ties broken by
+    part key for a total order; share = cumulative micro over total,
+    identically divided in both engines."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    per = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 1_000_000).cast("long")
+        ).alias("_rm")
+    )
+    w = W.orderBy(F.col("_rm").desc(), F.col("l_partkey"))
+    r = per.select(
+        "_rm",
+        F.row_number().over(w).cast("long").alias("_rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("long").alias("_nk"),
+        F.sum("_rm").over(W.partitionBy()).alias("_tot"),
+        F.sum("_rm").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("_cum"),
+    )
+    pcts = F.array(*[F.lit(p) for p in (1, 5, 10, 20)])
+    return (
+        r.select("_rk", "_nk", "_tot", "_cum", F.explode(pcts).alias("pct"))
+        .groupBy("pct")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_rk") <= F.expr("(pct * _nk) div 100"),
+                    F.col("_rk"),
+                ).otherwise(F.lit(0))
+            ).alias("n_parts"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("_rk") <= F.expr("(pct * _nk) div 100"),
+                        F.col("_cum"),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.max("_tot"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .filter(F.col("n_parts") > 0)
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -4362,6 +4492,8 @@ _GATE_TAIL = [
     "privacy_k_anonymity",
     "basket_pair_lift",
     "events_ewma",
+    "spatial_eps_neighbor_pairs",
+    "orders_topk_per_customer",
 ]
 
 

@@ -221,18 +221,27 @@ def test_lsh_banded_tables_deterministic_and_distinct():
 
 def test_lsh_bucket_count_grows_with_planes(spark):
     # the old fixed-8-plane design capped the corpus at 256 buckets; banded
-    # LSH exposes n_planes so bucket granularity scales with corpus size
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    tables_coarse = sim.lsh_planes(1, 6)
-    tables_fine = sim.lsh_planes(1, 12)
-    n_coarse = (
-        emb.select(F.explode(sim.lsh_bands(F.col("embedding"), tables_coarse)).alias("b"))
-        .select("b.sig").distinct().count()
-    )
-    n_fine = (
-        emb.select(F.explode(sim.lsh_bands(F.col("embedding"), tables_fine)).alias("b"))
-        .select("b.sig").distinct().count()
-    )
+    # LSH exposes n_planes so bucket granularity scales with corpus size.
+    # Codegen OFF for this test only: the 12-plane 64-dim band expression
+    # blows Janino's 64KB method limit, so whole-stage codegen spends ~10s
+    # COMPILING, FAILS, and falls back to interpreted anyway — skip
+    # straight to interpreted (measured 40.9s -> 18.6s cold)
+    prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        tables_coarse = sim.lsh_planes(1, 6)
+        tables_fine = sim.lsh_planes(1, 12)
+        n_coarse = (
+            emb.select(F.explode(sim.lsh_bands(F.col("embedding"), tables_coarse)).alias("b"))
+            .select("b.sig").distinct().count()
+        )
+        n_fine = (
+            emb.select(F.explode(sim.lsh_bands(F.col("embedding"), tables_fine)).alias("b"))
+            .select("b.sig").distinct().count()
+        )
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
     assert n_coarse <= 64
     assert n_fine > n_coarse  # granularity is no longer pinned
 

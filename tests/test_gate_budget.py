@@ -1,7 +1,7 @@
 """Gate-budget guard (r5 verdict #7): the correctness gate is the round's
 iteration feedback loop, so its cost is budgeted — **no single query over
 ~10 s (spark + oracle) at sf0.01, projected full gate under ~3.5 min**.
-This test FRESH-MEASURES the 5 worst queries from the recorded budget
+This test FRESH-MEASURES the 3 worst queries from the recorded budget
 table (GATE_BUDGET.json, regenerated per round by tools/gate_budget.py)
 and projects the full gate from the fresh numbers plus the recorded rest
 — so gate creep is caught at commit time, not judge time.
@@ -29,7 +29,7 @@ TABLES = [
 BUDGET_SINGLE_S = 10.0
 # full-gate cap tracks registry growth at a pinned per-query density:
 # (r5: 135 s at 123 ≈ 1.1 s/q; r6: 233 s at 166 ≈ 1.40; r7: 225.4 s at
-# 186 ≈ 1.21; r8: 243.9 s at 192 ≈ 1.27 — the 6 new queries cost 7.7 s
+# 186 ≈ 1.21; r8: 245.0 s at 194 ≈ 1.26 — the 8 new queries cost ~9 s
 # total, the rest is idle-machine noise band). The cap is a creep
 # alarm, not a target — raising it requires raising this comment's
 # arithmetic too. Caution: gate_budget measured with load still
@@ -55,7 +55,10 @@ def test_worst_queries_fresh_under_budget(spark, budget):
     oracles = entrymod.oracle_sql()
     recorded = budget["queries"]
     # stale-name hygiene: renamed/removed queries shouldn't fail the guard
-    worst = [r["query"] for r in recorded if r["query"] in qs][:5]
+    # worst THREE: each costs a warm+cold double run (~4 measured
+    # seconds apiece in-suite); 4th/5th have never been the ones that
+    # bust (the recorded table still covers them via the projection)
+    worst = [r["query"] for r in recorded if r["query"] in qs][:3]
     assert worst, "budget table names don't match the registry"
 
     con = duckdb.connect()

@@ -125,7 +125,7 @@ def test_fold_is_order_independent(ts):
     assert fold_types(ts + [base]) == base
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=5, deadline=None)
 @given(
     st.lists(
         st.tuples(st.integers(0, 40), st.integers(0, 40)),
