@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "lineitem_correlation_matrix",
     "orders_dow_revenue",
     "lineitem_pareto_concentration",
+    "events_activity_streaks",
+    "lineitem_ship_latency_sla",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
     # into anything else
     "dedup_minhash_clusters",

@@ -4323,6 +4323,124 @@ def lineitem_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest daily-activity streak per user
+# ---------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM d
+),
+s AS (
+  SELECT user_id, island, count(*)::BIGINT AS len,
+         min(day) AS start_day
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id, len AS longest_streak_days,
+       (start_day * 86400000)::BIGINT AS streak_start_ms,
+       n_active::BIGINT AS n_active_days
+FROM (
+  SELECT user_id, len, start_day,
+         sum(len) OVER (PARTITION BY user_id) AS n_active,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_day) AS rn
+  FROM s
+) WHERE rn = 1
+"""
+
+
+@register("events_activity_streaks", _STREAK_ORACLE)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the canonical
+    GAPS-AND-ISLANDS pattern (day − row_number is constant within a
+    run of consecutive days), which no other registry query exercises.
+    Exact integer epoch-day arithmetic; one hash shuffle on the user
+    carries the distinct + both windows + the island groupBy (same
+    partitioning throughout, exchange reused); ties on streak length
+    break to the earliest streak."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    d = ev.select("user_id", day.alias("_day")).distinct()
+    w = W.partitionBy("user_id").orderBy("_day")
+    s = (
+        d.withColumn(
+            "_island", F.col("_day") - F.row_number().over(w)
+        )
+        .groupBy("user_id", "_island")
+        .agg(
+            F.count(F.lit(1)).alias("_len"),
+            F.min("_day").alias("_start"),
+        )
+    )
+    wu = W.partitionBy("user_id")
+    pick = W.partitionBy("user_id").orderBy(
+        F.col("_len").desc(), F.col("_start")
+    )
+    return (
+        s.withColumn("_n_active", F.sum("_len").over(wu))
+        .withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("_len").alias("longest_streak_days"),
+            (F.col("_start") * F.lit(86_400_000)).alias("streak_start_ms"),
+            F.col("_n_active").alias("n_active_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-to-ship latency SLA profile (exact integer day lags)
+# ---------------------------------------------------------------------------
+
+_SHIPLAT_ORACLE = """
+WITH j AS (
+  SELECT o.o_orderpriority AS priority,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority, count(*)::BIGINT AS n,
+       (sum(lag_days)::BIGINT // count(*)) AS avg_lag_days_floor,
+       min(lag_days)::BIGINT AS min_lag_days,
+       max(lag_days)::BIGINT AS max_lag_days,
+       sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END)::BIGINT AS n_over_90d
+FROM j GROUP BY 1
+"""
+
+
+@register("lineitem_ship_latency_sla", _SHIPLAT_ORACLE)
+def lineitem_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per order priority — the SLA
+    breach report every fulfillment pipeline runs. Exact integer day
+    lags (datediff of DATE columns — no timestamp/timezone ambiguity),
+    floor-div average, 90-day breach count. One co-partitioned fact-
+    fact join on the order key (the natural TPC-H 1:4 shape — at
+    100 TB both sides bucket on orderkey and the exchange disappears)
+    feeding one map-side-combinable aggregation; 5-row report."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("_lag"),
+    )
+    return j.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(_lag) div count(1)").alias("avg_lag_days_floor"),
+        F.min("_lag").cast("long").alias("min_lag_days"),
+        F.max("_lag").cast("long").alias("max_lag_days"),
+        F.sum(F.when(F.col("_lag") > 90, 1).otherwise(0)).alias("n_over_90d"),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -4494,6 +4612,8 @@ _GATE_TAIL = [
     "events_ewma",
     "spatial_eps_neighbor_pairs",
     "orders_topk_per_customer",
+    "lineitem_mad_outliers",
+    "feature_snapshot_pit",
 ]
 
 
