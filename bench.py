@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "lineitem_pareto_concentration",
     "events_activity_streaks",
     "lineitem_ship_latency_sla",
+    "events_holt_backtest",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
     # into anything else
     "dedup_minhash_clusters",

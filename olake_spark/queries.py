@@ -4441,6 +4441,88 @@ def lineitem_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Forecast backtest: hold out each user's last event, score Holt's 1-step
+# ---------------------------------------------------------------------------
+
+_HOLT_BACKTEST_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         list([value::DOUBLE, 0.0::DOUBLE]
+              ORDER BY epoch_us(ts), event_id) AS vs,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+f AS (
+  SELECT user_id, n, vs[n][1] AS actual,
+         CASE WHEN n >= 2 THEN
+           list_reduce(vs[1:n-1], (acc, x) ->
+             [(0.25::DOUBLE * x[1] + 0.75::DOUBLE * acc[1])
+                + 0.75::DOUBLE * acc[2],
+              0.0625::DOUBLE * (x[1] - acc[1]) + 0.9375::DOUBLE * acc[2]])
+         END AS st
+  FROM s
+)
+SELECT user_id, n,
+       round(st[1] + st[2], 6) AS forecast_1,
+       round(actual, 6) AS actual,
+       round(abs((st[1] + st[2]) - actual), 6) AS abs_err
+FROM f
+"""
+
+
+@register("events_holt_backtest", _HOLT_BACKTEST_ORACLE)
+def events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST — the measurement no forecasting family is
+    complete without: hold out each user's last observation, fold Holt
+    over the first n−1 (same pinned flat-form recursion and list-state
+    oracle as events_holt_forecast), and score the 1-step forecast
+    against the held-out actual. Single-observation users report NULL
+    (nothing to train on). Same one-shuffle per-key-sequence shape; the
+    holdout is a slice of the already-collected sequence, not a second
+    pass."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    ordkey = F.struct(
+        F.unix_micros(F.col("ts")).alias("_t"),
+        F.col("event_id").alias("_o0"),
+        F.col("value").cast("double").alias("_v"),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(F.collect_list(ordkey)).alias("_seq"),
+    )
+    vals = F.transform(F.col("_seq"), lambda s: s["_v"])
+    a, b1 = F.lit(0.25), F.lit(0.75)
+    ga, g1a = F.lit(0.0625), F.lit(0.9375)
+
+    def _step(acc, v):
+        return F.struct(
+            ((a * v + b1 * acc["l"]) + b1 * acc["b"]).alias("l"),
+            (ga * (v - acc["l"]) + g1a * acc["b"]).alias("b"),
+        )
+
+    init = F.struct(F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b"))
+    st = F.when(
+        F.col("n") >= 2,
+        F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size(vals) - 2, F.lit(0))),
+            init,
+            _step,
+        ),
+    )
+    actual = F.element_at(vals, F.size(vals))
+    fc = st["l"] + st["b"]
+    return per.select(
+        "user_id",
+        "n",
+        F.round(fc, 6).alias("forecast_1"),
+        F.round(actual, 6).alias("actual"),
+        F.round(F.abs(fc - actual), 6).alias("abs_err"),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -4614,6 +4696,7 @@ _GATE_TAIL = [
     "orders_topk_per_customer",
     "lineitem_mad_outliers",
     "feature_snapshot_pit",
+    "lineitem_grouping_sets",
 ]
 
 
