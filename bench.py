@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "events_activity_streaks",
     "lineitem_ship_latency_sla",
     "events_holt_backtest",
+    "tpch_q01_pricing_summary",
+    "tpch_q03_unshipped_revenue",
+    "tpch_q05_regional_revenue",
+    "tpch_q10_returned_revenue",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
     # into anything else
     "dedup_minhash_clusters",

@@ -4523,6 +4523,311 @@ def events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Canonical TPC-H analytics (Q1 / Q3 / Q5 / Q10 shapes), exact-micro
+# revenue arithmetic. Constants adapted to the fixture's 1995-2001 date
+# range; Q3/Q10 drop columns the trimmed schema omits (o_shippriority,
+# c_phone/address). revenue = Σ price·(1−discount) accumulates as the
+# exact integer pm·(10^6 − dm) (scale 10^12) in DECIMAL(38,0)/HUGEINT —
+# a float product-sum would be partition-order-dependent.
+# ---------------------------------------------------------------------------
+
+_TPCH_Q1_ORACLE = """
+WITH l AS (
+  SELECT l_returnflag, l_linestatus,
+         round(l_quantity * 1000000)::BIGINT AS qm,
+         round(l_extendedprice * 1000000)::BIGINT AS pm,
+         round(l_discount * 1000000)::BIGINT AS dm,
+         round(l_tax * 1000000)::BIGINT AS tm
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+)
+SELECT l_returnflag, l_linestatus,
+  round(sum(qm)::DOUBLE / 1000000.0, 2) AS sum_qty,
+  round(sum(pm)::DOUBLE / 1000000.0, 2) AS sum_base_price,
+  round(sum(pm::HUGEINT * (1000000 - dm))::DOUBLE / 1e12, 2)
+    AS sum_disc_price,
+  round(sum(pm::HUGEINT * (1000000 - dm) * (1000000 + tm))::DOUBLE / 1e18, 2)
+    AS sum_charge,
+  round(sum(qm)::DOUBLE / count(*) / 1000000.0, 4) AS avg_qty,
+  round(sum(pm)::DOUBLE / count(*) / 1000000.0, 4) AS avg_price,
+  round(sum(dm)::DOUBLE / count(*) / 1000000.0, 4) AS avg_disc,
+  count(*)::BIGINT AS count_order
+FROM l GROUP BY 1, 2
+"""
+
+
+def _li_micro(li):
+    return li.select(
+        "*",
+        F.round(F.col("l_extendedprice") * 1_000_000).cast("long").alias("_pm"),
+        F.round(F.col("l_discount") * 1_000_000).cast("long").alias("_dm"),
+    )
+
+
+_REV12 = "CAST(_pm * (1000000 - _dm) AS DECIMAL(38,0))"
+
+
+@register("tpch_q01_pricing_summary", _TPCH_Q1_ORACLE)
+def tpch_q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1, the canonical pricing summary, under the repo's exact
+    integer discipline: qty/price/discount/tax as micro-unit BIGINTs,
+    disc_price = pm·(10^6−dm) (10^12 scale) and charge = that ·(10^6+tm)
+    (10^18 scale) summed in DECIMAL(38,0) — partition-order-free where
+    the float formulation is not — divided once at the end with the
+    oracle's identical op order. One scan, one map-side-combinable
+    aggregation, 100 TB shape by construction."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    l = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_quantity") * 1_000_000).cast("long").alias("qm"),
+        F.round(F.col("l_extendedprice") * 1_000_000).cast("long").alias("pm"),
+        F.round(F.col("l_discount") * 1_000_000).cast("long").alias("dm"),
+        F.round(F.col("l_tax") * 1_000_000).cast("long").alias("tm"),
+    )
+    n = F.count(F.lit(1))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("qm").cast("double") / 1_000_000.0, 2).alias("sum_qty"),
+        F.round(F.sum("pm").cast("double") / 1_000_000.0, 2).alias(
+            "sum_base_price"
+        ),
+        F.round(
+            F.sum(F.expr("CAST(pm * (1000000 - dm) AS DECIMAL(38,0))"))
+            .cast("double") / F.lit(1e12),
+            2,
+        ).alias("sum_disc_price"),
+        F.round(
+            F.sum(
+                F.expr(
+                    "CAST(pm * (1000000 - dm) AS DECIMAL(38,0))"
+                    " * CAST(1000000 + tm AS DECIMAL(38,0))"
+                )
+            ).cast("double") / F.lit(1e18),
+            2,
+        ).alias("sum_charge"),
+        F.round(F.sum("qm").cast("double") / n / 1_000_000.0, 4).alias(
+            "avg_qty"
+        ),
+        F.round(F.sum("pm").cast("double") / n / 1_000_000.0, 4).alias(
+            "avg_price"
+        ),
+        F.round(F.sum("dm").cast("double") / n / 1_000_000.0, 4).alias(
+            "avg_disc"
+        ),
+        n.cast("long").alias("count_order"),
+    )
+
+
+_TPCH_Q3_ORACLE = """
+WITH l AS (
+  SELECT l_orderkey,
+         round(l_extendedprice * 1000000)::BIGINT AS _pm,
+         round(l_discount * 1000000)::BIGINT AS _dm
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-03-15'
+)
+SELECT l.l_orderkey,
+       sum(l._pm::HUGEINT * (1000000 - l._dm))::BIGINT AS revenue_e12,
+       round(sum(l._pm::HUGEINT * (1000000 - l._dm))::DOUBLE / 1e12, 2)
+         AS revenue,
+       epoch_ms(o.o_orderdate)::BIGINT AS orderdate_ms
+FROM l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+GROUP BY 1, 4
+ORDER BY revenue_e12 DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("tpch_q03_unshipped_revenue", _TPCH_Q3_ORACLE)
+def tpch_q03_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority column absent from the trimmed
+    schema): top-10 highest-revenue BUILDING-segment orders placed
+    before the cutoff with lineitems still shipping after it. The
+    filtered customer dim broadcasts; orders⋈lineitem is the one real
+    shuffle (orderkey — bucketable at scale); revenue is the exact
+    10^12-scale integer, which also makes the top-10 ordering exact
+    (ties break on orderkey); the global top-10 compiles to
+    TakeOrderedAndProject, never a full sort."""
+    li = _li_micro(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+        )
+    ).filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    j = li.join(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "o_orderdate"
+        ),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    agg = j.groupBy(
+        "l_orderkey",
+        # explicit cast: the fixture column is TIMESTAMP_NTZ and
+        # unix_millis takes LTZ only; the session tz is pinned UTC so
+        # the cast is deterministic and equals the oracle's epoch_ms
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+            "orderdate_ms"
+        ),
+    ).agg(F.sum(F.expr(_REV12)).cast("long").alias("revenue_e12"))
+    return (
+        agg.select(
+            "l_orderkey",
+            "revenue_e12",
+            F.round(F.col("revenue_e12").cast("double") / F.lit(1e12), 2).alias(
+                "revenue"
+            ),
+            "orderdate_ms",
+        )
+        .orderBy(F.col("revenue_e12").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+_TPCH_Q5_ORACLE = """
+SELECT n.n_name,
+       sum(round(l.l_extendedprice * 1000000)::HUGEINT
+           * (1000000 - round(l.l_discount * 1000000)::BIGINT))::BIGINT
+         AS revenue_e12,
+       round(sum(round(l.l_extendedprice * 1000000)::HUGEINT
+           * (1000000 - round(l.l_discount * 1000000)::BIGINT))::DOUBLE
+           / 1e12, 2) AS revenue
+FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+@register("tpch_q05_regional_revenue", _TPCH_Q5_ORACLE)
+def tpch_q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: local-supplier revenue per ASIA nation in one order
+    year. The classic snowflake: region→nation→supplier chain and the
+    customer dim all BROADCAST (the c_nationkey = s_nationkey locality
+    condition rides the customer broadcast join); orders⋈lineitem on
+    the order key is the single real shuffle. Exact 10^12-scale integer
+    revenue; 5-row report."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _li_micro(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(F.expr(_REV12)).cast("long").alias("revenue_e12"))
+        .select(
+            "n_name",
+            "revenue_e12",
+            F.round(F.col("revenue_e12").cast("double") / F.lit(1e12), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+_TPCH_Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(c.c_acctbal, 2) AS acctbal,
+       sum(round(l.l_extendedprice * 1000000)::HUGEINT
+           * (1000000 - round(l.l_discount * 1000000)::BIGINT))::BIGINT
+         AS revenue_e12,
+       round(sum(round(l.l_extendedprice * 1000000)::HUGEINT
+           * (1000000 - round(l.l_discount * 1000000)::BIGINT))::DOUBLE
+           / 1e12, 2) AS revenue
+FROM customer c, orders o, lineitem l, nation n
+WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+  AND o.o_orderdate >= TIMESTAMP '1998-10-01'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+  AND l.l_returnflag = 'R'
+  AND c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_e12 DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("tpch_q10_returned_revenue", _TPCH_Q10_ORACLE)
+def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (phone/address columns absent from the trimmed
+    schema): top-20 customers by revenue lost to returned items in one
+    quarter. Customer and nation dims broadcast; orders⋈lineitem
+    shuffles once on the order key; exact integer revenue makes the
+    top-20 deterministic (ties on custkey); TakeOrderedAndProject, no
+    full sort."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _li_micro(
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = j.groupBy(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+    ).agg(F.sum(F.expr(_REV12)).cast("long").alias("revenue_e12"))
+    return (
+        agg.select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "acctbal",
+            "revenue_e12",
+            F.round(F.col("revenue_e12").cast("double") / F.lit(1e12), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(F.col("revenue_e12").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -4697,6 +5002,10 @@ _GATE_TAIL = [
     "lineitem_mad_outliers",
     "feature_snapshot_pit",
     "lineitem_grouping_sets",
+    "events_range_window_sum",
+    "lineitem_mode_per_flag",
+    "events_pattern_match",
+    "events_week_over_week",
 ]
 
 
