@@ -147,6 +147,11 @@ BENCH_QUERIES = [
     "tpch_q03_unshipped_revenue",
     "tpch_q05_regional_revenue",
     "tpch_q10_returned_revenue",
+    "tpch_q06_forecast_revenue",
+    "tpch_q07_volume_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customers",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
     # into anything else
     "dedup_minhash_clusters",

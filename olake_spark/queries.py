@@ -4529,7 +4529,11 @@ def events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # range; Q3/Q10 drop columns the trimmed schema omits (o_shippriority,
 # c_phone/address). revenue = Σ price·(1−discount) accumulates as the
 # exact integer pm·(10^6 − dm) (scale 10^12) in DECIMAL(38,0)/HUGEINT —
-# a float product-sum would be partition-order-dependent.
+# a float product-sum would be partition-order-dependent. Outputs carry
+# the exact revenue at MICRO scale (the 10^12-scale sum div 10^6): the
+# raw sum overflows BIGINT near 10^7 rows per group, micro holds to
+# ~9·10^12 currency units per group; past that read the decimal
+# internals (the gini BIGINT-output caveat, repo-wide).
 # ---------------------------------------------------------------------------
 
 _TPCH_Q1_ORACLE = """
@@ -4628,7 +4632,8 @@ WITH l AS (
   FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-03-15'
 )
 SELECT l.l_orderkey,
-       sum(l._pm::HUGEINT * (1000000 - l._dm))::BIGINT AS revenue_e12,
+       (sum(l._pm::HUGEINT * (1000000 - l._dm)) // 1000000)::BIGINT
+         AS revenue_micro,
        round(sum(l._pm::HUGEINT * (1000000 - l._dm))::DOUBLE / 1e12, 2)
          AS revenue,
        epoch_ms(o.o_orderdate)::BIGINT AS orderdate_ms
@@ -4638,7 +4643,7 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < TIMESTAMP '1998-03-15'
 GROUP BY 1, 4
-ORDER BY revenue_e12 DESC, l_orderkey
+ORDER BY revenue_micro DESC, l_orderkey
 LIMIT 10
 """
 
@@ -4678,26 +4683,29 @@ def tpch_q03_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
             "orderdate_ms"
         ),
-    ).agg(F.sum(F.expr(_REV12)).cast("long").alias("revenue_e12"))
+    ).agg(
+        # micro-scale output: the raw 10^12-scale sum overflows BIGINT
+        # around 10^7 rows per group; div 10^6 keeps the repo-wide exact
+        # micro convention and the double keeps human units
+        F.expr(f"CAST(sum({_REV12}) div 1000000 AS LONG)").alias(
+            "revenue_micro"
+        ),
+        F.round(
+            F.expr(f"CAST(sum({_REV12}) AS DOUBLE)") / F.lit(1e12), 2
+        ).alias("revenue"),
+    )
     return (
-        agg.select(
-            "l_orderkey",
-            "revenue_e12",
-            F.round(F.col("revenue_e12").cast("double") / F.lit(1e12), 2).alias(
-                "revenue"
-            ),
-            "orderdate_ms",
-        )
-        .orderBy(F.col("revenue_e12").desc(), "l_orderkey")
+        agg.select("l_orderkey", "revenue_micro", "revenue", "orderdate_ms")
+        .orderBy(F.col("revenue_micro").desc(), "l_orderkey")
         .limit(10)
     )
 
 
 _TPCH_Q5_ORACLE = """
 SELECT n.n_name,
-       sum(round(l.l_extendedprice * 1000000)::HUGEINT
-           * (1000000 - round(l.l_discount * 1000000)::BIGINT))::BIGINT
-         AS revenue_e12,
+       (sum(round(l.l_extendedprice * 1000000)::HUGEINT
+           * (1000000 - round(l.l_discount * 1000000)::BIGINT))
+         // 1000000)::BIGINT AS revenue_micro,
        round(sum(round(l.l_extendedprice * 1000000)::HUGEINT
            * (1000000 - round(l.l_discount * 1000000)::BIGINT))::DOUBLE
            / 1e12, 2) AS revenue
@@ -4746,25 +4754,22 @@ def tpch_q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (s.s_nationkey == c.c_nationkey),
         )
     )
-    return (
-        j.groupBy("n_name")
-        .agg(F.sum(F.expr(_REV12)).cast("long").alias("revenue_e12"))
-        .select(
-            "n_name",
-            "revenue_e12",
-            F.round(F.col("revenue_e12").cast("double") / F.lit(1e12), 2).alias(
-                "revenue"
-            ),
-        )
+    return j.groupBy("n_name").agg(
+        F.expr(f"CAST(sum({_REV12}) div 1000000 AS LONG)").alias(
+            "revenue_micro"
+        ),
+        F.round(
+            F.expr(f"CAST(sum({_REV12}) AS DOUBLE)") / F.lit(1e12), 2
+        ).alias("revenue"),
     )
 
 
 _TPCH_Q10_ORACLE = """
 SELECT c.c_custkey, c.c_name, n.n_name,
        round(c.c_acctbal, 2) AS acctbal,
-       sum(round(l.l_extendedprice * 1000000)::HUGEINT
-           * (1000000 - round(l.l_discount * 1000000)::BIGINT))::BIGINT
-         AS revenue_e12,
+       (sum(round(l.l_extendedprice * 1000000)::HUGEINT
+           * (1000000 - round(l.l_discount * 1000000)::BIGINT))
+         // 1000000)::BIGINT AS revenue_micro,
        round(sum(round(l.l_extendedprice * 1000000)::HUGEINT
            * (1000000 - round(l.l_discount * 1000000)::BIGINT))::DOUBLE
            / 1e12, 2) AS revenue
@@ -4775,7 +4780,7 @@ WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
   AND l.l_returnflag = 'R'
   AND c.c_nationkey = n.n_nationkey
 GROUP BY 1, 2, 3, 4
-ORDER BY revenue_e12 DESC, c_custkey
+ORDER BY revenue_micro DESC, c_custkey
 LIMIT 20
 """
 
@@ -4811,20 +4816,284 @@ def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "n_name",
         F.round(F.col("c_acctbal"), 2).alias("acctbal"),
-    ).agg(F.sum(F.expr(_REV12)).cast("long").alias("revenue_e12"))
+    ).agg(
+        F.expr(f"CAST(sum({_REV12}) div 1000000 AS LONG)").alias(
+            "revenue_micro"
+        ),
+        F.round(
+            F.expr(f"CAST(sum({_REV12}) AS DOUBLE)") / F.lit(1e12), 2
+        ).alias("revenue"),
+    )
     return (
-        agg.select(
+        agg.orderBy(F.col("revenue_micro").desc(), "c_custkey").limit(20)
+    )
+
+
+_TPCH_Q6_ORACLE = """
+SELECT (sum(round(l_extendedprice * 1000000)::HUGEINT
+           * round(l_discount * 1000000)::BIGINT) // 1000000)::BIGINT
+         AS revenue_micro,
+       round(sum(round(l_extendedprice * 1000000)::HUGEINT
+           * round(l_discount * 1000000)::BIGINT)::DOUBLE / 1e12, 2)
+         AS revenue,
+       count(*)::BIGINT AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND round(l_discount * 1000000)::BIGINT BETWEEN 50000 AND 70000
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q06_forecast_revenue", _TPCH_Q6_ORACLE)
+def tpch_q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6, the forecasting-revenue-change filter-aggregate: the
+    discount-band predicate compares EXACT micro integers (a float
+    BETWEEN 0.05 AND 0.07 can flip rows at the boundary between
+    engines), revenue = Σ price·discount as 10^12-scale exact integers.
+    The date/quantity predicates push to the parquet scan; one
+    map-side-combinable aggregation, 1-row report."""
+    li = table(spark, sf_dir, "lineitem")
+    dm = F.round(F.col("l_discount") * 1_000_000).cast("long")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & dm.between(50_000, 70_000)
+        & (F.col("l_quantity") < 24)
+    ).select(
+        (
+            F.round(F.col("l_extendedprice") * 1_000_000).cast("long")
+        ).alias("_pm"),
+        dm.alias("_dm"),
+    )
+    return f.agg(
+        F.expr(
+            "CAST(sum(CAST(_pm * _dm AS DECIMAL(38,0))) div 1000000 AS LONG)"
+        ).alias("revenue_micro"),
+        F.round(
+            F.sum(F.expr("CAST(_pm * _dm AS DECIMAL(38,0))")).cast("double")
+            / F.lit(1e12),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_TPCH_Q7_ORACLE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate)::INT AS l_year,
+       (sum(round(l.l_extendedprice * 1000000)::HUGEINT
+           * (1000000 - round(l.l_discount * 1000000)::BIGINT))
+         // 1000000)::BIGINT AS revenue_micro
+FROM supplier s, lineitem l, orders o, customer c, nation sn, nation cn
+WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+  AND c.c_custkey = o.o_custkey AND s.s_nationkey = sn.n_nationkey
+  AND c.c_nationkey = cn.n_nationkey
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+@register("tpch_q07_volume_shipping", _TPCH_Q7_ORACLE)
+def tpch_q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral shipping volume between two nations by year.
+    Both nation-resolved dims (supplier, customer) BROADCAST with their
+    nation names attached; the pair predicate applies after the
+    broadcast joins, so the one real shuffle is orders⋈lineitem on the
+    order key. Exact 10^12-scale integer revenue; year() of the ship
+    timestamp is exact integer arithmetic in both engines."""
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _li_micro(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            "l_shipdate",
+        )
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year(F.col("l_shipdate")).cast("int").alias("l_year"),
+    ).agg(
+        F.expr(f"CAST(sum({_REV12}) div 1000000 AS LONG)").alias(
+            "revenue_micro"
+        )
+    )
+
+
+_TPCH_Q13_ORACLE = """
+WITH co AS (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM co GROUP BY 1
+"""
+
+
+@register("tpch_q13_customer_distribution", _TPCH_Q13_ORACLE)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the customer order-count distribution — the classic
+    LEFT OUTER join query (customers with zero orders must appear in
+    the c_count=0 bucket; an inner join silently loses them). Count
+    the non-null join side, then a second map-side-combinable groupBy
+    over the tiny count domain. At 100 TB the left join hashes on the
+    customer key once; the histogram relation is at most a few hundred
+    rows."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_TPCH_Q14_ORACLE = """
+WITH l AS (
+  SELECT p.p_type,
+         round(l.l_extendedprice * 1000000)::HUGEINT
+           * (1000000 - round(l.l_discount * 1000000)::BIGINT) AS r12
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l.l_shipdate < TIMESTAMP '1997-10-01'
+)
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN r12 ELSE 0 END)
+             ::DOUBLE / sum(r12)::DOUBLE, 4) AS promo_revenue_pct,
+       (sum(CASE WHEN p_type = 'PROMO' THEN r12 ELSE 0 END)
+         // 1000000)::BIGINT AS promo_micro,
+       (sum(r12) // 1000000)::BIGINT AS total_micro
+FROM l
+"""
+
+
+@register("tpch_q14_promo_effect", _TPCH_Q14_ORACLE)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion revenue share for one ship month. The part
+    dim broadcasts onto the date-pruned lineitem scan; both the promo
+    and total revenue accumulate as exact 10^12-scale integers in ONE
+    aggregation and divide once — the conditional-aggregation shape
+    (never two scans, never a join of two aggregates)."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _li_micro(
+        table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_extendedprice", "l_discount", "l_shipdate"
+        )
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    promo_sql = (
+        f"sum(CASE WHEN p_type = 'PROMO' THEN {_REV12} "
+        "ELSE CAST(0 AS DECIMAL(38,0)) END)"
+    )
+    total_sql = f"sum({_REV12})"
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.expr(f"CAST({promo_sql} AS DOUBLE)")
+            / F.expr(f"CAST({total_sql} AS DOUBLE)"),
+            4,
+        ).alias("promo_revenue_pct"),
+        F.expr(f"CAST({promo_sql} div 1000000 AS LONG)").alias("promo_micro"),
+        F.expr(f"CAST({total_sql} div 1000000 AS LONG)").alias("total_micro"),
+    )
+
+
+_TPCH_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey,
+         sum(round(l_quantity * 1000000)::BIGINT) AS qm
+  FROM lineitem GROUP BY 1
+  HAVING sum(round(l_quantity * 1000000)::BIGINT) > 220000000
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       epoch_ms(o.o_orderdate)::BIGINT AS orderdate_ms,
+       round(o.o_totalprice, 2) AS totalprice,
+       round(b.qm::DOUBLE / 1000000.0, 2) AS total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("tpch_q18_large_volume_customers", _TPCH_Q18_ORACLE)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers behind the largest-volume orders (total
+    order quantity above threshold). The HAVING side aggregates
+    lineitem map-side to per-order quantity (exact micro integers)
+    BEFORE any join — only qualifying order keys continue (at 100 TB
+    this is the difference between joining 874 rows and joining
+    everything); orders join on the shared key, customer broadcasts;
+    top-100 by price compiles to TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_quantity") * 1_000_000).cast("long")
+            ).alias("_qm")
+        )
+        .filter(F.col("_qm") > 220_000_000)
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = big.join(o, big.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return (
+        j.select(
             "c_custkey",
             "c_name",
-            "n_name",
-            "acctbal",
-            "revenue_e12",
-            F.round(F.col("revenue_e12").cast("double") / F.lit(1e12), 2).alias(
-                "revenue"
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_ms"
+            ),
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            F.round(F.col("_qm").cast("double") / 1_000_000.0, 2).alias(
+                "total_qty"
             ),
         )
-        .orderBy(F.col("revenue_e12").desc(), "c_custkey")
-        .limit(20)
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
     )
 
 
@@ -5006,6 +5275,11 @@ _GATE_TAIL = [
     "lineitem_mode_per_flag",
     "events_pattern_match",
     "events_week_over_week",
+    "scd2_time_weighted_avg",
+    "pii_column_encrypt_roundtrip",
+    "similarity_topk_ivfpq_residual",
+    "fuzzy_join_jaccard",
+    "media_curation_pipeline",
 ]
 
 

@@ -29,7 +29,7 @@ TABLES = [
 BUDGET_SINGLE_S = 10.0
 # full-gate cap tracks registry growth at a pinned per-query density:
 # (r5: 135 s at 123 ≈ 1.1 s/q; r6: 233 s at 166 ≈ 1.40; r7: 225.4 s at
-# 186 ≈ 1.21; r8: 232.7 s at 201 ≈ 1.16 — fifteen new queries cost ~14 s and
+# 186 ≈ 1.21; r8: 236.9 s at 206 ≈ 1.15 — twenty new queries cost ~18 s and
 # the same sweep reads 216-245 s depending on machine warmth
 # total, the rest is idle-machine noise band). The cap is a creep
 # alarm, not a target — raising it requires raising this comment's
