@@ -152,6 +152,10 @@ BENCH_QUERIES = [
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect",
     "tpch_q18_large_volume_customers",
+    "tpch_q08_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
     # GC-heavy iterative query last so its heap pressure doesn't bleed
     # into anything else
     "dedup_minhash_clusters",

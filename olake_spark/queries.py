@@ -5097,6 +5097,258 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_TPCH_Q8_ORACLE = """
+WITH flat AS (
+  SELECT year(o.o_orderdate)::INT AS o_year,
+         round(l.l_extendedprice * 1000000)::HUGEINT
+           * (1000000 - round(l.l_discount * 1000000)::BIGINT) AS r12,
+         sn.n_name AS supp_nation
+  FROM part p, lineitem l, orders o, customer c, supplier s,
+       nation cn, nation sn, region r
+  WHERE p.p_partkey = l.l_partkey AND l.l_orderkey = o.o_orderkey
+    AND o.o_custkey = c.c_custkey AND l.l_suppkey = s.s_suppkey
+    AND c.c_nationkey = cn.n_nationkey AND cn.n_regionkey = r.r_regionkey
+    AND s.s_nationkey = sn.n_nationkey
+    AND r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN r12 ELSE 0 END)
+             ::DOUBLE / sum(r12)::DOUBLE, 6) AS mkt_share,
+       (sum(CASE WHEN supp_nation = 'NATION_3' THEN r12 ELSE 0 END)
+         // 1000000)::BIGINT AS nation_micro,
+       (sum(r12) // 1000000)::BIGINT AS total_micro
+FROM flat GROUP BY 1
+"""
+
+
+@register("tpch_q08_market_share", _TPCH_Q8_ORACLE)
+def tpch_q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's share of a region's imports of
+    one part type, by order year. Five dims broadcast (part filtered to
+    the type, customer->nation->region chain, supplier->nation); the
+    single real shuffle is orders⋈lineitem. Share = conditional / total
+    exact integer sums in ONE aggregation, divided once."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = (
+        table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("_cnk"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk"))
+        .select("c_custkey")
+    )
+    sn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_snk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _li_micro(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount",
+        )
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    )
+    nat_sql = (
+        f"sum(CASE WHEN supp_nation = 'NATION_3' THEN {_REV12} "
+        "ELSE CAST(0 AS DECIMAL(38,0)) END)"
+    )
+    tot_sql = f"sum({_REV12})"
+    return j.groupBy(
+        F.year(F.col("o_orderdate")).cast("int").alias("o_year")
+    ).agg(
+        F.round(
+            F.expr(f"CAST({nat_sql} AS DOUBLE)")
+            / F.expr(f"CAST({tot_sql} AS DOUBLE)"),
+            6,
+        ).alias("mkt_share"),
+        F.expr(f"CAST({nat_sql} div 1000000 AS LONG)").alias("nation_micro"),
+        F.expr(f"CAST({tot_sql} div 1000000 AS LONG)").alias("total_micro"),
+    )
+
+
+_TPCH_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         (sum(round(l_extendedprice * 1000000)::HUGEINT
+              * (1000000 - round(l_discount * 1000000)::BIGINT))
+           // 1000000)::BIGINT AS total_micro
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+),
+m AS (SELECT max(total_micro) AS mx FROM rev)
+SELECT s.s_suppkey, s.s_name, r.total_micro
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey, m
+WHERE r.total_micro = m.mx
+"""
+
+
+@register("tpch_q15_top_supplier", _TPCH_Q15_ORACLE)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the top supplier by quarterly revenue — the
+    max-of-aggregate shape (the spec's revenue VIEW is the CTE). The
+    1-row max broadcasts back onto the supplier-revenue relation (never
+    a global sort); exact micro revenue makes the max deterministic,
+    and ALL tied suppliers return, per spec."""
+    li = _li_micro(
+        table(spark, sf_dir, "lineitem").select(
+            "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+        )
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.expr(f"CAST(sum({_REV12}) div 1000000 AS LONG)").alias(
+            "total_micro"
+        )
+    )
+    m = rev.groupBy().agg(F.max("total_micro").alias("_mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(m), rev.total_micro == m._mx)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_micro")
+    )
+
+
+_TPCH_Q17_ORACLE = """
+WITH pa AS (
+  SELECT l_partkey,
+         sum(round(l_quantity * 1000000)::BIGINT) AS qsum,
+         count(*)::BIGINT AS qn
+  FROM lineitem GROUP BY 1
+)
+SELECT (sum(round(l.l_extendedprice * 1000000)::HUGEINT)
+         // 7)::BIGINT AS avg_yearly_micro,
+       count(*)::BIGINT AS n_small
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = (SELECT min(p_brand) FROM part)
+  AND round(l.l_quantity * 1000000)::BIGINT * 5 * pa.qn < pa.qsum
+"""
+
+
+@register("tpch_q17_small_quantity_revenue", _TPCH_Q17_ORACLE)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders of one brand —
+    the correlated-aggregate query (qty < 0.2 · avg(qty) per part). The
+    correlated subquery decorrelates into a per-part aggregate joined
+    back; the 20% threshold compares EXACT integers cross-multiplied
+    (qty_micro · 5 · n < Σqty_micro) — a float 0.2·avg would flip
+    boundary rows between engines. The brand dim filter broadcasts;
+    avg_yearly divides by 7 in exact integer micro."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    qm = F.round(F.col("l_quantity") * 1_000_000).cast("long")
+    pa = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(qm).alias("_qsum"), F.count(F.lit(1)).alias("_qn")
+    )
+    brand = table(spark, sf_dir, "part").groupBy().agg(
+        F.min("p_brand").alias("_b")
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .join(F.broadcast(brand), F.col("p_brand") == F.col("_b"))
+        .select("p_partkey")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == pa._pk)
+        .filter(qm * 5 * F.col("_qn") < F.col("_qsum"))
+    )
+    return j.agg(
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * 1000000) AS "
+            "DECIMAL(38,0))) div 7 AS LONG)"
+        ).alias("avg_yearly_micro"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+_TPCH_Q22_ORACLE = """
+WITH avgbal AS (
+  SELECT sum(round(c_acctbal * 1000000)::BIGINT) AS s,
+         count(*)::BIGINT AS n
+  FROM customer WHERE c_acctbal > 0.0
+),
+rich AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         round(c.c_acctbal * 1000000)::BIGINT AS bal
+  FROM customer c, avgbal a
+  WHERE round(c.c_acctbal * 1000000)::BIGINT * a.n > a.s
+)
+SELECT r.c_nationkey::INT AS nationkey, count(*)::BIGINT AS numcust,
+       sum(r.bal)::BIGINT AS totacctbal_micro
+FROM rich r
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
+@register("tpch_q22_global_sales_opportunity", _TPCH_Q22_ORACLE)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (phone prefixes absent from the trimmed schema;
+    nationkey stands in for the country grouping; the no-orders window
+    is scoped to the final two fixture years because every synthetic
+    customer has SOME order — an empty anti-join would gate nothing):
+    above-average-balance customers with no recent orders — the
+    canonical ANTI JOIN, which no other registry query exercises. The above-average predicate
+    cross-multiplies exact micro integers (bal·n > Σbal: no float mean
+    boundary); the 1-row average broadcasts; the anti join hashes on
+    the customer key. The oracle expresses it as NOT EXISTS (DuckDB
+    1.0.0 lacks ANTI JOIN syntax), which plans to the same anti join as
+    Spark's left_anti (NULL keys never match, both engines)."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    bal = F.round(F.col("c_acctbal") * 1_000_000).cast("long")
+    avgbal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal).alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avgbal))
+        .filter(bal * F.col("_n") > F.col("_s"))
+        .select("c_custkey", "c_nationkey", bal.alias("bal"))
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    never = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return never.groupBy(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal").alias("totacctbal_micro"),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -5280,6 +5532,10 @@ _GATE_TAIL = [
     "similarity_topk_ivfpq_residual",
     "fuzzy_join_jaccard",
     "media_curation_pipeline",
+    "sketch_cms_heavy_hitters",
+    "dsir_importance_weights",
+    "entity_resolution_golden",
+    "lineitem_exact_quantiles",
 ]
 
 

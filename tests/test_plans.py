@@ -47,6 +47,7 @@ _CROSS_OK = {
     "feature_binning_frozen_edges",  # 9-row frozen-edge broadcast bin map
     "events_survival_km",  # 1-row corpus-horizon broadcast (lazy cutoff)
     "orders_target_encoding_loo",  # 1-row global-LOO-stats broadcast
+    "tpch_q22_global_sales_opportunity",  # 1-row avg-balance broadcast
 }
 
 
