@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pair_counts_with_lift"]
+__all__ = ["pair_counts_with_lift", "item_neighbors_topk"]
 
 
 def pair_counts_with_lift(

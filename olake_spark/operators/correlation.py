@@ -21,29 +21,19 @@ from __future__ import annotations
 from itertools import combinations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["corr_matrix"]
+__all__ = ["corr_matrix", "spearman_matrix"]
 
 _D38 = "decimal(38,0)"
 
 
-def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
-    """(col_a, col_b, n, corr) for every unordered column pair, from one
-    aggregation pass. ``corr`` is NULL for a zero-variance column (the
-    radicand is 0), mirroring SQL semantics of 0/0.
-
-    NULL contract: ``n`` is count(*) over ALL rows while the moment sums
-    skip NULLs — so a column with NULLs biases its pairs (the standard
-    one-pass trade-off; pairwise-complete would need a pass per pair).
-    Callers with NULLs should filter first; the audit family's
-    completeness checks exist to catch exactly this upstream."""
-    if len(cols) < 2:
-        raise ValueError(f"need at least 2 columns, got {cols!r}")
-    x = {
-        c: F.round(F.col(c) * 1_000_000).cast("long").cast(_D38)
-        for c in cols
-    }
+def _pairwise_pearson(df: DataFrame, x: dict, out_col: str) -> DataFrame:
+    """Shared exact-moment core: ``x`` maps column name → an exact
+    integer Column (already D38-castable); emits (col_a, col_b, n,
+    <out_col>) for every unordered pair from ONE aggregation pass."""
+    cols = list(x)
     aggs = [F.count(F.lit(1)).cast(_D38).alias("_n")]
     for c in cols:
         aggs.append(F.sum(x[c]).alias(f"_s_{c}"))
@@ -67,10 +57,72 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         return F.struct(
             F.lit(a).alias("col_a"),
             F.lit(b).alias("col_b"),
-            F.when((ra > 0) & (rb > 0), val).alias("corr"),
+            F.when((ra > 0) & (rb > 0), val).alias(out_col),
         )
 
     pairs = F.array(*[_corr(a, b) for a, b in combinations(cols, 2)])
     return m.select(
         F.col("_n").cast("long").alias("n"), F.explode(pairs).alias("_c")
-    ).select("_c.col_a", "_c.col_b", "n", "_c.corr")
+    ).select("_c.col_a", "_c.col_b", "n", f"_c.{out_col}")
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col_a, col_b, n, corr) for every unordered column pair, from one
+    aggregation pass. ``corr`` is NULL for a zero-variance column (the
+    radicand is 0), mirroring SQL semantics of 0/0.
+
+    NULL contract: ``n`` is count(*) over ALL rows while the moment sums
+    skip NULLs — so a column with NULLs biases its pairs (the standard
+    one-pass trade-off; pairwise-complete would need a pass per pair).
+    Callers with NULLs should filter first; the audit family's
+    completeness checks exist to catch exactly this upstream."""
+    if len(cols) < 2:
+        raise ValueError(f"need at least 2 columns, got {cols!r}")
+    x = {
+        c: F.round(F.col(c) * 1_000_000).cast("long").cast(_D38)
+        for c in cols
+    }
+    return _pairwise_pearson(df, x, "corr")
+
+
+def spearman_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Spearman rank correlation = Pearson over average ranks,
+    kept exact by ranking in DOUBLED ranks (a tie group's average rank
+    is half-integer; twice it is always the integer 2m + t − 1 for min
+    rank m and tie count t, and correlation is scale-invariant so the
+    doubling cancels).
+
+    Distributed rank assignment — the part a naive ROW_NUMBER-over-
+    everything gets wrong at scale: each column's ranks derive from its
+    DISTINCT-VALUE relation (per-value counts → one cumulative window
+    over values, not rows) and join back to the fact rows on the value.
+    For the low-cardinality columns this is built for (quantities,
+    discount/tax grids, bucketed metrics) the rank map broadcasts;
+    high-cardinality doubles should be quantized upstream — the same
+    contract as ks_two_sample. Rows with a NULL in ANY ranked column
+    are dropped first (listwise completeness, so every column ranks the
+    identical row set — rank maps built per column would otherwise
+    disagree with the pairwise moments).
+
+    After join-back the whole matrix is the same single-pass exact-
+    moment aggregation as :func:`corr_matrix` (rank2 values are already
+    integers — no micro-scaling; headroom n·(2n)² < 10^38 → exact to
+    ~10^12 rows)."""
+    if len(cols) < 2:
+        raise ValueError(f"need at least 2 columns, got {cols!r}")
+    base = df.dropna(subset=cols).select(*cols)
+    for c in cols:
+        per_val = base.groupBy(F.col(c).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_t")
+        )
+        w = W.orderBy("_v").rowsBetween(W.unboundedPreceding, W.currentRow)
+        rank_map = per_val.select(
+            F.col("_v").alias(c),
+            (
+                F.lit(2) * (F.sum("_t").over(w) - F.col("_t"))
+                + F.col("_t") + F.lit(1)
+            ).cast("long").alias(f"_r2_{c}"),
+        )
+        base = base.join(F.broadcast(rank_map), on=c, how="inner")
+    x = {c: F.col(f"_r2_{c}").cast(_D38) for c in cols}
+    return _pairwise_pearson(base, x, "rho")

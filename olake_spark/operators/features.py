@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["target_encode_loo", "lag_features"]
+__all__ = ["target_encode_loo", "lag_features", "rfm_segments"]
 
 _MICROS = 1_000_000
 

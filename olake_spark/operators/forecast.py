@@ -23,9 +23,12 @@ contract — skew bounded by the hottest key, not data volume).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["holt_linear"]
+__all__ = ["acf", "holt_linear"]
+
+_D38 = "decimal(38,0)"
 
 
 def holt_linear(
@@ -98,4 +101,86 @@ def holt_linear(
         F.round(st["l"], 6).alias("level"),
         F.round(st["b"], 6).alias("trend"),
         F.round(st["l"] + st["b"], 6).alias("forecast_1"),
+    )
+
+
+def acf(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    step: str = "1 day",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function of a bucketed total-value series at lags
+    1..max_lag — the seasonality probe that tells a forecaster WHICH lag
+    (daily? weekly?) carries signal before fitting anything.
+
+    The series is the per-bucket exact micro-unit sum (the bucketize
+    contract). With S = Σx and n buckets, every factor is centered by
+    the whole-series mean via the n-scaled identity
+    n²·(x−μ)(y−μ) = (n·x − S)(n·y − S), so
+
+        r_k = Σ_pairs (n·x_t − S)(n·x_{t+k} − S)
+            / Σ_all   (n·x_t − S)²
+
+    is a ratio of two exact DECIMAL(38,0) sums — one cast-to-double each
+    and one divide, hash-stable at round(·, 6). Pairs at lag k are the
+    buckets where BOTH t and t+k were observed (on a gapless series this
+    is the textbook Σ_{t=1..n−k}; gaps drop only the pairs they touch).
+
+    Plan shape: one map-side-combinable shuffle onto the bucket, then
+    everything runs on the BUCKET-SIZED relation: S and the denominator
+    come from an unpartitioned window over buckets (values-sized, the
+    ks_two_sample contract), and the lag pairing is an equi-join of the
+    bucket relation with itself on bucket+k — never a row-level
+    operation. Headroom: n·max|x_micros| < 10^19 per deviation and
+    n·dev² < 10^38 overall — exact to ~10^5 buckets of ~10^13-micro
+    totals."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    from olake_spark.operators.timeseries import bucketize
+
+    daily = bucketize(df, time_col, [], value_col, step=step).select(
+        F.col("_bucket").alias("_t"), F.col("_v_micros").cast(_D38).alias("_x")
+    )
+    w = W.partitionBy().orderBy("_t").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    centered = daily.select(
+        "_t",
+        (F.count(F.lit(1)).over(w).cast(_D38) * F.col("_x")
+         - F.sum("_x").over(w)).alias("_dev"),
+    )
+    den = centered.select(
+        F.sum(F.col("_dev") * F.col("_dev")).over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("_den"),
+        "_t",
+        "_dev",
+    )
+    lags = F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)]))
+    left = den.select("_t", "_dev", "_den", lags.alias("lag"))
+    right = centered.select(
+        F.col("_t").alias("_t2"), F.col("_dev").alias("_dev2")
+    )
+    paired = left.join(
+        right, left["_t"] + left["lag"] == right["_t2"], "inner"
+    )
+    return (
+        paired.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            # a constant series has zero variance -> NULL, never NaN
+            F.when(
+                F.first("_den") > 0,
+                F.round(
+                    F.sum(F.col("_dev") * F.col("_dev2")).cast("double")
+                    / F.first("_den").cast("double"),
+                    6,
+                ),
+            ).alias("r"),
+        )
+        .orderBy("lag")
     )

@@ -31,7 +31,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantiles"]
+__all__ = ["exact_quantiles", "winsorized_stats"]
 
 MICROS = 1_000_000
 

@@ -5349,6 +5349,153 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+# ---------------------------------------------------------------------------
+# Rank statistics: Mann-Whitney U and Spearman correlation, exact
+# ---------------------------------------------------------------------------
+
+_MANNWHITNEY_ORACLE = """
+WITH pv AS (
+  SELECT round(value * 1000000)::BIGINT AS v,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::HUGEINT AS a,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::HUGEINT AS b
+  FROM events WHERE event_type IN ('purchase', 'view')
+  GROUP BY 1
+),
+r AS (
+  SELECT a, (a + b) AS t,
+         2 * (sum(a + b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - (a + b))
+           + (a + b) + 1 AS rank2
+  FROM pv
+),
+s AS (
+  SELECT sum(a) AS na, sum(t) - sum(a) AS nb, sum(t) AS n,
+         sum(a * rank2) AS w2a, sum(t*t*t - t) AS tie
+  FROM r
+)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       (w2a - na*(na+1))::BIGINT AS u2_a,
+       tie::BIGINT AS tie_correction,
+       round((w2a - na*(na+1))::DOUBLE / (2.0 * na::DOUBLE * nb::DOUBLE), 6)
+         AS auc,
+       round(((w2a - na*(na+1)) - na*nb)::DOUBLE
+             / (2.0 * sqrt((na*nb*(n*n*n - n - tie))::DOUBLE
+                           / ((12*n*(n-1))::DOUBLE))), 6) AS z
+FROM s
+"""
+
+
+@register("events_mannwhitney", _MANNWHITNEY_ORACLE)
+def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney U between purchase and view
+    event values (operators/abtest.mann_whitney_u): doubled average
+    ranks keep every statistic up to z in exact DECIMAL(38,0) integers
+    (rank2 = 2·c_prev + t + 1 on the distinct-value relation), and the
+    z/auc doubles are one cast + the identical IEEE divide/sqrt
+    sequence in both engines. Plan = the KS shape: one map-side-
+    combinable shuffle on the quantized value, one values-sized
+    cumulative window — rows never sort."""
+    from olake_spark.operators.abtest import mann_whitney_u
+
+    return mann_whitney_u(
+        table(spark, sf_dir, "events"), "event_type", "value",
+        "purchase", "view",
+    )
+
+
+_SPEARMAN_ORACLE = """
+WITH base AS (
+  SELECT l_quantity AS q, l_discount AS d, l_tax AS t FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_tax IS NOT NULL
+),
+r AS (
+  SELECT
+    (2*rank() OVER (ORDER BY q) + count(*) OVER (PARTITION BY q) - 1)::HUGEINT AS r0,
+    (2*rank() OVER (ORDER BY d) + count(*) OVER (PARTITION BY d) - 1)::HUGEINT AS r1,
+    (2*rank() OVER (ORDER BY t) + count(*) OVER (PARTITION BY t) - 1)::HUGEINT AS r2
+  FROM base
+),
+m AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(r0) s0, sum(r1) s1, sum(r2) s2,
+         sum(r0*r0) q0, sum(r1*r1) q1, sum(r2*r2) q2,
+         sum(r0*r1) p01, sum(r0*r2) p02, sum(r1*r2) p12
+  FROM r
+)
+SELECT col_a, col_b, n::BIGINT AS n,
+       CASE WHEN ra > 0 AND rb > 0
+            THEN round(num::DOUBLE / (sqrt(ra::DOUBLE) * sqrt(rb::DOUBLE)), 6)
+       END AS rho
+FROM m, LATERAL (VALUES
+  ('l_quantity', 'l_discount', n*p01 - s0*s1, n*q0 - s0*s0, n*q1 - s1*s1),
+  ('l_quantity', 'l_tax',      n*p02 - s0*s2, n*q0 - s0*s0, n*q2 - s2*s2),
+  ('l_discount', 'l_tax',      n*p12 - s1*s2, n*q1 - s1*s1, n*q2 - s2*s2)
+) t(col_a, col_b, num, ra, rb)
+"""
+
+
+@register("lineitem_spearman_corr", _SPEARMAN_ORACLE)
+def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Spearman rho over the three gridded lineitem measures
+    (operators/correlation.spearman_matrix): monotone association that
+    Pearson's linear moments miss. Ranks are assigned DISTRIBUTED — a
+    per-column distinct-value cumulative window (50/11/9 values) whose
+    rank2 map broadcasts back onto the fact rows — never a global
+    ROW_NUMBER over rows; then one exact-moment pass yields the whole
+    matrix. The oracle's rank()-window-over-rows formulation is the
+    single-sort plan this operator avoids."""
+    from olake_spark.operators.correlation import spearman_matrix
+
+    li = table(spark, sf_dir, "lineitem")
+    return spearman_matrix(li, ["l_quantity", "l_discount", "l_tax"])
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_ACF_ORACLE = """
+WITH daily AS (
+  SELECT floor(epoch_us(ts) / 86400000000)::BIGINT AS t,
+         sum(round(value * 1000000)::BIGINT)::HUGEINT AS x
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT t,
+         (SELECT count(*) FROM daily)::HUGEINT * x
+           - (SELECT sum(x) FROM daily) AS dev
+  FROM daily
+),
+den AS (SELECT sum(dev*dev) AS den FROM c)
+SELECT l.lag AS lag, count(*)::BIGINT AS n_pairs,
+       CASE WHEN any_value(d.den) > 0
+            THEN round(sum(a.dev * b.dev)::DOUBLE / any_value(d.den)::DOUBLE, 6)
+       END AS r
+FROM (SELECT unnest([1,2,3,4,5,6,7]) AS lag) l
+CROSS JOIN den d
+JOIN c a ON TRUE
+JOIN c b ON b.t = a.t + l.lag
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("events_acf_daily", _ACF_ORACLE)
+def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily total event value at lags 1-7
+    (operators/forecast.acf) — the which-lag-carries-signal probe run
+    before Holt/seasonal fitting. One shuffle builds the exact
+    micro-unit daily series; every later step (mean-centering via the
+    n-scaled identity, the lag-k equi-self-join, the single division
+    per lag) runs on the BUCKET-sized relation in exact
+    DECIMAL(38,0)."""
+    from olake_spark.operators.forecast import acf
+
+    return acf(
+        table(spark, sf_dir, "events"), "ts", "value",
+        step="1 day", max_lag=7,
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -5536,6 +5683,9 @@ _GATE_TAIL = [
     "dsir_importance_weights",
     "entity_resolution_golden",
     "lineitem_exact_quantiles",
+    "graph_triangles",
+    "similarity_topk_ivf_filtered",
+    "similarity_topk_ivf_appended",
 ]
 
 

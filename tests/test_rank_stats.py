@@ -1,0 +1,122 @@
+"""Round-8 batch: rank statistics (Mann-Whitney U, Spearman) + ACF."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from olake_spark.operators.abtest import mann_whitney_u
+from olake_spark.operators.correlation import spearman_matrix
+from olake_spark.operators.forecast import acf
+
+
+def _groups(spark, a_vals, b_vals):
+    rows = [("a", float(v)) for v in a_vals] + [("b", float(v)) for v in b_vals]
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_mann_whitney_hand_computed_with_ties(spark):
+    # a=[1,2,3], b=[2,3,4,5]; pooled avg ranks 1, 2.5, 2.5, 4.5, 4.5, 6, 7
+    # W_a = 1 + 2.5 + 4.5 = 8 -> U_a = 8 - 6 = 2 -> u2_a = 4
+    # tie term = (2^3-2)+(2^3-2) = 12
+    out = mann_whitney_u(_groups(spark, [1, 2, 3], [2, 3, 4, 5]), "g", "v", "a", "b").first()
+    assert (out.n_a, out.n_b) == (3, 4)
+    assert out.u2_a == 4
+    assert out.tie_correction == 12
+    assert out.auc == pytest.approx(2 / 12, abs=1e-6)
+    var = 3 * 4 * (7**3 - 7 - 12) / (12 * 7 * 6)
+    assert out.z == pytest.approx((2 - 6) / math.sqrt(var), abs=1e-6)
+
+
+def test_mann_whitney_symmetry_and_separation(spark):
+    df = _groups(spark, [1, 2, 3, 4], [10, 11, 12])
+    ab = mann_whitney_u(df, "g", "v", "a", "b").first()
+    ba = mann_whitney_u(df, "g", "v", "b", "a").first()
+    # complete separation: every b beats every a
+    assert ab.u2_a == 0 and ab.auc == 0.0
+    assert ba.u2_a == 2 * 4 * 3 and ba.auc == 1.0
+    # swapping the groups flips the statistic around its mean
+    assert ab.z == pytest.approx(-ba.z, abs=1e-6)
+    assert ab.auc + ba.auc == pytest.approx(1.0, abs=1e-9)
+
+
+def test_mann_whitney_partition_invariant(spark):
+    df = _groups(spark, [3, 1, 4, 1, 5], [9, 2, 6, 5, 3, 5])
+    one = mann_whitney_u(df, "g", "v", "a", "b").first()
+    two = mann_whitney_u(df.repartition(7), "g", "v", "a", "b").first()
+    assert tuple(one) == tuple(two)
+
+
+def test_spearman_monotone_extremes(spark):
+    # nonlinear but strictly monotone -> rho = +/-1 where Pearson wouldn't be
+    rows = [(float(i), float(i) ** 3, float(-i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = {(r.col_a, r.col_b): r.rho for r in spearman_matrix(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+    assert out[("b", "c")] == -1.0
+
+
+def test_spearman_ties_match_pandas_rank_corr(spark):
+    import pandas as pd
+
+    a = [1, 2, 2, 3, 3, 3, 4, 7, 7, 9]
+    b = [2, 1, 4, 4, 5, 7, 7, 7, 8, 8]
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)], "a double, b double"
+    )
+    got = spearman_matrix(df, ["a", "b"]).first()
+    pdf = pd.DataFrame({"a": a, "b": b})
+    want = pdf["a"].rank().corr(pdf["b"].rank())  # Pearson over average ranks
+    assert got.n == 10
+    assert got.rho == pytest.approx(want, abs=1e-6)
+
+
+def test_spearman_null_rows_dropped_listwise(spark):
+    rows = [(1.0, 1.0), (2.0, 2.0), (3.0, None), (None, 4.0), (5.0, 5.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = spearman_matrix(df, ["a", "b"]).first()
+    assert got.n == 3
+    assert got.rho == 1.0
+
+
+def _daily(spark, vals):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0 + dt.timedelta(days=i), float(v)) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "ts timestamp, v double")
+
+
+def test_acf_matches_direct_computation(spark):
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9]
+    n = len(vals)
+    x = [round(v * 1_000_000) for v in vals]
+    s = sum(x)
+    dev = [n * xi - s for xi in x]
+    den = sum(d * d for d in dev)
+    out = {r.lag: (r.n_pairs, r.r) for r in acf(_daily(spark, vals), "ts", "v", max_lag=3).collect()}
+    for k in (1, 2, 3):
+        want = sum(dev[t] * dev[t + k] for t in range(n - k)) / den
+        assert out[k][0] == n - k
+        assert out[k][1] == pytest.approx(want, abs=1e-6)
+
+
+def test_acf_constant_series_is_null_and_lag_validated(spark):
+    out = acf(_daily(spark, [5] * 10), "ts", "v", max_lag=2).collect()
+    assert all(r.r is None for r in out)
+    with pytest.raises(ValueError):
+        acf(_daily(spark, [1, 2]), "ts", "v", max_lag=0)
+
+
+def test_acf_gap_drops_only_touched_pairs(spark):
+    # days 0,1,2,4 (day 3 missing): lag-1 pairs are (0,1),(1,2) -> 2 pairs;
+    # lag-2 pairs are (0,2),(2,4) -> 2 pairs
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(days=d), float(v))
+        for d, v in [(0, 1), (1, 2), (2, 4), (4, 8)]
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {r.lag: r.n_pairs for r in acf(df, "ts", "v", max_lag=2).collect()}
+    assert out == {1: 2, 2: 2}
