@@ -28,6 +28,7 @@ __all__ = [
     "audit_summary",
     "benford_first_digit",
     "chi_square_independence",
+    "mutual_information",
     "corpus_diff",
     "corpus_diff_summary",
     "gini_concentration",
@@ -390,3 +391,86 @@ def chi_square_independence(
     )
     total = out.agg(F.sum("cell_chi2_micro").alias("chi2_total_micro"))
     return out.crossJoin(F.broadcast(total))
+
+
+def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Mutual information (and normalized MI) between two categorical
+    columns — the model-agnostic feature-relevance / redundancy screen
+    chi-square complements: MI is in nats, comparable across pairs.
+
+        MI  = Σ_cells (c_xy/n) · ln(c_xy·n / (c_x·c_y))
+        H_x = −Σ_x (c_x/n) · ln(c_x/n)        (same for H_y)
+        NMI = MI / sqrt(H_x · H_y)
+
+    Zero cells contribute exactly 0 (lim p·ln(p) = 0), so unlike the
+    chi-square statistic NO spine materialization is needed — observed
+    cells suffice. One map-side-combinable shuffle builds the cell
+    relation; marginals are windows OVER CELLS (cells-sized, never
+    rows-sized); every count product stays an exact DECIMAL(38,0).
+    Each cell's double term is one identical IEEE sequence, and the
+    SUMS accumulate nano-floored BIGINTs (the chi2 floor-micro
+    pattern) — order-free, bias ≤ |cells|·1e-9 and documented, so the
+    statistic hashes identically in any engine.
+
+    Returns one row: (n, n_cells, mi, h_x, h_y, nmi), round 6.
+    """
+    cells = (
+        df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+        .groupBy(F.col(col_x).alias("_x"), F.col(col_y).alias("_y"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wx = W.partitionBy("_x")
+    wy = W.partitionBy("_y")
+    wall = W.partitionBy()
+    d38 = "decimal(38,0)"
+    m = cells.select(
+        "_x",
+        "_y",
+        F.col("_c").cast(d38).alias("_c"),
+        F.sum("_c").over(wx).cast(d38).alias("_cx"),
+        F.sum("_c").over(wy).cast(d38).alias("_cy"),
+        F.sum("_c").over(wall).cast(d38).alias("_n"),
+        # entropy terms must count each x (resp. y) marginal ONCE — pick
+        # the lexicographically-first partner cell as the representative
+        # (materialized here: window functions can't live inside the agg)
+        (F.row_number().over(wx.orderBy("_y")) == 1).alias("_fx"),
+        (F.row_number().over(wy.orderBy("_x")) == 1).alias("_fy"),
+    )
+    nano = 1_000_000_000
+    c, cx, cy, n = F.col("_c"), F.col("_cx"), F.col("_cy"), F.col("_n")
+    mi_term = (c.cast("double") / n.cast("double")) * F.log(
+        (c * n).cast("double") / (cx * cy).cast("double")
+    )
+    first_in_x = F.col("_fx")
+    first_in_y = F.col("_fy")
+    hx_term = F.when(
+        first_in_x,
+        -(cx.cast("double") / n.cast("double"))
+        * F.log(cx.cast("double") / n.cast("double")),
+    ).otherwise(F.lit(0.0))
+    hy_term = F.when(
+        first_in_y,
+        -(cy.cast("double") / n.cast("double"))
+        * F.log(cy.cast("double") / n.cast("double")),
+    ).otherwise(F.lit(0.0))
+    agg = m.agg(
+        F.first(n).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(F.floor(mi_term * nano).cast("long")).alias("_mi_nano"),
+        F.sum(F.floor(hx_term * nano).cast("long")).alias("_hx_nano"),
+        F.sum(F.floor(hy_term * nano).cast("long")).alias("_hy_nano"),
+    )
+    mi = F.col("_mi_nano") / float(nano)
+    hx = F.col("_hx_nano") / float(nano)
+    hy = F.col("_hy_nano") / float(nano)
+    return agg.select(
+        "n",
+        "n_cells",
+        F.round(mi, 6).alias("mi"),
+        F.round(hx, 6).alias("h_x"),
+        F.round(hy, 6).alias("h_y"),
+        F.when(
+            (F.col("_hx_nano") > 0) & (F.col("_hy_nano") > 0),
+            F.round(mi / F.sqrt(hx * hy), 6),
+        ).alias("nmi"),
+    )

@@ -26,6 +26,7 @@ report's basket-count column rather than silently exploding the join.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = ["pair_counts_with_lift", "item_neighbors_topk"]
@@ -83,5 +84,88 @@ def pair_counts_with_lift(
                 / (F.col("_na").cast("double") * F.col("_nb").cast("double")),
                 round_scale,
             ).alias("lift"),
+        )
+    )
+
+
+def item_neighbors_topk(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 3,
+    min_count: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Top-k most-similar items per item by co-occurrence cosine — the
+    classic item-item collaborative-filtering neighborhood ("customers
+    who bought X also bought"), scored as
+
+        cos(a, b) = c_ab / sqrt(c_a · c_b)
+
+    over basket counts (c_a = baskets containing a, c_ab = baskets
+    containing both). The pair relation reuses the within-basket
+    self-join shape of :func:`pair_counts_with_lift` (co-partitioned on
+    the basket, fan-out bounded by basket size, never catalog-scale);
+    per-item supports broadcast back; the undirected pair set mirrors
+    into both directions and a row_number ≤ k per item compiles to
+    Spark's map-side WindowGroupLimit — no global sort.
+
+    The cosine double is a ratio of exact longs finished by one IEEE
+    sqrt + divide (identical in any engine), so ORDER BY (cos DESC,
+    neighbor ASC) ranks identically cross-engine; the emitted ``cosine``
+    is rounded to 6 for hash-stable output. ``min_count`` bounds the
+    candidate set (support pruning — below it a neighbor is noise and
+    the output would be |catalog|² at worst).
+
+    Returns (item, neighbor, n_co, cosine, rnk) with rnk in 1..k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    bi = df.select(
+        F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
+    ).distinct()
+    if max_basket_size is not None:
+        sizes = bi.groupBy("_basket").agg(F.count(F.lit(1)).alias("_bsz"))
+        bi = bi.join(
+            sizes.filter(F.col("_bsz") <= max_basket_size).select("_basket"),
+            "_basket",
+        )
+    support = bi.groupBy("_item").agg(F.count(F.lit(1)).alias("_c"))
+    a = bi.select("_basket", F.col("_item").alias("_ia"))
+    b = bi.select("_basket", F.col("_item").alias("_ib"))
+    pairs = (
+        a.join(b, "_basket")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= min_count)
+    )
+    und = pairs.select(
+        F.col("_ia").alias("item"), F.col("_ib").alias("neighbor"), "n_co"
+    ).unionByName(
+        pairs.select(
+            F.col("_ib").alias("item"), F.col("_ia").alias("neighbor"), "n_co"
+        )
+    )
+    sup_i = support.select(F.col("_item").alias("item"), F.col("_c").alias("_ci"))
+    sup_n = support.select(
+        F.col("_item").alias("neighbor"), F.col("_c").alias("_cn")
+    )
+    scored = (
+        und.join(F.broadcast(sup_i), "item")
+        .join(F.broadcast(sup_n), "neighbor")
+        .withColumn(
+            "_cos",
+            F.col("n_co").cast("double")
+            / F.sqrt((F.col("_ci") * F.col("_cn")).cast("double")),
+        )
+    )
+    w = W.partitionBy("item").orderBy(F.col("_cos").desc(), F.col("neighbor"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "item", "neighbor", "n_co",
+            F.round(F.col("_cos"), 6).alias("cosine"), "rnk",
         )
     )

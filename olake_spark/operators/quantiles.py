@@ -192,3 +192,62 @@ def exact_quantiles(
     return spark.createDataFrame(
         out, f"{state_schema}, p double, q double, q_micros long"
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    bins: int = 1024,
+) -> DataFrame:
+    """Per-group winsorized mean and population stddev: values below the
+    exact p_lo order statistic (rank ceil(p·n)) clamp up to it, values
+    above the p_hi one clamp down — the robust-mean recipe that, unlike
+    trimming, keeps n stable and unlike a raw mean is immune to fat
+    tails (price glitches, refund spikes).
+
+    Both cutoffs come from :func:`exact_quantiles` (histogram-bisection
+    order statistics — never a per-group sort), broadcast back onto the
+    fact rows, and the clamped micro-unit values fold through ONE
+    map-side-combinable aggregation of exact DECIMAL(38,0) sums; the
+    mean/sd divide-and-sqrt happens once at the end (round 6). The
+    few-groups driver-state contract of exact_quantiles applies.
+
+    Returns (keys..., n, n_clipped_lo, n_clipped_hi, win_mean, win_sd).
+    """
+    if not 0.0 < p_lo < p_hi < 1.0:
+        raise ValueError(f"need 0 < p_lo < p_hi < 1, got {p_lo}, {p_hi}")
+    qs = exact_quantiles(df, keys, value_col, [p_lo, p_hi], bins=bins)
+    cuts = qs.groupBy(*keys).agg(
+        F.max(F.when(F.col("p") == p_lo, F.col("q_micros"))).alias("_qlo"),
+        F.max(F.when(F.col("p") == p_hi, F.col("q_micros"))).alias("_qhi"),
+    )
+    vm = F.round(F.col(value_col) * MICROS).cast("long")
+    base = df.select(*keys, vm.alias("_vm")).filter(F.col("_vm").isNotNull())
+    j = base.join(F.broadcast(cuts), keys)
+    w = F.greatest(
+        F.col("_qlo"), F.least(F.col("_qhi"), F.col("_vm"))
+    ).cast("decimal(38,0)")
+    agg = j.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("_vm") < F.col("_qlo")).cast("long")).alias("n_clipped_lo"),
+        F.sum((F.col("_vm") > F.col("_qhi")).cast("long")).alias("n_clipped_hi"),
+        F.sum(w).alias("_s"),
+        F.sum(w * w).alias("_q"),
+    )
+    n_d38 = F.col("n").cast("decimal(38,0)")
+    mean = F.col("_s").cast("double") / (F.col("n").cast("double") * float(MICROS))
+    # population sd in value units: sqrt(n·Σw² − (Σw)²) / (n · 10^6)
+    sd = F.sqrt((n_d38 * F.col("_q") - F.col("_s") * F.col("_s")).cast("double")) / (
+        F.col("n").cast("double") * float(MICROS)
+    )
+    return agg.select(
+        *keys,
+        "n",
+        "n_clipped_lo",
+        "n_clipped_hi",
+        F.round(mean, 6).alias("win_mean"),
+        F.round(sd, 6).alias("win_sd"),
+    )

@@ -29,6 +29,7 @@ __all__ = [
     "stream_session_stats",
     "funnel_users",
     "funnel_report",
+    "conversion_delay_histogram",
 ]
 
 _UNITS = {
@@ -204,3 +205,58 @@ def funnel_report(
             )
         )
     return counts.select(F.explode(F.array(*structs)).alias("_s")).select("_s.*")
+
+
+def conversion_delay_histogram(
+    df: DataFrame,
+    time_col: str,
+    user_col: str,
+    type_col: str,
+    from_event: str,
+    to_event: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Time-to-convert distribution: for each user, the delay from their
+    FIRST ``from_event`` to their first ``to_event`` at-or-after it,
+    bucketed onto a fixed grid — the "how long from first view to first
+    purchase" histogram that funnel counts (funnel_report) deliberately
+    don't answer.
+
+    Semantics pinned for the oracle: users without a ``from_event``, or
+    whose every ``to_event`` precedes it, produce no row; a conversion
+    in the same microsecond counts as bucket 0. Delays are exact
+    microsecond BIGINTs; the bucket is an integer floor division —
+    no doubles anywhere.
+
+    Plan shape: one shuffle keys everything by user (the min-from
+    aggregation); the to-events join back co-partitioned on the same
+    key (no second exchange of the big side in the sort-merge plan),
+    reduce to their per-user min, and the histogram is a map-side-
+    combinable count over the bucket grid. Per-user cost is bounded by
+    the user's own events — the sessionize skew contract.
+
+    Returns (delay_bucket, n_users).
+    """
+    us = F.unix_micros(F.col(time_col))
+    step_us = int(_gap_seconds(bucket) * 1_000_000)
+    firsts = (
+        df.filter(F.col(type_col) == from_event)
+        .select(F.col(user_col).alias("_u"), us.alias("_us"))
+        .groupBy("_u")
+        .agg(F.min("_us").alias("_t_from"))
+    )
+    tos = df.filter(F.col(type_col) == to_event).select(
+        F.col(user_col).alias("_u"), us.alias("_us")
+    )
+    converted = (
+        tos.join(firsts, "_u")
+        .filter(F.col("_us") >= F.col("_t_from"))
+        .groupBy("_u")
+        .agg(F.min(F.col("_us") - F.col("_t_from")).alias("_delay_us"))
+    )
+    return (
+        converted.groupBy(
+            F.floor(F.col("_delay_us") / F.lit(step_us)).alias("delay_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

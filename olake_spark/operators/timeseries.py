@@ -38,6 +38,8 @@ __all__ = [
     "sweepline_concurrency",
     "ewma_last",
     "trend_slope",
+    "cumulative_first_seen",
+    "new_vs_returning",
 ]
 
 _MICROS = 1_000_000
@@ -324,4 +326,85 @@ def trend_slope(
             (F.col("n") >= 2) & (den != 0),
             F.round(num.cast("double") / den.cast("double") / scale, 6),
         ).alias("slope"),
+    )
+
+
+def cumulative_first_seen(
+    df: DataFrame,
+    time_col: str,
+    key_col: str,
+    step: str = "1 day",
+) -> DataFrame:
+    """Cumulative-distinct-keys-to-date curve (the DAU-to-date / user
+    acquisition chart): for each time bucket, how many new keys appeared
+    and how many distinct keys have EVER appeared by then.
+
+    count(DISTINCT key) per cumulative window is quadratic done naively;
+    the linear form is first-touch attribution: every key reduces to its
+    min bucket (one map-side-combinable shuffle on the key), new-key
+    counts reduce to the bucket relation, and the running sum is a
+    window over BUCKETS — rows-sized work never reaches the window.
+
+    Returns (bucket, new_keys, cum_keys).
+    """
+    step_us = int(_gap_seconds(step) * 1_000_000)
+    first = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.floor(F.unix_micros(F.col(time_col)) / F.lit(step_us)).alias("_b"),
+        )
+        .groupBy("_k")
+        .agg(F.min("_b").alias("bucket"))
+    )
+    per_bucket = first.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("new_keys")
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_bucket.select(
+        "bucket",
+        F.col("new_keys").cast("long").alias("new_keys"),
+        F.sum("new_keys").over(w).cast("long").alias("cum_keys"),
+    )
+
+
+def new_vs_returning(
+    df: DataFrame,
+    time_col: str,
+    key_col: str,
+    step: str = "1 day",
+) -> DataFrame:
+    """Per-bucket active/new/returning key split — the growth-vs-
+    retention lens on the same first-touch linearization as
+    :func:`cumulative_first_seen`: a key is NEW in its min bucket and
+    RETURNING in every later bucket it appears in.
+
+    Two shuffles total: distinct (key, bucket), then the per-key min
+    joins back CO-PARTITIONED on the key (no extra exchange of the big
+    side); the final census reduces map-side onto the bucket grid.
+
+    Returns (bucket, n_active, n_new, n_returning).
+    """
+    step_us = int(_gap_seconds(step) * 1_000_000)
+    kb = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.floor(F.unix_micros(F.col(time_col)) / F.lit(step_us)).alias(
+                "bucket"
+            ),
+        )
+        .distinct()
+    )
+    first = kb.groupBy("_k").agg(F.min("bucket").alias("_first"))
+    return (
+        kb.join(first, "_k")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum((F.col("bucket") == F.col("_first")).cast("long")).alias(
+                "n_new"
+            ),
+            F.sum((F.col("bucket") > F.col("_first")).cast("long")).alias(
+                "n_returning"
+            ),
+        )
     )

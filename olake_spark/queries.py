@@ -5496,6 +5496,524 @@ def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Robust statistics: winsorized mean/sd per group
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS g, round(l_extendedprice * 1000000)::BIGINT AS vm
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+r AS (
+  SELECT g, vm,
+         row_number() OVER (PARTITION BY g ORDER BY vm) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM v
+),
+cut AS (
+  SELECT g,
+         max(CASE WHEN rn = greatest(1, ceil(0.05 * n)) THEN vm END) AS qlo,
+         max(CASE WHEN rn = greatest(1, ceil(0.95 * n)) THEN vm END) AS qhi
+  FROM r GROUP BY g
+),
+w AS (
+  SELECT v.g, v.vm, cut.qlo, cut.qhi,
+         greatest(cut.qlo, least(cut.qhi, v.vm))::HUGEINT AS wv
+  FROM v JOIN cut USING (g)
+),
+a AS (
+  SELECT g, count(*)::HUGEINT AS n,
+         sum(CASE WHEN vm < qlo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_lo,
+         sum(CASE WHEN vm > qhi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_hi,
+         sum(wv) AS s, sum(wv * wv) AS q
+  FROM w GROUP BY g
+)
+SELECT g AS l_returnflag, n::BIGINT AS n, n_clipped_lo, n_clipped_hi,
+       round(s::DOUBLE / (n::DOUBLE * 1000000.0), 6) AS win_mean,
+       round(sqrt((n * q - s * s)::DOUBLE) / (n::DOUBLE * 1000000.0), 6)
+         AS win_sd
+FROM a
+"""
+
+
+@register("lineitem_winsorized_stats", _WINSOR_ORACLE)
+def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized price mean/sd per return flag (operators/quantiles.
+    winsorized_stats): the p05/p95 cutoffs are EXACT order statistics
+    from the histogram-bisection search (never a per-group sort),
+    broadcast back, and the clamped micro-unit values fold through one
+    map-side-combinable DECIMAL(38,0) aggregation — the robust-mean
+    profile a 100 TB price-quality audit wants. The oracle's
+    row_number window IS the per-group sort the operator avoids."""
+    from olake_spark.operators.quantiles import winsorized_stats
+
+    return winsorized_stats(
+        table(spark, sf_dir, "lineitem"), ["l_returnflag"],
+        "l_extendedprice", p_lo=0.05, p_hi=0.95,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative-filtering neighborhoods
+# ---------------------------------------------------------------------------
+
+_ITEM_NEIGHBORS_ORACLE = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+sup AS (SELECT i, count(*) AS c FROM bi GROUP BY i),
+pc AS (
+  SELECT a.i AS ia, b.i AS ib, count(*) AS n_co
+  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+und AS (
+  SELECT ia AS item, ib AS neighbor, n_co FROM pc
+  UNION ALL
+  SELECT ib, ia, n_co FROM pc
+),
+scored AS (
+  SELECT item, neighbor, n_co,
+         n_co::DOUBLE / sqrt((sa.c * sb.c)::DOUBLE) AS cosv
+  FROM und
+  JOIN sup sa ON sa.i = und.item
+  JOIN sup sb ON sb.i = und.neighbor
+),
+ranked AS (
+  SELECT item, neighbor, n_co, cosv,
+         row_number() OVER (PARTITION BY item ORDER BY cosv DESC, neighbor)
+           AS rnk
+  FROM scored
+)
+SELECT item, neighbor, n_co, round(cosv, 6) AS cosine, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("orders_item_neighbors", _ITEM_NEIGHBORS_ORACLE)
+def orders_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 item-item cosine neighbors over order baskets (operators/
+    basket.item_neighbors_topk) — the "bought together" neighborhood.
+    Pairs exist only via the basket-co-partitioned self-join (fan-out
+    bounded by the ≤7-line order, never catalog²); supports broadcast;
+    the per-item top-3 compiles to map-side WindowGroupLimit. Cosine =
+    exact-long ratio + one IEEE sqrt/divide, so the (cos DESC, neighbor)
+    ranking is identical cross-engine."""
+    from olake_spark.operators.basket import item_neighbors_topk
+
+    return item_neighbors_topk(
+        table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        k=3, min_count=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation with distributed NTILE
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH per AS (
+  SELECT o_custkey,
+         max(date_diff('day', DATE '1970-01-01', o_orderdate::DATE))::BIGINT
+           AS r_day,
+         count(*) AS freq,
+         sum(round(o_totalprice * 1000000)::BIGINT) AS mon
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT o_custkey, mon,
+         ntile(5) OVER (ORDER BY r_day, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY mon, o_custkey) AS m_score
+  FROM per
+)
+SELECT (r_score * 100 + f_score * 10 + m_score)::INT AS segment,
+       count(*)::BIGINT AS n_customers,
+       sum(mon)::BIGINT AS monetary_micro
+FROM t GROUP BY 1
+"""
+
+
+@register("customer_rfm_segments", _RFM_ORACLE)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of the order history (operators/features.
+    rfm_segments): recency/frequency/monetary quintile scores → segment
+    census. NTILE semantics are reproduced exactly, but each axis ranks
+    through dense_ids (range-partition distributed row numbers + a
+    1-row customer-count broadcast) instead of the oracle's
+    single-partition ORDER-BY-everything NTILE window — the difference
+    between a marketing query that works on 10^9 customers and one
+    that doesn't."""
+    from olake_spark.operators.features import rfm_segments
+
+    return rfm_segments(
+        table(spark, sf_dir, "orders"), "o_custkey", "o_orderdate",
+        "o_totalprice", n_tiles=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index: train/serve drift on the event-value feature
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH obs AS (
+  SELECT least(9, greatest(0, floor((value - 0.0) / 500.0 * 10)))::INT AS bin,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)
+           AS n_ref,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+           AS n_cur
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+spine AS (SELECT unnest(range(10))::INT AS bin),
+f AS (
+  SELECT s.bin, coalesce(o.n_ref, 0) AS n_ref, coalesce(o.n_cur, 0) AS n_cur
+  FROM spine s LEFT JOIN obs o USING (bin)
+),
+t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM f),
+g AS (
+  SELECT bin, n_ref, n_cur,
+         (n_ref + 1)::DOUBLE / (t.tr + 10)::DOUBLE AS p,
+         (n_cur + 1)::DOUBLE / (t.tc + 10)::DOUBLE AS q
+  FROM f, t
+)
+SELECT bin, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur,
+       round((p - q) * ln(p / q), 6) AS psi_contrib,
+       round(sum(floor((p - q) * ln(p / q) * 1000000000)::BIGINT) OVER ()
+             / 1000000000.0, 6) AS psi_total
+FROM g
+"""
+
+
+@register("events_psi_value_drift", _PSI_ORACLE)
+def events_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value feature, first vs
+    second half of the month (operators/features.psi_drift): fixed
+    10-bin grid, add-one smoothing, and the FULL bin spine materialized
+    so zero-count bins still carry their smoothed term (the chi-square
+    zero-cell lesson, applied before it bites). One conditional-count
+    pass over the rows; the PSI algebra runs entirely on the 10-row
+    bin relation."""
+    from olake_spark.operators.features import psi_drift
+
+    ev = table(spark, sf_dir, "events")
+    return psi_drift(
+        ev, "value",
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+        lo=0.0, hi=500.0, nbins=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users to date (first-touch linearization)
+# ---------------------------------------------------------------------------
+
+_CUMUSERS_ORACLE = """
+WITH fu AS (
+  SELECT user_id, min(floor(epoch_us(ts) / 86400000000))::BIGINT AS d
+  FROM events GROUP BY 1
+),
+pd AS (SELECT d, count(*) AS new_keys FROM fu GROUP BY 1)
+SELECT d AS bucket, new_keys::BIGINT AS new_keys,
+       sum(new_keys) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS cum_keys
+FROM pd
+"""
+
+
+@register("events_cumulative_users", _CUMUSERS_ORACLE)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-users-ever-seen-by-day curve (operators/timeseries.
+    cumulative_first_seen): cumulative COUNT(DISTINCT) is quadratic
+    done naively; first-touch linearizes it — each user collapses to
+    their min day (one shuffle on the user key), then the running sum
+    is a window over the DAY relation. The acquisition chart that still
+    works when users are 10^9."""
+    from olake_spark.operators.timeseries import cumulative_first_seen
+
+    return cumulative_first_seen(
+        table(spark, sf_dir, "events"), "ts", "user_id", step="1 day"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap: exact pairwise Jaccard between event-type user bases
+# ---------------------------------------------------------------------------
+
+_AUDIENCE_OVERLAP_ORACLE = """
+WITH gm AS (SELECT DISTINCT event_type AS g, user_id AS m FROM events),
+sizes AS (SELECT g, count(*) AS n FROM gm GROUP BY g),
+inter AS (
+  SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_inter
+  FROM gm a JOIN gm b ON a.m = b.m AND a.g < b.g
+  GROUP BY 1, 2
+  HAVING count(*) >= 1
+)
+SELECT group_a, group_b, sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+       n_inter::BIGINT AS n_inter,
+       round(n_inter::DOUBLE / (sa.n + sb.n - n_inter)::DOUBLE, 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.g = inter.group_a
+           JOIN sizes sb ON sb.g = inter.group_b
+"""
+
+
+@register("events_audience_overlap", _AUDIENCE_OVERLAP_ORACLE)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard overlap between every pair of event-type user
+    bases (operators/overlap.set_overlap_matrix): the member-
+    co-partitioned self-join produces each intersection element as a
+    pair row (fan-out per user = C(types-the-user-has, 2), an
+    enum-bounded constant), sizes broadcast back — never a collected
+    set. The exact twin of the KMV overlap sketch."""
+    from olake_spark.operators.overlap import set_overlap_matrix
+
+    return set_overlap_matrix(
+        table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert histogram (first view → first purchase delay)
+# ---------------------------------------------------------------------------
+
+_TIME_TO_CONVERT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id AS u, min(epoch_us(ts)) AS t_from
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+conv AS (
+  SELECT e.user_id AS u, min(epoch_us(e.ts) - f.t_from) AS delay_us
+  FROM events e JOIN firsts f ON e.user_id = f.u
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f.t_from
+  GROUP BY 1
+)
+SELECT floor(delay_us / 3600000000)::BIGINT AS delay_bucket,
+       count(*)::BIGINT AS n_users
+FROM conv GROUP BY 1
+"""
+
+
+@register("events_time_to_convert", _TIME_TO_CONVERT_ORACLE)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view→first-purchase delay histogram in hour buckets
+    (operators/sessions.conversion_delay_histogram): the funnel's
+    missing time axis. Exact microsecond BIGINT delays; one shuffle
+    keys users, the purchase events join back co-partitioned, and the
+    histogram reduces map-side. Users who never viewed, or purchased
+    only before viewing, emit nothing (pinned in both engines)."""
+    from olake_spark.operators.sessions import conversion_delay_histogram
+
+    return conversion_delay_histogram(
+        table(spark, sf_dir, "events"), "ts", "user_id", "event_type",
+        "view", "purchase", bucket="1 hour",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient over the supplier co-supply graph
+# ---------------------------------------------------------------------------
+
+_CLUSTERING_ORACLE = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_quantity <= 5
+),
+e AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM ps a JOIN ps b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+),
+tri AS (
+  SELECT e1.s1 AS n1, e1.s2 AS n2, e2.s2 AS n3
+  FROM e e1
+  JOIN e e2 ON e2.s1 = e1.s2
+  JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+),
+corners AS (
+  SELECT n1 AS node FROM tri
+  UNION ALL SELECT n2 FROM tri
+  UNION ALL SELECT n3 FROM tri
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT s1 AS node FROM e UNION ALL SELECT s2 AS node FROM e
+  ) GROUP BY 1
+),
+tcount AS (SELECT node, count(*) AS n FROM corners GROUP BY 1)
+SELECT deg.node, deg.degree::BIGINT AS degree,
+       coalesce(t.n, 0)::BIGINT AS n_triangles,
+       CASE WHEN deg.degree >= 2
+            THEN round((2.0 * coalesce(t.n, 0)::DOUBLE)
+                       / (deg.degree * (deg.degree - 1))::DOUBLE, 6)
+       END AS cc
+FROM deg LEFT JOIN tcount t ON t.node = deg.node
+"""
+
+
+@register("graph_clustering_coeff", _CLUSTERING_ORACLE)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the supplier co-supply
+    graph (operators/graph.clustering_coefficient): exact triangles via
+    the degree-ordered orientation (wedge volume ≤ m^1.5 regardless of
+    hubs) joined with degrees — 2T/(d(d−1)) as one exact-long IEEE
+    divide. Degree-1 nodes emit cc NULL, never 0/0."""
+    from olake_spark.operators.graph import clustering_coefficient
+
+    li = table(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") <= 5)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ps.alias("_ca"), ps.alias("_cb")
+    edges = a.join(
+        b,
+        (F.col("_ca.l_partkey") == F.col("_cb.l_partkey"))
+        & (F.col("_ca.l_suppkey") < F.col("_cb.l_suppkey")),
+    ).select(
+        F.col("_ca.l_suppkey").alias("src"), F.col("_cb.l_suppkey").alias("dst")
+    )
+    return clustering_coefficient(edges)
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between categorical columns
+# ---------------------------------------------------------------------------
+
+_MUTUAL_INFO_ORACLE = """
+WITH cells AS (
+  SELECT l_returnflag AS x, l_linestatus AS y, count(*)::HUGEINT AS c
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT x, y, c,
+         sum(c) OVER (PARTITION BY x) AS cx,
+         sum(c) OVER (PARTITION BY y) AS cy,
+         sum(c) OVER () AS n,
+         row_number() OVER (PARTITION BY x ORDER BY y) AS rx,
+         row_number() OVER (PARTITION BY y ORDER BY x) AS ry
+  FROM cells
+),
+t AS (
+  SELECT any_value(n) AS n, count(*) AS n_cells,
+    sum(floor((c::DOUBLE / n::DOUBLE)
+              * ln((c * n)::DOUBLE / (cx * cy)::DOUBLE)
+              * 1000000000)::BIGINT) AS mi_nano,
+    sum(CASE WHEN rx = 1 THEN
+          floor(-(cx::DOUBLE / n::DOUBLE) * ln(cx::DOUBLE / n::DOUBLE)
+                * 1000000000)::BIGINT ELSE 0 END) AS hx_nano,
+    sum(CASE WHEN ry = 1 THEN
+          floor(-(cy::DOUBLE / n::DOUBLE) * ln(cy::DOUBLE / n::DOUBLE)
+                * 1000000000)::BIGINT ELSE 0 END) AS hy_nano
+  FROM m
+)
+SELECT n::BIGINT AS n, n_cells::BIGINT AS n_cells,
+       round(mi_nano / 1000000000.0, 6) AS mi,
+       round(hx_nano / 1000000000.0, 6) AS h_x,
+       round(hy_nano / 1000000000.0, 6) AS h_y,
+       CASE WHEN hx_nano > 0 AND hy_nano > 0
+            THEN round((mi_nano / 1000000000.0)
+                       / sqrt((hx_nano / 1000000000.0)
+                              * (hy_nano / 1000000000.0)), 6)
+       END AS nmi
+FROM t
+"""
+
+
+@register("lineitem_mutual_info", _MUTUAL_INFO_ORACLE)
+def lineitem_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + normalized MI between return flag and line
+    status (operators/audit.mutual_information) — the feature-relevance
+    screen in nats. Zero cells contribute exactly 0 so only observed
+    cells materialize (unlike chi-square); marginals are windows over
+    the CELL relation; the MI/entropy sums accumulate nano-floored
+    BIGINTs so the float-sum order can't flip a hash."""
+    from olake_spark.operators.audit import mutual_information
+
+    return mutual_information(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus"
+    )
+
+
+# ---------------------------------------------------------------------------
+# New-vs-returning user census per day
+# ---------------------------------------------------------------------------
+
+_NEW_RETURNING_ORACLE = """
+WITH kb AS (
+  SELECT DISTINCT user_id AS k,
+         floor(epoch_us(ts) / 86400000000)::BIGINT AS bucket
+  FROM events
+),
+f AS (SELECT k, min(bucket) AS fb FROM kb GROUP BY 1)
+SELECT kb.bucket, count(*)::BIGINT AS n_active,
+       sum(CASE WHEN kb.bucket = f.fb THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       sum(CASE WHEN kb.bucket > f.fb THEN 1 ELSE 0 END)::BIGINT
+         AS n_returning
+FROM kb JOIN f ON f.k = kb.k
+GROUP BY 1
+"""
+
+
+@register("events_new_vs_returning", _NEW_RETURNING_ORACLE)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active/new/returning split (operators/timeseries.
+    new_vs_returning): first-touch linearization again — distinct
+    (user, day) once, per-user min day joins back co-partitioned, and
+    the census reduces map-side onto the day grid. The growth-vs-
+    retention dashboard primitive."""
+    from olake_spark.operators.timeseries import new_vs_returning
+
+    return new_vs_returning(
+        table(spark, sf_dir, "events"), "ts", "user_id", step="1 day"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization: align per-group distributions onto the pooled one
+# ---------------------------------------------------------------------------
+
+_QNORM_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS grp, round(l_extendedprice * 1000000)::BIGINT AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+r AS (
+  SELECT grp, v,
+         (2 * rank() OVER (PARTITION BY grp ORDER BY v)
+          + count(*) OVER (PARTITION BY grp, v) - 1)::HUGEINT AS rank2,
+         count(*) OVER (PARTITION BY grp)::HUGEINT AS ng,
+         count(*) OVER ()::HUGEINT AS n
+  FROM base
+),
+pooled AS (
+  SELECT row_number() OVER (ORDER BY v) AS pr, v AS nv FROM base
+)
+SELECT r.grp AS "group", r.v AS v_micro, p.nv AS norm_micro
+FROM r JOIN pooled p
+  ON p.pr = (r.rank2 * r.n + 2 * r.ng - 1) // (2 * r.ng)
+"""
+
+
+@register("feature_quantile_normalize", _QNORM_ORACLE)
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize prices across return flags onto the pooled
+    distribution (operators/features.quantile_normalize) — the
+    batch-effect corrector. The within-group position is the doubled
+    average rank from per-group distinct-value windows; the pooled
+    target rank is an exact rational ceiling (never a float quantile);
+    the lookup is one equi-join against dense_ids pooled order
+    statistics. The oracle's three windows over raw rows are the
+    single-sort plan the operator decomposes away."""
+    from olake_spark.operators.features import quantile_normalize
+
+    return quantile_normalize(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -5686,6 +6204,17 @@ _GATE_TAIL = [
     "graph_triangles",
     "similarity_topk_ivf_filtered",
     "similarity_topk_ivf_appended",
+    "events_attribution",
+    "orders_price_deciles",
+    "events_daily_topk_users",
+    "events_dau_mau_stickiness",
+    "orders_benford_audit",
+    "orders_revenue_gini",
+    "orders_chi2_independence",
+    "events_seasonal_baseline",
+    "lineitem_expectations",
+    "events_ks_test",
+    "lineitem_price_histogram",
 ]
 
 

@@ -48,6 +48,8 @@ _CROSS_OK = {
     "events_survival_km",  # 1-row corpus-horizon broadcast (lazy cutoff)
     "orders_target_encoding_loo",  # 1-row global-LOO-stats broadcast
     "tpch_q22_global_sales_opportunity",  # 1-row avg-balance broadcast
+    "customer_rfm_segments",  # 1-row customer-count broadcast (NTILE denominator)
+    "feature_quantile_normalize",  # 1-row pooled-count broadcast (target rank)
 }
 
 

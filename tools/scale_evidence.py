@@ -892,6 +892,68 @@ def skew_salted_join(spark, n_rows: int = 2_000_000, n_keys: int = 1_000,
     }
 
 
+def rank_stats_growth(
+    spark,
+    lo_rows: int = 500_000,
+    hi_rows: int = 2_000_000,
+    n_values: int = 10_000,
+) -> dict:
+    """Scale evidence for the rank-statistics family (r8:
+    mann_whitney_u / ks_two_sample / spearman ranks): rows ×4 with the
+    quantized VALUE DOMAIN fixed — the whole design is that map-side
+    partial aggregation reduces every partition to ≤|domain| per-value
+    count rows before the exchange, and the cumulative rank window runs
+    over the values relation. Healthy: shuffle bytes ~flat (exponent
+    ≈ 0 vs rows) and wall growing ≪ linearly; anything near 1.0 on
+    shuffle would mean raw rows are crossing the network.
+
+    Deterministic synthetic two-group sample (xxhash64, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from olake_spark.operators.abtest import mann_whitney_u
+
+    def sample(n: int):
+        h = F.xxhash64(F.col("id"), F.lit(7))
+        return spark.range(n).select(
+            F.when(F.pmod(F.xxhash64(F.col("id")), F.lit(2)) == 0, "a")
+            .otherwise("b")
+            .alias("g"),
+            (F.pmod(h, F.lit(n_values)).cast("double") / 1000.0).alias("v"),
+        )
+
+    def measure(n: int) -> dict:
+        df = sample(n)
+
+        def run():
+            row = mann_whitney_u(df, "g", "v", "a", "b").first()
+            time.sleep(1.0)
+            return 1 if row is not None else 0
+
+        m = timed(spark, run)
+        m["rows"] = n
+        return m
+
+    measure(lo_rows)  # warm-up, discarded
+    lo, hi = measure(lo_rows), measure(hi_rows)
+    return {
+        "n_values": n_values,
+        "lo": lo,
+        "hi": hi,
+        "wall_exponent_vs_rows": growth_exponent(
+            max(1, int(lo["wall_sec"] * 1000)),
+            max(1, int(hi["wall_sec"] * 1000)),
+            lo_rows,
+            hi_rows,
+        ),
+        "shuffle_exponent_vs_rows": growth_exponent(
+            max(1, int((lo["shuffle_mb"] or 0) * 1000)),
+            max(1, int((hi["shuffle_mb"] or 0) * 1000)),
+            lo_rows,
+            hi_rows,
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=20)
@@ -936,6 +998,8 @@ def main() -> None:
             block = km_growth(spark)
         elif args.only == "cc_growth":
             block = cc_growth(spark)
+        elif args.only == "rank_stats_growth":
+            block = rank_stats_growth(spark)
         else:
             raise SystemExit(f"unknown section {args.only!r}")
         try:
