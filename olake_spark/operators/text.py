@@ -17,6 +17,7 @@ Operators:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -31,6 +32,7 @@ __all__ = [
     "with_html_text",
     "SCRIPT_CLASSES",
     "with_script_stats",
+    "zipf_slope",
 ]
 
 # small fixed english stopword list (quality signal, not linguistics)
@@ -238,3 +240,64 @@ def with_script_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, _, _ in SCRIPT_CLASSES:
         dominant = dominant.when(counts[name] == mx, F.lit(name))
     return out.withColumn("dominant_script", dominant)
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", top_v: int = 1000
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus unigram distribution:
+    the least-squares slope of ln(freq) vs ln(rank) across the top-V
+    tokens — the one-number corpus-health probe (natural language sits
+    near −1; templated/boilerplate-heavy or synthetic corpora drift
+    off, so it's a cheap generated-text / corpus-mix alarm).
+
+    Counts are the one map-side-combinable token shuffle every text
+    operator here shares; ranking the top-V runs through a row_number
+    over (count DESC, token ASC) LIMITed to V — vocabulary-sized, and
+    the limit compiles to the map-side WindowGroupLimit path. The
+    regression moments are sums of per-token doubles (ln of exact
+    counts — identical IEEE per term in any engine) accumulated as
+    nano-floored BIGINTs, the order-free float-sum discipline, then one
+    closed-form slope/intercept division each (round 6).
+
+    Returns one row: (v, slope, intercept).
+    """
+    if top_v < 2:
+        raise ValueError(f"top_v must be >= 2, got {top_v}")
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("_tok"))
+        .filter(F.col("_tok") != "")
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = W.orderBy(F.col("_c").desc(), F.col("_tok"))
+    ranked = (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= top_v)
+    )
+    nano = 1_000_000_000
+    x = F.log(F.col("_r").cast("double"))
+    y = F.log(F.col("_c").cast("double"))
+
+    def _nsum(term):
+        return F.sum(F.floor(term * nano).cast("long"))
+
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        _nsum(x).alias("_sx"),
+        _nsum(y).alias("_sy"),
+        _nsum(x * x).alias("_sxx"),
+        _nsum(x * y).alias("_sxy"),
+    )
+    n = F.col("v").cast("double")
+    sx = F.col("_sx") / float(nano)
+    sy = F.col("_sy") / float(nano)
+    sxx = F.col("_sxx") / float(nano)
+    sxy = F.col("_sxy") / float(nano)
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    return m.select(
+        "v",
+        F.when(den > 0, F.round(slope, 6)).alias("slope"),
+        F.when(den > 0, F.round((sy - slope * sx) / n, 6)).alias("intercept"),
+    )

@@ -6215,6 +6215,7 @@ _GATE_TAIL = [
     "lineitem_expectations",
     "events_ks_test",
     "lineitem_price_histogram",
+    "documents_dense_ids",
 ]
 
 

@@ -5424,3 +5424,51 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     edges = pairs.filter(F.pmod(h, F.lit(100)) < 8)
     return connected_components_fixed(edges, rounds=_CC_ROUNDS)
+
+
+@register(
+    "text_zipf_slope",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    counts AS (SELECT t, count(*) AS c FROM tok WHERE t <> '' GROUP BY t),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r
+      FROM counts QUALIFY r <= 1000
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS v,
+        sum(floor(ln(r::DOUBLE) * 1000000000)::BIGINT) AS sxn,
+        sum(floor(ln(c::DOUBLE) * 1000000000)::BIGINT) AS syn,
+        sum(floor(ln(r::DOUBLE) * ln(r::DOUBLE) * 1000000000)::BIGINT) AS sxxn,
+        sum(floor(ln(r::DOUBLE) * ln(c::DOUBLE) * 1000000000)::BIGINT) AS sxyn
+      FROM ranked
+    ),
+    f AS (
+      SELECT v, v::DOUBLE AS n,
+             sxn/1000000000.0 AS sx, syn/1000000000.0 AS sy,
+             sxxn/1000000000.0 AS sxx, sxyn/1000000000.0 AS sxy
+      FROM m
+    ),
+    g AS (
+      SELECT v, n, sx, sy,
+             n*sxx - sx*sx AS den, n*sxy - sx*sy AS num
+      FROM f
+    )
+    SELECT v,
+      CASE WHEN den > 0 THEN round(num/den, 6) END AS slope,
+      CASE WHEN den > 0 THEN round((sy - (num/den)*sx)/n, 6) END AS intercept
+    FROM g
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus unigram distribution
+    (operators/text.zipf_slope) — natural text sits near −1; templated
+    or synthetic corpora drift, so the fit is a one-number generated-
+    text / corpus-mix alarm. One token shuffle; the top-1000 ranking is
+    vocabulary-sized; the regression moments are nano-floored BIGINT
+    sums of per-token ln terms (order-free), finished by two closed-form
+    divisions."""
+    from olake_spark.operators.text import zipf_slope
+
+    docs = table(spark, sf_dir, "documents")
+    return zipf_slope(docs, "text", top_v=1000)

@@ -120,3 +120,43 @@ def test_acf_gap_drops_only_touched_pairs(spark):
     df = spark.createDataFrame(rows, "ts timestamp, v double")
     out = {r.lag: r.n_pairs for r in acf(df, "ts", "v", max_lag=2).collect()}
     assert out == {1: 2, 2: 2}
+
+
+def test_zipf_slope_exact_power_law(spark):
+    from olake_spark.operators.text import zipf_slope
+
+    # construct counts following an exact c = 1024 / r law for r in 1..8:
+    # token t_r appears 1024//r times -> slope of ln c vs ln r == -1 ...
+    # use powers of two so ln ratios are exact multiples of ln 2
+    docs = []
+    for r in range(1, 9):
+        c = 2 ** (9 - r)  # strictly decreasing, unique counts
+        docs.extend([f"tok{r:02d}"] * c)
+    df = spark.createDataFrame([(" ".join(docs),)], "text string")
+    out = zipf_slope(df, "text", top_v=8).first()
+    assert out.v == 8
+    # regression of y = ln(2^(9-r)) on x = ln(r): not exactly -1 (x is
+    # ln-spaced) — compare against the direct least-squares fit
+    import math
+
+    xs = [math.log(r) for r in range(1, 9)]
+    ys = [math.log(2 ** (9 - r)) for r in range(1, 9)]
+    n = 8
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    inter = (sy - slope * sx) / n
+    assert out.slope == pytest.approx(slope, abs=1e-6)
+    assert out.intercept == pytest.approx(inter, abs=1e-6)
+
+
+def test_zipf_slope_degenerate_and_validation(spark):
+    from olake_spark.operators.text import zipf_slope
+
+    # a single distinct token -> den = 0 -> NULLs, never a crash
+    df = spark.createDataFrame([("a a a a",)], "text string")
+    out = zipf_slope(df, "text", top_v=10).first()
+    assert out.v == 1 and out.slope is None and out.intercept is None
+    with pytest.raises(ValueError):
+        zipf_slope(df, "text", top_v=1)
