@@ -29,6 +29,7 @@ __all__ = [
     "benford_first_digit",
     "chi_square_independence",
     "mutual_information",
+    "hhi_concentration",
     "corpus_diff",
     "corpus_diff_summary",
     "gini_concentration",
@@ -473,4 +474,59 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
             (F.col("_hx_nano") > 0) & (F.col("_hy_nano") > 0),
             F.round(mi / F.sqrt(hx * hy), 6),
         ).alias("nmi"),
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group: with per-key
+    totals x_i and group total X,
+
+        HHI = Σ (x_i / X)² = Σ x_i² / X²   ∈ (1/n, 1]
+
+    — the antitrust-grade "is this market/tenant/shard dominated by a
+    few keys" number, sharper than top-k share when the tail matters.
+    Also emits the normalized form (HHI − 1/n)/(1 − 1/n) ∈ [0, 1]
+    (NULL for single-key groups where it is undefined).
+
+    Both numerator and denominator are exact DECIMAL(38,0) sums of
+    micro-unit BIGINTs — ONE divide at the end, hash-stable at round 6.
+    Two map-side-combinable shuffles ((group, key) then group); nothing
+    is sorted. Precondition: non-negative values (shares lose meaning
+    below zero — the gini_concentration contract; filter refunds
+    upstream).
+
+    Returns (group_col, n_keys, hhi, hhi_normalized).
+    """
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
+    per_key = (
+        df.select(
+            F.col(group_col).alias("_g"), F.col(key_col).alias("_k"),
+            vm.alias("_vm"),
+        )
+        .filter(F.col("_vm").isNotNull())
+        .groupBy("_g", "_k")
+        .agg(F.sum("_vm").cast("decimal(38,0)").alias("_x"))
+    )
+    agg = per_key.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_num"),
+        F.sum("_x").alias("_tot"),
+    )
+    hhi = F.col("_num").cast("double") / (
+        F.col("_tot") * F.col("_tot")
+    ).cast("double")
+    n = F.col("n_keys").cast("double")
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_keys",
+        F.round(hhi, 6).alias("hhi"),
+        F.when(
+            F.col("n_keys") > 1,
+            F.round((hhi - 1.0 / n) / (1.0 - 1.0 / n), 6),
+        ).alias("hhi_normalized"),
     )

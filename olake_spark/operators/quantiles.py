@@ -29,9 +29,10 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantiles", "winsorized_stats"]
+__all__ = ["exact_quantiles", "winsorized_stats", "weighted_median"]
 
 MICROS = 1_000_000
 
@@ -250,4 +251,53 @@ def winsorized_stats(
         "n_clipped_hi",
         F.round(mean, 6).alias("win_mean"),
         F.round(sd, 6).alias("win_sd"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group weighted median: the smallest value whose cumulative
+    weight reaches half the group's total — "the price at which half
+    the QUANTITY trades", which an unweighted median misstates whenever
+    weight correlates with value.
+
+    Lower-weighted-median semantics pinned exactly: with W = Σw and
+    cum(v) = Σ_{x≤v} w, the median is min{v : 2·cum(v) ≥ W} — all
+    integer comparisons (weights quantized to micro-units), no ½·W
+    float. Plan: one map-side-combinable shuffle onto (keys, value),
+    then the cumulative window runs over the per-group DISTINCT-VALUE
+    relation (values-sized); the winner is a min_by over that relation.
+    Never a per-group sort of raw rows.
+
+    Returns (keys..., w_total_micro, wmedian_micro, wmedian).
+    """
+    vm = F.round(F.col(value_col) * MICROS).cast("long")
+    wm = F.round(F.col(weight_col) * MICROS).cast("long")
+    per_val = (
+        df.select(*keys, vm.alias("_vm"), wm.alias("_wm"))
+        .filter(F.col("_vm").isNotNull() & F.col("_wm").isNotNull())
+        .groupBy(*keys, "_vm")
+        .agg(F.sum("_wm").cast("decimal(38,0)").alias("_w"))
+    )
+    wcum = W.partitionBy(*keys).orderBy("_vm").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy(*keys).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = per_val.select(
+        *keys,
+        "_vm",
+        F.sum("_w").over(wcum).alias("_cum"),
+        F.sum("_w").over(wall).alias("_wtot"),
+    )
+    hit = cum.filter(F.lit(2) * F.col("_cum") >= F.col("_wtot"))
+    return hit.groupBy(*keys).agg(
+        F.first(F.col("_wtot")).cast("long").alias("w_total_micro"),
+        F.min("_vm").alias("wmedian_micro"),
+        F.round(F.min("_vm") / 1_000_000.0, 4).alias("wmedian"),
     )

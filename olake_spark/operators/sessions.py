@@ -30,6 +30,7 @@ __all__ = [
     "funnel_users",
     "funnel_report",
     "conversion_delay_histogram",
+    "event_path_ngrams",
 ]
 
 _UNITS = {
@@ -259,4 +260,45 @@ def conversion_delay_histogram(
             F.floor(F.col("_delay_us") / F.lit(step_us)).alias("delay_bucket")
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def event_path_ngrams(
+    df: DataFrame,
+    time_col: str,
+    user_col: str,
+    type_col: str,
+    n: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Most-travelled length-n event paths ("view→click→purchase"):
+    consecutive event-type n-grams per user, counted corpus-wide — the
+    path-analysis primitive behind Sankey funnels, generalizing the
+    2-step transition matrix to arbitrary n.
+
+    One shuffle keys users; the n−1 lag columns share a single window
+    spec (one exchange + one sort, per-user cost bounded by the user's
+    own events — the sessionize skew contract); the path census
+    reduces map-side. Ordering ties (same-microsecond events) break on
+    the event type itself, pinned identically in the oracle.
+
+    Returns (path, n_occurrences) for paths seen >= ``min_count``
+    times, path rendered as 'a>b>c'.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    w = W.partitionBy(F.col(user_col)).orderBy(
+        F.unix_micros(F.col(time_col)), F.col(type_col)
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    path = F.concat_ws(">", *steps)
+    complete = F.lead(type_col, n - 1).over(w).isNotNull()
+    return (
+        df.select(path.alias("path"), complete.alias("_ok"))
+        .filter(F.col("_ok"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
     )

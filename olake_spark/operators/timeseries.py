@@ -40,6 +40,8 @@ __all__ = [
     "trend_slope",
     "cumulative_first_seen",
     "new_vs_returning",
+    "growth_accounting",
+    "ltv_cohort_curve",
 ]
 
 _MICROS = 1_000_000
@@ -406,5 +408,115 @@ def new_vs_returning(
             F.sum((F.col("bucket") > F.col("_first")).cast("long")).alias(
                 "n_returning"
             ),
+        )
+    )
+
+
+def growth_accounting(
+    df: DataFrame,
+    time_col: str,
+    key_col: str,
+    step: str = "1 day",
+    resurrect_after: int = 7,
+) -> DataFrame:
+    """Growth-accounting census (the new / retained / resurrected
+    decomposition every growth dashboard runs on MAU/DAU): for each
+    bucket, every active key is exactly one of
+
+        new         — first bucket the key ever appeared in,
+        retained    — last appearance within ``resurrect_after`` buckets,
+        resurrected — came back after > ``resurrect_after`` buckets away.
+
+    The whole classification is ONE window: distinct (key, bucket), a
+    per-key lag over the key's own (skew-bounded) appearance sequence,
+    then a map-side-combinable census onto the bucket grid — no
+    self-join of activity against history.
+
+    Returns (bucket, n_active, n_new, n_retained, n_resurrected).
+    """
+    if resurrect_after < 1:
+        raise ValueError(
+            f"resurrect_after must be >= 1, got {resurrect_after}"
+        )
+    step_us = int(_gap_seconds(step) * 1_000_000)
+    kb = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.floor(F.unix_micros(F.col(time_col)) / F.lit(step_us)).alias(
+                "bucket"
+            ),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("_k").orderBy("bucket")
+    gap = F.col("bucket") - F.lag("bucket", 1).over(w)
+    classified = kb.select(
+        "bucket",
+        F.when(gap.isNull(), "new")
+        .when(gap <= resurrect_after, "retained")
+        .otherwise("resurrected")
+        .alias("_cls"),
+    )
+    return classified.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum((F.col("_cls") == "new").cast("long")).alias("n_new"),
+        F.sum((F.col("_cls") == "retained").cast("long")).alias("n_retained"),
+        F.sum((F.col("_cls") == "resurrected").cast("long")).alias(
+            "n_resurrected"
+        ),
+    )
+
+
+def ltv_cohort_curve(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by first-purchase month,
+    revenue accumulated by month-age — the "how much is a cohort worth
+    by month N" curve finance builds payback models on (the revenue
+    twin of retention_cohorts' activity counts).
+
+    Month arithmetic is engine-portable integers: month_num = 12·year +
+    (month − 1) from the DATE (no tz, no epoch division). Plan: one
+    shuffle keys customers (first-month aggregation), the fact rows
+    join back co-partitioned on the key, reduce to the (cohort, age)
+    grid map-side, and the cumulative window runs over that tiny grid.
+    Revenue stays exact micro-unit BIGINT end to end.
+
+    Returns (cohort_month, age_months, n_customers, rev_micro,
+    cum_rev_micro): ``n_customers`` is the cohort's size (constant
+    across its ages — the LTV denominator).
+    """
+    d = F.col(date_col).cast("date")
+    mnum = (F.year(d) * 12 + F.month(d) - 1).cast("long")
+    vm = F.round(F.col(amount_col) * _MICROS).cast("long")
+    facts = df.select(
+        F.col(key_col).alias("_k"), mnum.alias("_m"), vm.alias("_vm")
+    )
+    first = facts.groupBy("_k").agg(F.min("_m").alias("cohort_month"))
+    sizes = first.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    grid = (
+        facts.join(first, "_k")
+        .groupBy(
+            "cohort_month",
+            (F.col("_m") - F.col("cohort_month")).alias("age_months"),
+        )
+        .agg(F.sum("_vm").alias("rev_micro"))
+    )
+    w = W.partitionBy("cohort_month").orderBy("age_months").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        grid.join(F.broadcast(sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "age_months",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("rev_micro").cast("long").alias("rev_micro"),
+            F.sum("rev_micro").over(w).cast("long").alias("cum_rev_micro"),
         )
     )

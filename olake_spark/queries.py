@@ -6014,6 +6014,213 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Growth accounting: new / retained / resurrected census
+# ---------------------------------------------------------------------------
+
+_GROWTH_ACCT_ORACLE = """
+WITH kb AS (
+  SELECT DISTINCT user_id AS k,
+         floor(epoch_us(ts) / 86400000000)::BIGINT AS bucket
+  FROM events
+),
+c AS (
+  SELECT bucket,
+         CASE WHEN lag(bucket) OVER (PARTITION BY k ORDER BY bucket) IS NULL
+              THEN 'new'
+              WHEN bucket - lag(bucket) OVER (PARTITION BY k ORDER BY bucket)
+                   <= 7
+              THEN 'retained'
+              ELSE 'resurrected' END AS cls
+  FROM kb
+)
+SELECT bucket, count(*)::BIGINT AS n_active,
+       sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)::BIGINT
+         AS n_retained,
+       sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)::BIGINT
+         AS n_resurrected
+FROM c GROUP BY 1
+"""
+
+
+@register("events_growth_accounting", _GROWTH_ACCT_ORACLE)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting (operators/timeseries.growth_accounting):
+    every active user classifies as new / retained (back within 7 days)
+    / resurrected (away longer) from ONE per-user lag window over the
+    distinct (user, day) relation — no history self-join. The MAU
+    decomposition chart, census'd map-side."""
+    from olake_spark.operators.timeseries import growth_accounting
+
+    return growth_accounting(
+        table(spark, sf_dir, "events"), "ts", "user_id",
+        step="1 day", resurrect_after=7,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median: the price at which half the quantity trades
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS g, round(l_extendedprice * 1000000)::BIGINT AS vm,
+         round(l_quantity * 1000000)::BIGINT AS wm
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+pv AS (SELECT g, vm, sum(wm)::HUGEINT AS w FROM v GROUP BY 1, 2),
+cum AS (
+  SELECT g, vm,
+         sum(w) OVER (PARTITION BY g ORDER BY vm ROWS UNBOUNDED PRECEDING)
+           AS cw,
+         sum(w) OVER (PARTITION BY g) AS wt
+  FROM pv
+)
+SELECT g AS l_returnflag, any_value(wt)::BIGINT AS w_total_micro,
+       min(CASE WHEN 2 * cw >= wt THEN vm END)::BIGINT AS wmedian_micro,
+       round(min(CASE WHEN 2 * cw >= wt THEN vm END) / 1000000.0, 4)
+         AS wmedian
+FROM cum GROUP BY g
+"""
+
+
+@register("lineitem_weighted_median_price", _WMEDIAN_ORACLE)
+def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag (operators/
+    quantiles.weighted_median): the smallest price whose cumulative
+    quantity reaches half the total — min{v : 2·cum(v) ≥ W} in pure
+    integer comparisons. One shuffle onto (flag, price); the cumulative
+    window runs over the per-group distinct-price relation, never raw
+    rows."""
+    from olake_spark.operators.quantiles import weighted_median
+
+    return weighted_median(
+        table(spark, sf_dir, "lineitem"), ["l_returnflag"],
+        "l_extendedprice", "l_quantity",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman revenue concentration per nation
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH ck AS (
+  SELECT c.c_nationkey AS g, o.o_custkey AS k,
+         round(o.o_totalprice * 1000000)::BIGINT AS vm
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+pk AS (SELECT g, k, sum(vm)::HUGEINT AS x FROM ck GROUP BY 1, 2),
+a AS (
+  SELECT g, count(*) AS n_keys, sum(x * x) AS num, sum(x) AS tot
+  FROM pk GROUP BY g
+)
+SELECT g AS c_nationkey, n_keys::BIGINT AS n_keys,
+       round(num::DOUBLE / (tot * tot)::DOUBLE, 6) AS hhi,
+       CASE WHEN n_keys > 1 THEN
+         round((num::DOUBLE / (tot * tot)::DOUBLE - 1.0 / n_keys::DOUBLE)
+               / (1.0 - 1.0 / n_keys::DOUBLE), 6) END AS hhi_normalized
+FROM a
+"""
+
+
+@register("orders_hhi_by_nation", _HHI_ORACLE)
+def orders_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-revenue Herfindahl index per nation (operators/audit.
+    hhi_concentration): Σ share² from exact DECIMAL(38,0) micro-unit
+    sums, one divide at the end — the dominance screen sharper than
+    top-k share. Customer dim broadcasts onto orders; two map-side-
+    combinable shuffles, nothing sorted."""
+    from olake_spark.operators.audit import hhi_concentration
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return hhi_concentration(j, "c_nationkey", "o_custkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV triangle
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH facts AS (
+  SELECT o_custkey AS k,
+         (12 * year(o_orderdate::DATE) + month(o_orderdate::DATE) - 1)::BIGINT
+           AS m,
+         round(o_totalprice * 1000000)::BIGINT AS vm
+  FROM orders
+),
+f AS (SELECT k, min(m) AS cohort_month FROM facts GROUP BY 1),
+sz AS (SELECT cohort_month, count(*) AS n_customers FROM f GROUP BY 1),
+grid AS (
+  SELECT f.cohort_month, facts.m - f.cohort_month AS age_months,
+         sum(vm) AS rev_micro
+  FROM facts JOIN f USING (k)
+  GROUP BY 1, 2
+)
+SELECT g.cohort_month, g.age_months,
+       sz.n_customers::BIGINT AS n_customers,
+       g.rev_micro::BIGINT AS rev_micro,
+       sum(g.rev_micro) OVER (PARTITION BY g.cohort_month
+                              ORDER BY g.age_months
+                              ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS cum_rev_micro
+FROM grid g JOIN sz USING (cohort_month)
+"""
+
+
+@register("orders_ltv_cohorts", _LTV_ORACLE)
+def orders_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-purchase-month cohort LTV triangle (operators/timeseries.
+    ltv_cohort_curve): revenue accumulated by month-age, exact micro
+    BIGINTs, portable integer month numbers (12·year + month − 1 from
+    the DATE — no epoch division, no tz). One shuffle keys customers;
+    the cumulative window runs over the tiny (cohort, age) grid."""
+    from olake_spark.operators.timeseries import ltv_cohort_curve
+
+    return ltv_cohort_curve(
+        table(spark, sf_dir, "orders"), "o_custkey", "o_orderdate",
+        "o_totalprice",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Most-travelled event paths (length-3 n-grams)
+# ---------------------------------------------------------------------------
+
+_PATH_TRIGRAMS_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_type)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS path,
+       count(*)::BIGINT AS n_occurrences
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+@register("events_path_trigrams", _PATH_TRIGRAMS_ORACLE)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-travelled 3-step event paths (operators/sessions.
+    event_path_ngrams): consecutive event-type trigrams per user from
+    one window spec (one exchange + one sort), census'd map-side — the
+    Sankey-funnel edge list, generalizing the 2-step transition
+    matrix."""
+    from olake_spark.operators.sessions import event_path_ngrams
+
+    return event_path_ngrams(
+        table(spark, sf_dir, "events"), "ts", "user_id", "event_type",
+        n=3, min_count=2,
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -6216,6 +6423,11 @@ _GATE_TAIL = [
     "events_ks_test",
     "lineitem_price_histogram",
     "documents_dense_ids",
+    "revenue_share_rollup",
+    "events_trend_slope",
+    "similarity_topk_pq_refined",
+    "text_bigram_lm_top",
+    "text_bigram_lm_score",
 ]
 
 

@@ -954,6 +954,78 @@ def rank_stats_growth(
     }
 
 
+def first_touch_growth(
+    spark,
+    lo_rows: int = 500_000,
+    hi_rows: int = 2_000_000,
+    n_keys: int = 100,
+    n_buckets: int = 60,
+) -> dict:
+    """Scale evidence for the first-touch family (r8:
+    cumulative_first_seen / new_vs_returning / growth_accounting):
+    event rows ×4 at FIXED key and bucket cardinality — the design
+    linearizes cumulative-distinct by reducing every key to its min
+    bucket, so the only shuffles are the distinct (key, bucket) and the
+    key-sized min; windows run over buckets. The shuffle is the
+    map-side-deduped DISTINCT (key, bucket) relation — per partition
+    min(partition_rows, keys×buckets) — so once partitions carry more
+    rows than the domain (this config: 15k-60k rows/partition vs a
+    6k-pair domain, exactly the 100 TB regime) shuffle bytes stay flat
+    as rows ×4.
+
+    Deterministic synthetic activity (xxhash64, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from olake_spark.operators.timeseries import new_vs_returning
+
+    def activity(n: int):
+        return spark.range(n).select(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(n_keys)).alias(
+                "k"
+            ),
+            F.timestamp_micros(
+                (
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(4)), F.lit(n_buckets))
+                    * 86_400_000_000
+                ).cast("long")
+            ).alias("ts"),
+        )
+
+    def measure(n: int) -> dict:
+        df = activity(n)
+
+        def run():
+            rows = new_vs_returning(df, "ts", "k").count()
+            time.sleep(1.0)
+            return int(rows)
+
+        m = timed(spark, run)
+        m["rows"] = n
+        return m
+
+    measure(lo_rows)  # warm-up, discarded
+    lo, hi = measure(lo_rows), measure(hi_rows)
+    return {
+        "n_keys": n_keys,
+        "n_buckets": n_buckets,
+        "lo": lo,
+        "hi": hi,
+        "wall_exponent_vs_rows": growth_exponent(
+            max(1, int(lo["wall_sec"] * 1000)),
+            max(1, int(hi["wall_sec"] * 1000)),
+            lo_rows,
+            hi_rows,
+        ),
+        "shuffle_exponent_vs_rows": growth_exponent(
+            max(1, int((lo["shuffle_mb"] or 0) * 1000)),
+            max(1, int((hi["shuffle_mb"] or 0) * 1000)),
+            lo_rows,
+            hi_rows,
+        ),
+        "bucket_rows_fixed": lo["rows_out"] == hi["rows_out"],
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=20)
@@ -1000,6 +1072,8 @@ def main() -> None:
             block = cc_growth(spark)
         elif args.only == "rank_stats_growth":
             block = rank_stats_growth(spark)
+        elif args.only == "first_touch_growth":
+            block = first_touch_growth(spark)
         else:
             raise SystemExit(f"unknown section {args.only!r}")
         try:
