@@ -30,6 +30,7 @@ __all__ = [
     "chi_square_independence",
     "mutual_information",
     "hhi_concentration",
+    "theil_index",
     "corpus_diff",
     "corpus_diff_summary",
     "gini_concentration",
@@ -529,4 +530,69 @@ def hhi_concentration(
             F.col("n_keys") > 1,
             F.round((hhi - 1.0 / n) / (1.0 - 1.0 / n), 6),
         ).alias("hhi_normalized"),
+    )
+
+
+def theil_index(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil T inequality index per group — the entropy-based
+    concentration measure that, unlike Gini/HHI, decomposes additively
+    across sub-populations:
+
+        T = Σ_i (x_i / X) · ln( (x_i / X) · n )   ∈ [0, ln n]
+
+    (0 = perfect equality, ln n = one key owns everything). Emits the
+    normalized T / ln(n) ∈ [0, 1] alongside (NULL for single-key
+    groups).
+
+    Per-key shares come from exact DECIMAL(38,0) micro sums; each key's
+    double term is one identical IEEE divide·ln sequence, and the sum
+    accumulates nano-floored BIGINTs (order-free — the repo's float-sum
+    discipline). Keys with zero value contribute exactly 0 (p·ln(p·n)
+    → 0) and are skipped by the same rule in the oracle. Two map-side-
+    combinable shuffles, nothing sorted. Precondition: non-negative
+    values (the gini/HHI contract).
+
+    Returns (group_col, n_keys, theil, theil_normalized).
+    """
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
+    per_key = (
+        df.select(
+            F.col(group_col).alias("_g"), F.col(key_col).alias("_k"),
+            vm.alias("_vm"),
+        )
+        .filter(F.col("_vm").isNotNull())
+        .groupBy("_g", "_k")
+        .agg(F.sum("_vm").cast("decimal(38,0)").alias("_x"))
+    )
+    wg = W.partitionBy("_g")
+    m = per_key.select(
+        "_g",
+        F.col("_x"),
+        F.sum("_x").over(wg).alias("_tot"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+    )
+    p = F.col("_x").cast("double") / F.col("_tot").cast("double")
+    term = p * F.log(p * F.col("_n").cast("double"))
+    nano = 1_000_000_000
+    agg = m.groupBy("_g").agg(
+        F.first("_n").cast("long").alias("n_keys"),
+        F.sum(
+            F.when(F.col("_x") > 0, F.floor(term * nano).cast("long"))
+            .otherwise(F.lit(0))
+        ).alias("_t_nano"),
+    )
+    t = F.col("_t_nano") / float(nano)
+    n = F.col("n_keys").cast("double")
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_keys",
+        F.round(t, 6).alias("theil"),
+        F.when(F.col("n_keys") > 1, F.round(t / F.log(n), 6)).alias(
+            "theil_normalized"
+        ),
     )

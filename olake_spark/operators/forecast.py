@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["acf", "holt_linear"]
+__all__ = ["acf", "holt_linear", "seasonal_naive_backtest"]
 
 _D38 = "decimal(38,0)"
 
@@ -183,4 +183,69 @@ def acf(
             ).alias("r"),
         )
         .orderBy("lag")
+    )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    step: str = "1 day",
+    season: int = 7,
+) -> DataFrame:
+    """Seasonal-naive backtest: predict each bucket with the value one
+    season earlier (ŷ_t = y_{t−s}) and score the whole series — the
+    no-parameter baseline every real forecaster must beat (if Holt
+    can't beat lag-7 on daily data, ship lag-7).
+
+    Exact arithmetic end to end: per-bucket micro sums, absolute errors
+    as BIGINT micros, MAE as one late divide; MAPE accumulates each
+    bucket's |e|/y ratio nano-floored (order-free float-sum
+    discipline). Pairs exist where both t and t−s were observed — the
+    acf gap rule. Plan: one bucket shuffle, then a season-lag equi-self-
+    join on the bucket relation (bucket-sized).
+
+    Returns one row: (n_pairs, mae_micro, mae, mape).
+    """
+    if season < 1:
+        raise ValueError(f"season must be >= 1, got {season}")
+    from olake_spark.operators.timeseries import bucketize
+
+    daily = bucketize(df, time_col, [], value_col, step=step).select(
+        F.col("_bucket").alias("_t"), F.col("_v_micros").alias("_y")
+    )
+    pred = daily.select(
+        (F.col("_t") + season).alias("_t"), F.col("_y").alias("_yhat")
+    )
+    j = daily.join(pred, "_t")
+    err = F.abs(F.col("_y") - F.col("_yhat"))
+    nano = 1_000_000_000
+    ratio = F.when(
+        F.col("_y") != 0,
+        F.floor(
+            err.cast("double") / F.abs(F.col("_y")).cast("double") * nano
+        ).cast("long"),
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(err.cast("decimal(38,0)")).alias("_ae"),
+        F.sum(ratio).alias("_mape_nano"),
+        F.sum((F.col("_y") != 0).cast("long")).alias("_n_nonzero"),
+    )
+    return agg.select(
+        "n_pairs",
+        ((F.col("_ae") - F.pmod(F.col("_ae"), F.col("n_pairs")))
+         / F.col("n_pairs")).cast("long").alias("mae_micro"),
+        F.round(
+            F.col("_ae").cast("double") / (F.col("n_pairs").cast("double") * 1_000_000.0),
+            6,
+        ).alias("mae"),
+        F.when(
+            F.col("_n_nonzero") > 0,
+            F.round(
+                (F.col("_mape_nano") / float(nano))
+                / F.col("_n_nonzero").cast("double"),
+                6,
+            ),
+        ).alias("mape"),
     )

@@ -6221,6 +6221,104 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Theil inequality index per nation
+# ---------------------------------------------------------------------------
+
+_THEIL_ORACLE = """
+WITH ck AS (
+  SELECT c.c_nationkey AS g, o.o_custkey AS k,
+         round(o.o_totalprice * 1000000)::BIGINT AS vm
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+pk AS (SELECT g, k, sum(vm)::HUGEINT AS x FROM ck GROUP BY 1, 2),
+m AS (
+  SELECT g, x,
+         sum(x) OVER (PARTITION BY g) AS tot,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM pk
+),
+a AS (
+  SELECT g, any_value(n) AS n_keys,
+    sum(CASE WHEN x > 0 THEN
+      floor((x::DOUBLE / tot::DOUBLE)
+            * ln((x::DOUBLE / tot::DOUBLE) * n::DOUBLE)
+            * 1000000000)::BIGINT
+      ELSE 0 END) AS t_nano
+  FROM m GROUP BY g
+)
+SELECT g AS c_nationkey, n_keys::BIGINT AS n_keys,
+       round(t_nano / 1000000000.0, 6) AS theil,
+       CASE WHEN n_keys > 1
+            THEN round((t_nano / 1000000000.0) / ln(n_keys::DOUBLE), 6)
+       END AS theil_normalized
+FROM a
+"""
+
+
+@register("orders_theil_by_nation", _THEIL_ORACLE)
+def orders_theil_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T revenue inequality per nation (operators/audit.
+    theil_index): the entropy-based concentration measure that
+    decomposes additively — completing the inequality family next to
+    Gini (sorted-cumulative) and HHI (sum of squares). Exact micro
+    shares; per-key ln terms accumulate nano-floored BIGINTs."""
+    from olake_spark.operators.audit import theil_index
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return theil_index(j, "c_nationkey", "o_custkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (the baseline Holt must beat)
+# ---------------------------------------------------------------------------
+
+_SNAIVE_ORACLE = """
+WITH daily AS (
+  SELECT floor(epoch_us(ts) / 86400000000)::BIGINT AS t,
+         sum(round(value * 1000000)::BIGINT) AS y
+  FROM events GROUP BY 1
+),
+j AS (
+  SELECT a.y AS y, b.y AS yhat
+  FROM daily a JOIN daily b ON a.t = b.t + 7
+),
+agg AS (
+  SELECT count(*)::HUGEINT AS n_pairs,
+         sum(abs(y - yhat)::HUGEINT) AS ae,
+         sum(CASE WHEN y <> 0 THEN
+            floor(abs(y - yhat)::DOUBLE / abs(y)::DOUBLE
+                  * 1000000000)::BIGINT END) AS mape_nano,
+         sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS n_nonzero
+  FROM j
+)
+SELECT n_pairs::BIGINT AS n_pairs,
+       (ae // n_pairs)::BIGINT AS mae_micro,
+       round(ae::DOUBLE / (n_pairs::DOUBLE * 1000000.0), 6) AS mae,
+       CASE WHEN n_nonzero > 0
+            THEN round((mape_nano / 1000000000.0) / n_nonzero::DOUBLE, 6)
+       END AS mape
+FROM agg
+"""
+
+
+@register("events_seasonal_naive_backtest", _SNAIVE_ORACLE)
+def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 seasonal-naive backtest of the daily revenue series
+    (operators/forecast.seasonal_naive_backtest): the no-parameter
+    baseline the Holt backtest must beat. Exact BIGINT absolute errors,
+    one late divide for MAE; MAPE ratios nano-floored. One bucket
+    shuffle + a bucket-sized season-lag self-join."""
+    from olake_spark.operators.forecast import seasonal_naive_backtest
+
+    return seasonal_naive_backtest(
+        table(spark, sf_dir, "events"), "ts", "value",
+        step="1 day", season=7,
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -6428,6 +6526,8 @@ _GATE_TAIL = [
     "similarity_topk_pq_refined",
     "text_bigram_lm_top",
     "text_bigram_lm_score",
+    "graph_kcore",
+    "graph_personalized_pagerank",
 ]
 
 

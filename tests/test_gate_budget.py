@@ -29,16 +29,14 @@ TABLES = [
 BUDGET_SINGLE_S = 10.0
 # full-gate cap tracks registry growth at a pinned per-query density:
 # (r5: 135 s at 123 ≈ 1.1 s/q; r6: 233 s at 166 ≈ 1.40; r7: 225.4 s at
-# 186 ≈ 1.21; r8 close: 248.9 s at 210 ≈ 1.19; r8b: 281.5 s at 225 ≈
-# 1.25 — measured with a concurrent gate run loading the box, so the
-# idle density is ~1.15-1.20). The same sweep reads ±12% by machine
-# warmth (idle-warm 216 s ↔ settling 249 s at the same code), so the
-# cap is 225 × 1.28, the observed warm-band ceiling ≈ 288. The cap is a
-# creep alarm, not a target — raising it requires raising this
-# comment's arithmetic too. Caution: gate_budget measured with load
-# still draining from a just-finished suite reads ~10% high (r8 saw
-# 270 s fall back to 243.9 once load-average settled).
-BUDGET_GATE_S = 288.0
+# 186 ≈ 1.21; r8 close: 248.9 s at 210 ≈ 1.19; r8b idle: 267.7 s at
+# 232 ≈ 1.15). The same sweep reads ±12% by machine warmth (and a
+# sweep running concurrently with another gate read 303 s / worst
+# 9.98 s at the SAME code that idles at 267.7 / 6.77 — always settle
+# the box first), so the cap is 232 × 1.25 ≈ 290, the warm-band
+# ceiling. The cap is a creep alarm, not a target — raising it
+# requires raising this comment's arithmetic too.
+BUDGET_GATE_S = 290.0
 MARGIN = 1.5  # shared-suite noise headroom; the budget itself is the target
 
 

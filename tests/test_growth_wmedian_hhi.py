@@ -155,3 +155,56 @@ def test_event_path_ngrams_counts(spark):
     assert "b>c>a" not in out
     with pytest.raises(ValueError):
         event_path_ngrams(df, "ts", "u", "et", n=1)
+
+
+def test_theil_extremes_and_direct(spark):
+    import math
+
+    from olake_spark.operators.audit import theil_index
+
+    # perfect equality -> theil 0, normalized 0
+    eq = spark.createDataFrame(
+        [("e", f"k{i}", 10.0) for i in range(5)], "g string, k string, v double"
+    )
+    out = theil_index(eq, "g", "k", "v").first()
+    assert out.theil == 0.0 and out.theil_normalized == 0.0
+    # monopoly among n keys -> theil = ln(n) (zero-value keys contribute 0)
+    mono = spark.createDataFrame(
+        [("m", "k1", 100.0)] + [("m", f"k{i}", 0.0) for i in range(2, 5)],
+        "g string, k string, v double",
+    )
+    out = theil_index(mono, "g", "k", "v").first()
+    assert out.n_keys == 4
+    assert out.theil == pytest.approx(math.log(4), abs=1e-6)
+    assert out.theil_normalized == pytest.approx(1.0, abs=1e-6)
+    # direct check on an uneven split
+    vals = {"a": 60.0, "b": 30.0, "c": 10.0}
+    df = spark.createDataFrame(
+        [("g", k, v) for k, v in vals.items()], "g string, k string, v double"
+    )
+    out = theil_index(df, "g", "k", "v").first()
+    want = sum((v / 100) * math.log((v / 100) * 3) for v in vals.values())
+    assert out.theil == pytest.approx(want, abs=1e-6)
+
+
+def test_seasonal_naive_backtest_hand_computed(spark):
+    from olake_spark.operators.forecast import seasonal_naive_backtest
+
+    t0 = dt.datetime(2024, 1, 1)
+    # daily totals: days 0..9 with season 2 -> pairs (t, t-2) for t=2..9
+    vals = [10.0, 20.0, 12.0, 18.0, 14.0, 16.0, 10.0, 20.0, 12.0, 18.0]
+    df = spark.createDataFrame(
+        [(t0 + dt.timedelta(days=i), v) for i, v in enumerate(vals)],
+        "ts timestamp, v double",
+    )
+    out = seasonal_naive_backtest(df, "ts", "v", season=2).first()
+    errs = [abs(vals[t] - vals[t - 2]) for t in range(2, 10)]
+    assert out.n_pairs == 8
+    assert out.mae_micro == round(
+        sum(int(e * 1e6) for e in errs) // 8
+    )
+    assert out.mae == pytest.approx(sum(errs) / 8, abs=1e-6)
+    mape = sum(e / v for e, v in zip(errs, vals[2:])) / 8
+    assert out.mape == pytest.approx(mape, abs=1e-6)
+    with pytest.raises(ValueError):
+        seasonal_naive_backtest(df, "ts", "v", season=0)
