@@ -6319,6 +6319,72 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test + Theil-Sen slope on the daily series
+# ---------------------------------------------------------------------------
+
+_MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT floor(epoch_us(ts) / 86400000000)::BIGINT AS t,
+         sum(round(value * 1000000)::BIGINT) AS y
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.t AS ta, b.t AS tb,
+         sign((b.y - a.y)::DOUBLE)::BIGINT AS sgn,
+         (b.y - a.y)::DOUBLE / (b.t - a.t)::DOUBLE AS slope
+  FROM daily a JOIN daily b ON a.t < b.t
+),
+r AS (
+  SELECT sgn, slope,
+         row_number() OVER (ORDER BY slope, ta, tb) AS rn,
+         count(*) OVER () AS m
+  FROM pairs
+),
+st AS (
+  SELECT sum(sgn) AS s,
+         max(CASE WHEN rn = ceil(m / 2.0) THEN slope END) AS sen
+  FROM r
+),
+tt AS (
+  SELECT sum(t*(t-1)*(2*t+5))::HUGEINT AS tie_term, sum(t)::HUGEINT AS n
+  FROM (SELECT count(*)::HUGEINT AS t FROM daily GROUP BY y)
+),
+f AS (
+  SELECT st.s, st.sen, tt.n,
+         (tt.n*(tt.n-1)*(2*tt.n+5) - tt.tie_term)::DOUBLE / 18.0 AS var_s
+  FROM st, tt
+)
+SELECT n::BIGINT AS n_buckets, s::BIGINT AS s_stat,
+       round(var_s, 6) AS var_s,
+       CASE WHEN var_s > 0 THEN
+         round(CASE WHEN s > 0 THEN (s::DOUBLE - 1.0) / sqrt(var_s)
+                    WHEN s < 0 THEN (s::DOUBLE + 1.0) / sqrt(var_s)
+                    ELSE 0.0 END, 6)
+       END AS z,
+       round(sen, 4) AS sen_slope_micro,
+       round(sen / 1000000.0, 6) AS sen_slope
+FROM f
+"""
+
+
+@register("events_mann_kendall", _MANN_KENDALL_ORACLE)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope on the daily revenue
+    series (operators/robust_trend.mann_kendall_theil_sen): the
+    nonparametric is-it-trending pairing that shrugs off the outliers
+    that bend least-squares (trend_slope's robust sibling). S and the
+    tie-corrected variance numerator are exact integers; the Sen slope
+    is the rank-ceil(m/2) pairwise slope, each slope one identical IEEE
+    divide. Pair relation is BUCKET-sized squared (30 days → 435
+    pairs) — the raw rows are touched once by bucketize."""
+    from olake_spark.operators.robust_trend import mann_kendall_theil_sen
+
+    return mann_kendall_theil_sen(
+        table(spark, sf_dir, "events"), "ts", "value", step="1 day"
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -6528,6 +6594,7 @@ _GATE_TAIL = [
     "text_bigram_lm_score",
     "graph_kcore",
     "graph_personalized_pagerank",
+    "feature_binning_frozen_edges",
 ]
 
 

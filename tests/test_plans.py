@@ -50,6 +50,9 @@ _CROSS_OK = {
     "tpch_q22_global_sales_opportunity",  # 1-row avg-balance broadcast
     "customer_rfm_segments",  # 1-row customer-count broadcast (NTILE denominator)
     "feature_quantile_normalize",  # 1-row pooled-count broadcast (target rank)
+    # bucket-sized pair cartesian BY DESIGN (C(n_buckets, 2) over the
+    # aggregated daily series, never raw rows) + a 1-row tie-table broadcast
+    "events_mann_kendall",
 }
 
 

@@ -160,3 +160,42 @@ def test_zipf_slope_degenerate_and_validation(spark):
     assert out.v == 1 and out.slope is None and out.intercept is None
     with pytest.raises(ValueError):
         zipf_slope(df, "text", top_v=1)
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    from olake_spark.operators.robust_trend import mann_kendall_theil_sen
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def series(vals):
+        return spark.createDataFrame(
+            [(t0 + dt.timedelta(days=i), float(v)) for i, v in enumerate(vals)],
+            "ts timestamp, v double",
+        )
+
+    # strictly increasing: S = C(n,2), Sen slope = the constant step
+    up = mann_kendall_theil_sen(series([1, 2, 3, 4, 5]), "ts", "v").first()
+    assert up.s_stat == 10  # C(5,2)
+    assert up.sen_slope == pytest.approx(1.0, abs=1e-6)
+    assert up.z > 0
+    # constant: S = 0, variance fully tie-corrected to 0 -> z NULL
+    flat = mann_kendall_theil_sen(series([7] * 6), "ts", "v").first()
+    assert flat.s_stat == 0
+    assert flat.var_s == 0.0
+    assert flat.z is None
+
+
+def test_mann_kendall_outlier_robust_slope(spark):
+    from olake_spark.operators.robust_trend import mann_kendall_theil_sen
+
+    t0 = dt.datetime(2024, 1, 1)
+    # slope-2 line with one wild spike: Sen slope stays ~2
+    vals = [2.0 * i for i in range(15)]
+    vals[7] = 1e6
+    df = spark.createDataFrame(
+        [(t0 + dt.timedelta(days=i), v) for i, v in enumerate(vals)],
+        "ts timestamp, v double",
+    )
+    out = mann_kendall_theil_sen(df, "ts", "v").first()
+    assert out.sen_slope == pytest.approx(2.0, abs=0.01)
+    assert out.n_buckets == 15
