@@ -5595,7 +5595,7 @@ def orders_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 item-item cosine neighbors over order baskets (operators/
     basket.item_neighbors_topk) — the "bought together" neighborhood.
     Pairs exist only via the basket-co-partitioned self-join (fan-out
-    bounded by the ≤7-line order, never catalog²); supports broadcast;
+    bounded by the small per-order line count, never catalog²); supports broadcast;
     the per-item top-3 compiles to map-side WindowGroupLimit. Cosine =
     exact-long ratio + one IEEE sqrt/divide, so the (cos DESC, neighbor)
     ranking is identical cross-engine."""
@@ -6385,6 +6385,62 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# CUBE: all 2^k granularities in one pass (completes rollup/grouping-sets)
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n,
+       sum(round(l_extendedprice * 1000000)::BIGINT)::BIGINT AS price_micro,
+       grouping(l_returnflag)::INT * 2 + grouping(l_linestatus)::INT AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("lineitem_cube", _CUBE_ORACLE)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all four granularities from
+    ONE Expand + one map-side-combinable hash aggregate (the third leg
+    of the rollup / grouping-sets / cube family). grouping_id
+    disambiguates rolled-up NULLs from real ones; revenue sums as exact
+    micro BIGINTs."""
+    li = table(spark, sf_dir, "lineitem")
+    pm = F.round(F.col("l_extendedprice") * 1_000_000).cast("long")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pm).alias("price_micro"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-size (basket degree) distribution
+# ---------------------------------------------------------------------------
+
+_ORDER_SIZE_ORACLE = """
+WITH sz AS (
+  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1
+)
+SELECT n_lines::BIGINT AS n_lines, count(*)::BIGINT AS n_orders
+FROM sz GROUP BY 1
+"""
+
+
+@register("orders_size_distribution", _ORDER_SIZE_ORACLE)
+def orders_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size (lines per order) distribution — the degree histogram
+    that justifies every basket-bounded self-join in this repo (pair
+    lift, item neighbors): two map-side-combinable counts-of-counts
+    shuffles, the second on the tiny size domain (13 values here)."""
+    li = table(spark, sf_dir, "lineitem")
+    sz = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    return sz.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -6595,6 +6651,9 @@ _GATE_TAIL = [
     "graph_kcore",
     "graph_personalized_pagerank",
     "feature_binning_frozen_edges",
+    # manual r8 rotation (window cap): both locally gate-green 4+ times
+    "events_cumulative_users",
+    "events_new_vs_returning",
 ]
 
 
