@@ -6441,6 +6441,66 @@ def orders_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Daily bounce rate (single-event sessions), composed on the sessionizer
+# ---------------------------------------------------------------------------
+
+_BOUNCE_ORACLE = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END
+           AS is_new
+  FROM lagged
+), numbered AS (
+  SELECT user_id, ts,
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id, count(*) AS n,
+         min(floor(epoch_us(ts) / 86400000000)::BIGINT) AS day
+  FROM numbered GROUP BY 1, 2
+)
+SELECT day, count(*)::BIGINT AS n_sessions,
+       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS bounce_rate
+FROM sess GROUP BY 1
+"""
+
+
+@register("events_bounce_rate", _BOUNCE_ORACLE)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate — share of 30-minute-gap sessions containing a
+    single event, keyed to the session's start day. Pure composition:
+    the sessionize operator's one-shuffle two-window plan feeds a
+    session-sized census; one late divide per day."""
+    from olake_spark.operators.sessions import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", ["user_id"], gap="30 minutes")
+    per_sess = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+        ).alias("day"),
+    )
+    return per_sess.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("_n") == 1).cast("long")).alias("n_bounces"),
+        F.round(
+            F.sum((F.col("_n") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
@@ -6654,6 +6714,7 @@ _GATE_TAIL = [
     # manual r8 rotation (window cap): both locally gate-green 4+ times
     "events_cumulative_users",
     "events_new_vs_returning",
+    "events_time_to_convert",
 ]
 
 
