@@ -40,11 +40,14 @@ def ks_two_sample(
     """One-row report (n_a, n_b, d_num, d_den, ks): ``ks`` =
     d_num/d_den rounded to 6, with d_num = max |c_a·n_b − c_b·n_a| and
     d_den = n_a·n_b exact. Values quantize to ``round(v·scale)``
-    integers so ties are well-defined across engines."""
+    integers so ties are well-defined across engines. NULL values are
+    excluded (they carry no order information; keeping them would also
+    diverge from SQL engines whose NULLS FIRST/LAST defaults differ)."""
     g = F.col(group_col)
     v = F.round(F.col(value_col) * scale).cast("long")
     per_val = (
         df.filter(g.isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
         .select(g.alias("_g"), v.alias("_v"))
         .groupBy("_v")
         .agg(
@@ -109,11 +112,18 @@ def mann_whitney_u(
     DISTINCT-VALUE relation — values-sized, not rows-sized. Headroom:
     the variance product n_a·n_b·n³ must fit 38 digits → exact for
     n ≲ 10^7 with balanced groups (quantize coarser above that).
+
+    NULL values are excluded before ranking (a NULL has no rank; Spark
+    and SQL engines disagree on NULLS FIRST/LAST so keeping them would
+    make rank2 engine-dependent), and a fully-tied sample (variance 0)
+    reports z = NULL rather than NaN — the repo's zero-variance
+    convention (acf / zipf_slope / corr_matrix).
     """
     g = F.col(group_col)
     v = F.round(F.col(value_col) * scale).cast("long")
     per_val = (
         df.filter(g.isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
         .select(g.alias("_g"), v.alias("_v"))
         .groupBy("_v")
         .agg(
@@ -139,9 +149,14 @@ def mann_whitney_u(
     )
     na, nb, n = F.col("_na"), F.col("_nb"), F.col("_n")
     u2a = F.col("_w2a") - na * (na + F.lit(1))
-    var_num = (na * nb * (n * n * n - n - F.col("_tie"))).cast("double")
+    var_num_exact = na * nb * (n * n * n - n - F.col("_tie"))
+    var_num = var_num_exact.cast("double")
     var_den = (F.lit(12) * n * (n - F.lit(1))).cast("double")
-    z = (u2a - na * nb).cast("double") / (F.lit(2.0) * F.sqrt(var_num / var_den))
+    z = F.when(
+        var_num_exact > 0,
+        (u2a - na * nb).cast("double")
+        / (F.lit(2.0) * F.sqrt(var_num / var_den)),
+    )
     return s.select(
         na.cast("long").alias("n_a"),
         nb.cast("long").alias("n_b"),

@@ -151,9 +151,14 @@ def item_neighbors_topk(
     sup_n = support.select(
         F.col("_item").alias("neighbor"), F.col("_c").alias("_cn")
     )
+    # no broadcast hint: support is catalog-sized (one row per distinct
+    # item) — at billion-item catalogs broadcasting it would blow the
+    # driver, while the und relation is already pair-sized so a plain
+    # shuffle hash join on the item key is cheap and 100×-safe. AQE
+    # still auto-broadcasts when the catalog actually is small.
     scored = (
-        und.join(F.broadcast(sup_i), "item")
-        .join(F.broadcast(sup_n), "neighbor")
+        und.join(sup_i, "item")
+        .join(sup_n, "neighbor")
         .withColumn(
             "_cos",
             F.col("n_co").cast("double")

@@ -215,7 +215,9 @@ def psi_drift(
     monitors alert on (PSI < 0.1 stable, > 0.25 shifted).
 
     ``is_current`` is a boolean Column splitting the rows (False =
-    reference period); both populations bin through the SAME fixed
+    reference period; rows where it evaluates NULL belong to neither
+    population and are excluded); both populations bin through the SAME
+    fixed
     equi-width grid (the profile.histogram expression, out-of-range
     clamped into the edge bins), so
 
@@ -248,8 +250,12 @@ def psi_drift(
             F.lit(0), F.floor((v - float(lo)) / span * nbins).cast("int")
         ),
     )
+    # rows where the is_current predicate is NULL (e.g. a predicate over
+    # a nullable column) belong to neither population — drop them rather
+    # than silently counting them as reference rows.
     obs = (
         df.filter(v.isNotNull())
+        .filter(is_current.isNotNull())
         .select(bin_expr.alias("bin"), is_current.alias("_cur"))
         .groupBy("bin")
         .agg(

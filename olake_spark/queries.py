@@ -3739,6 +3739,7 @@ WITH pv AS (
     sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a,
     sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
   FROM events WHERE event_type IN ('purchase', 'view')
+    AND value IS NOT NULL
   GROUP BY 1
 ),
 cum AS (
@@ -5359,6 +5360,7 @@ WITH pv AS (
          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::HUGEINT AS a,
          sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::HUGEINT AS b
   FROM events WHERE event_type IN ('purchase', 'view')
+    AND value IS NOT NULL
   GROUP BY 1
 ),
 r AS (
@@ -5377,9 +5379,11 @@ SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
        tie::BIGINT AS tie_correction,
        round((w2a - na*(na+1))::DOUBLE / (2.0 * na::DOUBLE * nb::DOUBLE), 6)
          AS auc,
-       round(((w2a - na*(na+1)) - na*nb)::DOUBLE
-             / (2.0 * sqrt((na*nb*(n*n*n - n - tie))::DOUBLE
-                           / ((12*n*(n-1))::DOUBLE))), 6) AS z
+       CASE WHEN na*nb*(n*n*n - n - tie) > 0 THEN
+         round(((w2a - na*(na+1)) - na*nb)::DOUBLE
+               / (2.0 * sqrt((na*nb*(n*n*n - n - tie))::DOUBLE
+                             / ((12*n*(n-1))::DOUBLE))), 6)
+       END AS z
 FROM s
 """
 
@@ -6711,10 +6715,14 @@ _GATE_TAIL = [
     "graph_kcore",
     "graph_personalized_pagerank",
     "feature_binning_frozen_edges",
-    # manual r8 rotation (window cap): both locally gate-green 4+ times
-    "events_cumulative_users",
-    "events_new_vs_returning",
-    "events_time_to_convert",
+    # r9 rotation (tools/rotate_window.py --min-green 1): each is ONE
+    # driver-green round (r08) — below the preferred 2-round bar, rotated
+    # early because the window must hold the restored zero-round r8 trio
+    # (events_cumulative_users / _new_vs_returning / _time_to_convert)
+    # plus the r9 additions; tail coverage via tests/test_registry_tail.py
+    "events_survival_km",
+    "orders_target_encoding_loo",
+    "events_lag_features",
 ]
 
 
