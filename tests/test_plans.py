@@ -53,6 +53,13 @@ _CROSS_OK = {
     # bucket-sized pair cartesian BY DESIGN (C(n_buckets, 2) over the
     # aggregated daily series, never raw rows) + a 1-row tie-table broadcast
     "events_mann_kendall",
+    # derived-partsupp TPC-H: 1-row supplier-count broadcast (the closed-form
+    # ps_suppkey needs |supplier| — joined onto the part dim, never a fact)
+    "tpch_q02_min_cost_supplier",
+    "tpch_q09_product_type_profit",
+    "tpch_q11_important_stock",  # + 1-row stock-value-total broadcast
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotion_suppliers",
 }
 
 
