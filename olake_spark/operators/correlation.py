@@ -29,18 +29,25 @@ __all__ = ["corr_matrix", "spearman_matrix"]
 _D38 = "decimal(38,0)"
 
 
-def _pairwise_pearson(df: DataFrame, x: dict, out_col: str) -> DataFrame:
+def _pairwise_pearson(
+    df: DataFrame, x: dict, out_col: str, by: list[str] | None = None
+) -> DataFrame:
     """Shared exact-moment core: ``x`` maps column name → an exact
     integer Column (already D38-castable); emits (col_a, col_b, n,
-    <out_col>) for every unordered pair from ONE aggregation pass."""
+    <out_col>) for every unordered pair from ONE aggregation pass.
+    With ``by``, the same single pass produces one matrix PER GROUP
+    (the 100 TB fleet shape — per-nation, per-SKU, per-cohort): the
+    moments groupBy the keys instead of a global agg, still map-side
+    combinable, still one scan."""
     cols = list(x)
+    by = list(by or [])
     aggs = [F.count(F.lit(1)).cast(_D38).alias("_n")]
     for c in cols:
         aggs.append(F.sum(x[c]).alias(f"_s_{c}"))
         aggs.append(F.sum(x[c] * x[c]).alias(f"_q_{c}"))
     for a, b in combinations(cols, 2):
         aggs.append(F.sum(x[a] * x[b]).alias(f"_p_{a}_{b}"))
-    m = df.agg(*aggs)
+    m = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
 
     def _corr(a: str, b: str):
         n = F.col("_n")
@@ -62,14 +69,18 @@ def _pairwise_pearson(df: DataFrame, x: dict, out_col: str) -> DataFrame:
 
     pairs = F.array(*[_corr(a, b) for a, b in combinations(cols, 2)])
     return m.select(
-        F.col("_n").cast("long").alias("n"), F.explode(pairs).alias("_c")
-    ).select("_c.col_a", "_c.col_b", "n", f"_c.{out_col}")
+        *by, F.col("_n").cast("long").alias("n"), F.explode(pairs).alias("_c")
+    ).select(*by, "_c.col_a", "_c.col_b", "n", f"_c.{out_col}")
 
 
-def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+def corr_matrix(
+    df: DataFrame, cols: list[str], by: list[str] | None = None
+) -> DataFrame:
     """(col_a, col_b, n, corr) for every unordered column pair, from one
     aggregation pass. ``corr`` is NULL for a zero-variance column (the
-    radicand is 0), mirroring SQL semantics of 0/0.
+    radicand is 0), mirroring SQL semantics of 0/0. With ``by``, one
+    matrix per group key from the SAME single pass (the moments simply
+    groupBy the keys — per-group cost is a handful of integer adds).
 
     NULL contract: ``n`` is count(*) over ALL rows while the moment sums
     skip NULLs — so a column with NULLs biases its pairs (the standard
@@ -82,7 +93,7 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         c: F.round(F.col(c) * 1_000_000).cast("long").cast(_D38)
         for c in cols
     }
-    return _pairwise_pearson(df, x, "corr")
+    return _pairwise_pearson(df, x, "corr", by=by)
 
 
 def spearman_matrix(df: DataFrame, cols: list[str]) -> DataFrame:

@@ -10,25 +10,88 @@ median of all pairwise slopes (breakdown point ~29%).
 Exactness discipline: S, its tie-corrected variance numerator, and the
 tie table are exact integers; the Theil-Sen median is the value at rank
 ceil(m/2) of the pairwise-slope relation, where every slope double is
-one identical IEEE divide of exact micro-unit integers in any engine —
-so the rank order (ties broken by the pair key) and therefore the
-selected slope hash identically.
+one identical IEEE divide of exact micro-unit integers in any engine.
+The rank-k VALUE is insensitive to how equal slopes are tie-broken, so
+it is selected WITHOUT any global sort: an iterative histogram
+bisection over the slope doubles (the exact_quantiles recipe — each
+round one map-side-combinable aggregation over the pair relation,
+narrowing to the ACTUAL min/max inside the rank-k bin; ~7 rounds close
+a 64-bit double range at 1024 bins). No single-partition exchange
+appears anywhere in the plan.
 
 Scale contract: the pair relation is BUCKET-sized squared — C(n, 2)
-pairs over the aggregated series, not the raw rows (30 days → 435
-pairs; even 5k buckets → 12.5M pairs across the cluster). The raw rows
-are touched once by the bucketize shuffle. For longer series, bucket
-coarser upstream; this is the few-thousand-buckets trend test, not a
-per-row operator.
+pairs over the aggregated series, never the raw rows (30 days → 435
+pairs; 100k buckets → 5·10^9 pairs SPREAD ACROSS THE CLUSTER, with
+each bisection round a filter + tiny-histogram aggregation over them —
+fine on a real cluster, where the old rank-everything window would
+funnel all 5·10^9 rows through one task). The raw rows are touched
+once by the bucketize shuffle; the bucket relation is locally
+checkpointed so the per-round jobs never rescan the fact table.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = ["mann_kendall_theil_sen"]
+
+
+def _kth_smallest_double(
+    values: DataFrame,
+    col: str,
+    k: int,
+    bins: int = 1024,
+    max_rounds: int = 64,
+) -> float | None:
+    """Exact k-th smallest (1-indexed) of a double column — iterative
+    histogram bisection, no sort, no single-partition exchange. Each
+    round filters to the open [lo, hi] value range, histograms it into
+    ``bins`` equal-width bins, and descends into the bin holding rank
+    k, narrowing to the bin's ACTUAL min/max (so clustered domains
+    collapse immediately). Correctness needs no cross-engine float
+    reasoning: this runs entirely inside Spark and returns the exact
+    double the rank-k element holds."""
+    seed = values.agg(
+        F.count(col).alias("_n"), F.min(col).alias("_lo"), F.max(col).alias("_hi")
+    ).collect()[0]
+    if seed["_n"] == 0 or k < 1 or k > seed["_n"]:
+        return None
+    lo, hi = seed["_lo"], seed["_hi"]
+    k_rem = k
+    v = F.col(col)
+    for _ in range(max_rounds):
+        if lo >= hi:
+            return lo
+        width = hi - lo
+        bin_col = F.least(
+            F.lit(bins - 1),
+            F.greatest(F.lit(0), F.floor((v - lo) / width * bins).cast("int")),
+        )
+        rows = (
+            values.filter(v.between(lo, hi))
+            .groupBy(bin_col.alias("_b"))
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.min(v).alias("_bmin"),
+                F.max(v).alias("_bmax"),
+            )
+            .collect()
+        )
+        hist = {r["_b"]: (r["_c"], r["_bmin"], r["_bmax"]) for r in rows}
+        acc = 0
+        for b in range(bins):
+            c, bmin, bmax = hist.get(b, (0, None, None))
+            if acc + c >= k_rem:
+                k_rem -= acc
+                lo, hi = bmin, bmax
+                break
+            acc += c
+    if lo >= hi:
+        return lo
+    raise RuntimeError(
+        f"_kth_smallest_double: unconverged after {max_rounds} rounds"
+    )
 
 
 def mann_kendall_theil_sen(
@@ -44,45 +107,37 @@ def mann_kendall_theil_sen(
         var(S) = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18,
 
     the continuity-corrected z, and the Theil-Sen lower-median slope in
-    micro-units per bucket (``sen_slope`` divides by 10^6 once).
+    micro-units per bucket (``sen_slope`` divides by 10^6 once). The
+    median is the exact rank-ceil(m/2) slope, selected by histogram
+    bisection at operator-call time (eager driver loop, the
+    exact_quantiles precedent) — never a global rank window.
     """
     from olake_spark.operators.timeseries import bucketize
 
-    daily = bucketize(df, time_col, [], value_col, step=step).select(
-        F.col("_bucket").alias("_t"), F.col("_v_micros").alias("_y")
+    daily = (
+        bucketize(df, time_col, [], value_col, step=step)
+        .select(F.col("_bucket").alias("_t"), F.col("_v_micros").alias("_y"))
+        .localCheckpoint(eager=False)
     )
     a = daily.select(F.col("_t").alias("_ta"), F.col("_y").alias("_ya"))
     b = daily.select(F.col("_t").alias("_tb"), F.col("_y").alias("_yb"))
+    # try_divide, not /: Catalyst may merge a downstream _slope filter
+    # into the join condition and evaluate it on the ta == tb diagonal
+    # before the ta < tb check — ANSI mode would raise there. For every
+    # genuine pair the divisor is nonzero and try_divide is the same
+    # IEEE division.
     pairs = a.join(b, F.col("_ta") < F.col("_tb")).select(
-        "_ta",
-        "_tb",
         F.signum((F.col("_yb") - F.col("_ya")).cast("double"))
         .cast("long")
         .alias("_sgn"),
-        (
-            (F.col("_yb") - F.col("_ya")).cast("double")
-            / (F.col("_tb") - F.col("_ta")).cast("double")
+        F.try_divide(
+            (F.col("_yb") - F.col("_ya")).cast("double"),
+            (F.col("_tb") - F.col("_ta")).cast("double"),
         ).alias("_slope"),
     )
-    m_w = W.partitionBy()
-    ranked = pairs.select(
-        "_sgn",
-        "_slope",
-        F.row_number().over(
-            W.orderBy(F.col("_slope"), F.col("_ta"), F.col("_tb"))
-        ).alias("_r"),
-        F.count(F.lit(1)).over(m_w).alias("_m"),
-    )
-    median_slope = F.max(
-        F.when(
-            F.col("_r") == F.ceil(F.col("_m") / 2), F.col("_slope")
-        )
-    )
-    stats = ranked.agg(
-        F.sum("_sgn").alias("_s"),
-        F.count(F.lit(1)).alias("_m"),
-        median_slope.alias("_sen"),
-    )
+    m = pairs.count()
+    sen = _kth_smallest_double(pairs, "_slope", (m + 1) // 2) if m else None
+    stats = pairs.agg(F.sum("_sgn").alias("_s"))
     # tie table over the bucketed series values
     ties = daily.groupBy("_y").agg(F.count(F.lit(1)).alias("_t"))
     t = F.col("_t").cast("decimal(38,0)")
@@ -102,11 +157,12 @@ def mann_kendall_theil_sen(
         .when(F.col("_s") < 0, (s + 1.0) / F.sqrt(var_s))
         .otherwise(F.lit(0.0))
     )
+    sen_col = F.lit(sen).cast("double")
     return j.select(
         n.cast("long").alias("n_buckets"),
         F.col("_s").cast("long").alias("s_stat"),
         F.round(var_s, 6).alias("var_s"),
         F.when(var_s > 0, F.round(z, 6)).alias("z"),
-        F.round(F.col("_sen"), 4).alias("sen_slope_micro"),
-        F.round(F.col("_sen") / 1_000_000.0, 6).alias("sen_slope"),
+        F.round(sen_col, 4).alias("sen_slope_micro"),
+        F.round(sen_col / 1_000_000.0, 6).alias("sen_slope"),
     )

@@ -4194,6 +4194,54 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_BYGROUP_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag,
+         round(l_quantity * 1000000)::HUGEINT AS x0,
+         round(l_extendedprice * 1000000)::HUGEINT AS x1,
+         round(l_discount * 1000000)::HUGEINT AS x2
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag, count(*)::HUGEINT AS n,
+         sum(x0) s0, sum(x1) s1, sum(x2) s2,
+         sum(x0*x0) q0, sum(x1*x1) q1, sum(x2*x2) q2,
+         sum(x0*x1) p01, sum(x0*x2) p02, sum(x1*x2) p12
+  FROM v GROUP BY 1
+)
+SELECT l_returnflag, col_a, col_b, n::BIGINT AS n,
+       CASE WHEN ra > 0 AND rb > 0
+            THEN round(num::DOUBLE / (sqrt(ra::DOUBLE) * sqrt(rb::DOUBLE)), 6)
+       END AS corr
+FROM m, LATERAL (VALUES
+  ('l_quantity', 'l_extendedprice', n*p01 - s0*s1, n*q0 - s0*s0, n*q1 - s1*s1),
+  ('l_quantity', 'l_discount',      n*p02 - s0*s2, n*q0 - s0*s0, n*q2 - s2*s2),
+  ('l_extendedprice', 'l_discount', n*p12 - s1*s2, n*q1 - s1*s1, n*q2 - s2*s2)
+) t(col_a, col_b, num, ra, rb)
+"""
+
+
+@register("lineitem_corr_by_returnflag", _CORR_BYGROUP_ORACLE)
+def lineitem_corr_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED correlation matrices — one Pearson matrix PER RETURN
+    FLAG from the same single exact-moment pass as the global matrix
+    (operators/correlation.corr_matrix with by=['l_returnflag']): the
+    k(k+3)/2 DECIMAL(38,0) moments simply groupBy the key, staying
+    map-side combinable and one-scan. This is the fleet shape real
+    100 TB profiling runs — per-nation / per-SKU / per-cohort
+    correlation — where a per-group loop of global aggregations
+    would be |groups| scans."""
+    from olake_spark.operators.correlation import corr_matrix
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"],
+        by=["l_returnflag"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Calendar analytics: exact integer day-of-week revenue profile
 # ---------------------------------------------------------------------------
@@ -7467,6 +7515,7 @@ _GATE_TAIL = [
     "events_holt_backtest",
     "tpch_q01_pricing_summary",
     "tpch_q03_unshipped_revenue",
+    "tpch_q05_regional_revenue",
 ]
 
 

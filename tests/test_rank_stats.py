@@ -199,3 +199,50 @@ def test_mann_kendall_outlier_robust_slope(spark):
     out = mann_kendall_theil_sen(df, "ts", "v").first()
     assert out.sen_slope == pytest.approx(2.0, abs=0.01)
     assert out.n_buckets == 15
+
+
+def test_kth_smallest_double_matches_sorted(spark):
+    """The bisection selector must return EXACTLY sorted(vals)[k-1] —
+    including ties, negatives, denormal-close values, and k at both
+    ends — since the Theil-Sen contract is the exact rank-⌈m/2⌉ slope."""
+    import random
+
+    from olake_spark.operators.robust_trend import _kth_smallest_double
+
+    rng = random.Random(9)
+    cases = [
+        [0.0] * 7,
+        [-3.5, -3.5, 2.0, 2.0, 2.0, 9.25],
+        [rng.uniform(-1e6, 1e6) for _ in range(101)],
+        [rng.choice([1.0, 1.0 + 2**-40, 1.0 + 2**-39]) for _ in range(25)],
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        s = sorted(vals)
+        for k in (1, (len(vals) + 1) // 2, len(vals)):
+            got = _kth_smallest_double(df, "x", k)
+            assert got == s[k - 1], (vals, k, got)
+    # out-of-range ranks and empty input -> None
+    df = spark.createDataFrame([(1.0,)], "x double")
+    assert _kth_smallest_double(df, "x", 0) is None
+    assert _kth_smallest_double(df, "x", 2) is None
+
+
+def test_mann_kendall_plan_has_no_global_rank_window(spark):
+    """The r9 rework: the Sen median is selected by histogram bisection,
+    so the RETURNED plan must contain no Window at all (the old global
+    row_number over the pair relation was a single-partition exchange
+    that dies at 100k buckets)."""
+    import datetime as dt
+
+    from olake_spark.operators.robust_trend import mann_kendall_theil_sen
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(t0 + dt.timedelta(days=i), float(i)) for i in range(10)],
+        "ts timestamp, v double",
+    )
+    out = mann_kendall_theil_sen(df, "ts", "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert out.first().sen_slope == pytest.approx(1.0, abs=1e-6)
