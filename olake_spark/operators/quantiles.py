@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantiles", "winsorized_stats", "weighted_median"]
+__all__ = ["exact_quantiles", "median_mad", "winsorized_stats", "weighted_median"]
 
 MICROS = 1_000_000
 
@@ -82,7 +82,40 @@ def exact_quantiles(
         f"{f.name} {f.dataType.simpleString()}"
         for f in seed.select(*keys).schema.fields
     )
+    _run_bisection(spark, base, keys, states, state_schema, bins, max_rounds)
+    out = [
+        [*s[: len(keys)], s[len(keys)], round(s[-2] / MICROS, 4), int(s[-2])]
+        for s in states
+    ]
+    return spark.createDataFrame(
+        out, f"{state_schema}, p double, q double, q_micros long"
+    )
+
+
+def _run_bisection(
+    spark: SparkSession,
+    base: DataFrame,
+    keys: list[str],
+    states: list[list],
+    state_schema: str,
+    bins: int,
+    max_rounds: int,
+) -> None:
+    """Shared bisection core: narrows every state ``[keys..., p, k, lo,
+    hi]`` IN PLACE until lo == hi (the exact rank-k micro value).
+    ``base`` must expose the group keys plus a ``_vm`` BIGINT column;
+    each round is one filter + histogram aggregation job over it —
+    never a sort, never a single-partition exchange. Raises if any
+    search is still open after ``max_rounds``.
+
+    Bin schedule: the caller's ``bins`` applies to round 0 (where the
+    full domain means most bins are populated and the histogram's
+    partial-agg exchange scales with them); later rounds widen to
+    ≥65536 bins for free — the populated-bin count is bounded by the
+    distinct values inside the already-narrowed span — which closes
+    quantized domains (prices, micro-units) a round earlier."""
     for rnd in range(max_rounds):
+        rbins = bins if rnd == 0 else max(bins, 65536)
         open_states = [s for s in states if s[-2] < s[-1]]
         if not open_states:
             break
@@ -150,7 +183,7 @@ def exact_quantiles(
                 # integer div, NOT /: double division could misplace a
                 # boundary value into the neighboring bin, breaking the
                 # driver's exact inverse bin-bound arithmetic
-                F.expr(f"((_vm - _lo) * {bins}) div (_hi - _lo + 1)").alias("_bin"),
+                F.expr(f"((_vm - _lo) * {rbins}) div (_hi - _lo + 1)").alias("_bin"),
             )
             .groupBy(*keys, "p", "_bin")
             .agg(
@@ -169,7 +202,7 @@ def exact_quantiles(
             if lo >= hi:
                 continue
             acc = 0
-            for b in range(bins):
+            for b in range(rbins):
                 c, bmin, bmax = hist.get(sk, {}).get(b, (0, None, None))
                 if acc + c >= k_rank:
                     # narrow to the values ACTUALLY present in the bin —
@@ -186,13 +219,148 @@ def exact_quantiles(
             f"exact_quantiles: {len(bad)} searches unconverged after "
             f"{max_rounds} rounds — raise max_rounds or bins"
         )
-    out = [
-        [*s[: len(keys)], s[len(keys)], round(s[-2] / MICROS, 4), int(s[-2])]
-        for s in states
-    ]
-    return spark.createDataFrame(
-        out, f"{state_schema}, p double, q double, q_micros long"
+
+
+def median_mad(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    bins: int = 8192,
+    max_rounds: int = 12,
+    report_k: float | None = None,
+) -> DataFrame:
+    """Per-group exact (median, MAD) in one fused search — the robust-
+    outlier primitive (median/MAD shrug off the outliers being hunted,
+    unlike mean/stddev). Returns (keys..., n, med_micros, mad_micros),
+    plus ``n_outliers`` (count of |v − med| > report_k·MAD, the
+    comparison on exact integers) when ``report_k`` is given.
+
+    Fusion is the point versus two :func:`exact_quantiles` calls:
+
+    - the narrow (keys, _vm) projection is CACHED once, so every
+      bisection round of BOTH searches — and the optional outlier
+      report — reads the in-memory columnar cache; the fact table is
+      scanned exactly once, at cache build;
+    - the seed and the median's first narrowing fuse into ONE job: an
+      exact string-digit magnitude histogram (monotone, bound-free)
+      yields n/lo/hi AND a first bin descent simultaneously;
+    - the MAD search needs NO seed aggregation either — its bounds
+      derive from the median seed's per-group (lo, hi, med): deviations
+      live in [0, max(hi − med, med − lo)] and its rank is the same
+      ceil(n/2);
+    - the deviation column |v − med| is computed on the fly from the
+      cached base (the per-group median enters as a broadcast map), so
+      no second cached materialization exists either.
+
+    Same exactness contract as exact_quantiles: micro-unit BIGINTs,
+    rank = ceil(0.5·n), bit-equal to a rank-based oracle. Same
+    few-groups driver-state contract; the result materializes
+    driver-side (createDataFrame), releasing the cache before return.
+    """
+    spark: SparkSession = df.sparkSession
+    v = F.round(F.col(value_col) * MICROS).cast("long")
+    base = (
+        df.select(*keys, v.alias("_vm"))
+        .filter(F.col("_vm").isNotNull())
+        .cache()
     )
+    state_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.select(*keys).schema.fields
+    )
+    try:
+        # fused seed + median round 0: ONE aggregation, binned by the
+        # EXACT string-digit magnitude of the value (sign, digit count,
+        # top-2 digits — all integer/string ops, no float log). The key
+        # partitions the value axis into ordered disjoint intervals
+        # without needing bounds, so this single job yields n/lo/hi per
+        # group AND a first ~1%-wide narrowing; the range bisection then
+        # continues from there (wide bins — the span is already small).
+        a = F.abs(F.col("_vm"))
+        astr = a.cast("string")
+        seed = base.groupBy(
+            *keys,
+            F.when(F.col("_vm") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("_sg"),
+            F.length(astr).alias("_d"),
+            F.substring(astr, 1, 2).cast("int").alias("_f2"),
+        ).agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min("_vm").alias("_bmin"),
+            F.max("_vm").alias("_bmax"),
+        )
+        by_key: dict[tuple, list] = {}
+        for r in seed.collect():
+            by_key.setdefault(tuple(r[k] for k in keys), []).append(
+                (r["_bmin"], r["_bmax"], r["_c"])
+            )
+        n_by_key: dict[tuple, int] = {}
+        lo_by_key: dict[tuple, int] = {}
+        hi_by_key: dict[tuple, int] = {}
+        med_states = []
+        for kv, blist in by_key.items():
+            blist.sort()  # value-disjoint intervals: bmin order IS value order
+            n = sum(c for _, _, c in blist)
+            n_by_key[kv] = n
+            lo_by_key[kv] = blist[0][0]
+            hi_by_key[kv] = blist[-1][1]
+            k_rank = max(1, math.ceil(0.5 * n))
+            acc = 0
+            for bmin, bmax, c in blist:
+                if acc + c >= k_rank:
+                    med_states.append([*kv, 0.5, k_rank - acc, bmin, bmax])
+                    break
+                acc += c
+        _run_bisection(
+            spark, base, keys, med_states, state_schema,
+            max(bins, 65536), max_rounds,
+        )
+        med_by_key = {tuple(s[: len(keys)]): s[-2] for s in med_states}
+        med_df = spark.createDataFrame(
+            [[*k, m] for k, m in med_by_key.items()],
+            f"{state_schema}, _medm long",
+        )
+        dev = base.join(F.broadcast(med_df), keys).select(
+            *keys, F.abs(F.col("_vm") - F.col("_medm")).alias("_vm")
+        )
+        mad_states = []
+        for kv, med in med_by_key.items():
+            k_rank = max(1, math.ceil(0.5 * n_by_key[kv]))
+            hi = max(hi_by_key[kv] - med, med - lo_by_key[kv])
+            mad_states.append([*kv, 0.5, int(k_rank), 0, hi])
+        _run_bisection(
+            spark, dev, keys, mad_states, state_schema, bins, max_rounds
+        )
+        mad_by_key = {tuple(s[: len(keys)]): s[-2] for s in mad_states}
+        out_by_key = {
+            k: [*k, n_by_key[k], int(med_by_key[k]), int(mad_by_key[k])]
+            for k in med_by_key
+        }
+        schema = f"{state_schema}, n long, med_micros long, mad_micros long"
+        if report_k is not None:
+            mm_df = spark.createDataFrame(
+                [[*k, med_by_key[k], mad_by_key[k]] for k in med_by_key],
+                f"{state_schema}, _medm long, _madm long",
+            )
+            rep = (
+                base.join(F.broadcast(mm_df), keys)
+                .groupBy(*keys)
+                .agg(
+                    F.sum(
+                        F.when(
+                            F.abs(F.col("_vm") - F.col("_medm"))
+                            > report_k * F.col("_madm"),
+                            1,
+                        ).otherwise(0)
+                    ).alias("_out")
+                )
+            )
+            for r in rep.collect():
+                key_vals = tuple(r[k] for k in keys)
+                out_by_key[key_vals].append(int(r["_out"]))
+            schema += ", n_outliers long"
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(list(out_by_key.values()), schema)
 
 
 def winsorized_stats(

@@ -2808,44 +2808,28 @@ GROUP BY d.g
 def lineitem_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median / MAD robust outlier report per return flag: unlike the
     mean±3σ audit (audit_numeric_outliers), the median and MAD are not
-    dragged by the outliers being hunted. Both medians come from
-    operators/quantiles.exact_quantiles — iterative histogram bisection
-    on exact micro-unit BIGINTs, log_B(domain) map-side-combinable
-    passes, no global or per-group sort buffer — and the deviation flag
+    dragged by the outliers being hunted. Both order statistics come
+    from ONE fused operators/quantiles.median_mad search — the narrow
+    (flag, price) projection caches once and every bisection round of
+    both searches reads that in-memory cache; the MAD search seeds its
+    bounds from the median seed (deviations ∈ [0, max(hi−med, med−lo)])
+    so no second seed aggregation or cached deviation frame exists, and
+    the 3·MAD outlier count runs against the live cache too (report_k=3)
+    — the fact table is scanned exactly once. The deviation flag
     compares exact integers, so the oracle's rank-based median
     reproduces every count bit-for-bit."""
-    from olake_spark.operators.quantiles import exact_quantiles
+    from olake_spark.operators.quantiles import median_mad
 
     li = table(spark, sf_dir, "lineitem")
-    vm = F.round(F.col("l_extendedprice") * 1_000_000).cast("long")
-    v = li.select(F.col("l_returnflag"), vm.alias("_vm"))
-    med = exact_quantiles(
-        li, ["l_returnflag"], "l_extendedprice", [0.5], bins=8192
-    ).select("l_returnflag", F.col("q_micros").alias("_medm"))
-    d = v.join(F.broadcast(med), "l_returnflag").withColumn(
-        "_am", F.abs(F.col("_vm") - F.col("_medm"))
+    mm = median_mad(
+        li, ["l_returnflag"], "l_extendedprice", bins=512, report_k=3
     )
-    # the MAD bisection re-scans its input once per round; cache the
-    # narrow deviation frame for those rounds only (the quantile result
-    # materializes driver-side, so the cache is released right after)
-    dev = d.withColumn("_adev", F.col("_am") / 1_000_000.0).cache()
-    try:
-        mad = exact_quantiles(
-            dev, ["l_returnflag"], "_adev", [0.5], bins=8192
-        ).select("l_returnflag", F.col("q_micros").alias("_madm"))
-    finally:
-        dev.unpersist()
-    return (
-        d.join(F.broadcast(mad), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.first("_medm") / 1_000_000.0, 4).alias("med"),
-            F.round(F.first("_madm") / 1_000_000.0, 4).alias("mad"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(F.col("_am") > 3 * F.col("_madm"), 1).otherwise(0)
-            ).alias("n_outliers"),
-        )
+    return mm.select(
+        "l_returnflag",
+        F.round(F.col("med_micros") / 1_000_000.0, 4).alias("med"),
+        F.round(F.col("mad_micros") / 1_000_000.0, 4).alias("mad"),
+        "n",
+        "n_outliers",
     )
 
 
