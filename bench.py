@@ -319,14 +319,17 @@ def _iso_child(name: str, sf_dir: str) -> None:
     tmp = tempfile.mkdtemp(prefix="olake_bench_iso_")
     try:
         fn = make_workload(name, spark, sf_dir, tmp)
-        best = None
+        runs: list[float] = []
         for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             rows = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        print("ISO_RESULT", json.dumps({"sec": best, "rows": rows}))
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        print(
+            "ISO_RESULT",
+            json.dumps({"sec": runs[0], "runs": runs, "rows": rows}),
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -347,7 +350,8 @@ def run_isolated(names: list[str]) -> None:
         sys.exit(2)
 
     timings: dict[str, float] = {}
-    rps: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    rps: dict[str, dict[str, float]] = {}
     failed: list[str] = []
     for name in names:
         code = (
@@ -364,8 +368,17 @@ def run_isolated(names: list[str]) -> None:
             continue
         res = json.loads(iso_lines[-1].split(" ", 1)[1])
         timings[name] = round(res["sec"], 3)
+        # best-of-3 spread [min, median, max]: a future regression shows
+        # as a min shift; a wide max-min gap flags machine noise instead
+        # of re-litigating a single drifted number
+        spread[name] = [round(s, 3) for s in res.get("runs", [res["sec"]])]
         if name in HEADLINES and res.get("rows"):
-            rps[name] = round(res["rows"] / res["sec"])
+            runs = sorted(res.get("runs", [res["sec"]]), reverse=True)
+            rps[name] = {
+                "best": round(res["rows"] / min(runs)),
+                "median": round(res["rows"] / runs[len(runs) // 2]),
+                "worst": round(res["rows"] / max(runs)),
+            }
     print(
         json.dumps(
             {
@@ -374,6 +387,7 @@ def run_isolated(names: list[str]) -> None:
                 "unit": "sec",
                 "mode": "isolated",
                 "queries": timings,
+                "spread": spread,
                 "rows_per_sec": rps,
                 "failed": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
