@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["ks_two_sample", "mann_whitney_u"]
+__all__ = ["ks_two_sample", "mann_whitney_u", "proportion_wilson_ci"]
 
 _D38 = "decimal(38,0)"
 
@@ -167,4 +167,53 @@ def mann_whitney_u(
             6,
         ).alias("auc"),
         F.round(z, 6).alias("z"),
+    )
+
+
+def proportion_wilson_ci(
+    df: DataFrame,
+    keys: list[str],
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group Wilson score interval for a proportion — the interval
+    every experiment/conversion dashboard should use instead of the
+    Wald ±z·√(p(1−p)/n) (which collapses to zero width at p ∈ {0, 1}
+    and goes negative near the edges; Wilson stays inside [0, 1] and
+    behaves at small n):
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    ``success_col`` is a boolean Column name (NULL rows are excluded —
+    they are neither success nor failure). k and n are exact integers
+    from one map-side-combinable aggregation; everything after is one
+    fixed IEEE sequence per group (identical in any engine —
+    hash-stable at round 6).
+
+    Returns (keys..., n, k, p_hat, ci_lo, ci_hi).
+    """
+    s = F.col(success_col)
+    agg = (
+        df.filter(s.isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(s.cast("long")).alias("k"),
+        )
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    p = k / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = z * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    return agg.select(
+        *keys,
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
     )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["corr_matrix", "spearman_matrix"]
+__all__ = ["corr_matrix", "ols2", "spearman_matrix"]
 
 _D38 = "decimal(38,0)"
 
@@ -137,3 +137,81 @@ def spearman_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         base = base.join(F.broadcast(rank_map), on=c, how="inner")
     x = {c: F.col(f"_r2_{c}").cast(_D38) for c in cols}
     return _pairwise_pearson(base, x, "rho")
+
+
+def ols2(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Two-regressor least squares y ~ b1·x1 + b2·x2 + c from ONE
+    exact-moment aggregation — the normal-equations closed form, the
+    multivariate sibling of timeseries.trend_slope and the regression
+    face of :func:`corr_matrix`'s moment discipline:
+
+        S11 = n·Σx1² − (Σx1)²     S12 = n·Σx1x2 − Σx1·Σx2   (…S22, Syy)
+        S1y = n·Σx1y − Σx1·Σy     S2y = n·Σx2y − Σx2·Σy
+        det = S11·S22 − S12²
+        b1 = (S22·S1y − S12·S2y)/det    b2 = (S11·S2y − S12·S1y)/det
+        c  = (Σy − b1·Σx1 − b2·Σx2)/n   R² = (b1·S1y + b2·S2y)/Syy
+
+    The nine raw moments accumulate as exact micro-unit DECIMAL(38,0)
+    integers in one map-side-combinable pass (k passes or a gram-matrix
+    shuffle would not survive 100 TB); each centered S is computed
+    exactly in 38 digits, cast to double ONCE, and the 2×2 solve is a
+    fixed IEEE sequence — identical in any engine, hash-stable at
+    round 6. Headroom: n·max|x·y| in micro² < 10^38 (~10^5-unit values
+    to ~10^12 rows; pre-scale above). With ``by``, one fit per group
+    from the same single pass.
+
+    Degenerate guards: det = 0 (collinear or constant regressors) →
+    NULL coefficients; Syy = 0 (constant y) → NULL R².
+
+    Returns (by..., n, b1, b2, intercept, r2).
+    """
+    by = list(by or [])
+    mx = {
+        c: F.round(F.col(c) * 1_000_000).cast("long").cast(_D38)
+        for c in (y_col, x1_col, x2_col)
+    }
+    y, x1, x2 = mx[y_col], mx[x1_col], mx[x2_col]
+    agg_df = df.groupBy(*by) if by else df
+    m = (agg_df.agg if by else df.agg)(
+        F.count(F.lit(1)).cast(_D38).alias("_n"),
+        F.sum(x1).alias("_sx1"),
+        F.sum(x2).alias("_sx2"),
+        F.sum(y).alias("_sy"),
+        F.sum(x1 * x1).alias("_sx1x1"),
+        F.sum(x2 * x2).alias("_sx2x2"),
+        F.sum(x1 * x2).alias("_sx1x2"),
+        F.sum(x1 * y).alias("_sx1y"),
+        F.sum(x2 * y).alias("_sx2y"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("_n")
+    s11 = (n * F.col("_sx1x1") - F.col("_sx1") * F.col("_sx1")).cast("double")
+    s22 = (n * F.col("_sx2x2") - F.col("_sx2") * F.col("_sx2")).cast("double")
+    s12 = (n * F.col("_sx1x2") - F.col("_sx1") * F.col("_sx2")).cast("double")
+    s1y = (n * F.col("_sx1y") - F.col("_sx1") * F.col("_sy")).cast("double")
+    s2y = (n * F.col("_sx2y") - F.col("_sx2") * F.col("_sy")).cast("double")
+    syy = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    det = s11 * s22 - s12 * s12
+    b1 = (s22 * s1y - s12 * s2y) / det
+    b2 = (s11 * s2y - s12 * s1y) / det
+    icept = (
+        F.col("_sy").cast("double")
+        - b1 * F.col("_sx1").cast("double")
+        - b2 * F.col("_sx2").cast("double")
+    ) / n.cast("double") / 1_000_000.0
+    r2 = (b1 * s1y + b2 * s2y) / syy
+    ok = det != 0.0
+    return m.select(
+        *by,
+        n.cast("long").alias("n"),
+        F.when(ok, F.round(b1, 6)).alias("b1"),
+        F.when(ok, F.round(b2, 6)).alias("b2"),
+        F.when(ok, F.round(icept, 6)).alias("intercept"),
+        F.when(ok & (syy > 0.0), F.round(r2, 6)).alias("r2"),
+    )

@@ -110,6 +110,7 @@ def acf(
     value_col: str,
     step: str = "1 day",
     max_lag: int = 7,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Autocorrelation function of a bucketed total-value series at lags
     1..max_lag — the seasonality probe that tells a forecaster WHICH lag
@@ -135,41 +136,51 @@ def acf(
     bucket relation with itself on bucket+k — never a row-level
     operation. Headroom: n·max|x_micros| < 10^19 per deviation and
     n·dev² < 10^38 overall — exact to ~10^5 buckets of ~10^13-micro
-    totals."""
+    totals.
+
+    With ``by``, one ACF PER GROUP from the same plan (the fleet shape:
+    per-metric / per-tenant seasonality sweeps): the windows partition
+    on the keys (never a single-partition exchange), the lag self-join
+    adds the keys to its equi-condition, and the centering constants
+    (n, S, den) are each group's own."""
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
     from olake_spark.operators.timeseries import bucketize
 
-    daily = bucketize(df, time_col, [], value_col, step=step).select(
-        F.col("_bucket").alias("_t"), F.col("_v_micros").cast(_D38).alias("_x")
+    by = list(by or [])
+    daily = bucketize(df, time_col, by, value_col, step=step).select(
+        *by,
+        F.col("_bucket").alias("_t"),
+        F.col("_v_micros").cast(_D38).alias("_x"),
     )
-    w = W.partitionBy().orderBy("_t").rowsBetween(
+    w = W.partitionBy(*by).rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
     centered = daily.select(
+        *by,
         "_t",
         (F.count(F.lit(1)).over(w).cast(_D38) * F.col("_x")
          - F.sum("_x").over(w)).alias("_dev"),
     )
     den = centered.select(
-        F.sum(F.col("_dev") * F.col("_dev")).over(
-            W.partitionBy().rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        ).alias("_den"),
+        F.sum(F.col("_dev") * F.col("_dev")).over(w).alias("_den"),
+        *by,
         "_t",
         "_dev",
     )
     lags = F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)]))
-    left = den.select("_t", "_dev", "_den", lags.alias("lag"))
+    left = den.select(*by, "_t", "_dev", "_den", lags.alias("lag"))
     right = centered.select(
-        F.col("_t").alias("_t2"), F.col("_dev").alias("_dev2")
+        *[F.col(k).alias(f"_k2_{k}") for k in by],
+        F.col("_t").alias("_t2"),
+        F.col("_dev").alias("_dev2"),
     )
-    paired = left.join(
-        right, left["_t"] + left["lag"] == right["_t2"], "inner"
-    )
+    cond = left["_t"] + left["lag"] == right["_t2"]
+    for k in by:
+        cond = cond & (left[k] == right[f"_k2_{k}"])
+    paired = left.join(right, cond, "inner")
     return (
-        paired.groupBy("lag")
+        paired.groupBy(*by, "lag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
             # a constant series has zero variance -> NULL, never NaN

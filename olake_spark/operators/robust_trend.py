@@ -32,9 +32,10 @@ checkpointed so the per-round jobs never rescan the fact table.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["mann_kendall_theil_sen"]
+__all__ = ["mann_kendall_by_key", "mann_kendall_theil_sen"]
 
 
 def _kth_smallest_double(
@@ -165,4 +166,102 @@ def mann_kendall_theil_sen(
         F.when(var_s > 0, F.round(z, 6)).alias("z"),
         F.round(sen_col, 4).alias("sen_slope_micro"),
         F.round(sen_col / 1_000_000.0, 6).alias("sen_slope"),
+    )
+
+
+def mann_kendall_by_key(
+    df: DataFrame,
+    time_col: str,
+    keys: list[str],
+    value_col: str,
+    step: str = "1 day",
+) -> DataFrame:
+    """Per-key Mann-Kendall + Theil-Sen FLEET — one trend test per key
+    (per-SKU, per-tenant, per-metric) from a single plan; the
+    many-small-groups complement to :func:`mann_kendall_theil_sen`'s
+    one-huge-series bisection.
+
+    Same exact arithmetic per key (integer S, tie-corrected variance,
+    rank-⌈m/2⌉ lower-median slope with (slope, ta, tb) tie-break), but
+    the regime differs: each key's pair relation is C(n_key, 2) over its
+    OWN buckets, so the rank window partitions on the keys — per-key
+    work is bounded by that key's series length and the whole fleet
+    shuffles on the key hash, no single-partition exchange, no driver
+    loop. Use the global operator when one series has ≫10³ buckets; use
+    this when there are many keys of modest length.
+
+    Returns (keys..., n_buckets, s_stat, var_s, z, sen_slope_micro,
+    sen_slope).
+    """
+    from olake_spark.operators.timeseries import bucketize
+
+    daily = bucketize(df, time_col, keys, value_col, step=step).select(
+        *keys, F.col("_bucket").alias("_t"), F.col("_v_micros").alias("_y")
+    )
+    a = daily.select(
+        *keys, F.col("_t").alias("_ta"), F.col("_y").alias("_ya")
+    )
+    b = daily.select(
+        *[F.col(k).alias(f"_k2_{k}") for k in keys],
+        F.col("_t").alias("_tb"),
+        F.col("_y").alias("_yb"),
+    )
+    cond = F.col("_ta") < F.col("_tb")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_k2_{k}"))
+    pairs = a.join(b, cond).select(
+        *keys,
+        "_ta",
+        "_tb",
+        F.signum((F.col("_yb") - F.col("_ya")).cast("double"))
+        .cast("long")
+        .alias("_sgn"),
+        F.try_divide(
+            (F.col("_yb") - F.col("_ya")).cast("double"),
+            (F.col("_tb") - F.col("_ta")).cast("double"),
+        ).alias("_slope"),
+    )
+    wrank = W.partitionBy(*keys).orderBy("_slope", "_ta", "_tb")
+    wall = W.partitionBy(*keys)
+    ranked = pairs.select(
+        *keys,
+        "_sgn",
+        "_slope",
+        F.row_number().over(wrank).alias("_rn"),
+        F.count(F.lit(1)).over(wall).alias("_m"),
+    )
+    stats = ranked.groupBy(*keys).agg(
+        F.sum("_sgn").alias("_s"),
+        F.max(
+            F.when(
+                F.col("_rn") == F.ceil(F.col("_m") / 2), F.col("_slope")
+            )
+        ).alias("_sen"),
+    )
+    ties = daily.groupBy(*keys, "_y").agg(F.count(F.lit(1)).alias("_t"))
+    t = F.col("_t").cast("decimal(38,0)")
+    tie_sum = ties.groupBy(*keys).agg(
+        F.sum(t * (t - 1) * (F.lit(2) * t + 5)).alias("_tie_term"),
+        F.sum(t).cast("decimal(38,0)").alias("_n"),
+    )
+    j = tie_sum.join(stats, keys, "left")
+    n = F.col("_n")
+    var_s = (
+        (n * (n - 1) * (F.lit(2) * n + 5) - F.col("_tie_term")).cast("double")
+        / 18.0
+    )
+    s = F.coalesce(F.col("_s"), F.lit(0)).cast("double")
+    z = (
+        F.when(F.col("_s") > 0, (s - 1.0) / F.sqrt(var_s))
+        .when(F.col("_s") < 0, (s + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        *keys,
+        n.cast("long").alias("n_buckets"),
+        F.coalesce(F.col("_s"), F.lit(0)).cast("long").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.when(var_s > 0, F.round(z, 6)).alias("z"),
+        F.round(F.col("_sen"), 4).alias("sen_slope_micro"),
+        F.round(F.col("_sen") / 1_000_000.0, 6).alias("sen_slope"),
     )

@@ -4226,6 +4226,231 @@ def lineitem_corr_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACF_BYTYPE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, floor(epoch_us(ts) / 86400000000)::BIGINT AS t,
+         sum(round(value * 1000000)::BIGINT)::HUGEINT AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, count(*)::HUGEINT AS n, sum(x) AS s
+  FROM daily GROUP BY 1
+),
+c AS (
+  SELECT d.event_type, d.t, st.n * d.x - st.s AS dev
+  FROM daily d JOIN stats st USING (event_type)
+),
+den AS (SELECT event_type, sum(dev*dev) AS den FROM c GROUP BY 1)
+SELECT a.event_type, l.lag AS lag, count(*)::BIGINT AS n_pairs,
+       CASE WHEN any_value(dn.den) > 0
+            THEN round(sum(a.dev * b.dev)::DOUBLE
+                       / any_value(dn.den)::DOUBLE, 6)
+       END AS r
+FROM (SELECT unnest([1, 2, 3]) AS lag) l
+JOIN c a ON TRUE
+JOIN c b ON b.event_type = a.event_type AND b.t = a.t + l.lag
+JOIN den dn ON dn.event_type = a.event_type
+GROUP BY 1, 2
+"""
+
+
+@register("events_acf_by_type", _ACF_BYTYPE_ORACLE)
+def events_acf_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED autocorrelation — one ACF per event type from the same
+    plan as the global probe (operators/forecast.acf with by=
+    ['event_type']): per-type daily micro-sums, per-type n-scaled
+    centering over key-partitioned windows (never a single-partition
+    exchange), and the lag self-join keyed on (type, bucket+k). The
+    per-metric seasonality sweep a 100 TB observability stack runs as
+    one job, not |metrics| jobs."""
+    from olake_spark.operators.forecast import acf
+
+    return acf(
+        table(spark, sf_dir, "events"), "ts", "value",
+        step="1 day", max_lag=3, by=["event_type"],
+    )
+
+
+_MK_BYTYPE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, floor(epoch_us(ts) / 86400000000)::BIGINT AS t,
+         sum(round(value * 1000000)::BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, a.t AS ta, b.t AS tb,
+         sign((b.y - a.y)::DOUBLE)::BIGINT AS sgn,
+         (b.y - a.y)::DOUBLE / (b.t - a.t)::DOUBLE AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.t < b.t
+),
+r AS (
+  SELECT event_type, sgn, slope,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope, ta, tb) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM pairs
+),
+st AS (
+  SELECT event_type, sum(sgn) AS s,
+         max(CASE WHEN rn = ceil(m / 2.0) THEN slope END) AS sen
+  FROM r GROUP BY 1
+),
+tt AS (
+  SELECT event_type, sum(t*(t-1)*(2*t+5))::HUGEINT AS tie_term,
+         sum(t)::HUGEINT AS n
+  FROM (SELECT event_type, count(*)::HUGEINT AS t
+        FROM daily GROUP BY event_type, y)
+  GROUP BY 1
+),
+f AS (
+  SELECT tt.event_type, st.s, st.sen, tt.n,
+         (tt.n*(tt.n-1)*(2*tt.n+5) - tt.tie_term)::DOUBLE / 18.0 AS var_s
+  FROM tt LEFT JOIN st ON st.event_type = tt.event_type
+)
+SELECT event_type, n::BIGINT AS n_buckets,
+       coalesce(s, 0)::BIGINT AS s_stat,
+       round(var_s, 6) AS var_s,
+       CASE WHEN var_s > 0 THEN
+         round(CASE WHEN s > 0 THEN (s::DOUBLE - 1.0) / sqrt(var_s)
+                    WHEN s < 0 THEN (s::DOUBLE + 1.0) / sqrt(var_s)
+                    ELSE 0.0 END, 6)
+       END AS z,
+       round(sen, 4) AS sen_slope_micro,
+       round(sen / 1000000.0, 6) AS sen_slope
+FROM f
+"""
+
+
+@register("events_trend_by_type", _MK_BYTYPE_ORACLE)
+def events_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key Mann-Kendall + Theil-Sen FLEET (operators/robust_trend.
+    mann_kendall_by_key): one robust trend test per event type from one
+    plan — the many-small-groups regime, where each key's C(n,2) pair
+    relation is bounded by its own series length, so the rank window
+    partitions on the key (the global operator's bisection covers the
+    one-huge-series regime instead). Same exact integer S / tie
+    variance / rank-⌈m/2⌉ lower-median slope per key."""
+    from olake_spark.operators.robust_trend import mann_kendall_by_key
+
+    return mann_kendall_by_key(
+        table(spark, sf_dir, "events"), "ts", ["event_type"], "value",
+        step="1 day",
+    )
+
+
+_WILSON_ORACLE = """
+WITH s AS (
+  SELECT c.c_nationkey,
+         coalesce(max(o.o_orderdate) >= TIMESTAMP '2000-01-01', FALSE)
+           AS succ
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_nationkey
+),
+a AS (
+  SELECT c_nationkey, count(*)::BIGINT AS n,
+         sum(CASE WHEN succ THEN 1 ELSE 0 END)::BIGINT AS k
+  FROM s GROUP BY 1
+)
+SELECT c_nationkey, n, k,
+  round(k::DOUBLE / n::DOUBLE, 6) AS p_hat,
+  round(((k::DOUBLE / n::DOUBLE) + (1.96*1.96) / (2.0*n::DOUBLE))
+          / (1.0 + (1.96*1.96) / n::DOUBLE)
+        - 1.96 * sqrt((k::DOUBLE / n::DOUBLE) * (1.0 - k::DOUBLE / n::DOUBLE)
+                        / n::DOUBLE
+                      + (1.96*1.96) / (4.0 * n::DOUBLE * n::DOUBLE))
+          / (1.0 + (1.96*1.96) / n::DOUBLE), 6) AS ci_lo,
+  round(((k::DOUBLE / n::DOUBLE) + (1.96*1.96) / (2.0*n::DOUBLE))
+          / (1.0 + (1.96*1.96) / n::DOUBLE)
+        + 1.96 * sqrt((k::DOUBLE / n::DOUBLE) * (1.0 - k::DOUBLE / n::DOUBLE)
+                        / n::DOUBLE
+                      + (1.96*1.96) / (4.0 * n::DOUBLE * n::DOUBLE))
+          / (1.0 + (1.96*1.96) / n::DOUBLE), 6) AS ci_hi
+FROM a
+"""
+
+
+@register("customer_recent_buyer_wilson", _WILSON_ORACLE)
+def customer_recent_buyer_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation share of customers whose latest order falls in the
+    final fixture window, with the WILSON score interval (operators/
+    abtest.proportion_wilson_ci) — the edge-safe confidence interval
+    conversion dashboards need (Wald collapses at p near 0/1). k and n
+    are exact integers from a per-customer max-date rollup + one census
+    aggregation; the interval is one fixed IEEE sequence per nation,
+    hash-stable at round 6. Both shuffles hash on keys; nothing sorts."""
+    from olake_spark.operators.abtest import proportion_wilson_ci
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey")
+    ).agg(F.max("o_orderdate").alias("_last"))
+    j = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_nationkey",
+        F.coalesce(
+            F.col("_last") >= F.lit("2000-01-01").cast("timestamp"),
+            F.lit(False),
+        ).alias("_succ"),
+    )
+    return proportion_wilson_ci(j, ["c_nationkey"], "_succ", z=1.96)
+
+
+_OLS2_ORACLE = """
+WITH v AS (
+  SELECT round(l_extendedprice * 1000000)::HUGEINT AS y,
+         round(l_quantity * 1000000)::HUGEINT AS x1,
+         round(l_discount * 1000000)::HUGEINT AS x2
+  FROM lineitem
+),
+m AS (
+  SELECT count(*)::HUGEINT AS n, sum(x1) AS sx1, sum(x2) AS sx2,
+         sum(y) AS sy, sum(x1*x1) AS sx1x1, sum(x2*x2) AS sx2x2,
+         sum(x1*x2) AS sx1x2, sum(x1*y) AS sx1y, sum(x2*y) AS sx2y,
+         sum(y*y) AS syy_
+  FROM v
+),
+c AS (
+  SELECT n,
+    (n*sx1x1 - sx1*sx1)::DOUBLE AS s11, (n*sx2x2 - sx2*sx2)::DOUBLE AS s22,
+    (n*sx1x2 - sx1*sx2)::DOUBLE AS s12, (n*sx1y - sx1*sy)::DOUBLE AS s1y,
+    (n*sx2y - sx2*sy)::DOUBLE AS s2y, (n*syy_ - sy*sy)::DOUBLE AS syy,
+    sx1::DOUBLE AS dx1, sx2::DOUBLE AS dx2, sy::DOUBLE AS dy
+  FROM m
+),
+sol AS (SELECT *, s11*s22 - s12*s12 AS det FROM c)
+SELECT n::BIGINT AS n,
+  CASE WHEN det != 0.0
+       THEN round((s22*s1y - s12*s2y) / det, 6) END AS b1,
+  CASE WHEN det != 0.0
+       THEN round((s11*s2y - s12*s1y) / det, 6) END AS b2,
+  CASE WHEN det != 0.0
+       THEN round((dy - (s22*s1y - s12*s2y) / det * dx1
+                      - (s11*s2y - s12*s1y) / det * dx2)
+                  / n::DOUBLE / 1000000.0, 6) END AS intercept,
+  CASE WHEN det != 0.0 AND syy > 0.0
+       THEN round(((s22*s1y - s12*s2y) / det * s1y
+                   + (s11*s2y - s12*s1y) / det * s2y) / syy, 6) END AS r2
+FROM sol
+"""
+
+
+@register("lineitem_ols2_price_model", _OLS2_ORACLE)
+def lineitem_ols2_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor least squares price ~ quantity + discount from ONE
+    exact-moment pass (operators/correlation.ols2): nine micro-unit
+    DECIMAL(38,0) moments accumulate map-side-combinably, each centered
+    normal-equation term is computed exactly in 38 digits and cast to
+    double once, and the 2×2 solve + R² is a fixed IEEE sequence — the
+    multivariate regression a 100 TB feature pipeline fits without a
+    gram-matrix shuffle or k passes."""
+    from olake_spark.operators.correlation import ols2
+
+    return ols2(
+        table(spark, sf_dir, "lineitem"),
+        "l_extendedprice", "l_quantity", "l_discount",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Calendar analytics: exact integer day-of-week revenue profile
 # ---------------------------------------------------------------------------
@@ -7500,6 +7725,10 @@ _GATE_TAIL = [
     "tpch_q01_pricing_summary",
     "tpch_q03_unshipped_revenue",
     "tpch_q05_regional_revenue",
+    "tpch_q10_returned_revenue",
+    "tpch_q06_forecast_revenue",
+    "tpch_q07_volume_shipping",
+    "tpch_q13_customer_distribution",
 ]
 
 
