@@ -169,6 +169,11 @@ def ols2(
     Degenerate guards: det = 0 (collinear or constant regressors) →
     NULL coefficients; Syy = 0 (constant y) → NULL R².
 
+    NULL contract (the corr_matrix trade-off): ``n`` counts all rows
+    while the moment sums skip NULLs, so NULLs in any column bias the
+    fit — filter or impute upstream (listwise deletion is one
+    ``dropna`` before calling).
+
     Returns (by..., n, b1, b2, intercept, r2).
     """
     by = list(by or [])

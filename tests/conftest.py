@@ -29,3 +29,24 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+@pytest.hookimpl(trylast=True)
+def pytest_collection_modifyitems(session, config, items):
+    """Overlap the registry-tail gate with the rest of the suite: its 10
+    shard subprocesses are latency-bound child JVMs, so launching them at
+    collection time removes the ~2-minute fan-out from the serial
+    critical path — the test itself only joins and asserts. trylast so
+    -k/-m deselection has already pruned items (a deselected tail test
+    must not spawn orphan shards)."""
+    if any(
+        item.nodeid.endswith("test_registry_tail_passes_driver_mirror_gate")
+        for item in items
+    ):
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.dirname(__file__))
+        import test_registry_tail as _trt
+
+        _trt.launch_shards()
+

@@ -51,14 +51,31 @@ def _balanced_shards(tail: list[str]) -> list[list[str]]:
     return shards
 
 
-def test_registry_tail_passes_driver_mirror_gate():
+# populated by launch_shards() when conftest fires it at collection time
+# (overlapping the whole shard fan-out with the rest of the suite); the
+# test falls back to a synchronous launch when run standalone
+_LAUNCHED: dict | None = None
+
+
+def _tail_names() -> list[str]:
     sys.path.insert(0, REPO)
     import __spark_entry__ as entry
     from olake_spark.queries import DRIVER_WINDOW_SIZE
 
     names = list(entry.queries())
-    tail = names[DRIVER_WINDOW_SIZE:]
-    assert tail, "registry fits the driver window; nothing to certify"
+    return names[DRIVER_WINDOW_SIZE:]
+
+
+def launch_shards() -> dict:
+    """Spawn the shard subprocesses and return {procs, tail}. Called from
+    conftest at COLLECTION time so the ~2-minute latency-bound child-JVM
+    fan-out runs concurrently with the entire rest of the suite instead
+    of serializing at this test's position; the test then only joins and
+    asserts. Safe to call twice (idempotent via _LAUNCHED)."""
+    global _LAUNCHED
+    if _LAUNCHED is not None:
+        return _LAUNCHED
+    tail = _tail_names()
     shards = _balanced_shards(tail)
     # cap each vanilla JVM at 4 threads: 10 shards x 4 = 40 threads
     # oversubscribe 32 cores ~1.25x (fine, latency-bound); fewer threads
@@ -83,6 +100,14 @@ def test_registry_tail_passes_driver_mirror_gate():
         for shard in shards
         if shard
     ]
+    _LAUNCHED = {"procs": procs, "tail": tail}
+    return _LAUNCHED
+
+
+def test_registry_tail_passes_driver_mirror_gate():
+    state = launch_shards()
+    tail, procs = state["tail"], state["procs"]
+    assert tail, "registry fits the driver window; nothing to certify"
     outs = []
     for proc in procs:
         out, _ = proc.communicate(timeout=1800)
