@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import os
+import sys
 
 import pytest
 
@@ -50,3 +51,13 @@ def pytest_collection_modifyitems(session, config, items):
 
         _trt.launch_shards()
 
+
+def pytest_sessionfinish(session, exitstatus):
+    """Reap tail-gate shards if the session ends before the tail test
+    consumed them (e.g. -x abort): terminate() is a no-op for already-
+    joined processes, so the normal path is untouched."""
+    trt = sys.modules.get("test_registry_tail")
+    launched = getattr(trt, "_LAUNCHED", None) if trt else None
+    for proc in (launched or {}).get("procs", []):
+        if proc.poll() is None:
+            proc.terminate()

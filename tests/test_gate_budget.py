@@ -30,13 +30,15 @@ BUDGET_SINGLE_S = 10.0
 # full-gate cap tracks registry growth at a pinned per-query density:
 # (r5: 135 s at 123 ≈ 1.1 s/q; r6: 233 s at 166 ≈ 1.40; r7: 225.4 s at
 # 186 ≈ 1.21; r8 close: 248.9 s at 210 ≈ 1.19; r8b idle: 267.7 s at
-# 232 ≈ 1.15). The same sweep reads ±12% by machine warmth (and a
-# sweep running concurrently with another gate read 303 s / worst
-# 9.98 s at the SAME code that idles at 267.7 / 6.77 — always settle
-# the box first), so the cap is 232 × 1.25 ≈ 290, the warm-band
-# ceiling. The cap is a creep alarm, not a target — raising it
-# requires raising this comment's arithmetic too.
-BUDGET_GATE_S = 290.0
+# 232 ≈ 1.15; r9 idle: 265.9 s at 250 ≈ 1.06 — absolute total FLAT
+# while +18 queries landed, thanks to the median_mad fusion and
+# Theil-Sen rework). The same sweep reads ±12% by machine warmth (and
+# a sweep running concurrently with a pytest run read 410 s at the
+# SAME code that idles at 265.9 — always settle the box first), so
+# the cap is 250 × 1.25 ≈ 312, the warm-band ceiling. The cap is a
+# creep alarm, not a target — raising it requires raising this
+# comment's arithmetic too.
+BUDGET_GATE_S = 312.0
 MARGIN = 1.5  # shared-suite noise headroom; the budget itself is the target
 
 

@@ -246,3 +246,80 @@ def test_mann_kendall_plan_has_no_global_rank_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert out.first().sen_slope == pytest.approx(1.0, abs=1e-6)
+
+
+def test_mann_kendall_by_key_fleet(spark):
+    """Per-key fleet: a monotone key recovers its constant step, a
+    constant key reports S=0 with fully-tie-corrected zero variance
+    (z NULL), and a single-bucket key yields n_buckets=1 with NULL
+    slope — all from ONE plan, windows partitioned on the key."""
+    import datetime as dt
+
+    from olake_spark.operators.robust_trend import mann_kendall_by_key
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = (
+        [("up", t0 + dt.timedelta(days=i), float(2 * i)) for i in range(6)]
+        + [("flat", t0 + dt.timedelta(days=i), 7.0) for i in range(5)]
+        + [("lone", t0, 3.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r.k: r for r in mann_kendall_by_key(df, "ts", ["k"], "v").collect()}
+    assert set(out) == {"up", "flat", "lone"}
+    assert out["up"].s_stat == 15  # C(6,2)
+    assert out["up"].sen_slope == pytest.approx(2.0, abs=1e-6)
+    assert out["up"].z > 0
+    assert out["flat"].s_stat == 0
+    assert out["flat"].var_s == 0.0 and out["flat"].z is None
+    assert out["lone"].n_buckets == 1
+    assert out["lone"].s_stat == 0
+    assert out["lone"].sen_slope is None and out["lone"].z is None
+
+
+def test_wilson_ci_edges(spark):
+    """Wilson interval at p ∈ {0, 1} stays strictly inside [0, 1] (the
+    Wald interval collapses to zero width there — the operator's whole
+    reason to exist) and NULL successes are excluded from n."""
+    from olake_spark.operators.abtest import proportion_wilson_ci
+
+    rows = (
+        [("all", True)] * 10
+        + [("none", False)] * 10
+        + [("mixed", True)] * 3
+        + [("mixed", False)] * 7
+        + [("mixed", None)] * 4
+    )
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    out = {r.g: r for r in proportion_wilson_ci(df, ["g"], "s").collect()}
+    assert out["all"].p_hat == 1.0
+    assert 0.0 < out["all"].ci_lo < 1.0 and out["all"].ci_hi <= 1.0 + 1e-9
+    assert out["none"].p_hat == 0.0
+    assert -1e-9 <= out["none"].ci_lo and 0.0 < out["none"].ci_hi < 1.0
+    assert out["mixed"].n == 10  # NULLs excluded
+    assert out["mixed"].ci_lo < 0.3 < out["mixed"].ci_hi
+
+
+def test_ols2_recovers_exact_plane_and_guards(spark):
+    """y = 3x1 − 2x2 + 5 exactly → b1≈3, b2≈−2, intercept≈5, R²=1;
+    collinear regressors (x2 = 2·x1) → det 0 → NULL coefficients."""
+    import itertools
+
+    from olake_spark.operators.correlation import ols2
+
+    pts = [
+        (float(x1), float(x2), 3.0 * x1 - 2.0 * x2 + 5.0)
+        for x1, x2 in itertools.product(range(5), range(4))
+    ]
+    df = spark.createDataFrame(pts, "x1 double, x2 double, y double")
+    fit = ols2(df, "y", "x1", "x2").first()
+    assert fit.b1 == pytest.approx(3.0, abs=1e-4)
+    assert fit.b2 == pytest.approx(-2.0, abs=1e-4)
+    assert fit.intercept == pytest.approx(5.0, abs=1e-4)
+    assert fit.r2 == pytest.approx(1.0, abs=1e-6)
+
+    col = spark.createDataFrame(
+        [(float(i), float(2 * i), float(i)) for i in range(8)],
+        "x1 double, x2 double, y double",
+    )
+    degen = ols2(col, "y", "x1", "x2").first()
+    assert degen.b1 is None and degen.b2 is None and degen.r2 is None
