@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from olake_spark.operators.sessions import _gap_seconds
 
 __all__ = [
+    "seasonal_decompose",
     "bucketize",
     "gapfill_locf",
     "retention_cohorts",
@@ -519,4 +520,78 @@ def ltv_cohort_curve(
             F.col("rev_micro").cast("long").alias("rev_micro"),
             F.sum("rev_micro").over(w).cast("long").alias("cum_rev_micro"),
         )
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    step: str = "1 day",
+    period: int = 7,
+    trend_window: int = 3,
+) -> DataFrame:
+    """Additive seasonal decomposition of the bucketed total series —
+    x_t = trend + seasonal + residual, the classical-decomposition
+    shape (moving-average trend, per-phase seasonal means) that answers
+    "is this movement trend, weekday effect, or actually anomalous?"
+    before any forecast or alert fires.
+
+    Exact integer discipline end to end (truncating div, identical in
+    Spark `div` and DuckDB `//`):
+
+        trend_t    = Σ x_{t-w..t+w} div count        (ragged edges use
+                                                      available buckets)
+        seasonal_p = Σ_t∈phase (x_t − trend_t) div count(phase)
+        residual_t = x_t − trend_t − seasonal_p
+
+    Plan: one bucketize shuffle builds the micro-sum series; every
+    window/aggregate after runs on the BUCKET-SIZED relation (the
+    ks/acf contract — the ordered window over buckets is values-sized,
+    never rows-sized). Seasonal phase = bucket % period, identical
+    integer arithmetic in both engines (buckets are non-negative epoch
+    steps).
+
+    Returns (bucket, phase, x_micro, trend_micro, seasonal_micro,
+    residual_micro).
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if trend_window < 1:
+        raise ValueError(f"trend_window must be >= 1, got {trend_window}")
+    daily = bucketize(df, time_col, [], value_col, step=step).select(
+        F.col("_bucket").alias("bucket"), F.col("_v_micros").alias("_x")
+    )
+    trended = daily.select(
+        "bucket",
+        "_x",
+        F.expr(
+            f"sum(_x) OVER (ORDER BY bucket ROWS BETWEEN {trend_window} "
+            f"PRECEDING AND {trend_window} FOLLOWING) div "
+            f"count(1) OVER (ORDER BY bucket ROWS BETWEEN {trend_window} "
+            f"PRECEDING AND {trend_window} FOLLOWING)"
+        ).alias("_trend"),
+    )
+    phase = (F.col("bucket") % period).cast("int")
+    det = trended.select(
+        "bucket", "_x", "_trend", phase.alias("phase"),
+        (F.col("_x") - F.col("_trend")).alias("_det"),
+    )
+    wp = W.partitionBy("phase")
+    return det.select(
+        "bucket",
+        "phase",
+        F.col("_x").alias("x_micro"),
+        F.col("_trend").alias("trend_micro"),
+        F.expr(
+            "sum(_det) OVER (PARTITION BY phase) div "
+            "count(1) OVER (PARTITION BY phase)"
+        ).alias("seasonal_micro"),
+        (
+            F.col("_x") - F.col("_trend")
+            - F.expr(
+                "sum(_det) OVER (PARTITION BY phase) div "
+                "count(1) OVER (PARTITION BY phase)"
+            )
+        ).alias("residual_micro"),
     )

@@ -6346,6 +6346,175 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
 # Rank statistics: Mann-Whitney U and Spearman correlation, exact
 # ---------------------------------------------------------------------------
 
+_CUPED_ORACLE = """
+WITH u AS (
+  SELECT user_id, (user_id % 2)::INT AS arm,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+             THEN round(value * 1000000)::BIGINT ELSE 0 END) AS xm,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+             THEN round(value * 1000000)::BIGINT ELSE 0 END) AS ym
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT arm, count(*)::HUGEINT AS na, sum(xm)::HUGEINT AS sxa,
+         sum(ym)::HUGEINT AS sya,
+         sum(xm::HUGEINT * xm) AS sxxa, sum(xm::HUGEINT * ym) AS sxya
+  FROM u GROUP BY 1
+),
+p AS (
+  SELECT arm, na, sxa, sya,
+         sum(na) OVER () AS n, sum(sxa) OVER () AS sx,
+         sum(sya) OVER () AS sy, sum(sxxa) OVER () AS sxx,
+         sum(sxya) OVER () AS sxy
+  FROM m
+),
+t AS (
+  SELECT *, CASE WHEN (n*sxx - sx*sx) > 0
+                 THEN (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
+                 ELSE 0.0 END AS theta
+  FROM p
+)
+SELECT arm, na::BIGINT AS n,
+       round(sya::DOUBLE / na::DOUBLE / 1000000.0, 6) AS mean_post,
+       round((sya::DOUBLE / na::DOUBLE
+              - theta * (sxa::DOUBLE / na::DOUBLE - sx::DOUBLE / n::DOUBLE))
+             / 1000000.0, 6) AS mean_adj,
+       round(theta, 6) AS theta
+FROM t
+"""
+
+
+@register("events_cuped_lift", _CUPED_ORACLE)
+def events_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (operators/abtest.cuped_adjust)
+    over a synthetic month-split experiment: per-user pre-period
+    (first half) and experiment-period (second half) value sums, arm =
+    user_id % 2 (a closed form both engines compute identically). The
+    pooled θ = cov(X,Y)/var(X) and every arm mean derive from ONE pass
+    of exact micro-unit DECIMAL(38,0) moments — adjusted means are a
+    linear function of sums, so no per-row adjusted metric is ever
+    materialized. The variance-reduction workhorse of every large
+    experimentation platform, as one aggregation."""
+    from olake_spark.operators.abtest import cuped_adjust
+
+    ev = table(spark, sf_dir, "events")
+    vm = F.round(F.col("value") * 1_000_000).cast("long")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, vm).otherwise(0)).alias("_xm"),
+        F.sum(F.when(F.col("ts") >= cut, vm).otherwise(0)).alias("_ym"),
+    )
+    unit = u.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        (F.col("_xm") / 1_000_000.0).alias("_pre"),
+        (F.col("_ym") / 1_000_000.0).alias("_post"),
+    )
+    return cuped_adjust(unit, "arm", "_pre", "_post")
+
+
+_RATIO_DELTA_ORACLE = """
+WITH u AS (
+  SELECT (user_id % 2)::INT AS arm,
+         sum(round(value * 1000000)::BIGINT) AS ym,
+         count(*) * 1000000 AS nm
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT arm, count(*)::HUGEINT AS c, sum(ym)::HUGEINT AS sy,
+         sum(nm)::HUGEINT AS sn, sum(ym::HUGEINT * ym) AS syy,
+         sum(nm::HUGEINT * nm) AS snn, sum(ym::HUGEINT * nm) AS syn
+  FROM u GROUP BY 1
+),
+d AS (
+  SELECT arm, c, sy, sn,
+         sy::DOUBLE / sn::DOUBLE AS r,
+         (c*syy - sy*sy)::DOUBLE / (c::DOUBLE * (c::DOUBLE - 1.0)) AS vary,
+         (c*snn - sn*sn)::DOUBLE / (c::DOUBLE * (c::DOUBLE - 1.0)) AS varn,
+         (c*syn - sy*sn)::DOUBLE / (c::DOUBLE * (c::DOUBLE - 1.0)) AS covyn,
+         sn::DOUBLE / c::DOUBLE AS mean_n
+  FROM a
+)
+SELECT arm, c::BIGINT AS n, round(r, 6) AS ratio,
+  CASE WHEN c > 1 AND sn != 0
+        AND (vary + r * r * varn - 2.0 * r * covyn)
+            / (c::DOUBLE * mean_n * mean_n) >= 0.0
+       THEN round(sqrt((vary + r * r * varn - 2.0 * r * covyn)
+                       / (c::DOUBLE * mean_n * mean_n)), 6)
+  END AS se
+FROM d
+"""
+
+
+@register("events_ratio_delta", _RATIO_DELTA_ORACLE)
+def events_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm value-per-event RATIO metric with delta-method SE
+    (operators/abtest.ratio_metric_delta): unit-level numerator (the
+    user's total value) and denominator (the user's event count) feed
+    the six-moment single pass; the delta algebra accounts for the Y-N
+    covariance the naive SE ignores. Same synthetic arm = user_id % 2
+    as the CUPED query."""
+    from olake_spark.operators.abtest import ratio_metric_delta
+
+    ev = table(spark, sf_dir, "events")
+    vm = F.round(F.col("value") * 1_000_000).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.sum(vm).alias("_ym"), F.count(F.lit(1)).alias("_cnt")
+    )
+    unit = u.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        (F.col("_ym") / 1_000_000.0).alias("_num"),
+        F.col("_cnt").cast("double").alias("_den"),
+    )
+    return ratio_metric_delta(unit, "arm", "_num", "_den")
+
+
+_SEASONAL_DECOMP_ORACLE = """
+WITH daily AS (
+  SELECT floor(epoch_us(ts) / 86400000000)::BIGINT AS bucket,
+         sum(round(value * 1000000)::BIGINT)::BIGINT AS x
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT bucket, x,
+         (sum(x) OVER w // count(*) OVER w)::BIGINT AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT bucket, x, trend, (bucket % 7)::INT AS phase, x - trend AS d
+  FROM tr
+),
+sea AS (
+  SELECT *, (sum(d) OVER (PARTITION BY phase)
+             // count(*) OVER (PARTITION BY phase))::BIGINT AS seasonal
+  FROM det
+)
+SELECT bucket, phase, x AS x_micro, trend AS trend_micro,
+       seasonal AS seasonal_micro,
+       (x - trend - seasonal)::BIGINT AS residual_micro
+FROM sea
+"""
+
+
+@register("events_seasonal_decompose", _SEASONAL_DECOMP_ORACLE)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive classical decomposition of the daily value series —
+    x = trend + seasonal + residual (operators/timeseries.
+    seasonal_decompose): centered ±3-day moving-average trend (ragged
+    edges use available buckets), weekly per-phase seasonal means of
+    the detrended series, exact truncating-div integers throughout
+    (Spark div == DuckDB //, verified for negatives). One bucketize
+    shuffle; every window runs on the BUCKET-sized relation. The
+    is-it-trend-or-weekday-or-anomaly splitter that fronts the
+    forecast/alert family."""
+    from olake_spark.operators.timeseries import seasonal_decompose
+
+    return seasonal_decompose(
+        table(spark, sf_dir, "events"), "ts", "value",
+        step="1 day", period=7, trend_window=3,
+    )
+
+
 _MANNWHITNEY_ORACLE = """
 WITH pv AS (
   SELECT round(value * 1000000)::BIGINT AS v,
@@ -7729,6 +7898,9 @@ _GATE_TAIL = [
     "tpch_q06_forecast_revenue",
     "tpch_q07_volume_shipping",
     "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customers",
+    "tpch_q08_market_share",
 ]
 
 
