@@ -323,3 +323,86 @@ def test_ols2_recovers_exact_plane_and_guards(spark):
     )
     degen = ols2(col, "y", "x1", "x2").first()
     assert degen.b1 is None and degen.b2 is None and degen.r2 is None
+
+
+def test_cuped_preserves_means_and_reduces_nothing_when_uncorrelated(spark):
+    """θ with a pre-metric that's pure noise w.r.t. Y ≈ its sample cov;
+    the structural contracts: (a) zero pre-variance → θ=0 and
+    mean_adj == mean_post exactly; (b) X == Y per unit → θ=1 and each
+    arm's adjusted mean collapses toward the pooled mean."""
+    from olake_spark.operators.abtest import cuped_adjust
+
+    # (a) constant pre-period covariate
+    rows = [(i % 2, 5.0, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "arm int, pre double, post double")
+    out = {r.arm: r for r in cuped_adjust(df, "arm", "pre", "post").collect()}
+    assert out[0].theta == 0.0
+    assert out[0].mean_adj == out[0].mean_post
+    # (b) perfectly correlated covariate
+    rows = [(i % 2, float(i), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "arm int, pre double, post double")
+    out = {r.arm: r for r in cuped_adjust(df, "arm", "pre", "post").collect()}
+    pooled = sum(range(10)) / 10.0
+    assert out[0].theta == pytest.approx(1.0, abs=1e-9)
+    assert out[0].mean_adj == pytest.approx(pooled, abs=1e-6)
+    assert out[1].mean_adj == pytest.approx(pooled, abs=1e-6)
+
+
+def test_ratio_metric_delta_matches_python(spark):
+    """Ratio and delta-method SE against a plain Python reference; a
+    single-unit arm reports NULL se."""
+    import math
+
+    rows = [
+        (0, 10.0, 2.0), (0, 30.0, 4.0), (0, 20.0, 4.0),
+        (1, 7.0, 1.0),
+    ]
+    from olake_spark.operators.abtest import ratio_metric_delta
+
+    df = spark.createDataFrame(rows, "arm int, y double, d double")
+    out = {r.arm: r for r in ratio_metric_delta(df, "arm", "y", "d").collect()}
+    ys = [10.0, 30.0, 20.0]
+    ds = [2.0, 4.0, 4.0]
+    n = 3
+    r = sum(ys) / sum(ds)
+    mean_d = sum(ds) / n
+    vary = sum((v - sum(ys) / n) ** 2 for v in ys) / (n - 1)
+    vard = sum((v - mean_d) ** 2 for v in ds) / (n - 1)
+    cov = sum(
+        (y - sum(ys) / n) * (v - mean_d) for y, v in zip(ys, ds)
+    ) / (n - 1)
+    se = math.sqrt((vary + r * r * vard - 2 * r * cov) / (n * mean_d**2))
+    assert out[0].ratio == pytest.approx(r, abs=1e-6)
+    assert out[0].se == pytest.approx(se, abs=1e-5)
+    assert out[1].n == 1 and out[1].se is None
+    assert out[1].ratio == pytest.approx(7.0, abs=1e-6)
+
+
+def test_seasonal_decompose_identity_and_flat_series(spark):
+    """Structural identities: x == trend + seasonal + residual is exact
+    on every bucket (integer arithmetic), and a constant series yields
+    zero seasonal and zero residual everywhere."""
+    import datetime as dt
+
+    from olake_spark.operators.timeseries import seasonal_decompose
+
+    t0 = dt.datetime(2024, 1, 1)
+    # weekly sawtooth + constant: decompose should put the sawtooth in
+    # seasonal, residual small
+    rows = [
+        (t0 + dt.timedelta(days=i), 100.0 + 10.0 * (i % 7))
+        for i in range(28)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = seasonal_decompose(df, "ts", "v", step="1 day", period=7).collect()
+    assert len(out) == 28
+    for r in out:
+        assert (
+            r.x_micro == r.trend_micro + r.seasonal_micro + r.residual_micro
+        )
+    flat = spark.createDataFrame(
+        [(t0 + dt.timedelta(days=i), 5.0) for i in range(14)],
+        "ts timestamp, v double",
+    )
+    for r in seasonal_decompose(flat, "ts", "v", step="1 day").collect():
+        assert r.seasonal_micro == 0 and r.residual_micro == 0
