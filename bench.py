@@ -344,7 +344,13 @@ def run_isolated(names: list[str]) -> None:
 
     from olake_spark.queries import QUERIES
 
-    unknown = [n for n in names if n not in HEADLINES and n not in QUERIES]
+    unknown = [
+        n
+        for n in names
+        if n not in HEADLINES
+        and n not in STREAMING_WORKLOADS
+        and n not in QUERIES
+    ]
     if unknown:
         print(f"FAIL unknown workload(s): {', '.join(unknown)}", file=sys.stderr)
         sys.exit(2)
