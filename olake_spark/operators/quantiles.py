@@ -32,7 +32,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantiles", "median_mad", "winsorized_stats", "weighted_median"]
+__all__ = [
+    "exact_quantiles",
+    "median_mad",
+    "percentile_cont",
+    "winsorized_stats",
+    "weighted_median",
+]
 
 MICROS = 1_000_000
 
@@ -468,4 +474,88 @@ def weighted_median(
         F.first(F.col("_wtot")).cast("long").alias("w_total_micro"),
         F.min("_vm").alias("wmedian_micro"),
         F.round(F.min("_vm") / 1_000_000.0, 4).alias("wmedian"),
+    )
+
+
+def percentile_cont(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ps: list[float],
+    bins: int = 1024,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """SQL-standard PERCENTILE_CONT — the INTERPOLATED quantile, the
+    semantics BI tools and ANSI SQL mean by "median" (exact_quantiles
+    covers the discrete rank-ceil(p·n) reading): with h = (n−1)·p + 1,
+
+        q = v_⌊h⌋ + (h − ⌊h⌋) · (v_⌈h⌉ − v_⌊h⌋)
+
+    over the group's ordered non-null values. Both order statistics
+    come from the SAME histogram-bisection machinery (never a per-group
+    sort buffer): each (group, p) contributes its ⌊h⌋ and ⌈h⌉ rank
+    searches to one shared _run_bisection sweep — all searches advance
+    together, one filter+histogram job per round over the whole fleet.
+
+    Exactness: v_⌊h⌋ / v_⌈h⌉ are exact micro BIGINTs; h and the single
+    interpolation expression evaluate INSIDE Spark as the identical
+    double sequence an oracle writes textually ((n−1)·p + 1 with exact
+    int→double n), so round(·, 6) is engine-stable (Python's banker's
+    rounding never touches the result — the final round is Spark's).
+
+    Returns (keys..., p, q_cont, lo_micros, hi_micros); same few-groups
+    driver-state contract as exact_quantiles.
+    """
+    spark: SparkSession = df.sparkSession
+    v = F.round(F.col(value_col) * MICROS).cast("long")
+    base = df.select(*keys, v.alias("_vm")).filter(F.col("_vm").isNotNull())
+    seed = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_vm").alias("_lo"),
+        F.max("_vm").alias("_hi"),
+    )
+    state_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in seed.select(*keys).schema.fields
+    )
+    # two bisection states per (group, p): the ⌊h⌋ rank tagged p, the
+    # ⌈h⌉ rank tagged p+2 (ps live in (0,1), so tags never collide in
+    # the histogram's (group, p) state key); a whole-number h needs one
+    searches = []  # (key_vals, p, h, k_lo, k_hi)
+    states = []
+    for row in seed.collect():
+        key_vals = tuple(row[k] for k in keys)
+        n = int(row["_n"])
+        for p in ps:
+            if not 0.0 <= p <= 1.0:
+                raise ValueError(f"p must be in [0, 1], got {p}")
+            h = (n - 1) * p + 1
+            k_lo = int(math.floor(h))
+            k_hi = min(int(math.ceil(h)), n)
+            searches.append((key_vals, p, h, k_lo, k_hi))
+            states.append([*key_vals, float(p), k_lo, row["_lo"], row["_hi"]])
+            if k_hi != k_lo:
+                states.append(
+                    [*key_vals, float(p) + 2.0, k_hi, row["_lo"], row["_hi"]]
+                )
+    _run_bisection(spark, base, keys, states, state_schema, bins, max_rounds)
+    got = {
+        (tuple(s[: len(keys)]), s[len(keys)]): s[-2] for s in states
+    }
+    rows = []
+    for key_vals, p, h, k_lo, k_hi in searches:
+        vlo = got[(key_vals, float(p))]
+        vhi = vlo if k_hi == k_lo else got[(key_vals, float(p) + 2.0)]
+        rows.append([*key_vals, float(p), float(h), int(vlo), int(vhi)])
+    out = spark.createDataFrame(
+        rows,
+        f"{state_schema}, p double, _h double, lo_micros long, hi_micros long",
+    )
+    q = (
+        F.col("lo_micros")
+        + (F.col("_h") - F.floor(F.col("_h")))
+        * (F.col("hi_micros") - F.col("lo_micros"))
+    ) / 1_000_000.0
+    return out.select(
+        *keys, "p", F.round(q, 6).alias("q_cont"), "lo_micros", "hi_micros"
     )

@@ -6346,6 +6346,57 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
 # Rank statistics: Mann-Whitney U and Spearman correlation, exact
 # ---------------------------------------------------------------------------
 
+_PCTCONT_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS g, round(l_extendedprice * 1000000)::BIGINT AS vm
+  FROM lineitem
+),
+r AS (
+  SELECT g, vm, row_number() OVER (PARTITION BY g ORDER BY vm) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM v
+),
+hp AS (
+  SELECT g, n, p.p, (n - 1) * p.p + 1 AS h
+  FROM (SELECT DISTINCT g, n FROM r)
+  CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS p) p
+),
+sel AS (
+  SELECT hp.g, hp.p, hp.h,
+         max(CASE WHEN r.rn = floor(hp.h) THEN r.vm END) AS lo_micros,
+         max(CASE WHEN r.rn = least(ceil(hp.h), hp.n) THEN r.vm END)
+           AS hi_micros
+  FROM hp JOIN r ON r.g = hp.g
+    AND (r.rn = floor(hp.h) OR r.rn = least(ceil(hp.h), hp.n))
+  GROUP BY 1, 2, 3
+)
+SELECT g AS l_returnflag, p,
+       round((lo_micros + (h - floor(h)) * (hi_micros - lo_micros))
+             / 1000000.0, 6) AS q_cont,
+       lo_micros, hi_micros
+FROM sel
+"""
+
+
+@register("lineitem_percentile_cont", _PCTCONT_ORACLE)
+def lineitem_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI PERCENTILE_CONT — the INTERPOLATED quantile BI tools mean by
+    "median" (operators/quantiles.percentile_cont): per return flag at
+    p ∈ {.25, .5, .9, .99}, q = v_⌊h⌋ + (h−⌊h⌋)(v_⌈h⌉−v_⌊h⌋) with
+    h = (n−1)p+1. Both bracketing order statistics come from ONE shared
+    histogram-bisection sweep (all 3 groups × 4 p's × 2 ranks advance
+    together, one job per round — never a per-group sort buffer); the
+    interpolation itself runs as one Spark double expression textually
+    identical to the oracle's. Complements lineitem_exact_quantiles'
+    discrete rank-ceil(p·n) reading."""
+    from olake_spark.operators.quantiles import percentile_cont
+
+    return percentile_cont(
+        table(spark, sf_dir, "lineitem"), ["l_returnflag"],
+        "l_extendedprice", [0.25, 0.5, 0.9, 0.99], bins=2048,
+    )
+
+
 _CUPED_ORACLE = """
 WITH u AS (
   SELECT user_id, (user_id % 2)::INT AS arm,
@@ -7901,6 +7952,7 @@ _GATE_TAIL = [
     "tpch_q14_promo_effect",
     "tpch_q18_large_volume_customers",
     "tpch_q08_market_share",
+    "tpch_q15_top_supplier",
 ]
 
 

@@ -265,3 +265,32 @@ def test_bounce_rate_all_single_event_users(spark):
     )
     for r in daily.collect():
         assert r.n_bounces == r.n_sessions > 0
+
+
+def test_percentile_cont_matches_numpy(spark):
+    """Interpolated quantile vs numpy's 'linear' method (the same
+    (n−1)p+1 bracketing) on random multisets with duplicates, plus the
+    single-value and p∈{0,1} edges."""
+    import random
+
+    import numpy as np
+
+    from olake_spark.operators.quantiles import percentile_cont
+
+    rng = random.Random(17)
+    cases = [
+        [5.0],
+        [1.0, 2.0],
+        [rng.choice([1.25, 2.5, 2.5, 7.75]) for _ in range(23)],
+        [round(rng.uniform(-40, 40), 3) for _ in range(57)],
+    ]
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
+    for vals in cases:
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        out = {
+            round(r.p, 4): r.q_cont
+            for r in percentile_cont(df, ["g"], "v", ps).collect()
+        }
+        for p in ps:
+            exp = float(np.quantile(np.array(vals), p, method="linear"))
+            assert out[round(p, 4)] == pytest.approx(exp, abs=2e-6), (vals, p)
