@@ -7888,7 +7888,6 @@ _GATE_TAIL = [
     "events_ewma",
     "spatial_eps_neighbor_pairs",
     "orders_topk_per_customer",
-    "lineitem_mad_outliers",
     "feature_snapshot_pit",
     "lineitem_grouping_sets",
     "events_range_window_sum",
@@ -7916,7 +7915,6 @@ _GATE_TAIL = [
     "orders_chi2_independence",
     "events_seasonal_baseline",
     "lineitem_expectations",
-    "events_ks_test",
     "lineitem_price_histogram",
     "documents_dense_ids",
     "revenue_share_rollup",
@@ -7936,7 +7934,6 @@ _GATE_TAIL = [
     "orders_target_encoding_loo",
     "events_lag_features",
     "events_holt_forecast",
-    "lineitem_correlation_matrix",
     "orders_dow_revenue",
     "lineitem_pareto_concentration",
     "events_activity_streaks",
@@ -7953,6 +7950,14 @@ _GATE_TAIL = [
     "tpch_q18_large_volume_customers",
     "tpch_q08_market_share",
     "tpch_q15_top_supplier",
+    # r9 swap: these three rotate out (one driver-green round, code
+    # UNTOUCHED this round) to make window room for the three whose
+    # implementations changed in r9 and need driver re-verification
+    # (lineitem_mad_outliers: median_mad fusion; events_ks_test:
+    # NULL exclusion; lineitem_correlation_matrix: by= generalization)
+    "graph_connected_components",
+    "text_zipf_slope",
+    "orders_size_distribution",
 ]
 
 
