@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["qgram_set", "fuzzy_join", "jaccard_join"]
+__all__ = ["editdist1_join", "qgram_set", "fuzzy_join", "jaccard_join"]
 
 
 def jaccard_join(
@@ -230,4 +230,69 @@ def fuzzy_join(
         cand.withColumn("dist", F.levenshtein("_ls", "_rs"))
         .filter(F.col("dist") <= max_dist)
         .select(left_id, right_id, "dist")
+    )
+
+
+def editdist1_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Self-join on Levenshtein distance ≤ 1 via DELETION NEIGHBORHOODS
+    (the FastSS family — Bocek et al., "Fast Similarity Search in Large
+    Dictionaries", 2007): two strings are within edit distance 1 iff
+    their variant sets {s} ∪ deletions(s) intersect —
+
+        substitution: both delete the differing position,
+        insert/delete: the shorter string IS a deletion of the longer,
+        equality: excluded here (pairs are id_a < id_b on DISTINCT ids;
+                  duplicate texts under different ids match at dist 0).
+
+    Candidate volume is |rows|·(len+1) index entries and the join key is
+    the variant string — skew-bounded by how many strings truly share a
+    neighborhood, never a cross join, never per-pair trigram algebra
+    (the complement to :func:`fuzzy_join`, which pays O(q·d) grams per
+    string to reach LARGER distances; at d = 1 the deletion index is
+    both smaller and exactly lossless). False positives (variant
+    collision at true distance 2, e.g. "ab"/"ba") are killed by one
+    ``levenshtein`` verification on the candidate pairs only.
+
+    Returns (id_a, id_b, text_a, text_b, dist) with dist ∈ {0, 1}.
+    """
+    s = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    # variants: the string itself (tag len+1) plus every 1-deletion
+    pos = F.explode(
+        F.sequence(F.lit(0), F.length(F.col("_t")))
+    ).alias("_i")
+    var = s.select(
+        "_id",
+        "_t",
+        pos,
+    ).select(
+        "_id",
+        "_t",
+        F.when(F.col("_i") == F.length(F.col("_t")), F.col("_t"))
+        .otherwise(
+            F.concat(
+                F.expr("substring(_t, 1, _i)"),
+                F.expr("substring(_t, _i + 2)"),
+            )
+        )
+        .alias("_v"),
+    ).distinct()
+    a = var.select(
+        F.col("_id").alias("id_a"), F.col("_t").alias("text_a"), "_v"
+    )
+    b = var.select(
+        F.col("_id").alias("id_b"), F.col("_t").alias("text_b"), "_v"
+    )
+    cand = (
+        a.join(b, "_v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    return cand.filter(dist <= 1).select(
+        "id_a", "id_b", "text_a", "text_b", dist.alias("dist")
     )

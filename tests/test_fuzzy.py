@@ -134,3 +134,39 @@ def test_jaccard_join_threshold_validation(spark):
     df = spark.createDataFrame([(1, ["a"])], "id long, tk array<string>")
     with pytest.raises(ValueError):
         jaccard_join(df, "id", "tk", threshold=0.0)
+
+
+def test_editdist1_join_lossless_vs_bruteforce(spark):
+    """The deletion index must be LOSSLESS at d=1: compare against the
+    brute-force O(n²) levenshtein join on a vocabulary engineered with
+    substitutions, inserts, deletes, a known false-positive shape
+    ("ab"/"ba" share deletion variants at true distance 2), and
+    dist-0 duplicates under distinct ids."""
+    from olake_spark.operators.fuzzy import editdist1_join
+
+    words = [
+        (1, "cat"), (2, "cut"), (3, "cast"), (4, "at"), (5, "cat"),
+        (6, "ab"), (7, "ba"), (8, "zzz"),
+    ]
+    df = spark.createDataFrame(words, "id long, w string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in editdist1_join(df, "id", "w").collect()
+    }
+    def lev(a, b):
+        import functools
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0: return j
+            if j == 0: return i
+            return min(d(i-1, j) + 1, d(i, j-1) + 1,
+                       d(i-1, j-1) + (a[i-1] != b[j-1]))
+        return d(len(a), len(b))
+    exp = {
+        (a_id, b_id, lev(a_w, b_w))
+        for a_id, a_w in words for b_id, b_w in words
+        if a_id < b_id and lev(a_w, b_w) <= 1
+    }
+    assert got == exp
+    assert (1, 5, 0) in got          # exact duplicates, distinct ids
+    assert not any(a == 6 and b == 7 for a, b, _ in got)  # "ab"/"ba" killed
