@@ -318,7 +318,9 @@ def ratio_metric_delta(
     exact micro-unit DECIMAL(38,0) integers in one map-side-combinable
     pass; the delta algebra is one fixed IEEE sequence after a single
     cast per moment (sample variances, n−1 denominators), hash-stable
-    at round 6. Arms with n < 2 or zero denominator report NULL se.
+    at round 6. Arms with n < 2 or zero denominator report NULL se; a
+    zero-denominator arm reports NULL ratio too (never IEEE ±Inf/NaN —
+    the repo's degenerate-case convention).
 
     Returns (group_col, n, ratio, se).
     """
@@ -335,24 +337,29 @@ def ratio_metric_delta(
     c = F.col("_c").cast("double")
     sy = F.col("_sy").cast("double")
     sn = F.col("_sn").cast("double")
-    r = sy / sn
-    vary = (
+    # try_divide throughout: under ANSI (Spark 4 default) a plain / on a
+    # zero-denominator or n=1 arm would THROW at execution even inside a
+    # F.when guard (the guard's own condition evaluates the division)
+    r = F.try_divide(sy, sn)
+    vary = F.try_divide(
         (F.col("_c") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
-        .cast("double")
-        / (c * (c - 1.0))
+        .cast("double"),
+        c * (c - 1.0),
     )
-    varn = (
+    varn = F.try_divide(
         (F.col("_c") * F.col("_snn") - F.col("_sn") * F.col("_sn"))
-        .cast("double")
-        / (c * (c - 1.0))
+        .cast("double"),
+        c * (c - 1.0),
     )
-    covyn = (
+    covyn = F.try_divide(
         (F.col("_c") * F.col("_syn") - F.col("_sy") * F.col("_sn"))
-        .cast("double")
-        / (c * (c - 1.0))
+        .cast("double"),
+        c * (c - 1.0),
     )
     mean_n = sn / c
-    var_r = (vary + r * r * varn - 2.0 * r * covyn) / (c * mean_n * mean_n)
+    var_r = F.try_divide(
+        vary + r * r * varn - 2.0 * r * covyn, c * mean_n * mean_n
+    )
     se = F.when(
         (F.col("_c") > 1) & (F.col("_sn") != 0) & (var_r >= 0.0),
         F.sqrt(var_r),
@@ -360,6 +367,6 @@ def ratio_metric_delta(
     return agg.select(
         group_col,
         F.col("_c").cast("long").alias("n"),
-        F.round(r, 6).alias("ratio"),
+        F.when(F.col("_sn") != 0, F.round(r, 6)).alias("ratio"),
         F.round(se, 6).alias("se"),
     )

@@ -43,6 +43,12 @@ __all__ = [
 MICROS = 1_000_000
 
 
+def _ddl(key_schema: str, rest: str) -> str:
+    """Join a (possibly empty — global, keyless search) key schema with
+    the fixed output columns without a leading-comma parse error."""
+    return f"{key_schema}, {rest}" if key_schema else rest
+
+
 def exact_quantiles(
     df: DataFrame,
     keys: list[str],
@@ -94,7 +100,7 @@ def exact_quantiles(
         for s in states
     ]
     return spark.createDataFrame(
-        out, f"{state_schema}, p double, q double, q_micros long"
+        out, _ddl(state_schema, "p double, q double, q_micros long")
     )
 
 
@@ -142,6 +148,8 @@ def _run_bisection(
                 for k, kv in zip(keys, gk):
                     c = F.col(k) == F.lit(kv)
                     cond = c if cond is None else cond & c
+                if cond is None:  # keyless (global) search
+                    cond = F.lit(True)
                 arr = F.array(
                     *[
                         F.struct(
@@ -168,7 +176,8 @@ def _run_bisection(
             )
         else:
             sdf = spark.createDataFrame(
-                open_states, f"{state_schema}, p double, k long, lo long, hi long"
+                open_states,
+                _ddl(state_schema, "p double, k long, lo long, hi long"),
             )
             matched = (
                 scoped.join(F.broadcast(sdf), keys)
@@ -323,7 +332,7 @@ def median_mad(
         med_by_key = {tuple(s[: len(keys)]): s[-2] for s in med_states}
         med_df = spark.createDataFrame(
             [[*k, m] for k, m in med_by_key.items()],
-            f"{state_schema}, _medm long",
+            _ddl(state_schema, "_medm long"),
         )
         dev = base.join(F.broadcast(med_df), keys).select(
             *keys, F.abs(F.col("_vm") - F.col("_medm")).alias("_vm")
@@ -341,11 +350,11 @@ def median_mad(
             k: [*k, n_by_key[k], int(med_by_key[k]), int(mad_by_key[k])]
             for k in med_by_key
         }
-        schema = f"{state_schema}, n long, med_micros long, mad_micros long"
+        schema = _ddl(state_schema, "n long, med_micros long, mad_micros long")
         if report_k is not None:
             mm_df = spark.createDataFrame(
                 [[*k, med_by_key[k], mad_by_key[k]] for k in med_by_key],
-                f"{state_schema}, _medm long, _madm long",
+                _ddl(state_schema, "_medm long, _madm long"),
             )
             rep = (
                 base.join(F.broadcast(mm_df), keys)
@@ -507,6 +516,11 @@ def percentile_cont(
     driver-state contract as exact_quantiles.
     """
     spark: SparkSession = df.sparkSession
+    # validate up front, not inside the per-seed-row loop — an
+    # out-of-range p must fail even when the input has zero groups
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"p must be in [0, 1], got {p}")
     v = F.round(F.col(value_col) * MICROS).cast("long")
     base = df.select(*keys, v.alias("_vm")).filter(F.col("_vm").isNotNull())
     seed = base.groupBy(*keys).agg(
@@ -527,8 +541,6 @@ def percentile_cont(
         key_vals = tuple(row[k] for k in keys)
         n = int(row["_n"])
         for p in ps:
-            if not 0.0 <= p <= 1.0:
-                raise ValueError(f"p must be in [0, 1], got {p}")
             h = (n - 1) * p + 1
             k_lo = int(math.floor(h))
             k_hi = min(int(math.ceil(h)), n)
@@ -549,7 +561,10 @@ def percentile_cont(
         rows.append([*key_vals, float(p), float(h), int(vlo), int(vhi)])
     out = spark.createDataFrame(
         rows,
-        f"{state_schema}, p double, _h double, lo_micros long, hi_micros long",
+        _ddl(
+            state_schema,
+            "p double, _h double, lo_micros long, hi_micros long",
+        ),
     )
     q = (
         F.col("lo_micros")

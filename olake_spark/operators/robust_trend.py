@@ -175,6 +175,7 @@ def mann_kendall_by_key(
     keys: list[str],
     value_col: str,
     step: str = "1 day",
+    max_buckets_per_key: int = 5000,
 ) -> DataFrame:
     """Per-key Mann-Kendall + Theil-Sen FLEET — one trend test per key
     (per-SKU, per-tenant, per-metric) from a single plan; the
@@ -190,6 +191,16 @@ def mann_kendall_by_key(
     loop. Use the global operator when one series has ≫10³ buckets; use
     this when there are many keys of modest length.
 
+    ``max_buckets_per_key`` (default 5000, mirroring the global
+    operator's pre-bisection contract) bounds the per-key pair blowup:
+    a single hot key with 100k buckets would otherwise materialize
+    5×10⁹ pairs in one rank-window partition. The cap is enforced
+    LAZILY inside the plan — a per-key bucket count joins back onto the
+    series and a ``raise_error`` guard fires on the first over-cap
+    input row, BEFORE its C(n,2) pair relation exists — so no extra
+    driver job and no silent truncation. Route genuinely long series
+    through :func:`mann_kendall_theil_sen`'s histogram bisection.
+
     Returns (keys..., n_buckets, s_stat, var_s, z, sen_slope_micro,
     sen_slope).
     """
@@ -197,6 +208,28 @@ def mann_kendall_by_key(
 
     daily = bucketize(df, time_col, keys, value_col, step=step).select(
         *keys, F.col("_bucket").alias("_t"), F.col("_v_micros").alias("_y")
+    )
+    nk = daily.groupBy(*keys).agg(F.count(F.lit(1)).alias("_nk"))
+    guard = F.when(
+        F.col("_nk") <= F.lit(max_buckets_per_key), F.col("_y")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "mann_kendall_by_key: a key exceeds "
+                    f"max_buckets_per_key={max_buckets_per_key} buckets "
+                    "(got "
+                ),
+                F.col("_nk").cast("string"),
+                F.lit(
+                    "); use mann_kendall_theil_sen's histogram "
+                    "bisection for long series or raise the cap"
+                ),
+            )
+        )
+    )
+    daily = daily.join(nk, keys).select(
+        *keys, "_t", guard.alias("_y")
     )
     a = daily.select(
         *keys, F.col("_t").alias("_ta"), F.col("_y").alias("_ya")

@@ -577,7 +577,6 @@ def seasonal_decompose(
         "bucket", "_x", "_trend", phase.alias("phase"),
         (F.col("_x") - F.col("_trend")).alias("_det"),
     )
-    wp = W.partitionBy("phase")
     return det.select(
         "bucket",
         "phase",

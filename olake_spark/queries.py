@@ -4826,7 +4826,11 @@ def _li_micro(li):
     )
 
 
-_REV12 = "CAST(_pm * (1000000 - _dm) AS DECIMAL(38,0))"
+# cast the operand BEFORE multiplying (as the oracle's ::HUGEINT does)
+# so the per-row product already carries the 38-digit accumulator's
+# headroom — a long*long formulation fits at TPC-H ranges but would
+# silently wrap (non-ANSI) on out-of-range data instead of erroring
+_REV12 = "CAST(CAST(_pm AS DECIMAL(38,0)) * (1000000 - _dm) AS DECIMAL(38,0))"
 
 
 @register("tpch_q01_pricing_summary", _TPCH_Q1_ORACLE)
@@ -4856,14 +4860,20 @@ def tpch_q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_base_price"
         ),
         F.round(
-            F.sum(F.expr("CAST(pm * (1000000 - dm) AS DECIMAL(38,0))"))
+            F.sum(
+                F.expr(
+                    "CAST(CAST(pm AS DECIMAL(38,0)) * (1000000 - dm)"
+                    " AS DECIMAL(38,0))"
+                )
+            )
             .cast("double") / F.lit(1e12),
             2,
         ).alias("sum_disc_price"),
         F.round(
             F.sum(
                 F.expr(
-                    "CAST(pm * (1000000 - dm) AS DECIMAL(38,0))"
+                    "CAST(CAST(pm AS DECIMAL(38,0)) * (1000000 - dm)"
+                    " AS DECIMAL(38,0))"
                     " * CAST(1000000 + tm AS DECIMAL(38,0))"
                 )
             ).cast("double") / F.lit(1e18),
@@ -5126,10 +5136,16 @@ def tpch_q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return f.agg(
         F.expr(
-            "CAST(sum(CAST(_pm * _dm AS DECIMAL(38,0))) div 1000000 AS LONG)"
+            "CAST(sum(CAST(CAST(_pm AS DECIMAL(38,0)) * _dm"
+            " AS DECIMAL(38,0))) div 1000000 AS LONG)"
         ).alias("revenue_micro"),
         F.round(
-            F.sum(F.expr("CAST(_pm * _dm AS DECIMAL(38,0))")).cast("double")
+            F.sum(
+                F.expr(
+                    "CAST(CAST(_pm AS DECIMAL(38,0)) * _dm"
+                    " AS DECIMAL(38,0))"
+                )
+            ).cast("double")
             / F.lit(1e12),
             2,
         ).alias("revenue"),
@@ -5936,8 +5952,10 @@ def tpch_q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             "o_year",
             F.expr(
-                "CAST(_pm * (1000000 - _dm) AS DECIMAL(38,0))"
-                " - CAST(ps_supplycost_cents * _qm * 10000 AS DECIMAL(38,0))"
+                "CAST(CAST(_pm AS DECIMAL(38,0)) * (1000000 - _dm)"
+                " AS DECIMAL(38,0))"
+                " - CAST(CAST(ps_supplycost_cents AS DECIMAL(38,0))"
+                " * _qm * 10000 AS DECIMAL(38,0))"
             ).alias("_amt_e12"),
         )
     )
@@ -5993,7 +6011,8 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.expr(
-                    "CAST(ps_supplycost_cents * ps_availqty AS DECIMAL(38,0))"
+                    "CAST(CAST(ps_supplycost_cents AS DECIMAL(38,0))"
+                    " * ps_availqty AS DECIMAL(38,0))"
                 )
             ).alias("_v")
         )

@@ -58,6 +58,15 @@ def pytest_sessionfinish(session, exitstatus):
     joined processes, so the normal path is untouched."""
     trt = sys.modules.get("test_registry_tail")
     launched = getattr(trt, "_LAUNCHED", None) if trt else None
-    for proc in (launched or {}).get("procs", []):
+    procs = (launched or {}).get("procs", [])
+    for proc in procs:
         if proc.poll() is None:
             proc.terminate()
+    # reap: terminate() alone leaves zombie JVM children until
+    # interpreter exit on an early -x abort
+    for proc in procs:
+        try:
+            proc.wait(timeout=10)
+        except Exception:
+            proc.kill()
+            proc.wait(timeout=10)

@@ -1,0 +1,252 @@
+"""Property fuzz for the round-9 wave (VERDICT r9 ask #4) plus the
+mann_kendall_by_key fat-key cap pin (ask #3): percentile_cont at the
+interpolation endpoints (p=0/p=1/single-row/all-ties), CUPED with a
+zero-variance covariate (θ=0 path), ratio_metric_delta with a
+zero-denominator arm, seasonal_decompose with period > series length,
+and editdist1_join on empty / 1-char / unicode-multibyte / duplicate
+strings — each against a plain-Python reference.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from olake_spark.operators.abtest import cuped_adjust, ratio_metric_delta
+from olake_spark.operators.fuzzy import editdist1_join
+from olake_spark.operators.quantiles import percentile_cont
+from olake_spark.operators.robust_trend import mann_kendall_by_key
+from olake_spark.operators.timeseries import seasonal_decompose
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# percentile_cont interpolation endpoints
+# ---------------------------------------------------------------------------
+
+
+def _pcont_reference(values, p):
+    """ANSI PERCENTILE_CONT over exact micro ints, like the operator."""
+    micros = sorted(round(v * 1_000_000) for v in values)
+    n = len(micros)
+    h = (n - 1) * p + 1
+    k_lo, k_hi = int(math.floor(h)), min(int(math.ceil(h)), n)
+    vlo, vhi = micros[k_lo - 1], micros[k_hi - 1]
+    return round((vlo + (h - math.floor(h)) * (vhi - vlo)) / 1_000_000.0, 6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(-500_000, 500_000).map(lambda c: c / 100.0),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_percentile_cont_endpoints_match_reference(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    ps = [0.0, 0.25, 0.5, 1.0]
+    got = {
+        r["p"]: r["q_cont"]
+        for r in percentile_cont(df, [], "v", ps).collect()
+    }
+    for p in ps:
+        assert got[p] == pytest.approx(_pcont_reference(values, p), abs=1e-6)
+    # endpoints are the exact order statistics
+    assert got[0.0] == pytest.approx(min(values), abs=1e-6)
+    assert got[1.0] == pytest.approx(max(values), abs=1e-6)
+
+
+def test_percentile_cont_single_row_and_all_ties(spark):
+    one = spark.createDataFrame([(42.5,)], "v double")
+    rows = percentile_cont(one, [], "v", [0.0, 0.37, 1.0]).collect()
+    assert [r["q_cont"] for r in rows] == [42.5, 42.5, 42.5]
+    ties = spark.createDataFrame([(7.25,)] * 9, "v double")
+    rows = percentile_cont(ties, [], "v", [0.0, 0.5, 0.99, 1.0]).collect()
+    assert [r["q_cont"] for r in rows] == [7.25] * 4
+    assert all(r["lo_micros"] == r["hi_micros"] == 7_250_000 for r in rows)
+
+
+def test_percentile_cont_rejects_bad_p_even_on_empty_input(spark):
+    empty = spark.createDataFrame([], "v double")
+    with pytest.raises(ValueError, match=r"p must be in \[0, 1\]"):
+        percentile_cont(empty, [], "v", [1.5])
+    with pytest.raises(ValueError, match=r"p must be in \[0, 1\]"):
+        percentile_cont(empty, [], "v", [-0.01])
+
+
+# ---------------------------------------------------------------------------
+# CUPED with a zero-variance covariate
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_zero_variance_covariate_theta_zero(spark):
+    # every unit shares the same pre-period value → var(X)=0 → θ := 0
+    # and the adjusted mean must equal the raw mean, not NaN
+    rows = [("t", 5.0, 10.0), ("t", 5.0, 12.0), ("c", 5.0, 8.0), ("c", 5.0, 9.0)]
+    out = {
+        r["g"]: r
+        for r in cuped_adjust(
+            spark.createDataFrame(rows, "g string, x double, y double"),
+            "g", "x", "y",
+        ).collect()
+    }
+    for g, want in [("t", 11.0), ("c", 8.5)]:
+        assert out[g]["theta"] == 0.0
+        assert out[g]["mean_post"] == pytest.approx(want, abs=1e-6)
+        assert out[g]["mean_adj"] == pytest.approx(want, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ratio_metric_delta with a zero-denominator arm
+# ---------------------------------------------------------------------------
+
+
+def test_ratio_delta_zero_denominator_arm_is_null(spark):
+    rows = [
+        ("ok", 3.0, 2.0), ("ok", 5.0, 2.0),
+        ("zero", 1.0, 0.0), ("zero", 2.0, 0.0),
+    ]
+    out = {
+        r["g"]: r
+        for r in ratio_metric_delta(
+            spark.createDataFrame(rows, "g string, y double, d double"),
+            "g", "y", "d",
+        ).collect()
+    }
+    assert out["ok"]["ratio"] == pytest.approx(2.0, abs=1e-6)
+    assert out["zero"]["ratio"] is None  # never ±Inf/NaN
+    assert out["zero"]["se"] is None
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose with period > series length
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_period_longer_than_series(spark):
+    rows = [(T0 + dt.timedelta(days=i), float(10 + i % 3)) for i in range(5)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = seasonal_decompose(df, "ts", "v", period=30).collect()
+    assert len(out) == 5  # every bucket its own phase, nothing dropped
+    assert len({r["phase"] for r in out}) == 5
+    for r in out:
+        # the additive identity must hold exactly in micro ints
+        assert (
+            r["x_micro"]
+            == r["trend_micro"] + r["seasonal_micro"] + r["residual_micro"]
+        )
+
+
+# ---------------------------------------------------------------------------
+# editdist1_join degenerate shapes (empty / 1-char / unicode / dup texts)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _editdist1_reference(rows):
+    out = set()
+    for i, (ida, ta) in enumerate(rows):
+        for idb, tb in rows[i + 1:]:
+            lo, hi = min(ida, idb), max(ida, idb)
+            if _lev(ta, tb) <= 1:
+                out.add((lo, hi))
+    return out
+
+
+def _run_editdist1(spark, rows):
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in editdist1_join(df, "id", "t").collect()
+    }
+    want = _editdist1_reference(rows)
+    assert {(a, b) for a, b, _ in got} == want
+    by_id = dict(rows)
+    for a, b, d in got:
+        assert d == _lev(by_id[a], by_id[b])
+
+
+def test_editdist1_empty_and_single_char(spark):
+    _run_editdist1(
+        spark,
+        [(1, ""), (2, ""), (3, "a"), (4, "b"), (5, "ab"), (6, "x")],
+    )
+
+
+def test_editdist1_unicode_multibyte_is_codepoint_based(spark):
+    # substring/length/levenshtein are all codepoint-based in Spark, so
+    # "café"→"cafe" is ONE edit even though é is 2 UTF-8 bytes
+    _run_editdist1(
+        spark,
+        [(1, "café"), (2, "cafe"), (3, "caf"), (4, "caffé"), (5, "日本"),
+         (6, "日木"), (7, "日"), (8, "€")],
+    )
+
+
+def test_editdist1_duplicate_texts_distinct_ids(spark):
+    rows = [(1, "same"), (2, "same"), (3, "same"), (4, "sane")]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in editdist1_join(df, "id", "t").collect()
+    }
+    assert got[(1, 2)] == got[(1, 3)] == got[(2, 3)] == 0
+    assert got[(1, 4)] == got[(2, 4)] == got[(3, 4)] == 1
+    assert len(got) == 6
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abé", min_size=0, max_size=4),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_editdist1_matches_bruteforce_reference(spark, texts):
+    _run_editdist1(spark, list(enumerate(texts)))
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall_by_key per-key bucket cap (VERDICT r9 ask #3)
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_by_key_fat_key_errors_loudly(spark):
+    rows = [("hot", T0 + dt.timedelta(days=i), float(i)) for i in range(25)]
+    rows += [("ok", T0 + dt.timedelta(days=i), float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = mann_kendall_by_key(df, "ts", ["k"], "v", max_buckets_per_key=10)
+    with pytest.raises(Exception, match="max_buckets_per_key"):
+        out.collect()
+
+
+def test_mann_kendall_by_key_under_cap_unchanged(spark):
+    rows = [("k1", T0 + dt.timedelta(days=i), float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    row = mann_kendall_by_key(
+        df, "ts", ["k"], "v", max_buckets_per_key=10
+    ).collect()[0]
+    # strictly increasing series: S = C(6,2), slope = 1/day in micros
+    assert row["s_stat"] == 15
+    assert row["n_buckets"] == 6
+    assert row["sen_slope_micro"] == pytest.approx(1_000_000.0)
