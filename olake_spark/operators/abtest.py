@@ -26,10 +26,13 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cuped_adjust",
+    "did_estimator",
     "ks_two_sample",
     "mann_whitney_u",
     "proportion_wilson_ci",
     "ratio_metric_delta",
+    "welch_ttest",
+    "wilcoxon_signed_rank",
 ]
 
 _D38 = "decimal(38,0)"
@@ -369,4 +372,250 @@ def ratio_metric_delta(
         F.col("_c").cast("long").alias("n"),
         F.when(F.col("_sn") != 0, F.round(r, 6)).alias("ratio"),
         F.round(se, 6).alias("se"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t — the parametric sibling of
+    :func:`mann_whitney_u` ("did the mean shift?", without assuming the
+    arms share a variance):
+
+        t   = (m_a − m_b) / sqrt(s²_a/n_a + s²_b/n_b)
+        dof = (s²_a/n_a + s²_b/n_b)² /
+              ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1))
+
+    One map-side-combinable pass accumulates the six moments (n, ΣX,
+    ΣX² per arm) as exact micro-unit DECIMAL(38,0) integers; every
+    double is one cast of an exact integer and the t/dof algebra is the
+    identical IEEE sequence in any engine (micro scale cancels inside
+    t), so round(·, 6) hashes stably. try_divide throughout — an arm
+    with n < 2 or zero variance reports NULL t/dof (never a NaN or an
+    ANSI divide error), the repo's degenerate-case convention.
+
+    Returns one row (n_a, n_b, mean_a, mean_b, t, dof).
+    """
+    g = F.col(group_col)
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(_D38)
+    per = (
+        df.filter(g.isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
+        .select(g.alias("_g"), vm.alias("_v"))
+        .groupBy()
+        .agg(
+            *[
+                agg
+                for tag, grp in (("a", group_a), ("b", group_b))
+                for agg in (
+                    F.sum(F.when(F.col("_g") == grp, 1).otherwise(0))
+                    .cast(_D38)
+                    .alias(f"_n{tag}"),
+                    F.sum(
+                        F.when(F.col("_g") == grp, F.col("_v")).otherwise(
+                            F.lit(0).cast(_D38)
+                        )
+                    ).alias(f"_s{tag}"),
+                    F.sum(
+                        F.when(
+                            F.col("_g") == grp, F.col("_v") * F.col("_v")
+                        ).otherwise(F.lit(0).cast(_D38))
+                    ).alias(f"_q{tag}"),
+                )
+            ]
+        )
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    # sample variance in micro² as one cast of the exact integer
+    # n·ΣX² − (ΣX)², then the single n(n−1) divide
+    va = F.try_divide(
+        (na * F.col("_qa") - F.col("_sa") * F.col("_sa")).cast("double"),
+        (na * (na - 1)).cast("double"),
+    )
+    vb = F.try_divide(
+        (nb * F.col("_qb") - F.col("_sb") * F.col("_sb")).cast("double"),
+        (nb * (nb - 1)).cast("double"),
+    )
+    ma = F.try_divide(F.col("_sa").cast("double"), na.cast("double"))
+    mb = F.try_divide(F.col("_sb").cast("double"), nb.cast("double"))
+    sea = F.try_divide(va, na.cast("double"))
+    seb = F.try_divide(vb, nb.cast("double"))
+    se2 = sea + seb
+    t = F.when(se2 > 0, (ma - mb) / F.sqrt(se2))
+    dof = F.when(
+        se2 > 0,
+        F.try_divide(
+            se2 * se2,
+            F.try_divide(sea * sea, (na - 1).cast("double"))
+            + F.try_divide(seb * seb, (nb - 1).cast("double")),
+        ),
+    )
+    return per.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(ma / 1_000_000.0, 6).alias("mean_a"),
+        F.round(mb / 1_000_000.0, 6).alias("mean_b"),
+        F.round(t, 6).alias("t"),
+        F.round(dof, 6).alias("dof"),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    pre_col: str,
+    post_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Wilcoxon signed-rank test over PAIRED per-unit values (one row
+    per unit, e.g. a user's pre- and post-period metric) — the paired
+    complement to :func:`mann_whitney_u`'s independent two-sample U.
+
+    Differences quantize to round(v·scale) integers; zero differences
+    drop (standard Wilcoxon practice — they carry no sign). Ranks of
+    |d| use the mann_whitney DOUBLED-rank trick so tied average ranks
+    stay integral: rank2(v) = 2·(count |d| strictly below) + t + 1, and
+
+        W2⁺  = Σ_{v} pos(v)·rank2(v)            (= 2·W⁺, exact int)
+        z    = (W2⁺ − n(n+1)/2) / sqrt(n(n+1)(2n+1)/6 − Σ(t³−t)/12)
+
+    (the denominator is 2σ — both sides of the ratio carry the doubling
+    so z is the textbook statistic). Plan shape: one map-side shuffle
+    onto the quantized |d| value, then a cumulative window over the
+    DISTINCT-|d| relation — values-sized, never rows-sized. A fully
+    tied sample (variance 0) reports z = NULL.
+
+    Returns one row (n, w2_plus, tie_correction, z).
+    """
+    d = (
+        F.round(F.col(post_col) * scale).cast("long")
+        - F.round(F.col(pre_col) * scale).cast("long")
+    )
+    per_val = (
+        df.filter(F.col(pre_col).isNotNull() & F.col(post_col).isNotNull())
+        .select(d.alias("_d"))
+        .filter(F.col("_d") != 0)
+        .groupBy(F.abs(F.col("_d")).alias("_v"))
+        .agg(
+            F.count(F.lit(1)).alias("_t"),
+            F.sum(F.when(F.col("_d") > 0, 1).otherwise(0)).alias("_pos"),
+        )
+    )
+    w = W.orderBy("_v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    t = F.col("_t").cast(_D38)
+    ranked = per_val.select(
+        F.col("_pos").cast(_D38).alias("_pos"),
+        t.alias("_t"),
+        (F.lit(2) * (F.sum("_t").over(w).cast(_D38) - t) + t + F.lit(1)).alias(
+            "_rank2"
+        ),
+    )
+    zero = F.lit(0).cast(_D38)
+    # coalesce: an all-zero-diff input leaves ZERO ranked values and
+    # empty-input sums are NULL; report (0, 0, 0, NULL z) instead
+    s = ranked.agg(
+        F.coalesce(F.sum("_t"), zero).alias("_n"),
+        F.coalesce(F.sum(F.col("_pos") * F.col("_rank2")), zero).alias(
+            "_w2p"
+        ),
+        F.coalesce(
+            F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")),
+            zero,
+        ).alias("_tie"),
+    )
+    n = F.col("_n")
+    var4_exact = F.lit(2) * n * (n + 1) * (2 * n + 1) - F.col("_tie")
+    z = F.when(
+        var4_exact > 0,
+        (F.col("_w2p") - n * (n + 1)).cast("double")
+        / (F.lit(2.0) * F.sqrt(var4_exact.cast("double") / 12.0)),
+    )
+    return s.select(
+        n.cast("long").alias("n"),
+        F.col("_w2p").cast("long").alias("w2_plus"),
+        F.col("_tie").cast("long").alias("tie_correction"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def did_estimator(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences over unit-level observations tagged
+    with a treatment flag and a pre/post period flag (both 0/1 int
+    columns):
+
+        DiD = (m_t1 − m_t0) − (m_c1 − m_c0)
+        se  = sqrt(Σ_cells s²_g / n_g)        (pooled large-sample SE)
+
+    The four cells' moments (n, ΣX, ΣX²) accumulate as exact micro-unit
+    DECIMAL(38,0) integers in ONE pass; means/variances are each one
+    cast + one IEEE divide, hash-stable at round 6. Cells with n < 2
+    make the SE NULL (try_divide); a missing cell (no rows) makes both
+    estimates NULL rather than silently treating it as zero.
+
+    Returns one row (n_t0, n_t1, n_c0, n_c1, did, se).
+    """
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(_D38)
+    cell = (
+        F.col(treat_col).cast("int") * 2 + F.col(post_col).cast("int")
+    ).alias("_cell")
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(cell, vm.alias("_v"))
+        .groupBy()
+        .agg(
+            *[
+                agg
+                for tag, c in (("c0", 0), ("c1", 1), ("t0", 2), ("t1", 3))
+                for agg in (
+                    F.sum(F.when(F.col("_cell") == c, 1).otherwise(0))
+                    .cast(_D38)
+                    .alias(f"_n{tag}"),
+                    F.sum(
+                        F.when(F.col("_cell") == c, F.col("_v")).otherwise(
+                            F.lit(0).cast(_D38)
+                        )
+                    ).alias(f"_s{tag}"),
+                    F.sum(
+                        F.when(
+                            F.col("_cell") == c, F.col("_v") * F.col("_v")
+                        ).otherwise(F.lit(0).cast(_D38))
+                    ).alias(f"_q{tag}"),
+                )
+            ]
+        )
+    )
+
+    def mean(tag):
+        return F.try_divide(
+            F.col(f"_s{tag}").cast("double"), F.col(f"_n{tag}").cast("double")
+        )
+
+    def sevar(tag):
+        n = F.col(f"_n{tag}")
+        v = F.try_divide(
+            (n * F.col(f"_q{tag}") - F.col(f"_s{tag}") * F.col(f"_s{tag}"))
+            .cast("double"),
+            (n * (n - 1)).cast("double"),
+        )
+        return F.try_divide(v, n.cast("double"))
+
+    did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
+    se2 = sevar("t1") + sevar("t0") + sevar("c1") + sevar("c0")
+    return per.select(
+        F.col("_nt0").cast("long").alias("n_t0"),
+        F.col("_nt1").cast("long").alias("n_t1"),
+        F.col("_nc0").cast("long").alias("n_c0"),
+        F.col("_nc1").cast("long").alias("n_c1"),
+        F.round(did / 1_000_000.0, 6).alias("did"),
+        F.round(
+            F.when(se2 >= 0, F.sqrt(se2) / 1_000_000.0), 6
+        ).alias("se"),
     )

@@ -28,6 +28,7 @@ __all__ = [
     "audit_summary",
     "benford_first_digit",
     "chi_square_independence",
+    "cramers_v",
     "mutual_information",
     "hhi_concentration",
     "theil_index",
@@ -595,4 +596,40 @@ def theil_index(
         F.when(F.col("n_keys") > 1, F.round(t / F.log(n), 6)).alias(
             "theil_normalized"
         ),
+    )
+
+
+def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Cramér's V — the [0, 1]-normalized effect size of the
+    :func:`chi_square_independence` statistic (chi2 grows with n and
+    table size; V is comparable across tables):
+
+        V = sqrt( (chi2/n) / (min(r, c) − 1) )
+
+    Reuses the chi-square operator's exact floor-micro cell integers
+    (so V inherits its order-free accumulation); r/c are the DISTINCT
+    level counts of each attribute, computed on the same tiny grid.
+    One-row report (n, n_rows_levels, n_cols_levels,
+    chi2_total_micro, v) — V NULL on a degenerate 1-level attribute.
+    """
+    cells = chi_square_independence(df, row_col, col_col)
+    agg = cells.agg(
+        F.sum("n").alias("_n"),
+        F.countDistinct(row_col).alias("_r"),
+        F.countDistinct(col_col).alias("_c"),
+        F.first("chi2_total_micro").alias("_chi2m"),
+    )
+    dof = F.least(F.col("_r"), F.col("_c")) - 1
+    v = F.sqrt(
+        F.try_divide(
+            F.col("_chi2m").cast("double") / 1e6 / F.col("_n").cast("double"),
+            dof.cast("double"),
+        )
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_r").cast("long").alias("n_row_levels"),
+        F.col("_c").cast("long").alias("n_col_levels"),
+        F.col("_chi2m").cast("long").alias("chi2_total_micro"),
+        F.round(F.when(dof > 0, v), 6).alias("v"),
     )

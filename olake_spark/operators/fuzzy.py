@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["editdist1_join", "qgram_set", "fuzzy_join", "jaccard_join"]
+__all__ = ["editdist1_join", "editdist2_join", "qgram_set", "fuzzy_join", "jaccard_join"]
 
 
 def jaccard_join(
@@ -294,5 +294,69 @@ def editdist1_join(
     )
     dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
     return cand.filter(dist <= 1).select(
+        "id_a", "id_b", "text_a", "text_b", dist.alias("dist")
+    )
+
+
+# all distinct strings reachable by deleting at most TWO characters —
+# D0 ∪ D1 ∪ D2 as one SQL higher-order-function expression (guarded so
+# sequence() never sees a descending range on short strings)
+_DEL2_SQL = """
+array_distinct(concat(
+  array(_t),
+  CASE WHEN length(_t) >= 1 THEN
+    transform(sequence(0, length(_t) - 1),
+              i -> concat(substring(_t, 1, i), substring(_t, i + 2)))
+  ELSE array() END,
+  CASE WHEN length(_t) >= 2 THEN
+    flatten(transform(sequence(0, length(_t) - 1), i ->
+      transform(sequence(0, length(_t) - 2), j ->
+        concat(
+          substring(concat(substring(_t, 1, i), substring(_t, i + 2)), 1, j),
+          substring(concat(substring(_t, 1, i), substring(_t, i + 2)), j + 2)
+        ))))
+  ELSE array() END
+))
+"""
+
+
+def editdist2_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Self-join on Levenshtein distance ≤ 2 — :func:`editdist1_join`
+    generalized to depth-2 deletion neighborhoods (FastSS, Bocek et al.
+    2007): ed(a, b) ≤ k implies the k-deletion variant sets intersect
+    (align the strings and delete the ≤k mismatching positions from
+    each side), so the variant equi-join is a LOSSLESS candidate
+    generator and one ``levenshtein`` evaluation on candidates only
+    kills the false positives (variant collisions at true distance
+    3-4). Index size is |rows|·(1 + L + C(L,2)) ≈ |rows|·L²/2 entries —
+    quadratic in string LENGTH, never in row count; the join key is the
+    variant string, skew-bounded by how many strings truly share a
+    2-deletion neighborhood.
+
+    Returns (id_a, id_b, text_a, text_b, dist) with dist ∈ {0, 1, 2},
+    pairs on distinct ids (id_a < id_b).
+    """
+    s = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    var = s.select(
+        "_id", "_t", F.explode(F.expr(_DEL2_SQL)).alias("_v")
+    ).distinct()
+    a = var.select(
+        F.col("_id").alias("id_a"), F.col("_t").alias("text_a"), "_v"
+    )
+    b = var.select(
+        F.col("_id").alias("id_b"), F.col("_t").alias("text_b"), "_v"
+    )
+    cand = (
+        a.join(b, "_v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    return cand.filter(dist <= 2).select(
         "id_a", "id_b", "text_a", "text_b", dist.alias("dist")
     )

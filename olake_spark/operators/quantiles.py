@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "exact_quantiles",
+    "tukey_fences",
     "median_mad",
     "percentile_cont",
     "winsorized_stats",
@@ -573,4 +574,65 @@ def percentile_cont(
     ) / 1_000_000.0
     return out.select(
         *keys, "p", F.round(q, 6).alias("q_cont"), "lo_micros", "hi_micros"
+    )
+
+
+def tukey_fences(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    bins: int = 1024,
+) -> DataFrame:
+    """Per-group Tukey boxplot fences and outlier census — the IQR
+    outlier rule (the robust sibling of z-score screens; complements
+    median_mad's MAD rule):
+
+        IQR = Q3 − Q1,  lo = Q1 − 1.5·IQR,  hi = Q3 + 1.5·IQR
+
+    Q1/Q3 are the exact discrete rank-⌈p·n⌉ micro BIGINTs from the
+    shared histogram-bisection sweep (:func:`exact_quantiles` — never a
+    per-group sort buffer); 1.5·IQR computes as (3·IQR) div 2 on the
+    non-negative integer IQR (identical truncation in Spark ``div`` and
+    DuckDB ``//``), so the fences are exact integers and the outlier
+    census (count + min/max outlier) is deterministic. One extra
+    map-side-combinable pass over the rows joins the broadcast fences.
+
+    Returns (keys..., n, q1_micros, q3_micros, lo_fence_micros,
+    hi_fence_micros, n_outliers, min_outlier_micros,
+    max_outlier_micros).
+    """
+    q = exact_quantiles(df, keys, value_col, [0.25, 0.75], bins=bins)
+    fences = (
+        q.groupBy(*keys)
+        .agg(
+            F.max(F.when(F.col("p") == 0.25, F.col("q_micros"))).alias("_q1"),
+            F.max(F.when(F.col("p") == 0.75, F.col("q_micros"))).alias("_q3"),
+        )
+        .select(
+            *keys,
+            "_q1",
+            "_q3",
+            (F.col("_q1") - F.expr("(3 * (_q3 - _q1)) div 2")).alias("_lo"),
+            (F.col("_q3") + F.expr("(3 * (_q3 - _q1)) div 2")).alias("_hi"),
+        )
+    )
+    vm = F.round(F.col(value_col) * MICROS).cast("long")
+    base = df.select(*keys, vm.alias("_vm")).filter(F.col("_vm").isNotNull())
+    out = F.col("_vm").isNotNull() & (
+        (F.col("_vm") < F.col("_lo")) | (F.col("_vm") > F.col("_hi"))
+    )
+    joined = (
+        base.join(F.broadcast(fences), keys)
+        if keys
+        else base.crossJoin(F.broadcast(fences))
+    )
+    return joined.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("_q1").alias("q1_micros"),
+        F.first("_q3").alias("q3_micros"),
+        F.first("_lo").alias("lo_fence_micros"),
+        F.first("_hi").alias("hi_fence_micros"),
+        F.sum(F.when(out, 1).otherwise(0)).alias("n_outliers"),
+        F.min(F.when(out, F.col("_vm"))).alias("min_outlier_micros"),
+        F.max(F.when(out, F.col("_vm"))).alias("max_outlier_micros"),
     )

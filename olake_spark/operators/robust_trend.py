@@ -35,7 +35,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["mann_kendall_by_key", "mann_kendall_theil_sen"]
+__all__ = ["mann_kendall_by_key", "mann_kendall_theil_sen", "runs_test"]
+
+_D38 = "decimal(38,0)"
 
 
 def _kth_smallest_double(
@@ -297,4 +299,78 @@ def mann_kendall_by_key(
         F.when(var_s > 0, F.round(z, 6)).alias("z"),
         F.round(F.col("_sen"), 4).alias("sen_slope_micro"),
         F.round(F.col("_sen") / 1_000_000.0, 6).alias("sen_slope"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    step: str = "1 day",
+) -> DataFrame:
+    """Wald–Wolfowitz runs test on the UP/DOWN moves of the bucketed
+    total series — "is the day-over-day direction random, or does it
+    streak?" (the randomness screen run before any trend claim;
+    complements Mann-Kendall which asks about monotone drift).
+
+    The series is the exact micro-unit bucket sums; moves are
+    sign(x_t − x_{t−1}) with zero moves dropped (a tie has no
+    direction). With n₁ ups, n₂ downs and R observed runs:
+
+        μ  = 2n₁n₂/(n₁+n₂) + 1
+        σ² = 2n₁n₂(2n₁n₂ − n₁ − n₂) / ((n₁+n₂)²(n₁+n₂ − 1))
+        z  = (R − μ)/σ
+
+    R, n₁, n₂ are exact integers from two lag windows over the
+    BUCKET-sized relation (values-sized, never rows-sized — the
+    ks/acf contract); μ/σ²/z are one fixed IEEE sequence over single
+    casts of exact DECIMAL(38,0) products, hash-stable at round 6.
+    Degenerate series (n₁+n₂ < 2 or σ² ≤ 0) report NULL z.
+
+    Returns one row (n_up, n_down, runs, z).
+    """
+    from olake_spark.operators.timeseries import bucketize
+
+    daily = bucketize(df, time_col, [], value_col, step=step).select(
+        F.col("_bucket").alias("_t"), F.col("_v_micros").alias("_x")
+    )
+    wlag = W.orderBy("_t")
+    moves = (
+        daily.select(
+            "_t",
+            F.signum(
+                (F.col("_x") - F.lag("_x").over(wlag)).cast("double")
+            ).cast("int").alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull() & (F.col("_s") != 0))
+    )
+    runs_flag = F.when(
+        F.lag("_s").over(wlag).isNull() | (F.col("_s") != F.lag("_s").over(wlag)),
+        1,
+    ).otherwise(0)
+    zero = F.lit(0).cast(_D38)
+    # coalesce: an all-tied series has ZERO moves and empty-input sums
+    # are NULL, but the report should read (0, 0, 0, NULL z)
+    agg = moves.select("_t", "_s", runs_flag.alias("_new_run")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_s") > 0, 1).otherwise(0)).cast(_D38), zero
+        ).alias("_n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("_s") < 0, 1).otherwise(0)).cast(_D38), zero
+        ).alias("_n2"),
+        F.coalesce(F.sum("_new_run").cast(_D38), zero).alias("_r"),
+    )
+    n1, n2, r = F.col("_n1"), F.col("_n2"), F.col("_r")
+    n = n1 + n2
+    two = F.lit(2).cast(_D38)
+    mu = F.try_divide((two * n1 * n2).cast("double"), n.cast("double")) + 1.0
+    var_num = (two * n1 * n2 * (two * n1 * n2 - n)).cast("double")
+    var_den = (n * n * (n - 1)).cast("double")
+    var = F.try_divide(var_num, var_den)
+    z = F.when((n >= 2) & (var > 0), (r.cast("double") - mu) / F.sqrt(var))
+    return agg.select(
+        n1.cast("long").alias("n_up"),
+        n2.cast("long").alias("n_down"),
+        r.cast("long").alias("runs"),
+        F.round(z, 6).alias("z"),
     )

@@ -33,6 +33,8 @@ from olake_spark.operators.sessions import _gap_seconds
 
 __all__ = [
     "seasonal_decompose",
+    "seasonal_strength",
+    "dispersion_index",
     "bucketize",
     "gapfill_locf",
     "retention_cohorts",
@@ -593,4 +595,117 @@ def seasonal_decompose(
                 "count(1) OVER (PARTITION BY phase)"
             )
         ).alias("residual_micro"),
+    )
+
+
+def dispersion_index(
+    df: DataFrame,
+    time_col: str,
+    keys: list[str],
+    value_col: str,
+    step: str = "1 day",
+) -> DataFrame:
+    """Per-key variance-to-mean ratio (Fano factor) of the bucketed
+    EVENT COUNTS — the overdispersion screen run before any Poisson
+    assumption ("are arrivals bursty or Poisson-like?"; VMR ≈ 1 is
+    Poisson, ≫ 1 is clumped, < 1 is regular).
+
+    Only OBSERVED buckets enter the census (the bucketize contract —
+    gapfill upstream if silent periods should count as zeros). Per key:
+    n buckets, Σc, Σc² accumulate as exact DECIMAL(38,0) integers in
+    one map-side-combinable pass over the bucket relation; mean,
+    sample variance and VMR are each one cast + one IEEE divide
+    (try_divide — single-bucket or zero-mean keys report NULL),
+    hash-stable at round 6.
+
+    Returns (keys..., n_buckets, n_events, mean, var, vmr).
+    """
+    b = bucketize(df, time_col, keys, value_col, step=step)
+    c = F.col("n_events").cast(_D38)
+    agg = b.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(_D38).alias("_nb"),
+        F.sum(c).alias("_s"),
+        F.sum(c * c).alias("_q"),
+    )
+    nb = F.col("_nb")
+    mean = F.try_divide(F.col("_s").cast("double"), nb.cast("double"))
+    var = F.try_divide(
+        (nb * F.col("_q") - F.col("_s") * F.col("_s")).cast("double"),
+        (nb * (nb - 1)).cast("double"),
+    )
+    return agg.select(
+        *keys,
+        nb.cast("long").alias("n_buckets"),
+        F.col("_s").cast("long").alias("n_events"),
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("var"),
+        F.round(F.try_divide(var, mean), 6).alias("vmr"),
+    )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    step: str = "1 day",
+    period: int = 7,
+    trend_window: int = 3,
+) -> DataFrame:
+    """Trend/seasonality strength of the bucketed total series — the
+    Hyndman F-statistics over the :func:`seasonal_decompose` components:
+
+        F_trend    = max(0, 1 − Var(resid)/Var(trend + resid))
+        F_seasonal = max(0, 1 − Var(resid)/Var(seasonal + resid))
+
+    Both variance ratios use UNNORMALIZED variance numerators
+    n·Σx² − (Σx)² (the shared n cancels in the ratio), accumulated as
+    exact DECIMAL(38,0) integers over the decomposition's micro-unit
+    components (trend+resid = x − seasonal and seasonal+resid = x −
+    trend are exact integer subtractions) — so the only doubles are one
+    cast per numerator and the final divide, hash-stable at round 6.
+    Plan: the decompose's bucket-sized relation feeds one more
+    aggregation; nothing rows-sized is touched again. A flat series
+    (zero Var(s+r)) reports NULL for that strength — guarded on the
+    EXACT integer numerator, never greatest()-over-NULL (whose NULL
+    handling differs between engines).
+
+    Returns one row (n_buckets, strength_trend, strength_seasonal).
+    """
+    dec = seasonal_decompose(
+        df, time_col, value_col, step=step, period=period,
+        trend_window=trend_window,
+    )
+    r = F.col("residual_micro").cast(_D38)
+    sr = (F.col("x_micro") - F.col("trend_micro")).cast(_D38)
+    tr = (F.col("x_micro") - F.col("seasonal_micro")).cast(_D38)
+    agg = dec.agg(
+        F.count(F.lit(1)).cast(_D38).alias("_n"),
+        F.sum(r).alias("_sr"), F.sum(r * r).alias("_qr"),
+        F.sum(sr).alias("_ss"), F.sum(sr * sr).alias("_qs"),
+        F.sum(tr).alias("_st"), F.sum(tr * tr).alias("_qt"),
+    )
+    n = F.col("_n")
+
+    def vnum_exact(s_col, q_col):
+        return n * F.col(q_col) - F.col(s_col) * F.col(s_col)
+
+    def strength(den_s, den_q):
+        den = vnum_exact(den_s, den_q)
+        return F.when(
+            den > 0,
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    1.0
+                    - vnum_exact("_sr", "_qr").cast("double")
+                    / den.cast("double"),
+                ),
+                6,
+            ),
+        )
+
+    return agg.select(
+        n.cast("long").alias("n_buckets"),
+        strength("_st", "_qt").alias("strength_trend"),
+        strength("_ss", "_qs").alias("strength_seasonal"),
     )

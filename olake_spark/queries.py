@@ -7767,6 +7767,7 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data operators register themselves into the same QUERIES/ORACLES
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
+from olake_spark import queries_r10 as _r10  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -7986,11 +7987,8 @@ _GATE_TAIL = [
     "events_activity_streaks",
     "lineitem_ship_latency_sla",
     "events_holt_backtest",
-    "tpch_q01_pricing_summary",
-    "tpch_q03_unshipped_revenue",
     "tpch_q05_regional_revenue",
     "tpch_q10_returned_revenue",
-    "tpch_q06_forecast_revenue",
     "tpch_q07_volume_shipping",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect",
@@ -8009,6 +8007,24 @@ _GATE_TAIL = [
     # changed this round — by= generalization); rotate an untouched
     # one-green veteran instead
     "events_path_trigrams",
+    "lineitem_correlation_matrix",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "events_mannwhitney",
+    "lineitem_spearman_corr",
+    "events_acf_daily",
+    "lineitem_winsorized_stats",
+    "orders_item_neighbors",
+    "customer_rfm_segments",
+    "events_psi_value_drift",
+    "events_audience_overlap",
+    "graph_clustering_coeff",
+    "lineitem_mutual_info",
+    "feature_quantile_normalize",
+    "events_growth_accounting",
+    "lineitem_weighted_median_price",
+    "orders_hhi_by_nation",
+    "orders_ltv_cohorts",
 ]
 
 

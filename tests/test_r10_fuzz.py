@@ -250,3 +250,139 @@ def test_mann_kendall_by_key_under_cap_unchanged(spark):
     assert row["s_stat"] == 15
     assert row["n_buckets"] == 6
     assert row["sen_slope_micro"] == pytest.approx(1_000_000.0)
+
+
+# ---------------------------------------------------------------------------
+# round-10 operator degenerate paths
+# ---------------------------------------------------------------------------
+
+
+def test_runs_test_constant_and_monotone_series(spark):
+    from olake_spark.operators.robust_trend import runs_test
+
+    flat = spark.createDataFrame(
+        [(T0 + dt.timedelta(days=i), 5.0) for i in range(10)],
+        "ts timestamp, v double",
+    )
+    row = runs_test(flat, "ts", "v").collect()[0]
+    assert row["n_up"] == row["n_down"] == row["runs"] == 0
+    assert row["z"] is None
+    up = spark.createDataFrame(
+        [(T0 + dt.timedelta(days=i), float(i)) for i in range(10)],
+        "ts timestamp, v double",
+    )
+    row = runs_test(up, "ts", "v").collect()[0]
+    assert (row["n_up"], row["n_down"], row["runs"]) == (9, 0, 1)
+    assert row["z"] is None  # zero variance when one sign is absent
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    from olake_spark.operators.correlation import kendall_tau_b
+
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = [(float(rng.randint(0, 5)), float(rng.randint(0, 3)))
+            for _ in range(40)]
+    got = kendall_tau_b(
+        spark.createDataFrame(rows, "x double, y double"), "x", "y", scale=1
+    ).collect()[0]
+    conc = disc = tx = ty = 0
+    for (xa, ya), (xb, yb) in itertools.combinations(rows, 2):
+        if xa == xb:
+            tx += 1
+        if ya == yb:
+            ty += 1
+        if (xa < xb and ya < yb) or (xa > xb and ya > yb):
+            conc += 1
+        elif (xa < xb and ya > yb) or (xa > xb and ya < yb):
+            disc += 1
+    n = len(rows)
+    assert (got["concordant"], got["discordant"]) == (conc, disc)
+    assert (got["ties_x_pairs"], got["ties_y_pairs"]) == (tx, ty)
+    denom = math.sqrt(
+        (n * (n - 1) - 2 * tx) * 1.0 * (n * (n - 1) - 2 * ty)
+    )
+    assert got["tau_b"] == pytest.approx(2 * (conc - disc) / denom, abs=1e-6)
+
+
+def test_kendall_tau_all_ties_null(spark):
+    from olake_spark.operators.correlation import kendall_tau_b
+
+    df = spark.createDataFrame([(1.0, 2.0)] * 5, "x double, y double")
+    assert kendall_tau_b(df, "x", "y").collect()[0]["tau_b"] is None
+
+
+def test_skyline_duplicates_and_ties(spark):
+    from olake_spark.operators.skyline import pareto_skyline_2d
+
+    rows = [
+        (1, 5, 10), (2, 5, 10),          # duplicate skyline point: both kept
+        (3, 5, 9),                        # dominated inside its x group
+        (4, 6, 10),                       # ties larger-x best y → kills 1,2
+        (5, 7, 3), (6, 4, 12),
+    ]
+    df = spark.createDataFrame(rows, "id int, x int, y int")
+    got = {r["id"] for r in pareto_skyline_2d(df, "x", "y", ["id"]).collect()}
+    # brute force
+    want = set()
+    for i, xi, yi in rows:
+        if not any(
+            (xb >= xi and yb >= yi and (xb > xi or yb > yi))
+            for j, xb, yb in rows if j != i
+        ):
+            want.add(i)
+    assert got == want == {4, 5, 6}
+
+
+def test_editdist2_matches_bruteforce(spark):
+    from olake_spark.operators.fuzzy import editdist2_join
+
+    texts = ["abc", "abcd", "abcde", "xbcde", "abde", "a", "", "ab",
+             "zzz", "azc", "café", "cafe", "ca", "日本語", "日本"]
+    rows = list(enumerate(texts))
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in editdist2_join(
+            spark.createDataFrame(rows, "id int, t string"), "id", "t"
+        ).collect()
+    }
+    want = {}
+    for i, (ida, ta) in enumerate(rows):
+        for idb, tb in rows[i + 1:]:
+            d = _lev(ta, tb)
+            if d <= 2:
+                want[(min(ida, idb), max(ida, idb))] = d
+    assert got == want
+
+
+def test_welch_ttest_degenerate_single_row_arm(spark):
+    from olake_spark.operators.abtest import welch_ttest
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "g string, v double"
+    )
+    row = welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    assert row["n_b"] == 1
+    assert row["t"] is None and row["dof"] is None
+
+
+def test_wilcoxon_all_zero_diffs(spark):
+    from olake_spark.operators.abtest import wilcoxon_signed_rank
+
+    df = spark.createDataFrame([(3.0, 3.0)] * 6, "pre double, post double")
+    row = wilcoxon_signed_rank(df, "pre", "post").collect()[0]
+    assert row["n"] == 0 and row["z"] is None
+
+
+def test_dispersion_single_bucket_null_var(spark):
+    from olake_spark.operators.timeseries import dispersion_index
+
+    df = spark.createDataFrame(
+        [("a", T0, 1.0), ("a", T0 + dt.timedelta(hours=1), 1.0)],
+        "k string, ts timestamp, v double",
+    )
+    row = dispersion_index(df, "ts", ["k"], "v").collect()[0]
+    assert row["n_buckets"] == 1
+    assert row["var"] is None and row["vmr"] is None
