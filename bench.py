@@ -306,8 +306,8 @@ def make_workload(name: str, spark, sf_dir: str, tmp: str):
     return lambda: fn(spark, sf_dir).count()
 
 
-def _iso_child(name: str, sf_dir: str) -> None:
-    """Subprocess body for --isolated: warm-up, best-of-3, ISO_RESULT line."""
+def _iso_child(name: str, sf_dir: str, best_of: int = 3) -> None:
+    """Subprocess body for --isolated: warm-up, best-of-N, ISO_RESULT line."""
     from pyspark.sql import functions as F
 
     from olake_spark.session import get_spark
@@ -320,7 +320,7 @@ def _iso_child(name: str, sf_dir: str) -> None:
     try:
         fn = make_workload(name, spark, sf_dir, tmp)
         runs: list[float] = []
-        for _ in range(3):
+        for _ in range(best_of):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             rows = fn()
@@ -328,14 +328,26 @@ def _iso_child(name: str, sf_dir: str) -> None:
         runs.sort()
         print(
             "ISO_RESULT",
-            json.dumps({"sec": runs[0], "runs": runs, "rows": rows}),
+            json.dumps(
+                {
+                    "sec": runs[0],
+                    "runs": runs,
+                    "rows": rows,
+                    "load1": round(os.getloadavg()[0], 2),
+                }
+            ),
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def run_isolated(names: list[str]) -> None:
+def run_isolated(names: list[str], best_of: int = 3, cooldown: float = 0.0) -> None:
     """Each workload in its own python+JVM subprocess; same timing protocol.
+
+    ``best_of``/``cooldown`` implement the idle measurement protocol the
+    round reports use for the vs-baseline headliners: N reps inside each
+    fresh JVM, a sleep between subprocesses so one child's page-cache /
+    scheduler wake-down doesn't land inside the next child's timed window.
 
     Exits non-zero if any name is unknown or any subprocess fails — this is
     the ground-truth instrument; an empty success JSON would be a lie."""
@@ -358,11 +370,14 @@ def run_isolated(names: list[str]) -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     rps: dict[str, dict[str, float]] = {}
+    loads: dict[str, float] = {}
     failed: list[str] = []
-    for name in names:
+    for i, name in enumerate(names):
+        if cooldown and i:
+            time.sleep(cooldown)
         code = (
             f"import sys; sys.path.insert(0, {REPO!r})\n"
-            f"import bench; bench._iso_child({name!r}, {sf_dir!r})\n"
+            f"import bench; bench._iso_child({name!r}, {sf_dir!r}, {best_of})\n"
         )
         proc = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
@@ -374,6 +389,8 @@ def run_isolated(names: list[str]) -> None:
             continue
         res = json.loads(iso_lines[-1].split(" ", 1)[1])
         timings[name] = round(res["sec"], 3)
+        if "load1" in res:
+            loads[name] = res["load1"]
         # best-of-3 spread [min, median, max]: a future regression shows
         # as a min shift; a wide max-min gap flags machine noise instead
         # of re-litigating a single drifted number
@@ -392,9 +409,11 @@ def run_isolated(names: list[str]) -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "mode": "isolated",
+                "best_of": best_of,
                 "queries": timings,
                 "spread": spread,
                 "rows_per_sec": rps,
+                "load1": loads,
                 "failed": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
@@ -423,8 +442,14 @@ def main() -> None:
     _warm_python_workers(spark)
     timings: dict[str, float] = {}
     rps: dict[str, float] = {}
+    loads: dict[str, float] = {}
 
     def timed(name: str, fn, reps: int = 2) -> None:
+        # 1-min load BEFORE the workload: the round-over-round common-set
+        # comparison is only meaningful between idle-box runs, so every
+        # recorded number carries its own idle evidence (r9 watch item:
+        # a shared-bench regression that was really machine load)
+        loads[name] = round(os.getloadavg()[0], 2)
         best, rows = None, None
         for _ in range(reps):
             spark.catalog.clearCache()  # queries are independent; don't let
@@ -466,6 +491,10 @@ def main() -> None:
     # full per-query map → file; compact headline JSON → final stdout line.
     # The recording driver keeps only a 2000-char stdout tail, so the final
     # line must stay small (round 3's full map overflowed it → parsed:null).
+    load_vals = list(loads.values())
+    # idle threshold: < 1/4 of the 32 hardware threads already busy when a
+    # workload starts. One loaded workload marks the whole run non-idle.
+    idle = bool(load_vals) and max(load_vals) < 8.0
     full = {
         "metric": "olake_spark end-to-end wall seconds (headlines + operator queries)",
         "value": round(sum(timings.values()), 3),
@@ -473,6 +502,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rows_per_sec": rps,
+        "load_before_each": loads,
+        "load_max": round(max(load_vals), 2) if load_vals else None,
+        "idle_box": idle,
     }
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=2)
@@ -491,6 +523,8 @@ def main() -> None:
         },
         "sf": full["sf"],
         "rows_per_sec": {n: rps[n] for n in HEADLINES if n in rps},
+        "load_max": full["load_max"],
+        "idle_box": full["idle_box"],
     }
     line = json.dumps(compact)
     if len(line) > 1800:  # hard guard: never overflow the driver's tail again
@@ -499,9 +533,25 @@ def main() -> None:
     print(line)
 
 
+def _flag_value(flag: str, default):
+    if flag in sys.argv:
+        return type(default)(sys.argv[sys.argv.index(flag) + 1])
+    return default
+
+
 if __name__ == "__main__":
     if "--isolated" in sys.argv:
-        names = [a for a in sys.argv[1:] if not a.startswith("--")]
-        run_isolated(names or list(HEADLINES) + BENCH_QUERIES)
+        best_of = _flag_value("--best-of", 3)
+        cooldown = _flag_value("--cooldown", 0.0)
+        skip = {"--isolated", "--best-of", "--cooldown",
+                str(best_of), str(cooldown)}
+        names = [
+            a
+            for i, a in enumerate(sys.argv[1:], 1)
+            if not a.startswith("--")
+            and sys.argv[i - 1] not in ("--best-of", "--cooldown")
+        ]
+        run_isolated(names or list(HEADLINES) + BENCH_QUERIES,
+                     best_of=best_of, cooldown=cooldown)
     else:
         main()

@@ -134,6 +134,11 @@ def _run_bisection(
             break
         glo = min(s[-2] for s in open_states)
         ghi = max(s[-1] for s in open_states)
+        # overflow guard: the bin expression computes (v − lo)·rbins in
+        # BIGINT; clamp rbins so the widest open span cannot push it past
+        # 2^62 (costs extra rounds only on astronomically wide domains)
+        span_max = max(s[-1] - s[-2] for s in open_states)
+        rbins = max(2, min(rbins, (1 << 62) // max(span_max, 1)))
         scoped = base.filter(F.col("_vm").between(F.lit(glo), F.lit(ghi)))
         if len(open_states) <= 64:
             # few-states fast path (the operator's contract regime): inline
@@ -155,8 +160,13 @@ def _run_bisection(
                     *[
                         F.struct(
                             F.lit(float(s[len(keys)])).alias("p"),
-                            F.lit(int(s[-2])).alias("lo"),
-                            F.lit(int(s[-1])).alias("hi"),
+                            # cast("long"): a bound that happens to fit
+                            # int32 becomes an INT literal, and the bin
+                            # expression's (hi − lo + 1) then overflows
+                            # int32 under ANSI on spans ≥ 2^31 even
+                            # though both endpoints fit (fuzz-found)
+                            F.lit(int(s[-2])).cast("long").alias("lo"),
+                            F.lit(int(s[-1])).cast("long").alias("hi"),
                         )
                         for s in group_states
                     ]

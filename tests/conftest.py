@@ -20,7 +20,9 @@ def spark():
     # keep the production conf).
     s = get_spark(
         app_name="olake_spark_tests",
-        master="local[8]",
+        # suite-shard children override to a smaller local[] so the
+        # concurrent JVMs only mildly oversubscribe the box
+        master=os.environ.get("OLAKE_TEST_SPARK_MASTER", "local[8]"),
         shuffle_partitions=4,
         extra_conf={"spark.ui.enabled": "false"},
     )
@@ -51,14 +53,51 @@ def pytest_collection_modifyitems(session, config, items):
 
         _trt.launch_shards()
 
+    # suite-module sharding (same collection-time overlap recipe): only a
+    # FULL-suite run arms it — the joiner must be collected, the run must
+    # span most modules (no -k/-m slice), and we must not be a shard child
+    if (
+        not os.environ.get("OLAKE_SUITE_SHARD")
+        and any(
+            item.nodeid.endswith("test_suite_shards_all_green")
+            for item in items
+        )
+    ):
+        modules = {item.nodeid.split("::")[0].split("/")[-1] for item in items}
+        if len(modules) > 60:
+            import sys as _sys
+
+            _sys.path.insert(0, os.path.dirname(__file__))
+            import test_suite_shards as _tss
+
+            plan = _tss._shard_plan()
+            sharded = {m for shard in plan for m in shard} & modules
+            if sharded:
+                _tss.launch([
+                    [m for m in shard if m in sharded] for shard in plan
+                ])
+                removed = [
+                    i
+                    for i in items
+                    if i.nodeid.split("::")[0].split("/")[-1] in sharded
+                ]
+                items[:] = [
+                    i
+                    for i in items
+                    if i.nodeid.split("::")[0].split("/")[-1] not in sharded
+                ]
+                config.hook.pytest_deselected(items=removed)
+
 
 def pytest_sessionfinish(session, exitstatus):
     """Reap tail-gate shards if the session ends before the tail test
     consumed them (e.g. -x abort): terminate() is a no-op for already-
     joined processes, so the normal path is untouched."""
-    trt = sys.modules.get("test_registry_tail")
-    launched = getattr(trt, "_LAUNCHED", None) if trt else None
-    procs = (launched or {}).get("procs", [])
+    procs = []
+    for modname in ("test_registry_tail", "test_suite_shards"):
+        mod = sys.modules.get(modname)
+        launched = getattr(mod, "_LAUNCHED", None) if mod else None
+        procs.extend((launched or {}).get("procs", []))
     for proc in procs:
         if proc.poll() is None:
             proc.terminate()

@@ -60,6 +60,13 @@ _CROSS_OK = {
     "tpch_q11_important_stock",  # + 1-row stock-value-total broadcast
     "tpch_q16_supplier_part_counts",
     "tpch_q20_promotion_suppliers",
+    # domain-sized cell×cell theta-join BY DESIGN (concordance over the
+    # (x, y) histogram — |cells|² ≤ (50·11)², never the O(n²) row pairs
+    # the brute-force oracle walks) + tie-table broadcasts
+    "lineitem_kendall_tau",
+    # same complete-grid spine + 1-row chi2-total broadcast as the
+    # chi2_independence query it wraps
+    "orders_cramers_v",
 }
 
 
