@@ -426,6 +426,11 @@ def run_isolated(names: list[str], best_of: int = 3, cooldown: float = 0.0) -> N
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # idle evidence must be sampled BEFORE the JVM + warm-up generate
+    # their own load: the per-workload loads below include the bench's
+    # preceding workloads (a 32-thread bench pushes load1 to ~10 by the
+    # heavy middle section on a box that was at 0.1 when it started)
+    load_at_start = round(os.getloadavg()[0], 2)
 
     from pyspark.sql import functions as F
 
@@ -492,9 +497,10 @@ def main() -> None:
     # The recording driver keeps only a 2000-char stdout tail, so the final
     # line must stay small (round 3's full map overflowed it → parsed:null).
     load_vals = list(loads.values())
-    # idle threshold: < 1/4 of the 32 hardware threads already busy when a
-    # workload starts. One loaded workload marks the whole run non-idle.
-    idle = bool(load_vals) and max(load_vals) < 8.0
+    # idle = nothing ELSE was running when the bench started (< 1/4 of the
+    # 32 hardware threads busy); the per-workload series is diagnostic —
+    # it includes the bench's own self-load and so cannot gate idleness
+    idle = load_at_start < 8.0
     full = {
         "metric": "olake_spark end-to-end wall seconds (headlines + operator queries)",
         "value": round(sum(timings.values()), 3),
@@ -502,6 +508,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rows_per_sec": rps,
+        "load_at_start": load_at_start,
         "load_before_each": loads,
         "load_max": round(max(load_vals), 2) if load_vals else None,
         "idle_box": idle,
@@ -523,7 +530,7 @@ def main() -> None:
         },
         "sf": full["sf"],
         "rows_per_sec": {n: rps[n] for n in HEADLINES if n in rps},
-        "load_max": full["load_max"],
+        "load_at_start": load_at_start,
         "idle_box": full["idle_box"],
     }
     line = json.dumps(compact)
