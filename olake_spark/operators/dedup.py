@@ -876,15 +876,23 @@ def minhash_exact_jaccard_pairs(
     :func:`minhash_near_dups` (which reports the signature ESTIMATE):
     banding proposes candidate pairs (≥1 agreeing band; at the default
     16 bands × 1 row a true pair at J ≥ τ is missed only if all 16
-    independent minhashes differ, probability (1−J)^16 ≤ 1.5e-5 at
-    J = 0.5), and the emitted jaccard is the TRUE |A∩B|/|A∪B| over the
-    distinct character-shingle sets, computed only on candidates via a
-    (doc, shingle) equi-join — never all pairs, never the estimate.
+    independent minhashes differ, probability (1−τ)^16 ≤ 1.5e-5 at
+    τ = 0.5), and the emitted jaccard is the TRUE |A∩B|/|A∪B| over the
+    distinct character-shingle sets — computed per CANDIDATE pair with
+    one ``array_intersect`` over the two docs' shingle arrays (never an
+    exploded (doc, shingle) join, never the estimate).
 
-    Registered with a BRUTE-FORCE O(n²) cross-join oracle on a fixture
-    slice, so a green check proves the banded plan finds exactly the
-    pairs exhaustive comparison finds (the editdist1 independent-oracle
-    pattern applied to the MinHash family).
+    Registered with a BRUTE-FORCE O(n²) cross-join oracle on a PINNED
+    fixture slice, so a green check proves the banded plan finds
+    exactly the pairs exhaustive comparison finds (the editdist1
+    independent-oracle pattern applied to the MinHash family). Scale
+    contract: this is the CERTIFICATION operator — run it on a bounded
+    proof corpus. The production near-dup path is
+    :func:`minhash_near_dups` + ``cap_buckets`` (growth exponents in
+    SCALE_EVIDENCE.json); on a corpus with a universal shingle (one
+    whose hash is the global minimum and which appears in most docs) a
+    1-row band degenerates toward all-pairs, which a proof corpus
+    tolerates and a production corpus caps.
 
     Returns (id_a, id_b, inter, union_sz, jaccard) for pairs with
     jaccard ≥ threshold.
@@ -892,7 +900,25 @@ def minhash_exact_jaccard_pairs(
     k = _NUM_HASHES
     rows_per_band = k // num_bands
     norm = normalize_text(F.col(text_col)).alias("_norm")
-    sig = minhash_signatures(df, id_col, text_col, shingle_size)
+    base = (
+        spread(df, id_col)
+        .select(F.col(id_col), norm)
+        .select(
+            id_col,
+            char_shingles(F.col("_norm"), shingle_size).alias("_gs"),
+        )
+    )
+    hashed = base.select(
+        id_col, F.explode("_gs").alias("_s")
+    ).select(id_col, (hash60(F.col("_s")) % HASH_PRIME).alias("h"))
+    sig = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
     bt = _band_table(sig, id_col, num_bands, rows_per_band)
     a, b = bt.alias("a"), bt.alias("b")
     cand = (
@@ -908,36 +934,25 @@ def minhash_exact_jaccard_pairs(
         )
         .distinct()
     )
-    gs = (
-        spread(df, id_col)
-        .select(F.col(id_col), norm)
-        .select(
-            id_col,
-            F.explode(char_shingles(F.col("_norm"), shingle_size)).alias("_s"),
-        )
-        .distinct()
-    )
-    sizes = gs.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    ga = gs.select(F.col(id_col).alias("id_a"), "_s")
-    gb = gs.select(F.col(id_col).alias("id_b"), "_s")
-    inter = (
+    ga = base.select(F.col(id_col).alias("id_a"), F.col("_gs").alias("_ga"))
+    gb = base.select(F.col(id_col).alias("id_b"), F.col("_gs").alias("_gb"))
+    ver = (
         cand.join(ga, "id_a")
-        .join(gb, ["id_b", "_s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_ga", "_gb")).alias("inter"),
+            (F.size("_ga") + F.size("_gb")).alias("_sz"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
     jac = F.round(
         F.col("inter").cast("double")
-        / (F.col("_na") + F.col("_nb") - F.col("inter")).cast("double"),
+        / (F.col("_sz") - F.col("inter")).cast("double"),
         6,
     )
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", "inter",
-                (F.col("_na") + F.col("_nb") - F.col("inter")).alias("union_sz"),
-                jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return ver.select(
+        "id_a", "id_b", "inter",
+        (F.col("_sz") - F.col("inter")).alias("union_sz"),
+        jac.alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

