@@ -25,8 +25,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
+    "brown_forsythe",
     "cuped_adjust",
     "did_estimator",
+    "oneway_anova",
     "ks_two_sample",
     "mann_whitney_u",
     "proportion_wilson_ci",
@@ -619,3 +621,107 @@ def did_estimator(
             F.when(se2 >= 0, F.sqrt(se2) / 1_000_000.0), 6
         ).alias("se"),
     )
+
+
+def _anova_from_micro(df: DataFrame, group_col: str, vm_col: str) -> DataFrame:
+    """Shared one-way ANOVA core over an exact micro-unit BIGINT value
+    column: per-group moments (n, Σv, Σv²) accumulate as DECIMAL(38,0)
+    in one map-side-combinable pass; the per-group double terms
+    (SS_g = (n·Σv² − (Σv)²)/n and (Σv)²/n) then fold in GROUP-KEY ORDER
+    via aggregate() over a sorted struct array — the KM/Holt ordered-fold
+    recipe — so the float sums are one fixed IEEE sequence an oracle's
+    ``list(x ORDER BY g)`` + ``list_reduce`` reproduces exactly (a plain
+    SUM over double terms would be partition-order-dependent)."""
+    per = df.groupBy(F.col(group_col).cast("string").alias("_g")).agg(
+        F.count(F.lit(1)).cast(_D38).alias("_n"),
+        F.sum(F.col(vm_col).cast(_D38)).alias("_s"),
+        F.sum(F.col(vm_col).cast(_D38) * F.col(vm_col).cast(_D38)).alias(
+            "_q"
+        ),
+    )
+    term_w = F.try_divide(
+        (F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")).cast(
+            "double"
+        ),
+        F.col("_n").cast("double"),
+    )
+    term_b = F.try_divide(
+        (F.col("_s") * F.col("_s")).cast("double"), F.col("_n").cast("double")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_n").alias("_nt"),
+        F.sum("_s").alias("_st"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_g"), term_w.alias("w"), term_b.alias("b")))
+        ).alias("_terms"),
+    )
+    ssw = F.aggregate(
+        F.col("_terms"), F.lit(0.0), lambda acc, x: acc + x["w"]
+    )
+    sb_sum = F.aggregate(
+        F.col("_terms"), F.lit(0.0), lambda acc, x: acc + x["b"]
+    )
+    nt = F.col("_nt")
+    ssb = sb_sum - F.try_divide(
+        (F.col("_st") * F.col("_st")).cast("double"), nt.cast("double")
+    )
+    k = F.col("_k")
+    fstat = F.when(
+        (k > 1) & (nt.cast("long") > k) & (ssw > 0),
+        F.try_divide(ssb, (k - 1).cast("double"))
+        / F.try_divide(ssw, (nt.cast("long") - k).cast("double")),
+    )
+    return agg.select(
+        k.cast("long").alias("k_groups"),
+        nt.cast("long").alias("n"),
+        F.round(ssb / 1e12, 6).alias("ss_between"),
+        F.round(ssw / 1e12, 6).alias("ss_within"),
+        F.round(fstat, 6).alias("f"),
+    )
+
+
+def oneway_anova(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA F across the groups of ``group_col`` — "do the arm
+    means differ at all?", the k-sample extension of :func:`welch_ttest`
+    (classic equal-variance pooling; pair with :func:`brown_forsythe`
+    to check the variance assumption first). One pass over the rows;
+    SS terms reported in human units (micro² / 10¹²), NULL F on
+    degenerate inputs. Returns (k_groups, n, ss_between, ss_within, f).
+    """
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        group_col, vm.alias("_vm")
+    )
+    return _anova_from_micro(base, group_col, "_vm")
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, value_col: str, bins: int = 2048
+) -> DataFrame:
+    """Brown–Forsythe homogeneity-of-variance test — one-way ANOVA on
+    the absolute deviations from each group's MEDIAN (the robust Levene
+    variant; run it before trusting pooled-variance tests). Medians are
+    the exact rank-⌈n/2⌉ micro BIGINTs from the shared histogram
+    bisection (:mod:`olake_spark.operators.quantiles` — never a
+    per-group sort buffer), broadcast back onto the rows; the ANOVA
+    core then makes one more pass. Returns (k_groups, n, ss_between,
+    ss_within, f) over |x − med_g|.
+    """
+    from olake_spark.operators.quantiles import exact_quantiles
+
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("_bg"),
+        F.col(value_col).alias("_v"),
+        vm.alias("_vm"),
+    )
+    med = exact_quantiles(base, ["_bg"], "_v", [0.5], bins=bins).select(
+        "_bg", F.col("q_micros").alias("_med")
+    )
+    dev = base.join(F.broadcast(med), "_bg").select(
+        "_bg", F.abs(F.col("_vm") - F.col("_med")).alias("_zm")
+    )
+    return _anova_from_micro(dev, "_bg", "_zm")

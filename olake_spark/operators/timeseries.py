@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from olake_spark.operators.sessions import _gap_seconds
 
 __all__ = [
+    "changepoint_mean_shift",
     "seasonal_decompose",
     "seasonal_strength",
     "dispersion_index",
@@ -708,4 +709,75 @@ def seasonal_strength(
         n.cast("long").alias("n_buckets"),
         strength("_st", "_qt").alias("strength_trend"),
         strength("_ss", "_qs").alias("strength_seasonal"),
+    )
+
+
+def changepoint_mean_shift(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    step: str = "1 day",
+) -> DataFrame:
+    """Single mean-shift changepoint over the bucketed total series —
+    the first split of binary segmentation: choose the split k that
+    maximizes the between-segment sum-of-squares reduction
+
+        R(k) = S_k²/k + (S_n − S_k)²/(n − k) − S_n²/n
+
+    (equivalently, the k minimizing the two-segment SSE). Prefix sums
+    S_k are exact micro-unit DECIMAL(38,0) integers from one cumulative
+    window over the BUCKET-sized relation (values-sized, never
+    rows-sized); each candidate k costs three IEEE divides of single
+    casts, and the argmax takes the ordered-limit form (reduction DESC,
+    bucket ASC — the deterministic tie-break) so both engines pick the
+    identical split. Degenerate series (n < 2) return zero rows.
+
+    Returns one row (split_bucket — the LAST bucket of the left
+    segment, n_buckets, mean_left, mean_right, reduction), means in
+    human units, reduction in human² units (micro²/10¹²), round 6.
+    """
+    daily = bucketize(df, time_col, [], value_col, step=step).select(
+        F.col("_bucket").alias("_t"), F.col("_v_micros").cast(_D38).alias("_x")
+    )
+    w = W.orderBy("_t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = W.partitionBy()
+    pre = daily.select(
+        "_t",
+        F.count(F.lit(1)).over(w).cast(_D38).alias("_k"),
+        F.sum("_x").over(w).alias("_sk"),
+        F.count(F.lit(1)).over(tot).cast(_D38).alias("_n"),
+        F.sum("_x").over(tot).alias("_sn"),
+    ).filter(F.col("_k") < F.col("_n"))
+    k, n = F.col("_k"), F.col("_n")
+    sk, sn = F.col("_sk"), F.col("_sn")
+    red = (
+        F.try_divide((sk * sk).cast("double"), k.cast("double"))
+        + F.try_divide(
+            ((sn - sk) * (sn - sk)).cast("double"), (n - k).cast("double")
+        )
+        - F.try_divide((sn * sn).cast("double"), n.cast("double"))
+    )
+    scored = pre.select(
+        "_t",
+        n.cast("long").alias("n_buckets"),
+        F.round(
+            F.try_divide(sk.cast("double"), k.cast("double")) / 1e6, 6
+        ).alias("mean_left"),
+        F.round(
+            F.try_divide((sn - sk).cast("double"), (n - k).cast("double"))
+            / 1e6,
+            6,
+        ).alias("mean_right"),
+        red.alias("_red"),
+    )
+    return (
+        scored.orderBy(F.col("_red").desc(), F.col("_t"))
+        .limit(1)
+        .select(
+            F.col("_t").alias("split_bucket"),
+            "n_buckets",
+            "mean_left",
+            "mean_right",
+            F.round(F.col("_red") / 1e12, 6).alias("reduction"),
+        )
     )

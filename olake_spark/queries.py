@@ -8025,6 +8025,21 @@ _GATE_TAIL = [
     "lineitem_weighted_median_price",
     "orders_hhi_by_nation",
     "orders_ltv_cohorts",
+    # r10 second-batch rotation (window room for the ANOVA family,
+    # changepoint, TTR/entropy/seasonal-index/interarrival censuses):
+    # five twice-green veterans plus two one-green r9 entries whose
+    # implementations round-10 work did NOT touch (ks_test's NULL
+    # filter and corr_by_returnflag's by= generalization are r9 code,
+    # driver-green in r9; the r10-touched quantile/bisection queries —
+    # mad_outliers, percentile_cont, tukey, bowley — all STAY in the
+    # window for driver re-verification)
+    "orders_theil_by_nation",
+    "events_seasonal_naive_backtest",
+    "events_mann_kendall",
+    "lineitem_cube",
+    "events_bounce_rate",
+    "events_ks_test",
+    "lineitem_corr_by_returnflag",
 ]
 
 

@@ -876,3 +876,386 @@ def orders_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     return did_estimator(j, "_treat", "_post", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# round-10 second batch: ANOVA family, changepoint, text/seasonal census
+# ---------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS g, round(l_extendedprice * 1000000)::BIGINT AS vm
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+per AS (
+  SELECT g, count(*)::HUGEINT AS n, sum(vm)::HUGEINT AS s,
+         sum(vm::HUGEINT * vm) AS q
+  FROM v GROUP BY g
+),
+t AS (
+  SELECT count(*)::BIGINT AS k, sum(n) AS nt, sum(s) AS st,
+         list((n*q - s*s)::DOUBLE / n::DOUBLE ORDER BY g) AS lw,
+         list((s*s)::DOUBLE / n::DOUBLE ORDER BY g) AS lb
+  FROM per
+),
+f AS (
+  SELECT k, nt, st,
+         list_reduce(lw, (a, b) -> a + b) AS ssw,
+         list_reduce(lb, (a, b) -> a + b)
+           - (st*st)::DOUBLE / nt::DOUBLE AS ssb
+  FROM t
+)
+SELECT k AS k_groups, nt::BIGINT AS n,
+       round(ssb / 1e12, 6) AS ss_between,
+       round(ssw / 1e12, 6) AS ss_within,
+       CASE WHEN k > 1 AND nt > k AND ssw > 0 THEN
+         round((ssb / (k - 1)::DOUBLE) / (ssw / (nt::BIGINT - k)::DOUBLE), 6)
+       END AS f
+FROM f
+"""
+
+
+@register("lineitem_oneway_anova", _ANOVA_ORACLE)
+def lineitem_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of price across return flags
+    (operators/abtest.oneway_anova): exact DECIMAL(38,0) per-group
+    moments in one pass, then the per-group double terms fold in
+    GROUP-KEY ORDER (the KM/Holt ordered-fold recipe) so the float sums
+    match the oracle's list_reduce bit for bit."""
+    from olake_spark.operators.abtest import oneway_anova
+
+    return oneway_anova(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+_BF_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS g, round(l_extendedprice * 1000000)::BIGINT AS vm
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+r AS (
+  SELECT g, vm, row_number() OVER (PARTITION BY g ORDER BY vm) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM v
+),
+med AS (
+  SELECT g, max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN vm END)
+           AS medm
+  FROM r GROUP BY g
+),
+z AS (
+  SELECT v.g, abs(v.vm - med.medm)::BIGINT AS zm
+  FROM v JOIN med ON med.g = v.g
+),
+per AS (
+  SELECT g, count(*)::HUGEINT AS n, sum(zm)::HUGEINT AS s,
+         sum(zm::HUGEINT * zm) AS q
+  FROM z GROUP BY g
+),
+t AS (
+  SELECT count(*)::BIGINT AS k, sum(n) AS nt, sum(s) AS st,
+         list((n*q - s*s)::DOUBLE / n::DOUBLE ORDER BY g) AS lw,
+         list((s*s)::DOUBLE / n::DOUBLE ORDER BY g) AS lb
+  FROM per
+),
+f AS (
+  SELECT k, nt, st,
+         list_reduce(lw, (a, b) -> a + b) AS ssw,
+         list_reduce(lb, (a, b) -> a + b)
+           - (st*st)::DOUBLE / nt::DOUBLE AS ssb
+  FROM t
+)
+SELECT k AS k_groups, nt::BIGINT AS n,
+       round(ssb / 1e12, 6) AS ss_between,
+       round(ssw / 1e12, 6) AS ss_within,
+       CASE WHEN k > 1 AND nt > k AND ssw > 0 THEN
+         round((ssb / (k - 1)::DOUBLE) / (ssw / (nt::BIGINT - k)::DOUBLE), 6)
+       END AS f
+FROM f
+"""
+
+
+@register("lineitem_brown_forsythe", _BF_ORACLE)
+def lineitem_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe homogeneity-of-variance test across return flags
+    (operators/abtest.brown_forsythe) — ANOVA on |x − group median|,
+    medians from the shared exact histogram bisection. The
+    variance-assumption check run before pooled tests; composes two
+    round-10 primitives (bisection medians → ordered-fold ANOVA)."""
+    from olake_spark.operators.abtest import brown_forsythe
+
+    return brown_forsythe(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+_CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT floor(epoch_us(ts) / 86400000000)::BIGINT AS t,
+         sum(round(value * 1000000)::BIGINT)::HUGEINT AS x
+  FROM events GROUP BY 1
+),
+pre AS (
+  SELECT t, row_number() OVER (ORDER BY t) AS k,
+         sum(x) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS sk,
+         count(*) OVER () AS n, sum(x) OVER () AS sn
+  FROM daily
+),
+c AS (
+  SELECT t, n, k, sk, sn,
+         (sk*sk)::DOUBLE / k::DOUBLE
+           + ((sn-sk)*(sn-sk))::DOUBLE / (n-k)::DOUBLE
+           - (sn*sn)::DOUBLE / n::DOUBLE AS red
+  FROM pre WHERE k < n
+)
+SELECT t AS split_bucket, n::BIGINT AS n_buckets,
+       round(sk::DOUBLE / k::DOUBLE / 1000000.0, 6) AS mean_left,
+       round((sn-sk)::DOUBLE / (n-k)::DOUBLE / 1000000.0, 6) AS mean_right,
+       round(red / 1e12, 6) AS reduction
+FROM c ORDER BY red DESC, t LIMIT 1
+"""
+
+
+@register("events_changepoint_mean_shift", _CHANGEPOINT_ORACLE)
+def events_changepoint_mean_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single mean-shift changepoint of the daily total — the first
+    binary-segmentation split (operators/timeseries.
+    changepoint_mean_shift): exact prefix sums over the bucket
+    relation, three IEEE divides per candidate split, deterministic
+    (reduction DESC, bucket ASC) argmax in both engines."""
+    from olake_spark.operators.timeseries import changepoint_mean_shift
+
+    return changepoint_mean_shift(table(spark, sf_dir, "events"), "ts", "value")
+
+
+_TTR_ORACLE = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split(
+           regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+  FROM documents
+),
+per AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+  FROM per GROUP BY 1
+)
+SELECT source, n_tokens, n_types, n_hapax,
+       round(n_types::DOUBLE / n_tokens::DOUBLE, 6) AS ttr,
+       round(n_hapax::DOUBLE / n_types::DOUBLE, 6) AS hapax_share
+FROM agg
+"""
+
+
+@register("documents_ttr_by_source", _TTR_ORACLE)
+def documents_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + hapax share per document source — the corpus
+    lexical-diversity census (low TTR → boilerplate/templated source;
+    high hapax share → noisy OCR or genuinely diverse text). One
+    explode + one (source, token) shuffle; counts exact, two divides."""
+    from olake_spark.operators.dedup import normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("_t"),
+    )
+    per = tok.groupBy("source", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    agg = per.groupBy("source").agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_hapax").cast("long").alias("n_hapax"),
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("ttr"),
+        F.round(
+            F.col("n_hapax").cast("double") / F.col("n_types").cast("double"),
+            6,
+        ).alias("hapax_share"),
+    )
+
+
+_DAILY_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT floor(epoch_us(ts) / 86400000000)::BIGINT AS d, event_type,
+         count(*)::HUGEINT AS c
+  FROM events GROUP BY 1, 2
+),
+w AS (SELECT d, c, sum(c) OVER (PARTITION BY d) AS n FROM c),
+s AS (
+  SELECT d, any_value(n)::BIGINT AS n_events,
+         sum(floor((c::DOUBLE / n::DOUBLE)
+                   * ln(n::DOUBLE / c::DOUBLE) * 1000000000)::BIGINT)::BIGINT
+           AS h_nano
+  FROM w GROUP BY d
+)
+SELECT d AS day_bucket, n_events, h_nano,
+       round(h_nano::DOUBLE / 1000000000.0, 6) AS h
+FROM s
+"""
+
+
+@register("events_daily_type_entropy", _DAILY_ENTROPY_ORACLE)
+def events_daily_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Shannon entropy of the event-type mix — the
+    "did the traffic composition shift today?" monitor (a collapse
+    toward 0 means one type took over). Cells are one shuffle;
+    per-cell double terms are nano-floored BIGINTs (the chi2/MI
+    order-free pattern), summed exactly per day."""
+    ev = table(spark, sf_dir, "events")
+    d = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).alias(
+        "_d"
+    )
+    cells = ev.select(d, "event_type").groupBy("_d", "event_type").agg(
+        F.count(F.lit(1)).cast(_D38).alias("_c")
+    )
+    wn = W.partitionBy("_d")
+    terms = cells.select(
+        "_d",
+        F.sum("_c").over(wn).alias("_n"),
+        F.floor(
+            (F.col("_c").cast("double") / F.sum("_c").over(wn).cast("double"))
+            * F.log(
+                F.sum("_c").over(wn).cast("double") / F.col("_c").cast("double")
+            )
+            * 1e9
+        ).cast("long").alias("_t_nano"),
+    )
+    out = terms.groupBy("_d").agg(
+        F.first("_n").cast("long").alias("n_events"),
+        F.sum("_t_nano").alias("h_nano"),
+    )
+    return out.select(
+        F.col("_d").alias("day_bucket"),
+        "n_events",
+        F.col("h_nano").cast("long").alias("h_nano"),
+        F.round(F.col("h_nano").cast("double") / 1e9, 6).alias("h"),
+    )
+
+
+_SEASONAL_INDEX_ORACLE = """
+WITH m AS (
+  SELECT month(o_orderdate)::INT AS month, count(*)::BIGINT AS n_orders,
+         sum(round(o_totalprice * 1000000)::BIGINT)::BIGINT AS rev_micro
+  FROM orders GROUP BY 1
+),
+t AS (SELECT sum(rev_micro)::HUGEINT AS tot FROM m)
+SELECT m.month, m.n_orders, m.rev_micro,
+       round((12::HUGEINT * m.rev_micro)::DOUBLE / t.tot::DOUBLE, 6)
+         AS seasonal_index
+FROM m, t
+"""
+
+
+@register("orders_monthly_seasonal_index", _SEASONAL_INDEX_ORACLE)
+def orders_monthly_seasonal_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classic monthly seasonal index of order revenue — month revenue
+    over the uniform-month expectation (12·rev_m / total), the
+    normalization behind every deseasonalized KPI. Exact micro sums;
+    one divide per month; the 12-row total is a 1-row broadcast."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.month("o_orderdate").cast("int").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+        ).alias("rev_micro"),
+    )
+    tot = m.agg(F.sum(F.col("rev_micro").cast(_D38)).alias("_tot"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "month",
+        "n_orders",
+        "rev_micro",
+        F.round(
+            (F.lit(12).cast(_D38) * F.col("rev_micro").cast(_D38)).cast(
+                "double"
+            )
+            / F.col("_tot").cast("double"),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+_INTERARRIVAL_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+),
+g AS (
+  SELECT date_diff('day', prev, o_orderdate)::BIGINT AS gap
+  FROM o WHERE prev IS NOT NULL
+),
+m AS (
+  SELECT count(*)::HUGEINT AS n, sum(gap)::HUGEINT AS s,
+         sum(gap::HUGEINT * gap) AS q
+  FROM g
+)
+SELECT n::BIGINT AS n_gaps,
+       round(s::DOUBLE / n::DOUBLE, 6) AS mean_days,
+       CASE WHEN n > 1 AND s > 0 THEN
+         round(((n*q - s*s)::DOUBLE / (n*(n-1))::DOUBLE)
+               / ((s::DOUBLE / n::DOUBLE) * (s::DOUBLE / n::DOUBLE)), 6)
+       END AS cv2,
+       CASE WHEN s > 0 THEN round(n::DOUBLE / s::DOUBLE, 6) END
+         AS rate_per_day
+FROM m
+"""
+
+
+@register("orders_interarrival_stats", _INTERARRIVAL_ORACLE)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap census: per-customer consecutive order gaps in
+    days (lag window, user-partitioned), then global exact moments —
+    MLE exponential rate = 1/mean and CV² (≈1 ⟺ Poisson-like ordering,
+    ≫1 ⟺ bursty). Gap ties on the same date break on o_orderkey in
+    both engines."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey", "o_orderdate",
+            F.lag("o_orderdate").over(w).alias("_prev"),
+        )
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.datediff(F.col("o_orderdate"), F.col("_prev"))
+            .cast("long")
+            .cast(_D38)
+            .alias("_gap")
+        )
+    )
+    m = gaps.agg(
+        F.count(F.lit(1)).cast(_D38).alias("_n"),
+        F.sum("_gap").alias("_s"),
+        F.sum(F.col("_gap") * F.col("_gap")).alias("_q"),
+    )
+    n, sg, q = F.col("_n"), F.col("_s"), F.col("_q")
+    mean = F.try_divide(sg.cast("double"), n.cast("double"))
+    var = F.try_divide(
+        (n * q - sg * sg).cast("double"), (n * (n - 1)).cast("double")
+    )
+    return m.select(
+        n.cast("long").alias("n_gaps"),
+        F.round(mean, 6).alias("mean_days"),
+        F.round(
+            F.when((n > 1) & (sg > 0), var / (mean * mean)), 6
+        ).alias("cv2"),
+        F.round(
+            F.when(sg > 0, F.try_divide(n.cast("double"), sg.cast("double"))),
+            6,
+        ).alias("rate_per_day"),
+    )
