@@ -67,6 +67,8 @@ _CROSS_OK = {
     # same complete-grid spine + 1-row chi2-total broadcast as the
     # chi2_independence query it wraps
     "orders_cramers_v",
+    # 1-row revenue-total broadcast onto the 12-month relation
+    "orders_monthly_seasonal_index",
 }
 
 

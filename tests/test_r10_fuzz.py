@@ -386,3 +386,82 @@ def test_dispersion_single_bucket_null_var(spark):
     row = dispersion_index(df, "ts", ["k"], "v").collect()[0]
     assert row["n_buckets"] == 1
     assert row["var"] is None and row["vmr"] is None
+
+
+# ---------------------------------------------------------------------------
+# round-10 second batch degenerate paths
+# ---------------------------------------------------------------------------
+
+
+def test_oneway_anova_single_group_and_zero_variance(spark):
+    from olake_spark.operators.abtest import oneway_anova
+
+    one = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    row = oneway_anova(one, "g", "v").collect()[0]
+    assert row["k_groups"] == 1 and row["f"] is None
+    flat = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)],
+        "g string, v double",
+    )
+    row = oneway_anova(flat, "g", "v").collect()[0]
+    assert row["ss_within"] == 0.0 and row["f"] is None
+
+
+def test_anova_matches_python_reference(spark):
+    import random
+
+    from olake_spark.operators.abtest import oneway_anova
+
+    rng = random.Random(3)
+    rows = [(g, float(rng.randint(0, 50)))
+            for g in "abc" for _ in range(30)]
+    got = oneway_anova(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v"
+    ).collect()[0]
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    nt = len(rows)
+    grand = sum(v for _, v in rows) / nt
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2
+              for vs in groups.values())
+    ssw = sum(sum((v - sum(vs) / len(vs)) ** 2 for v in vs)
+              for vs in groups.values())
+    f = (ssb / 2) / (ssw / (nt - 3))
+    assert got["ss_between"] == pytest.approx(ssb, rel=1e-6)
+    assert got["ss_within"] == pytest.approx(ssw, rel=1e-6)
+    assert got["f"] == pytest.approx(f, rel=1e-6)
+
+
+def test_changepoint_obvious_shift_and_constant(spark):
+    from olake_spark.operators.timeseries import changepoint_mean_shift
+
+    rows = [(T0 + dt.timedelta(days=i), 10.0 if i < 12 else 50.0)
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    row = changepoint_mean_shift(df, "ts", "v").collect()[0]
+    # split after the 12th bucket: the left segment's last bucket
+    assert row["mean_left"] == pytest.approx(10.0)
+    assert row["mean_right"] == pytest.approx(50.0)
+    flat = spark.createDataFrame(
+        [(T0 + dt.timedelta(days=i), 7.0) for i in range(10)],
+        "ts timestamp, v double",
+    )
+    row = changepoint_mean_shift(flat, "ts", "v").collect()[0]
+    assert row["reduction"] == pytest.approx(0.0, abs=1e-6)
+    single = spark.createDataFrame([(T0, 1.0)], "ts timestamp, v double")
+    assert changepoint_mean_shift(single, "ts", "v").collect() == []
+
+
+def test_brown_forsythe_identical_groups(spark):
+    from olake_spark.operators.abtest import brown_forsythe
+
+    rows = [(g, v) for g in "ab" for v in (1.0, 2.0, 3.0, 4.0)]
+    row = brown_forsythe(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v"
+    ).collect()[0]
+    # identical spreads → between-group deviation SS is exactly 0
+    assert row["ss_between"] == pytest.approx(0.0, abs=1e-6)
+    assert row["f"] == pytest.approx(0.0, abs=1e-6)
