@@ -550,8 +550,6 @@ if __name__ == "__main__":
     if "--isolated" in sys.argv:
         best_of = _flag_value("--best-of", 3)
         cooldown = _flag_value("--cooldown", 0.0)
-        skip = {"--isolated", "--best-of", "--cooldown",
-                str(best_of), str(cooldown)}
         names = [
             a
             for i, a in enumerate(sys.argv[1:], 1)

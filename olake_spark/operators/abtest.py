@@ -482,10 +482,12 @@ def wilcoxon_signed_rank(
     stay integral: rank2(v) = 2·(count |d| strictly below) + t + 1, and
 
         W2⁺  = Σ_{v} pos(v)·rank2(v)            (= 2·W⁺, exact int)
-        z    = (W2⁺ − n(n+1)/2) / sqrt(n(n+1)(2n+1)/6 − Σ(t³−t)/12)
+        z    = (2·W2⁺ − n(n+1)) / (4σ),
+        4σ   = 2·sqrt((2n(n+1)(2n+1) − Σ(t³−t)) / 12)
 
-    (the denominator is 2σ — both sides of the ratio carry the doubling
-    so z is the textbook statistic). Plan shape: one map-side shuffle
+    (numerator and denominator both carry a ×4 relative to the textbook
+    (W⁺ − n(n+1)/4)/σ, so z is the exact statistic — the doubling from
+    integer ranks appears twice). Plan shape: one map-side shuffle
     onto the quantized |d| value, then a cumulative window over the
     DISTINCT-|d| relation — values-sized, never rows-sized. A fully
     tied sample (variance 0) reports z = NULL.
@@ -532,7 +534,7 @@ def wilcoxon_signed_rank(
     var4_exact = F.lit(2) * n * (n + 1) * (2 * n + 1) - F.col("_tie")
     z = F.when(
         var4_exact > 0,
-        (F.col("_w2p") - n * (n + 1)).cast("double")
+        (F.lit(2) * F.col("_w2p") - n * (n + 1)).cast("double")
         / (F.lit(2.0) * F.sqrt(var4_exact.cast("double") / 12.0)),
     )
     return s.select(

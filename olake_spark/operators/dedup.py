@@ -901,7 +901,11 @@ def minhash_exact_jaccard_pairs(
     rows_per_band = k // num_bands
     norm = normalize_text(F.col(text_col)).alias("_norm")
     base = (
-        spread(df, id_col)
+        # NULL text carries no shingles: char_shingles(NULL) is [NULL],
+        # every minhash min becomes NULL and concat_ws would band ALL
+        # null-text docs into one md5("") bucket — while the oracle's
+        # NULL jaccard drops them; filter to keep both sides identical
+        spread(df.filter(F.col(text_col).isNotNull()), id_col)
         .select(F.col(id_col), norm)
         .select(
             id_col,

@@ -459,7 +459,7 @@ s AS (
 )
 SELECT n::BIGINT AS n, w2p::BIGINT AS w2_plus, tie::BIGINT AS tie_correction,
        CASE WHEN 2*n*(n+1)*(2*n+1) - tie > 0 THEN
-         round((w2p - n*(n+1))::DOUBLE
+         round((2*w2p - n*(n+1))::DOUBLE
                / (2.0 * sqrt((2*n*(n+1)*(2*n+1) - tie)::DOUBLE / 12.0)), 6)
        END AS z
 FROM s
@@ -581,10 +581,11 @@ m AS (
   FROM r
 )
 SELECT n::BIGINT AS n,
-       round((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE, 6)
-         AS elasticity,
-       round((sy::DOUBLE - ((n*sxy - sx*sy)::DOUBLE
-                            / (n*sxx - sx*sx)::DOUBLE) * sx::DOUBLE)
+       round((n*1000000000*sxy - sx*sy)::DOUBLE
+             / (n*1000000000*sxx - sx*sx)::DOUBLE, 6) AS elasticity,
+       round((sy::DOUBLE - ((n*1000000000*sxy - sx*sy)::DOUBLE
+                            / (n*1000000000*sxx - sx*sx)::DOUBLE)
+                           * sx::DOUBLE)
              / n::DOUBLE / 1000000000.0, 6) + 0.0 AS intercept_ln
 FROM m
 """
@@ -616,9 +617,13 @@ def lineitem_loglog_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_xy").alias("_sxy"),
     )
     n = F.col("_n")
-    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+    # n·1e9 rescales the single-sum terms to the nano² scale of the
+    # sum-product terms (Sxy is nano-scaled, Sx·Sy is nano²-scaled — a
+    # bare n would make the slope collapse to Σy/Σx)
+    n9 = n * F.lit(1_000_000_000).cast(_D38)
+    slope = (n9 * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
         "double"
-    ) / (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    ) / (n9 * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
     intercept = (
         (F.col("_sy").cast("double") - slope * F.col("_sx").cast("double"))
         / n.cast("double")

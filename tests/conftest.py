@@ -73,8 +73,12 @@ def pytest_collection_modifyitems(session, config, items):
             plan = _tss._shard_plan()
             sharded = {m for shard in plan for m in shard} & modules
             if sharded:
+                # drop shards emptied by the membership filter: Popen'ing
+                # pytest with ZERO paths would run the entire tests tree
                 _tss.launch([
-                    [m for m in shard if m in sharded] for shard in plan
+                    pruned
+                    for shard in plan
+                    if (pruned := [m for m in shard if m in sharded])
                 ])
                 removed = [
                     i

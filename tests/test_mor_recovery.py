@@ -129,8 +129,13 @@ def test_mor_crash_mid_commit_leaves_table_readable_and_recoverable(
     removed = t_check.vacuum_orphans(older_than_s=0.0)
     assert removed >= 1
     assert _rows(t_check) == _oracle(log)
+    # every pre-crash live file survives the vacuum (on disk AND still
+    # referenced by the recovered version's manifest)
     live_now = set(t_check._manifest_files(t_check.versions()[-1]))
-    assert files_before <= live_now | files_before  # sanity: no exception path
+    assert files_before <= live_now
+    import os as _os
+
+    assert all(_os.path.exists(f) for f in files_before)
 
     # compaction after recovery still resolves to the oracle
     t_check.compact()

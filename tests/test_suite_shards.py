@@ -86,6 +86,8 @@ def launch(modules_by_shard: list[list[str]]) -> dict:
     global _LAUNCHED
     if _LAUNCHED is not None:
         return _LAUNCHED
+    # a pathless child would collect the ENTIRE tests tree — refuse
+    modules_by_shard = [shard for shard in modules_by_shard if shard]
     env = dict(
         os.environ,
         OLAKE_SUITE_SHARD="1",

@@ -94,8 +94,13 @@ def main() -> int:
         except (OSError, json.JSONDecodeError):
             pass
         merged.update(results)
+        # per-query walls are keyed by sf string, so mixed-axis entries
+        # stay self-describing; the top-level axis is the union
+        all_sfs = sorted(
+            {sf for q in merged.values() for sf in q["wall_s"]}, key=float
+        )
         with open(path, "w") as fh:
-            json.dump({"sfs": sfs, "queries": merged}, fh, indent=1)
+            json.dump({"sfs": all_sfs, "queries": merged}, fh, indent=1)
     return 0
 
 
