@@ -286,22 +286,25 @@ def kendall_tau_b(
         F.sum(F.col("_t") * (F.col("_t") - 1)).alias("_ty2")
     )
     j = pairs.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
-    n = F.col("_n")
+    # Empty input: every sum above is NULL; coalesce ALL of them to 0 so
+    # the degenerate report is (0, 0, 0, 0, 0, NULL), matching the
+    # brute-force oracle's count(*) = 0.
+    n = F.coalesce(F.col("_n"), F.lit(0).cast(_D38))
+    tx2 = F.coalesce(F.col("_tx2"), F.lit(0).cast(_D38))
+    ty2 = F.coalesce(F.col("_ty2"), F.lit(0).cast(_D38))
     conc = F.coalesce(F.col("_conc"), F.lit(0).cast(_D38))
     disc = F.coalesce(F.col("_disc"), F.lit(0).cast(_D38))
     n0x2 = n * (n - 1)  # 2·n0 — keep everything doubled to stay integral
-    denom = (n0x2 - F.col("_tx2")).cast("double") * (
-        (n0x2 - F.col("_ty2")).cast("double")
-    )
+    denom = (n0x2 - tx2).cast("double") * ((n0x2 - ty2).cast("double"))
     tau = F.when(
-        (n0x2 - F.col("_tx2") > 0) & (n0x2 - F.col("_ty2") > 0),
+        (n0x2 - tx2 > 0) & (n0x2 - ty2 > 0),
         (F.lit(2) * (conc - disc)).cast("double") / F.sqrt(denom),
     )
     return j.select(
         n.cast("long").alias("n"),
         conc.cast("long").alias("concordant"),
         disc.cast("long").alias("discordant"),
-        (F.col("_tx2") / 2).cast("long").alias("ties_x_pairs"),
-        (F.col("_ty2") / 2).cast("long").alias("ties_y_pairs"),
+        (tx2 / 2).cast("long").alias("ties_x_pairs"),
+        (ty2 / 2).cast("long").alias("ties_y_pairs"),
         F.round(tau, 6).alias("tau_b"),
     )

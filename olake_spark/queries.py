@@ -5951,11 +5951,17 @@ def tpch_q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             "o_year",
+            # every operand cast to DECIMAL(38,0) BEFORE multiplying —
+            # never rely on implicit long promotion inside a product
+            # (non-ANSI long*long would wrap silently if the planner
+            # ever reassociated the operands)
             F.expr(
-                "CAST(CAST(_pm AS DECIMAL(38,0)) * (1000000 - _dm)"
+                "CAST(CAST(_pm AS DECIMAL(38,0))"
+                " * CAST(1000000 - _dm AS DECIMAL(38,0))"
                 " AS DECIMAL(38,0))"
                 " - CAST(CAST(ps_supplycost_cents AS DECIMAL(38,0))"
-                " * _qm * 10000 AS DECIMAL(38,0))"
+                " * CAST(_qm AS DECIMAL(38,0))"
+                " * CAST(10000 AS DECIMAL(38,0)) AS DECIMAL(38,0))"
             ).alias("_amt_e12"),
         )
     )

@@ -100,9 +100,14 @@ WITH m AS (
 ),
 d AS (
   SELECT na, nb,
-         sa::DOUBLE / na::DOUBLE AS ma, sb::DOUBLE / nb::DOUBLE AS mb,
-         ((na*qa - sa*sa)::DOUBLE / (na*(na-1))::DOUBLE) / na::DOUBLE AS sea,
-         ((nb*qb - sb*sb)::DOUBLE / (nb*(nb-1))::DOUBLE) / nb::DOUBLE AS seb
+         CASE WHEN na > 0 THEN sa::DOUBLE / na::DOUBLE END AS ma,
+         CASE WHEN nb > 0 THEN sb::DOUBLE / nb::DOUBLE END AS mb,
+         CASE WHEN na > 1 THEN
+           ((na*qa - sa*sa)::DOUBLE / (na*(na-1))::DOUBLE) / na::DOUBLE
+         END AS sea,
+         CASE WHEN nb > 1 THEN
+           ((nb*qb - sb*sb)::DOUBLE / (nb*(nb-1))::DOUBLE) / nb::DOUBLE
+         END AS seb
   FROM m
 )
 SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
@@ -601,6 +606,15 @@ def lineitem_loglog_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
     )
+    return loglog_elasticity_over(li)
+
+
+def loglog_elasticity_over(li: DataFrame) -> DataFrame:
+    """The query's actual OLS body over any (l_quantity,
+    l_extendedprice) relation — factored out so the regression pin in
+    tests/test_r10_fuzz.py exercises the REGISTERED expression on a
+    synthetic exact-relationship fixture instead of re-implementing
+    the math inline (ADVICE r10)."""
     lx = F.log(F.col("l_quantity").cast("double"))
     ly = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
     nano = 1e9
@@ -849,15 +863,23 @@ m AS (
 )
 SELECT nt0::BIGINT AS n_t0, nt1::BIGINT AS n_t1,
        nc0::BIGINT AS n_c0, nc1::BIGINT AS n_c1,
-       round(((st1::DOUBLE / nt1::DOUBLE - st0::DOUBLE / nt0::DOUBLE)
-              - (sc1::DOUBLE / nc1::DOUBLE - sc0::DOUBLE / nc0::DOUBLE))
-             / 1000000.0, 6) AS did,
-       round(sqrt(
-         ((nt1*qt1 - st1*st1)::DOUBLE / (nt1*(nt1-1))::DOUBLE) / nt1::DOUBLE
-         + ((nt0*qt0 - st0*st0)::DOUBLE / (nt0*(nt0-1))::DOUBLE) / nt0::DOUBLE
-         + ((nc1*qc1 - sc1*sc1)::DOUBLE / (nc1*(nc1-1))::DOUBLE) / nc1::DOUBLE
-         + ((nc0*qc0 - sc0*sc0)::DOUBLE / (nc0*(nc0-1))::DOUBLE) / nc0::DOUBLE
-       ) / 1000000.0, 6) AS se
+       CASE WHEN nt1 > 0 AND nt0 > 0 AND nc1 > 0 AND nc0 > 0 THEN
+         round(((st1::DOUBLE / nt1::DOUBLE - st0::DOUBLE / nt0::DOUBLE)
+                - (sc1::DOUBLE / nc1::DOUBLE - sc0::DOUBLE / nc0::DOUBLE))
+               / 1000000.0, 6)
+       END AS did,
+       CASE WHEN nt1 > 1 AND nt0 > 1 AND nc1 > 1 AND nc0 > 1 THEN
+         round(sqrt(
+           ((nt1*qt1 - st1*st1)::DOUBLE / (nt1*(nt1-1))::DOUBLE)
+             / nt1::DOUBLE
+           + ((nt0*qt0 - st0*st0)::DOUBLE / (nt0*(nt0-1))::DOUBLE)
+             / nt0::DOUBLE
+           + ((nc1*qc1 - sc1*sc1)::DOUBLE / (nc1*(nc1-1))::DOUBLE)
+             / nc1::DOUBLE
+           + ((nc0*qc0 - sc0*sc0)::DOUBLE / (nc0*(nc0-1))::DOUBLE)
+             / nc0::DOUBLE
+         ) / 1000000.0, 6)
+       END AS se
 FROM m
 """
 

@@ -71,17 +71,43 @@ def budget():
         return json.load(fh)
 
 
+def _assert_recorded_sweep_current(budget, qs):
+    """When fresh walls carry no signal (shard children running, or a
+    contended box), the creep alarm must NOT silently skip — it falls
+    back to asserting the RECORDED idle sweep is trustworthy: it covers
+    the live registry (a stale artifact from before this round's new
+    queries would pass vacuously) and was stamped on a settled box
+    (r10 verdict wrong-list #2: a load-7 box got blessed as idle)."""
+    recorded_names = {r["query"] for r in budget["queries"]}
+    missing = sorted(set(qs) - recorded_names)
+    assert not missing, (
+        f"GATE_BUDGET.json is stale — {len(missing)} registered queries "
+        f"missing from the recorded sweep (first: {missing[:5]}); re-run "
+        "tools/gate_budget.py on an idle box"
+    )
+    assert "load_at_start" in budget, (
+        "GATE_BUDGET.json lacks the idle stamp — regenerate with the "
+        "current tools/gate_budget.py"
+    )
+    assert budget["load_at_start"] < 2.0, (
+        f"recorded sweep was taken at load1={budget['load_at_start']} — "
+        "not a settled box; re-run tools/gate_budget.py after a cooldown"
+    )
+
+
 def test_worst_queries_fresh_under_budget(spark, budget):
     import __spark_entry__ as entrymod
 
-    if _shards_active():
-        pytest.skip(
-            "suite-shard children running — fresh walls are 3-5x inflated; "
-            "the recorded idle sweep is enforced by "
-            "test_recorded_budget_is_clean, and this creep alarm still "
-            "runs in any non-sharded/targeted invocation"
-        )
     qs = entrymod.queries()
+    if _shards_active() or os.getloadavg()[0] > 16:
+        # Fresh single-query walls measured under shard children or a
+        # contended box are 3-5x inflated (measured: 34 s for a query
+        # that idles at 6.6) — zero signal about the query. But don't
+        # skip outright (ADVICE r10): enforce the recorded artifact's
+        # currency + idleness instead, so the alarm bites in full-suite
+        # runs too.
+        _assert_recorded_sweep_current(budget, qs)
+        return
     oracles = entrymod.oracle_sql()
     recorded = budget["queries"]
     # stale-name hygiene: renamed/removed queries shouldn't fail the guard
@@ -110,7 +136,8 @@ def test_worst_queries_fresh_under_budget(spark, budget):
         fresh[name] = round(t_spark + (time.time() - t1), 2)
         spark.catalog.clearCache()
 
-    margin = MARGIN * 2 if os.getloadavg()[0] > 16 else MARGIN
+    margin = MARGIN  # no silent widening — contended boxes take the
+    # recorded-artifact path above instead of doubling the margin
     over = {n: s for n, s in fresh.items() if s > BUDGET_SINGLE_S * margin}
     assert not over, (
         f"gate budget busted: {over} (budget {BUDGET_SINGLE_S}s/query; "

@@ -494,40 +494,33 @@ def test_wilcoxon_matches_python_reference(spark):
 
 def test_elasticity_slope_is_real_ols(spark):
     """Regression pin for the nano-scale mixing bug: a synthetic
-    exact-relationship ln y = 2·ln x must read slope ≈ 2, not Σy/Σx."""
-    import math as m
+    exact-relationship ln y = 2·ln x must read slope ≈ 2, not Σy/Σx.
+    Runs the REGISTERED query body (queries_r10.loglog_elasticity_over)
+    on the fixture, so a future change to the expression stays pinned."""
+    from pyspark.sql import functions as F
+
+    from olake_spark.queries_r10 import loglog_elasticity_over
 
     rows = [(float(x), float(x * x)) for x in (2, 3, 5, 7, 11, 13)]
     df = spark.createDataFrame(rows, "l_quantity double, _raw double")
-    from pyspark.sql import functions as F
-
     li = df.select(
         "l_quantity",
         (F.col("_raw") * F.col("l_quantity")).alias("l_extendedprice"),
     )
-    # reuse the registered query's math via a direct rebuild
-    from olake_spark.queries_r10 import lineitem_loglog_elasticity
+    got = loglog_elasticity_over(li).collect()[0]
+    assert got["elasticity"] == pytest.approx(2.0, abs=1e-3)
+    assert got["n"] == 6
 
-    import olake_spark.queries as q
 
-    orig = q.read_table if hasattr(q, "read_table") else None
-    # simplest: replicate the expression inline
-    lx = F.log(F.col("l_quantity").cast("double"))
-    ly = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
-    nano = 1e9
-    mdf = li.select(
-        F.floor(lx * nano).cast("long").cast("decimal(38,0)").alias("_x"),
-        F.floor(ly * nano).cast("long").cast("decimal(38,0)").alias("_y"),
-        F.floor(lx * lx * nano).cast("long").cast("decimal(38,0)").alias("_xx"),
-        F.floor(lx * ly * nano).cast("long").cast("decimal(38,0)").alias("_xy"),
-    ).agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
-        F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
-        F.sum("_xx").alias("_sxx"), F.sum("_xy").alias("_sxy"),
-    )
-    n9 = F.col("_n") * F.lit(1_000_000_000).cast("decimal(38,0)")
-    slope = (n9 * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
-        "double"
-    ) / (n9 * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
-    got = mdf.select(slope.alias("s")).collect()[0]["s"]
-    assert got == pytest.approx(2.0, abs=1e-3)
+def test_kendall_tau_b_empty_input_degenerate_report(spark):
+    """ADVICE r10: on an empty input every moment sum is NULL — the
+    report must coalesce to (0, 0, 0, 0, 0, NULL), matching the
+    brute-force oracle's count(*) = 0, not emit NULL counts."""
+    from olake_spark.operators.correlation import kendall_tau_b
+
+    df = spark.createDataFrame([], "x double, y double")
+    row = kendall_tau_b(df, "x", "y").collect()[0]
+    assert (
+        row["n"], row["concordant"], row["discordant"],
+        row["ties_x_pairs"], row["ties_y_pairs"], row["tau_b"],
+    ) == (0, 0, 0, 0, 0, None)

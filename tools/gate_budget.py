@@ -31,6 +31,7 @@ BUDGET_SINGLE_S = 10.0
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    load1, load5, load15 = os.getloadavg()
     sys.path.insert(0, REPO)
     import __spark_entry__ as entrymod
     from olake_spark.session import get_spark
@@ -97,6 +98,14 @@ def main() -> int:
         "sf_dir": sf_dir,
         "gate_total_s": total,
         "budget_single_s": BUDGET_SINGLE_S,
+        # idle stamps (sampled BEFORE the JVM started — per the repo's
+        # measurement protocol, the sweep's own self-load can't gate
+        # idleness) so the suite's creep alarm can verify the recorded
+        # artifact came from a settled box.
+        "load_at_start": round(load1, 2),
+        "load15_at_start": round(load15, 2),
+        "idle_box": load1 < 2.0,
+        "registry_count": len(rows),
         "over_budget": over,
         "queries": rows,
     }
