@@ -8,6 +8,27 @@ import pytest
 SF_SMOKE = os.environ.get("OLAKE_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    """Scrub orphaned warehouse state at (parent) session start — r10
+    verdict ask #1. The suite's Spark catalog is per-session and
+    in-memory while ``spark-warehouse/`` persists on disk, so ANY
+    content there at startup is an orphan by definition (a saveAsTable
+    killed in its create-location→register-table window, or a leaked
+    concurrent run) and the first ``saveAsTable`` of the session would
+    die with LOCATION_ALREADY_EXISTS. Suite-shard children skip: they
+    share the warehouse with the parent mid-run and must not reap its
+    live tables. (Registry-tail shards run check_correctness.py, not
+    pytest, so they never enter here.)"""
+    if os.environ.get("OLAKE_SUITE_SHARD"):
+        return
+    import shutil
+
+    for d in ("spark-warehouse", "metastore_db"):
+        path = os.path.join(os.getcwd(), d)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from olake_spark.session import get_spark
