@@ -1,0 +1,701 @@
+"""Plain-Python reference pins for the statistics family (r10 verdict
+ask #3 — the oracle-mirror blind spot is a proven bug class).
+
+Every operator here is gate-checked against a DuckDB oracle that
+MIRRORS the same algebra — so when both sides encode the same wrong
+formula (the r10 Wilcoxon z centered at n(n+1) instead of n(n+1)/2;
+the log-log OLS mixing nano scales), the gate is green on wrong values.
+These tests pin each operator to values computed INDEPENDENTLY in
+plain Python on tiny fixtures: naive textbook formulas, O(n²) loops,
+``statistics``/``math``/``numpy.linalg`` — never the operator's own
+moment algebra re-typed.
+
+Fixture discipline: metric values are exact multiples of 1e-6 (mostly
+integers), so the operators' round(v·1e6) micro quantization is exact
+and the plain-Python reference can work in full precision. Doubles
+compare at abs=2e-6 (operators round to 6; a real algebra bug moves
+results by orders of magnitude more), exact integers compare with ==.
+"""
+
+from __future__ import annotations
+
+import math
+import statistics
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+ABS = 2e-6
+
+
+def approx(v):
+    return pytest.approx(v, abs=ABS)
+
+
+def _row(df):
+    rows = df.collect()
+    assert len(rows) == 1, rows
+    return rows[0]
+
+
+# ---------------------------------------------------------------------------
+# Welch's t
+# ---------------------------------------------------------------------------
+
+def test_welch_ttest_pin(spark):
+    a = [10.0, 12.0, 15.0, 21.0, 9.0]
+    b = [8.0, 11.0, 14.0, 7.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b] + [("C", 99.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import welch_ttest
+
+    got = _row(welch_ttest(df, "g", "v", "A", "B"))
+
+    ma, mb = statistics.mean(a), statistics.mean(b)
+    va, vb = statistics.variance(a), statistics.variance(b)  # sample, n-1
+    sea, seb = va / len(a), vb / len(b)
+    t = (ma - mb) / math.sqrt(sea + seb)
+    dof = (sea + seb) ** 2 / (
+        sea**2 / (len(a) - 1) + seb**2 / (len(b) - 1)
+    )
+    assert (got["n_a"], got["n_b"]) == (5, 4)
+    assert got["mean_a"] == approx(ma)
+    assert got["mean_b"] == approx(mb)
+    assert got["t"] == approx(t)
+    assert got["dof"] == approx(dof)
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences
+# ---------------------------------------------------------------------------
+
+def test_did_estimator_pin(spark):
+    cells = {
+        (0, 0): [10.0, 12.0, 11.0],       # control pre
+        (0, 1): [13.0, 15.0, 14.0, 12.0],  # control post
+        (1, 0): [20.0, 22.0, 21.0],        # treated pre
+        (1, 1): [30.0, 33.0, 27.0],        # treated post
+    }
+    rows = [(t, p, v) for (t, p), vs in cells.items() for v in vs]
+    df = spark.createDataFrame(rows, "treat int, post int, v double")
+    from olake_spark.operators.abtest import did_estimator
+
+    got = _row(did_estimator(df, "treat", "post", "v"))
+
+    m = {k: statistics.mean(v) for k, v in cells.items()}
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    se = math.sqrt(
+        sum(statistics.variance(v) / len(v) for v in cells.values())
+    )
+    assert (got["n_t0"], got["n_t1"], got["n_c0"], got["n_c1"]) == (3, 3, 3, 4)
+    assert got["did"] == approx(did)
+    assert got["se"] == approx(se)
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA + Brown–Forsythe
+# ---------------------------------------------------------------------------
+
+def _anova_f(groups):
+    """Textbook one-way ANOVA from group lists (plain Python)."""
+    allv = [v for g in groups for v in g]
+    n, k = len(allv), len(groups)
+    grand = statistics.mean(allv)
+    ssb = sum(len(g) * (statistics.mean(g) - grand) ** 2 for g in groups)
+    ssw = sum((v - statistics.mean(g)) ** 2 for g in groups for v in g)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return n, k, ssb, ssw, f
+
+
+def test_oneway_anova_pin(spark):
+    groups = {
+        "a": [3.0, 5.0, 4.0, 6.0],
+        "b": [9.0, 11.0, 10.0],
+        "c": [2.0, 1.0, 3.0, 2.0, 2.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import oneway_anova
+
+    got = _row(oneway_anova(df, "g", "v"))
+    n, k, ssb, ssw, f = _anova_f(list(groups.values()))
+    assert (got["k_groups"], got["n"]) == (k, n)
+    assert got["ss_between"] == approx(ssb)
+    assert got["ss_within"] == approx(ssw)
+    assert got["f"] == approx(f)
+
+
+def test_brown_forsythe_pin(spark):
+    # odd group sizes -> the operator's rank-ceil(n/2) median equals the
+    # textbook sample median, so the reference is unambiguous
+    groups = {
+        "a": [1.0, 4.0, 9.0, 2.0, 7.0],
+        "b": [10.0, 30.0, 12.0, 28.0, 11.0, 29.0, 20.0],
+        "c": [5.0, 5.0, 6.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import brown_forsythe
+
+    got = _row(brown_forsythe(df, "g", "v"))
+
+    devs = []
+    for vs in groups.values():
+        med = sorted(vs)[math.ceil(len(vs) / 2) - 1]  # lower median
+        devs.append([abs(v - med) for v in vs])
+    n, k, ssb, ssw, f = _anova_f(devs)
+    assert (got["k_groups"], got["n"]) == (k, n)
+    assert got["ss_between"] == approx(ssb)
+    assert got["ss_within"] == approx(ssw)
+    assert got["f"] == approx(f)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (with ties)
+# ---------------------------------------------------------------------------
+
+def test_mann_whitney_u_pin(spark):
+    a = [1.0, 3.0, 3.0, 5.0, 8.0]
+    b = [2.0, 3.0, 6.0, 7.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import mann_whitney_u
+
+    got = _row(mann_whitney_u(df, "g", "v", "A", "B"))
+
+    # plain average-rank computation over the pooled sample
+    pooled = sorted(a + b)
+    n = len(pooled)
+
+    def avg_rank(v):
+        idxs = [i + 1 for i, x in enumerate(pooled) if x == v]
+        return sum(idxs) / len(idxs)
+
+    w_a = sum(avg_rank(v) for v in a)
+    na, nb = len(a), len(b)
+    u_a = w_a - na * (na + 1) / 2
+    ties = {}
+    for v in pooled:
+        ties[v] = ties.get(v, 0) + 1
+    tie_sum = sum(t**3 - t for t in ties.values())
+    var = na * nb * (n**3 - n - tie_sum) / (12 * n * (n - 1))
+    z = (u_a - na * nb / 2) / math.sqrt(var)
+    auc = u_a / (na * nb)
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert got["u2_a"] == int(2 * u_a)
+    assert got["tie_correction"] == tie_sum
+    assert got["auc"] == approx(auc)
+    assert got["z"] == approx(z)
+
+
+# ---------------------------------------------------------------------------
+# KS two-sample
+# ---------------------------------------------------------------------------
+
+def test_ks_two_sample_pin(spark):
+    a = [1.0, 2.0, 2.0, 4.0, 9.0, 12.0]
+    b = [2.0, 3.0, 5.0, 6.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import ks_two_sample
+
+    got = _row(ks_two_sample(df, "g", "v", "A", "B"))
+
+    na, nb = len(a), len(b)
+    d_num = 0
+    for v in sorted(set(a + b)):
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        d_num = max(d_num, abs(ca * nb - cb * na))
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert got["d_num"] == d_num
+    assert got["d_den"] == na * nb
+    assert got["ks"] == approx(d_num / (na * nb))
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank (the r10 bug's operator — keep it pinned forever)
+# ---------------------------------------------------------------------------
+
+def test_wilcoxon_signed_rank_pin(spark):
+    pairs = [
+        (10.0, 12.0), (20.0, 18.0), (5.0, 9.0), (7.0, 7.0),  # zero-diff drops
+        (30.0, 34.0), (11.0, 9.0), (40.0, 44.0), (2.0, 1.0),
+    ]
+    df = spark.createDataFrame(pairs, "x double, y double")
+    from olake_spark.operators.abtest import wilcoxon_signed_rank
+
+    got = _row(wilcoxon_signed_rank(df, "x", "y"))
+
+    diffs = [y - x for x, y in pairs if y != x]
+    absd = sorted(abs(d) for d in diffs)
+    n = len(diffs)
+
+    def avg_rank(v):
+        idxs = [i + 1 for i, x in enumerate(absd) if x == v]
+        return sum(idxs) / len(idxs)
+
+    w_plus = sum(avg_rank(abs(d)) for d in diffs if d > 0)
+    ties = {}
+    for v in absd:
+        ties[v] = ties.get(v, 0) + 1
+    tie_sum = sum(t**3 - t for t in ties.values())
+    var = n * (n + 1) * (2 * n + 1) / 24 - tie_sum / 48
+    z = (w_plus - n * (n + 1) / 4) / math.sqrt(var)
+    assert got["n"] == n
+    assert got["w2_plus"] == int(2 * w_plus)
+    assert got["tie_correction"] == tie_sum
+    assert got["z"] == approx(z)
+
+
+# ---------------------------------------------------------------------------
+# Wilson interval
+# ---------------------------------------------------------------------------
+
+def test_proportion_wilson_ci_pin(spark):
+    n, k = 40, 12
+    rows = [("g", i < k) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, ok boolean")
+    from olake_spark.operators.abtest import proportion_wilson_ci
+
+    got = _row(proportion_wilson_ci(df, ["g"], "ok"))
+
+    z = 1.96
+    p = k / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert (got["n"], got["k"]) == (n, k)
+    assert got["p_hat"] == approx(p)
+    assert got["ci_lo"] == approx(center - half)
+    assert got["ci_hi"] == approx(center + half)
+
+
+# ---------------------------------------------------------------------------
+# CUPED
+# ---------------------------------------------------------------------------
+
+def test_cuped_adjust_pin(spark):
+    units = [
+        ("t", 10.0, 15.0), ("t", 12.0, 18.0), ("t", 8.0, 12.0),
+        ("c", 11.0, 13.0), ("c", 9.0, 10.0), ("c", 13.0, 16.0),
+        ("c", 7.0, 9.0),
+    ]
+    df = spark.createDataFrame(units, "arm string, x double, y double")
+    from olake_spark.operators.abtest import cuped_adjust
+
+    got = {r["arm"]: r for r in cuped_adjust(df, "arm", "x", "y").collect()}
+
+    xs = [x for _, x, _ in units]
+    ys = [y for _, _, y in units]
+    n = len(units)
+    mu_x = statistics.mean(xs)
+    # population-style moments (the n-scaled identity the operator uses
+    # cancels the normalization, so either convention gives the same θ)
+    cov = sum((x - mu_x) * (y - statistics.mean(ys)) for _, x, y in
+              [(None, x, y) for x, y in zip(xs, ys)])
+    varx = sum((x - mu_x) ** 2 for x in xs)
+    theta = cov / varx
+    for arm in ("t", "c"):
+        arm_rows = [(x, y) for a, x, y in units if a == arm]
+        m_y = statistics.mean(y for _, y in arm_rows)
+        m_x = statistics.mean(x for x, _ in arm_rows)
+        adj = m_y - theta * (m_x - mu_x)
+        assert got[arm]["n"] == len(arm_rows)
+        assert got[arm]["mean_post"] == approx(m_y)
+        assert got[arm]["mean_adj"] == approx(adj)
+        assert got[arm]["theta"] == approx(theta)
+
+
+# ---------------------------------------------------------------------------
+# Ratio metric with delta-method SE
+# ---------------------------------------------------------------------------
+
+def test_ratio_metric_delta_pin(spark):
+    units = [(5.0, 2.0), (9.0, 3.0), (4.0, 1.0), (12.0, 5.0), (6.0, 2.0)]
+    rows = [("t", y, d) for y, d in units]
+    df = spark.createDataFrame(rows, "arm string, y double, d double")
+    from olake_spark.operators.abtest import ratio_metric_delta
+
+    got = _row(ratio_metric_delta(df, "arm", "y", "d"))
+
+    ys = [y for y, _ in units]
+    ds = [d for _, d in units]
+    n = len(units)
+    r = sum(ys) / sum(ds)
+    vy, vd = statistics.variance(ys), statistics.variance(ds)
+    my, md = statistics.mean(ys), statistics.mean(ds)
+    cov = sum((y - my) * (d - md) for y, d in units) / (n - 1)
+    var_r = (vy + r * r * vd - 2 * r * cov) / (n * md * md)
+    assert got["n"] == n
+    assert got["ratio"] == approx(r)
+    assert got["se"] == approx(math.sqrt(var_r))
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (O(n²) pair walk)
+# ---------------------------------------------------------------------------
+
+def test_kendall_tau_b_pin(spark):
+    data = [(1.0, 2.0), (2.0, 2.0), (3.0, 5.0), (4.0, 4.0), (4.0, 6.0),
+            (5.0, 3.0), (6.0, 8.0), (7.0, 8.0)]
+    df = spark.createDataFrame(data, "x double, y double")
+    from olake_spark.operators.correlation import kendall_tau_b
+
+    got = _row(kendall_tau_b(df, "x", "y"))
+
+    conc = disc = tx = ty = 0
+    n = len(data)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = data[j][0] - data[i][0]
+            dy = data[j][1] - data[i][1]
+            if dx == 0 and dy == 0:
+                tx += 1
+                ty += 1
+            elif dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif dx * dy > 0:
+                conc += 1
+            else:
+                disc += 1
+    n0 = n * (n - 1) / 2
+    tau = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert got["n"] == n
+    assert got["concordant"] == conc
+    assert got["discordant"] == disc
+    assert got["ties_x_pairs"] == tx
+    assert got["ties_y_pairs"] == ty
+    assert got["tau_b"] == approx(tau)
+
+
+# ---------------------------------------------------------------------------
+# Spearman (average ranks -> Pearson)
+# ---------------------------------------------------------------------------
+
+def test_spearman_matrix_pin(spark):
+    data = [(1.0, 9.0), (2.0, 7.0), (2.0, 8.0), (4.0, 8.0), (5.0, 3.0),
+            (6.0, 2.0), (7.0, 2.0)]
+    df = spark.createDataFrame(data, "x double, y double")
+    from olake_spark.operators.correlation import spearman_matrix
+
+    got = _row(spearman_matrix(df, ["x", "y"]))
+
+    def avg_ranks(vals):
+        s = sorted(vals)
+        return [
+            sum(i + 1 for i, v in enumerate(s) if v == x)
+            / sum(1 for v in s if v == x)
+            for x in vals
+        ]
+
+    rx = avg_ranks([x for x, _ in data])
+    ry = avg_ranks([y for _, y in data])
+    mx, my = statistics.mean(rx), statistics.mean(ry)
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx)
+                    * sum((b - my) ** 2 for b in ry))
+    assert got["n"] == len(data)
+    assert got["rho"] == approx(num / den)
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix
+# ---------------------------------------------------------------------------
+
+def test_corr_matrix_pin(spark):
+    data = [(1.0, 2.5, 10.0), (2.0, 2.0, 8.0), (3.0, 4.5, 7.0),
+            (4.0, 4.0, 3.0), (5.0, 6.5, 1.0)]
+    df = spark.createDataFrame(data, "a double, b double, c double")
+    from olake_spark.operators.correlation import corr_matrix
+
+    got = {(r["col_a"], r["col_b"]): r
+           for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+
+    cols = list(zip(*data))
+    names = ["a", "b", "c"]
+    for i in range(3):
+        for j in range(i + 1, 3):
+            xs, ys = cols[i], cols[j]
+            mx, my = statistics.mean(xs), statistics.mean(ys)
+            num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+            den = math.sqrt(sum((x - mx) ** 2 for x in xs)
+                            * sum((y - my) ** 2 for y in ys))
+            r = got[(names[i], names[j])]
+            assert r["n"] == len(data)
+            assert r["corr"] == approx(num / den)
+
+
+# ---------------------------------------------------------------------------
+# OLS2 vs numpy.linalg.lstsq (independent solver)
+# ---------------------------------------------------------------------------
+
+def test_ols2_pin_vs_numpy(spark):
+    import numpy as np
+
+    data = [
+        (1.0, 2.0, 6.5), (2.0, 1.0, 10.0), (3.0, 4.0, 10.5),
+        (4.0, 2.0, 16.0), (5.0, 5.0, 15.5), (6.0, 3.0, 21.0),
+        (7.0, 7.0, 19.5), (8.0, 4.0, 26.0),
+    ]
+    df = spark.createDataFrame(data, "x1 double, x2 double, y double")
+    from olake_spark.operators.correlation import ols2
+
+    got = _row(ols2(df, "y", "x1", "x2"))
+
+    a = np.array([[x1, x2, 1.0] for x1, x2, _ in data])
+    yv = np.array([y for _, _, y in data])
+    coef, _, _, _ = np.linalg.lstsq(a, yv, rcond=None)
+    fitted = a @ coef
+    ss_res = float(((yv - fitted) ** 2).sum())
+    ss_tot = float(((yv - yv.mean()) ** 2).sum())
+    assert got["n"] == len(data)
+    assert got["b1"] == approx(float(coef[0]))
+    assert got["b2"] == approx(float(coef[1]))
+    assert got["intercept"] == approx(float(coef[2]))
+    assert got["r2"] == approx(1.0 - ss_res / ss_tot)
+
+
+# ---------------------------------------------------------------------------
+# Time-bucketed operators: one event per day -> the daily series IS the
+# fixture values, so plain-Python references work on the list directly.
+# ---------------------------------------------------------------------------
+
+def _daily_df(spark, values, start="2024-01-01"):
+    t0 = datetime.fromisoformat(start)
+    rows = [(t0 + timedelta(days=i), float(v)) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, "ts timestamp, v double")
+
+
+def test_runs_test_pin(spark):
+    series = [1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 9.0, 9.0, 11.0]
+    df = _daily_df(spark, series)
+    from olake_spark.operators.robust_trend import runs_test
+
+    got = _row(runs_test(df, "ts", "v"))
+
+    moves = [b - a for a, b in zip(series, series[1:]) if b != a]
+    signs = [1 if m > 0 else -1 for m in moves]
+    n1 = sum(1 for s in signs if s > 0)
+    n2 = sum(1 for s in signs if s < 0)
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n = n1 + n2
+    mu = 2 * n1 * n2 / n + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    z = (runs - mu) / math.sqrt(var)
+    assert (got["n_up"], got["n_down"], got["runs"]) == (n1, n2, runs)
+    assert got["z"] == approx(z)
+
+
+def test_dispersion_index_pin(spark):
+    # per-day event COUNTS are what dispersion_index measures: plant
+    # 1, 5, 9 events on three days
+    t0 = datetime.fromisoformat("2024-03-01")
+    rows = []
+    for day, cnt in enumerate([1, 5, 9]):
+        for i in range(cnt):
+            rows.append(("k", t0 + timedelta(days=day, minutes=i), 1.0))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    from olake_spark.operators.timeseries import dispersion_index
+
+    got = _row(dispersion_index(df, "ts", ["g"], "v"))
+
+    counts = [1, 5, 9]
+    mean = statistics.mean(counts)
+    var = statistics.variance(counts)
+    assert (got["n_buckets"], got["n_events"]) == (3, 15)
+    assert got["mean"] == approx(mean)
+    assert got["var"] == approx(var)
+    assert got["vmr"] == approx(var / mean)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Spark SQL ``div`` / DuckDB ``//`` on integers: truncation toward
+    zero (Python's ``//`` floors, which differs on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_seasonal_strength_pin(spark):
+    # period-2 sawtooth plus drift, 8 days; period=2, trend_window=1
+    series = [10.0, 2.0, 12.0, 4.0, 14.0, 6.0, 16.0, 8.0]
+    df = _daily_df(spark, series)
+    from olake_spark.operators.timeseries import seasonal_strength
+
+    got = _row(
+        seasonal_strength(df, "ts", "v", period=2, trend_window=1)
+    )
+
+    t0 = datetime.fromisoformat("2024-01-01")
+    epoch_day0 = (t0 - datetime(1970, 1, 1)).days
+    x = [int(v * 1_000_000) for v in series]
+    n = len(x)
+    trend = []
+    for t in range(n):
+        lo, hi = max(0, t - 1), min(n, t + 2)
+        trend.append(_tdiv(sum(x[lo:hi]), hi - lo))
+    det = [xi - ti for xi, ti in zip(x, trend)]
+    phases = [(epoch_day0 + t) % 2 for t in range(n)]
+    seas = {}
+    for p in set(phases):
+        idx = [t for t in range(n) if phases[t] == p]
+        seas[p] = _tdiv(sum(det[t] for t in idx), len(idx))
+    seasonal = [seas[p] for p in phases]
+    resid = [x[t] - trend[t] - seasonal[t] for t in range(n)]
+
+    def vnum(vals):
+        return n * sum(v * v for v in vals) - sum(vals) ** 2
+
+    sr = [xi - si for xi, si in zip(x, seasonal)]   # trend + resid
+    ss = [xi - ti for xi, ti in zip(x, trend)]      # seasonal + resid
+    f_trend = max(0.0, 1.0 - vnum(resid) / vnum(sr))
+    f_seasonal = max(0.0, 1.0 - vnum(resid) / vnum(ss))
+    assert got["n_buckets"] == n
+    assert got["strength_trend"] == approx(f_trend)
+    assert got["strength_seasonal"] == approx(f_seasonal)
+
+
+def test_changepoint_mean_shift_pin(spark):
+    series = [10.0, 11.0, 9.0, 10.0, 30.0, 31.0, 29.0]
+    df = _daily_df(spark, series)
+    from olake_spark.operators.timeseries import changepoint_mean_shift
+
+    got = _row(changepoint_mean_shift(df, "ts", "v"))
+
+    n = len(series)
+    s_n = sum(series)
+    best_k, best_red = None, -math.inf
+    for k in range(1, n):
+        s_k = sum(series[:k])
+        red = s_k**2 / k + (s_n - s_k) ** 2 / (n - k) - s_n**2 / n
+        if red > best_red:
+            best_k, best_red = k, red
+    epoch_day0 = (datetime.fromisoformat("2024-01-01")
+                  - datetime(1970, 1, 1)).days
+    assert got["split_bucket"] == epoch_day0 + best_k - 1
+    assert got["n_buckets"] == n
+    assert got["mean_left"] == approx(statistics.mean(series[:best_k]))
+    assert got["mean_right"] == approx(statistics.mean(series[best_k:]))
+    assert got["reduction"] == approx(best_red)
+
+
+def test_acf_pin(spark):
+    series = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = _daily_df(spark, series)
+    from olake_spark.operators.forecast import acf
+
+    got = {r["lag"]: r for r in acf(df, "ts", "v", max_lag=3).collect()}
+
+    n = len(series)
+    mu = statistics.mean(series)
+    den = sum((v - mu) ** 2 for v in series)
+    for k in (1, 2, 3):
+        r_k = sum(
+            (series[t] - mu) * (series[t + k] - mu) for t in range(n - k)
+        ) / den
+        assert got[k]["n_pairs"] == n - k
+        assert got[k]["r"] == approx(r_k)
+
+
+def test_mann_kendall_theil_sen_pin(spark):
+    series = [5.0, 7.0, 6.0, 9.0, 9.0, 12.0, 11.0]
+    df = _daily_df(spark, series)
+    from olake_spark.operators.robust_trend import mann_kendall_theil_sen
+
+    got = _row(mann_kendall_theil_sen(df, "ts", "v"))
+
+    n = len(series)
+    s = sum(
+        (series[j] > series[i]) - (series[j] < series[i])
+        for i in range(n) for j in range(i + 1, n)
+    )
+    ties = {}
+    for v in series:
+        ties[v] = ties.get(v, 0) + 1
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18
+    z = (s - 1) / math.sqrt(var_s) if s > 0 else (
+        (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+    )
+    slopes = sorted(
+        (series[j] - series[i]) / (j - i)
+        for i in range(n) for j in range(i + 1, n)
+    )
+    sen = slopes[math.ceil(len(slopes) / 2) - 1]  # lower median
+    assert got["n_buckets"] == n
+    assert got["s_stat"] == s
+    assert got["var_s"] == approx(var_s)
+    assert got["z"] == approx(z)
+    assert got["sen_slope"] == approx(sen)
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (with the operator's exact floor-micro cell discipline)
+# ---------------------------------------------------------------------------
+
+def test_cramers_v_pin(spark):
+    table_counts = {("x", "p"): 10, ("x", "q"): 20,
+                    ("y", "p"): 30, ("y", "q"): 5}
+    rows = [(r, c) for (r, c), k in table_counts.items() for _ in range(k)]
+    df = spark.createDataFrame(rows, "r string, c string")
+    from olake_spark.operators.audit import cramers_v
+
+    got = _row(cramers_v(df, "r", "c"))
+
+    n = sum(table_counts.values())
+    rt = {"x": 30, "y": 35}
+    ct = {"p": 40, "q": 25}
+    chi2m = 0
+    for (r, c), o in table_counts.items():
+        num = o * n - rt[r] * ct[c]
+        chi2m += (num * num * 1_000_000) // (n * rt[r] * ct[c])
+    v = math.sqrt((chi2m / 1e6 / n) / (2 - 1))
+    assert got["n"] == n
+    assert (got["n_row_levels"], got["n_col_levels"]) == (2, 2)
+    assert got["chi2_total_micro"] == chi2m
+    assert got["v"] == approx(v)
+
+
+# ---------------------------------------------------------------------------
+# Markov conditional entropy (registered query over a tmp parquet fixture)
+# ---------------------------------------------------------------------------
+
+def test_markov_entropy_pin(spark, tmp_path):
+    # two users with known transition chains
+    chains = {1: ["a", "b", "a", "b", "c"], 2: ["a", "a", "b", "c", "c"]}
+    t0 = datetime.fromisoformat("2024-05-01")
+    rows = []
+    eid = 0
+    for uid, chain in chains.items():
+        for i, et in enumerate(chain):
+            rows.append((eid, t0 + timedelta(minutes=i), uid, et, 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    from olake_spark.queries_r10 import events_markov_entropy
+
+    got = _row(events_markov_entropy(spark, str(tmp_path)))
+
+    cells = {}
+    for chain in chains.values():
+        for prev, nxt in zip(chain, chain[1:]):
+            cells[(prev, nxt)] = cells.get((prev, nxt), 0) + 1
+    n = sum(cells.values())
+    ci = {}
+    for (prev, _), c in cells.items():
+        ci[prev] = ci.get(prev, 0) + c
+    h_nano = sum(
+        math.floor((c / n) * math.log(ci[prev] / c) * 1e9)
+        for (prev, _), c in cells.items()
+    )
+    assert got["n_transitions"] == n
+    assert got["h_nano"] == h_nano
+    assert got["h_cond"] == approx(h_nano / 1e9)
