@@ -431,6 +431,7 @@ def main() -> None:
     # preceding workloads (a 32-thread bench pushes load1 to ~10 by the
     # heavy middle section on a box that was at 0.1 when it started)
     load_at_start = round(os.getloadavg()[0], 2)
+    load15_at_start = round(os.getloadavg()[2], 2)
 
     from pyspark.sql import functions as F
 
@@ -497,10 +498,17 @@ def main() -> None:
     # The recording driver keeps only a 2000-char stdout tail, so the final
     # line must stay small (round 3's full map overflowed it → parsed:null).
     load_vals = list(loads.values())
-    # idle = nothing ELSE was running when the bench started (< 1/4 of the
-    # 32 hardware threads busy); the per-workload series is diagnostic —
-    # it includes the bench's own self-load and so cannot gate idleness
-    idle = load_at_start < 8.0
+    # idle = nothing else was running when the bench started. r10 verdict
+    # wrong-list #2: the old < 8.0 bar blessed a box with 7 runnable
+    # threads as "idle" — the repo's own measurement protocol demands
+    # load1 < 1 for official numbers, so the flag now means what the
+    # protocol means (load1 < 2 leaves headroom for the daemon tail of a
+    # just-finished settle). The 15-min average is stamped too: r10's
+    # EVIDENCE showed it is the better warmth predictor (load1 0.05 /
+    # 15-min 17 read 336k rows/s vs 525k settled). The per-workload
+    # series is diagnostic only — it includes the bench's own self-load
+    # and cannot gate idleness.
+    idle = load_at_start < 2.0
     full = {
         "metric": "olake_spark end-to-end wall seconds (headlines + operator queries)",
         "value": round(sum(timings.values()), 3),
@@ -509,6 +517,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rows_per_sec": rps,
         "load_at_start": load_at_start,
+        "load15_at_start": load15_at_start,
         "load_before_each": loads,
         "load_max": round(max(load_vals), 2) if load_vals else None,
         "idle_box": idle,
@@ -531,6 +540,7 @@ def main() -> None:
         "sf": full["sf"],
         "rows_per_sec": {n: rps[n] for n in HEADLINES if n in rps},
         "load_at_start": load_at_start,
+        "load15_at_start": load15_at_start,
         "idle_box": full["idle_box"],
     }
     line = json.dumps(compact)

@@ -25,9 +25,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bh_fdr_adjust",
     "brown_forsythe",
     "cuped_adjust",
     "did_estimator",
+    "effect_size_two_sample",
+    "kruskal_wallis",
+    "ks_uniform_gof",
     "oneway_anova",
     "ks_two_sample",
     "mann_whitney_u",
@@ -727,3 +731,303 @@ def brown_forsythe(
         "_bg", F.abs(F.col("_vm") - F.col("_med")).alias("_zm")
     )
     return _anova_from_micro(dev, "_bg", "_zm")
+
+
+def effect_size_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Standardized two-sample effect size — Cohen's d with the pooled
+    SD and its small-sample-corrected Hedges' g:
+
+        s_p = sqrt(((n_a−1)s²_a + (n_b−1)s²_b) / (n_a+n_b−2))
+        d   = (m_a − m_b) / s_p
+        g   = d · (1 − 3/(4(n_a+n_b) − 9))
+
+    The significance tests (:func:`welch_ttest`) say WHETHER the arms
+    differ; this says by HOW MUCH in SD units — the number a meta-
+    analysis or an MDE calculation actually consumes. Same exact
+    micro-moment discipline as welch_ttest (six DECIMAL(38,0) integers
+    in one map-side-combinable pass; one cast each, one IEEE sequence,
+    hash-stable at round 6). Degenerate inputs (an arm with n < 1,
+    pooled dof < 1, or zero pooled variance) report NULL d/g via
+    try_divide/when — never NaN/Inf.
+
+    Returns one row (n_a, n_b, mean_a, mean_b, pooled_sd, cohens_d,
+    hedges_g).
+    """
+    g = F.col(group_col)
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(_D38)
+    per = (
+        df.filter(g.isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
+        .select(g.alias("_g"), vm.alias("_v"))
+        .agg(
+            *[
+                agg
+                for tag, grp in (("a", group_a), ("b", group_b))
+                for agg in (
+                    F.sum(F.when(F.col("_g") == grp, 1).otherwise(0))
+                    .cast(_D38)
+                    .alias(f"_n{tag}"),
+                    F.sum(
+                        F.when(F.col("_g") == grp, F.col("_v")).otherwise(
+                            F.lit(0).cast(_D38)
+                        )
+                    ).alias(f"_s{tag}"),
+                    F.sum(
+                        F.when(
+                            F.col("_g") == grp, F.col("_v") * F.col("_v")
+                        ).otherwise(F.lit(0).cast(_D38))
+                    ).alias(f"_q{tag}"),
+                )
+            ]
+        )
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    ma = F.try_divide(F.col("_sa").cast("double"), na.cast("double"))
+    mb = F.try_divide(F.col("_sb").cast("double"), nb.cast("double"))
+    # (n_g - 1)·s²_g = (n·Σv² − (Σv)²)/n, exact integer numerator
+    ssa = F.try_divide(
+        (na * F.col("_qa") - F.col("_sa") * F.col("_sa")).cast("double"),
+        na.cast("double"),
+    )
+    ssb = F.try_divide(
+        (nb * F.col("_qb") - F.col("_sb") * F.col("_sb")).cast("double"),
+        nb.cast("double"),
+    )
+    sp2 = F.try_divide(ssa + ssb, (na + nb - 2).cast("double"))
+    sp = F.sqrt(sp2)
+    d = F.when(sp2 > 0, (ma - mb) / sp)
+    ntot = (na + nb).cast("double")
+    gg = d * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * ntot - F.lit(9.0)))
+    return per.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(ma / 1_000_000.0, 6).alias("mean_a"),
+        F.round(mb / 1_000_000.0, 6).alias("mean_b"),
+        F.round(sp / 1_000_000.0, 6).alias("pooled_sd"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(gg, 6).alias("hedges_g"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Kruskal–Wallis H — the k-sample rank test (:func:`mann_whitney_u`
+    for more than two arms; the nonparametric face of
+    :func:`oneway_anova`):
+
+        H  = 12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1)
+        H' = H / (1 − Σ(t³−t)/(n³−n))          (tie correction)
+
+    Rank machinery is the mann_whitney DOUBLED-rank recipe, generalized
+    to k groups: one shuffle onto the quantized value builds the
+    per-(group, value) count relation; a cumulative window over the
+    DISTINCT-VALUE relation assigns rank2(v) = 2·c_below + t + 1; each
+    group's doubled rank-sum R2_g = Σ_v c_gv·rank2(v) is an exact
+    DECIMAL(38,0) integer (so R_g²/n_g = R2_g²/(4n_g)). The k per-group
+    double terms fold in GROUP-KEY ORDER via aggregate() over a sorted
+    struct array (the _anova_from_micro recipe) so the float sum is one
+    fixed IEEE sequence in any engine. NULL values drop; a fully-tied
+    sample (n³ = n + Σ(t³−t)) reports NULL H' — and H' is NULL when
+    k < 2 or n ≤ k gives it no meaning.
+
+    Returns one row (k_groups, n, tie_correction, h, h_tie_corrected).
+    """
+    g = F.col(group_col)
+    v = F.round(F.col(value_col) * scale).cast("long")
+    per_gv = (
+        df.filter(F.col(value_col).isNotNull() & g.isNotNull())
+        .select(g.cast("string").alias("_g"), v.alias("_v"))
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).cast(_D38).alias("_c"))
+    )
+    wv = W.orderBy("_v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    t_at = W.partitionBy("_v")
+    with_t = per_gv.select(
+        "_g", "_v", "_c", F.sum("_c").over(t_at).alias("_t")
+    )
+    # rank2 needs the cumulative count over VALUES; compute it on the
+    # distinct-value relation (values-sized), then join back
+    vals = (
+        per_gv.groupBy("_v")
+        .agg(F.sum("_c").alias("_tv"))
+        .select(
+            "_v",
+            (
+                F.lit(2) * (F.sum("_tv").over(wv) - F.col("_tv"))
+                + F.col("_tv")
+                + F.lit(1)
+            ).alias("_rank2"),
+        )
+    )
+    ranked = with_t.join(vals, "_v")
+    per_g = ranked.groupBy("_g").agg(
+        F.sum("_c").alias("_ng"),
+        F.sum(F.col("_c") * F.col("_rank2")).alias("_r2g"),
+    )
+    term = F.try_divide(
+        (F.col("_r2g") * F.col("_r2g")).cast("double"),
+        (F.lit(4) * F.col("_ng")).cast("double"),
+    )
+    ties = per_gv.groupBy("_v").agg(F.sum("_c").alias("_t")).agg(
+        F.coalesce(
+            F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")),
+            F.lit(0).cast(_D38),
+        ).alias("_tie")
+    )
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_ng").alias("_n"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_g"), term.alias("rr")))
+        ).alias("_terms"),
+    ).crossJoin(F.broadcast(ties))
+    rsum = F.aggregate(F.col("_terms"), F.lit(0.0), lambda a, x: a + x["rr"])
+    n = F.col("_n")
+    nn1 = (n * (n + 1)).cast("double")
+    h = F.lit(12.0) * rsum / nn1 - F.lit(3.0) * (n + 1).cast("double")
+    tie_den = (n * n * n - n).cast("double")
+    corr = F.lit(1.0) - F.col("_tie").cast("double") / tie_den
+    h_corr = F.when(
+        (F.col("_k") > 1) & (n * n * n - n - F.col("_tie") > 0),
+        h / corr,
+    )
+    return agg.select(
+        F.col("_k").cast("long").alias("k_groups"),
+        n.cast("long").alias("n"),
+        F.col("_tie").cast("long").alias("tie_correction"),
+        F.when(n > 1, F.round(h, 6)).alias("h"),
+        F.round(h_corr, 6).alias("h_tie_corrected"),
+    )
+
+
+def bh_fdr_adjust(
+    df: DataFrame,
+    key_cols: list[str],
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR adjustment over a FAMILY of p-values —
+    the correction any per-key test fleet (per-nation Welch, per-metric
+    Mann-Kendall, the grouped corr/ACF sweeps) owes before anyone reads
+    its winners:
+
+        q_(i) = min_{j ≥ i} ( p_(j) · m / j ),  clipped to 1
+
+    where p_(1) ≤ … ≤ p_(m). Reject H_(i) at level ``alpha`` iff
+    q_(i) ≤ alpha (the step-up rule, in its equivalent adjusted-q
+    form). Ranks come from one window over the FAMILY-sized relation
+    (keys-sized — a test family is dozens to thousands of rows, never
+    fact-table-sized); the suffix-min is a reverse cumulative min over
+    the same relation. Ties in p get the same q (rank ties broken by
+    key for determinism; the suffix-min makes the q invariant to which
+    tied row ranks first). NULL p-values are excluded from the family
+    (they neither count toward m nor consume a rank).
+
+    Returns (keys..., p, rank, q, reject) ordered by rank.
+    """
+    base = df.select(*key_cols, F.col(p_col).alias("_p")).filter(
+        F.col("_p").isNotNull()
+    )
+    wr = W.orderBy(F.col("_p").asc(), *[F.col(k).asc() for k in key_cols])
+    wtot = W.partitionBy()
+    ranked = base.select(
+        *key_cols,
+        "_p",
+        F.row_number().over(wr).alias("_i"),
+        F.count(F.lit(1)).over(wtot).alias("_m"),
+    )
+    raw_q = F.col("_p") * F.col("_m").cast("double") / F.col("_i").cast(
+        "double"
+    )
+    wsuf = W.orderBy(F.col("_i").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    stepped = ranked.select(
+        *key_cols,
+        "_p",
+        "_i",
+        F.least(F.min(raw_q).over(wsuf), F.lit(1.0)).alias("_q"),
+    )
+    return stepped.select(
+        *key_cols,
+        F.round(F.col("_p"), 6).alias("p"),
+        F.col("_i").cast("long").alias("rank"),
+        F.round(F.col("_q"), 6).alias("q"),
+        (F.col("_q") <= F.lit(alpha)).alias("reject"),
+    ).orderBy("rank")
+
+
+def ks_uniform_gof(
+    df: DataFrame,
+    score_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One-sample Kolmogorov–Smirnov goodness-of-fit against Uniform[0,1]
+    — the uniformity audit for anything that CLAIMS to be uniform:
+    hash-bucket assignments, p-value families (a well-calibrated A/A
+    fleet's p's are uniform), normalized ranks.
+
+        D⁺ = max_v ( F̂(v) − v )      (F̂ = ECDF, right-continuous)
+        D⁻ = max_v ( v − F̂(v⁻) )
+        D  = max(D⁺, D⁻),            statistic √n·D
+
+    Scores quantize to round(s·scale) integers (the ks_two_sample
+    contract — ties well-defined across engines); the ECDF is one
+    cumulative window over the DISTINCT-VALUE relation (values-sized).
+    D⁺/D⁻ stay exact rationals (numerators over the common denominator
+    n·scale) until one final cast each — hash-stable at round 6. Scores
+    outside [0, 1] raise upstream concerns but are clamped by the ECDF
+    algebra itself (they only ever widen D). NULLs drop.
+
+    Returns one row (n, d_plus, d_minus, d, sqrt_n_d).
+    """
+    sm = F.round(F.col(score_col) * scale).cast("long")
+    per_val = (
+        df.filter(F.col(score_col).isNotNull())
+        .select(sm.alias("_v"))
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).cast(_D38).alias("_t"))
+    )
+    wv = W.orderBy("_v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wtot = W.partitionBy()
+    cum = per_val.select(
+        "_v",
+        "_t",
+        F.sum("_t").over(wv).alias("_c"),
+        F.sum("_t").over(wtot).alias("_n"),
+    )
+    n = F.col("_n")
+    sc = F.lit(scale).cast(_D38)
+    # D⁺ numerator: c·scale − v·n ; D⁻ numerator: v·n − (c − t)·scale —
+    # both over the common denominator n·scale, exact DECIMAL(38,0)
+    dplus_num = F.col("_c") * sc - F.col("_v").cast(_D38) * n
+    dminus_num = (
+        F.col("_v").cast(_D38) * n - (F.col("_c") - F.col("_t")) * sc
+    )
+    agg = cum.agg(
+        F.max(dplus_num).alias("_dp"),
+        F.max(dminus_num).alias("_dm"),
+        F.first(n).alias("_nn"),
+    )
+    nn = F.col("_nn")
+    den = (nn * sc).cast("double")
+    dp = F.greatest(F.col("_dp").cast("double") / den, F.lit(0.0))
+    dm = F.greatest(F.col("_dm").cast("double") / den, F.lit(0.0))
+    d = F.greatest(dp, dm)
+    return agg.select(
+        nn.cast("long").alias("n"),
+        F.round(dp, 6).alias("d_plus"),
+        F.round(dm, 6).alias("d_minus"),
+        F.round(d, 6).alias("d"),
+        F.round(F.sqrt(nn.cast("double")) * d, 6).alias("sqrt_n_d"),
+    )

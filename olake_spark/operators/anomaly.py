@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_zscore", "cusum_changepoints", "seasonal_baseline_outliers"]
+__all__ = ["rolling_zscore", "cusum_changepoints", "seasonal_baseline_outliers", "shewhart_individuals"]
 
 _D38 = "decimal(38,0)"
 
@@ -197,4 +197,84 @@ def seasonal_baseline_outliers(
             & (var_term > 0)
             & ((num * num) > (F.lit(k * k).cast(_D38) * var_term))
         ).alias("is_anomaly"),
+    )
+
+
+def shewhart_individuals(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    step: str = "1 day",
+    sigma_factor: float = 2.66,
+) -> DataFrame:
+    """Shewhart individuals/moving-range (I-MR) control chart summary
+    over the bucketed total series — the SPC answer to "is this metric
+    in statistical control, and which days broke the limits?":
+
+        center = x̄,   M̄R = Σ|xₜ − xₜ₋₁| / (n−1)
+        UCL/LCL = x̄ ± 2.66·M̄R     (2.66 = 3/d₂ for n=2 subgroups)
+
+    The series is the bucketize micro-sum relation; moving ranges are
+    exact integer |Δ| from one lag window over buckets (values-sized —
+    the ks/acf contract). center and M̄R are each one cast + one divide
+    of exact DECIMAL(38,0) sums; the limit comparisons re-derive each
+    bucket's verdict from the SAME exact integers (xₜ·(n−1)·n vs the
+    integer-cleared limit expression is overkill here — the shared IEEE
+    sequence on identical doubles is engine-stable, the repo's standard
+    contract). Degenerate series (n < 2) report NULL limits and zero
+    violations.
+
+    Returns one row (n_buckets, center, mr_bar, ucl, lcl, n_above,
+    n_below).
+    """
+    from olake_spark.operators.timeseries import bucketize
+
+    d38 = "decimal(38,0)"
+    daily = bucketize(df, time_col, [], value_col, step=step).select(
+        F.col("_bucket").alias("_t"), F.col("_v_micros").alias("_x")
+    )
+    wall = W.partitionBy().orderBy("_t")
+    with_mr = daily.select(
+        "_t",
+        "_x",
+        F.abs(F.col("_x") - F.lag("_x").over(wall)).alias("_mr"),
+    )
+    wtot = W.partitionBy()
+    m = with_mr.select(
+        "_x",
+        "_mr",
+        F.count(F.lit(1)).over(wtot).cast(d38).alias("_n"),
+        F.sum(F.col("_x").cast(d38)).over(wtot).alias("_s"),
+        F.sum(F.col("_mr").cast(d38)).over(wtot).alias("_smr"),
+    )
+    n = F.col("_n")
+    center = F.col("_s").cast("double") / n.cast("double")
+    mrbar = F.try_divide(
+        F.col("_smr").cast("double"), (n - 1).cast("double")
+    )
+    ucl = center + F.lit(sigma_factor) * mrbar
+    lcl = center - F.lit(sigma_factor) * mrbar
+    x = F.col("_x").cast("double")
+    agg = m.agg(
+        F.first(n).alias("_nn"),
+        F.first(center).alias("_c"),
+        F.first(mrbar).alias("_mb"),
+        F.first(ucl).alias("_u"),
+        F.first(lcl).alias("_l"),
+        F.sum(F.when(x > ucl, 1).otherwise(0)).alias("_above"),
+        F.sum(F.when(x < lcl, 1).otherwise(0)).alias("_below"),
+    )
+    ok = F.col("_nn") > 1
+    return agg.select(
+        F.col("_nn").cast("long").alias("n_buckets"),
+        F.round(F.col("_c") / 1e6, 6).alias("center"),
+        F.when(ok, F.round(F.col("_mb") / 1e6, 6)).alias("mr_bar"),
+        F.when(ok, F.round(F.col("_u") / 1e6, 6)).alias("ucl"),
+        F.when(ok, F.round(F.col("_l") / 1e6, 6)).alias("lcl"),
+        F.when(ok, F.col("_above").cast("long")).otherwise(F.lit(0)).alias(
+            "n_above"
+        ),
+        F.when(ok, F.col("_below").cast("long")).otherwise(F.lit(0)).alias(
+            "n_below"
+        ),
     )

@@ -18,12 +18,17 @@ as an operator. Each check is a single declarative plan:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
     "audit_keys",
+    "chi_square_gof",
+    "cohens_kappa",
+    "js_divergence",
     "audit_referential",
     "audit_summary",
     "benford_first_digit",
@@ -632,4 +637,260 @@ def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
         F.col("_c").cast("long").alias("n_col_levels"),
         F.col("_chi2m").cast("long").alias("chi2_total_micro"),
         F.round(F.when(dof > 0, v), 6).alias("v"),
+    )
+
+
+def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical "raters" over the same items (label-vs-heuristic audits,
+    model-vs-model judge agreement, duplicate annotation QA):
+
+        κ = (p_o − p_e) / (1 − p_e),
+        p_o = Σ_i n_ii / n,   p_e = Σ_i (r_i · c_i) / n²
+
+    over the shared label space. Everything before the final divides is
+    exact: cell counts shuffle once onto the (a, b) grid (cells-sized);
+    the diagonal mass and the Σ r_i·c_i cross product accumulate as
+    DECIMAL(38,0) integers (marginals via windows over cells, products
+    joined on the label — the chi_square_independence discipline), so
+    p_o, p_e and κ are each one cast + one IEEE divide, hash-stable at
+    round 6. Rows with a NULL on either side drop (an unlabeled item
+    measures nothing). κ is NULL when p_e = 1 (both raters constant —
+    agreement is undefined, not perfect).
+
+    Returns one row (n, n_labels_a, n_labels_b, p_observed, p_expected,
+    kappa).
+    """
+    d38 = "decimal(38,0)"
+    cells = (
+        df.filter(
+            F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+        )
+        .select(
+            F.col(rater_a_col).cast("string").alias("_a"),
+            F.col(rater_b_col).cast("string").alias("_b"),
+        )
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).cast(d38).alias("_c"))
+    )
+    ra = W.partitionBy("_a")
+    cb = W.partitionBy("_b")
+    m = cells.select(
+        "_a",
+        "_b",
+        "_c",
+        F.sum("_c").over(ra).alias("_ra"),
+        F.sum("_c").over(cb).alias("_cb"),
+    )
+    # Σ r_i·c_i needs one product per shared label i — the diagonal
+    # cells carry both marginals already; labels missing a diagonal
+    # cell (never co-assigned) still contribute r_i·c_i, so build the
+    # label relation explicitly (labels-sized, broadcastable)
+    la = cells.groupBy(F.col("_a").alias("_l")).agg(
+        F.sum("_c").alias("_r")
+    )
+    lb = cells.groupBy(F.col("_b").alias("_l")).agg(
+        F.sum("_c").alias("_s")
+    )
+    cross = la.join(lb, "_l").agg(
+        F.coalesce(F.sum(F.col("_r") * F.col("_s")), F.lit(0).cast(d38))
+        .alias("_rc")
+    )
+    agg = m.agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(
+            F.lit(0).cast(d38)
+        )).alias("_diag"),
+        F.count_distinct("_a").alias("_ka"),
+        F.count_distinct("_b").alias("_kb"),
+    ).crossJoin(F.broadcast(cross))
+    n = F.col("_n")
+    po = F.try_divide(F.col("_diag").cast("double"), n.cast("double"))
+    pe = F.try_divide(F.col("_rc").cast("double"), (n * n).cast("double"))
+    kappa = F.when(
+        n * n > F.col("_rc"),  # p_e < 1, exact integer comparison
+        (po - pe) / (F.lit(1.0) - pe),
+    )
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.col("_ka").cast("long").alias("n_labels_a"),
+        F.col("_kb").cast("long").alias("n_labels_b"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(kappa, 6).alias("kappa"),
+    )
+
+
+def chi_square_gof(
+    df: DataFrame,
+    cat_col: str,
+    expected_weights: dict | None = None,
+) -> DataFrame:
+    """Chi-square goodness-of-fit of a categorical column against an
+    EXPECTED distribution — uniform by default, or explicit weights
+    (Benford digits, a contract mix, last year's traffic shares). The
+    independence test (:func:`chi_square_independence`) asks "are these
+    two columns related?"; this asks "does ONE column match the
+    distribution it is supposed to have?".
+
+    Exactness (the floor-micro cell discipline): with integer weights
+    w_i summing to W, expected_i = n·w_i/W, and each cell's
+    χ²-contribution (o_i·W − n·w_i)² / (n·w_i·W) is a ratio of exact
+    DECIMAL(38,0) integers floored at micro precision —
+    cell_chi2_micro = (num² · 10⁶) div den — so the total is an
+    order-free integer sum, identical in any engine. Categories absent
+    from the data contribute (n·w_i)²-mass (o = 0); categories absent
+    from the weights FAIL loudly via a raise_error guard rather than
+    silently skewing the fit.
+
+    Float weights are snapped to micro-integers (round(w·10⁶)) so the
+    exact-arithmetic contract holds regardless of how the caller writes
+    1/3. Returns (n, k_categories, chi2_total_micro, chi2).
+    """
+    d38 = "decimal(38,0)"
+    observed = (
+        df.filter(F.col(cat_col).isNotNull())
+        .select(F.col(cat_col).cast("string").alias("_cat"))
+        .groupBy("_cat")
+        .agg(F.count(F.lit(1)).cast(d38).alias("_o"))
+    )
+    if expected_weights is None:
+        # uniform over the OBSERVED categories
+        spine = observed.select("_cat", F.lit(1_000_000).cast(d38).alias("_w"))
+    else:
+        spark = df.sparkSession
+        rows = [
+            (str(k), int(round(float(v) * 1_000_000)))
+            for k, v in expected_weights.items()
+        ]
+        spine = spark.createDataFrame(rows, "_cat string, _w long").select(
+            "_cat", F.col("_w").cast(d38)
+        )
+        # any observed category outside the expected support is a
+        # contract violation — fail in-plan, loudly
+        observed = observed.join(
+            F.broadcast(spine.select("_cat", F.lit(1).alias("_ok"))),
+            "_cat",
+            "left",
+        ).select(
+            "_cat",
+            "_o",
+            F.when(
+                F.col("_ok").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("chi_square_gof: observed category not in "
+                              "expected weights: "),
+                        F.col("_cat"),
+                    )
+                ).cast("int"),
+            ).alias("_guard"),
+        ).drop("_guard")
+    cells = spine.join(observed, "_cat", "left").select(
+        "_cat",
+        F.coalesce(F.col("_o"), F.lit(0).cast(d38)).alias("_o"),
+        "_w",
+    )
+    wtot = W.partitionBy()
+    m = cells.select(
+        "_o",
+        "_w",
+        F.sum("_o").over(wtot).alias("_n"),
+        F.sum("_w").over(wtot).alias("_wt"),
+    )
+    num = F.col("_o") * F.col("_wt") - F.col("_n") * F.col("_w")
+    den = F.col("_n") * F.col("_w") * F.col("_wt")
+    cell_micro = F.expr(
+        "CAST((_num2 * 1000000) div _den AS DECIMAL(38,0))"
+    )
+    scored = m.select(
+        (num * num).alias("_num2"), den.alias("_den"), "_n"
+    ).select(F.col("_n"), cell_micro.alias("_cm"))
+    agg = scored.agg(
+        F.first("_n").alias("_nn"),
+        F.count(F.lit(1)).alias("_k"),
+        F.coalesce(F.sum("_cm"), F.lit(0).cast(d38)).alias("_chi2m"),
+    )
+    return agg.select(
+        F.col("_nn").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k_categories"),
+        F.col("_chi2m").cast("long").alias("chi2_total_micro"),
+        F.round(F.col("_chi2m").cast("double") / 1e6, 6).alias("chi2"),
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    side_col: str,
+    cat_col: str,
+    side_a,
+    side_b,
+) -> DataFrame:
+    """Jensen–Shannon divergence between two empirical categorical
+    distributions (cohort A vs cohort B of ``cat_col``) — the symmetric,
+    bounded drift measure (0 ≤ JSD ≤ ln 2 nats) that behaves where KL
+    blows up on unseen categories:
+
+        m_i  = (p_i + q_i)/2
+        JSD  = ½ Σ p_i ln(p_i/m_i) + ½ Σ q_i ln(q_i/m_i)
+
+    Cells shuffle once onto the category (cells-sized); each side's
+    total is a window over cells; every term's double is nano-floored
+    before the integer sum (the chi2/MI/PSI discipline — order-free,
+    bias ≤ |cells|·1e-9, identical in any engine). Categories on one
+    side only contribute p·ln(2) exactly through the same formula
+    (q = 0 ⇒ m = p/2). Returns one row (n_a, n_b, k_categories,
+    jsd_nats, jsd_bits).
+    """
+    d38 = "decimal(38,0)"
+    s = F.col(side_col)
+    cells = (
+        df.filter(s.isin([side_a, side_b]) & F.col(cat_col).isNotNull())
+        .select(
+            F.when(s == side_a, F.lit("a")).otherwise(F.lit("b")).alias("_s"),
+            F.col(cat_col).cast("string").alias("_cat"),
+        )
+        .groupBy("_cat")
+        .agg(
+            F.sum(F.when(F.col("_s") == "a", 1).otherwise(0))
+            .cast(d38)
+            .alias("_ca"),
+            F.sum(F.when(F.col("_s") == "b", 1).otherwise(0))
+            .cast(d38)
+            .alias("_cb"),
+        )
+    )
+    wtot = W.partitionBy()
+    m = cells.select(
+        "_ca",
+        "_cb",
+        F.sum("_ca").over(wtot).alias("_na"),
+        F.sum("_cb").over(wtot).alias("_nb"),
+    )
+    p = F.col("_ca").cast("double") / F.col("_na").cast("double")
+    q = F.col("_cb").cast("double") / F.col("_nb").cast("double")
+    mid = (p + q) / F.lit(2.0)
+    nano = 1_000_000_000
+    term_p = F.when(
+        F.col("_ca") > 0, F.floor(p * F.log(p / mid) * nano).cast("long")
+    ).otherwise(F.lit(0))
+    term_q = F.when(
+        F.col("_cb") > 0, F.floor(q * F.log(q / mid) * nano).cast("long")
+    ).otherwise(F.lit(0))
+    agg = m.agg(
+        F.first("_na").alias("_fa"),
+        F.first("_nb").alias("_fb"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(term_p).alias("_tp"),
+        F.sum(term_q).alias("_tq"),
+    )
+    jsd = (
+        (F.col("_tp") + F.col("_tq")).cast("double") / F.lit(2.0) / nano
+    )
+    return agg.select(
+        F.col("_fa").cast("long").alias("n_a"),
+        F.col("_fb").cast("long").alias("n_b"),
+        F.col("_k").cast("long").alias("k_categories"),
+        F.round(jsd, 6).alias("jsd_nats"),
+        F.round(jsd / float(math.log(2)), 6).alias("jsd_bits"),
     )

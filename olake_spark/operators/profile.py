@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_numeric", "top_values", "histogram", "dataset_card", "profile_cardinality"]
+__all__ = ["profile_numeric", "power_means", "top_values", "histogram", "dataset_card", "profile_cardinality"]
 
 
 def profile_numeric(
@@ -220,3 +220,58 @@ def profile_cardinality(df: DataFrame, cols: list[str], approx: bool = False) ->
             )
         ).alias("s")
     ).select("s.*")
+
+
+def power_means(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Per-group arithmetic / geometric / harmonic means of a POSITIVE
+    metric — the three Pythagorean means in one pass (growth rates want
+    the geometric mean, rate averages want the harmonic one; reporting
+    the arithmetic mean for either is the classic dashboard bug, and
+    AM ≥ GM ≥ HM is a free sanity invariant on every output row).
+
+    Exactness: values quantize to micro BIGINTs. The arithmetic sum is
+    an exact DECIMAL(38,0). The harmonic reciprocal sum is EXACT
+    integer arithmetic end to end — 1/v in atto-units is the pure
+    integer division 10¹⁵ div v_micro, no float ever. The geometric
+    log-sum nano-floors each row's IEEE ln (the surprisal/MI
+    discipline: order-free, bias ≤ n·1e-9 in log space). Non-positive
+    values are EXCLUDED (no real log/reciprocal) and counted in
+    ``n_nonpositive`` so the exclusion is auditable.
+
+    Returns (keys..., n, n_nonpositive, mean_arith, mean_geom,
+    mean_harm).
+    """
+    d38 = "decimal(38,0)"
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
+    base = df.select(*keys, vm.alias("_vm")).filter(F.col("_vm").isNotNull())
+    pos = F.col("_vm") > 0
+    ln_nano = F.floor(
+        F.log(F.col("_vm").cast("double") / 1e6) * 1e9
+    ).cast("long")
+    inv_atto = F.expr("1000000000000000 div _vm")  # 10^15 div micro = atto
+    agg = base.groupBy(*keys).agg(
+        F.sum(pos.cast("long")).alias("n"),
+        F.sum((~pos).cast("long")).alias("n_nonpositive"),
+        F.sum(F.when(pos, F.col("_vm")).otherwise(0).cast(d38)).alias("_s"),
+        F.sum(F.when(pos, ln_nano).otherwise(0).cast(d38)).alias("_ln"),
+        F.sum(F.when(pos, inv_atto).otherwise(0).cast(d38)).alias("_inv"),
+    )
+    n = F.col("n").cast("double")
+    arith = F.try_divide(F.col("_s").cast("double"), n * 1e6)
+    geom = F.when(
+        F.col("n") > 0,
+        F.exp(F.col("_ln").cast("double") / (n * 1e9)),
+    )
+    harm = F.try_divide(
+        n * 1e9, F.col("_inv").cast("double") / 1e6
+    )
+    return agg.select(
+        *keys,
+        "n",
+        "n_nonpositive",
+        F.round(arith, 6).alias("mean_arith"),
+        F.round(geom, 6).alias("mean_geom"),
+        F.round(harm, 6).alias("mean_harm"),
+    )

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "exact_quantiles",
+    "trimmed_mean",
     "tukey_fences",
     "median_mad",
     "percentile_cont",
@@ -645,4 +646,91 @@ def tukey_fences(
         F.sum(F.when(out, 1).otherwise(0)).alias("n_outliers"),
         F.min(F.when(out, F.col("_vm"))).alias("min_outlier_micros"),
         F.max(F.when(out, F.col("_vm"))).alias("max_outlier_micros"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Per-group trimmed mean: DROP the k = floor(trim·n) smallest and k
+    largest values, average the rest — the robust-location sibling of
+    :func:`winsorized_stats` (which clamps instead of dropping; use the
+    trimmed mean when outliers are garbage, the winsorized one when they
+    are real-but-extreme).
+
+    Unlike the bisection family this is fully IN-PLAN — no driver rank
+    search: per-(key, value) counts shuffle once; a cumulative window
+    over each group's DISTINCT-VALUE relation (values-sized, the
+    ks/mann_whitney contract) assigns every value run its rank interval
+    [c_prev+1, c], and the kept mass is the exact integer overlap with
+    [k+1, n−k]:
+
+        kept(v) = max(0, min(c, n−k) − max(c_prev+1, k+1) + 1)
+        mean    = Σ v·kept(v) / (n − 2k)
+
+    k itself is exact: k = (n · round(trim·10⁶)) div 10⁶ — no float
+    boundary can flip it. All sums are DECIMAL(38,0); one cast + one
+    divide at the end (round 6). Ties straddling a cut contribute
+    exactly the surviving copies. Groups where the trim devours
+    everything (n ≤ 2k) report NULL. NULL values drop.
+
+    Returns (keys..., n, k_each_side, trimmed_mean).
+    """
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    trim_micro = int(round(trim * 1_000_000))
+    d38 = "decimal(38,0)"
+    vm = F.round(F.col(value_col) * MICROS).cast("long")
+    per_v = (
+        df.select(*keys, vm.alias("_vm"))
+        .filter(F.col("_vm").isNotNull())
+        .groupBy(*keys, "_vm")
+        .agg(F.count(F.lit(1)).cast(d38).alias("_c"))
+    )
+    wv = W.partitionBy(*keys).orderBy("_vm").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wk = W.partitionBy(*keys)
+    cum = per_v.select(
+        *keys,
+        "_vm",
+        "_c",
+        F.sum("_c").over(wv).alias("_cum"),
+        F.sum("_c").over(wk).alias("_n"),
+    )
+    n = F.col("_n")
+    k = F.expr(f"CAST((_n * {trim_micro}) div 1000000 AS DECIMAL(38,0))")
+    lo_rank = k + 1  # first kept rank
+    hi_rank = n - k  # last kept rank
+    prev = F.col("_cum") - F.col("_c")
+    kept = F.greatest(
+        F.lit(0).cast(d38),
+        F.least(F.col("_cum"), hi_rank)
+        - F.greatest(prev + 1, lo_rank)
+        + 1,
+    )
+    agg = cum.select(
+        *keys,
+        n.alias("_n"),
+        k.alias("_k"),
+        (F.col("_vm").cast(d38) * kept).alias("_vk"),
+        kept.alias("_kept"),
+    ).groupBy(*keys).agg(
+        F.first("_n").alias("_n"),
+        F.first("_k").alias("_k"),
+        F.sum("_vk").alias("_s"),
+        F.sum("_kept").alias("_m"),
+    )
+    mean = F.try_divide(
+        F.col("_s").cast("double"),
+        F.col("_m").cast("double") * float(MICROS),
+    )
+    return agg.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k_each_side"),
+        F.when(F.col("_m") > 0, F.round(mean, 6)).alias("trimmed_mean"),
     )

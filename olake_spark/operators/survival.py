@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["kaplan_meier"]
+__all__ = ["kaplan_meier", "logrank_test"]
 
 
 def kaplan_meier(
@@ -111,4 +111,119 @@ def kaplan_meier(
         F.aggregate(
             F.col("_pre"), F.lit(1_000_000).cast("long"), _step
         ).alias("survival_micro"),
+    )
+
+
+def logrank_test(
+    subjects: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample log-rank (Mantel–Cox) test — "do these two survival
+    curves differ?", the hypothesis test that pairs with
+    :func:`kaplan_meier`'s estimate (churn A/B tests, retention
+    experiments, time-to-conversion comparisons):
+
+        O₁ = Σ_t d₁ₜ                         (observed events, arm A)
+        E₁ = Σ_t dₜ·n₁ₜ/nₜ                   (expected under H₀)
+        V  = Σ_t dₜ·(n₁ₜ/nₜ)·(1−n₁ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1)
+        z  = (O₁ − E₁)/√V,   χ² = z²
+
+    summed over the distinct EVENT times t (censor-only times shift the
+    risk sets but contribute no term; times with nₜ = 1 contribute no
+    variance). Risk sets n₁ₜ/nₜ are reverse-cumulative exact integers
+    over the pooled duration grid — the same tiny period relation KM
+    folds over, so every window is period-sized, never subject-sized.
+    Each time's E and V doubles are nano-floored before the integer sum
+    (the chi2/MI discipline — order-free, bias ≤ |times|·1e-9,
+    identical in any engine); O₁ stays an exact integer. Degenerate
+    inputs (V = 0: no events, or one arm empty at every event time)
+    report NULL z/χ². NULL durations drop, as in kaplan_meier.
+
+    Returns one row (n_a, n_b, observed_a, expected_a, variance, z,
+    chi2).
+    """
+    g = F.col(group_col)
+    per = (
+        subjects.filter(
+            F.col(duration_col).isNotNull() & g.isin([group_a, group_b])
+        )
+        .groupBy(F.col(duration_col).alias("_t"))
+        .agg(
+            F.sum(
+                F.when(g == group_a, 1).otherwise(0)
+            ).cast("long").alias("_ca"),
+            F.sum(
+                F.when(g == group_b, 1).otherwise(0)
+            ).cast("long").alias("_cb"),
+            F.sum(
+                F.when((g == group_a) & F.col(observed_col), 1).otherwise(0)
+            ).cast("long").alias("_da"),
+            F.sum(
+                F.when((g == group_b) & F.col(observed_col), 1).otherwise(0)
+            ).cast("long").alias("_db"),
+        )
+    )
+    wall = W.partitionBy().orderBy("_t")
+    wtot = W.partitionBy()
+    # at risk at t = subjects with duration >= t, per arm: total minus
+    # the strict-prefix sum — period-relation windows only
+    def _risk(c):
+        return (
+            F.sum(c).over(wtot)
+            - F.coalesce(
+                F.sum(c).over(wall.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+        ).cast("long")
+
+    staged = per.select(
+        "_t",
+        "_da",
+        "_db",
+        _risk("_ca").alias("_n1"),
+        _risk("_cb").alias("_n2"),
+        F.sum("_ca").over(wtot).cast("long").alias("_na"),
+        F.sum("_cb").over(wtot).cast("long").alias("_nb"),
+    )
+    d = (F.col("_da") + F.col("_db")).cast("double")
+    nt = (F.col("_n1") + F.col("_n2")).cast("double")
+    p1 = F.col("_n1").cast("double") / nt
+    e_term = d * p1
+    v_term = F.when(
+        F.col("_n1") + F.col("_n2") > 1,
+        d * p1 * (F.lit(1.0) - p1) * (nt - d) / (nt - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    nano = 1_000_000_000
+    has_event = (F.col("_da") + F.col("_db")) > 0
+    agg = staged.agg(
+        F.first("_na").alias("_fa"),
+        F.first("_nb").alias("_fb"),
+        F.sum(F.col("_da")).alias("_o1"),
+        F.sum(
+            F.when(has_event, F.floor(e_term * nano).cast("long"))
+            .otherwise(F.lit(0))
+        ).alias("_e_nano"),
+        F.sum(
+            F.when(has_event, F.floor(v_term * nano).cast("long"))
+            .otherwise(F.lit(0))
+        ).alias("_v_nano"),
+    )
+    e1 = F.col("_e_nano").cast("double") / nano
+    v = F.col("_v_nano").cast("double") / nano
+    z = F.when(
+        F.col("_v_nano") > 0,
+        (F.col("_o1").cast("double") - e1) / F.sqrt(v),
+    )
+    return agg.select(
+        F.col("_fa").alias("n_a"),
+        F.col("_fb").alias("n_b"),
+        F.col("_o1").cast("long").alias("observed_a"),
+        F.round(e1, 6).alias("expected_a"),
+        F.round(v, 6).alias("variance"),
+        F.round(z, 6).alias("z"),
+        F.round(z * z, 6).alias("chi2"),
     )

@@ -7774,6 +7774,7 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry (import at tail so `register`/`table` exist first)
 from olake_spark import queries_data_ops as _data_ops  # noqa: E402,F401
 from olake_spark import queries_r10 as _r10  # noqa: E402,F401
+from olake_spark import queries_r11 as _r11  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,792 @@
+"""Round-11 gate queries: structurally-INDEPENDENT oracle proofs
+(r10 verdict ask #6 — grow the independent-oracle family 4 → 6).
+
+The pattern (established by the editdist, kendall, skyline and minhash
+proofs): the Spark side runs the scale-shaped plan the engine ships;
+the DuckDB oracle solves the same problem by a DIFFERENT formulation —
+brute force, transitive closure, direct containment — so a bug in the
+shared algebra cannot be green on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olake_spark.queries import register, table
+from olake_spark.queries_data_ops import _NORM, _TOKS
+
+# ---------------------------------------------------------------------------
+# 1) Connected components vs a recursive-CTE reachability oracle.
+#
+# The existing graph_connected_components oracle mirrors the min-label
+# round algebra (8 unrolled CTE round pairs) — a wrong round count or a
+# propagation bug that both sides share would be gate-green. This proof
+# certifies the SAME operator against DuckDB's WITH RECURSIVE transitive
+# closure: component(v) = min(u : u reachable from v), no rounds, no
+# labels — reachability is the definition, not the algorithm.
+#
+# Slice: a 20%-of-orders co-occurrence graph (l_orderkey % 10 = 0, 10%
+# md5 edge sample) — small enough that the closure's |comp|² pair
+# relation stays trivial, fragmented enough to exercise multi-node
+# components.
+# ---------------------------------------------------------------------------
+
+_CC_REACH_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0) a
+  JOIN (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT src, dst FROM pairs
+  WHERE ('0x' || substring(md5(src::VARCHAR || '|' || dst::VARCHAR), 1, 15))
+        ::BIGINT % 100 < 10
+),
+und AS (
+  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS a, src AS b FROM edges WHERE src <> dst
+),
+reach(node, r) AS (
+  SELECT a AS node, a AS r FROM und
+  UNION
+  SELECT x.node, u.b AS r FROM reach x JOIN und u ON u.a = x.r
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
+@register("graph_cc_reachability_proof", _CC_REACH_ORACLE)
+def graph_cc_reachability_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components certified against pure REACHABILITY: the
+    Spark side is the shipped fixed-round min-label + pointer-jumping
+    plan (operators/graph.connected_components_fixed — labels-sized
+    relations iterate, the pair fan-out happens once); the oracle is
+    DuckDB's recursive transitive closure, which never sees labels or
+    rounds. Equal output proves the round-bound propagation actually
+    reaches the fixpoint the DEFINITION demands, not just the fixpoint
+    the mirrored algebra agrees on."""
+    from olake_spark.operators.graph import connected_components_fixed
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey") % 10 == 0)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    ).distinct()
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("src").cast("string"),
+                    F.col("dst").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    edges = pairs.filter(F.pmod(h, F.lit(100)) < 10)
+    return connected_components_fixed(edges, rounds=8)
+
+
+# ---------------------------------------------------------------------------
+# 2) ExactSubstr spans vs brute-force substring CONTAINMENT.
+#
+# The existing dedup_exact_substr_spans oracle rebuilds the k-gram
+# positional-inverted-index formulation in SQL — a shared tokenization
+# or hashing bug would be green on both sides. This proof pins a slice
+# of the corpus and asks the DIRECT question: for every token position,
+# does the 5-token substring STARTING THERE literally appear (as a
+# space-joined string) inside any OTHER document's normalized text?
+# position() over raw strings — no grams, no hashes, no inverted index.
+# A 60-bit gram-hash collision, an off-by-one in the positional window,
+# or a tokenizer drift between the sides all surface here.
+# ---------------------------------------------------------------------------
+
+_SUBSTR_PIN_MOD = 12  # pinned slice: doc_id % 12 = 0 (~8% of the corpus)
+
+_SUBSTR_CONTAIN_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {_SUBSTR_PIN_MOD} = 0
+),
+toks AS (SELECT doc_id, {_TOKS} AS l FROM docs),
+txt AS (
+  SELECT doc_id, ' ' || array_to_string(l, ' ') || ' ' AS s FROM toks
+),
+grams AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l) - 4)) AS p
+  FROM toks WHERE len(l) >= 5
+),
+gs AS (
+  SELECT doc_id, p, array_to_string(l[p:p+4], ' ') AS g FROM grams
+),
+hits AS (
+  SELECT g.doc_id, g.p FROM gs g
+  WHERE EXISTS (
+    SELECT 1 FROM txt t
+    WHERE t.doc_id <> g.doc_id
+      AND position(' ' || g.g || ' ' IN t.s) > 0
+  )
+),
+pre AS (
+  SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev IS NULL OR p - prev > 5 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM pre
+)
+SELECT doc_id, min(p)::INT AS span_start, (max(p)+4)::INT AS span_end,
+       (max(p)+4-min(p)+1)::INT AS span_len, count(*) AS n_grams
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@register("dedup_exact_substr_containment_proof", _SUBSTR_CONTAIN_ORACLE)
+def dedup_exact_substr_containment_proof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ExactSubstr span detection (operators/dedup.duplicate_spans — the
+    k-gram positional-inverted-index plan: gram-hash shuffle for
+    document frequency, id shuffle for the islands merge) certified on a
+    pinned ~8% corpus slice against a brute-force oracle that never
+    builds grams: literal substring containment of each 5-token window
+    in every other document's normalized text. The slice bounds the
+    oracle's O(positions × docs) string scan; the Spark side runs the
+    exact shipped plan on the same slice."""
+    from olake_spark.operators import dedup as dd
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(_SUBSTR_PIN_MOD)) == 0
+    )
+    return dd.duplicate_spans(docs, "doc_id", "text", min_len=5, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 operator wave: effect size, Kruskal-Wallis, BH-FDR, KS-GOF,
+# log-rank, Cohen's kappa, chi2 goodness-of-fit, Jensen-Shannon,
+# trimmed mean, power means, Shewhart I-MR.
+# ---------------------------------------------------------------------------
+
+_EFFECT_ORACLE = """
+WITH m AS (
+  SELECT
+    sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)::HUGEINT AS na,
+    sum(CASE WHEN l_returnflag = 'A'
+        THEN round(l_extendedprice * 1000000)::BIGINT ELSE 0 END)::HUGEINT
+      AS sa,
+    sum(CASE WHEN l_returnflag = 'A'
+        THEN round(l_extendedprice * 1000000)::BIGINT::HUGEINT
+             * round(l_extendedprice * 1000000)::BIGINT ELSE 0 END) AS qa,
+    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::HUGEINT AS nb,
+    sum(CASE WHEN l_returnflag = 'R'
+        THEN round(l_extendedprice * 1000000)::BIGINT ELSE 0 END)::HUGEINT
+      AS sb,
+    sum(CASE WHEN l_returnflag = 'R'
+        THEN round(l_extendedprice * 1000000)::BIGINT::HUGEINT
+             * round(l_extendedprice * 1000000)::BIGINT ELSE 0 END) AS qb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+d AS (
+  SELECT na, nb,
+         CASE WHEN na > 0 THEN sa::DOUBLE / na::DOUBLE END AS ma,
+         CASE WHEN nb > 0 THEN sb::DOUBLE / nb::DOUBLE END AS mb,
+         CASE WHEN na > 0 THEN
+           (na*qa - sa*sa)::DOUBLE / na::DOUBLE END AS ssa,
+         CASE WHEN nb > 0 THEN
+           (nb*qb - sb*sb)::DOUBLE / nb::DOUBLE END AS ssb
+  FROM m
+),
+e AS (
+  SELECT na, nb, ma, mb,
+         CASE WHEN na + nb > 2
+              THEN (ssa + ssb) / (na + nb - 2)::DOUBLE END AS sp2
+  FROM d
+)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       round(ma / 1000000.0, 6) AS mean_a,
+       round(mb / 1000000.0, 6) AS mean_b,
+       round(sqrt(sp2) / 1000000.0, 6) AS pooled_sd,
+       CASE WHEN sp2 > 0 THEN round((ma - mb) / sqrt(sp2), 6) END AS cohens_d,
+       CASE WHEN sp2 > 0 THEN
+         round(((ma - mb) / sqrt(sp2))
+               * (1.0 - 3.0 / (4.0 * (na + nb)::DOUBLE - 9.0)), 6)
+       END AS hedges_g
+FROM e
+"""
+
+
+@register("lineitem_effect_size", _EFFECT_ORACLE)
+def lineitem_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d + Hedges' g between returned and rejected lineitem
+    prices (operators/abtest.effect_size_two_sample) — the magnitude
+    companion to lineitem_welch_ttest's significance read. Same one-pass
+    exact micro moments; reference-pinned in
+    tests/test_stats_reference_pins.py."""
+    from olake_spark.operators.abtest import effect_size_two_sample
+
+    return effect_size_two_sample(
+        table(spark, sf_dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", "A", "R",
+    )
+
+
+_KRUSKAL_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g, round(l_quantity * 1000000)::BIGINT AS v
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+),
+per_gv AS (
+  SELECT g, v, count(*)::HUGEINT AS c FROM base GROUP BY 1, 2
+),
+vals AS (
+  SELECT v, sum(c) AS tv FROM per_gv GROUP BY 1
+),
+ranked AS (
+  SELECT v,
+         2 * (sum(tv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - tv)
+           + tv + 1 AS rank2
+  FROM vals
+),
+per_g AS (
+  SELECT g, sum(c) AS ng, sum(c * r.rank2) AS r2g
+  FROM per_gv JOIN ranked r USING (v) GROUP BY g
+),
+ties AS (
+  SELECT coalesce(sum(tv*tv*tv - tv), 0) AS tie FROM vals
+),
+agg AS (
+  SELECT count(*) AS k, sum(ng) AS n,
+         list_reduce(
+           list(CASE WHEN ng > 0
+                     THEN (r2g*r2g)::DOUBLE / (4*ng)::DOUBLE END
+                ORDER BY g),
+           (a, b) -> a + b
+         ) AS rsum
+  FROM per_g
+)
+SELECT k::BIGINT AS k_groups, n::BIGINT AS n, tie::BIGINT AS tie_correction,
+       CASE WHEN n > 1 THEN
+         round(12.0 * rsum / (n*(n+1))::DOUBLE - 3.0 * (n+1)::DOUBLE, 6)
+       END AS h,
+       CASE WHEN k > 1 AND n*n*n - n - tie > 0 THEN
+         round((12.0 * rsum / (n*(n+1))::DOUBLE - 3.0 * (n+1)::DOUBLE)
+               / (1.0 - tie::DOUBLE / (n*n*n - n)::DOUBLE), 6)
+       END AS h_tie_corrected
+FROM agg, ties
+"""
+
+
+@register("lineitem_kruskal_wallis", _KRUSKAL_ORACLE)
+def lineitem_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across the three returnflag arms on quantity
+    (operators/abtest.kruskal_wallis) — the k-sample rank test, doubled
+    ranks over the 50-value quantity domain (values-sized windows), the
+    ordered-fold group sum. Reference-pinned vs a plain-Python rank
+    computation in tests/test_stats_reference_pins.py."""
+    from olake_spark.operators.abtest import kruskal_wallis
+
+    return kruskal_wallis(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_quantity"
+    )
+
+
+_BH_ORACLE = """
+WITH fam AS (
+  SELECT n_name,
+         (('0x' || substring(md5(n_name || '|bh11'), 1, 15))::BIGINT
+          % 1000000) / 1000000.0 AS p
+  FROM nation
+),
+ranked AS (
+  SELECT n_name, p,
+         row_number() OVER (ORDER BY p, n_name) AS i,
+         count(*) OVER () AS m
+  FROM fam
+)
+SELECT n_name, round(p, 6) AS p, i::BIGINT AS rank,
+       round(least(
+         min(p * m::DOUBLE / i::DOUBLE)
+           OVER (ORDER BY i DESC ROWS UNBOUNDED PRECEDING),
+         1.0), 6) AS q,
+       least(
+         min(p * m::DOUBLE / i::DOUBLE)
+           OVER (ORDER BY i DESC ROWS UNBOUNDED PRECEDING),
+         1.0) <= 0.05 AS reject
+FROM ranked
+"""
+
+
+@register("nation_bh_fdr", _BH_ORACLE)
+def nation_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg step-up over a 25-member p-value family
+    (operators/abtest.bh_fdr_adjust) — the correction every per-key
+    test fleet owes. The family's p's are a deterministic md5-uniform
+    fixture per nation (the operator consumes any p column; the gate
+    certifies the rank / suffix-min / clip mechanics cross-engine)."""
+    from olake_spark.operators.abtest import bh_fdr_adjust
+
+    n = table(spark, sf_dir, "nation").select(
+        "n_name",
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("n_name"), F.lit("|bh11"))),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long"),
+                F.lit(1_000_000),
+            )
+            / 1_000_000.0
+        ).alias("p"),
+    )
+    return bh_fdr_adjust(n, ["n_name"], "p", alpha=0.05)
+
+
+_KSU_ORACLE = """
+WITH s AS (
+  SELECT round(((round(o_totalprice * 100)::BIGINT % 100) / 100.0)
+               * 1000000)::BIGINT AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+per_val AS (SELECT v, count(*)::HUGEINT AS t FROM s GROUP BY 1),
+cum AS (
+  SELECT v, t,
+         sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c,
+         sum(t) OVER () AS n
+  FROM per_val
+),
+agg AS (
+  SELECT max(c * 1000000 - v::HUGEINT * n) AS dp_num,
+         max(v::HUGEINT * n - (c - t) * 1000000) AS dm_num,
+         any_value(n) AS n
+  FROM cum
+)
+SELECT n::BIGINT AS n,
+       round(greatest(dp_num::DOUBLE / (n * 1000000)::DOUBLE, 0.0), 6)
+         AS d_plus,
+       round(greatest(dm_num::DOUBLE / (n * 1000000)::DOUBLE, 0.0), 6)
+         AS d_minus,
+       round(greatest(greatest(dp_num::DOUBLE / (n * 1000000)::DOUBLE, 0.0),
+                      greatest(dm_num::DOUBLE / (n * 1000000)::DOUBLE, 0.0)),
+             6) AS d,
+       round(sqrt(n::DOUBLE)
+             * greatest(
+                 greatest(dp_num::DOUBLE / (n * 1000000)::DOUBLE, 0.0),
+                 greatest(dm_num::DOUBLE / (n * 1000000)::DOUBLE, 0.0)), 6)
+         AS sqrt_n_d
+FROM agg
+"""
+
+
+@register("orders_ks_uniform_cents", _KSU_ORACLE)
+def orders_ks_uniform_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample KS goodness-of-fit of the order totals' CENTS digits
+    against Uniform[0,1] (operators/abtest.ks_uniform_gof) — the
+    classic price-digit uniformity audit (fabricated or rounded prices
+    fail it). Score = (cents mod 100)/100; exact-rational D over the
+    101-value domain."""
+    from olake_spark.operators.abtest import ks_uniform_gof
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        (
+            F.pmod(
+                F.round(F.col("o_totalprice") * 100).cast("long"), F.lit(100)
+            )
+            / 100.0
+        ).alias("s")
+    )
+    return ks_uniform_gof(o, "s")
+
+
+_LOGRANK_ORACLE = """
+WITH subj AS (
+  SELECT user_id,
+         (epoch_us(max(ts)) // 3600000000)
+           - (epoch_us(min(ts)) // 3600000000) AS dur,
+         epoch_us(max(ts)) AS last_us,
+         (user_id % 2)::INT AS grp
+  FROM events GROUP BY user_id
+),
+cut AS (SELECT max(epoch_us(ts)) - 86400000000 AS cut_us FROM events),
+per AS (
+  SELECT dur,
+         sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS cb,
+         sum(CASE WHEN grp = 0 AND last_us < (SELECT cut_us FROM cut)
+                  THEN 1 ELSE 0 END)::BIGINT AS da,
+         sum(CASE WHEN grp = 1 AND last_us < (SELECT cut_us FROM cut)
+                  THEN 1 ELSE 0 END)::BIGINT AS db
+  FROM subj GROUP BY 1
+),
+risk AS (
+  SELECT dur, da, db,
+         (sum(ca) OVER ()
+          - coalesce(sum(ca) OVER (ORDER BY dur
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         )::BIGINT AS n1,
+         (sum(cb) OVER ()
+          - coalesce(sum(cb) OVER (ORDER BY dur
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         )::BIGINT AS n2,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM per
+),
+terms AS (
+  SELECT any_value(na)::BIGINT AS n_a, any_value(nb)::BIGINT AS n_b,
+         sum(da)::BIGINT AS o1,
+         sum(CASE WHEN da + db > 0 THEN
+           floor((da + db)::DOUBLE * (n1::DOUBLE / (n1 + n2)::DOUBLE)
+                 * 1000000000)::BIGINT ELSE 0 END) AS e_nano,
+         sum(CASE WHEN da + db > 0 AND n1 + n2 > 1 THEN
+           floor((da + db)::DOUBLE * (n1::DOUBLE / (n1 + n2)::DOUBLE)
+                 * (1.0 - n1::DOUBLE / (n1 + n2)::DOUBLE)
+                 * ((n1 + n2 - da - db)::DOUBLE / (n1 + n2 - 1)::DOUBLE)
+                 * 1000000000)::BIGINT ELSE 0 END) AS v_nano
+  FROM risk
+)
+SELECT n_a, n_b, o1 AS observed_a,
+       round(e_nano::DOUBLE / 1000000000, 6) AS expected_a,
+       round(v_nano::DOUBLE / 1000000000, 6) AS variance,
+       CASE WHEN v_nano > 0 THEN
+         round((o1::DOUBLE - e_nano::DOUBLE / 1000000000)
+               / sqrt(v_nano::DOUBLE / 1000000000), 6) END AS z,
+       CASE WHEN v_nano > 0 THEN
+         round(((o1::DOUBLE - e_nano::DOUBLE / 1000000000)
+                / sqrt(v_nano::DOUBLE / 1000000000))
+               * ((o1::DOUBLE - e_nano::DOUBLE / 1000000000)
+                / sqrt(v_nano::DOUBLE / 1000000000)), 6) END AS chi2
+FROM terms
+"""
+
+
+@register("events_logrank_by_parity", _LOGRANK_ORACLE)
+def events_logrank_by_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test between even and odd user cohorts
+    (operators/survival.logrank_test) — the hypothesis-test companion
+    to events_survival_km, over the SAME subject derivation (duration =
+    active hours; observed = lifetime ended before the global last day,
+    the KM query's censoring rule). Risk sets are reverse-cumulative
+    integers over the duration grid; E/V terms nano-floor."""
+    from olake_spark.operators.survival import logrank_test
+
+    ev = table(spark, sf_dir, "events")
+    hours = (F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)).cast("long")
+    subj = ev.groupBy("user_id").agg(
+        (F.max(hours) - F.min(hours)).alias("dur"),
+        F.max(F.unix_micros(F.col("ts"))).alias("_last_us"),
+    )
+    cut = ev.agg(
+        (F.max(F.unix_micros(F.col("ts"))) - F.lit(86_400_000_000)).alias(
+            "_cut_us"
+        )
+    )
+    subj = subj.crossJoin(F.broadcast(cut)).select(
+        "dur",
+        (F.col("_last_us") < F.col("_cut_us")).alias("observed"),
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+    )
+    return logrank_test(subj, "dur", "observed", "grp", 0, 1)
+
+
+_KAPPA_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN value > 250.0 THEN 'hi' ELSE 'lo' END AS a,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 'hi'
+              ELSE 'lo' END AS b
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+cells AS (SELECT a, b, count(*)::HUGEINT AS c FROM base GROUP BY 1, 2),
+la AS (SELECT a AS l, sum(c) AS r FROM cells GROUP BY 1),
+lb AS (SELECT b AS l, sum(c) AS s FROM cells GROUP BY 1),
+cross_m AS (
+  SELECT coalesce(sum(la.r * lb.s), 0) AS rc
+  FROM la JOIN lb USING (l)
+),
+agg AS (
+  SELECT sum(c) AS n,
+         sum(CASE WHEN a = b THEN c ELSE 0 END) AS diag,
+         count(DISTINCT a) AS ka, count(DISTINCT b) AS kb
+  FROM cells
+)
+SELECT n::BIGINT AS n, ka::BIGINT AS n_labels_a, kb::BIGINT AS n_labels_b,
+       round(diag::DOUBLE / n::DOUBLE, 6) AS p_observed,
+       round(rc::DOUBLE / (n * n)::DOUBLE, 6) AS p_expected,
+       CASE WHEN n * n > rc THEN
+         round((diag::DOUBLE / n::DOUBLE - rc::DOUBLE / (n * n)::DOUBLE)
+               / (1.0 - rc::DOUBLE / (n * n)::DOUBLE), 6)
+       END AS kappa
+FROM agg, cross_m
+"""
+
+
+@register("events_cohens_kappa", _KAPPA_ORACLE)
+def events_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between a value-threshold rater and an event-type
+    rater over the events table (operators/audit.cohens_kappa) — the
+    chance-corrected agreement audit (a heuristic label vs a rule label
+    of the same items). Exact cell/marginal integers; reference-pinned
+    in tests/test_stats_reference_pins.py."""
+    from olake_spark.operators.audit import cohens_kappa
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.when(F.col("value") > 250.0, "hi").otherwise("lo").alias("ra"),
+        F.when(
+            F.col("event_type").isin(["purchase", "signup"]), "hi"
+        ).otherwise("lo").alias("rb"),
+    )
+    return cohens_kappa(ev, "ra", "rb")
+
+
+_CHI2_GOF_ORACLE = """
+WITH observed AS (
+  SELECT c_nationkey::VARCHAR AS cat, count(*)::HUGEINT AS o
+  FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1
+),
+m AS (
+  SELECT o, 1000000::HUGEINT AS w,
+         sum(o) OVER () AS n, sum(1000000::HUGEINT) OVER () AS wt
+  FROM observed
+),
+cells AS (
+  SELECT n,
+         ((o * wt - n * w) * (o * wt - n * w) * 1000000)
+           // (n * w * wt) AS cm
+  FROM m
+)
+SELECT any_value(n)::BIGINT AS n, count(*)::BIGINT AS k_categories,
+       coalesce(sum(cm), 0)::BIGINT AS chi2_total_micro,
+       round(coalesce(sum(cm), 0)::DOUBLE / 1e6, 6) AS chi2
+FROM cells
+"""
+
+
+@register("customer_chi2_gof_nations", _CHI2_GOF_ORACLE)
+def customer_chi2_gof_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of the customer→nation assignment
+    against uniform (operators/audit.chi_square_gof) — "is the synthetic
+    assignment actually balanced?". Floor-micro cell discipline, exact
+    integer total."""
+    from olake_spark.operators.audit import chi_square_gof
+
+    return chi_square_gof(
+        table(spark, sf_dir, "customer"), "c_nationkey"
+    )
+
+
+_JSD_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS s, event_type
+  FROM events WHERE event_type IS NOT NULL
+),
+cells AS (
+  SELECT event_type,
+         sum(CASE WHEN s = 'a' THEN 1 ELSE 0 END)::HUGEINT AS ca,
+         sum(CASE WHEN s = 'b' THEN 1 ELSE 0 END)::HUGEINT AS cb
+  FROM base GROUP BY 1
+),
+m AS (
+  SELECT ca, cb, sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM cells
+),
+t AS (
+  SELECT any_value(na) AS na, any_value(nb) AS nb, count(*) AS k,
+         sum(CASE WHEN ca > 0 THEN
+           floor((ca::DOUBLE / na::DOUBLE)
+                 * ln((ca::DOUBLE / na::DOUBLE)
+                      / ((ca::DOUBLE / na::DOUBLE
+                          + cb::DOUBLE / nb::DOUBLE) / 2.0))
+                 * 1000000000)::BIGINT ELSE 0 END) AS tp,
+         sum(CASE WHEN cb > 0 THEN
+           floor((cb::DOUBLE / nb::DOUBLE)
+                 * ln((cb::DOUBLE / nb::DOUBLE)
+                      / ((ca::DOUBLE / na::DOUBLE
+                          + cb::DOUBLE / nb::DOUBLE) / 2.0))
+                 * 1000000000)::BIGINT ELSE 0 END) AS tq
+  FROM m
+)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, k::BIGINT AS k_categories,
+       round((tp + tq)::DOUBLE / 2.0 / 1000000000, 6) AS jsd_nats,
+       round((tp + tq)::DOUBLE / 2.0 / 1000000000 / ln(2), 6) AS jsd_bits
+FROM t
+"""
+
+
+@register("events_jsd_user_parity", _JSD_ORACLE)
+def events_jsd_user_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the event-type mixes of the
+    even and odd user cohorts (operators/audit.js_divergence) — the
+    bounded symmetric drift read (an A/A-style check here: the parity
+    split should read ≈ 0). Nano-floored cell terms."""
+    from olake_spark.operators.audit import js_divergence
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("side"),
+        "event_type",
+    )
+    return js_divergence(ev, "side", "event_type", "a", "b")
+
+
+_TRIMMED_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g, round(l_extendedprice * 1000000)::BIGINT AS vm
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+ranked AS (
+  SELECT g, vm,
+         row_number() OVER (PARTITION BY g ORDER BY vm) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM base
+),
+cut AS (SELECT g, vm, rn, n, (n * 100000) // 1000000 AS k FROM ranked)
+SELECT g AS l_returnflag, any_value(n)::BIGINT AS n,
+       any_value(k)::BIGINT AS k_each_side,
+       CASE WHEN any_value(n) > 2 * any_value(k) THEN
+         round(sum(CASE WHEN rn > k AND rn <= n - k THEN vm
+                        ELSE 0 END)::DOUBLE
+               / ((any_value(n) - 2 * any_value(k))::DOUBLE * 1000000.0), 6)
+       END AS trimmed_mean
+FROM cut GROUP BY g
+"""
+
+
+@register("lineitem_trimmed_mean_by_flag", _TRIMMED_ORACLE)
+def lineitem_trimmed_mean_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """10%-trimmed mean of extendedprice per returnflag
+    (operators/quantiles.trimmed_mean) — robust location with the tails
+    DROPPED. The Spark side never sorts rows: per-(group, value) counts
+    + one cumulative window over each group's distinct-value relation,
+    kept mass = exact rank-interval overlap. The oracle is the
+    independent row_number formulation (sort-and-slice) — a different
+    algorithm for the same order statistics, so rank/tie bugs can't
+    hide."""
+    from olake_spark.operators.quantiles import trimmed_mean
+
+    return trimmed_mean(
+        table(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        trim=0.1,
+    )
+
+
+_PMEANS_ORACLE = """
+WITH base AS (
+  SELECT p_brand, round(p_retailprice * 1000000)::BIGINT AS vm
+  FROM part WHERE p_retailprice IS NOT NULL
+),
+agg AS (
+  SELECT p_brand,
+         sum(CASE WHEN vm > 0 THEN 1 ELSE 0 END)::BIGINT AS n,
+         sum(CASE WHEN vm <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_nonpositive,
+         sum(CASE WHEN vm > 0 THEN vm ELSE 0 END)::HUGEINT AS s,
+         sum(CASE WHEN vm > 0
+             THEN floor(ln(vm::DOUBLE / 1e6) * 1e9)::BIGINT
+             ELSE 0 END)::HUGEINT AS lns,
+         sum(CASE WHEN vm > 0 THEN 1000000000000000 // vm
+             ELSE 0 END)::HUGEINT AS inv
+  FROM base GROUP BY 1
+)
+SELECT p_brand, n, n_nonpositive,
+       CASE WHEN n > 0
+            THEN round(s::DOUBLE / (n::DOUBLE * 1e6), 6) END AS mean_arith,
+       CASE WHEN n > 0
+            THEN round(exp(lns::DOUBLE / (n::DOUBLE * 1e9)), 6)
+       END AS mean_geom,
+       CASE WHEN inv > 0
+            THEN round(n::DOUBLE * 1e9 / (inv::DOUBLE / 1e6), 6)
+       END AS mean_harm
+FROM agg
+"""
+
+
+@register("part_power_means_by_brand", _PMEANS_ORACLE)
+def part_power_means_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic/geometric/harmonic retail-price means per brand
+    (operators/profile.power_means) — the three Pythagorean means in
+    one pass; the harmonic reciprocal sum is PURE integer division
+    (10^15 div micro-value), the geometric log-sum nano-floors.
+    AM >= GM >= HM on every row for free."""
+    from olake_spark.operators.profile import power_means
+
+    return power_means(
+        table(spark, sf_dir, "part"), ["p_brand"], "p_retailprice"
+    )
+
+
+_SHEWHART_ORACLE = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS t,
+         sum(round(value * 1000000)::BIGINT) AS x
+  FROM events GROUP BY 1
+),
+mr AS (
+  SELECT x, abs(x - lag(x) OVER (ORDER BY t)) AS m FROM daily
+),
+agg AS (
+  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+         sum(m)::HUGEINT AS smr
+  FROM mr
+),
+lim AS (
+  SELECT n, s::DOUBLE / n::DOUBLE AS center,
+         CASE WHEN n > 1 THEN smr::DOUBLE / (n - 1)::DOUBLE END AS mrbar
+  FROM agg
+),
+f AS (
+  SELECT n, center, mrbar,
+         center + 2.66 * mrbar AS ucl, center - 2.66 * mrbar AS lcl
+  FROM lim
+)
+SELECT f.n::BIGINT AS n_buckets,
+       round(f.center / 1e6, 6) AS center,
+       round(f.mrbar / 1e6, 6) AS mr_bar,
+       round(f.ucl / 1e6, 6) AS ucl,
+       round(f.lcl / 1e6, 6) AS lcl,
+       CASE WHEN f.n > 1 THEN (
+         SELECT count(*) FROM daily WHERE daily.x::DOUBLE > f.ucl
+       ) ELSE 0 END::BIGINT AS n_above,
+       CASE WHEN f.n > 1 THEN (
+         SELECT count(*) FROM daily WHERE daily.x::DOUBLE < f.lcl
+       ) ELSE 0 END::BIGINT AS n_below
+FROM f
+"""
+
+
+@register("events_shewhart_imr", _SHEWHART_ORACLE)
+def events_shewhart_imr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart individuals/moving-range control chart over the daily
+    value totals (operators/anomaly.shewhart_individuals) — SPC limits
+    x-bar ± 2.66·MR-bar and the out-of-control day counts. Exact
+    integer series and moving ranges; one lag window over the bucket
+    relation."""
+    from olake_spark.operators.anomaly import shewhart_individuals
+
+    return shewhart_individuals(
+        table(spark, sf_dir, "events"), "ts", "value"
+    )
