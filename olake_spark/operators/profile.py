@@ -264,9 +264,13 @@ def power_means(
         F.col("n") > 0,
         F.exp(F.col("_ln").cast("double") / (n * 1e9)),
     )
-    harm = F.try_divide(
-        n * 1e9, F.col("_inv").cast("double") / 1e6
-    )
+    # Σ_inv is in nano-reciprocal units ((1/v)·10⁹ per row), so
+    # HM = n / (Σ_inv/10⁹) = n·10⁹ / Σ_inv — no further scaling. (The
+    # first cut divided Σ_inv by 10⁶ again and read HM a million times
+    # too large; the mirrored oracle was green on the same wrong
+    # algebra and the plain-Python reference pin caught it — the exact
+    # bug class tests/test_stats_reference_pins.py exists for.)
+    harm = F.try_divide(n * 1e9, F.col("_inv").cast("double"))
     return agg.select(
         *keys,
         "n",

@@ -8047,6 +8047,30 @@ _GATE_TAIL = [
     "events_bounce_rate",
     "events_ks_test",
     "lineitem_corr_by_returnflag",
+    # r11 rotation: 13 slots for the r11 wave (2 independent-oracle
+    # proofs + 11 new operators). All rotated names are TWICE
+    # driver-green and r11-untouched; the tool's 13th pick was
+    # tpch_q09_product_type_profit, hand-overridden to the untouched
+    # tpch_q21 because q09's profit expression changed this round
+    # (explicit DECIMAL(38,0) operand casts) and a changed query stays
+    # windowed until twice-green on the new code. Still windowed by the
+    # same rule: the 22 r10 queries (one green round), the fff7128 pair
+    # (events_wilcoxon_signed_rank, lineitem_loglog_elasticity — first
+    # green round on the FIXED algebra was r10; they need a second),
+    # and the r10-touched bisection family.
+    "lineitem_mad_outliers",
+    "events_acf_by_type",
+    "events_trend_by_type",
+    "customer_recent_buyer_wilson",
+    "lineitem_ols2_price_model",
+    "tpch_q02_min_cost_supplier",
+    "tpch_q04_order_priority",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promotion_suppliers",
 ]
 
 

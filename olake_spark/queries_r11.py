@@ -26,23 +26,26 @@ from olake_spark.queries_data_ops import _NORM, _TOKS
 # closure: component(v) = min(u : u reachable from v), no rounds, no
 # labels — reachability is the definition, not the algorithm.
 #
-# Slice: a 20%-of-orders co-occurrence graph (l_orderkey % 10 = 0, 10%
-# md5 edge sample) — small enough that the closure's |comp|² pair
-# relation stays trivial, fragmented enough to exercise multi-node
-# components.
+# Graph: the SAME sampled co-occurrence graph as the existing
+# graph_connected_components gate query (25% of orders, 8% md5 edge
+# sample — dense enough that every component's shortcut-compressed
+# diameter fits the 8-round contract; sparser slices were measured to
+# chain past 13 rounds and violate the operator's short-diameter
+# contract). 1,779 nodes / 19 components; the closure oracle runs in
+# ~3 s at sf0.01.
 # ---------------------------------------------------------------------------
 
 _CC_REACH_ORACLE = """
 WITH RECURSIVE pairs AS (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-  FROM (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0) a
-  JOIN (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0) b
+  FROM (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0) a
+  JOIN (SELECT * FROM lineitem WHERE l_orderkey % 4 = 0) b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
 edges AS (
   SELECT src, dst FROM pairs
   WHERE ('0x' || substring(md5(src::VARCHAR || '|' || dst::VARCHAR), 1, 15))
-        ::BIGINT % 100 < 10
+        ::BIGINT % 100 < 8
 ),
 und AS (
   SELECT src AS a, dst AS b FROM edges WHERE src <> dst
@@ -73,7 +76,7 @@ def graph_cc_reachability_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .filter(F.col("l_orderkey") % 10 == 0)
+        .filter(F.col("l_orderkey") % 4 == 0)
     )
     a, b = li.alias("a"), li.alias("b")
     pairs = a.join(
@@ -98,7 +101,7 @@ def graph_cc_reachability_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    edges = pairs.filter(F.pmod(h, F.lit(100)) < 10)
+    edges = pairs.filter(F.pmod(h, F.lit(100)) < 8)
     return connected_components_fixed(edges, rounds=8)
 
 
@@ -116,7 +119,10 @@ def graph_cc_reachability_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # or a tokenizer drift between the sides all surface here.
 # ---------------------------------------------------------------------------
 
-_SUBSTR_PIN_MOD = 12  # pinned slice: doc_id % 12 = 0 (~8% of the corpus)
+_SUBSTR_PIN_MOD = 3  # pinned slice: doc_id % 3 = 0 (~33% — the
+# smallest slice that still carries cross-doc duplicate grams at
+# sf0.01: 177 dup 5-grams / 6 spans; sparser slices were measured
+# duplicate-free, which would make the proof vacuous)
 
 _SUBSTR_CONTAIN_ORACLE = f"""
 WITH docs AS (
@@ -165,7 +171,7 @@ def dedup_exact_substr_containment_proof(
     """ExactSubstr span detection (operators/dedup.duplicate_spans — the
     k-gram positional-inverted-index plan: gram-hash shuffle for
     document frequency, id shuffle for the islands merge) certified on a
-    pinned ~8% corpus slice against a brute-force oracle that never
+    pinned 1/3 corpus slice against a brute-force oracle that never
     builds grams: literal substring containment of each 5-token window
     in every other document's normalized text. The slice bounds the
     oracle's O(positions × docs) string scan; the Spark side runs the
@@ -719,7 +725,7 @@ SELECT p_brand, n, n_nonpositive,
             THEN round(exp(lns::DOUBLE / (n::DOUBLE * 1e9)), 6)
        END AS mean_geom,
        CASE WHEN inv > 0
-            THEN round(n::DOUBLE * 1e9 / (inv::DOUBLE / 1e6), 6)
+            THEN round(n::DOUBLE * 1e9 / inv::DOUBLE, 6)
        END AS mean_harm
 FROM agg
 """

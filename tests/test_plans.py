@@ -69,6 +69,12 @@ _CROSS_OK = {
     "orders_cramers_v",
     # 1-row revenue-total broadcast onto the 12-month relation
     "orders_monthly_seasonal_index",
+    # r11: 1-row broadcasts onto group-sized relations, the established
+    # lazy-scalar pattern — ties total (kruskal), censoring-cutoff
+    # (logrank), marginal cross-product (kappa)
+    "lineitem_kruskal_wallis",
+    "events_logrank_by_parity",
+    "events_cohens_kappa",
 }
 
 

@@ -699,3 +699,284 @@ def test_markov_entropy_pin(spark, tmp_path):
     assert got["n_transitions"] == n
     assert got["h_nano"] == h_nano
     assert got["h_cond"] == approx(h_nano / 1e9)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 operators — pinned the day they land (the ask-#3 discipline)
+# ---------------------------------------------------------------------------
+
+def test_effect_size_pin(spark):
+    a = [10.0, 12.0, 15.0, 21.0, 9.0]
+    b = [8.0, 11.0, 14.0, 7.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import effect_size_two_sample
+
+    got = _row(effect_size_two_sample(df, "g", "v", "A", "B"))
+
+    na, nb = len(a), len(b)
+    sp = math.sqrt(
+        ((na - 1) * statistics.variance(a) + (nb - 1) * statistics.variance(b))
+        / (na + nb - 2)
+    )
+    d = (statistics.mean(a) - statistics.mean(b)) / sp
+    g = d * (1 - 3 / (4 * (na + nb) - 9))
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert got["pooled_sd"] == approx(sp)
+    assert got["cohens_d"] == approx(d)
+    assert got["hedges_g"] == approx(g)
+
+
+def test_kruskal_wallis_pin(spark):
+    groups = {
+        "a": [1.0, 3.0, 5.0, 7.0, 3.0],
+        "b": [2.0, 4.0, 6.0, 8.0],
+        "c": [9.0, 10.0, 3.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import kruskal_wallis
+
+    got = _row(kruskal_wallis(df, "g", "v"))
+
+    pooled = sorted(v for vs in groups.values() for v in vs)
+    n = len(pooled)
+
+    def avg_rank(v):
+        idxs = [i + 1 for i, x in enumerate(pooled) if x == v]
+        return sum(idxs) / len(idxs)
+
+    rsum = sum(
+        sum(avg_rank(v) for v in vs) ** 2 / len(vs)
+        for vs in groups.values()
+    )
+    h = 12 / (n * (n + 1)) * rsum - 3 * (n + 1)
+    ties = {}
+    for v in pooled:
+        ties[v] = ties.get(v, 0) + 1
+    tie_sum = sum(t**3 - t for t in ties.values())
+    h_corr = h / (1 - tie_sum / (n**3 - n))
+    assert (got["k_groups"], got["n"]) == (3, n)
+    assert got["tie_correction"] == tie_sum
+    assert got["h"] == approx(h)
+    assert got["h_tie_corrected"] == approx(h_corr)
+
+
+def test_bh_fdr_pin(spark):
+    ps = {"k1": 0.01, "k2": 0.02, "k3": 0.03, "k4": 0.5, "k5": 0.04}
+    df = spark.createDataFrame(list(ps.items()), "k string, p double")
+    from olake_spark.operators.abtest import bh_fdr_adjust
+
+    got = {r["k"]: r for r in bh_fdr_adjust(df, ["k"], "p").collect()}
+
+    m = len(ps)
+    order = sorted(ps.items(), key=lambda kv: (kv[1], kv[0]))
+    raw = [p * m / (i + 1) for i, (_, p) in enumerate(order)]
+    qs = []
+    running = 1.0
+    for r in reversed(raw):
+        running = min(running, r)
+        qs.append(running)
+    qs.reverse()
+    for i, (k, p) in enumerate(order):
+        assert got[k]["rank"] == i + 1
+        assert got[k]["q"] == approx(min(qs[i], 1.0))
+        assert got[k]["reject"] == (qs[i] <= 0.05)
+
+
+def test_ks_uniform_gof_pin(spark):
+    scores = [0.05, 0.1, 0.1, 0.3, 0.55, 0.6, 0.61, 0.9]
+    df = spark.createDataFrame([(s,) for s in scores], "s double")
+    from olake_spark.operators.abtest import ks_uniform_gof
+
+    got = _row(ks_uniform_gof(df, "s"))
+
+    n = len(scores)
+    dp = dm = 0.0
+    for v in sorted(set(scores)):
+        c = sum(1 for x in scores if x <= v)
+        t = sum(1 for x in scores if x == v)
+        dp = max(dp, c / n - v)
+        dm = max(dm, v - (c - t) / n)
+    assert got["n"] == n
+    assert got["d_plus"] == approx(dp)
+    assert got["d_minus"] == approx(dm)
+    assert got["d"] == approx(max(dp, dm))
+    assert got["sqrt_n_d"] == approx(math.sqrt(n) * max(dp, dm))
+
+
+def test_logrank_pin(spark):
+    # (duration, observed, group) — textbook worked example shape
+    subjects = [
+        (1, True, 0), (2, True, 0), (4, False, 0), (5, True, 0),
+        (1, True, 1), (3, True, 1), (3, True, 1), (6, False, 1),
+        (2, False, 1),
+    ]
+    df = spark.createDataFrame(subjects, "dur int, obs boolean, grp int")
+    from olake_spark.operators.survival import logrank_test
+
+    got = _row(logrank_test(df, "dur", "obs", "grp", 0, 1))
+
+    times = sorted({d for d, o, _ in subjects if o})
+    o1 = e1 = v = 0.0
+    for t in times:
+        n1 = sum(1 for d, _, g in subjects if d >= t and g == 0)
+        n2 = sum(1 for d, _, g in subjects if d >= t and g == 1)
+        d1 = sum(1 for d, o, g in subjects if d == t and o and g == 0)
+        d2 = sum(1 for d, o, g in subjects if d == t and o and g == 1)
+        dt, nt = d1 + d2, n1 + n2
+        o1 += d1
+        e1 += dt * n1 / nt
+        if nt > 1:
+            v += dt * (n1 / nt) * (1 - n1 / nt) * (nt - dt) / (nt - 1)
+    z = (o1 - e1) / math.sqrt(v)
+    assert got["observed_a"] == int(o1)
+    assert got["expected_a"] == approx(e1)
+    assert got["variance"] == approx(v)
+    assert got["z"] == approx(z)
+    assert got["chi2"] == approx(z * z)
+
+
+def test_cohens_kappa_pin(spark):
+    # classic 2x2 agreement table: a/a=20, a/b=5, b/a=10, b/b=15
+    rows = (
+        [("x", "x")] * 20 + [("x", "y")] * 5
+        + [("y", "x")] * 10 + [("y", "y")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    from olake_spark.operators.audit import cohens_kappa
+
+    got = _row(cohens_kappa(df, "a", "b"))
+
+    n = 50
+    po = (20 + 15) / n
+    pe = (25 * 30 + 25 * 20) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert got["n"] == n
+    assert got["p_observed"] == approx(po)
+    assert got["p_expected"] == approx(pe)
+    assert got["kappa"] == approx(kappa)
+
+
+def test_chi_square_gof_pin(spark):
+    counts = {"a": 30, "b": 18, "c": 12}
+    rows = [(c,) for c, k in counts.items() for _ in range(k)]
+    df = spark.createDataFrame(rows, "cat string")
+    from olake_spark.operators.audit import chi_square_gof
+
+    got = _row(chi_square_gof(df, "cat"))
+
+    n, k = 60, 3
+    e = n / k
+    chi2 = sum((o - e) ** 2 / e for o in counts.values())
+    assert (got["n"], got["k_categories"]) == (n, k)
+    # floor-micro cells: the total is within k micro of the float chi2
+    assert got["chi2"] == pytest.approx(chi2, abs=1e-5)
+
+
+def test_chi_square_gof_explicit_weights_pin(spark):
+    counts = {"hi": 45, "lo": 15}
+    rows = [(c,) for c, k in counts.items() for _ in range(k)]
+    df = spark.createDataFrame(rows, "cat string")
+    from olake_spark.operators.audit import chi_square_gof
+
+    got = _row(chi_square_gof(df, "cat", {"hi": 0.75, "lo": 0.25}))
+    e_hi, e_lo = 60 * 0.75, 60 * 0.25
+    chi2 = (45 - e_hi) ** 2 / e_hi + (15 - e_lo) ** 2 / e_lo
+    assert got["chi2"] == pytest.approx(chi2, abs=1e-5)
+
+
+def test_js_divergence_pin(spark):
+    a_counts = {"x": 10, "y": 30}
+    b_counts = {"y": 20, "z": 20}
+    rows = [("A", c) for c, k in a_counts.items() for _ in range(k)] + [
+        ("B", c) for c, k in b_counts.items() for _ in range(k)
+    ]
+    df = spark.createDataFrame(rows, "side string, cat string")
+    from olake_spark.operators.audit import js_divergence
+
+    got = _row(js_divergence(df, "side", "cat", "A", "B"))
+
+    na, nb = 40, 40
+    cats = {"x", "y", "z"}
+    jsd = 0.0
+    for c in cats:
+        p = a_counts.get(c, 0) / na
+        q = b_counts.get(c, 0) / nb
+        mid = (p + q) / 2
+        if p > 0:
+            jsd += 0.5 * p * math.log(p / mid)
+        if q > 0:
+            jsd += 0.5 * q * math.log(q / mid)
+    assert (got["n_a"], got["n_b"], got["k_categories"]) == (na, nb, 3)
+    assert got["jsd_nats"] == pytest.approx(jsd, abs=1e-5)
+    assert got["jsd_bits"] == pytest.approx(jsd / math.log(2), abs=1e-5)
+
+
+def test_trimmed_mean_pin(spark):
+    vals = [1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 50.0, 100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    from olake_spark.operators.quantiles import trimmed_mean
+
+    got = _row(trimmed_mean(df, ["g"], "v", trim=0.2))
+
+    n = len(vals)
+    k = int(0.2 * n)  # 2
+    kept = sorted(vals)[k:n - k]
+    assert got["n"] == n
+    assert got["k_each_side"] == k
+    assert got["trimmed_mean"] == approx(statistics.mean(kept))
+
+
+def test_trimmed_mean_tie_straddles_cut_pin(spark):
+    # ties straddling the cut: exactly the surviving copies count
+    vals = [1.0, 1.0, 1.0, 2.0, 3.0, 9.0, 9.0, 9.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    from olake_spark.operators.quantiles import trimmed_mean
+
+    got = _row(trimmed_mean(df, ["g"], "v", trim=0.25))
+    n, k = 8, 2
+    kept = sorted(vals)[k:n - k]  # [1.0, 2.0, 3.0, 9.0]
+    assert got["trimmed_mean"] == approx(statistics.mean(kept))
+
+
+def test_power_means_pin(spark):
+    vals = [2.0, 4.0, 8.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals] + [("g", -1.0)], "g string, v double"
+    )
+    from olake_spark.operators.profile import power_means
+
+    got = _row(power_means(df, ["g"], "v"))
+
+    n = len(vals)
+    am = statistics.mean(vals)
+    gm = math.exp(sum(math.log(v) for v in vals) / n)
+    hm = n / sum(1 / v for v in vals)
+    assert (got["n"], got["n_nonpositive"]) == (n, 1)
+    assert got["mean_arith"] == approx(am)
+    assert got["mean_geom"] == pytest.approx(gm, abs=1e-5)
+    assert got["mean_harm"] == pytest.approx(hm, abs=1e-5)
+    assert got["mean_arith"] >= got["mean_geom"] >= got["mean_harm"]
+
+
+def test_shewhart_individuals_pin(spark):
+    series = [10.0, 12.0, 11.0, 13.0, 12.0, 40.0, 11.0, 12.0]
+    df = _daily_df(spark, series)
+    from olake_spark.operators.anomaly import shewhart_individuals
+
+    got = _row(shewhart_individuals(df, "ts", "v"))
+
+    n = len(series)
+    center = statistics.mean(series)
+    mrbar = statistics.mean(
+        [abs(b - a) for a, b in zip(series, series[1:])]
+    )
+    ucl, lcl = center + 2.66 * mrbar, center - 2.66 * mrbar
+    assert got["n_buckets"] == n
+    assert got["center"] == approx(center)
+    assert got["mr_bar"] == approx(mrbar)
+    assert got["ucl"] == approx(ucl)
+    assert got["lcl"] == approx(lcl)
+    assert got["n_above"] == sum(1 for v in series if v > ucl)
+    assert got["n_below"] == sum(1 for v in series if v < lcl)
