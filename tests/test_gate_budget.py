@@ -41,10 +41,14 @@ BUDGET_SINGLE_S = 10.0
 # (array_intersect verify on a pinned corpus) plus seven cheap batch-B
 # queries; the deliberately-heavy independent-oracle proofs stay in —
 # minhash_jaccard_proof budgets a multi-second O(n²) cross-join oracle
-# by design), so the cap is 277 × 1.25 ≈ 346, the warm-band ceiling at
+# by design; r11: 291.0 s at 290 ≈ 1.00 s/q with the two new
+# deliberately-heavy independent-oracle proofs — cc_reachability's
+# recursive-closure oracle ~3 s and the substr containment scan ~2 s —
+# landing in the top-10; swept at 15-min load 7, so the settled number
+# is lower), so the cap is 290 × 1.25 ≈ 362, the warm-band ceiling at
 # the current registry size. The cap is a creep alarm, not a target —
 # raising it requires raising this comment's arithmetic too.
-BUDGET_GATE_S = 346.0
+BUDGET_GATE_S = 362.0
 MARGIN = 1.5  # shared-suite noise headroom; the budget itself is the target
 
 
