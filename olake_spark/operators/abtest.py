@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bh_fdr_adjust",
+    "eb_beta_binomial_shrink",
+    "jonckheere_terpstra",
+    "msprt_always_valid",
     "brown_forsythe",
     "cuped_adjust",
     "did_estimator",
@@ -1030,4 +1033,259 @@ def ks_uniform_gof(
         F.round(dm, 6).alias("d_minus"),
         F.round(d, 6).alias("d"),
         F.round(F.sqrt(nn.cast("double")) * d, 6).alias("sqrt_n_d"),
+    )
+
+
+def msprt_always_valid(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    tau: float = 1.0,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT) — the
+    ALWAYS-VALID p-value for a two-arm mean difference (Johari et al.
+    2017, "Peeking at A/B Tests"): unlike every fixed-horizon test in
+    this module, this p may be read at ANY sample size, repeatedly,
+    without inflating the false-positive rate — the number a live
+    experiment dashboard should show while the test is still running.
+
+    With δ̂ = m_a − m_b, V = s²_a/n_a + s²_b/n_b and a N(0, τ²) mixing
+    prior over the effect:
+
+        Λ = sqrt(V/(V+τ²)) · exp( δ̂²·τ² / (2·V·(V+τ²)) )
+        p_always_valid = min(1, 1/Λ)
+
+    ``tau`` is the prior effect scale IN VALUE UNITS (pick ≈ the
+    minimum detectable effect). Same one-pass exact micro-moment
+    discipline as welch_ttest; δ̂/V convert to value units once and the
+    Λ algebra is one fixed IEEE sequence, hash-stable at round 6.
+    Degenerate arms (n < 2 or zero variance ⇒ V = 0 or NULL) report
+    NULL Λ and p.
+
+    Returns one row (n_a, n_b, delta, v, lambda_mix, p_always_valid).
+    """
+    g = F.col(group_col)
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(_D38)
+    per = (
+        df.filter(g.isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
+        .select(g.alias("_g"), vm.alias("_v"))
+        .agg(
+            *[
+                agg
+                for tag, grp in (("a", group_a), ("b", group_b))
+                for agg in (
+                    F.sum(F.when(F.col("_g") == grp, 1).otherwise(0))
+                    .cast(_D38)
+                    .alias(f"_n{tag}"),
+                    F.sum(
+                        F.when(F.col("_g") == grp, F.col("_v")).otherwise(
+                            F.lit(0).cast(_D38)
+                        )
+                    ).alias(f"_s{tag}"),
+                    F.sum(
+                        F.when(
+                            F.col("_g") == grp, F.col("_v") * F.col("_v")
+                        ).otherwise(F.lit(0).cast(_D38))
+                    ).alias(f"_q{tag}"),
+                )
+            ]
+        )
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    ma = F.try_divide(F.col("_sa").cast("double"), na.cast("double"))
+    mb = F.try_divide(F.col("_sb").cast("double"), nb.cast("double"))
+    va = F.try_divide(
+        (na * F.col("_qa") - F.col("_sa") * F.col("_sa")).cast("double"),
+        (na * (na - 1)).cast("double"),
+    )
+    vb = F.try_divide(
+        (nb * F.col("_qb") - F.col("_sb") * F.col("_sb")).cast("double"),
+        (nb * (nb - 1)).cast("double"),
+    )
+    # convert micro² moments to value units once: δ in units, V in units²
+    delta = (ma - mb) / 1e6
+    v = (F.try_divide(va, na.cast("double"))
+         + F.try_divide(vb, nb.cast("double"))) / 1e12
+    t2 = F.lit(float(tau) * float(tau))
+    lam = F.when(
+        v > 0,
+        F.sqrt(v / (v + t2))
+        * F.exp(delta * delta * t2 / (F.lit(2.0) * v * (v + t2))),
+    )
+    p = F.least(F.lit(1.0), F.lit(1.0) / lam)
+    return per.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(delta, 6).alias("delta"),
+        F.round(v, 6).alias("v"),
+        F.round(lam, 6).alias("lambda_mix"),
+        F.round(p, 6).alias("p_always_valid"),
+    )
+
+
+def eb_beta_binomial_shrink(
+    df: DataFrame,
+    key_cols: list[str],
+    success_col: str,
+    trial_col: str,
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-key rates — the
+    ranking fix for "this key converts at 100% (n=2)" leaderboards:
+    fit a Beta(α, β) prior to the FAMILY of key-level empirical rates
+    by method of moments, then shrink every key toward it:
+
+        m = mean(p̂_i),  v = var(p̂_i)            (over keys, n_i > 0)
+        α+β = m(1−m)/v − 1,  α = m·(α+β)
+        p̃_i = (k_i + α) / (n_i + α + β)
+
+    Small-n keys move a lot, large-n keys barely move — exactly the
+    Bayesian behavior a top-k by rate needs. k_i/n_i aggregate exactly
+    per key (one shuffle); the family moments m, v are windows over the
+    KEY-sized relation (a leaderboard is thousands of rows, never
+    fact-sized); the per-key p̂ doubles fold through the nano-floor
+    discipline so the family moments are order-free. Degenerate family
+    (v ≤ 0 — all rates equal — or v ≥ m(1−m) — overdispersed past any
+    Beta) reports the RAW rate with NULL prior columns rather than a
+    junk prior.
+
+    Returns (keys..., n, k, p_raw, alpha, beta, p_shrunk).
+    """
+    per = df.groupBy(*key_cols).agg(
+        F.sum(F.col(trial_col).cast("long")).alias("n"),
+        F.sum(F.col(success_col).cast("long")).alias("k"),
+    ).filter(F.col("n") > 0)
+    p_hat = F.col("k").cast("double") / F.col("n").cast("double")
+    nano = 1_000_000_000
+    staged = per.select(
+        *key_cols, "n", "k",
+        F.floor(p_hat * nano).cast("long").alias("_p_nano"),
+        F.floor(p_hat * p_hat * nano).cast("long").alias("_pp_nano"),
+    )
+    wtot = W.partitionBy()
+    m = staged.select(
+        *key_cols, "n", "k",
+        F.count(F.lit(1)).over(wtot).alias("_kk"),
+        F.sum("_p_nano").over(wtot).alias("_sp"),
+        F.sum("_pp_nano").over(wtot).alias("_spp"),
+    )
+    kk = F.col("_kk").cast("double")
+    mean = F.col("_sp").cast("double") / nano / kk
+    # sample variance of the rates over keys (n-1); nano-floored moments
+    var = F.when(
+        F.col("_kk") > 1,
+        (F.col("_spp").cast("double") / nano
+         - kk * mean * mean) / (kk - 1.0),
+    )
+    ab = mean * (1.0 - mean) / var - 1.0
+    prior_ok = (var > 0) & (var < mean * (1.0 - mean))
+    alpha = F.when(prior_ok, mean * ab)
+    beta = F.when(prior_ok, (1.0 - mean) * ab)
+    p_raw = F.col("k").cast("double") / F.col("n").cast("double")
+    p_shrunk = F.when(
+        prior_ok,
+        (F.col("k").cast("double") + alpha)
+        / (F.col("n").cast("double") + alpha + beta),
+    ).otherwise(p_raw)
+    return m.select(
+        *key_cols, "n", "k",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(beta, 6).alias("beta"),
+        F.round(p_shrunk, 6).alias("p_shrunk"),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_order: list,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Jonckheere–Terpstra trend test — "do the group medians INCREASE
+    along this ordering?" (dose-response, plan-tier, cohort-age): more
+    powerful than Kruskal–Wallis when the alternative is ORDERED,
+    because it only credits pairs that agree with the given order:
+
+        J = Σ_{i<j} U_ij,   U_ij = #{x∈gᵢ, y∈gⱼ : x < y} + ½·ties
+
+    computed EXACTLY via the kendall_tau_b cell-histogram trick: the
+    (group, value) count grid is domain-sized; 2J (doubled to keep tied
+    halves integral) is one theta-join over the broadcast grid — never
+    the O(n²) row pairs. z uses the standard normal approximation
+
+        μ = (n² − Σnᵢ²)/4,
+        σ² = (n²(2n+3) − Σnᵢ²(2nᵢ+3))/72
+
+    (the no-ties variance — the documented contract; with heavy ties
+    prefer kruskal_wallis). Every count/moment is DECIMAL(38,0) exact;
+    z is one IEEE sequence, round 6. Groups outside ``group_order``
+    drop.
+
+    Returns one row (k_groups, n, j2, z).
+    """
+    order_map = {g: i for i, g in enumerate(group_order)}
+    g = F.col(group_col)
+    rank_expr = F.lit(None).cast("int")
+    for grp, i in order_map.items():
+        rank_expr = F.when(g == grp, F.lit(i)).otherwise(rank_expr)
+    v = F.round(F.col(value_col) * scale).cast("long")
+    cells = (
+        df.filter(F.col(value_col).isNotNull() & g.isin(group_order))
+        .select(rank_expr.alias("_g"), v.alias("_v"))
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).cast(_D38).alias("_c"))
+    )
+    a = cells.select(
+        F.col("_g").alias("_ga"), F.col("_v").alias("_va"),
+        F.col("_c").alias("_ca"),
+    )
+    b = cells.select(
+        F.col("_g").alias("_gb"), F.col("_v").alias("_vb"),
+        F.col("_c").alias("_cb"),
+    )
+    zero = F.lit(0).cast(_D38)
+    pairs = a.join(F.broadcast(b), F.col("_ga") < F.col("_gb")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_va") < F.col("_vb"),
+                    F.lit(2) * F.col("_ca") * F.col("_cb"),
+                ).when(
+                    F.col("_va") == F.col("_vb"),
+                    F.col("_ca") * F.col("_cb"),
+                ).otherwise(zero)
+            ),
+            zero,
+        ).alias("_j2")
+    )
+    sizes = cells.groupBy("_g").agg(F.sum("_c").alias("_ng")).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.coalesce(F.sum("_ng"), zero).alias("_n"),
+        F.coalesce(F.sum(F.col("_ng") * F.col("_ng")), zero).alias("_n2"),
+        F.coalesce(
+            F.sum(
+                F.col("_ng") * F.col("_ng") * (F.lit(2) * F.col("_ng") + 3)
+            ),
+            zero,
+        ).alias("_n23"),
+    )
+    j = pairs.crossJoin(F.broadcast(sizes))
+    n, n2 = F.col("_n"), F.col("_n2")
+    # μ and σ² exact integers up to the single /4, /72 divides
+    mu2 = (n * n - n2).cast("double") / 2.0            # 2·μ
+    var_num = (n * n * (F.lit(2) * n + 3) - F.col("_n23")).cast("double")
+    sigma = F.sqrt(var_num / 72.0)
+    zstat = F.when(
+        var_num > 0,
+        (F.col("_j2").cast("double") - mu2) / (F.lit(2.0) * sigma),
+    )
+    return j.select(
+        F.col("_k").cast("long").alias("k_groups"),
+        n.cast("long").alias("n"),
+        F.col("_j2").cast("long").alias("j2"),
+        F.round(zstat, 6).alias("z"),
     )

@@ -21,6 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
+    "heaps_law",
     "STOPWORDS",
     "LANG_MARKERS",
     "tokens",
@@ -300,4 +301,124 @@ def zipf_slope(
         "v",
         F.when(den > 0, F.round(slope, 6)).alias("slope"),
         F.when(den > 0, F.round((sy - slope * sx) / n, 6)).alias("intercept"),
+    )
+
+
+def heaps_law(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    buckets: int = 64,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) ≈ K·N^β over the corpus in
+    ``id_col`` order — the companion to :func:`zipf_slope` (natural
+    corpora grow vocabulary at β ≈ 0.4–0.6; templated or synthetic
+    corpora plateau, near-dup-heavy corpora undershoot — a one-number
+    "is new data bringing new words?" probe for a growing training
+    mix).
+
+    Scale shape (the part a naive cumulative-distinct gets wrong): no
+    per-document global ordering ever exists. Documents map to
+    ``buckets`` fixed id-range buckets via one 1-row (min, max) id
+    broadcast; each token contributes to its FIRST bucket (min bucket —
+    one token-shuffle groupBy, vocabulary-sized output); cumulative
+    vocabulary and token mass are windows over the BUCKET relation
+    (≤ ``buckets`` rows). The ln-ln OLS uses the loglog-elasticity
+    nano discipline: per-bucket ln doubles FLOOR-quantized to integers
+    before summation, n·10⁹-rescaled closed-form slope — one fixed IEEE
+    sequence, hash-stable at round 6. Buckets with zero cumulative mass
+    contribute no point. Degenerate fits (< 2 populated buckets or zero
+    x-variance) report NULL β/K.
+
+    Returns one row (n_buckets_used, n_docs, n_tokens, vocab,
+    heaps_beta, heaps_k).
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    d38 = "decimal(38,0)"
+    ids = df.agg(
+        F.min(F.col(id_col)).alias("_lo"), F.max(F.col(id_col)).alias("_hi")
+    )
+    base = df.crossJoin(F.broadcast(ids)).select(
+        F.expr(
+            f"CAST(({id_col} - _lo) * {buckets} DIV "
+            f"(_hi - _lo + 1) AS INT)"
+        ).alias("_b"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    tok = base.select("_b", F.explode("_toks").alias("_t")).filter(
+        F.col("_t") != ""
+    )
+    # per-token first bucket + total occurrences per bucket. The three
+    # aggregates all derive from the same base lineage — rename each
+    # join key distinctly or Catalyst reports MISSING_ATTRIBUTES on the
+    # self-derived join.
+    first_seen = tok.groupBy("_t").agg(F.min("_b").alias("_fb"))
+    new_vocab = first_seen.groupBy(F.col("_fb").alias("_bv")).agg(
+        F.count(F.lit(1)).cast(d38).alias("_nv")
+    )
+    tok_mass = tok.groupBy(F.col("_b").alias("_bm")).agg(
+        F.count(F.lit(1)).cast(d38).alias("_nt")
+    )
+    docs_per = base.groupBy(F.col("_b").alias("_bd")).agg(
+        F.count(F.lit(1)).cast(d38).alias("_nd")
+    )
+    per_bucket = (
+        docs_per.join(tok_mass, F.col("_bd") == F.col("_bm"), "left")
+        .join(new_vocab, F.col("_bd") == F.col("_bv"), "left")
+        .select(
+            F.col("_bd").alias("_b"),
+            F.coalesce(F.col("_nt"), F.lit(0).cast(d38)).alias("_nt"),
+            F.coalesce(F.col("_nv"), F.lit(0).cast(d38)).alias("_nv"),
+            "_nd",
+        )
+    )
+    wcum = W.orderBy("_b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_bucket.select(
+        "_b",
+        "_nd",
+        F.sum("_nt").over(wcum).alias("_cn"),
+        F.sum("_nv").over(wcum).alias("_cv"),
+    ).filter((F.col("_cn") > 0) & (F.col("_cv") > 0))
+    nano = 1e9
+    lx = F.log(F.col("_cn").cast("double"))
+    ly = F.log(F.col("_cv").cast("double"))
+    pts = cum.select(
+        "_nd",
+        "_cn",
+        "_cv",
+        F.floor(lx * nano).cast("long").cast(d38).alias("_x"),
+        F.floor(ly * nano).cast("long").cast(d38).alias("_y"),
+        F.floor(lx * lx * nano).cast("long").cast(d38).alias("_xx"),
+        F.floor(lx * ly * nano).cast("long").cast(d38).alias("_xy"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast(d38).alias("_n"),
+        F.sum("_nd").alias("_docs"),
+        F.max("_cn").alias("_toktot"),
+        F.max("_cv").alias("_vocab"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_xx").alias("_sxx"),
+        F.sum("_xy").alias("_sxy"),
+    )
+    n = F.col("_n")
+    n9 = n * F.lit(1_000_000_000).cast(d38)
+    den = (n9 * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    beta = (n9 * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    ) / den
+    icept = (
+        (F.col("_sy").cast("double") - beta * F.col("_sx").cast("double"))
+        / n.cast("double")
+        / 1e9
+    )
+    ok = (n > 1) & (den > 0)
+    return agg.select(
+        n.cast("long").alias("n_buckets_used"),
+        F.col("_docs").cast("long").alias("n_docs"),
+        F.col("_toktot").cast("long").alias("n_tokens"),
+        F.col("_vocab").cast("long").alias("vocab"),
+        F.when(ok, F.round(beta, 6)).alias("heaps_beta"),
+        F.when(ok, F.round(F.exp(icept), 6)).alias("heaps_k"),
     )

@@ -8071,6 +8071,14 @@ _GATE_TAIL = [
     "tpch_q16_supplier_part_counts",
     "tpch_q19_discounted_revenue",
     "tpch_q20_promotion_suppliers",
+    # r11 second batch: 4 slots for the sequential-testing wave (mSPRT,
+    # EB shrinkage, Jonckheere-Terpstra, Heaps law). Same rule: all
+    # twice driver-green and r11-untouched (the tool again proposed the
+    # r11-touched tpch_q09; overridden — it stays windowed).
+    "customer_editdist1_pairs",
+    "lineitem_percentile_cont",
+    "events_cuped_lift",
+    "events_ratio_delta",
 ]
 
 

@@ -796,3 +796,265 @@ def events_shewhart_imr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shewhart_individuals(
         table(spark, sf_dir, "events"), "ts", "value"
     )
+
+
+_MSPRT_ORACLE = """
+WITH m AS (
+  SELECT
+    sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)::HUGEINT AS na,
+    sum(CASE WHEN l_returnflag = 'A'
+        THEN round(l_extendedprice * 1000000)::BIGINT ELSE 0 END)::HUGEINT
+      AS sa,
+    sum(CASE WHEN l_returnflag = 'A'
+        THEN round(l_extendedprice * 1000000)::BIGINT::HUGEINT
+             * round(l_extendedprice * 1000000)::BIGINT ELSE 0 END) AS qa,
+    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::HUGEINT AS nb,
+    sum(CASE WHEN l_returnflag = 'R'
+        THEN round(l_extendedprice * 1000000)::BIGINT ELSE 0 END)::HUGEINT
+      AS sb,
+    sum(CASE WHEN l_returnflag = 'R'
+        THEN round(l_extendedprice * 1000000)::BIGINT::HUGEINT
+             * round(l_extendedprice * 1000000)::BIGINT ELSE 0 END) AS qb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+d AS (
+  SELECT na, nb,
+         (CASE WHEN na > 0 THEN sa::DOUBLE / na::DOUBLE END
+          - CASE WHEN nb > 0 THEN sb::DOUBLE / nb::DOUBLE END) / 1e6
+           AS delta,
+         (CASE WHEN na > 1 THEN
+            ((na*qa - sa*sa)::DOUBLE / (na*(na-1))::DOUBLE) / na::DOUBLE
+          END
+          + CASE WHEN nb > 1 THEN
+            ((nb*qb - sb*sb)::DOUBLE / (nb*(nb-1))::DOUBLE) / nb::DOUBLE
+          END) / 1e12 AS v
+  FROM m
+),
+l AS (
+  SELECT na, nb, delta, v,
+         CASE WHEN v > 0 THEN
+           sqrt(v / (v + 10000.0))
+           * exp(delta * delta * 10000.0 / (2.0 * v * (v + 10000.0)))
+         END AS lam
+  FROM d
+)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       round(delta, 6) AS delta, round(v, 6) AS v,
+       round(lam, 6) AS lambda_mix,
+       round(least(1.0, 1.0 / lam), 6) AS p_always_valid
+FROM l
+"""
+
+
+@register("lineitem_msprt_always_valid", _MSPRT_ORACLE)
+def lineitem_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid mSPRT p-value for the A-vs-R price difference
+    (operators/abtest.msprt_always_valid, Johari et al. 2017) — the
+    peek-safe sequential companion to lineitem_welch_ttest; prior
+    effect scale τ = 100 price units. Reference-pinned in
+    tests/test_stats_reference_pins.py."""
+    from olake_spark.operators.abtest import msprt_always_valid
+
+    return msprt_always_valid(
+        table(spark, sf_dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", "A", "R", tau=100.0,
+    )
+
+
+_EB_ORACLE = """
+WITH per AS (
+  SELECT n_nationkey,
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)::BIGINT AS k
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1
+),
+staged AS (
+  SELECT n_nationkey, n, k,
+         floor((k::DOUBLE / n::DOUBLE) * 1000000000)::BIGINT AS p_nano,
+         floor((k::DOUBLE / n::DOUBLE) * (k::DOUBLE / n::DOUBLE)
+               * 1000000000)::BIGINT AS pp_nano
+  FROM per WHERE n > 0
+),
+fam AS (
+  SELECT n_nationkey, n, k,
+         count(*) OVER () AS kk,
+         sum(p_nano) OVER () AS sp, sum(pp_nano) OVER () AS spp
+  FROM staged
+),
+fit AS (
+  SELECT n_nationkey, n, k, kk,
+         sp::DOUBLE / 1000000000 / kk::DOUBLE AS m,
+         CASE WHEN kk > 1 THEN
+           (spp::DOUBLE / 1000000000
+            - kk::DOUBLE * (sp::DOUBLE / 1000000000 / kk::DOUBLE)
+                         * (sp::DOUBLE / 1000000000 / kk::DOUBLE))
+           / (kk::DOUBLE - 1.0) END AS v
+  FROM fam
+),
+pri AS (
+  SELECT n_nationkey, n, k, m, v,
+         (v > 0 AND v < m * (1.0 - m)) AS ok,
+         CASE WHEN v > 0 AND v < m * (1.0 - m)
+              THEN m * (m * (1.0 - m) / v - 1.0) END AS alpha,
+         CASE WHEN v > 0 AND v < m * (1.0 - m)
+              THEN (1.0 - m) * (m * (1.0 - m) / v - 1.0) END AS beta
+  FROM fit
+)
+SELECT n_nationkey, n, k,
+       round(k::DOUBLE / n::DOUBLE, 6) AS p_raw,
+       round(alpha, 6) AS alpha, round(beta, 6) AS beta,
+       round(CASE WHEN ok
+                  THEN (k::DOUBLE + alpha) / (n::DOUBLE + alpha + beta)
+                  ELSE k::DOUBLE / n::DOUBLE END, 6) AS p_shrunk
+FROM pri
+"""
+
+
+@register("customer_eb_shrunk_rates", _EB_ORACLE)
+def customer_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-nation
+    positive-balance rates (operators/abtest.eb_beta_binomial_shrink) —
+    the leaderboard fix: method-of-moments Beta prior over the
+    25-nation family, small nations shrink toward it. Nano-floored
+    family moments; reference-pinned."""
+    from olake_spark.operators.abtest import eb_beta_binomial_shrink
+
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(table(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        "n_nationkey",
+        (F.col("c_acctbal") > 0).cast("long").alias("succ"),
+        F.lit(1).alias("trial"),
+    )
+    return eb_beta_binomial_shrink(c, ["n_nationkey"], "succ", "trial")
+
+
+_JT_ORACLE = """
+WITH lx AS (
+  SELECT l_quantity,
+         (['AIR','REG AIR','MAIL','SHIP','TRUCK','RAIL','FOB'])
+           [1 + (l_orderkey + l_linenumber) % 7] AS l_shipmode
+  FROM lineitem
+),
+base AS (
+  SELECT CASE l_shipmode
+           WHEN 'AIR' THEN 0 WHEN 'FOB' THEN 1 WHEN 'MAIL' THEN 2
+           WHEN 'RAIL' THEN 3 WHEN 'REG AIR' THEN 4 WHEN 'SHIP' THEN 5
+           WHEN 'TRUCK' THEN 6 END AS g,
+         round(l_quantity * 1000000)::BIGINT AS v
+  FROM lx WHERE l_quantity IS NOT NULL AND l_shipmode IS NOT NULL
+),
+cells AS (SELECT g, v, count(*)::HUGEINT AS c FROM base GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(sum(CASE WHEN a.v < b.v THEN 2 * a.c * b.c
+                           WHEN a.v = b.v THEN a.c * b.c
+                           ELSE 0 END), 0) AS j2
+  FROM cells a JOIN cells b ON a.g < b.g
+),
+sizes AS (
+  SELECT count(*) AS k, coalesce(sum(ng), 0) AS n,
+         coalesce(sum(ng * ng), 0) AS n2,
+         coalesce(sum(ng * ng * (2 * ng + 3)), 0) AS n23
+  FROM (SELECT g, sum(c) AS ng FROM cells GROUP BY 1)
+)
+SELECT k::BIGINT AS k_groups, n::BIGINT AS n, j2::BIGINT AS j2,
+       CASE WHEN (n * n * (2 * n + 3) - n23) > 0 THEN
+         round((j2::DOUBLE - (n * n - n2)::DOUBLE / 2.0)
+               / (2.0 * sqrt((n * n * (2 * n + 3) - n23)::DOUBLE / 72.0)), 6)
+       END AS z
+FROM j, sizes
+"""
+
+
+@register("lineitem_jonckheere_shipmode", _JT_ORACLE)
+def lineitem_jonckheere_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra ordered-trend test of quantity across the
+    seven DERIVED ship modes (the TPC-H _li_ext closed form) in lexical order
+    (operators/abtest.jonckheere_terpstra) — the ordered-alternative
+    k-sample test via the kendall cell-histogram trick (7 × 50-value
+    grid, never row pairs). Reference-pinned."""
+    from olake_spark.operators.abtest import jonckheere_terpstra
+    from olake_spark.queries import _li_ext
+
+    modes = ["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"]
+    return jonckheere_terpstra(
+        _li_ext(table(spark, sf_dir, "lineitem")),
+        "l_shipmode", "l_quantity", modes,
+    )
+
+
+_HEAPS_ORACLE = f"""
+WITH ids AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+base AS (
+  SELECT CAST(((doc_id - lo) * 32) // (hi - lo + 1) AS INT) AS b,
+         {_TOKS} AS l
+  FROM documents, ids
+),
+tok AS (
+  SELECT b, unnest(l) AS t FROM base
+),
+tok_ne AS (SELECT b, t FROM tok WHERE t <> ''),
+first_seen AS (SELECT t, min(b) AS fb FROM tok_ne GROUP BY 1),
+new_vocab AS (SELECT fb AS b, count(*)::HUGEINT AS nv FROM first_seen GROUP BY 1),
+tok_mass AS (SELECT b, count(*)::HUGEINT AS nt FROM tok_ne GROUP BY 1),
+docs_per AS (SELECT b, count(*)::HUGEINT AS nd FROM base GROUP BY 1),
+per_bucket AS (
+  SELECT d.b, coalesce(m.nt, 0) AS nt, coalesce(v.nv, 0) AS nv, d.nd
+  FROM docs_per d
+  LEFT JOIN tok_mass m ON m.b = d.b
+  LEFT JOIN new_vocab v ON v.b = d.b
+),
+cum AS (
+  SELECT b, nd,
+         sum(nt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cn,
+         sum(nv) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cv
+  FROM per_bucket
+),
+pts AS (
+  SELECT nd, cn, cv,
+         floor(ln(cn::DOUBLE) * 1e9)::BIGINT AS x,
+         floor(ln(cv::DOUBLE) * 1e9)::BIGINT AS y,
+         floor(ln(cn::DOUBLE) * ln(cn::DOUBLE) * 1e9)::BIGINT AS xx,
+         floor(ln(cn::DOUBLE) * ln(cv::DOUBLE) * 1e9)::BIGINT AS xy
+  FROM cum WHERE cn > 0 AND cv > 0
+),
+agg AS (
+  SELECT count(*)::HUGEINT AS n, sum(nd) AS docs,
+         max(cn) AS toktot, max(cv) AS vocab,
+         sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         sum(xx)::HUGEINT AS sxx, sum(xy)::HUGEINT AS sxy
+  FROM pts
+),
+fit AS (
+  SELECT n, docs, toktot, vocab,
+         (n * 1000000000 * sxx - sx * sx)::DOUBLE AS den,
+         (n * 1000000000 * sxy - sx * sy)::DOUBLE AS num,
+         sx, sy
+  FROM agg
+)
+SELECT n::BIGINT AS n_buckets_used, docs::BIGINT AS n_docs,
+       toktot::BIGINT AS n_tokens, vocab::BIGINT AS vocab,
+       CASE WHEN n > 1 AND den > 0
+            THEN round(num / den, 6) END AS heaps_beta,
+       CASE WHEN n > 1 AND den > 0 THEN
+         round(exp((sy::DOUBLE - (num / den) * sx::DOUBLE)
+                   / n::DOUBLE / 1e9), 6)
+       END AS heaps_k
+FROM fit
+"""
+
+
+@register("documents_heaps_law", _HEAPS_ORACLE)
+def documents_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit over the documents corpus in
+    doc_id order (operators/text.heaps_law) — "is new data bringing new
+    words?". 32 fixed id-range buckets via a 1-row (min, max)
+    broadcast; token first-appearance buckets; the ln-ln OLS over the
+    bucket relation with the loglog-elasticity nano discipline."""
+    from olake_spark.operators.text import heaps_law
+
+    return heaps_law(
+        table(spark, sf_dir, "documents"), "doc_id", "text", buckets=32
+    )

@@ -75,6 +75,12 @@ _CROSS_OK = {
     "lineitem_kruskal_wallis",
     "events_logrank_by_parity",
     "events_cohens_kappa",
+    # r11 wave 2: 1-row (min, max) id broadcast (heaps bucketing) and
+    # group-size-total broadcast (jonckheere μ/σ²) — same lazy-scalar
+    # pattern; the JT pair relation is the kendall domain-grid
+    # theta-join, 7 × 50 cells, never row pairs
+    "documents_heaps_law",
+    "lineitem_jonckheere_shipmode",
 }
 
 

@@ -980,3 +980,134 @@ def test_shewhart_individuals_pin(spark):
     assert got["lcl"] == approx(lcl)
     assert got["n_above"] == sum(1 for v in series if v > ucl)
     assert got["n_below"] == sum(1 for v in series if v < lcl)
+
+
+def test_msprt_pin(spark):
+    a = [10.0, 12.0, 15.0, 21.0, 9.0, 14.0]
+    b = [8.0, 11.0, 14.0, 7.0, 10.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import msprt_always_valid
+
+    tau = 5.0
+    got = _row(msprt_always_valid(df, "g", "v", "A", "B", tau=tau))
+
+    delta = statistics.mean(a) - statistics.mean(b)
+    v = statistics.variance(a) / len(a) + statistics.variance(b) / len(b)
+    t2 = tau * tau
+    lam = math.sqrt(v / (v + t2)) * math.exp(
+        delta * delta * t2 / (2 * v * (v + t2))
+    )
+    assert got["delta"] == approx(delta)
+    assert got["v"] == approx(v)
+    assert got["lambda_mix"] == approx(lam)
+    assert got["p_always_valid"] == approx(min(1.0, 1.0 / lam))
+
+
+def test_eb_beta_binomial_pin(spark):
+    fam = {"k1": (8, 10), "k2": (1, 10), "k3": (5, 10), "k4": (50, 100),
+           "k5": (2, 4)}
+    rows = [(k, s, n) for k, (s, n) in fam.items()]
+    df = spark.createDataFrame(rows, "key string, s long, n long")
+    # expand to unit rows: success_col is per-row 0/1 here? the operator
+    # SUMS success_col and trial_col — pass the aggregates directly
+    from olake_spark.operators.abtest import eb_beta_binomial_shrink
+
+    got = {r["key"]: r
+           for r in eb_beta_binomial_shrink(df, ["key"], "s", "n").collect()}
+
+    ps = [s / n for s, n in fam.values()]
+    m = statistics.mean(ps)
+    v = statistics.variance(ps)
+    ab = m * (1 - m) / v - 1
+    alpha, beta = m * ab, (1 - m) * ab
+    assert 0 < v < m * (1 - m)
+    for k, (s, n) in fam.items():
+        assert got[k]["alpha"] == pytest.approx(alpha, abs=1e-4)
+        assert got[k]["beta"] == pytest.approx(beta, abs=1e-4)
+        assert got[k]["p_shrunk"] == pytest.approx(
+            (s + alpha) / (n + alpha + beta), abs=1e-4
+        )
+    # shrinkage direction: small-n extreme keys move toward the prior mean
+    assert got["k2"]["p_shrunk"] > got["k2"]["p_raw"]
+    assert got["k1"]["p_shrunk"] < got["k1"]["p_raw"]
+
+
+def test_jonckheere_terpstra_pin(spark):
+    groups = {
+        "g1": [1.0, 3.0, 2.0, 3.0],
+        "g2": [3.0, 5.0, 4.0],
+        "g3": [6.0, 5.0, 8.0, 7.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import jonckheere_terpstra
+
+    got = _row(jonckheere_terpstra(df, "g", "v", ["g1", "g2", "g3"]))
+
+    names = ["g1", "g2", "g3"]
+    j2 = 0
+    for i in range(3):
+        for jj in range(i + 1, 3):
+            for x in groups[names[i]]:
+                for y in groups[names[jj]]:
+                    if x < y:
+                        j2 += 2
+                    elif x == y:
+                        j2 += 1
+    sizes = [len(groups[n]) for n in names]
+    n = sum(sizes)
+    mu = (n * n - sum(s * s for s in sizes)) / 4
+    var = (
+        n * n * (2 * n + 3) - sum(s * s * (2 * s + 3) for s in sizes)
+    ) / 72
+    z = (j2 / 2 - mu) / math.sqrt(var)
+    assert (got["k_groups"], got["n"]) == (3, n)
+    assert got["j2"] == j2
+    assert got["z"] == approx(z)
+
+
+def test_heaps_law_pin(spark):
+    # synthetic corpus with a KNOWN growth curve: doc i introduces
+    # exactly one new token and repeats old ones, ids 0..15, 4 buckets
+    docs = []
+    for i in range(16):
+        toks = [f"w{j}" for j in range(i + 1)]  # w0..wi → vocab = i+1
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from olake_spark.operators.text import heaps_law
+
+    got = _row(heaps_law(df, "doc_id", "text", buckets=4))
+
+    # plain-python mirror: bucket = (id * 4) // 16, cumulative
+    import collections
+
+    first = {}
+    per_n = collections.Counter()
+    per_docs = collections.Counter()
+    for i, text in docs:
+        b = (i * 4) // 16
+        per_docs[b] += 1
+        for t in text.split():
+            per_n[b] += 1
+            first.setdefault(t, b)
+    per_v = collections.Counter(first.values())
+    xs, ys = [], []
+    cn = cv = 0
+    for b in range(4):
+        cn += per_n[b]
+        cv += per_v[b]
+        xs.append(math.log(cn))
+        ys.append(math.log(cv))
+    n = len(xs)
+    mx, my = statistics.mean(xs), statistics.mean(ys)
+    beta = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    k = math.exp(my - beta * mx)
+    assert got["n_buckets_used"] == 4
+    assert got["n_docs"] == 16
+    assert got["vocab"] == 16
+    assert got["n_tokens"] == sum(per_n.values())
+    assert got["heaps_beta"] == pytest.approx(beta, abs=1e-4)
+    assert got["heaps_k"] == pytest.approx(k, abs=1e-3)
