@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bh_fdr_adjust",
+    "correlation_ratio",
+    "odds_ratio",
+    "two_proportion_ztest",
     "eb_beta_binomial_shrink",
     "jonckheere_terpstra",
     "msprt_always_valid",
@@ -1288,4 +1291,135 @@ def jonckheere_terpstra(
         n.cast("long").alias("n"),
         F.col("_j2").cast("long").alias("j2"),
         F.round(zstat, 6).alias("z"),
+    )
+
+
+def correlation_ratio(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Correlation ratio η² — "how much of this metric's variance does
+    the category explain?", the effect-size companion to
+    :func:`oneway_anova` (F says whether the means differ; η² =
+    SS_between/SS_total says how MUCH, on the 0–1 scale feature
+    screens and dashboards want; η is its square root).
+
+    Same one-pass exact micro-moment machinery as the ANOVA core
+    (per-group n/Σv/Σv² as DECIMAL(38,0); ordered fold over the
+    group-count-sized term array for engine-stable float sums). η² is
+    NULL when total variance is zero. Returns one row (k_groups, n,
+    eta2, eta).
+    """
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("_g"), vm.alias("_vm")
+    )
+    anova = _anova_from_micro(base, "_g", "_vm")
+    ssb, ssw = F.col("ss_between"), F.col("ss_within")
+    eta2 = F.when(ssb + ssw > 0, ssb / (ssb + ssw))
+    return anova.select(
+        "k_groups",
+        "n",
+        F.round(eta2, 6).alias("eta2"),
+        F.round(F.sqrt(eta2), 6).alias("eta"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-proportion z-test with the pooled-variance denominator — the
+    conversion-rate A/B read (:func:`proportion_wilson_ci` gives each
+    arm's interval; this gives the between-arm significance):
+
+        p̂ = (k_a + k_b)/(n_a + n_b)
+        z  = (p_a − p_b) / sqrt( p̂(1−p̂)·(1/n_a + 1/n_b) )
+
+    Counts are exact integers from one pass; z is one IEEE sequence
+    (NULL when the pooled variance is zero — all successes or all
+    failures). NULL successes drop. Returns one row (n_a, k_a, n_b,
+    k_b, p_a, p_b, z).
+    """
+    g = F.col(group_col)
+    s = F.col(success_col)
+    per = (
+        df.filter(g.isin([group_a, group_b]) & s.isNotNull())
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("_na"),
+            F.sum(F.when(g == group_a, s.cast("long")).otherwise(0)).alias(
+                "_ka"
+            ),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("_nb"),
+            F.sum(F.when(g == group_b, s.cast("long")).otherwise(0)).alias(
+                "_kb"
+            ),
+        )
+    )
+    na, ka = F.col("_na").cast("double"), F.col("_ka").cast("double")
+    nb, kb = F.col("_nb").cast("double"), F.col("_kb").cast("double")
+    pa = F.try_divide(ka, na)
+    pb = F.try_divide(kb, nb)
+    pool = F.try_divide(ka + kb, na + nb)
+    var = pool * (1.0 - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    z = F.when(var > 0, (pa - pb) / F.sqrt(var))
+    return per.select(
+        F.col("_na").alias("n_a"),
+        F.col("_ka").alias("k_a"),
+        F.col("_nb").alias("n_b"),
+        F.col("_kb").alias("k_b"),
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def odds_ratio(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """2×2 odds ratio with the Woolf log-OR interval — the
+    epidemiology/risk read of a boolean exposure vs a boolean outcome
+    (feature-flag vs crash, cohort vs churn):
+
+        OR = (a·d)/(b·c)            (a=E∧O, b=E∧¬O, c=¬E∧O, d=¬E∧¬O)
+        se(ln OR) = sqrt(1/a + 1/b + 1/c + 1/d)
+        CI = exp(ln OR ± z·se)
+
+    Cell counts are exact integers from one pass. Any empty cell makes
+    OR/CI NULL (the standard undefined case — add a continuity
+    correction upstream if you want Haldane-Anscombe). Rows with a NULL
+    on either side drop. Returns one row (n_eo, n_en, n_ce, n_cn,
+    odds_ratio, log_or, se_log_or, ci_lo, ci_hi).
+    """
+    e = F.col(exposure_col)
+    o = F.col(outcome_col)
+    per = df.filter(e.isNotNull() & o.isNotNull()).agg(
+        F.sum((e & o).cast("long")).alias("_a"),
+        F.sum((e & ~o).cast("long")).alias("_b"),
+        F.sum((~e & o).cast("long")).alias("_c"),
+        F.sum((~e & ~o).cast("long")).alias("_d"),
+    )
+    a, b = F.col("_a").cast("double"), F.col("_b").cast("double")
+    c, d = F.col("_c").cast("double"), F.col("_d").cast("double")
+    ok = (F.col("_a") > 0) & (F.col("_b") > 0) & (F.col("_c") > 0) & (
+        F.col("_d") > 0
+    )
+    orr = F.when(ok, (a * d) / (b * c))
+    lor = F.log(orr)
+    se = F.when(ok, F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))
+    return per.select(
+        F.col("_a").alias("n_eo"),
+        F.col("_b").alias("n_en"),
+        F.col("_c").alias("n_ce"),
+        F.col("_d").alias("n_cn"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(lor, 6).alias("log_or"),
+        F.round(se, 6).alias("se_log_or"),
+        F.round(F.exp(lor - F.lit(z) * se), 6).alias("ci_lo"),
+        F.round(F.exp(lor + F.lit(z) * se), 6).alias("ci_hi"),
     )

@@ -29,6 +29,7 @@ __all__ = [
     "chi_square_gof",
     "cohens_kappa",
     "js_divergence",
+    "top_share",
     "audit_referential",
     "audit_summary",
     "benford_first_digit",
@@ -893,4 +894,90 @@ def js_divergence(
         F.col("_k").cast("long").alias("k_categories"),
         F.round(jsd, 6).alias("jsd_nats"),
         F.round(jsd / float(math.log(2)), 6).alias("jsd_bits"),
+    )
+
+
+def top_share(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    p: float = 0.01,
+) -> DataFrame:
+    """Per-group share of total value held by the TOP ⌈p·n⌉ rows — the
+    "top 1% of customers drive X% of revenue" concentration read, the
+    point-estimate sibling of :func:`gini_concentration` (Gini sums the
+    whole Lorenz curve; this reads one operating point a business
+    question actually names).
+
+    Same in-plan rank-interval machinery as quantiles.trimmed_mean, on
+    the DESCENDING value order: per-(key, value) counts shuffle once; a
+    cumulative window over each group's distinct-value relation assigns
+    every value run its rank interval, and the top mass is the exact
+    integer overlap with [1, k], k = ⌈p·n⌉ = n − (n·(1−p)·10⁶) div 10⁶
+    … computed exactly as k = n − ((n·(10⁶−p_micro)) div 10⁶) so no
+    float boundary can flip it. Ties straddling the cut contribute
+    exactly the surviving copies. All sums DECIMAL(38,0); two divides
+    at the end. Negative values participate by rank like any other
+    (callers wanting nonneg-only filter upstream).
+
+    Returns (keys..., n, k_top, total, top_sum, top_share).
+    """
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    p_micro = int(round(p * 1_000_000))
+    d38 = "decimal(38,0)"
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
+    per_v = (
+        df.select(*keys, vm.alias("_vm"))
+        .filter(F.col("_vm").isNotNull())
+        .groupBy(*keys, "_vm")
+        .agg(F.count(F.lit(1)).cast(d38).alias("_c"))
+    )
+    wv = W.partitionBy(*keys).orderBy(F.col("_vm").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wk = W.partitionBy(*keys)
+    cum = per_v.select(
+        *keys,
+        "_vm",
+        "_c",
+        F.sum("_c").over(wv).alias("_cum"),
+        F.sum("_c").over(wk).alias("_n"),
+        F.sum(F.col("_vm").cast(d38) * F.col("_c")).over(wk).alias("_tot"),
+    )
+    n = F.col("_n")
+    # k = ceil(p·n) exactly: n − floor(n·(1−p))
+    k = n - F.expr(
+        f"CAST((_n * {1_000_000 - p_micro}) div 1000000 AS DECIMAL(38,0))"
+    )
+    prev = F.col("_cum") - F.col("_c")
+    kept = F.greatest(
+        F.lit(0).cast(d38),
+        F.least(F.col("_cum"), k) - F.greatest(prev + 1, F.lit(1).cast(d38))
+        + 1,
+    )
+    agg = cum.select(
+        *keys,
+        n.alias("_n"),
+        k.alias("_k"),
+        F.col("_tot").alias("_tot"),
+        (F.col("_vm").cast(d38) * kept).alias("_vk"),
+    ).groupBy(*keys).agg(
+        F.first("_n").alias("_n"),
+        F.first("_k").alias("_k"),
+        F.first("_tot").alias("_tot"),
+        F.sum("_vk").alias("_top"),
+    )
+    return agg.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k_top"),
+        F.round(F.col("_tot").cast("double") / 1e6, 6).alias("total"),
+        F.round(F.col("_top").cast("double") / 1e6, 6).alias("top_sum"),
+        F.round(
+            F.try_divide(
+                F.col("_top").cast("double"), F.col("_tot").cast("double")
+            ),
+            6,
+        ).alias("top_share"),
     )

@@ -474,3 +474,83 @@ def source_quality_filter(
         .select(source_col)
     )
     return df.join(bad, source_col, "left_anti")
+
+
+def flesch_reading_ease(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Flesch reading-ease census — the classic readability screen a
+    text-quality pipeline runs next to the Gopher flags (very low FRE =
+    legalese/boilerplate, implausibly high = fragment soup):
+
+        FRE = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    with deterministic, ENGINE-PORTABLE proxies: words = whitespace
+    tokens; sentences = [.!?]+ runs (min 1); syllables = [aeiouy]+
+    vowel-group runs of the lowered text (the standard cheap syllable
+    estimate — both counts are computed by delete-then-length-diff, so
+    any regexp engine that agrees on these two character classes agrees
+    on the number). Documents with zero words drop (FRE undefined) and
+    are counted in ``n_empty``.
+
+    Per-group aggregation nano-floors each document's FRE and the two
+    per-doc ratios before the integer sums (the surprisal/MI order-free
+    discipline). Returns (by..., n_docs, n_empty,
+    avg_words_per_sentence, avg_syllables_per_word, avg_flesch).
+    """
+    by = list(by or [])
+    norm = F.lower(F.col(text_col))
+    # runs of X = len(text) - len(text with [X]+ deleted) ... counts
+    # CHARACTERS; to count RUNS, replace each run with one marker char
+    syl = F.size(F.split(norm, "[aeiouy]+", -1)).cast("long") - 1
+    sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.split(F.col(text_col), "[.!?]+", -1)).cast("long") - 1,
+    )
+    toks = F.split(F.trim(norm), r"\s+")
+    words = (
+        F.when(F.trim(norm) == "", F.lit(0)).otherwise(F.size(toks))
+    ).cast("long")
+    per_doc = df.select(
+        *by,
+        F.col(id_col).alias("_id"),
+        words.alias("_w"),
+        sent.alias("_s"),
+        syl.alias("_y"),
+    )
+    wps = F.col("_w").cast("double") / F.col("_s").cast("double")
+    spw = F.col("_y").cast("double") / F.col("_w").cast("double")
+    fre = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    nano = 1_000_000_000
+    staged = per_doc.select(
+        *by,
+        (F.col("_w") > 0).alias("_ok"),
+        F.when(F.col("_w") > 0, F.floor(wps * nano).cast("long"))
+        .otherwise(0).alias("_wps_n"),
+        F.when(F.col("_w") > 0, F.floor(spw * nano).cast("long"))
+        .otherwise(0).alias("_spw_n"),
+        F.when(F.col("_w") > 0, F.floor(fre * nano).cast("long"))
+        .otherwise(0).alias("_fre_n"),
+    )
+    agg = staged.groupBy(*by).agg(
+        F.sum(F.col("_ok").cast("long")).alias("n_docs"),
+        F.sum((~F.col("_ok")).cast("long")).alias("n_empty"),
+        F.sum("_wps_n").alias("_sw"),
+        F.sum("_spw_n").alias("_ss"),
+        F.sum("_fre_n").alias("_sf"),
+    )
+    n = F.col("n_docs").cast("double")
+    return agg.select(
+        *by,
+        "n_docs",
+        "n_empty",
+        F.round(F.try_divide(F.col("_sw").cast("double") / nano, n), 6)
+        .alias("avg_words_per_sentence"),
+        F.round(F.try_divide(F.col("_ss").cast("double") / nano, n), 6)
+        .alias("avg_syllables_per_word"),
+        F.round(F.try_divide(F.col("_sf").cast("double") / nano, n), 6)
+        .alias("avg_flesch"),
+    )

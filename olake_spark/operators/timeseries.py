@@ -781,3 +781,73 @@ def changepoint_mean_shift(
             F.round(F.col("_red") / 1e12, 6).alias("reduction"),
         )
     )
+
+
+def revenue_bridge(
+    df: DataFrame,
+    keys: list[str],
+    period_col: str,
+    price_col: str,
+    qty_col: str,
+    period_a,
+    period_b,
+) -> DataFrame:
+    """Price/volume revenue bridge between two periods, per segment —
+    the BI decomposition behind every "why did revenue move?" slide:
+
+        drev = dp*q0  +  dq*p0  +  dp*dq
+               (price)   (volume)  (joint residual)
+
+    with p = revenue/quantity (the period's realized unit price) and q
+    the period's total quantity. Revenue and quantity accumulate as
+    exact micro-unit DECIMAL(38,0) integers in ONE pass (rev =
+    sum(price*qty) in micro-squared units, the per-row product formed
+    in DECIMAL); p and the three effects are one IEEE sequence each,
+    hash-stable at round 6. The three effects sum to drev exactly in
+    real arithmetic (a free reconciliation invariant). Segments missing
+    either period report NULL effects (a bridge needs both endpoints).
+    Returns (keys..., rev_a, rev_b, delta_rev, price_effect,
+    volume_effect, joint_effect).
+    """
+    p = F.col(period_col)
+    pm = F.round(F.col(price_col) * 1_000_000).cast("long").cast(_D38)
+    qm = F.round(F.col(qty_col) * 1_000_000).cast("long").cast(_D38)
+    base = df.filter(
+        p.isin([period_a, period_b])
+        & F.col(price_col).isNotNull()
+        & F.col(qty_col).isNotNull()
+    )
+    agg = base.groupBy(*keys).agg(
+        *[
+            a
+            for tag, per in (("a", period_a), ("b", period_b))
+            for a in (
+                F.sum(F.when(p == per, qm).otherwise(F.lit(0).cast(_D38)))
+                .alias(f"_q{tag}"),
+                F.sum(
+                    F.when(p == per, pm * qm).otherwise(F.lit(0).cast(_D38))
+                ).alias(f"_r{tag}"),
+                F.sum(F.when(p == per, 1).otherwise(0)).alias(f"_n{tag}"),
+            )
+        ]
+    )
+    # rev in value units (micro-squared -> /1e12); q in units (/1e6)
+    ra = F.col("_ra").cast("double") / 1e12
+    rb = F.col("_rb").cast("double") / 1e12
+    qa = F.col("_qa").cast("double") / 1e6
+    qb = F.col("_qb").cast("double") / 1e6
+    pa = F.try_divide(ra, qa)
+    pb = F.try_divide(rb, qb)
+    both = (F.col("_na") > 0) & (F.col("_nb") > 0)
+    price_eff = F.when(both, (pb - pa) * qa)
+    vol_eff = F.when(both, (qb - qa) * pa)
+    joint_eff = F.when(both, (pb - pa) * (qb - qa))
+    return agg.select(
+        *keys,
+        F.round(ra, 6).alias("rev_a"),
+        F.round(rb, 6).alias("rev_b"),
+        F.round(rb - ra, 6).alias("delta_rev"),
+        F.round(price_eff, 6).alias("price_effect"),
+        F.round(vol_eff, 6).alias("volume_effect"),
+        F.round(joint_eff, 6).alias("joint_effect"),
+    )

@@ -8079,6 +8079,18 @@ _GATE_TAIL = [
     "lineitem_percentile_cont",
     "events_cuped_lift",
     "events_ratio_delta",
+    # r11 third batch: the window's twice-green-and-untouched pool is
+    # down to 4 (q09 stays by the touched-stays rule), so the remaining
+    # two wave-3 queries START in the tail (the driver-mirror shard
+    # gate still certifies them exactly; they rotate INTO the window
+    # next round) — the two chosen are the simplest, both
+    # reference-pinned: two_prop_ztest and odds_ratio.
+    "events_seasonal_decompose",
+    "events_cumulative_users",
+    "events_time_to_convert",
+    "events_new_vs_returning",
+    "orders_two_prop_ztest",
+    "events_odds_ratio",
 ]
 
 

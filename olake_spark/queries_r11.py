@@ -1058,3 +1058,311 @@ def documents_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_law(
         table(spark, sf_dir, "documents"), "doc_id", "text", buckets=32
     )
+
+
+_ETA2_ORACLE = """
+WITH per AS (
+  SELECT l_returnflag AS g,
+         count(*)::HUGEINT AS n,
+         sum(round(l_extendedprice * 1000000)::BIGINT)::HUGEINT AS s,
+         sum(round(l_extendedprice * 1000000)::BIGINT::HUGEINT
+             * round(l_extendedprice * 1000000)::BIGINT) AS q
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+),
+terms AS (
+  SELECT g,
+         (n*q - s*s)::DOUBLE / n::DOUBLE AS w,
+         (s*s)::DOUBLE / n::DOUBLE AS b
+  FROM per
+),
+agg AS (
+  SELECT count(*) AS k,
+         (SELECT sum(n) FROM per) AS nt,
+         (SELECT sum(s) FROM per) AS st,
+         list_reduce(list(w ORDER BY g), (a, x) -> a + x) AS ssw,
+         list_reduce(list(b ORDER BY g), (a, x) -> a + x) AS sb_sum
+  FROM terms
+),
+ss AS (
+  SELECT k, nt,
+         round((sb_sum - (st*st)::DOUBLE / nt::DOUBLE) / 1e12, 6) AS ssb6,
+         round(ssw / 1e12, 6) AS ssw6
+  FROM agg
+)
+SELECT k::BIGINT AS k_groups, nt::BIGINT AS n,
+       CASE WHEN ssb6 + ssw6 > 0
+            THEN round(ssb6 / (ssb6 + ssw6), 6) END AS eta2,
+       CASE WHEN ssb6 + ssw6 > 0
+            THEN round(sqrt(ssb6 / (ssb6 + ssw6)), 6) END AS eta
+FROM ss
+"""
+
+
+@register("lineitem_eta_squared", _ETA2_ORACLE)
+def lineitem_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation ratio eta-squared of extendedprice across the
+    returnflag arms (operators/abtest.correlation_ratio) — the
+    effect-size companion to the ANOVA F: SS_between/SS_total on the
+    0-1 scale. Same exact-moment + ordered-fold core."""
+    from olake_spark.operators.abtest import correlation_ratio
+
+    return correlation_ratio(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+_TOPSHARE_ORACLE = """
+WITH base AS (
+  SELECT c_nationkey, round(c_acctbal * 1000000)::BIGINT AS vm
+  FROM customer WHERE c_acctbal IS NOT NULL
+),
+ranked AS (
+  SELECT c_nationkey, vm,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY vm DESC) AS rn,
+         count(*) OVER (PARTITION BY c_nationkey) AS n,
+         sum(vm::HUGEINT) OVER (PARTITION BY c_nationkey) AS tot
+  FROM base
+),
+cut AS (
+  SELECT c_nationkey, vm, rn, n, tot,
+         n - ((n * 900000) // 1000000) AS k
+  FROM ranked
+)
+SELECT c_nationkey, any_value(n)::BIGINT AS n,
+       any_value(k)::BIGINT AS k_top,
+       round(any_value(tot)::DOUBLE / 1e6, 6) AS total,
+       round(sum(CASE WHEN rn <= k THEN vm ELSE 0 END)::DOUBLE / 1e6, 6)
+         AS top_sum,
+       round(sum(CASE WHEN rn <= k THEN vm ELSE 0 END)::DOUBLE
+             / any_value(tot)::DOUBLE, 6) AS top_share
+FROM cut GROUP BY c_nationkey
+"""
+
+
+@register("customer_top_decile_share", _TOPSHARE_ORACLE)
+def customer_top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation share of account-balance mass held by the top 10% of
+    customers (operators/audit.top_share) — the operating-point
+    concentration read next to Gini. Spark side is the rank-interval
+    counts formulation (no per-group sort); the oracle is the
+    independent row_number sort-and-slice."""
+    from olake_spark.operators.audit import top_share
+
+    return top_share(
+        table(spark, sf_dir, "customer"), ["c_nationkey"], "c_acctbal",
+        p=0.1,
+    )
+
+
+_FLESCH_ORACLE = """
+WITH per_doc AS (
+  SELECT lang,
+         CASE WHEN trim(lower(text)) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+         END::BIGINT AS w,
+         greatest(1, len(regexp_split_to_array(text, '[.!?]+')) - 1)
+           ::BIGINT AS s,
+         (len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1)
+           ::BIGINT AS y
+  FROM documents
+),
+staged AS (
+  SELECT lang, (w > 0) AS ok,
+         CASE WHEN w > 0
+              THEN floor((w::DOUBLE / s::DOUBLE) * 1000000000)::BIGINT
+              ELSE 0 END AS wps_n,
+         CASE WHEN w > 0
+              THEN floor((y::DOUBLE / w::DOUBLE) * 1000000000)::BIGINT
+              ELSE 0 END AS spw_n,
+         CASE WHEN w > 0
+              THEN floor((206.835 - 1.015 * (w::DOUBLE / s::DOUBLE)
+                          - 84.6 * (y::DOUBLE / w::DOUBLE))
+                         * 1000000000)::BIGINT
+              ELSE 0 END AS fre_n
+  FROM per_doc
+)
+SELECT lang,
+       sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS n_empty,
+       round(sum(wps_n)::DOUBLE / 1000000000
+             / sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE, 6)
+         AS avg_words_per_sentence,
+       round(sum(spw_n)::DOUBLE / 1000000000
+             / sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE, 6)
+         AS avg_syllables_per_word,
+       round(sum(fre_n)::DOUBLE / 1000000000
+             / sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE, 6)
+         AS avg_flesch
+FROM staged GROUP BY lang
+"""
+
+
+@register("documents_flesch_by_lang", _FLESCH_ORACLE)
+def documents_flesch_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease census per language
+    (operators/quality.flesch_reading_ease) — readability screen with
+    engine-portable word/sentence/vowel-run proxies; per-doc ratios
+    nano-floored before the group sums."""
+    from olake_spark.operators.quality import flesch_reading_ease
+
+    return flesch_reading_ease(
+        table(spark, sf_dir, "documents"), "doc_id", "text", by=["lang"]
+    )
+
+
+_BRIDGE_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+         year(l_shipdate) AS yr,
+         round((l_extendedprice / l_quantity) * 1000000)::BIGINT AS pm,
+         round(l_quantity * 1000000)::BIGINT AS qm
+  FROM lineitem
+  WHERE l_quantity > 0 AND l_extendedprice IS NOT NULL
+    AND year(l_shipdate) IN (1996, 1997)
+),
+agg AS (
+  SELECT g,
+         sum(CASE WHEN yr = 1996 THEN qm ELSE 0 END)::HUGEINT AS qa,
+         sum(CASE WHEN yr = 1996 THEN pm::HUGEINT * qm ELSE 0 END) AS ra,
+         sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN yr = 1997 THEN qm ELSE 0 END)::HUGEINT AS qb,
+         sum(CASE WHEN yr = 1997 THEN pm::HUGEINT * qm ELSE 0 END) AS rb,
+         sum(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS nb
+  FROM base GROUP BY 1
+),
+eff AS (
+  SELECT g, na, nb,
+         ra::DOUBLE / 1e12 AS rad, rb::DOUBLE / 1e12 AS rbd,
+         qa::DOUBLE / 1e6 AS qad, qb::DOUBLE / 1e6 AS qbd,
+         CASE WHEN qa > 0 THEN (ra::DOUBLE / 1e12) / (qa::DOUBLE / 1e6) END
+           AS pa,
+         CASE WHEN qb > 0 THEN (rb::DOUBLE / 1e12) / (qb::DOUBLE / 1e6) END
+           AS pb
+  FROM agg
+)
+SELECT g AS l_returnflag,
+       round(rad, 6) AS rev_a, round(rbd, 6) AS rev_b,
+       round(rbd - rad, 6) AS delta_rev,
+       CASE WHEN na > 0 AND nb > 0
+            THEN round((pb - pa) * qad, 6) END AS price_effect,
+       CASE WHEN na > 0 AND nb > 0
+            THEN round((qbd - qad) * pa, 6) END AS volume_effect,
+       CASE WHEN na > 0 AND nb > 0
+            THEN round((pb - pa) * (qbd - qad), 6) END AS joint_effect
+FROM eff
+"""
+
+
+@register("lineitem_revenue_bridge", _BRIDGE_ORACLE)
+def lineitem_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume revenue bridge 1996 -> 1997 per returnflag
+    (operators/timeseries.revenue_bridge) — why did revenue move:
+    realized-unit-price effect, volume effect, joint residual; the
+    three effects reconcile to delta_rev."""
+    from olake_spark.operators.timeseries import revenue_bridge
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & F.col("l_extendedprice").isNotNull()
+    ).select(
+        "l_returnflag",
+        F.year("l_shipdate").alias("yr"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        "l_quantity",
+    )
+    return revenue_bridge(
+        li, ["l_returnflag"], "yr", "unit_price", "l_quantity", 1996, 1997
+    )
+
+
+_PROPZ_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN o_custkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+         (o_totalprice > 150000.0) AS s
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+agg AS (
+  SELECT sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN g = 'a' AND s THEN 1 ELSE 0 END)::BIGINT AS ka,
+         sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END)::BIGINT AS nb,
+         sum(CASE WHEN g = 'b' AND s THEN 1 ELSE 0 END)::BIGINT AS kb
+  FROM base
+)
+SELECT na AS n_a, ka AS k_a, nb AS n_b, kb AS k_b,
+       round(ka::DOUBLE / na::DOUBLE, 6) AS p_a,
+       round(kb::DOUBLE / nb::DOUBLE, 6) AS p_b,
+       CASE WHEN ((ka + kb)::DOUBLE / (na + nb)::DOUBLE)
+                 * (1.0 - (ka + kb)::DOUBLE / (na + nb)::DOUBLE)
+                 * (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE) > 0 THEN
+         round((ka::DOUBLE / na::DOUBLE - kb::DOUBLE / nb::DOUBLE)
+               / sqrt(((ka + kb)::DOUBLE / (na + nb)::DOUBLE)
+                      * (1.0 - (ka + kb)::DOUBLE / (na + nb)::DOUBLE)
+                      * (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE)), 6)
+       END AS z
+FROM agg
+"""
+
+
+@register("orders_two_prop_ztest", _PROPZ_ORACLE)
+def orders_two_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z of the big-order rate between even and odd
+    customer cohorts (operators/abtest.two_proportion_ztest) — the
+    pooled-variance conversion test; an A/A-style check here (parity
+    should read z near 0). Reference-pinned."""
+    from olake_spark.operators.abtest import two_proportion_ztest
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        F.when(F.col("o_custkey") % 2 == 0, "a").otherwise("b").alias("g"),
+        (F.col("o_totalprice") > 150000.0).alias("s"),
+    )
+    return two_proportion_ztest(o, "g", "s", "a", "b")
+
+
+_ODDS_ORACLE = """
+WITH base AS (
+  SELECT (user_id % 2 = 0) AS e, (value > 250.0) AS o
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+agg AS (
+  SELECT sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+         sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM base
+),
+f AS (
+  SELECT a, b, c, d,
+         CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+              THEN (a::DOUBLE * d::DOUBLE) / (b::DOUBLE * c::DOUBLE)
+         END AS orr,
+         CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+              THEN sqrt(1.0/a::DOUBLE + 1.0/b::DOUBLE
+                        + 1.0/c::DOUBLE + 1.0/d::DOUBLE)
+         END AS se
+  FROM agg
+)
+SELECT a AS n_eo, b AS n_en, c AS n_ce, d AS n_cn,
+       round(orr, 6) AS odds_ratio,
+       round(ln(orr), 6) AS log_or,
+       round(se, 6) AS se_log_or,
+       round(exp(ln(orr) - 1.96 * se), 6) AS ci_lo,
+       round(exp(ln(orr) + 1.96 * se), 6) AS ci_hi
+FROM f
+"""
+
+
+@register("events_odds_ratio", _ODDS_ORACLE)
+def events_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 odds ratio of high-value events between the even and odd
+    user cohorts (operators/abtest.odds_ratio) with the Woolf log-OR
+    interval — exact cells, one IEEE sequence."""
+    from olake_spark.operators.abtest import odds_ratio
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        (F.col("user_id") % 2 == 0).alias("e"),
+        (F.col("value") > 250.0).alias("o"),
+    )
+    return odds_ratio(ev, "e", "o")

@@ -1111,3 +1111,120 @@ def test_heaps_law_pin(spark):
     assert got["n_tokens"] == sum(per_n.values())
     assert got["heaps_beta"] == pytest.approx(beta, abs=1e-4)
     assert got["heaps_k"] == pytest.approx(k, abs=1e-3)
+
+
+def test_correlation_ratio_pin(spark):
+    groups = {"a": [3.0, 5.0, 4.0], "b": [9.0, 11.0, 10.0, 12.0],
+              "c": [2.0, 1.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import correlation_ratio
+
+    got = _row(correlation_ratio(df, "g", "v"))
+    n, k, ssb, ssw, _ = _anova_f(list(groups.values()))
+    eta2 = ssb / (ssb + ssw)
+    assert (got["k_groups"], got["n"]) == (k, n)
+    assert got["eta2"] == pytest.approx(eta2, abs=1e-5)
+    assert got["eta"] == pytest.approx(math.sqrt(eta2), abs=1e-5)
+
+
+def test_top_share_pin(spark):
+    vals = [1.0, 2.0, 3.0, 10.0, 10.0, 50.0, 4.0, 5.0, 6.0, 9.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    from olake_spark.operators.audit import top_share
+
+    got = _row(top_share(df, ["g"], "v", p=0.2))
+    k = math.ceil(0.2 * len(vals))  # 2
+    top = sorted(vals, reverse=True)[:k]
+    assert got["n"] == len(vals)
+    assert got["k_top"] == k
+    assert got["total"] == approx(sum(vals))
+    assert got["top_sum"] == approx(sum(top))
+    assert got["top_share"] == approx(sum(top) / sum(vals))
+
+
+def test_top_share_tie_at_cut_pin(spark):
+    # three copies of the cut value, k lands mid-tie: exactly the
+    # surviving copies count
+    vals = [1.0, 7.0, 7.0, 7.0, 9.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    from olake_spark.operators.audit import top_share
+
+    got = _row(top_share(df, ["g"], "v", p=0.6))  # k = 3: 9, 7, 7
+    assert got["k_top"] == 3
+    assert got["top_sum"] == approx(9.0 + 7.0 + 7.0)
+
+
+def test_flesch_pin(spark):
+    text = "The cat sat. The dog ran away! Did it?"
+    df = spark.createDataFrame([(1, text, "en")],
+                               "doc_id long, text string, lang string")
+    from olake_spark.operators.quality import flesch_reading_ease
+
+    got = _row(flesch_reading_ease(df, "doc_id", "text", by=["lang"]))
+
+    words = len(text.lower().split())
+    import re
+
+    sent = max(1, len(re.findall(r"[.!?]+", text)))
+    syl = len(re.findall(r"[aeiouy]+", text.lower()))
+    fre = 206.835 - 1.015 * (words / sent) - 84.6 * (syl / words)
+    assert got["n_docs"] == 1
+    assert got["avg_words_per_sentence"] == approx(words / sent)
+    assert got["avg_syllables_per_word"] == approx(syl / words)
+    assert got["avg_flesch"] == approx(fre)
+
+
+def test_revenue_bridge_pin(spark):
+    # period a: 10 units @ 5.0; period b: 12 units @ 6.0
+    rows = [("s", 0, 5.0, 4.0), ("s", 0, 5.0, 6.0),
+            ("s", 1, 6.0, 7.0), ("s", 1, 6.0, 5.0)]
+    df = spark.createDataFrame(rows, "seg string, per int, price double, qty double")
+    from olake_spark.operators.timeseries import revenue_bridge
+
+    got = _row(revenue_bridge(df, ["seg"], "per", "price", "qty", 0, 1))
+
+    ra, qa = 5.0 * 10, 10.0
+    rb, qb = 6.0 * 12, 12.0
+    pa, pb = ra / qa, rb / qb
+    assert got["rev_a"] == approx(ra)
+    assert got["rev_b"] == approx(rb)
+    assert got["delta_rev"] == approx(rb - ra)
+    assert got["price_effect"] == approx((pb - pa) * qa)
+    assert got["volume_effect"] == approx((qb - qa) * pa)
+    assert got["joint_effect"] == approx((pb - pa) * (qb - qa))
+    # reconciliation invariant
+    assert (got["price_effect"] + got["volume_effect"]
+            + got["joint_effect"]) == pytest.approx(got["delta_rev"],
+                                                    abs=1e-5)
+
+
+def test_two_proportion_ztest_pin(spark):
+    rows = [("a", True)] * 30 + [("a", False)] * 70 + \
+           [("b", True)] * 20 + [("b", False)] * 80
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    from olake_spark.operators.abtest import two_proportion_ztest
+
+    got = _row(two_proportion_ztest(df, "g", "s", "a", "b"))
+    pa, pb = 0.3, 0.2
+    pool = 50 / 200
+    z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    assert (got["n_a"], got["k_a"], got["n_b"], got["k_b"]) == (100, 30, 100, 20)
+    assert got["z"] == approx(z)
+
+
+def test_odds_ratio_pin(spark):
+    rows = ([(True, True)] * 20 + [(True, False)] * 30
+            + [(False, True)] * 10 + [(False, False)] * 40)
+    df = spark.createDataFrame(rows, "e boolean, o boolean")
+    from olake_spark.operators.abtest import odds_ratio
+
+    got = _row(odds_ratio(df, "e", "o"))
+    a, b, c, d = 20, 30, 10, 40
+    orr = a * d / (b * c)
+    se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    assert got["odds_ratio"] == approx(orr)
+    assert got["log_or"] == approx(math.log(orr))
+    assert got["se_log_or"] == approx(se)
+    assert got["ci_lo"] == approx(math.exp(math.log(orr) - 1.96 * se))
+    assert got["ci_hi"] == approx(math.exp(math.log(orr) + 1.96 * se))
