@@ -387,6 +387,49 @@ def ratio_metric_delta(
     )
 
 
+
+def _two_arm_micro_moments(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Shared one-pass two-arm moment core: the six exact micro-unit
+    DECIMAL(38,0) moments (n, ΣX, ΣX² per arm) every two-sample
+    parametric operator here consumes (welch_ttest,
+    effect_size_two_sample, msprt_always_valid). One map-side-combinable
+    aggregation; NULL values drop; rows outside the two arms drop."""
+    g = F.col(group_col)
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(_D38)
+    return (
+        df.filter(g.isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
+        .select(g.alias("_g"), vm.alias("_v"))
+        .agg(
+            *[
+                agg
+                for tag, grp in (("a", group_a), ("b", group_b))
+                for agg in (
+                    F.sum(F.when(F.col("_g") == grp, 1).otherwise(0))
+                    .cast(_D38)
+                    .alias(f"_n{tag}"),
+                    F.sum(
+                        F.when(F.col("_g") == grp, F.col("_v")).otherwise(
+                            F.lit(0).cast(_D38)
+                        )
+                    ).alias(f"_s{tag}"),
+                    F.sum(
+                        F.when(
+                            F.col("_g") == grp, F.col("_v") * F.col("_v")
+                        ).otherwise(F.lit(0).cast(_D38))
+                    ).alias(f"_q{tag}"),
+                )
+            ]
+        )
+    )
+
+
 def welch_ttest(
     df: DataFrame,
     group_col: str,
@@ -412,35 +455,7 @@ def welch_ttest(
 
     Returns one row (n_a, n_b, mean_a, mean_b, t, dof).
     """
-    g = F.col(group_col)
-    vm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(_D38)
-    per = (
-        df.filter(g.isin([group_a, group_b]))
-        .filter(F.col(value_col).isNotNull())
-        .select(g.alias("_g"), vm.alias("_v"))
-        .groupBy()
-        .agg(
-            *[
-                agg
-                for tag, grp in (("a", group_a), ("b", group_b))
-                for agg in (
-                    F.sum(F.when(F.col("_g") == grp, 1).otherwise(0))
-                    .cast(_D38)
-                    .alias(f"_n{tag}"),
-                    F.sum(
-                        F.when(F.col("_g") == grp, F.col("_v")).otherwise(
-                            F.lit(0).cast(_D38)
-                        )
-                    ).alias(f"_s{tag}"),
-                    F.sum(
-                        F.when(
-                            F.col("_g") == grp, F.col("_v") * F.col("_v")
-                        ).otherwise(F.lit(0).cast(_D38))
-                    ).alias(f"_q{tag}"),
-                )
-            ]
-        )
-    )
+    per = _two_arm_micro_moments(df, group_col, value_col, group_a, group_b)
     na, nb = F.col("_na"), F.col("_nb")
     # sample variance in micro² as one cast of the exact integer
     # n·ΣX² − (ΣX)², then the single n(n−1) divide
@@ -765,34 +780,7 @@ def effect_size_two_sample(
     Returns one row (n_a, n_b, mean_a, mean_b, pooled_sd, cohens_d,
     hedges_g).
     """
-    g = F.col(group_col)
-    vm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(_D38)
-    per = (
-        df.filter(g.isin([group_a, group_b]))
-        .filter(F.col(value_col).isNotNull())
-        .select(g.alias("_g"), vm.alias("_v"))
-        .agg(
-            *[
-                agg
-                for tag, grp in (("a", group_a), ("b", group_b))
-                for agg in (
-                    F.sum(F.when(F.col("_g") == grp, 1).otherwise(0))
-                    .cast(_D38)
-                    .alias(f"_n{tag}"),
-                    F.sum(
-                        F.when(F.col("_g") == grp, F.col("_v")).otherwise(
-                            F.lit(0).cast(_D38)
-                        )
-                    ).alias(f"_s{tag}"),
-                    F.sum(
-                        F.when(
-                            F.col("_g") == grp, F.col("_v") * F.col("_v")
-                        ).otherwise(F.lit(0).cast(_D38))
-                    ).alias(f"_q{tag}"),
-                )
-            ]
-        )
-    )
+    per = _two_arm_micro_moments(df, group_col, value_col, group_a, group_b)
     na, nb = F.col("_na"), F.col("_nb")
     ma = F.try_divide(F.col("_sa").cast("double"), na.cast("double"))
     mb = F.try_divide(F.col("_sb").cast("double"), nb.cast("double"))
@@ -857,10 +845,6 @@ def kruskal_wallis(
         .agg(F.count(F.lit(1)).cast(_D38).alias("_c"))
     )
     wv = W.orderBy("_v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    t_at = W.partitionBy("_v")
-    with_t = per_gv.select(
-        "_g", "_v", "_c", F.sum("_c").over(t_at).alias("_t")
-    )
     # rank2 needs the cumulative count over VALUES; compute it on the
     # distinct-value relation (values-sized), then join back
     vals = (
@@ -875,7 +859,7 @@ def kruskal_wallis(
             ).alias("_rank2"),
         )
     )
-    ranked = with_t.join(vals, "_v")
+    ranked = per_gv.join(vals, "_v")
     per_g = ranked.groupBy("_g").agg(
         F.sum("_c").alias("_ng"),
         F.sum(F.col("_c") * F.col("_rank2")).alias("_r2g"),
@@ -1025,17 +1009,25 @@ def ks_uniform_gof(
         F.max(dminus_num).alias("_dm"),
         F.first(n).alias("_nn"),
     )
-    nn = F.col("_nn")
+    # empty input: every agg above is NULL, and greatest() SKIPS NULLs
+    # (greatest(NULL, 0.0) = 0.0) — without the explicit gate the report
+    # would read n=NULL, d=0.0 ("perfectly uniform", for no data). The
+    # degenerate row is (0, NULL, NULL, NULL, NULL), the kendall
+    # empty-input convention.
+    ok = F.col("_nn").isNotNull()
+    nn = F.coalesce(F.col("_nn"), F.lit(0).cast(_D38))
     den = (nn * sc).cast("double")
-    dp = F.greatest(F.col("_dp").cast("double") / den, F.lit(0.0))
-    dm = F.greatest(F.col("_dm").cast("double") / den, F.lit(0.0))
+    dp = F.when(ok, F.greatest(F.col("_dp").cast("double") / den, F.lit(0.0)))
+    dm = F.when(ok, F.greatest(F.col("_dm").cast("double") / den, F.lit(0.0)))
     d = F.greatest(dp, dm)
     return agg.select(
         nn.cast("long").alias("n"),
         F.round(dp, 6).alias("d_plus"),
         F.round(dm, 6).alias("d_minus"),
-        F.round(d, 6).alias("d"),
-        F.round(F.sqrt(nn.cast("double")) * d, 6).alias("sqrt_n_d"),
+        F.when(ok, F.round(d, 6)).alias("d"),
+        F.when(ok, F.round(F.sqrt(nn.cast("double")) * d, 6)).alias(
+            "sqrt_n_d"
+        ),
     )
 
 
@@ -1069,34 +1061,7 @@ def msprt_always_valid(
 
     Returns one row (n_a, n_b, delta, v, lambda_mix, p_always_valid).
     """
-    g = F.col(group_col)
-    vm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(_D38)
-    per = (
-        df.filter(g.isin([group_a, group_b]))
-        .filter(F.col(value_col).isNotNull())
-        .select(g.alias("_g"), vm.alias("_v"))
-        .agg(
-            *[
-                agg
-                for tag, grp in (("a", group_a), ("b", group_b))
-                for agg in (
-                    F.sum(F.when(F.col("_g") == grp, 1).otherwise(0))
-                    .cast(_D38)
-                    .alias(f"_n{tag}"),
-                    F.sum(
-                        F.when(F.col("_g") == grp, F.col("_v")).otherwise(
-                            F.lit(0).cast(_D38)
-                        )
-                    ).alias(f"_s{tag}"),
-                    F.sum(
-                        F.when(
-                            F.col("_g") == grp, F.col("_v") * F.col("_v")
-                        ).otherwise(F.lit(0).cast(_D38))
-                    ).alias(f"_q{tag}"),
-                )
-            ]
-        )
-    )
+    per = _two_arm_micro_moments(df, group_col, value_col, group_a, group_b)
     na, nb = F.col("_na"), F.col("_nb")
     ma = F.try_divide(F.col("_sa").cast("double"), na.cast("double"))
     mb = F.try_divide(F.col("_sb").cast("double"), nb.cast("double"))
@@ -1118,7 +1083,10 @@ def msprt_always_valid(
         F.sqrt(v / (v + t2))
         * F.exp(delta * delta * t2 / (F.lit(2.0) * v * (v + t2))),
     )
-    p = F.least(F.lit(1.0), F.lit(1.0) / lam)
+    # least() SKIPS NULL arguments (least(1.0, NULL) = 1.0), so gate p
+    # on lam explicitly — a degenerate test must read NULL, not "no
+    # evidence against H0" (review-confirmed live)
+    p = F.when(lam.isNotNull(), F.least(F.lit(1.0), F.lit(1.0) / lam))
     return per.select(
         na.cast("long").alias("n_a"),
         nb.cast("long").alias("n_b"),

@@ -266,7 +266,9 @@ def shewhart_individuals(
     )
     ok = F.col("_nn") > 1
     return agg.select(
-        F.col("_nn").cast("long").alias("n_buckets"),
+        # empty series: first() over zero rows is NULL — report 0
+        F.coalesce(F.col("_nn"), F.lit(0).cast(d38))
+        .cast("long").alias("n_buckets"),
         F.round(F.col("_c") / 1e6, 6).alias("center"),
         F.when(ok, F.round(F.col("_mb") / 1e6, 6)).alias("mr_bar"),
         F.when(ok, F.round(F.col("_u") / 1e6, 6)).alias("ucl"),

@@ -652,8 +652,8 @@ def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame
     over the shared label space. Everything before the final divides is
     exact: cell counts shuffle once onto the (a, b) grid (cells-sized);
     the diagonal mass and the Σ r_i·c_i cross product accumulate as
-    DECIMAL(38,0) integers (marginals via windows over cells, products
-    joined on the label — the chi_square_independence discipline), so
+    DECIMAL(38,0) integers (marginals from label-relation groupBys,
+    products joined on the label), so
     p_o, p_e and κ are each one cast + one IEEE divide, hash-stable at
     round 6. Rows with a NULL on either side drop (an unlabeled item
     measures nothing). κ is NULL when p_e = 1 (both raters constant —
@@ -674,19 +674,10 @@ def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame
         .groupBy("_a", "_b")
         .agg(F.count(F.lit(1)).cast(d38).alias("_c"))
     )
-    ra = W.partitionBy("_a")
-    cb = W.partitionBy("_b")
-    m = cells.select(
-        "_a",
-        "_b",
-        "_c",
-        F.sum("_c").over(ra).alias("_ra"),
-        F.sum("_c").over(cb).alias("_cb"),
-    )
-    # Σ r_i·c_i needs one product per shared label i — the diagonal
-    # cells carry both marginals already; labels missing a diagonal
-    # cell (never co-assigned) still contribute r_i·c_i, so build the
-    # label relation explicitly (labels-sized, broadcastable)
+    # Σ r_i·c_i needs one product per shared label i — labels missing a
+    # diagonal cell (never co-assigned) still contribute r_i·c_i, so
+    # build the marginals on an explicit label relation (labels-sized,
+    # broadcastable) rather than per-cell windows
     la = cells.groupBy(F.col("_a").alias("_l")).agg(
         F.sum("_c").alias("_r")
     )
@@ -697,7 +688,7 @@ def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str) -> DataFrame
         F.coalesce(F.sum(F.col("_r") * F.col("_s")), F.lit(0).cast(d38))
         .alias("_rc")
     )
-    agg = m.agg(
+    agg = cells.agg(
         F.sum("_c").alias("_n"),
         F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(
             F.lit(0).cast(d38)
@@ -768,14 +759,17 @@ def chi_square_gof(
             "_cat", F.col("_w").cast(d38)
         )
         # any observed category outside the expected support is a
-        # contract violation — fail in-plan, loudly
+        # contract violation — fail in-plan, loudly. The raise_error
+        # must live INSIDE the consumed _o column: a separate guard
+        # column that is projected then dropped gets pruned by Catalyst
+        # and the violation silently vanishes into the spine left-join
+        # (review-confirmed live).
         observed = observed.join(
             F.broadcast(spine.select("_cat", F.lit(1).alias("_ok"))),
             "_cat",
             "left",
         ).select(
             "_cat",
-            "_o",
             F.when(
                 F.col("_ok").isNull(),
                 F.raise_error(
@@ -784,9 +778,9 @@ def chi_square_gof(
                               "expected weights: "),
                         F.col("_cat"),
                     )
-                ).cast("int"),
-            ).alias("_guard"),
-        ).drop("_guard")
+                ).cast(d38),
+            ).otherwise(F.col("_o")).alias("_o"),
+        )
     cells = spine.join(observed, "_cat", "left").select(
         "_cat",
         F.coalesce(F.col("_o"), F.lit(0).cast(d38)).alias("_o"),
@@ -909,8 +903,8 @@ def top_share(
     whole Lorenz curve; this reads one operating point a business
     question actually names).
 
-    Same in-plan rank-interval machinery as quantiles.trimmed_mean, on
-    the DESCENDING value order: per-(key, value) counts shuffle once; a
+    Shares quantiles.value_rank_cum (trimmed_mean's core) on the
+    DESCENDING value order: per-(key, value) counts shuffle once; a
     cumulative window over each group's distinct-value relation assigns
     every value run its rank interval, and the top mass is the exact
     integer overlap with [1, k], k = ⌈p·n⌉ = n − (n·(1−p)·10⁶) div 10⁶
@@ -924,27 +918,11 @@ def top_share(
     """
     if not 0.0 < p <= 1.0:
         raise ValueError(f"p must be in (0, 1], got {p}")
+    from olake_spark.operators.quantiles import value_rank_cum
+
     p_micro = int(round(p * 1_000_000))
     d38 = "decimal(38,0)"
-    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
-    per_v = (
-        df.select(*keys, vm.alias("_vm"))
-        .filter(F.col("_vm").isNotNull())
-        .groupBy(*keys, "_vm")
-        .agg(F.count(F.lit(1)).cast(d38).alias("_c"))
-    )
-    wv = W.partitionBy(*keys).orderBy(F.col("_vm").desc()).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    wk = W.partitionBy(*keys)
-    cum = per_v.select(
-        *keys,
-        "_vm",
-        "_c",
-        F.sum("_c").over(wv).alias("_cum"),
-        F.sum("_c").over(wk).alias("_n"),
-        F.sum(F.col("_vm").cast(d38) * F.col("_c")).over(wk).alias("_tot"),
-    )
+    cum = value_rank_cum(df, keys, value_col, descending=True)
     n = F.col("_n")
     # k = ceil(p·n) exactly: n − floor(n·(1−p))
     k = n - F.expr(

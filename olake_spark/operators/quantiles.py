@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "exact_quantiles",
     "trimmed_mean",
+    "value_rank_cum",
     "tukey_fences",
     "median_mad",
     "percentile_cont",
@@ -649,6 +650,43 @@ def tukey_fences(
     )
 
 
+def value_rank_cum(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    descending: bool = False,
+) -> DataFrame:
+    """Shared rank-interval core for order-statistic mass operators
+    (:func:`trimmed_mean` here, ``audit.top_share``): per-(key, value)
+    counts from one shuffle, then a cumulative window over each group's
+    DISTINCT-VALUE relation. Every value run's 1-based rank interval is
+    [_cum − _c + 1, _cum] in the chosen direction; ``_n`` is the group
+    size and ``_tot`` the exact micro value total, so callers compute
+    kept mass as exact DECIMAL(38,0) interval overlaps — never a
+    per-group row sort. NULL values drop."""
+    d38 = "decimal(38,0)"
+    vm = F.round(F.col(value_col) * MICROS).cast("long")
+    per_v = (
+        df.select(*keys, vm.alias("_vm"))
+        .filter(F.col("_vm").isNotNull())
+        .groupBy(*keys, "_vm")
+        .agg(F.count(F.lit(1)).cast(d38).alias("_c"))
+    )
+    order = F.col("_vm").desc() if descending else F.col("_vm").asc()
+    wv = W.partitionBy(*keys).orderBy(order).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wk = W.partitionBy(*keys)
+    return per_v.select(
+        *keys,
+        "_vm",
+        "_c",
+        F.sum("_c").over(wv).alias("_cum"),
+        F.sum("_c").over(wk).alias("_n"),
+        F.sum(F.col("_vm").cast(d38) * F.col("_c")).over(wk).alias("_tot"),
+    )
+
+
 def trimmed_mean(
     df: DataFrame,
     keys: list[str],
@@ -683,24 +721,7 @@ def trimmed_mean(
         raise ValueError(f"trim must be in [0, 0.5), got {trim}")
     trim_micro = int(round(trim * 1_000_000))
     d38 = "decimal(38,0)"
-    vm = F.round(F.col(value_col) * MICROS).cast("long")
-    per_v = (
-        df.select(*keys, vm.alias("_vm"))
-        .filter(F.col("_vm").isNotNull())
-        .groupBy(*keys, "_vm")
-        .agg(F.count(F.lit(1)).cast(d38).alias("_c"))
-    )
-    wv = W.partitionBy(*keys).orderBy("_vm").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    wk = W.partitionBy(*keys)
-    cum = per_v.select(
-        *keys,
-        "_vm",
-        "_c",
-        F.sum("_c").over(wv).alias("_cum"),
-        F.sum("_c").over(wk).alias("_n"),
-    )
+    cum = value_rank_cum(df, keys, value_col)
     n = F.col("_n")
     k = F.expr(f"CAST((_n * {trim_micro}) div 1000000 AS DECIMAL(38,0))")
     lo_rank = k + 1  # first kept rank

@@ -212,16 +212,20 @@ def logrank_test(
             .otherwise(F.lit(0))
         ).alias("_v_nano"),
     )
-    e1 = F.col("_e_nano").cast("double") / nano
-    v = F.col("_v_nano").cast("double") / nano
+    # empty input: every sum/first above is NULL — coalesce the counts
+    # so the degenerate report is (0, 0, 0, 0.0, 0.0, NULL, NULL), the
+    # kendall empty-input convention
+    e1 = F.coalesce(F.col("_e_nano"), F.lit(0)).cast("double") / nano
+    v = F.coalesce(F.col("_v_nano"), F.lit(0)).cast("double") / nano
+    o1 = F.coalesce(F.col("_o1"), F.lit(0))
     z = F.when(
         F.col("_v_nano") > 0,
-        (F.col("_o1").cast("double") - e1) / F.sqrt(v),
+        (o1.cast("double") - e1) / F.sqrt(v),
     )
     return agg.select(
-        F.col("_fa").alias("n_a"),
-        F.col("_fb").alias("n_b"),
-        F.col("_o1").cast("long").alias("observed_a"),
+        F.coalesce(F.col("_fa"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("_fb"), F.lit(0)).alias("n_b"),
+        o1.cast("long").alias("observed_a"),
         F.round(e1, 6).alias("expected_a"),
         F.round(v, 6).alias("variance"),
         F.round(z, 6).alias("z"),

@@ -841,7 +841,8 @@ l AS (
 SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
        round(delta, 6) AS delta, round(v, 6) AS v,
        round(lam, 6) AS lambda_mix,
-       round(least(1.0, 1.0 / lam), 6) AS p_always_valid
+       CASE WHEN lam IS NOT NULL
+            THEN round(least(1.0, 1.0 / lam), 6) END AS p_always_valid
 FROM l
 """
 

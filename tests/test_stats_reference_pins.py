@@ -1228,3 +1228,56 @@ def test_odds_ratio_pin(spark):
     assert got["se_log_or"] == approx(se)
     assert got["ci_lo"] == approx(math.exp(math.log(orr) - 1.96 * se))
     assert got["ci_hi"] == approx(math.exp(math.log(orr) + 1.96 * se))
+
+
+# ---------------------------------------------------------------------------
+# Degenerate-input pins from the r11 self-review (the greatest/least
+# NULL-skipping class: least(1.0, NULL) = 1.0, greatest(NULL, 0) = 0)
+# ---------------------------------------------------------------------------
+
+def test_msprt_degenerate_arms_report_null_p(spark):
+    rows = [("A", 5.0)] * 3 + [("B", 7.0)] * 3  # zero variance both arms
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import msprt_always_valid
+
+    got = _row(msprt_always_valid(df, "g", "v", "A", "B"))
+    assert got["lambda_mix"] is None
+    assert got["p_always_valid"] is None  # NOT 1.0 — "test undefined"
+
+
+def test_ks_uniform_gof_empty_input(spark):
+    df = spark.createDataFrame([], "s double")
+    from olake_spark.operators.abtest import ks_uniform_gof
+
+    got = _row(ks_uniform_gof(df, "s"))
+    assert got["n"] == 0
+    assert got["d"] is None  # NOT 0.0 — no data is not "perfectly uniform"
+    assert got["d_plus"] is None and got["d_minus"] is None
+    assert got["sqrt_n_d"] is None
+
+
+def test_logrank_empty_input(spark):
+    df = spark.createDataFrame([], "dur int, obs boolean, grp int")
+    from olake_spark.operators.survival import logrank_test
+
+    got = _row(logrank_test(df, "dur", "obs", "grp", 0, 1))
+    assert (got["n_a"], got["n_b"], got["observed_a"]) == (0, 0, 0)
+    assert got["z"] is None and got["chi2"] is None
+
+
+def test_shewhart_empty_input(spark):
+    df = spark.createDataFrame([], "ts timestamp, v double")
+    from olake_spark.operators.anomaly import shewhart_individuals
+
+    got = _row(shewhart_individuals(df, "ts", "v"))
+    assert got["n_buckets"] == 0
+    assert got["ucl"] is None and got["lcl"] is None
+    assert (got["n_above"], got["n_below"]) == (0, 0)
+
+
+def test_chi_square_gof_unexpected_category_raises(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("zz",)], "cat string")
+    from olake_spark.operators.audit import chi_square_gof
+
+    with pytest.raises(Exception, match="not in expected weights"):
+        chi_square_gof(df, "cat", {"a": 0.5, "b": 0.5}).collect()
