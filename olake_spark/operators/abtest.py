@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bh_fdr_adjust",
+    "cochran_armitage_trend",
     "correlation_ratio",
+    "kish_weighted_mean",
     "odds_ratio",
     "two_proportion_ztest",
     "eb_beta_binomial_shrink",
@@ -1390,4 +1392,129 @@ def odds_ratio(
         F.round(se, 6).alias("se_log_or"),
         F.round(F.exp(lor - F.lit(z) * se), 6).alias("ci_lo"),
         F.round(F.exp(lor + F.lit(z) * se), 6).alias("ci_hi"),
+    )
+
+
+def kish_weighted_mean(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Survey-weighted mean with Kish's effective sample size and
+    design effect — the numbers any weighted metric (post-stratified
+    experiment readout, importance-weighted eval score) owes next to
+    its point estimate:
+
+        mean_w = Σ w·x / Σ w
+        n_eff  = (Σ w)² / Σ w²          (Kish)
+        deff   = n / n_eff              (≥ 1; weighting variance cost)
+
+    Weights and values quantize to micro integers; all four moments
+    (n, Σw, Σw², Σwx) accumulate as exact DECIMAL(38,0) in one
+    map-side-combinable pass — Σwx is a micro² product formed in
+    DECIMAL — and the three outputs are one IEEE sequence each.
+    Non-positive weights are EXCLUDED (a survey weight is a positive
+    replication factor) and counted. Returns (keys..., n, n_excluded,
+    mean_w, n_eff, deff).
+    """
+    wm = F.round(F.col(weight_col) * 1_000_000).cast("long").cast(_D38)
+    xm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(_D38)
+    ok = (
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+        & F.col(value_col).isNotNull()
+    )
+    agg = df.groupBy(*keys).agg(
+        F.sum(ok.cast("long")).alias("n"),
+        F.sum((~ok).cast("long")).alias("n_excluded"),
+        F.sum(F.when(ok, wm).otherwise(F.lit(0).cast(_D38))).alias("_sw"),
+        F.sum(F.when(ok, wm * wm).otherwise(F.lit(0).cast(_D38))).alias(
+            "_sww"
+        ),
+        F.sum(F.when(ok, wm * xm).otherwise(F.lit(0).cast(_D38))).alias(
+            "_swx"
+        ),
+    )
+    mean_w = F.try_divide(
+        F.col("_swx").cast("double"), F.col("_sw").cast("double")
+    ) / 1e6
+    n_eff = F.try_divide(
+        (F.col("_sw") * F.col("_sw")).cast("double"),
+        F.col("_sww").cast("double"),
+    )
+    deff = F.try_divide(F.col("n").cast("double"), n_eff)
+    return agg.select(
+        *keys,
+        "n",
+        "n_excluded",
+        F.round(mean_w, 6).alias("mean_w"),
+        F.round(n_eff, 6).alias("n_eff"),
+        F.round(deff, 6).alias("deff"),
+    )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_scores: dict,
+) -> DataFrame:
+    """Cochran–Armitage test for a LINEAR TREND in proportions across
+    ordered/scored groups (dose tiers, plan levels, cohort ages) — the
+    proportions sibling of :func:`jonckheere_terpstra`:
+
+        T = Σ_i k_i·w_i  −  p̂·Σ_i n_i·w_i
+        var(T) = p̂(1−p̂)·( Σ n_i·w_i²  −  (Σ n_i·w_i)²/n )
+        z = T/√var(T)
+
+    with w_i the caller's group scores and p̂ the pooled rate. Scores
+    snap to micro integers so every moment (n_i, k_i, Σn w, Σk w,
+    Σn w²) is an exact DECIMAL(38,0); T's numerator is cross-multiplied
+    exact (n·Σkw − Σk·Σnw over the common n denominator) and z is one
+    IEEE sequence. Groups outside ``group_scores`` drop; degenerate
+    inputs (p̂ ∈ {0,1} or zero score variance) report NULL z.
+
+    Returns one row (k_groups, n, k_total, z).
+    """
+    score_micro = {g: int(round(float(v) * 1_000_000))
+                   for g, v in group_scores.items()}
+    g = F.col(group_col)
+    s = F.col(success_col)
+    w = F.lit(None).cast("long")
+    for grp, sm in score_micro.items():
+        w = F.when(g == grp, F.lit(sm)).otherwise(w)
+    per = (
+        df.filter(g.isin(list(group_scores)) & s.isNotNull())
+        .select(w.cast(_D38).alias("_w"), s.cast("long").alias("_s"))
+        .agg(
+            F.count(F.lit(1)).cast(_D38).alias("_n"),
+            F.sum("_s").cast(_D38).alias("_k"),
+            F.sum(F.col("_w")).alias("_nw"),
+            F.sum(F.col("_w") * F.col("_s")).alias("_kw"),
+            F.sum(F.col("_w") * F.col("_w")).alias("_nww"),
+            F.count_distinct(F.col("_w")).alias("_kg"),
+        )
+    )
+    n = F.col("_n")
+    # T·n = n·Σkw − Σk·Σnw (exact); var·n³ = k(n−k)·(n·Σnw² − (Σnw)²)
+    t_num = (n * F.col("_kw") - F.col("_k") * F.col("_nw")).cast("double")
+    var_core = (n * F.col("_nww") - F.col("_nw") * F.col("_nw"))
+    var_num = (F.col("_k") * (n - F.col("_k"))).cast("double") * var_core.cast(
+        "double"
+    )
+    # z = (T·n) / sqrt(k(n−k)/n · var_core · n) — fold the n powers:
+    # T = t_num/n; var(T) = var_num/n³ ⇒ z = t_num / sqrt(var_num·n⁻¹·n²)
+    # = t_num / (sqrt(var_num) · sqrt(n))... keep it as one explicit
+    # sequence: z = (t_num/n) / sqrt(var_num/n³)
+    nd = n.cast("double")
+    z = F.when(
+        (var_core > 0) & (F.col("_k") > 0) & (F.col("_k") < n),
+        (t_num / nd) / F.sqrt(var_num / (nd * nd * nd)),
+    )
+    return per.select(
+        F.col("_kg").cast("long").alias("k_groups"),
+        n.cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k_total"),
+        F.round(z, 6).alias("z"),
     )

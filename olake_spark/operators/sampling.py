@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
+    "neyman_allocation",
     "HASH_SPACE",
     "hash_bucket",
     "hash_sample",
@@ -236,3 +237,96 @@ def split_by_cluster(
     keyed = df.join(clusters.select(id_col, cluster_col), id_col)
     is_test = hash_bucket(F.col(cluster_col), salt) < _threshold(test_fraction)
     return keyed.withColumn("split", F.when(is_test, "test").otherwise("train"))
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_cols: list[str],
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Neyman-optimal sample allocation across strata — how many units
+    to draw from each stratum to minimize the variance of the estimated
+    population mean at a fixed total budget:
+
+        n_h = n_total · (N_h·S_h) / Σ_g (N_g·S_g)
+
+    (S_h = the stratum's sample SD). The per-stratum moments (N, Σv,
+    Σv²) accumulate as exact micro-unit DECIMAL(38,0) integers in one
+    map-side-combinable pass; the N·S products and the allocation
+    divide are one IEEE sequence over the STRATUM-sized relation.
+    Allocations are reported both fractional (round 6) and as the
+    floor integer with the largest-remainder top-up so the integer
+    column sums EXACTLY to ``total_n`` (the Hamilton apportionment —
+    deterministic tie-break by remainder DESC then stratum key).
+    Zero-variance strata get zero allocation (they need one unit in
+    practice — that adjustment is the caller's policy). NULL values
+    drop; single-row strata have no sample SD and allocate zero.
+
+    Returns (strata..., n_pop, sd, alloc_frac, alloc_n).
+    """
+    if total_n < 1:
+        raise ValueError(f"total_n must be >= 1, got {total_n}")
+    d38 = "decimal(38,0)"
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(d38)
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*stratum_cols)
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("_n"),
+            F.sum(vm).alias("_s"),
+            F.sum(vm * vm).alias("_q"),
+        )
+    )
+    n = F.col("_n")
+    sd = F.sqrt(
+        F.try_divide(
+            (n * F.col("_q") - F.col("_s") * F.col("_s")).cast("double"),
+            (n * (n - 1)).cast("double"),
+        )
+    ) / 1e6
+    staged = per.select(
+        *stratum_cols,
+        n.cast("long").alias("n_pop"),
+        F.coalesce(sd, F.lit(0.0)).alias("_sd"),
+        (n.cast("double") * F.coalesce(sd, F.lit(0.0))).alias("_ns"),
+    )
+    wtot = W.partitionBy()
+    frac = F.lit(float(total_n)) * F.try_divide(
+        F.col("_ns"), F.sum("_ns").over(wtot)
+    )
+    with_frac = staged.select(
+        *stratum_cols,
+        "n_pop",
+        F.col("_sd").alias("_sdv"),
+        F.coalesce(frac, F.lit(0.0)).alias("_frac"),
+    )
+    base_i = F.floor(F.col("_frac")).cast("long")
+    rem = F.col("_frac") - base_i
+    # largest-remainder top-up: total_n − Σfloor gets distributed to the
+    # biggest remainders (deterministic tie-break by remainder DESC,
+    # then the stratum key) — stratum-sized windows only
+    worder = W.orderBy(
+        rem.desc(), *[F.col(c).asc() for c in stratum_cols]
+    )
+    ranked = with_frac.select(
+        *stratum_cols,
+        "n_pop",
+        "_sdv",
+        "_frac",
+        base_i.alias("_base"),
+        F.row_number().over(worder).alias("_rk"),
+        (F.lit(total_n) - F.sum(base_i).over(W.partitionBy())).alias(
+            "_left"
+        ),
+    )
+    alloc = F.col("_base") + F.when(
+        F.col("_rk") <= F.col("_left"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return ranked.select(
+        *stratum_cols,
+        "n_pop",
+        F.round(F.col("_sdv"), 6).alias("sd"),
+        F.round(F.col("_frac"), 6).alias("alloc_frac"),
+        alloc.cast("long").alias("alloc_n"),
+    )

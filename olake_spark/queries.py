@@ -8091,6 +8091,11 @@ _GATE_TAIL = [
     "events_new_vs_returning",
     "orders_two_prop_ztest",
     "events_odds_ratio",
+    # r11 fourth batch: window still full (same rule) — the survey/
+    # trend trio starts in the tail too, all reference-pinned
+    "supplier_neyman_allocation",
+    "orders_kish_weighted_mean",
+    "orders_cochran_armitage",
 ]
 
 

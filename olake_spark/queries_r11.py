@@ -1367,3 +1367,142 @@ def events_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") > 250.0).alias("o"),
     )
     return odds_ratio(ev, "e", "o")
+
+
+_NEYMAN_ORACLE = """
+WITH per AS (
+  SELECT s_nationkey,
+         count(*)::HUGEINT AS n,
+         sum(round(s_acctbal * 1000000)::BIGINT)::HUGEINT AS s,
+         sum(round(s_acctbal * 1000000)::BIGINT::HUGEINT
+             * round(s_acctbal * 1000000)::BIGINT) AS q
+  FROM supplier WHERE s_acctbal IS NOT NULL GROUP BY 1
+),
+sdv AS (
+  SELECT s_nationkey, n,
+         coalesce(CASE WHEN n > 1 THEN
+           sqrt((n*q - s*s)::DOUBLE / (n*(n-1))::DOUBLE) / 1e6 END, 0.0)
+           AS sd
+  FROM per
+),
+frac AS (
+  SELECT s_nationkey, n, sd,
+         coalesce(1000.0 * (n::DOUBLE * sd) / nullif(sum(n::DOUBLE * sd)
+                  OVER (), 0.0), 0.0) AS f
+  FROM sdv
+),
+ranked AS (
+  SELECT s_nationkey, n, sd, f,
+         floor(f)::BIGINT AS base,
+         row_number() OVER (ORDER BY f - floor(f) DESC, s_nationkey)
+           AS rk,
+         1000 - sum(floor(f)::BIGINT) OVER () AS leftn
+  FROM frac
+)
+SELECT s_nationkey, n::BIGINT AS n_pop, round(sd, 6) AS sd,
+       round(f, 6) AS alloc_frac,
+       (base + CASE WHEN rk <= leftn THEN 1 ELSE 0 END)::BIGINT AS alloc_n
+FROM ranked
+"""
+
+
+@register("supplier_neyman_allocation", _NEYMAN_ORACLE)
+def supplier_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a 1000-unit sample budget across
+    supplier nations by account-balance SD
+    (operators/sampling.neyman_allocation) — n_h proportional to
+    N_h*S_h, with the Hamilton largest-remainder integerization whose
+    alloc_n column sums exactly to the budget."""
+    from olake_spark.operators.sampling import neyman_allocation
+
+    return neyman_allocation(
+        table(spark, sf_dir, "supplier"), ["s_nationkey"], "s_acctbal",
+        total_n=1000,
+    )
+
+
+_KISH_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority,
+         (1 + o_custkey % 5)::DOUBLE AS w, o_totalprice AS x
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+agg AS (
+  SELECT o_orderpriority,
+         count(*)::BIGINT AS n,
+         sum(round(w * 1000000)::BIGINT)::HUGEINT AS sw,
+         sum(round(w * 1000000)::BIGINT::HUGEINT
+             * round(w * 1000000)::BIGINT) AS sww,
+         sum(round(w * 1000000)::BIGINT::HUGEINT
+             * round(x * 1000000)::BIGINT) AS swx
+  FROM base GROUP BY 1
+)
+SELECT o_orderpriority, n, 0::BIGINT AS n_excluded,
+       round(swx::DOUBLE / sw::DOUBLE / 1e6, 6) AS mean_w,
+       round((sw*sw)::DOUBLE / sww::DOUBLE, 6) AS n_eff,
+       round(n::DOUBLE / ((sw*sw)::DOUBLE / sww::DOUBLE), 6) AS deff
+FROM agg
+"""
+
+
+@register("orders_kish_weighted_mean", _KISH_ORACLE)
+def orders_kish_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey-weighted order-total mean per priority with Kish n_eff
+    and design effect (operators/abtest.kish_weighted_mean); weights
+    are the deterministic 1+(custkey%5) replication fixture. Exact
+    micro-squared moment products."""
+    from olake_spark.operators.abtest import kish_weighted_mean
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        "o_orderpriority",
+        (1 + F.col("o_custkey") % 5).cast("double").alias("w"),
+        F.col("o_totalprice").alias("x"),
+    )
+    return kish_weighted_mean(o, ["o_orderpriority"], "x", "w")
+
+
+_CA_ORACLE = """
+WITH base AS (
+  SELECT CASE o_orderpriority
+           WHEN '1-URGENT' THEN 1000000 WHEN '2-HIGH' THEN 2000000
+           WHEN '3-MEDIUM' THEN 3000000 WHEN '4-NOT SPECIFIED' THEN 4000000
+           WHEN '5-LOW' THEN 5000000 END::HUGEINT AS w,
+         CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS s
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+agg AS (
+  SELECT count(*)::HUGEINT AS n, sum(s)::HUGEINT AS k,
+         sum(w) AS nw, sum(w * s) AS kw, sum(w * w) AS nww,
+         count(DISTINCT w)::BIGINT AS kg
+  FROM base WHERE w IS NOT NULL
+)
+SELECT kg AS k_groups, n::BIGINT AS n, k::BIGINT AS k_total,
+       CASE WHEN (n*nww - nw*nw) > 0 AND k > 0 AND k < n THEN
+         round(((n*kw - k*nw)::DOUBLE / n::DOUBLE)
+               / sqrt((k*(n-k))::DOUBLE * (n*nww - nw*nw)::DOUBLE
+                      / (n::DOUBLE * n::DOUBLE * n::DOUBLE)), 6)
+       END AS z
+FROM agg
+"""
+
+
+@register("orders_cochran_armitage", _CA_ORACLE)
+def orders_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage linear-trend test of the big-order rate across
+    the five priority tiers scored 1..5
+    (operators/abtest.cochran_armitage_trend) — the proportions sibling
+    of the Jonckheere ordered-trend test; exact cross-multiplied T and
+    variance moments."""
+    from olake_spark.operators.abtest import cochran_armitage_trend
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        "o_orderpriority",
+        (F.col("o_totalprice") > 150000.0).alias("s"),
+    )
+    scores = {"1-URGENT": 1.0, "2-HIGH": 2.0, "3-MEDIUM": 3.0,
+              "4-NOT SPECIFIED": 4.0, "5-LOW": 5.0}
+    return cochran_armitage_trend(o, "o_orderpriority", "s", scores)

@@ -1281,3 +1281,77 @@ def test_chi_square_gof_unexpected_category_raises(spark):
 
     with pytest.raises(Exception, match="not in expected weights"):
         chi_square_gof(df, "cat", {"a": 0.5, "b": 0.5}).collect()
+
+
+def test_neyman_allocation_pin(spark):
+    strata = {
+        "a": [10.0, 20.0, 30.0, 40.0],        # sd ~12.9, N=4
+        "b": [5.0, 5.1, 5.2],                  # tiny sd, N=3
+        "c": [0.0, 100.0, 50.0, 25.0, 75.0],   # big sd, N=5
+    }
+    rows = [(k, v) for k, vs in strata.items() for v in vs]
+    df = spark.createDataFrame(rows, "st string, v double")
+    from olake_spark.operators.sampling import neyman_allocation
+
+    total = 97
+    got = {r["st"]: r
+           for r in neyman_allocation(df, ["st"], "v", total).collect()}
+
+    ns = {k: len(vs) * statistics.stdev(vs) for k, vs in strata.items()}
+    tot_ns = sum(ns.values())
+    fracs = {k: total * v / tot_ns for k, v in ns.items()}
+    # Hamilton integerization
+    base = {k: math.floor(f) for k, f in fracs.items()}
+    left = total - sum(base.values())
+    order = sorted(fracs, key=lambda k: (-(fracs[k] - base[k]), k))
+    for k in order[:left]:
+        base[k] += 1
+    for k in strata:
+        assert got[k]["n_pop"] == len(strata[k])
+        assert got[k]["sd"] == pytest.approx(statistics.stdev(strata[k]),
+                                             abs=1e-4)
+        assert got[k]["alloc_frac"] == pytest.approx(fracs[k], abs=1e-4)
+        assert got[k]["alloc_n"] == base[k]
+    assert sum(r["alloc_n"] for r in got.values()) == total
+
+
+def test_kish_weighted_mean_pin(spark):
+    rows = [("g", 10.0, 1.0), ("g", 20.0, 2.0), ("g", 30.0, 3.0),
+            ("g", 99.0, 0.0), ("g", 99.0, -1.0)]  # nonpositive excluded
+    df = spark.createDataFrame(rows, "k string, x double, w double")
+    from olake_spark.operators.abtest import kish_weighted_mean
+
+    got = _row(kish_weighted_mean(df, ["k"], "x", "w"))
+    ws, xs = [1.0, 2.0, 3.0], [10.0, 20.0, 30.0]
+    mean_w = sum(w * x for w, x in zip(ws, xs)) / sum(ws)
+    n_eff = sum(ws) ** 2 / sum(w * w for w in ws)
+    assert (got["n"], got["n_excluded"]) == (3, 2)
+    assert got["mean_w"] == approx(mean_w)
+    assert got["n_eff"] == approx(n_eff)
+    assert got["deff"] == approx(3 / n_eff)
+
+
+def test_cochran_armitage_pin(spark):
+    groups = {"g1": (2, 20), "g2": (5, 20), "g3": (9, 20)}  # rising rate
+    rows = []
+    for g, (k, n) in groups.items():
+        rows += [(g, True)] * k + [(g, False)] * (n - k)
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    from olake_spark.operators.abtest import cochran_armitage_trend
+
+    scores = {"g1": 1.0, "g2": 2.0, "g3": 3.0}
+    got = _row(cochran_armitage_trend(df, "g", "s", scores))
+
+    n = sum(nn for _, nn in groups.values())
+    k = sum(kk for kk, _ in groups.values())
+    phat = k / n
+    t = sum(kk * scores[g] for g, (kk, _) in groups.items()) - phat * sum(
+        nn * scores[g] for g, (_, nn) in groups.items()
+    )
+    var = phat * (1 - phat) * (
+        sum(nn * scores[g] ** 2 for g, (_, nn) in groups.items())
+        - sum(nn * scores[g] for g, (_, nn) in groups.items()) ** 2 / n
+    )
+    z = t / math.sqrt(var)
+    assert (got["k_groups"], got["n"], got["k_total"]) == (3, n, k)
+    assert got["z"] == approx(z)
