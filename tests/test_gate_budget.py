@@ -41,14 +41,16 @@ BUDGET_SINGLE_S = 10.0
 # (array_intersect verify on a pinned corpus) plus seven cheap batch-B
 # queries; the deliberately-heavy independent-oracle proofs stay in —
 # minhash_jaccard_proof budgets a multi-second O(n²) cross-join oracle
-# by design; r11: 291.0 s at 290 ≈ 1.00 s/q with the two new
-# deliberately-heavy independent-oracle proofs — cc_reachability's
-# recursive-closure oracle ~3 s and the substr containment scan ~2 s —
-# landing in the top-10; swept at 15-min load 7, so the settled number
-# is lower), so the cap is 290 × 1.25 ≈ 362, the warm-band ceiling at
-# the current registry size. The cap is a creep alarm, not a target —
-# raising it requires raising this comment's arithmetic too.
-BUDGET_GATE_S = 362.0
+# by design; r11 close, genuinely idle (load1 0.0/15-min 1.8): 255.8 s
+# at 303 ≈ 0.844 s/q — the best density yet AND a lower absolute total
+# than the 277-query r10 sweep despite +26 queries and the two
+# deliberately-heavy independent-oracle proofs (cc_reachability's
+# recursive-closure oracle ~3 s, the substr containment scan ~2 s) —
+# the mid-round 291 s reading at 15-min load 7 was warmth), so the cap
+# is 303 × 1.25 ≈ 379, the warm-band ceiling at the current registry
+# size. The cap is a creep alarm, not a target — raising it requires
+# raising this comment's arithmetic too.
+BUDGET_GATE_S = 379.0
 MARGIN = 1.5  # shared-suite noise headroom; the budget itself is the target
 
 
