@@ -1414,18 +1414,17 @@ def kish_weighted_mean(
     (n, Σw, Σw², Σwx) accumulate as exact DECIMAL(38,0) in one
     map-side-combinable pass — Σwx is a micro² product formed in
     DECIMAL — and the three outputs are one IEEE sequence each.
-    Non-positive weights are EXCLUDED (a survey weight is a positive
-    replication factor) and counted. Returns (keys..., n, n_excluded,
-    mean_w, n_eff, deff).
+    Rows with a NULL value are missing data, not invalid weights: they
+    drop BEFORE any accounting. Among value-bearing rows, non-positive
+    or NULL weights are EXCLUDED (a survey weight is a positive
+    replication factor) and counted in ``n_excluded`` — so
+    ``n_excluded > 0`` really does mean bad weights. Returns
+    (keys..., n, n_excluded, mean_w, n_eff, deff).
     """
     wm = F.round(F.col(weight_col) * 1_000_000).cast("long").cast(_D38)
     xm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(_D38)
-    ok = (
-        F.col(weight_col).isNotNull()
-        & (F.col(weight_col) > 0)
-        & F.col(value_col).isNotNull()
-    )
-    agg = df.groupBy(*keys).agg(
+    ok = F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    agg = df.filter(F.col(value_col).isNotNull()).groupBy(*keys).agg(
         F.sum(ok.cast("long")).alias("n"),
         F.sum((~ok).cast("long")).alias("n_excluded"),
         F.sum(F.when(ok, wm).otherwise(F.lit(0).cast(_D38))).alias("_sw"),
@@ -1486,14 +1485,19 @@ def cochran_armitage_trend(
         w = F.when(g == grp, F.lit(sm)).otherwise(w)
     per = (
         df.filter(g.isin(list(group_scores)) & s.isNotNull())
-        .select(w.cast(_D38).alias("_w"), s.cast("long").alias("_s"))
+        .select(
+            g.alias("_g"), w.cast(_D38).alias("_w"),
+            s.cast("long").alias("_s"),
+        )
         .agg(
             F.count(F.lit(1)).cast(_D38).alias("_n"),
             F.sum("_s").cast(_D38).alias("_k"),
             F.sum(F.col("_w")).alias("_nw"),
             F.sum(F.col("_w") * F.col("_s")).alias("_kw"),
             F.sum(F.col("_w") * F.col("_w")).alias("_nww"),
-            F.count_distinct(F.col("_w")).alias("_kg"),
+            # the GROUP label, not the quantized score — two groups
+            # deliberately sharing a score must still count as two
+            F.count_distinct(F.col("_g")).alias("_kg"),
         )
     )
     n = F.col("_n")

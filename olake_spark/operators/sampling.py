@@ -38,6 +38,7 @@ __all__ = [
 ]
 
 HASH_SPACE = 16**15  # 60-bit md5 prefix
+_D38 = "decimal(38,0)"  # exact-moment accumulator type (abtest.py house style)
 
 
 def hash_bucket(key: Column, salt: str = "") -> Column:
@@ -253,21 +254,28 @@ def neyman_allocation(
 
     (S_h = the stratum's sample SD). The per-stratum moments (N, Σv,
     Σv²) accumulate as exact micro-unit DECIMAL(38,0) integers in one
-    map-side-combinable pass; the N·S products and the allocation
-    divide are one IEEE sequence over the STRATUM-sized relation.
-    Allocations are reported both fractional (round 6) and as the
-    floor integer with the largest-remainder top-up so the integer
+    map-side-combinable pass; the size measure N·S then quantizes to a
+    micro integer PER ROW (one deterministic IEEE sequence each — no
+    order-dependent double summation anywhere), so the stratum-wide
+    total is an exact integer sum and the allocation fraction is a
+    single integer÷integer divide — reproducible across runs and
+    engines. Allocations are reported both fractional (round 6) and as
+    the floor integer with the largest-remainder top-up so the integer
     column sums EXACTLY to ``total_n`` (the Hamilton apportionment —
     deterministic tie-break by remainder DESC then stratum key).
     Zero-variance strata get zero allocation (they need one unit in
-    practice — that adjustment is the caller's policy). NULL values
-    drop; single-row strata have no sample SD and allocate zero.
+    practice — that adjustment is the caller's policy), EXCEPT in the
+    fully degenerate design where EVERY stratum has zero/undefined SD:
+    there Neyman provides no signal and the allocation falls back to
+    proportional (n_h ∝ N_h), preserving the sums-to-budget guarantee.
+    NULL values drop; single-row strata have no sample SD and behave
+    as zero-variance.
 
     Returns (strata..., n_pop, sd, alloc_frac, alloc_n).
     """
     if total_n < 1:
         raise ValueError(f"total_n must be >= 1, got {total_n}")
-    d38 = "decimal(38,0)"
+    d38 = _D38
     vm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(d38)
     per = (
         df.filter(F.col(value_col).isNotNull())
@@ -289,11 +297,22 @@ def neyman_allocation(
         *stratum_cols,
         n.cast("long").alias("n_pop"),
         F.coalesce(sd, F.lit(0.0)).alias("_sd"),
-        (n.cast("double") * F.coalesce(sd, F.lit(0.0))).alias("_ns"),
+        # micro-quantized N·S: the only double math is this per-row
+        # product+round (deterministic); everything summed is integer
+        F.round(
+            n.cast("double") * F.coalesce(sd, F.lit(0.0)) * F.lit(1e6)
+        ).cast("long").cast(d38).alias("_m"),
     )
     wtot = W.partitionBy()
+    msum = F.sum("_m").over(wtot)
+    npop_sum = F.sum(F.col("n_pop").cast(d38)).over(wtot)
+    # degenerate all-zero-SD design → proportional fallback (n_h ∝ N_h)
+    measure = F.when(msum > 0, F.col("_m")).otherwise(
+        F.col("n_pop").cast(d38)
+    )
+    measure_sum = F.when(msum > 0, msum).otherwise(npop_sum)
     frac = F.lit(float(total_n)) * F.try_divide(
-        F.col("_ns"), F.sum("_ns").over(wtot)
+        measure.cast("double"), measure_sum.cast("double")
     )
     with_frac = staged.select(
         *stratum_cols,

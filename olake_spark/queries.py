@@ -8091,11 +8091,17 @@ _GATE_TAIL = [
     "events_new_vs_returning",
     "orders_two_prop_ztest",
     "events_odds_ratio",
-    # r11 fourth batch: window still full (same rule) — the survey/
-    # trend trio starts in the tail too, all reference-pinned
-    "supplier_neyman_allocation",
-    "orders_kish_weighted_mean",
-    "orders_cochran_armitage",
+    # r11 post-wave review swap: the survey/trend trio's algebra changed
+    # AFTER the wave review (neyman exact-integer size measure +
+    # proportional fallback; kish n_excluded = bad weights only; CA
+    # k_groups counts groups not scores), so changed-value rule wins —
+    # they move INTO the window, and three untouched once-green r10
+    # census queries (ttr/type-entropy/interarrival: simple aggregations,
+    # reference-pinned in 87857c7, tail-certified every suite run) take
+    # their tail seats one round early.
+    "documents_ttr_by_source",
+    "events_daily_type_entropy",
+    "orders_interarrival_stats",
 ]
 
 

@@ -1385,11 +1385,18 @@ sdv AS (
            AS sd
   FROM per
 ),
+meas AS (
+  SELECT s_nationkey, n, sd,
+         round(n::DOUBLE * sd * 1000000)::BIGINT::HUGEINT AS m
+  FROM sdv
+),
 frac AS (
   SELECT s_nationkey, n, sd,
-         coalesce(1000.0 * (n::DOUBLE * sd) / nullif(sum(n::DOUBLE * sd)
-                  OVER (), 0.0), 0.0) AS f
-  FROM sdv
+         coalesce(1000.0 * (
+           (CASE WHEN sum(m) OVER () > 0 THEN m ELSE n END)::DOUBLE
+           / nullif(CASE WHEN sum(m) OVER () > 0 THEN sum(m) OVER ()
+                         ELSE sum(n) OVER () END, 0)::DOUBLE), 0.0) AS f
+  FROM meas
 ),
 ranked AS (
   SELECT s_nationkey, n, sd, f,
@@ -1465,7 +1472,8 @@ def orders_kish_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CA_ORACLE = """
 WITH base AS (
-  SELECT CASE o_orderpriority
+  SELECT o_orderpriority AS g,
+         CASE o_orderpriority
            WHEN '1-URGENT' THEN 1000000 WHEN '2-HIGH' THEN 2000000
            WHEN '3-MEDIUM' THEN 3000000 WHEN '4-NOT SPECIFIED' THEN 4000000
            WHEN '5-LOW' THEN 5000000 END::HUGEINT AS w,
@@ -1475,7 +1483,7 @@ WITH base AS (
 agg AS (
   SELECT count(*)::HUGEINT AS n, sum(s)::HUGEINT AS k,
          sum(w) AS nw, sum(w * s) AS kw, sum(w * w) AS nww,
-         count(DISTINCT w)::BIGINT AS kg
+         count(DISTINCT g)::BIGINT AS kg
   FROM base WHERE w IS NOT NULL
 )
 SELECT kg AS k_groups, n::BIGINT AS n, k::BIGINT AS k_total,

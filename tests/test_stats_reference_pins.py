@@ -1355,3 +1355,48 @@ def test_cochran_armitage_pin(spark):
     z = t / math.sqrt(var)
     assert (got["k_groups"], got["n"], got["k_total"]) == (3, n, k)
     assert got["z"] == approx(z)
+
+
+def test_neyman_all_zero_sd_falls_back_proportional(spark):
+    # review finding: with every stratum zero-variance the Hamilton
+    # top-up used to hand 1 unit per stratum (summing to k, not the
+    # budget) — the degenerate design now falls back to n_h ∝ N_h
+    rows = [("a", 7.0)] * 2 + [("b", 3.0)] * 6 + [("c", 9.0)]
+    df = spark.createDataFrame(rows, "st string, v double")
+    from olake_spark.operators.sampling import neyman_allocation
+
+    got = {r["st"]: r for r in neyman_allocation(df, ["st"], "v", 90).collect()}
+    assert sum(r["alloc_n"] for r in got.values()) == 90
+    # proportional to N_h = (2, 6, 1) of 9
+    assert got["a"]["alloc_n"] == 20
+    assert got["b"]["alloc_n"] == 60
+    assert got["c"]["alloc_n"] == 10
+    assert all(r["sd"] == 0.0 for r in got.values())
+
+
+def test_kish_null_value_rows_are_not_excluded_weights(spark):
+    # review finding: a NULL value with a perfectly good weight landed
+    # in n_excluded, inflating what the docstring defines as the count
+    # of invalid survey weights
+    rows = [("g", 10.0, 1.0), ("g", 30.0, 3.0),
+            ("g", None, 2.0),   # missing data, fine weight -> dropped
+            ("g", 99.0, 0.0)]   # bad weight -> excluded
+    df = spark.createDataFrame(rows, "k string, x double, w double")
+    from olake_spark.operators.abtest import kish_weighted_mean
+
+    got = _row(kish_weighted_mean(df, ["k"], "x", "w"))
+    assert (got["n"], got["n_excluded"]) == (2, 1)
+    assert got["mean_w"] == approx((10.0 + 3 * 30.0) / 4.0)
+
+
+def test_cochran_armitage_k_groups_counts_groups_not_scores(spark):
+    # review finding: k_groups was count_distinct of the quantized
+    # score, silently merging groups that share a score
+    rows = [("g1", True), ("g1", False), ("g2", False), ("g2", False),
+            ("g3", True), ("g3", True), ("g3", False)]
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    from olake_spark.operators.abtest import cochran_armitage_trend
+
+    got = _row(cochran_armitage_trend(
+        df, "g", "s", {"g1": 1.0, "g2": 1.0, "g3": 2.0}))
+    assert got["k_groups"] == 3
