@@ -54,6 +54,7 @@ __all__ = [
     "ivf_assign",
     "ivf_build_index",
     "ivf_topk",
+    "ivf_exact_topk",
     "ivf_train_centroids",
     "cosine_near_dup_pairs",
 ]
@@ -607,6 +608,150 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", "rank", F.round(F.col("_sim9"), 6).alias("cosine_sim")
+        )
+    )
+
+
+def ivf_exact_topk(
+    queries: DataFrame,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_stride: int = 97,
+    centroids: DataFrame | None = None,
+    index: DataFrame | None = None,
+    p_init: int = 2,
+    dim: int = _DIM,
+    cells_only: bool = False,
+) -> DataFrame:
+    """EXACT top-k with triangle-inequality cell pruning — the provable
+    middle ground between ``brute_force_topk`` (reads everything) and
+    ``ivf_topk`` (reads ``nprobe`` cells, loses recall):
+
+    1. estimate: scan the query's ``p_init`` nearest cells, take the
+       k-th best candidate cosine as a distance bound d_k;
+    2. prune: a cell at centroid distance d(q, cent) with member radius
+       r can only hold a closer neighbor if d(q, cent) − r ≤ d_k
+       (triangle inequality on the unit sphere, d = √(2 − 2·cos));
+    3. final: exact top-k over the surviving cells only.
+
+    Losslessness is MATHEMATICAL, not measured: every true top-k
+    neighbor c satisfies d(q, cent(c)) ≤ d(q, c) + r(cell(c)) ≤ d_k + r,
+    so its cell always survives step 2 — the result equals brute force
+    by construction, which is why the registry query pairs this plan
+    with the structurally independent brute-force SQL oracle. A 1e-6
+    distance slack on the prune comparison absorbs FP fold error
+    (~5e-8 worst case through the √) and the round-9 ranking boundary;
+    pruning power is unaffected (cell gaps are O(0.1) distances).
+
+    At scale: centroids/cell-stats are broadcast-tiny, the estimate and
+    final scans touch only listed cells of a ``_cell``-bucketed index
+    (exchange-free joins via ``sinks.bucketed``), and the only windows
+    are per-query over candidate relations. ``cells_only=True`` returns
+    the surviving (query_id, _cell) relation so tests can assert the
+    pruning is real, not vacuous. Self-matches excluded as everywhere.
+    """
+    if centroids is None:
+        if corpus is None:
+            raise ValueError("need corpus to derive stride centroids")
+        centroids = stride_centroids(corpus, id_col, vec_col, centroid_stride)
+    if index is None:
+        if corpus is None:
+            raise ValueError("need corpus or a precomputed index")
+        # the exact plan reads the assignment from THREE branches
+        # (cell radii, the estimate scan, the final scan) — inline mode
+        # materializes it once instead of re-running the corpus ×
+        # centroid scoring per branch; at scale pass ``index=`` a
+        # persisted ``_cell``-bucketed table and this never triggers
+        index = ivf_build_index(
+            corpus, centroids, id_col, vec_col, dim
+        ).localCheckpoint(eager=False)
+    eps = F.lit(1e-6)
+
+    cb = F.broadcast(centroids.withColumn("_cvn", _norm("_cent_v", dim)))
+    ca = index.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(vec_col, dim).alias("_cn"),
+        "_cell",
+    )
+    # per-cell radius: max member distance to the OWN centroid — raw
+    # (unrounded) cosine so the radius never shrinks from rounding
+    member_cos = cosine_prenormed("_cv", "_cent_v", "_cn", "_cvn", dim)
+    cellstats = (
+        ca.join(cb, ca["_cell"] == cb["_cent_id"])
+        .select("_cell", member_cos.alias("_mc"))
+        .groupBy("_cell")
+        .agg(F.min("_mc").alias("_min_cos"))
+        .select(
+            "_cell",
+            F.sqrt(F.greatest(F.lit(0.0), 2.0 - 2.0 * F.col("_min_cos"))).alias(
+                "_radius"
+            ),
+        )
+    )
+    qa = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(vec_col, dim).alias("_qn"),
+    )
+    qc = qa.crossJoin(cb).select(
+        "query_id",
+        "_qv",
+        "_qn",
+        F.col("_cent_id").alias("_cell"),
+        cosine_prenormed("_qv", "_cent_v", "_qn", "_cvn", dim).alias("_qc_cos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("_qc_cos").desc(), F.col("_cell").asc()
+    )
+    init_cells = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= p_init)
+        .select("query_id", "_qv", "_qn", "_cell")
+    )
+    pair_cos = cosine_prenormed("_qv", "_cv", "_qn", "_cn", dim)
+    cand0 = (
+        ca.join(F.broadcast(init_cells), "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", pair_cos.alias("_cos"))
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("_cos").desc())
+    kth = (
+        cand0.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") == k)
+        .select("query_id", F.col("_cos").alias("_cos_k"))
+    )
+    d_qc = F.sqrt(F.greatest(F.lit(0.0), 2.0 - 2.0 * F.col("_qc_cos")))
+    d_k = F.sqrt(F.greatest(F.lit(0.0), 2.0 - 2.0 * F.col("_cos_k")))
+    survivors = (
+        qc.join(F.broadcast(cellstats), "_cell")
+        .join(F.broadcast(kth), "query_id", "left")
+        .filter(
+            F.col("_cos_k").isNull() | (d_qc - F.col("_radius") <= d_k + eps)
+        )
+        .select("query_id", "_qv", "_qn", "_cell")
+    )
+    if cells_only:
+        return survivors.select("query_id", "_cell")
+    sim = F.round(pair_cos, 9).alias("_sim9")
+    scored = (
+        ca.join(F.broadcast(survivors), "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("_sim9").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("_sim9"), 6).alias("cosine_sim"),
         )
     )
 

@@ -8102,6 +8102,10 @@ _GATE_TAIL = [
     "documents_ttr_by_source",
     "events_daily_type_entropy",
     "orders_interarrival_stats",
+    # r11 post-close additions: window still at cap — new queries seed
+    # the tail (local exact gate + suite tail certification until a
+    # window slot frees up next rotation)
+    "similarity_topk_exact_pruned",
 ]
 
 

@@ -1514,3 +1514,96 @@ def orders_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = {"1-URGENT": 1.0, "2-HIGH": 2.0, "3-MEDIUM": 3.0,
               "4-NOT SPECIFIED": 4.0, "5-LOW": 5.0}
     return cochran_armitage_trend(o, "o_orderpriority", "s", scores)
+
+
+# ---------------------------------------------------------------------------
+# independent-oracle proof #7: exact ANN with triangle-inequality pruning
+# ---------------------------------------------------------------------------
+
+# deterministic CLUSTERED 8-dim vectors derived from orders: cluster
+# center from o_orderkey % 32 (integers, exact), jitter from a Knuth
+# multiplicative hash (exact integer math then one divide) — identical
+# doubles in both engines, and genuinely clustered so the triangle
+# pruning is non-vacuous (random high-dim vectors concentrate distances
+# and prune nothing; the embeddings table proved that empirically).
+_CLUSTER_DIM = 8
+
+
+def _clustered_vec_exprs(key: str) -> list[str]:
+    exprs = []
+    for j in range(_CLUSTER_DIM):
+        center = f"(CAST(({key} % 32) * 7 + {13 * j} AS BIGINT) % 11) - 5"
+        jitter = f"((({key} + {j}) * 2654435761) % 997) / 2000.0 - 0.25"
+        exprs.append(f"(({center}) + ({jitter}))")
+    return exprs
+
+
+def _clustered_vec_sql(key: str) -> str:
+    return "[" + ", ".join(_clustered_vec_exprs(key)) + "]"
+
+
+def _cos8(a: str, b: str) -> str:
+    dot = " + ".join(f"{a}[{i + 1}] * {b}[{i + 1}]" for i in range(_CLUSTER_DIM))
+    na = " + ".join(f"{a}[{i + 1}] * {a}[{i + 1}]" for i in range(_CLUSTER_DIM))
+    nb = " + ".join(f"{b}[{i + 1}] * {b}[{i + 1}]" for i in range(_CLUSTER_DIM))
+    return f"(0.0 + {dot}) / (sqrt(0.0 + {na}) * sqrt(0.0 + {nb}))"
+
+
+_EXACT_PRUNED_ORACLE = f"""
+WITH vecs AS (
+  SELECT o_orderkey AS vec_id, {_clustered_vec_sql('o_orderkey')}::DOUBLE[] AS v
+  FROM orders
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 16),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_cos8('q.qv', 'c.v')}, 9) AS s9
+  FROM q JOIN vecs c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, neighbor_id) AS "rank"
+  FROM scored
+)
+SELECT query_id, neighbor_id, "rank", round(s9, 6) AS cosine_sim
+FROM ranked WHERE "rank" <= 5
+"""
+
+
+def _clustered_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    dims = [F.expr(e).cast("double") for e in _clustered_vec_exprs("o_orderkey")]
+    return o.select(
+        F.col("o_orderkey").alias("vec_id"), F.array(*dims).alias("embedding")
+    )
+
+
+@register("similarity_topk_exact_pruned", _EXACT_PRUNED_ORACLE)
+def similarity_topk_exact_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independent-oracle proof #7: `ivf_exact_topk` — exact top-k that
+    PRUNES cells by the triangle inequality (d(q,cent) − radius > d_k ⇒
+    skip the cell) — against a plain brute-force cross-join oracle that
+    knows nothing about cells, bounds, or the two-phase plan. The
+    operator's losslessness is mathematical (every true neighbor's cell
+    must survive the bound), so exact hash equality is the expected
+    outcome and any divergence is a real bug in the pruning algebra.
+    tests/test_similarity_fast_paths.py asserts the pruning is also
+    non-vacuous on this fixture (measured: 1.6% of (query, cell) pairs
+    survive at sf0.01). The centroid stride scales with the corpus so
+    the CELL COUNT stays ~fixed (~160): with a constant stride the
+    centroid set grows ∝N and index assignment degenerates to
+    O(N²/stride) — the r11 SF sweep caught exactly that (exponent 1.5
+    at stride 97) — while a bounded cell count keeps assignment linear,
+    the way production IVF holds n_cells at a trained constant. The
+    one-row count() is index-BUILD sizing, not per-query work."""
+    from olake_spark.operators.similarity import ivf_exact_topk
+
+    vecs = _clustered_vectors(spark, sf_dir)
+    stride = max(97, vecs.count() // 160)
+    return ivf_exact_topk(
+        vecs.filter(F.col("vec_id") < 16),
+        vecs,
+        k=5,
+        centroid_stride=stride,
+        p_init=2,
+        dim=_CLUSTER_DIM,
+    )

@@ -81,6 +81,9 @@ _CROSS_OK = {
     # theta-join, 7 × 50 cells, never row pairs
     "documents_heaps_law",
     "lineitem_jonckheere_shipmode",
+    # r11 proof #7: ivf_assign broadcast-centroid scoring (query ×
+    # 155-centroid broadcast, the same shape as every ivf query above)
+    "similarity_topk_exact_pruned",
 }
 
 

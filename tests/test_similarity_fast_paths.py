@@ -265,3 +265,27 @@ def test_fast_paths_concurrent(spark, emb):
     }
     assert len(checks) == 10
     run_concurrently(checks)
+
+
+def test_ivf_exact_topk_is_lossless_and_actually_prunes(spark):
+    """ivf_exact_topk must equal brute force EXACTLY (the losslessness
+    is mathematical — any divergence is a bug in the bound algebra) and
+    the pruning must be non-vacuous on the clustered fixture (the
+    random `embeddings` table concentrates distances and prunes
+    nothing, which is precisely why the registry proof runs on the
+    orders-derived clustered vectors)."""
+    from olake_spark.queries_r11 import _clustered_vectors
+
+    vecs = _clustered_vectors(spark, SF)
+    q = vecs.filter(F.col("vec_id") < 16)
+    bf = sim.brute_force_topk(q, vecs, k=5, dim=8)
+    ex = sim.ivf_exact_topk(q, vecs, k=5, centroid_stride=97, p_init=2, dim=8)
+    assert sorted(map(tuple, bf.collect())) == sorted(map(tuple, ex.collect()))
+
+    surv = sim.ivf_exact_topk(
+        q, vecs, k=5, centroid_stride=97, p_init=2, dim=8, cells_only=True
+    ).count()
+    n_q = q.count()
+    n_cells = vecs.filter((F.col("vec_id") % 97) == 0).count()
+    frac = surv / (n_q * n_cells)
+    assert frac < 0.6, f"pruning is vacuous: {frac:.3f} of cells survive"
