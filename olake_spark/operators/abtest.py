@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bh_fdr_adjust",
+    "mantel_haenszel_or",
+    "mcnemar_paired",
+    "wasserstein_1d",
     "cochran_armitage_trend",
     "correlation_ratio",
     "kish_weighted_mean",
@@ -1521,4 +1524,197 @@ def cochran_armitage_trend(
         n.cast("long").alias("n"),
         F.col("_k").cast("long").alias("k_total"),
         F.round(z, 6).alias("z"),
+    )
+
+
+def mantel_haenszel_or(
+    df: DataFrame,
+    stratum_cols: list[str],
+    exposure_col: str,
+    outcome_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across strata — the
+    confounder-adjusted 2×2 readout (:func:`odds_ratio` collapses the
+    table and eats Simpson's paradox; MH pools WITHIN-stratum odds):
+
+        OR_MH = Σ_i (a_i·d_i/n_i) / Σ_i (b_i·c_i/n_i)
+
+    with the Robins–Breslow–Greenland variance for the CI:
+
+        var(ln OR) = ΣPR/(2R²) + Σ(PS+QR)/(2RS) + ΣQS/(2S²),
+        P=(a+d)/n, Q=(b+c)/n, R_i=a·d/n, S_i=b·c/n.
+
+    Cells accumulate exact; the five per-stratum double terms (R, S,
+    PR, PS+QR, QS — each ONE fixed IEEE sequence over exact cells) are
+    FLOOR-nano quantized before summation (the loglog/zipf order-free
+    float-sum discipline), so the pooled sums are partition-order
+    independent. Strata with an empty margin contribute their exact
+    zeros naturally (R=S=0). Degenerate pools (R or S zero) report
+    NULL OR/CI. Returns one row
+    (k_strata, n, or_mh, log_or_mh, se_log_or, ci_lo, ci_hi).
+    """
+    e = F.col(exposure_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    cells = (
+        df.filter(e.isNotNull() & o.isNotNull())
+        .groupBy(*stratum_cols)
+        .agg(
+            F.sum((e & o).cast("long")).alias("_a"),
+            F.sum((e & ~o).cast("long")).alias("_b"),
+            F.sum((~e & o).cast("long")).alias("_c"),
+            F.sum((~e & ~o).cast("long")).alias("_d"),
+        )
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in ("_a", "_b", "_c", "_d"))
+    n = a + b + c + d
+    r = a * d / n
+    s = b * c / n
+    p = (a + d) / n
+    q = (b + c) / n
+    nano = 1_000_000_000
+
+    def _nsum(term):
+        return F.sum(F.floor(term * nano).cast("long").cast(_D38))
+
+    m = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        F.sum(F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")).alias(
+            "_n"
+        ),
+        _nsum(r).alias("_sr"),
+        _nsum(s).alias("_ss"),
+        _nsum(p * r).alias("_spr"),
+        _nsum(p * s + q * r).alias("_spsqr"),
+        _nsum(q * s).alias("_sqs"),
+    )
+    sr = F.col("_sr").cast("double") / nano
+    ss = F.col("_ss").cast("double") / nano
+    ok = (F.col("_sr") > 0) & (F.col("_ss") > 0)
+    orm = F.when(ok, sr / ss)
+    lor = F.log(orm)
+    var = (
+        (F.col("_spr").cast("double") / nano) / (2.0 * sr * sr)
+        + (F.col("_spsqr").cast("double") / nano) / (2.0 * sr * ss)
+        + (F.col("_sqs").cast("double") / nano) / (2.0 * ss * ss)
+    )
+    se = F.when(ok, F.sqrt(var))
+    return m.select(
+        "k_strata",
+        F.col("_n").cast("long").alias("n"),
+        F.round(orm, 6).alias("or_mh"),
+        F.round(lor, 6).alias("log_or_mh"),
+        F.round(se, 6).alias("se_log_or"),
+        F.round(F.exp(lor - F.lit(z) * se), 6).alias("ci_lo"),
+        F.round(F.exp(lor + F.lit(z) * se), 6).alias("ci_hi"),
+    )
+
+
+def mcnemar_paired(
+    df: DataFrame, before_col: str, after_col: str
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes (same unit measured
+    twice — did the flip rate move?): only the discordant cells carry
+    information,
+
+        b = #(1→0),  c = #(0→1),
+        χ² = (b−c)²/(b+c),  χ²_cc = (|b−c|−1)²/(b+c)  (continuity),
+        z = (b−c)/√(b+c)
+
+    — the within-subject sibling of :func:`two_proportion_ztest`
+    (which would wrongly treat the two measurements as independent
+    samples). One exact four-cell aggregation; each statistic is one
+    IEEE sequence over the exact cells. Degenerate b+c=0 (no
+    discordant pairs) reports NULL statistics. Returns one row
+    (n, n_concordant, b, c, chi2, chi2_cc, z).
+    """
+    x = F.col(before_col).cast("boolean")
+    y = F.col(after_col).cast("boolean")
+    m = df.filter(x.isNotNull() & y.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((x == y).cast("long")).alias("n_concordant"),
+        F.sum((x & ~y).cast("long")).alias("b"),
+        F.sum((~x & y).cast("long")).alias("c"),
+    )
+    b = F.col("b").cast("double")
+    c = F.col("c").cast("double")
+    bc = b + c
+    ok = bc > 0
+    chi2 = F.when(ok, (b - c) * (b - c) / bc)
+    cc = F.abs(b - c) - 1.0
+    chi2_cc = F.when(ok, cc * cc / bc)
+    zst = F.when(ok, (b - c) / F.sqrt(bc))
+    return m.select(
+        "n",
+        "n_concordant",
+        "b",
+        "c",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(chi2_cc, 6).alias("chi2_cc"),
+        (F.round(zst, 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between two
+    groups' value distributions — the metric drift/shift score that,
+    unlike KS (sup of the gap) or PSI (binned), weighs HOW FAR mass
+    moved, in the value's own units:
+
+        W1 = ∫ |F_a(x) − F_b(x)| dx
+           = Σ_segments |C_a·n_b − C_b·n_a| · Δx / (n_a·n_b)
+
+    over the DISTINCT-value relation. Values micro-quantize, so every
+    segment term is an exact DECIMAL(38,0) product (cumulative counts ×
+    opposite total × segment width) — the whole sum is exact integers,
+    order-free with no nano-flooring needed, and ONE final divide
+    descales it. Cumulative counts are windows over the value-domain
+    relation ordered by value (the ks_test domain-size contract: the
+    distinct-value relation must fit a partition; raw rows never enter
+    a window). Returns one row (n_a, n_b, n_values, w1).
+    """
+    g = F.col(group_col)
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
+    per = (
+        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .select((g == group_a).alias("_isa"), vm.alias("_v"))
+        .groupBy("_v")
+        .agg(
+            F.sum(F.col("_isa").cast("long")).cast(_D38).alias("_ca"),
+            F.sum((~F.col("_isa")).cast("long")).cast(_D38).alias("_cb"),
+        )
+    )
+    wv = W.orderBy("_v")
+    cum = per.select(
+        "_v",
+        F.sum("_ca").over(wv).alias("_cuma"),
+        F.sum("_cb").over(wv).alias("_cumb"),
+        (F.lead("_v", 1).over(wv) - F.col("_v")).cast(_D38).alias("_dx"),
+        F.sum("_ca").over(W.partitionBy()).alias("_na"),
+        F.sum("_cb").over(W.partitionBy()).alias("_nb"),
+    )
+    seg = F.abs(
+        F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na")
+    ) * F.col("_dx")
+    m = cum.agg(
+        F.max("_na").alias("_tna"),
+        F.max("_nb").alias("_tnb"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum(F.when(F.col("_dx").isNotNull(), seg)).alias("_num"),
+    )
+    w1 = F.try_divide(
+        F.col("_num").cast("double"),
+        (F.col("_tna") * F.col("_tnb")).cast("double"),
+    ) / 1e6
+    return m.select(
+        F.col("_tna").cast("long").alias("n_a"),
+        F.col("_tnb").cast("long").alias("n_b"),
+        "n_values",
+        F.round(F.coalesce(w1, F.lit(None)), 6).alias("w1"),
     )

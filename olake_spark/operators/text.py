@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "heaps_law",
+    "chao1_richness",
+    "chao1_from_occurrences",
+    "good_turing_counts",
+    "good_turing_from_occurrences",
     "STOPWORDS",
     "LANG_MARKERS",
     "tokens",
@@ -422,3 +426,108 @@ def heaps_law(
         F.when(ok, F.round(beta, 6)).alias("heaps_beta"),
         F.when(ok, F.round(F.exp(icept), 6)).alias("heaps_k"),
     )
+
+
+def chao1_from_occurrences(df: DataFrame, unit_cols: list[str]) -> DataFrame:
+    """Chao1 over ANY occurrence relation — each row is one sighting of
+    the unit identified by ``unit_cols`` (a token, a user-day, a URL);
+    the estimator needs only the sighting-count histogram. The text
+    wrapper :func:`chao1_richness` explodes tokens into this."""
+    counts = (
+        df.groupBy(*unit_cols)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    m = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.sum((F.col("_c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("_c") == 2).cast("long")).alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    chao1 = F.col("vocab").cast("double") + (f1 * (f1 - 1.0)) / (
+        2.0 * (F.col("f2").cast("double") + 1.0)
+    )
+    return m.select(
+        "vocab", "n_tokens", "f1", "f2", F.round(chao1, 6).alias("chao1")
+    )
+
+
+def chao1_richness(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Chao1 estimate of the TRUE vocabulary size from the observed
+    token counts — "how many word types exist that this corpus hasn't
+    sampled yet?", the coverage companion to :func:`heaps_law` (Heaps
+    extrapolates growth; Chao1 lower-bounds the asymptote from the
+    rare-type counts alone):
+
+        chao1 = D + f1·(f1 − 1) / (2·(f2 + 1))
+
+    (bias-corrected form — defined even when no type occurs exactly
+    twice), with D the observed distinct types and f1/f2 the singleton/
+    doubleton type counts. Everything through the formula's inputs is
+    the one map-side-combinable token-count shuffle every text operator
+    shares plus a three-cell aggregation of exact integers; the
+    estimate is one IEEE sequence. Returns one row
+    (vocab, n_tokens, f1, f2, chao1).
+    """
+    occ = df.select(
+        F.explode(tokens(F.col(text_col))).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    return chao1_from_occurrences(occ, ["_tok"])
+
+
+def good_turing_from_occurrences(
+    df: DataFrame, unit_cols: list[str], max_r: int = 10
+) -> DataFrame:
+    """Good–Turing adjusted counts over ANY occurrence relation (see
+    :func:`chao1_from_occurrences` for the unit framing)."""
+    if max_r < 1:
+        raise ValueError(f"max_r must be >= 1, got {max_r}")
+    counts = (
+        df.groupBy(*unit_cols)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    fof = counts.groupBy(F.col("_c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    nxt = fof.select(
+        (F.col("r") - 1).alias("_rp"), F.col("n_r").alias("_n_next")
+    )
+    return (
+        fof.filter(F.col("r") <= max_r)
+        .join(nxt, F.col("r") == F.col("_rp"), "left")
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_r",
+            F.round(
+                (F.col("r") + 1).cast("double")
+                * F.try_divide(
+                    F.col("_n_next").cast("double"),
+                    F.col("n_r").cast("double"),
+                ),
+                6,
+            ).alias("r_star"),
+        )
+    )
+
+
+def good_turing_counts(
+    df: DataFrame, text_col: str = "text", max_r: int = 10
+) -> DataFrame:
+    """Good–Turing adjusted counts over the corpus frequency-of-
+    frequencies — the smoothing table every count-based LM needs
+    (r* answers "a type seen r times: how many times does it REALLY
+    occur per corpus-worth of text?"; r*=0's mass N1/N is the unseen-
+    event probability):
+
+        r* = (r + 1) · N_{r+1} / N_r
+
+    Two shuffles, both shrinking fast: token counts (vocabulary-sized),
+    then frequency-of-frequencies (count-domain-sized — tens of rows);
+    the adjusted count is one divide over exact integer cells via a
+    self-join on r+1 (NULL where N_{r+1} is unobserved — honest gaps,
+    not zeros). Returns (r, n_r, r_star) for 1 ≤ r ≤ ``max_r``.
+    """
+    occ = df.select(
+        F.explode(tokens(F.col(text_col))).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    return good_turing_from_occurrences(occ, ["_tok"], max_r=max_r)

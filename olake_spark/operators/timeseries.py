@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from olake_spark.operators.sessions import _gap_seconds
 
 __all__ = [
+    "durbin_watson",
     "changepoint_mean_shift",
     "seasonal_decompose",
     "seasonal_strength",
@@ -850,4 +851,54 @@ def revenue_bridge(
         F.round(price_eff, 6).alias("price_effect"),
         F.round(vol_eff, 6).alias("volume_effect"),
         F.round(joint_eff, 6).alias("joint_effect"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Durbin–Watson statistic per key series — the lag-1
+    autocorrelation diagnostic (≈2 none, →0 positive, →4 negative)
+    over the mean-centered series:
+
+        DW = Σ_{t≥2}(e_t − e_{t−1})² / Σ e_t²,   e = v − v̄
+
+    The mean CANCELS in the numerator's differences, so with values
+    micro-quantized both moments are exact integers — numerator from
+    one lag window per key (Σd², d = v_t − v_{t−1}), denominator from
+    the exact-moment identity n·Σv² − (Σv)² — and DW is one divide:
+
+        DW = n·Σd² / (n·Σv² − (Σv)²)
+
+    Per-key windows only (the series per key must fit a partition —
+    the ACF/seasonal contract shared by every operator here).
+    Constant series (zero variance) and n < 2 report NULL. Returns
+    (keys..., n, dw).
+    """
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(_D38)
+    wk = W.partitionBy(*key_cols).orderBy(order_col)
+    staged = df.filter(F.col(value_col).isNotNull()).select(
+        *key_cols,
+        vm.alias("_v"),
+        (vm - F.lag(vm, 1).over(wk)).alias("_d"),
+    )
+    m = staged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast(_D38).alias("_n"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_q"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sd2"),
+    )
+    n = F.col("_n")
+    den = n * F.col("_q") - F.col("_s") * F.col("_s")
+    dw = F.when(
+        (n > 1) & (den > 0),
+        (n * F.col("_sd2")).cast("double") / den.cast("double"),
+    )
+    return m.select(
+        *key_cols,
+        n.cast("long").alias("n"),
+        F.round(dw, 6).alias("dw"),
     )

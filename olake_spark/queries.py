@@ -8106,6 +8106,12 @@ _GATE_TAIL = [
     # the tail (local exact gate + suite tail certification until a
     # window slot frees up next rotation)
     "similarity_topk_exact_pruned",
+    "events_chao1_user_days",
+    "events_good_turing_user_days",
+    "orders_mantel_haenszel",
+    "events_mcnemar_clicks_purchases",
+    "lineitem_wasserstein_price",
+    "events_durbin_watson",
 ]
 
 

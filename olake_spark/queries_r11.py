@@ -1607,3 +1607,296 @@ def similarity_topk_exact_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_init=2,
         dim=_CLUSTER_DIM,
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 post-close wave: richness/smoothing + paired/stratified tests +
+# distribution distance + autocorrelation diagnostic
+# ---------------------------------------------------------------------------
+
+_CHAO1_ORACLE = """
+WITH counts AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*)::BIGINT AS c
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+m AS (
+  SELECT count(*)::BIGINT AS vocab, sum(c)::BIGINT AS n_tokens,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+  FROM counts
+)
+SELECT vocab, n_tokens, f1, f2,
+       round(vocab::DOUBLE + (f1::DOUBLE * (f1::DOUBLE - 1.0))
+             / (2.0 * (f2::DOUBLE + 1.0)), 6) AS chao1
+FROM m
+"""
+
+
+@register("events_chao1_user_days", _CHAO1_ORACLE)
+def events_chao1_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 capture-recapture estimate of the TRUE number of active
+    user-days from sighting counts (operators/text.
+    chao1_from_occurrences — the estimator is unit-agnostic): f1=1109 /
+    f2=1158 singleton/doubleton user-days at sf0.01, so the estimate is
+    a real extrapolation, not the degenerate vocab echo the templated
+    `documents` corpus produces (31 token types, min count 26 — zero
+    singletons; that near-vacuous fixture is exactly what the r11
+    mod-sweep lesson says to avoid)."""
+    from olake_spark.operators.text import chao1_from_occurrences
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    occ = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    return chao1_from_occurrences(occ, ["user_id", "day"])
+
+
+_GT_ORACLE = """
+WITH counts AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*)::BIGINT AS c
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+fof AS (
+  SELECT c AS r, count(*)::BIGINT AS n_r FROM counts GROUP BY 1
+)
+SELECT a.r::BIGINT AS r, a.n_r,
+       round((a.r + 1)::DOUBLE * b.n_r::DOUBLE / a.n_r::DOUBLE, 6) AS r_star
+FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
+WHERE a.r <= 10
+"""
+
+
+@register("events_good_turing_user_days", _GT_ORACLE)
+def events_good_turing_user_days(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Good–Turing adjusted sighting counts r* over the user-day
+    frequency-of-frequencies (operators/text.
+    good_turing_from_occurrences), r ≤ 10 — all ten rows populated at
+    sf0.01 (the documents corpus's count floor of 26 made the text
+    version an empty relation: a vacuous green)."""
+    from olake_spark.operators.text import good_turing_from_occurrences
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    occ = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    return good_turing_from_occurrences(occ, ["user_id", "day"], max_r=10)
+
+
+_MH_ORACLE = """
+WITH cells AS (
+  SELECT o_orderpriority,
+         sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+         sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM (
+    SELECT o_orderpriority, o_custkey % 2 = 0 AS e,
+           o_totalprice > 150000.0 AS o
+    FROM orders WHERE o_totalprice IS NOT NULL
+  ) GROUP BY 1
+),
+terms AS (
+  SELECT a + b + c + d AS cn,
+         a::DOUBLE * d::DOUBLE / (a+b+c+d)::DOUBLE AS r,
+         b::DOUBLE * c::DOUBLE / (a+b+c+d)::DOUBLE AS s,
+         (a+d)::DOUBLE / (a+b+c+d)::DOUBLE AS p,
+         (b+c)::DOUBLE / (a+b+c+d)::DOUBLE AS q
+  FROM cells
+),
+m AS (
+  SELECT count(*)::BIGINT AS k_strata, sum(cn)::BIGINT AS n,
+         sum(floor(r * 1000000000)::BIGINT)::HUGEINT AS sr,
+         sum(floor(s * 1000000000)::BIGINT)::HUGEINT AS ss,
+         sum(floor(p * r * 1000000000)::BIGINT)::HUGEINT AS spr,
+         sum(floor((p * s + q * r) * 1000000000)::BIGINT)::HUGEINT AS spsqr,
+         sum(floor(q * s * 1000000000)::BIGINT)::HUGEINT AS sqs
+  FROM terms
+),
+f AS (
+  SELECT k_strata, n,
+         CASE WHEN sr > 0 AND ss > 0
+              THEN (sr::DOUBLE / 1000000000) / (ss::DOUBLE / 1000000000) END AS orm,
+         CASE WHEN sr > 0 AND ss > 0 THEN sqrt(
+           (spr::DOUBLE / 1000000000)
+             / (2.0 * (sr::DOUBLE / 1000000000) * (sr::DOUBLE / 1000000000))
+           + (spsqr::DOUBLE / 1000000000)
+             / (2.0 * (sr::DOUBLE / 1000000000) * (ss::DOUBLE / 1000000000))
+           + (sqs::DOUBLE / 1000000000)
+             / (2.0 * (ss::DOUBLE / 1000000000) * (ss::DOUBLE / 1000000000))
+         ) END AS se
+  FROM m
+)
+SELECT k_strata, n, round(orm, 6) AS or_mh, round(ln(orm), 6) AS log_or_mh,
+       round(se, 6) AS se_log_or,
+       round(exp(ln(orm) - 1.96 * se), 6) AS ci_lo,
+       round(exp(ln(orm) + 1.96 * se), 6) AS ci_hi
+FROM f
+"""
+
+
+@register("orders_mantel_haenszel", _MH_ORACLE)
+def orders_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio of big orders vs the even-
+    custkey cohort, stratified by order priority
+    (operators/abtest.mantel_haenszel_or) with the RBG interval —
+    the Simpson's-paradox-proof sibling of events_odds_ratio."""
+    from olake_spark.operators.abtest import mantel_haenszel_or
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        "o_orderpriority",
+        (F.col("o_custkey") % 2 == 0).alias("e"),
+        (F.col("o_totalprice") > 150000.0).alias("o"),
+    )
+    return mantel_haenszel_or(o, ["o_orderpriority"], "e", "o")
+
+
+_MCNEMAR_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1 AS x,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS y
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN x = y THEN 1 ELSE 0 END)::BIGINT AS n_concordant,
+         sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM per_user
+)
+SELECT n, n_concordant, b, c,
+       CASE WHEN b + c > 0 THEN round(
+         (b::DOUBLE - c::DOUBLE) * (b::DOUBLE - c::DOUBLE)
+         / (b::DOUBLE + c::DOUBLE), 6) END AS chi2,
+       CASE WHEN b + c > 0 THEN round(
+         (abs(b::DOUBLE - c::DOUBLE) - 1.0) * (abs(b::DOUBLE - c::DOUBLE) - 1.0)
+         / (b::DOUBLE + c::DOUBLE), 6) END AS chi2_cc,
+       CASE WHEN b + c > 0 THEN round(
+         (b::DOUBLE - c::DOUBLE) / sqrt(b::DOUBLE + c::DOUBLE), 6) + 0.0
+       END AS z
+FROM m
+"""
+
+
+@register("events_mcnemar_clicks_purchases", _MCNEMAR_ORACLE)
+def events_mcnemar_clicks_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """McNemar's paired test of per-user click-reach vs purchase-reach
+    (operators/abtest.mcnemar_paired) — only the discordant users
+    carry information; the within-subject sibling of the two-prop z."""
+    from olake_spark.operators.abtest import mcnemar_paired
+
+    per_user = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (F.max((F.col("event_type") == "click").cast("int")) == 1).alias(
+                "x"
+            ),
+            (
+                F.max((F.col("event_type") == "purchase").cast("int")) == 1
+            ).alias("y"),
+        )
+    )
+    return mcnemar_paired(per_user, "x", "y")
+
+
+_W1_ORACLE = """
+WITH per AS (
+  SELECT round(l_extendedprice * 1000000)::BIGINT AS v,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::HUGEINT AS ca,
+         sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)::HUGEINT AS cb
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v) AS cuma,
+         sum(cb) OVER (ORDER BY v) AS cumb,
+         (lead(v) OVER (ORDER BY v) - v)::HUGEINT AS dx,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM per
+),
+m AS (
+  SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+         count(*)::BIGINT AS n_values,
+         sum(CASE WHEN dx IS NOT NULL
+             THEN abs(cuma * nb - cumb * na) * dx END) AS num,
+         max(na) AS tna, max(nb) AS tnb
+  FROM cum
+)
+SELECT n_a, n_b, n_values,
+       round(num::DOUBLE / (tna * tnb)::DOUBLE / 1e6, 6) AS w1
+FROM m
+"""
+
+
+@register("lineitem_wasserstein_price", _W1_ORACLE)
+def lineitem_wasserstein_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein distance between the R and A return
+    flags' extended-price distributions
+    (operators/abtest.wasserstein_1d) — every segment term an exact
+    DECIMAL product, one final divide."""
+    from olake_spark.operators.abtest import wasserstein_1d
+
+    return wasserstein_1d(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        "R", "A",
+    )
+
+
+_DW_ORACLE = """
+WITH daily AS (
+  -- per-day revenue in exact CENTS (per-event round, integer sum) so
+  -- the series fed to the DW quantizer carries no order-dependent
+  -- float sum on either engine
+  SELECT event_type,
+         date_trunc('day', ts) AS day,
+         sum(round(value * 100)::BIGINT)::BIGINT AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, v::HUGEINT AS v,
+         (v - lag(v) OVER (PARTITION BY event_type ORDER BY day))::HUGEINT AS d
+  FROM daily
+),
+m AS (
+  SELECT event_type, count(*)::HUGEINT AS n, sum(v) AS s,
+         sum(v * v) AS q, sum(d * d) AS sd2
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n,
+       CASE WHEN n > 1 AND n * q - s * s > 0
+            THEN round((n * sd2)::DOUBLE / (n * q - s * s)::DOUBLE, 6)
+       END AS dw
+FROM m
+"""
+
+
+@register("events_durbin_watson", _DW_ORACLE)
+def events_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson lag-1 autocorrelation diagnostic of each event
+    type's daily-revenue series (operators/timeseries.durbin_watson) —
+    the mean cancels in the differences, so both moments are exact
+    micro integers."""
+    from olake_spark.operators.timeseries import durbin_watson
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            # exact cents (per-event round, integer sum) — a float daily
+            # sum would be partition-order-dependent right at the
+            # operator's micro-round boundary
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev")
+        )
+    )
+    return durbin_watson(daily, ["event_type"], "day", "rev")

@@ -1400,3 +1400,105 @@ def test_cochran_armitage_k_groups_counts_groups_not_scores(spark):
     got = _row(cochran_armitage_trend(
         df, "g", "s", {"g1": 1.0, "g2": 1.0, "g3": 2.0}))
     assert got["k_groups"] == 3
+
+
+def test_chao1_pin(spark):
+    # 3 singletons, 1 doubleton, 2 heavier types -> D=6, f1=3, f2=1
+    toks = ["a", "b", "c", "d", "d", "e", "e", "e", "f", "f", "f", "f"]
+    df = spark.createDataFrame([(t,) for t in toks], "u string")
+    from olake_spark.operators.text import chao1_from_occurrences
+
+    got = _row(chao1_from_occurrences(df, ["u"]))
+    assert (got["vocab"], got["n_tokens"], got["f1"], got["f2"]) == (6, 12, 3, 1)
+    assert got["chao1"] == approx(6 + 3 * 2 / (2 * (1 + 1)))  # 7.5
+
+
+def test_good_turing_pin(spark):
+    # N1=3, N2=1, N3=1, N4=1 -> r*=1: 2*N2/N1=2/3; r*=2: 3*N3/N2=3;
+    # r*=3: 4*N4/N3=4; r*=4: NULL (no N5)
+    toks = ["a", "b", "c", "d", "d", "e", "e", "e", "f", "f", "f", "f"]
+    df = spark.createDataFrame([(t,) for t in toks], "u string")
+    from olake_spark.operators.text import good_turing_from_occurrences
+
+    rows = {r["r"]: r for r in good_turing_from_occurrences(df, ["u"]).collect()}
+    assert rows[1]["n_r"] == 3 and rows[1]["r_star"] == approx(2 / 3)
+    assert rows[2]["r_star"] == approx(3.0)
+    assert rows[3]["r_star"] == approx(4.0)
+    assert rows[4]["r_star"] is None
+
+
+def test_mantel_haenszel_pin(spark):
+    # two strata, hand-computed MH estimate + RBG variance
+    strata = {"s1": (10, 5, 4, 11), "s2": (6, 2, 3, 9)}  # (a, b, c, d)
+    rows = []
+    for st, (a, b, c, d) in strata.items():
+        rows += [(st, True, True)] * a + [(st, True, False)] * b
+        rows += [(st, False, True)] * c + [(st, False, False)] * d
+    df = spark.createDataFrame(rows, "st string, e boolean, o boolean")
+    from olake_spark.operators.abtest import mantel_haenszel_or
+
+    got = _row(mantel_haenszel_or(df, ["st"], "e", "o"))
+    R = sum(a * d / (a + b + c + d) for a, b, c, d in strata.values())
+    S = sum(b * c / (a + b + c + d) for a, b, c, d in strata.values())
+    PR = sum((a + d) / (n := a + b + c + d) * (a * d / n)
+             for a, b, c, d in strata.values())
+    PSQR = sum(((a + d) / (n := a + b + c + d)) * (b * c / n)
+               + ((b + c) / n) * (a * d / n) for a, b, c, d in strata.values())
+    QS = sum(((b + c) / (n := a + b + c + d)) * (b * c / n)
+             for a, b, c, d in strata.values())
+    se = math.sqrt(PR / (2 * R * R) + PSQR / (2 * R * S) + QS / (2 * S * S))
+    assert got["k_strata"] == 2 and got["n"] == 50
+    assert got["or_mh"] == pytest.approx(R / S, abs=1e-5)
+    assert got["log_or_mh"] == pytest.approx(math.log(R / S), abs=1e-5)
+    assert got["se_log_or"] == pytest.approx(se, abs=1e-5)
+
+
+def test_mcnemar_pin(spark):
+    # b=6 (1->0), c=2 (0->1), 12 concordant
+    rows = ([(True, True)] * 7 + [(False, False)] * 5
+            + [(True, False)] * 6 + [(False, True)] * 2)
+    df = spark.createDataFrame(rows, "x boolean, y boolean")
+    from olake_spark.operators.abtest import mcnemar_paired
+
+    got = _row(mcnemar_paired(df, "x", "y"))
+    assert (got["n"], got["n_concordant"], got["b"], got["c"]) == (20, 12, 6, 2)
+    assert got["chi2"] == approx((6 - 2) ** 2 / 8)        # 2.0
+    assert got["chi2_cc"] == approx((4 - 1) ** 2 / 8)     # 1.125
+    assert got["z"] == approx(4 / math.sqrt(8))
+
+
+def test_wasserstein_1d_pin(spark):
+    # equal sizes: W1 = mean |sorted(a)_i - sorted(b)_i| = (1+1+2)/3
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 2.0), ("b", 3.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import wasserstein_1d
+
+    got = _row(wasserstein_1d(df, "g", "v", "a", "b"))
+    assert (got["n_a"], got["n_b"]) == (3, 3)
+    assert got["w1"] == approx(4 / 3)
+    # unequal sizes: W1({0,4}, {2}) = integral |F_a - F_b| = 2*(1/2)+2*(1/2)
+    rows2 = [("a", 0.0), ("a", 4.0), ("b", 2.0)]
+    got2 = _row(wasserstein_1d(
+        spark.createDataFrame(rows2, "g string, v double"), "g", "v", "a", "b"))
+    assert got2["w1"] == approx(2.0)
+
+
+def test_durbin_watson_pin(spark):
+    series = [3.0, 5.0, 4.0, 7.0, 6.0]
+    rows = [("k", i, v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    from olake_spark.operators.timeseries import durbin_watson
+
+    got = _row(durbin_watson(df, ["k"], "t", "v"))
+    mean = sum(series) / len(series)
+    e = [v - mean for v in series]
+    dw = sum((e[i] - e[i - 1]) ** 2 for i in range(1, len(e))) / sum(
+        x * x for x in e
+    )
+    assert got["n"] == 5
+    assert got["dw"] == approx(dw)
+    # constant series -> NULL
+    const = spark.createDataFrame([("k", i, 2.0) for i in range(4)],
+                                  "k string, t int, v double")
+    assert _row(durbin_watson(const, ["k"], "t", "v"))["dw"] is None
