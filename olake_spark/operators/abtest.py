@@ -29,6 +29,10 @@ __all__ = [
     "mantel_haenszel_or",
     "mcnemar_paired",
     "wasserstein_1d",
+    "friedman_test",
+    "cochran_q",
+    "cliffs_delta",
+    "cronbach_alpha",
     "cochran_armitage_trend",
     "correlation_ratio",
     "kish_weighted_mean",
@@ -1717,4 +1721,287 @@ def wasserstein_1d(
         F.col("_tnb").cast("long").alias("n_b"),
         "n_values",
         F.round(F.coalesce(w1, F.lit(None)), 6).alias("w1"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test for k related treatments over n blocks (the
+    repeated-measures sibling of :func:`kruskal_wallis` — each block
+    ranks ITS OWN k cells, so between-block level shifts can't drown
+    the treatment signal). Conover's tie-corrected form:
+
+        T = (k−1) · Σ_j (R_j − n(k+1)/2)² / (A₁ − C₁),
+        A₁ = Σ_ij r_ij²,  C₁ = n·k·(k+1)²/4
+
+    (reduces to the classic 12/(nk(k+1))·ΣR_j² − 3n(k+1) when no
+    ties). Average ranks are kept EXACT as doubled integers
+    (2·rank = 2·min_rank + ties − 1), so every moment (R_j, A₁) is an
+    exact DECIMAL and T is one final divide. Cells pre-aggregate to one
+    row per (block, treatment); only COMPLETE blocks (all k treatments
+    present) enter, per the test's definition — k is the global
+    distinct-treatment count (a 1-row lazy broadcast, the allowlisted
+    scalar pattern). Degenerate inputs (all ranks tied: A₁ = C₁)
+    report NULL. Returns one row (k_treatments, n_blocks, t_stat).
+    """
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(block_col, treatment_col)
+        .agg(F.sum(value_col).alias("_v"))
+    )
+    kk = cells.agg(
+        F.count_distinct(F.col(treatment_col)).cast("long").alias("_k")
+    )
+    complete = (
+        cells.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("_ct"))
+        .join(F.broadcast(kk), F.col("_ct") == F.col("_k"))
+        .select(block_col, "_k")
+    )
+    ranked = cells.join(complete, block_col)
+    wb = W.partitionBy(block_col).orderBy("_v")
+    wtie = W.partitionBy(block_col, "_v")
+    # doubled average rank: 2·min_rank + (ties − 1) — an exact integer
+    r2 = (
+        2 * F.rank().over(wb) + F.count(F.lit(1)).over(wtie) - 1
+    ).cast("long").cast(_D38)
+    per_treat = (
+        ranked.select(
+            block_col, F.col(treatment_col).alias("_tr"), "_k",
+            r2.alias("_r2"),
+        )
+        .groupBy("_tr")
+        .agg(
+            F.first("_k").alias("_k"),
+            F.count(F.lit(1)).cast(_D38).alias("_n"),
+            F.sum("_r2").alias("_R2"),
+            F.sum(F.col("_r2") * F.col("_r2")).alias("_A4"),
+        )
+    )
+    k = F.col("_k").cast(_D38)
+    n = F.col("_n")
+    # center 2·R_j at n(k+1); Σ(2R−n(k+1))² = 4·Σ(R−n(k+1)/2)²;
+    # A₁−C₁ = (ΣA4 − n·k·(k+1)²)/4 — the 4s cancel in the ratio
+    m = per_treat.agg(
+        F.first("_k").cast("long").alias("k_treatments"),
+        F.first("_n").cast("long").alias("n_blocks"),
+        F.sum(
+            (F.col("_R2") - n * (k + 1)) * (F.col("_R2") - n * (k + 1))
+        ).alias("_num4"),
+        F.sum("_A4").alias("_sa4"),
+    )
+    kp1 = F.col("k_treatments").cast(_D38) + 1
+    c14 = (
+        F.col("n_blocks").cast(_D38)
+        * F.col("k_treatments").cast(_D38)
+        * kp1
+        * kp1
+    )
+    den = F.col("_sa4") - c14
+    t = F.when(
+        den > 0,
+        (F.col("k_treatments") - 1).cast("double")
+        * F.col("_num4").cast("double") / den.cast("double"),
+    )
+    return m.select(
+        "k_treatments", "n_blocks", F.round(t, 6).alias("t_stat")
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    unit_col: str,
+    treatment_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran's Q for k related BINARY treatments over matched units —
+    the k-treatment generalization of :func:`mcnemar_paired` (k=2
+    reduces to McNemar without continuity correction):
+
+        Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)    ~ χ²_{k−1}
+
+    with C_j the per-treatment success totals, R_i the per-unit
+    success totals, N total successes — EVERY term an exact integer,
+    one final divide. The design must be complete (each unit one
+    binary cell per treatment — build reach relations by crossing the
+    unit universe with the treatment list upstream); incomplete input
+    raises in-plan via the same raise_error guard discipline as
+    mann_kendall's fat-key cap. Degenerate denominators (all units
+    all-success or all-failure) report NULL. Returns one row
+    (k_treatments, n_units, n_success, q_stat).
+    """
+    s = F.col(success_col).cast("boolean").cast("long")
+    cells = df.select(
+        F.col(unit_col).alias("_u"), F.col(treatment_col).alias("_tr"),
+        s.alias("_s"),
+    )
+    per_unit = cells.groupBy("_u").agg(
+        F.count(F.lit(1)).alias("_kt"),
+        F.sum("_s").cast(_D38).alias("_ri"),
+    )
+    k_chk = per_unit.agg(
+        F.count_distinct(F.col("_kt")).alias("_nk"),
+        F.first("_kt").alias("_k"),
+    ).select(
+        F.when(
+            F.col("_nk") == 1, F.col("_k")
+        ).otherwise(
+            F.raise_error(
+                F.lit("cochran_q: incomplete design — units differ in "
+                      "treatment count")
+            ).cast("long")
+        ).alias("_k")
+    )
+    per_treat = cells.groupBy("_tr").agg(F.sum("_s").cast(_D38).alias("_cj"))
+    mt = per_treat.agg(
+        F.sum("_cj").alias("_N"),
+        F.sum(F.col("_cj") * F.col("_cj")).alias("_sc2"),
+    )
+    mu = per_unit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(F.col("_ri") * F.col("_ri")).alias("_sr2"),
+    )
+    m = mt.crossJoin(F.broadcast(mu)).crossJoin(F.broadcast(k_chk))
+    # k_treatments is read FROM the guarded column — the completeness
+    # raise_error must sit inside a CONSUMED expression or Catalyst
+    # prunes it away with the dead column (the chi_square_gof lesson)
+    kd = F.col("_k").cast(_D38)
+    num = (kd - 1) * (kd * F.col("_sc2") - F.col("_N") * F.col("_N"))
+    den = kd * F.col("_N") - F.col("_sr2")
+    q = F.when(den > 0, num.cast("double") / den.cast("double"))
+    return m.select(
+        F.col("_k").cast("long").alias("k_treatments"),
+        "n_units",
+        F.col("_N").cast("long").alias("n_success"),
+        F.round(q, 6).alias("q_stat"),
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size between two groups —
+    P(x > y) − P(x < y) over all cross pairs, the assumption-free
+    companion to :func:`effect_size_two_sample` (Cohen's d says how
+    many SDs apart; δ says how often one group actually wins):
+
+        δ = (#{x>y} − #{x<y}) / (n_a·n_b) ∈ [−1, 1]
+
+    Never the O(n_a·n_b) pair relation: per distinct value v the win
+    counts fold as c_a(v)·C_b(<v) over the VALUE-DOMAIN relation (the
+    kendall/ks grid discipline — cumulative counts from one ordered
+    window over distinct values), every term an exact DECIMAL, one
+    final divide. Returns one row (n_a, n_b, n_gt, n_lt, delta).
+    """
+    g = F.col(group_col)
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
+    per = (
+        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .select((g == group_a).alias("_isa"), vm.alias("_v"))
+        .groupBy("_v")
+        .agg(
+            F.sum(F.col("_isa").cast("long")).cast(_D38).alias("_ca"),
+            F.sum((~F.col("_isa")).cast("long")).cast(_D38).alias("_cb"),
+        )
+    )
+    wv = W.orderBy("_v").rowsBetween(W.unboundedPreceding, -1)
+    cum = per.select(
+        "_ca",
+        "_cb",
+        F.coalesce(F.sum("_cb").over(wv), F.lit(0).cast(_D38)).alias(
+            "_cumb_lt"
+        ),
+        F.coalesce(F.sum("_ca").over(wv), F.lit(0).cast(_D38)).alias(
+            "_cuma_lt"
+        ),
+    )
+    m = cum.agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+        F.sum(F.col("_ca") * F.col("_cumb_lt")).alias("_gt"),
+        F.sum(F.col("_cb") * F.col("_cuma_lt")).alias("_lt"),
+    )
+    delta = F.try_divide(
+        (F.col("_gt") - F.col("_lt")).cast("double"),
+        (F.col("n_a").cast(_D38) * F.col("n_b").cast(_D38)).cast("double"),
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.col("_gt").cast("long").alias("n_gt"),
+        F.col("_lt").cast("long").alias("n_lt"),
+        (F.round(delta, 6) + F.lit(0.0)).alias("delta"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    unit_col: str,
+    item_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability of k items
+    measured across units (do the per-item signals move together
+    enough to be read as ONE scale?):
+
+        α = k/(k−1) · (1 − Σ_i Var(item_i) / Var(Σ_i items))
+
+    over the IMPLICIT-ZERO complete design: a (unit, item) pair absent
+    from the input is a true 0 measurement (the reach/engagement
+    framing), so per-item population variance over ALL U units is the
+    exact-moment identity (U·Σv² − (Σv)²)/U² — absent pairs add zero
+    to both sums and only U (a 1-row lazy broadcast) sees them. Values
+    micro-quantize; both variance aggregates are exact DECIMAL; α is
+    one IEEE sequence. Degenerate total variance reports NULL.
+    Returns one row (k_items, n_units, alpha).
+    """
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(_D38)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(unit_col).alias("_u"), F.col(item_col).alias("_it"),
+        vm.alias("_v"),
+    )
+    uu = base.agg(F.count_distinct(F.col("_u")).cast(_D38).alias("_U"))
+    # the same 1-row relation enters two branches that later cross-join
+    # back together — rename per branch or the reused attribute id is
+    # ambiguous at the final join
+    uu_i = uu.select(F.col("_U").alias("_U_i"))
+    uu_t = uu.select(F.col("_U").alias("_U_t"))
+    per_item = base.groupBy("_it").agg(
+        F.sum("_v").alias("_s"), F.sum(F.col("_v") * F.col("_v")).alias("_q")
+    )
+    # item-variance numerators Σ(U·Σv² − (Σv)²) — exact; the common /U²
+    # factor cancels against the total-variance denominator
+    mi = per_item.crossJoin(F.broadcast(uu_i)).agg(
+        F.count(F.lit(1)).cast("long").alias("k_items"),
+        F.sum(
+            F.col("_U_i") * F.col("_q") - F.col("_s") * F.col("_s")
+        ).alias("_iv"),
+    )
+    per_unit = base.groupBy("_u").agg(F.sum("_v").alias("_t"))
+    mu = per_unit.crossJoin(F.broadcast(uu_t)).agg(
+        F.first("_U_t").alias("_Ut"),
+        (
+            F.first("_U_t") * F.sum(F.col("_t") * F.col("_t"))
+            - F.sum("_t") * F.sum("_t")
+        ).alias("_tv"),
+    )
+    m = mi.crossJoin(F.broadcast(mu))
+    kd = F.col("k_items").cast("double")
+    alpha = F.when(
+        (F.col("_tv") > 0) & (F.col("k_items") > 1),
+        kd / (kd - 1.0)
+        * (1.0 - F.col("_iv").cast("double") / F.col("_tv").cast("double")),
+    )
+    return m.select(
+        "k_items",
+        F.col("_Ut").cast("long").alias("n_units"),
+        F.round(alpha, 6).alias("alpha"),
     )

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["acf", "holt_linear", "seasonal_naive_backtest"]
+__all__ = ["acf", "holt_linear", "ljung_box", "seasonal_naive_backtest"]
 
 _D38 = "decimal(38,0)"
 
@@ -260,3 +260,89 @@ def seasonal_naive_backtest(
             ),
         ).alias("mape"),
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    step: str = "1 day",
+    max_lag: int = 7,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Ljung–Box portmanteau test on the bucketed series' first
+    ``max_lag`` autocorrelations — "is there ANY serial dependence?",
+    the one-number companion to :func:`acf` (which says where) and
+    ``durbin_watson`` (lag-1 only):
+
+        Q = n·(n+2) · Σ_{k=1..m} r_k² / (n − k)    ~ χ²_m under iid
+
+    The r_k are the EXACT-ratio autocorrelations from the same
+    bucket-relation plan as :func:`acf` (unrounded here — rounding
+    first would square the rounding error into Q); each lag's term is
+    one IEEE sequence over the exact DECIMAL sums, FLOOR-nano quantized
+    before the Σ over lags (order-free float-sum discipline, ≤ m terms).
+    n is the observed bucket count; lags with no pairs (short or gapped
+    series, n ≤ k) contribute nothing and m_used reports how many lags
+    actually entered. Per ``by`` group from one plan, like acf.
+    Returns (by..., n, m_used, q_lb).
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    from olake_spark.operators.timeseries import bucketize
+
+    by = list(by or [])
+    daily = bucketize(df, time_col, by, value_col, step=step).select(
+        *by,
+        F.col("_bucket").alias("_t"),
+        F.col("_v_micros").cast(_D38).alias("_x"),
+    )
+    w = W.partitionBy(*by).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    centered = daily.select(
+        *by,
+        "_t",
+        F.count(F.lit(1)).over(w).cast(_D38).alias("_n"),
+        (F.count(F.lit(1)).over(w).cast(_D38) * F.col("_x")
+         - F.sum("_x").over(w)).alias("_dev"),
+    )
+    den = centered.select(
+        *by, "_t", "_n", "_dev",
+        F.sum(F.col("_dev") * F.col("_dev")).over(w).alias("_den"),
+    )
+    lags = F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)]))
+    left = den.select(*by, "_t", "_n", "_dev", "_den", lags.alias("lag"))
+    right = centered.select(
+        *[F.col(k).alias(f"_k2_{k}") for k in by],
+        F.col("_t").alias("_t2"),
+        F.col("_dev").alias("_dev2"),
+    )
+    cond = left["_t"] + left["lag"] == right["_t2"]
+    for k in by:
+        cond = cond & (left[k] == right[f"_k2_{k}"])
+    paired = left.join(right, cond, "inner")
+    per_lag = paired.groupBy(*by, "lag").agg(
+        F.first("_n").alias("_nn"),
+        F.when(
+            F.first("_den") > 0,
+            F.sum(F.col("_dev") * F.col("_dev2")).cast("double")
+            / F.first("_den").cast("double"),
+        ).alias("_r"),
+    )
+    nd = F.col("_nn").cast("double")
+    term = (F.col("_r") * F.col("_r")) / (nd - F.col("lag").cast("double"))
+    nano = 1_000_000_000
+    m = per_lag.filter(
+        F.col("_r").isNotNull() & (F.col("_nn") > F.col("lag"))
+    ).groupBy(*by).agg(
+        F.first("_nn").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("m_used"),
+        F.sum(F.floor(term * nano).cast("long")).alias("_st"),
+    )
+    q = (
+        F.col("n").cast("double")
+        * (F.col("n").cast("double") + 2.0)
+        * (F.col("_st").cast("double") / nano)
+    )
+    return m.select(*by, "n", "m_used", F.round(q, 6).alias("q_lb"))

@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["kaplan_meier", "logrank_test"]
+__all__ = [
+    "nelson_aalen","kaplan_meier", "logrank_test"]
 
 
 def kaplan_meier(
@@ -230,4 +231,76 @@ def logrank_test(
         F.round(v, 6).alias("variance"),
         F.round(z, 6).alias("z"),
         F.round(z * z, 6).alias("chi2"),
+    )
+
+
+def nelson_aalen(
+    subjects: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard curve — :func:`kaplan_meier`'s
+    additive sibling (KM multiplies survival fractions; NA sums the
+    per-period hazards d_i/n_i, the better-behaved estimate when risk
+    sets get small, and −ln S for free):
+
+        H(t) = Σ_{t_i ≤ t} d_i/n_i,
+        var(H) ≈ Σ_{t_i ≤ t} d_i/n_i²    (Klein's form)
+
+    Same plan as KM: one groupBy on duration, at-risk counts and the
+    cumulative sums from ordered windows over the tiny PERIOD relation.
+    Exactness convention mirrors KM's integer micro-units: each
+    period's hazard is the exact floor (d·10⁶) div n — identically
+    defined integers in any engine — and the cumulative H is an exact
+    integer prefix sum of those (no float accumulation anywhere); the
+    variance term floors (d·10¹²) div n² the same way. NULL durations
+    are excluded for the same cross-engine ORDER BY reason as KM.
+    Returns (duration, n_at_risk, d, h_micro, cum_hazard, var_micro2).
+    """
+    per = subjects.filter(F.col(duration_col).isNotNull()).groupBy(
+        F.col(duration_col).alias("duration")
+    ).agg(
+        F.sum(
+            F.when(F.col(observed_col), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    wall = W.partitionBy().orderBy("duration")
+    n_at_risk = (
+        F.sum("c").over(W.partitionBy())
+        - F.coalesce(
+            F.sum("c").over(wall.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+    ).cast("long")
+    d38 = "decimal(38,0)"
+    staged = per.select(
+        "duration",
+        "d",
+        n_at_risk.alias("n_at_risk"),
+    ).select(
+        "duration",
+        "n_at_risk",
+        "d",
+        # exact integer floor division: BIGINT div in micro (hazard)
+        # and micro² (variance) units
+        F.expr("CAST(d AS BIGINT) * 1000000 DIV n_at_risk").alias(
+            "h_micro"
+        ),
+        F.expr(
+            "CAST(d AS BIGINT) * 1000000000000 DIV "
+            "(CAST(n_at_risk AS BIGINT) * n_at_risk)"
+        ).alias("_var1"),
+    )
+    return staged.select(
+        "duration",
+        "n_at_risk",
+        "d",
+        "h_micro",
+        F.sum(F.col("h_micro").cast(d38)).over(
+            wall.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).cast("long").alias("cum_hazard_micro"),
+        F.sum(F.col("_var1").cast(d38)).over(
+            wall.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).cast("long").alias("var_micro2"),
     )

@@ -8112,6 +8112,12 @@ _GATE_TAIL = [
     "events_mcnemar_clicks_purchases",
     "lineitem_wasserstein_price",
     "events_durbin_watson",
+    "events_ljung_box",
+    "events_friedman_daily_revenue",
+    "events_cochran_q_reach",
+    "lineitem_cliffs_delta_qty",
+    "events_nelson_aalen",
+    "events_cronbach_alpha",
 ]
 
 

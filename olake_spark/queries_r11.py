@@ -1900,3 +1900,352 @@ def events_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return durbin_watson(daily, ["event_type"], "day", "rev")
+
+
+# ---------------------------------------------------------------------------
+# r11 post-close wave 2: repeated-measures/reliability + dependence
+# diagnostics + cumulative hazard
+# ---------------------------------------------------------------------------
+
+_LB_ORACLE = """
+WITH daily AS (
+  SELECT event_type, floor(epoch_us(ts) / 86400000000)::BIGINT AS t,
+         sum(round(value * 1000000)::BIGINT)::HUGEINT AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, count(*)::HUGEINT AS n, sum(x) AS s
+  FROM daily GROUP BY 1
+),
+c AS (
+  SELECT d.event_type, d.t, st.n AS n, st.n * d.x - st.s AS dev
+  FROM daily d JOIN stats st USING (event_type)
+),
+den AS (SELECT event_type, sum(dev*dev) AS den FROM c GROUP BY 1),
+per_lag AS (
+  SELECT a.event_type, l.lag, any_value(a.n) AS n,
+         CASE WHEN any_value(dn.den) > 0
+              THEN sum(a.dev * b.dev)::DOUBLE / any_value(dn.den)::DOUBLE
+         END AS r
+  FROM (SELECT unnest([1, 2, 3]) AS lag) l
+  JOIN c a ON TRUE
+  JOIN c b ON b.event_type = a.event_type AND b.t = a.t + l.lag
+  JOIN den dn ON dn.event_type = a.event_type
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, any_value(n)::BIGINT AS n,
+         count(*)::BIGINT AS m_used,
+         sum(floor(r * r / (n::DOUBLE - lag) * 1000000000)::BIGINT)
+           ::HUGEINT AS st
+  FROM per_lag WHERE r IS NOT NULL AND n > lag
+  GROUP BY 1
+)
+SELECT event_type, n, m_used,
+       round(n::DOUBLE * (n::DOUBLE + 2.0) * (st::DOUBLE / 1000000000), 6)
+         AS q_lb
+FROM m
+"""
+
+
+@register("events_ljung_box", _LB_ORACLE)
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau Q per event type over the daily micro-sum
+    series, lags 1..3 (operators/forecast.ljung_box) — the any-serial-
+    dependence companion to events_acf_by_type and events_durbin_watson,
+    from the same bucket-relation plan."""
+    from olake_spark.operators.forecast import ljung_box
+
+    return ljung_box(
+        table(spark, sf_dir, "events"), "ts", "value",
+        step="1 day", max_lag=3, by=["event_type"],
+    )
+
+
+_FRIEDMAN_ORACLE = """
+WITH cells AS (
+  SELECT date_trunc('day', ts) AS b, event_type AS tr,
+         sum(round(value * 100)::BIGINT)::BIGINT AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+k AS (SELECT count(DISTINCT tr)::BIGINT AS k FROM cells),
+complete AS (
+  SELECT b FROM cells GROUP BY b
+  HAVING count(*) = (SELECT k FROM k)
+),
+ranked AS (
+  SELECT c.b, c.tr,
+         (2 * rank() OVER (PARTITION BY c.b ORDER BY c.v)
+          + count(*) OVER (PARTITION BY c.b, c.v) - 1)::HUGEINT AS r2
+  FROM cells c JOIN complete USING (b)
+),
+per_treat AS (
+  SELECT tr, count(*)::HUGEINT AS n, sum(r2) AS R2, sum(r2 * r2) AS A4
+  FROM ranked GROUP BY 1
+),
+m AS (
+  SELECT any_value((SELECT k FROM k)) AS kt, any_value(n) AS n,
+         sum((R2 - n * (kt_inner + 1)) * (R2 - n * (kt_inner + 1))) AS num4,
+         sum(A4) AS sa4
+  FROM (SELECT tr, n, R2, A4, (SELECT k FROM k)::HUGEINT AS kt_inner
+        FROM per_treat)
+)
+SELECT kt::BIGINT AS k_treatments, n::BIGINT AS n_blocks,
+       CASE WHEN sa4 - n * kt * (kt + 1) * (kt + 1) > 0
+            THEN round((kt - 1)::DOUBLE * num4::DOUBLE
+                 / (sa4 - n * kt * (kt + 1) * (kt + 1))::DOUBLE, 6)
+       END AS t_stat
+FROM m
+"""
+
+
+@register("events_friedman_daily_revenue", _FRIEDMAN_ORACLE)
+def events_friedman_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Friedman tie-corrected rank test of the five event types'
+    daily-revenue cells, blocked by day
+    (operators/abtest.friedman_test) — each day ranks its own five
+    cells, so day-level traffic shifts can't masquerade as a
+    type effect. Cells are exact cents."""
+    from olake_spark.operators.abtest import friedman_test
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return friedman_test(ev, "day", "event_type", "cents")
+
+
+_COCHRANQ_ORACLE = """
+WITH users AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+),
+reach AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL
+),
+cells AS (
+  SELECT u.user_id, t.tr,
+         (r.user_id IS NOT NULL) AS s
+  FROM users u
+  CROSS JOIN (SELECT unnest(['click', 'purchase', 'error']) AS tr) t
+  LEFT JOIN reach r ON r.user_id = u.user_id AND r.event_type = t.tr
+),
+per_unit AS (
+  SELECT user_id, sum(CASE WHEN s THEN 1 ELSE 0 END)::HUGEINT AS ri
+  FROM cells GROUP BY 1
+),
+per_treat AS (
+  SELECT tr, sum(CASE WHEN s THEN 1 ELSE 0 END)::HUGEINT AS cj
+  FROM cells GROUP BY 1
+),
+m AS (
+  SELECT (SELECT count(*)::HUGEINT FROM per_treat) AS k,
+         (SELECT count(*)::BIGINT FROM per_unit) AS n_units,
+         (SELECT sum(cj) FROM per_treat) AS N,
+         (SELECT sum(cj * cj) FROM per_treat) AS sc2,
+         (SELECT sum(ri * ri) FROM per_unit) AS sr2
+)
+SELECT k::BIGINT AS k_treatments, n_units,
+       N::BIGINT AS n_success,
+       CASE WHEN k * N - sr2 > 0
+            THEN round(((k - 1) * (k * sc2 - N * N))::DOUBLE
+                       / (k * N - sr2)::DOUBLE, 6)
+       END AS q_stat
+FROM m
+"""
+
+
+@register("events_cochran_q_reach", _COCHRANQ_ORACLE)
+def events_cochran_q_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across three matched binary reach treatments per
+    user — did the user ever click / purchase / hit an error
+    (operators/abtest.cochran_q) — the k-treatment McNemar. The
+    complete design is BUILT (user universe × treatment list,
+    left-join reach), which is also what arms the operator's
+    incomplete-design raise_error guard."""
+    from olake_spark.operators.abtest import cochran_q
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.select("user_id").distinct()
+    treats = users.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [("click",), ("purchase",), ("error",)], "tr string"
+            )
+        )
+    )
+    reach = ev.select("user_id", F.col("event_type").alias("tr")).distinct()
+    cells = treats.join(
+        reach.withColumn("_hit", F.lit(1)), ["user_id", "tr"], "left"
+    ).select(
+        "user_id", "tr", F.col("_hit").isNotNull().alias("s")
+    )
+    return cochran_q(cells, "user_id", "tr", "s")
+
+
+_CLIFFS_ORACLE = """
+WITH per AS (
+  SELECT round(l_quantity * 1000000)::BIGINT AS v,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::HUGEINT AS ca,
+         sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)::HUGEINT AS cb
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    AND l_quantity IS NOT NULL
+  GROUP BY 1
+),
+-- DELIBERATELY a different formulation than the operator's cumulative
+-- windows: the domain² theta-join over distinct-value pairs
+pairs AS (
+  SELECT sum(a.ca * b.cb) FILTER (WHERE a.v > b.v) AS gt,
+         sum(a.ca * b.cb) FILTER (WHERE a.v < b.v) AS lt
+  FROM per a CROSS JOIN per b
+),
+m AS (
+  SELECT (SELECT sum(ca) FROM per) AS na, (SELECT sum(cb) FROM per) AS nb,
+         coalesce(gt, 0) AS gt, coalesce(lt, 0) AS lt
+  FROM pairs
+)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, gt::BIGINT AS n_gt,
+       lt::BIGINT AS n_lt,
+       round((gt - lt)::DOUBLE / (na * nb)::DOUBLE, 6) + 0.0 AS delta
+FROM m
+"""
+
+
+@register("lineitem_cliffs_delta_qty", _CLIFFS_ORACLE)
+def lineitem_cliffs_delta_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size of quantity between the R and
+    A return flags (operators/abtest.cliffs_delta). The Spark side is
+    the cumulative-window grid fold; the oracle DELIBERATELY recomputes
+    the win counts as the domain² theta-join over distinct-value pairs
+    — a structurally different formulation of the same counts (the
+    50-value quantity domain keeps it trivially cheap), so agreement
+    checks the cumulative algebra, not a mirrored expression."""
+    from olake_spark.operators.abtest import cliffs_delta
+
+    return cliffs_delta(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_quantity",
+        "R", "A",
+    )
+
+
+_NA_ORACLE = """
+WITH subj AS (
+  SELECT user_id,
+         (epoch_us(max(ts)) // 3600000000)
+           - (epoch_us(min(ts)) // 3600000000) AS dur,
+         epoch_us(max(ts)) AS last_us
+  FROM events GROUP BY 1
+),
+cut AS (SELECT max(epoch_us(ts)) - 86400000000 AS cut_us FROM events),
+per AS (
+  SELECT dur,
+         sum(CASE WHEN last_us < (SELECT cut_us FROM cut)
+                  THEN 1 ELSE 0 END)::BIGINT AS d,
+         count(*)::BIGINT AS c
+  FROM subj GROUP BY 1
+),
+w1 AS (
+  SELECT dur, d,
+         (sum(c) OVER ()
+          - coalesce(sum(c) OVER (ORDER BY dur
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         )::BIGINT AS n_at_risk
+  FROM per
+),
+w2 AS (
+  SELECT dur, n_at_risk, d,
+         d * 1000000 // n_at_risk AS h_micro,
+         d * 1000000000000 // (n_at_risk * n_at_risk) AS v1
+  FROM w1
+)
+SELECT dur AS duration, n_at_risk, d, h_micro,
+       (sum(h_micro) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING))
+         ::BIGINT AS cum_hazard_micro,
+       (sum(v1) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING))
+         ::BIGINT AS var_micro2
+FROM w2
+"""
+
+
+@register("events_nelson_aalen", _NA_ORACLE)
+def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative churn hazard over the same user-lifetime
+    subjects as events_survival_km (operators/survival.nelson_aalen) —
+    exact integer micro-floor hazards, prefix-summed over the tiny
+    period relation."""
+    from olake_spark.operators.survival import nelson_aalen
+
+    HOUR = 3_600_000_000
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("_us")
+    )
+    subj = ev.groupBy("user_id").agg(
+        F.min("_us").alias("_first_us"), F.max("_us").alias("_last_us")
+    )
+    cut = ev.groupBy().agg(
+        (F.max("_us") - F.lit(24 * HOUR)).alias("_cut_us")
+    )
+    subjects = subj.crossJoin(F.broadcast(cut)).select(
+        (
+            F.expr(f"_last_us div {HOUR}") - F.expr(f"_first_us div {HOUR}")
+        ).alias("dur"),
+        (F.col("_last_us") < F.col("_cut_us")).alias("observed"),
+    )
+    return nelson_aalen(subjects, "dur", "observed")
+
+
+_CRONBACH_ORACLE = """
+WITH base AS (
+  SELECT user_id AS u, event_type AS it,
+         (sum(round(value * 100)::BIGINT) * 1000000)::BIGINT AS v
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+uu AS (SELECT count(DISTINCT u)::HUGEINT AS U FROM base),
+per_item AS (
+  SELECT it, sum(v::HUGEINT) AS s, sum(v::HUGEINT * v) AS q
+  FROM base GROUP BY 1
+),
+mi AS (
+  SELECT count(*)::BIGINT AS k_items,
+         sum((SELECT U FROM uu) * q - s * s) AS iv
+  FROM per_item
+),
+per_unit AS (SELECT u, sum(v::HUGEINT) AS t FROM base GROUP BY 1),
+mu AS (
+  SELECT (SELECT U FROM uu)::BIGINT AS n_units,
+         (SELECT U FROM uu) * sum(t * t) - sum(t) * sum(t) AS tv
+  FROM per_unit
+)
+SELECT k_items, n_units,
+       CASE WHEN tv > 0 AND k_items > 1
+            THEN round(k_items::DOUBLE / (k_items - 1)::DOUBLE
+                 * (1.0 - iv::DOUBLE / tv::DOUBLE), 6)
+       END AS alpha
+FROM mi, mu
+"""
+
+
+@register("events_cronbach_alpha", _CRONBACH_ORACLE)
+def events_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha of the five event types' per-user value totals
+    (operators/abtest.cronbach_alpha) — do the per-type engagement
+    signals cohere into one scale? Implicit zeros: a user who never
+    hit a type measures 0 on that item; the totals feed exact cents."""
+    from olake_spark.operators.abtest import cronbach_alpha
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    per = ev.groupBy("user_id", "event_type").agg(
+        # exact cents, then /100 at the operator's micro scale: feed
+        # cents as the value so the operator's x1e6 quantization is an
+        # exact integer scale-up of an already-exact integer
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    return cronbach_alpha(per, "user_id", "event_type", "cents")

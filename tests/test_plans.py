@@ -84,6 +84,14 @@ _CROSS_OK = {
     # r11 proof #7: ivf_assign broadcast-centroid scoring (query ×
     # 155-centroid broadcast, the same shape as every ivf query above)
     "similarity_topk_exact_pruned",
+    # r11 wave 2: lazy-scalar broadcasts — 3-row treatment list ×
+    # user universe (complete-design construction) and the guarded-k
+    # 1-row check (cochran), two 1-row U broadcasts (cronbach), the
+    # 1-row corpus-horizon broadcast shared with events_survival_km
+    # (nelson_aalen)
+    "events_cochran_q_reach",
+    "events_cronbach_alpha",
+    "events_nelson_aalen",
 }
 
 

@@ -1502,3 +1502,165 @@ def test_durbin_watson_pin(spark):
     const = spark.createDataFrame([("k", i, 2.0) for i in range(4)],
                                   "k string, t int, v double")
     assert _row(durbin_watson(const, ["k"], "t", "v"))["dw"] is None
+
+
+def test_friedman_pin_no_ties_classic_formula(spark):
+    # no ties -> Conover's T must equal the CLASSIC chi2_F formula
+    # 12/(nk(k+1))*sum(R_j^2) - 3n(k+1), a structurally different
+    # expression computed here from first principles
+    blocks = {
+        "b1": {"t1": 1.0, "t2": 3.0, "t3": 2.0},
+        "b2": {"t1": 2.0, "t2": 5.0, "t3": 1.0},
+        "b3": {"t1": 1.5, "t2": 4.0, "t3": 3.0},
+        "b4": {"t1": 0.5, "t2": 2.5, "t3": 6.0},
+    }
+    rows = [(b, t, v) for b, tv in blocks.items() for t, v in tv.items()]
+    df = spark.createDataFrame(rows, "b string, t string, v double")
+    from olake_spark.operators.abtest import friedman_test
+
+    got = _row(friedman_test(df, "b", "t", "v"))
+    n, k = 4, 3
+    R = {"t1": 0.0, "t2": 0.0, "t3": 0.0}
+    for tv in blocks.values():
+        order = sorted(tv, key=lambda t: tv[t])
+        for r, t in enumerate(order, start=1):
+            R[t] += r
+    chi2 = 12.0 / (n * k * (k + 1)) * sum(v * v for v in R.values()) - 3 * n * (
+        k + 1
+    )
+    assert (got["k_treatments"], got["n_blocks"]) == (3, 4)
+    assert got["t_stat"] == approx(chi2)
+
+
+def test_friedman_ties_and_incomplete_blocks(spark):
+    # a tied block uses average ranks; an incomplete block must drop
+    rows = [("b1", "t1", 2.0), ("b1", "t2", 2.0), ("b1", "t3", 5.0),
+            ("b2", "t1", 1.0), ("b2", "t2", 4.0), ("b2", "t3", 2.0),
+            ("b3", "t1", 9.0)]  # incomplete -> excluded
+    df = spark.createDataFrame(rows, "b string, t string, v double")
+    from fractions import Fraction as Fr
+    from olake_spark.operators.abtest import friedman_test
+
+    got = _row(friedman_test(df, "b", "t", "v"))
+    # hand ranks: b1: t1=1.5, t2=1.5, t3=3; b2: t1=1, t2=3, t3=2
+    ranks = {"t1": [Fr(3, 2), Fr(1)], "t2": [Fr(3, 2), Fr(3)],
+             "t3": [Fr(3), Fr(2)]}
+    n, k = 2, 3
+    Rj = {t: sum(rs) for t, rs in ranks.items()}
+    A1 = sum(r * r for rs in ranks.values() for r in rs)
+    C1 = Fr(n * k * (k + 1) ** 2, 4)
+    num = sum((R - Fr(n * (k + 1), 2)) ** 2 for R in Rj.values())
+    t_ref = float((k - 1) * num / (A1 - C1))
+    assert got["n_blocks"] == 2
+    assert got["t_stat"] == approx(t_ref)
+
+
+def test_cochran_q_pin(spark):
+    # worked example: 4 units x 3 treatments
+    data = {
+        "u1": (1, 1, 0), "u2": (1, 0, 0), "u3": (1, 1, 1), "u4": (0, 1, 0),
+    }
+    rows = [(u, f"t{j+1}", bool(s))
+            for u, ss in data.items() for j, s in enumerate(ss)]
+    df = spark.createDataFrame(rows, "u string, t string, s boolean")
+    from olake_spark.operators.abtest import cochran_q
+
+    got = _row(cochran_q(df, "u", "t", "s"))
+    C = [sum(ss[j] for ss in data.values()) for j in range(3)]
+    R = [sum(ss) for ss in data.values()]
+    N = sum(C)
+    k = 3
+    q = (k - 1) * (k * sum(c * c for c in C) - N * N) / (
+        k * N - sum(r * r for r in R)
+    )
+    assert (got["k_treatments"], got["n_units"], got["n_success"]) == (3, 4, N)
+    assert got["q_stat"] == approx(q)
+    # incomplete design raises in-plan
+    bad = spark.createDataFrame(rows[:-1], "u string, t string, s boolean")
+    with pytest.raises(Exception, match="incomplete design"):
+        _row(cochran_q(bad, "u", "t", "s"))
+
+
+def test_cliffs_delta_pin(spark):
+    a = [1.0, 2.0, 2.0, 5.0]
+    b = [2.0, 3.0, 4.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import cliffs_delta
+
+    got = _row(cliffs_delta(df, "g", "v", "a", "b"))
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    assert (got["n_a"], got["n_b"], got["n_gt"], got["n_lt"]) == (4, 3, gt, lt)
+    assert got["delta"] == approx((gt - lt) / 12)
+
+
+def test_nelson_aalen_pin(spark):
+    # durations (d=observed): t=1: 2 events of 6 at risk; t=2: 1 of 4
+    # (one censored at 1); t=3: 1 of 2 (one censored at 2)
+    rows = [(1, True), (1, True), (1, False),
+            (2, True), (2, False),
+            (3, True), (3, False)]
+    df = spark.createDataFrame(rows, "dur int, obs boolean")
+    from olake_spark.operators.survival import nelson_aalen
+
+    out = {r["duration"]: r for r in nelson_aalen(df, "dur", "obs").collect()}
+    assert out[1]["n_at_risk"] == 7 and out[1]["d"] == 2
+    assert out[1]["h_micro"] == 2 * 10**6 // 7
+    assert out[2]["n_at_risk"] == 4 and out[2]["h_micro"] == 10**6 // 4
+    assert out[3]["n_at_risk"] == 2 and out[3]["h_micro"] == 10**6 // 2
+    assert out[3]["cum_hazard_micro"] == (
+        2 * 10**6 // 7 + 10**6 // 4 + 10**6 // 2
+    )
+    # var is CUMULATIVE: t=1 contributes 2e12 div 49, t=2 adds 1e12 div 16
+    assert out[2]["var_micro2"] == 2 * 10**12 // 49 + 10**12 // 16
+
+
+def test_cronbach_alpha_pin(spark):
+    # 3 units x 2 items, fully present -> hand population variances
+    data = {"u1": (1.0, 2.0), "u2": (2.0, 4.0), "u3": (3.0, 6.0)}
+    rows = [(u, f"i{j+1}", v) for u, vv in data.items()
+            for j, v in enumerate(vv)]
+    df = spark.createDataFrame(rows, "u string, i string, v double")
+    from olake_spark.operators.abtest import cronbach_alpha
+
+    got = _row(cronbach_alpha(df, "u", "i", "v"))
+
+    def pvar(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / len(xs)
+
+    items = [[vv[j] for vv in data.values()] for j in range(2)]
+    totals = [sum(vv) for vv in data.values()]
+    alpha = 2 / 1 * (1 - sum(pvar(i) for i in items) / pvar(totals))
+    assert (got["k_items"], got["n_units"]) == (2, 3)
+    assert got["alpha"] == approx(alpha)
+    # implicit zeros: a missing (unit, item) cell is a 0 measurement
+    df2 = spark.createDataFrame(rows[:-1], "u string, i string, v double")
+    got2 = _row(cronbach_alpha(df2, "u", "i", "v"))
+    items2 = [[1.0, 2.0, 3.0], [2.0, 4.0, 0.0]]
+    totals2 = [3.0, 6.0, 3.0]
+    alpha2 = 2 * (1 - sum(pvar(i) for i in items2) / pvar(totals2))
+    assert got2["alpha"] == approx(alpha2)
+
+
+def test_ljung_box_pin(spark):
+    # tiny gapless daily series; plain-Python ACF + Q from scratch
+    series = [5.0, 7.0, 4.0, 8.0, 6.0, 9.0, 3.0, 7.0]
+    rows = [(datetime(2024, 1, 1) + timedelta(days=i), v)
+            for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    from olake_spark.operators.forecast import ljung_box
+
+    got = _row(ljung_box(df, "ts", "v", max_lag=3))
+    n = len(series)
+    mean = sum(series) / n
+    dev = [v - mean for v in series]
+    den = sum(d * d for d in dev)
+    q = 0.0
+    for k in (1, 2, 3):
+        r = sum(dev[i] * dev[i + k] for i in range(n - k)) / den
+        q += r * r / (n - k)
+    q *= n * (n + 2)
+    assert (got["n"], got["m_used"]) == (8, 3)
+    assert got["q_lb"] == approx(q)
