@@ -31,6 +31,8 @@ __all__ = [
     "wasserstein_1d",
     "friedman_test",
     "cochran_q",
+    "isotonic_calibration",
+    "energy_distance_1d",
     "cliffs_delta",
     "cronbach_alpha",
     "cochran_armitage_trend",
@@ -2004,4 +2006,206 @@ def cronbach_alpha(
         "k_items",
         F.col("_Ut").cast("long").alias("n_units"),
         F.round(alpha, 6).alias("alpha"),
+    )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration curve of a
+    binary-outcome rate against a score — THE standard probability
+    calibrator (Zadrozny–Elkan), fit distributively via the minimax
+    identity instead of the sequential pool-adjacent-violators stack:
+
+        iso(i) = max_{j≤i} min_{k≥i} mean(y over buckets j..k)
+
+    which equals the PAVA solution exactly (Robertson–Wright–Dykstra,
+    *Order Restricted Statistical Inference*, the max-min formula) —
+    tests/test_stats_reference_pins.py pins this plan against the
+    hand-pooled PAVA solution on a violating fixture. Scores bucket into
+    ``n_buckets`` equal-width bins (the bucket grid is the fit's
+    resolution); all candidate means are exact-integer prefix-sum
+    ratios (Σy, Σ1 per prefix), compared in double (one divide per
+    (j,k) cell of the B²-sized grid — the kendall domain-grid
+    discipline, never row pairs). Weighted by bucket mass, the fit
+    minimizes squared error among all monotone curves. Empty buckets
+    carry no row. Returns (bucket, n, rate_raw, rate_iso) ordered by
+    bucket.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("boolean").cast("long")
+    b = F.least(
+        F.greatest(F.floor(s * n_buckets).cast("int"), F.lit(0)),
+        F.lit(n_buckets - 1),
+    )
+    per = (
+        df.filter(s.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(y).cast("long").alias("_k"),
+        )
+    )
+    wc = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = per.select(
+        "bucket",
+        "n",
+        "_k",
+        F.sum("n").over(wc).cast(_D38).alias("_cn"),
+        F.sum("_k").over(wc).cast(_D38).alias("_ck"),
+    )
+    # B²/2 candidate segment means (j..k]: (ck_k − ck_{j−1})/(cn_k −
+    # cn_{j−1}); j indexed by its PREDECESSOR prefix row (zero row for
+    # j at the start)
+    lo = pre.select(
+        F.col("bucket").alias("_jb"),
+        F.col("_cn").alias("_cnj"),
+        F.col("_ck").alias("_ckj"),
+    ).unionByName(
+        pre.sparkSession.createDataFrame(
+            [(-1,)], "_jb int"
+        ).select(
+            F.col("_jb").cast(per.schema["bucket"].dataType),
+            F.lit(0).cast(_D38).alias("_cnj"),
+            F.lit(0).cast(_D38).alias("_ckj"),
+        )
+    )
+    hi = pre.select(
+        F.col("bucket").alias("_kb"),
+        F.col("_cn").alias("_cnk"),
+        F.col("_ck").alias("_ckk"),
+    )
+    seg = lo.join(hi, F.col("_kb") > F.col("_jb")).select(
+        "_jb",
+        "_kb",
+        (
+            (F.col("_ckk") - F.col("_ckj")).cast("double")
+            / (F.col("_cnk") - F.col("_cnj")).cast("double")
+        ).alias("_mean"),
+    )
+    # min over k ≥ i of segment means starting after j: suffix-min per
+    # start, then iso(i) = max over starts j ≤ i
+    wmin = W.partitionBy("_jb").orderBy(F.col("_kb").desc())
+    sufmin = seg.select(
+        "_jb", "_kb", F.min("_mean").over(
+            wmin.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("_minmean"),
+    )
+    wmax = W.partitionBy("_kb").orderBy("_jb").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    # for target bucket i (= _kb of the suffix-min at exactly k = i):
+    # rows (j, i) hold min_{k≥i}? No — suffix-min at (j, k=i) is
+    # min over segments (j, k'≥i)… ordering by _kb desc accumulates
+    # from the top, so the row (j, i) carries min_{k' ≥ i} mean(j..k')
+    iso = sufmin.select(
+        F.col("_kb").alias("bucket"),
+        F.max("_minmean").over(
+            W.partitionBy("_kb").orderBy("_jb").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("_isov"),
+    ).groupBy("bucket").agg(F.first("_isov").alias("_iso"))
+    return (
+        per.join(iso, "bucket")
+        .select(
+            "bucket",
+            "n",
+            F.round(
+                F.col("_k").cast("double") / F.col("n").cast("double"), 6
+            ).alias("rate_raw"),
+            F.round(F.col("_iso"), 6).alias("rate_iso"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def energy_distance_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact 1-D energy distance between two groups — the
+    characteristic-function two-sample metric (Székely–Rizzo; zero iff
+    the distributions are equal, the basis of the energy two-sample
+    test), computed EXACTLY from the same distinct-value grid as
+    :func:`wasserstein_1d`:
+
+        D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'|
+
+    Each pairwise-|difference| expectation folds over value segments:
+    crossing-pair counts × segment width — Σ|v−w| over two multisets
+    is Σ_segments (cum_left·(n_right−cum_right) + cum_right·(n_left−
+    cum_left))·Δ, every term an exact DECIMAL product, one divide per
+    expectation at the end. No sampling, no row pairs, no float sums.
+    Returns one row (n_a, n_b, e_xy, e_xx, e_yy, energy_d2).
+    """
+    g = F.col(group_col)
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
+    per = (
+        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .select((g == group_a).alias("_isa"), vm.alias("_v"))
+        .groupBy("_v")
+        .agg(
+            F.sum(F.col("_isa").cast("long")).cast(_D38).alias("_ca"),
+            F.sum((~F.col("_isa")).cast("long")).cast(_D38).alias("_cb"),
+        )
+    )
+    wv = W.orderBy("_v")
+    cum = per.select(
+        "_v",
+        F.sum("_ca").over(wv).alias("_cuma"),
+        F.sum("_cb").over(wv).alias("_cumb"),
+        (F.lead("_v", 1).over(wv) - F.col("_v")).cast(_D38).alias("_dx"),
+        F.sum("_ca").over(W.partitionBy()).alias("_na"),
+        F.sum("_cb").over(W.partitionBy()).alias("_nb"),
+    )
+
+    def _crossing(cl, nl, cr, nr):
+        return (
+            F.col(cl) * (F.col(nr) - F.col(cr))
+            + F.col(cr) * (F.col(nl) - F.col(cl))
+        ) * F.col("_dx")
+
+    live = F.col("_dx").isNotNull()
+    m = cum.agg(
+        F.max("_na").alias("_tna"),
+        F.max("_nb").alias("_tnb"),
+        F.sum(F.when(live, _crossing("_cuma", "_na", "_cumb", "_nb"))).alias(
+            "_sxy"
+        ),
+        F.sum(
+            F.when(live, (F.col("_cuma") * (F.col("_na") - F.col("_cuma")))
+                   * F.lit(2).cast(_D38) * F.col("_dx"))
+        ).alias("_sxx"),
+        F.sum(
+            F.when(live, (F.col("_cumb") * (F.col("_nb") - F.col("_cumb")))
+                   * F.lit(2).cast(_D38) * F.col("_dx"))
+        ).alias("_syy"),
+    )
+    na = F.col("_tna")
+    nb = F.col("_tnb")
+    exy = F.try_divide(
+        F.col("_sxy").cast("double"), (na * nb).cast("double")
+    ) / 1e6
+    exx = F.try_divide(
+        F.col("_sxx").cast("double"), (na * na).cast("double")
+    ) / 1e6
+    eyy = F.try_divide(
+        F.col("_syy").cast("double"), (nb * nb).cast("double")
+    ) / 1e6
+    return m.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(exy, 6).alias("e_xy"),
+        F.round(exx, 6).alias("e_xx"),
+        F.round(eyy, 6).alias("e_yy"),
+        F.round(2.0 * exy - exx - eyy, 6).alias("energy_d2"),
     )

@@ -8118,6 +8118,8 @@ _GATE_TAIL = [
     "lineitem_cliffs_delta_qty",
     "events_nelson_aalen",
     "events_cronbach_alpha",
+    "lineitem_isotonic_price_by_qty",
+    "lineitem_energy_distance_price",
 ]
 
 

@@ -2249,3 +2249,122 @@ def events_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
     )
     return cronbach_alpha(per, "user_id", "event_type", "cents")
+
+
+_ISO_ORACLE = """
+WITH per AS (
+  SELECT least(greatest(floor((l_quantity / 50.0) * 20)::INT, 0), 19)
+           AS bucket,
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN l_extendedprice > 30000.0 THEN 1 ELSE 0 END)::BIGINT
+           AS k
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+),
+pre AS (
+  SELECT bucket, n, k,
+         sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)::HUGEINT
+           AS cn,
+         sum(k) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)::HUGEINT
+           AS ck
+  FROM per
+),
+lo AS (
+  SELECT bucket AS jb, cn AS cnj, ck AS ckj FROM pre
+  UNION ALL SELECT -1, 0::HUGEINT, 0::HUGEINT
+),
+seg AS (
+  SELECT lo.jb, hi.bucket AS kb,
+         (hi.ck - lo.ckj)::DOUBLE / (hi.cn - lo.cnj)::DOUBLE AS m
+  FROM lo JOIN pre hi ON hi.bucket > lo.jb
+),
+sufmin AS (
+  SELECT jb, kb,
+         min(m) OVER (PARTITION BY jb ORDER BY kb DESC
+                      ROWS UNBOUNDED PRECEDING) AS minmean
+  FROM seg
+),
+iso AS (
+  SELECT kb AS bucket, max(minmean) AS isov FROM sufmin GROUP BY 1
+)
+SELECT p.bucket::BIGINT AS bucket, p.n,
+       round(p.k::DOUBLE / p.n::DOUBLE, 6) AS rate_raw,
+       round(i.isov, 6) AS rate_iso
+FROM per p JOIN iso i USING (bucket)
+ORDER BY bucket
+"""
+
+
+@register("lineitem_isotonic_price_by_qty", _ISO_ORACLE)
+def lineitem_isotonic_price_by_qty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic calibration of P(extendedprice > 30k) against the
+    quantity score (operators/abtest.isotonic_calibration, 20 buckets)
+    — the minimax-identity PAVA fit, monotone by construction, pooling
+    the noisy mid-range buckets; pinned against a hand-pooled PAVA
+    fixture."""
+    from olake_spark.operators.abtest import isotonic_calibration
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    ).select(
+        (F.col("l_quantity") / 50.0).alias("score"),
+        (F.col("l_extendedprice") > 30000.0).alias("big"),
+    )
+    return isotonic_calibration(li, "score", "big", n_buckets=20)
+
+
+_ENERGY_ORACLE = """
+WITH per AS (
+  SELECT round(l_extendedprice * 1000000)::BIGINT AS v,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::HUGEINT AS ca,
+         sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)::HUGEINT AS cb
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v) AS cuma,
+         sum(cb) OVER (ORDER BY v) AS cumb,
+         (lead(v) OVER (ORDER BY v) - v)::HUGEINT AS dx,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM per
+),
+m AS (
+  SELECT max(na) AS na, max(nb) AS nb,
+         sum(CASE WHEN dx IS NOT NULL
+             THEN (cuma * (nb - cumb) + cumb * (na - cuma)) * dx END) AS sxy,
+         sum(CASE WHEN dx IS NOT NULL
+             THEN cuma * (na - cuma) * 2 * dx END) AS sxx,
+         sum(CASE WHEN dx IS NOT NULL
+             THEN cumb * (nb - cumb) * 2 * dx END) AS syy
+  FROM cum
+)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       round(sxy::DOUBLE / (na * nb)::DOUBLE / 1e6, 6) AS e_xy,
+       round(sxx::DOUBLE / (na * na)::DOUBLE / 1e6, 6) AS e_xx,
+       round(syy::DOUBLE / (nb * nb)::DOUBLE / 1e6, 6) AS e_yy,
+       round(2.0 * (sxy::DOUBLE / (na * nb)::DOUBLE / 1e6)
+             - (sxx::DOUBLE / (na * na)::DOUBLE / 1e6)
+             - (syy::DOUBLE / (nb * nb)::DOUBLE / 1e6), 6) AS energy_d2
+FROM m
+"""
+
+
+@register("lineitem_energy_distance_price", _ENERGY_ORACLE)
+def lineitem_energy_distance_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact 1-D energy distance between the R and A extended-price
+    distributions (operators/abtest.energy_distance_1d) — the
+    characteristic-function metric next to lineitem_wasserstein_price,
+    from the same exact-integer value grid."""
+    from olake_spark.operators.abtest import energy_distance_1d
+
+    return energy_distance_1d(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        "R", "A",
+    )

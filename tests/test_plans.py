@@ -92,6 +92,10 @@ _CROSS_OK = {
     "events_cochran_q_reach",
     "events_cronbach_alpha",
     "events_nelson_aalen",
+    # isotonic minimax: the (j, k) segment grid is a B²/2 theta-join
+    # over the BUCKET relation (20 buckets → 210 cells), the kendall
+    # domain-grid discipline — never row pairs
+    "lineitem_isotonic_price_by_qty",
 }
 
 

@@ -1664,3 +1664,61 @@ def test_ljung_box_pin(spark):
     q *= n * (n + 2)
     assert (got["n"], got["m_used"]) == (8, 3)
     assert got["q_lb"] == approx(q)
+
+
+def test_isotonic_calibration_pools_violator_pin(spark):
+    # buckets with a violation: raw rates [0.2, 0.6, 0.3, 0.8] and
+    # masses [10, 10, 20, 10] -> PAVA pools buckets 2,3 into
+    # (6+6)/(10+20)=0.4
+    spec = [(0, 10, 2), (1, 10, 6), (2, 20, 6), (3, 10, 8)]
+    rows = []
+    for b, n, k in spec:
+        score = (b + 0.5) / 4
+        rows += [(score, True)] * k + [(score, False)] * (n - k)
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    from olake_spark.operators.abtest import isotonic_calibration
+
+    got = {r["bucket"]: r for r in
+           isotonic_calibration(df, "s", "y", n_buckets=4).collect()}
+    assert [got[b]["rate_raw"] for b in range(4)] == [0.2, 0.6, 0.3, 0.8]
+    fitted = [got[b]["rate_iso"] for b in range(4)]
+    assert fitted == [0.2, approx(0.4), approx(0.4), 0.8]
+    # monotone and mass-preserving within pooled blocks
+    assert all(fitted[i] <= fitted[i + 1] + 1e-12 for i in range(3))
+
+
+def test_isotonic_calibration_already_monotone_is_identity(spark):
+    spec = [(0, 5, 1), (1, 5, 2), (2, 5, 4)]
+    rows = []
+    for b, n, k in spec:
+        score = (b + 0.5) / 3
+        rows += [(score, True)] * k + [(score, False)] * (n - k)
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    from olake_spark.operators.abtest import isotonic_calibration
+
+    got = {r["bucket"]: r for r in
+           isotonic_calibration(df, "s", "y", n_buckets=3).collect()}
+    for b, n, k in spec:
+        assert got[b]["rate_iso"] == approx(k / n)
+
+
+def test_energy_distance_pin(spark):
+    a = [1.0, 3.0, 5.0]
+    b = [2.0, 2.0, 6.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import energy_distance_1d
+
+    got = _row(energy_distance_1d(df, "g", "v", "a", "b"))
+    exy = sum(abs(x - y) for x in a for y in b) / 9
+    exx = sum(abs(x - y) for x in a for y in a) / 9
+    eyy = sum(abs(x - y) for x in b for y in b) / 9
+    assert got["e_xy"] == approx(exy)
+    assert got["e_xx"] == approx(exx)
+    assert got["e_yy"] == approx(eyy)
+    assert got["energy_d2"] == approx(2 * exy - exx - eyy)
+    # identical distributions -> zero
+    rows2 = [("a", v) for v in a] + [("b", v) for v in a]
+    got2 = _row(energy_distance_1d(
+        spark.createDataFrame(rows2, "g string, v double"), "g", "v", "a", "b"))
+    assert got2["energy_d2"] == approx(0.0)
