@@ -1661,6 +1661,44 @@ def mcnemar_paired(
     )
 
 
+def _two_group_value_grid(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Shared scaffold of the two-sample distribution operators
+    (:func:`wasserstein_1d`, :func:`energy_distance_1d`,
+    :func:`cliffs_delta`): micro-quantized values, one groupBy onto the
+    DISTINCT-value relation with per-group counts (_v, _ca, _cb)."""
+    g = F.col(group_col)
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
+    return (
+        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .select((g == group_a).alias("_isa"), vm.alias("_v"))
+        .groupBy("_v")
+        .agg(
+            F.sum(F.col("_isa").cast("long")).cast(_D38).alias("_ca"),
+            F.sum((~F.col("_isa")).cast("long")).cast(_D38).alias("_cb"),
+        )
+    )
+
+
+def _grid_cumulative(per: DataFrame) -> DataFrame:
+    """Ordered cumulative view of the value grid: cumulative group
+    counts, segment width to the next value, group totals."""
+    wv = W.orderBy("_v")
+    return per.select(
+        "_v",
+        F.sum("_ca").over(wv).alias("_cuma"),
+        F.sum("_cb").over(wv).alias("_cumb"),
+        (F.lead("_v", 1).over(wv) - F.col("_v")).cast(_D38).alias("_dx"),
+        F.sum("_ca").over(W.partitionBy()).alias("_na"),
+        F.sum("_cb").over(W.partitionBy()).alias("_nb"),
+    )
+
+
 def wasserstein_1d(
     df: DataFrame,
     group_col: str,
@@ -1685,25 +1723,8 @@ def wasserstein_1d(
     distinct-value relation must fit a partition; raw rows never enter
     a window). Returns one row (n_a, n_b, n_values, w1).
     """
-    g = F.col(group_col)
-    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
-    per = (
-        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
-        .select((g == group_a).alias("_isa"), vm.alias("_v"))
-        .groupBy("_v")
-        .agg(
-            F.sum(F.col("_isa").cast("long")).cast(_D38).alias("_ca"),
-            F.sum((~F.col("_isa")).cast("long")).cast(_D38).alias("_cb"),
-        )
-    )
-    wv = W.orderBy("_v")
-    cum = per.select(
-        "_v",
-        F.sum("_ca").over(wv).alias("_cuma"),
-        F.sum("_cb").over(wv).alias("_cumb"),
-        (F.lead("_v", 1).over(wv) - F.col("_v")).cast(_D38).alias("_dx"),
-        F.sum("_ca").over(W.partitionBy()).alias("_na"),
-        F.sum("_cb").over(W.partitionBy()).alias("_nb"),
+    cum = _grid_cumulative(
+        _two_group_value_grid(df, group_col, value_col, group_a, group_b)
     )
     seg = F.abs(
         F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na")
@@ -1712,7 +1733,13 @@ def wasserstein_1d(
         F.max("_na").alias("_tna"),
         F.max("_nb").alias("_tnb"),
         F.count(F.lit(1)).cast("long").alias("n_values"),
-        F.sum(F.when(F.col("_dx").isNotNull(), seg)).alias("_num"),
+        # a single shared value has no segment — the true W1 between
+        # point masses at the same value is 0, not NULL (review catch:
+        # the oracle mirrored the NULL, a gate-green wrong value)
+        F.coalesce(
+            F.sum(F.when(F.col("_dx").isNotNull(), seg)),
+            F.lit(0).cast(_D38),
+        ).alias("_num"),
     )
     w1 = F.try_divide(
         F.col("_num").cast("double"),
@@ -1722,7 +1749,7 @@ def wasserstein_1d(
         F.col("_tna").cast("long").alias("n_a"),
         F.col("_tnb").cast("long").alias("n_b"),
         "n_values",
-        F.round(F.coalesce(w1, F.lit(None)), 6).alias("w1"),
+        F.round(w1, 6).alias("w1"),
     )
 
 
@@ -1750,10 +1777,13 @@ def friedman_test(
     scalar pattern). Degenerate inputs (all ranks tied: A₁ = C₁)
     report NULL. Returns one row (k_treatments, n_blocks, t_stat).
     """
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(_D38)
     cells = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(block_col, treatment_col)
-        .agg(F.sum(value_col).alias("_v"))
+        # exact micro-int cell sums — a raw double sum is partition-
+        # order dependent and can flip a rank at a near-tie
+        .agg(F.sum(vm).alias("_v"))
     )
     kk = cells.agg(
         F.count_distinct(F.col(treatment_col)).cast("long").alias("_k")
@@ -1843,18 +1873,28 @@ def cochran_q(
     )
     per_unit = cells.groupBy("_u").agg(
         F.count(F.lit(1)).alias("_kt"),
+        F.count_distinct(F.col("_tr")).alias("_ktd"),
         F.sum("_s").cast(_D38).alias("_ri"),
     )
+    # complete = every unit has the same treatment count AND no unit
+    # repeats a treatment (a (t1, t1, t3) unit passes a count-only
+    # check while silently double-counting — review catch); an EMPTY
+    # input is not an incomplete design, it reports the NULL row like
+    # every sibling operator
     k_chk = per_unit.agg(
+        F.count(F.lit(1)).alias("_nu"),
         F.count_distinct(F.col("_kt")).alias("_nk"),
-        F.first("_kt").alias("_k"),
+        F.first("_kt").alias("_k1"),
+        F.max((F.col("_kt") != F.col("_ktd")).cast("int")).alias("_dup"),
     ).select(
-        F.when(
-            F.col("_nk") == 1, F.col("_k")
-        ).otherwise(
+        F.when(F.col("_nu") == 0, F.lit(None).cast("long"))
+        .when(
+            (F.col("_nk") == 1) & (F.col("_dup") == 0), F.col("_k1")
+        )
+        .otherwise(
             F.raise_error(
                 F.lit("cochran_q: incomplete design — units differ in "
-                      "treatment count")
+                      "treatment count or repeat a treatment")
             ).cast("long")
         ).alias("_k")
     )
@@ -1903,17 +1943,7 @@ def cliffs_delta(
     window over distinct values), every term an exact DECIMAL, one
     final divide. Returns one row (n_a, n_b, n_gt, n_lt, delta).
     """
-    g = F.col(group_col)
-    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
-    per = (
-        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
-        .select((g == group_a).alias("_isa"), vm.alias("_v"))
-        .groupBy("_v")
-        .agg(
-            F.sum(F.col("_isa").cast("long")).cast(_D38).alias("_ca"),
-            F.sum((~F.col("_isa")).cast("long")).cast(_D38).alias("_cb"),
-        )
-    )
+    per = _two_group_value_grid(df, group_col, value_col, group_a, group_b)
     wv = W.orderBy("_v").rowsBetween(W.unboundedPreceding, -1)
     cum = per.select(
         "_ca",
@@ -2096,21 +2126,12 @@ def isotonic_calibration(
             wmin.rowsBetween(W.unboundedPreceding, W.currentRow)
         ).alias("_minmean"),
     )
-    wmax = W.partitionBy("_kb").orderBy("_jb").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    # suffix-min row (j, k=i) carries min_{k' ≥ i} mean(j..k') (the
+    # _kb-desc ordering accumulates from the top); iso(i) is then the
+    # max over the starts j < i — a plain aggregation, no window
+    iso = sufmin.groupBy(F.col("_kb").alias("bucket")).agg(
+        F.max("_minmean").alias("_iso")
     )
-    # for target bucket i (= _kb of the suffix-min at exactly k = i):
-    # rows (j, i) hold min_{k≥i}? No — suffix-min at (j, k=i) is
-    # min over segments (j, k'≥i)… ordering by _kb desc accumulates
-    # from the top, so the row (j, i) carries min_{k' ≥ i} mean(j..k')
-    iso = sufmin.select(
-        F.col("_kb").alias("bucket"),
-        F.max("_minmean").over(
-            W.partitionBy("_kb").orderBy("_jb").rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        ).alias("_isov"),
-    ).groupBy("bucket").agg(F.first("_isov").alias("_iso"))
     return (
         per.join(iso, "bucket")
         .select(
@@ -2147,25 +2168,8 @@ def energy_distance_1d(
     expectation at the end. No sampling, no row pairs, no float sums.
     Returns one row (n_a, n_b, e_xy, e_xx, e_yy, energy_d2).
     """
-    g = F.col(group_col)
-    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
-    per = (
-        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
-        .select((g == group_a).alias("_isa"), vm.alias("_v"))
-        .groupBy("_v")
-        .agg(
-            F.sum(F.col("_isa").cast("long")).cast(_D38).alias("_ca"),
-            F.sum((~F.col("_isa")).cast("long")).cast(_D38).alias("_cb"),
-        )
-    )
-    wv = W.orderBy("_v")
-    cum = per.select(
-        "_v",
-        F.sum("_ca").over(wv).alias("_cuma"),
-        F.sum("_cb").over(wv).alias("_cumb"),
-        (F.lead("_v", 1).over(wv) - F.col("_v")).cast(_D38).alias("_dx"),
-        F.sum("_ca").over(W.partitionBy()).alias("_na"),
-        F.sum("_cb").over(W.partitionBy()).alias("_nb"),
+    cum = _grid_cumulative(
+        _two_group_value_grid(df, group_col, value_col, group_a, group_b)
     )
 
     def _crossing(cl, nl, cr, nr):
@@ -2175,19 +2179,29 @@ def energy_distance_1d(
         ) * F.col("_dx")
 
     live = F.col("_dx").isNotNull()
+    z38 = F.lit(0).cast(_D38)
+    # coalesce: a single shared value has no segments — every pairwise
+    # expectation is truly 0 there, not NULL (same review catch as W1)
     m = cum.agg(
         F.max("_na").alias("_tna"),
         F.max("_nb").alias("_tnb"),
-        F.sum(F.when(live, _crossing("_cuma", "_na", "_cumb", "_nb"))).alias(
-            "_sxy"
-        ),
-        F.sum(
-            F.when(live, (F.col("_cuma") * (F.col("_na") - F.col("_cuma")))
-                   * F.lit(2).cast(_D38) * F.col("_dx"))
+        F.coalesce(
+            F.sum(F.when(live, _crossing("_cuma", "_na", "_cumb", "_nb"))),
+            z38,
+        ).alias("_sxy"),
+        F.coalesce(
+            F.sum(
+                F.when(live, (F.col("_cuma") * (F.col("_na") - F.col("_cuma")))
+                       * F.lit(2).cast(_D38) * F.col("_dx"))
+            ),
+            z38,
         ).alias("_sxx"),
-        F.sum(
-            F.when(live, (F.col("_cumb") * (F.col("_nb") - F.col("_cumb")))
-                   * F.lit(2).cast(_D38) * F.col("_dx"))
+        F.coalesce(
+            F.sum(
+                F.when(live, (F.col("_cumb") * (F.col("_nb") - F.col("_cumb")))
+                       * F.lit(2).cast(_D38) * F.col("_dx"))
+            ),
+            z38,
         ).alias("_syy"),
     )
     na = F.col("_tna")

@@ -104,6 +104,52 @@ def holt_linear(
     )
 
 
+def _centered_lag_pairs(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    step: str,
+    max_lag: int,
+    by: list[str],
+) -> DataFrame:
+    """Shared plan of :func:`acf` and :func:`ljung_box`: the bucketed
+    series' n-scaled centered deviations paired at lags 1..max_lag.
+    Returns one row per (by…, lag, pair) carrying (_n, _dev, _dev2,
+    _den) — the caller aggregates its own statistic."""
+    from olake_spark.operators.timeseries import bucketize
+
+    daily = bucketize(df, time_col, by, value_col, step=step).select(
+        *by,
+        F.col("_bucket").alias("_t"),
+        F.col("_v_micros").cast(_D38).alias("_x"),
+    )
+    w = W.partitionBy(*by).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    centered = daily.select(
+        *by,
+        "_t",
+        F.count(F.lit(1)).over(w).cast(_D38).alias("_n"),
+        (F.count(F.lit(1)).over(w).cast(_D38) * F.col("_x")
+         - F.sum("_x").over(w)).alias("_dev"),
+    )
+    den = centered.select(
+        *by, "_t", "_n", "_dev",
+        F.sum(F.col("_dev") * F.col("_dev")).over(w).alias("_den"),
+    )
+    lags = F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)]))
+    left = den.select(*by, "_t", "_n", "_dev", "_den", lags.alias("lag"))
+    right = centered.select(
+        *[F.col(k).alias(f"_k2_{k}") for k in by],
+        F.col("_t").alias("_t2"),
+        F.col("_dev").alias("_dev2"),
+    )
+    cond = left["_t"] + left["lag"] == right["_t2"]
+    for k in by:
+        cond = cond & (left[k] == right[f"_k2_{k}"])
+    return left.join(right, cond, "inner")
+
+
 def acf(
     df: DataFrame,
     time_col: str,
@@ -145,40 +191,8 @@ def acf(
     (n, S, den) are each group's own."""
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
-    from olake_spark.operators.timeseries import bucketize
-
     by = list(by or [])
-    daily = bucketize(df, time_col, by, value_col, step=step).select(
-        *by,
-        F.col("_bucket").alias("_t"),
-        F.col("_v_micros").cast(_D38).alias("_x"),
-    )
-    w = W.partitionBy(*by).rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    centered = daily.select(
-        *by,
-        "_t",
-        (F.count(F.lit(1)).over(w).cast(_D38) * F.col("_x")
-         - F.sum("_x").over(w)).alias("_dev"),
-    )
-    den = centered.select(
-        F.sum(F.col("_dev") * F.col("_dev")).over(w).alias("_den"),
-        *by,
-        "_t",
-        "_dev",
-    )
-    lags = F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)]))
-    left = den.select(*by, "_t", "_dev", "_den", lags.alias("lag"))
-    right = centered.select(
-        *[F.col(k).alias(f"_k2_{k}") for k in by],
-        F.col("_t").alias("_t2"),
-        F.col("_dev").alias("_dev2"),
-    )
-    cond = left["_t"] + left["lag"] == right["_t2"]
-    for k in by:
-        cond = cond & (left[k] == right[f"_k2_{k}"])
-    paired = left.join(right, cond, "inner")
+    paired = _centered_lag_pairs(df, time_col, value_col, step, max_lag, by)
     return (
         paired.groupBy(*by, "lag")
         .agg(
@@ -289,39 +303,8 @@ def ljung_box(
     """
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
-    from olake_spark.operators.timeseries import bucketize
-
     by = list(by or [])
-    daily = bucketize(df, time_col, by, value_col, step=step).select(
-        *by,
-        F.col("_bucket").alias("_t"),
-        F.col("_v_micros").cast(_D38).alias("_x"),
-    )
-    w = W.partitionBy(*by).rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    centered = daily.select(
-        *by,
-        "_t",
-        F.count(F.lit(1)).over(w).cast(_D38).alias("_n"),
-        (F.count(F.lit(1)).over(w).cast(_D38) * F.col("_x")
-         - F.sum("_x").over(w)).alias("_dev"),
-    )
-    den = centered.select(
-        *by, "_t", "_n", "_dev",
-        F.sum(F.col("_dev") * F.col("_dev")).over(w).alias("_den"),
-    )
-    lags = F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)]))
-    left = den.select(*by, "_t", "_n", "_dev", "_den", lags.alias("lag"))
-    right = centered.select(
-        *[F.col(k).alias(f"_k2_{k}") for k in by],
-        F.col("_t").alias("_t2"),
-        F.col("_dev").alias("_dev2"),
-    )
-    cond = left["_t"] + left["lag"] == right["_t2"]
-    for k in by:
-        cond = cond & (left[k] == right[f"_k2_{k}"])
-    paired = left.join(right, cond, "inner")
+    paired = _centered_lag_pairs(df, time_col, value_col, step, max_lag, by)
     per_lag = paired.groupBy(*by, "lag").agg(
         F.first("_n").alias("_nn"),
         F.when(

@@ -298,10 +298,15 @@ def neyman_allocation(
         n.cast("long").alias("n_pop"),
         F.coalesce(sd, F.lit(0.0)).alias("_sd"),
         # micro-quantized N·S: the only double math is this per-row
-        # product+round (deterministic); everything summed is integer
+        # product+round (deterministic); everything summed is integer.
+        # Cast straight to DECIMAL(38,0) — a long intermediate clamps
+        # silently past 2^63 in non-ANSI Spark while the oracle's
+        # BIGINT cast errors (review catch); headroom: exact while
+        # n·sd·10⁶ < 2^53 (doubles carry no fraction past that, and
+        # both engines then convert the SAME integral double)
         F.round(
             n.cast("double") * F.coalesce(sd, F.lit(0.0)) * F.lit(1e6)
-        ).cast("long").cast(d38).alias("_m"),
+        ).cast(d38).alias("_m"),
     )
     wtot = W.partitionBy()
     msum = F.sum("_m").over(wtot)

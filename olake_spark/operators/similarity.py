@@ -640,10 +640,15 @@ def ivf_exact_topk(
     neighbor c satisfies d(q, cent(c)) ≤ d(q, c) + r(cell(c)) ≤ d_k + r,
     so its cell always survives step 2 — the result equals brute force
     by construction, which is why the registry query pairs this plan
-    with the structurally independent brute-force SQL oracle. A 1e-6
-    distance slack on the prune comparison absorbs FP fold error
-    (~5e-8 worst case through the √) and the round-9 ranking boundary;
-    pruning power is unaffected (cell gaps are O(0.1) distances).
+    with the structurally independent brute-force SQL oracle. The prune
+    compares SQUARED distances with a 1e-8 slack: in d² = 2 − 2·cos
+    space a cosine perturbation ε maps to a CONSTANT 2ε of d² slack, so
+    one bound absorbs both FP fold error (~1e-12) and the round-9
+    ranking boundary (5e-10 of cosine → 1e-9 of d²) uniformly — an
+    additive DISTANCE slack would need Δd ≈ ε/d_k, unbounded as the
+    k-th neighbor gets close (near-duplicate corpora), which is exactly
+    where a fixed 1e-6 silently under-covered. Pruning power is
+    unaffected (cell gaps are O(0.1) distances → O(0.01) of d²).
 
     At scale: centroids/cell-stats are broadcast-tiny, the estimate and
     final scans touch only listed cells of a ``_cell``-bucketed index
@@ -667,7 +672,7 @@ def ivf_exact_topk(
         index = ivf_build_index(
             corpus, centroids, id_col, vec_col, dim
         ).localCheckpoint(eager=False)
-    eps = F.lit(1e-6)
+    eps2 = F.lit(1e-8)  # slack in d² units — see docstring
 
     cb = F.broadcast(centroids.withColumn("_cvn", _norm("_cent_v", dim)))
     ca = index.select(
@@ -729,7 +734,12 @@ def ivf_exact_topk(
         qc.join(F.broadcast(cellstats), "_cell")
         .join(F.broadcast(kth), "query_id", "left")
         .filter(
-            F.col("_cos_k").isNull() | (d_qc - F.col("_radius") <= d_k + eps)
+            F.col("_cos_k").isNull()
+            | (d_qc <= F.col("_radius"))
+            | (
+                (d_qc - F.col("_radius")) * (d_qc - F.col("_radius"))
+                <= (2.0 - 2.0 * F.col("_cos_k")) + eps2
+            )
         )
         .select("query_id", "_qv", "_qn", "_cell")
     )

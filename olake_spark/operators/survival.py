@@ -27,8 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = [
-    "nelson_aalen","kaplan_meier", "logrank_test"]
+__all__ = ["kaplan_meier", "logrank_test", "nelson_aalen"]
 
 
 def kaplan_meier(
@@ -255,7 +254,8 @@ def nelson_aalen(
     integer prefix sum of those (no float accumulation anywhere); the
     variance term floors (d·10¹²) div n² the same way. NULL durations
     are excluded for the same cross-engine ORDER BY reason as KM.
-    Returns (duration, n_at_risk, d, h_micro, cum_hazard, var_micro2).
+    Returns (duration, n_at_risk, d, h_micro, cum_hazard_micro,
+    var_micro2).
     """
     per = subjects.filter(F.col(duration_col).isNotNull()).groupBy(
         F.col(duration_col).alias("duration")

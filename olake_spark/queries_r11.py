@@ -1387,7 +1387,7 @@ sdv AS (
 ),
 meas AS (
   SELECT s_nationkey, n, sd,
-         round(n::DOUBLE * sd * 1000000)::BIGINT::HUGEINT AS m
+         round(n::DOUBLE * sd * 1000000)::HUGEINT AS m
   FROM sdv
 ),
 frac AS (
@@ -1827,8 +1827,8 @@ cum AS (
 m AS (
   SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
          count(*)::BIGINT AS n_values,
-         sum(CASE WHEN dx IS NOT NULL
-             THEN abs(cuma * nb - cumb * na) * dx END) AS num,
+         coalesce(sum(CASE WHEN dx IS NOT NULL
+             THEN abs(cuma * nb - cumb * na) * dx END), 0) AS num,
          max(na) AS tna, max(nb) AS tnb
   FROM cum
 )
@@ -2335,12 +2335,13 @@ cum AS (
 ),
 m AS (
   SELECT max(na) AS na, max(nb) AS nb,
-         sum(CASE WHEN dx IS NOT NULL
-             THEN (cuma * (nb - cumb) + cumb * (na - cuma)) * dx END) AS sxy,
-         sum(CASE WHEN dx IS NOT NULL
-             THEN cuma * (na - cuma) * 2 * dx END) AS sxx,
-         sum(CASE WHEN dx IS NOT NULL
-             THEN cumb * (nb - cumb) * 2 * dx END) AS syy
+         coalesce(sum(CASE WHEN dx IS NOT NULL
+             THEN (cuma * (nb - cumb) + cumb * (na - cuma)) * dx END), 0)
+           AS sxy,
+         coalesce(sum(CASE WHEN dx IS NOT NULL
+             THEN cuma * (na - cuma) * 2 * dx END), 0) AS sxx,
+         coalesce(sum(CASE WHEN dx IS NOT NULL
+             THEN cumb * (nb - cumb) * 2 * dx END), 0) AS syy
   FROM cum
 )
 SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,

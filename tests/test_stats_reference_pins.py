@@ -1722,3 +1722,34 @@ def test_energy_distance_pin(spark):
     got2 = _row(energy_distance_1d(
         spark.createDataFrame(rows2, "g string, v double"), "g", "v", "a", "b"))
     assert got2["energy_d2"] == approx(0.0)
+
+
+def test_wasserstein_energy_single_shared_value_is_zero(spark):
+    # review catch: both groups on ONE value -> distances are truly 0,
+    # not NULL (the oracle used to mirror the NULL: gate-green wrong)
+    rows = [("a", 7.0)] * 3 + [("b", 7.0)] * 2
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import energy_distance_1d, wasserstein_1d
+
+    w = _row(wasserstein_1d(df, "g", "v", "a", "b"))
+    assert (w["n_a"], w["n_b"], w["w1"]) == (3, 2, 0.0)
+    e = _row(energy_distance_1d(df, "g", "v", "a", "b"))
+    assert (e["e_xy"], e["e_xx"], e["e_yy"], e["energy_d2"]) == (
+        0.0, 0.0, 0.0, 0.0
+    )
+
+
+def test_cochran_q_empty_and_duplicate_treatment(spark):
+    from olake_spark.operators.abtest import cochran_q
+
+    empty = spark.createDataFrame([], "u string, t string, s boolean")
+    got = _row(cochran_q(empty, "u", "t", "s"))
+    # empty input is the NULL report, not an 'incomplete design' crash
+    assert got["n_units"] == 0 and got["q_stat"] is None
+
+    # (t1, t1, t3) passes a count-only check but must raise now
+    rows = [("u1", "t1", True), ("u1", "t1", False), ("u1", "t3", True),
+            ("u2", "t1", True), ("u2", "t2", False), ("u2", "t3", True)]
+    dup = spark.createDataFrame(rows, "u string, t string, s boolean")
+    with pytest.raises(Exception, match="incomplete design"):
+        _row(cochran_q(dup, "u", "t", "s"))
