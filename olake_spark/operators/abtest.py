@@ -33,6 +33,10 @@ __all__ = [
     "cochran_q",
     "isotonic_calibration",
     "energy_distance_1d",
+    "kendalls_w",
+    "cramer_von_mises_2samp",
+    "kuiper_two_sample",
+    "hellinger_binned",
     "cliffs_delta",
     "cronbach_alpha",
     "cochran_armitage_trend",
@@ -1753,29 +1757,19 @@ def wasserstein_1d(
     )
 
 
-def friedman_test(
+def _friedman_moments(
     df: DataFrame,
     block_col: str,
     treatment_col: str,
     value_col: str,
 ) -> DataFrame:
-    """Friedman rank test for k related treatments over n blocks (the
-    repeated-measures sibling of :func:`kruskal_wallis` — each block
-    ranks ITS OWN k cells, so between-block level shifts can't drown
-    the treatment signal). Conover's tie-corrected form:
-
-        T = (k−1) · Σ_j (R_j − n(k+1)/2)² / (A₁ − C₁),
-        A₁ = Σ_ij r_ij²,  C₁ = n·k·(k+1)²/4
-
-    (reduces to the classic 12/(nk(k+1))·ΣR_j² − 3n(k+1) when no
-    ties). Average ranks are kept EXACT as doubled integers
-    (2·rank = 2·min_rank + ties − 1), so every moment (R_j, A₁) is an
-    exact DECIMAL and T is one final divide. Cells pre-aggregate to one
-    row per (block, treatment); only COMPLETE blocks (all k treatments
-    present) enter, per the test's definition — k is the global
+    """Shared moment relation of :func:`friedman_test` and
+    :func:`kendalls_w`: one row (k_treatments, n_blocks, _num4, _sa4)
+    of exact doubled-rank moments over the complete blocks. Cells
+    pre-aggregate to one row per (block, treatment); only COMPLETE
+    blocks (all k treatments present) enter — k is the global
     distinct-treatment count (a 1-row lazy broadcast, the allowlisted
-    scalar pattern). Degenerate inputs (all ranks tied: A₁ = C₁)
-    report NULL. Returns one row (k_treatments, n_blocks, t_stat).
+    scalar pattern).
     """
     vm = F.round(F.col(value_col) * 1_000_000).cast("long").cast(_D38)
     cells = (
@@ -1826,6 +1820,40 @@ def friedman_test(
         ).alias("_num4"),
         F.sum("_A4").alias("_sa4"),
     )
+    return m
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test for k related treatments over n blocks (the
+    repeated-measures sibling of :func:`kruskal_wallis` — each block
+    ranks ITS OWN k cells, so between-block level shifts can't drown
+    the treatment signal). Conover's tie-corrected form:
+
+        T = (k−1) · Σ_j (R_j − n(k+1)/2)² / (A₁ − C₁),
+        A₁ = Σ_ij r_ij²,  C₁ = n·k·(k+1)²/4
+
+    (reduces to the classic 12/(nk(k+1))·ΣR_j² − 3n(k+1) when no
+    ties). Cell values micro-quantize to exact integers before the
+    cell sum; average ranks are kept EXACT as doubled integers
+    (2·rank = 2·min_rank + ties − 1), so every moment is an exact
+    DECIMAL and T is one final divide. Only COMPLETE blocks enter.
+    Degenerate inputs (all ranks tied: A₁ = C₁) report NULL.
+    Returns one row (k_treatments, n_blocks, t_stat).
+    """
+    m = _friedman_moments(df, block_col, treatment_col, value_col)
+    t = _friedman_t(m)
+    return m.select(
+        "k_treatments", "n_blocks", F.round(t, 6).alias("t_stat")
+    )
+
+
+def _friedman_t(m: DataFrame):
+    """Conover T expression over the :func:`_friedman_moments` row."""
     kp1 = F.col("k_treatments").cast(_D38) + 1
     c14 = (
         F.col("n_blocks").cast(_D38)
@@ -1834,13 +1862,34 @@ def friedman_test(
         * kp1
     )
     den = F.col("_sa4") - c14
-    t = F.when(
+    return F.when(
         den > 0,
         (F.col("k_treatments") - 1).cast("double")
         * F.col("_num4").cast("double") / den.cast("double"),
     )
+
+
+def kendalls_w(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W — how strongly the n
+    blocks AGREE on the ranking of the k treatments (1 = every block
+    ranks identically, 0 = no agreement), the effect-size companion to
+    :func:`friedman_test` via the exact identity W = T / (n·(k−1))
+    (tie-corrected throughout, same moments, same plan — computed from
+    the UNROUNDED T expression, not the rounded report). Returns one
+    row (k_treatments, n_blocks, w).
+    """
+    m = _friedman_moments(df, block_col, treatment_col, value_col)
+    w = _friedman_t(m) / (
+        F.col("n_blocks").cast("double")
+        * (F.col("k_treatments") - 1).cast("double")
+    )
     return m.select(
-        "k_treatments", "n_blocks", F.round(t, 6).alias("t_stat")
+        "k_treatments", "n_blocks", F.round(w, 6).alias("w")
     )
 
 
@@ -2222,4 +2271,170 @@ def energy_distance_1d(
         F.round(exx, 6).alias("e_xx"),
         F.round(eyy, 6).alias("e_yy"),
         F.round(2.0 * exy - exx - eyy, 6).alias("energy_d2"),
+    )
+
+
+def cramer_von_mises_2samp(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic — the INTEGRATED-gap
+    companion to :func:`ks_two_sample` (KS reads only the worst point;
+    CvM accumulates (F_a − F_b)² over every pooled observation, so many
+    moderate gaps register where KS sees none):
+
+        T = n_a·n_b/(n_a+n_b)² · Σ_pooled (F_a(x) − F_b(x))²
+
+    summed over OBSERVATIONS (a value with c copies contributes c
+    terms). Every summand is exact: the squared gap's numerator is
+    (C_a·n_b − C_b·n_a)², weighted by the value's pooled count — all
+    DECIMAL(38,0) over the distinct-value grid — and T is one IEEE
+    sequence over casts of the exact totals. Returns one row
+    (n_a, n_b, t_cvm).
+    """
+    cum = _grid_cumulative(
+        _two_group_value_grid(df, group_col, value_col, group_a, group_b)
+    )
+    gap = F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na")
+    # per-value pooled count = step of the cumulative sums
+    wv = W.orderBy("_v")
+    stepped = cum.select(
+        "_cuma", "_cumb", "_na", "_nb",
+        (
+            F.col("_cuma") - F.coalesce(
+                F.lag("_cuma", 1).over(wv), F.lit(0).cast(_D38)
+            )
+            + F.col("_cumb") - F.coalesce(
+                F.lag("_cumb", 1).over(wv), F.lit(0).cast(_D38)
+            )
+        ).alias("_w"),
+        (gap * gap).alias("_g2"),
+    )
+    m = stepped.agg(
+        F.max("_na").alias("_tna"),
+        F.max("_nb").alias("_tnb"),
+        F.coalesce(
+            F.sum(F.col("_w") * F.col("_g2")), F.lit(0).cast(_D38)
+        ).alias("_s"),
+    )
+    na = F.col("_tna").cast("double")
+    nb = F.col("_tnb").cast("double")
+    nn = na + nb
+    # Σ w·gap² is (na·nb)²-scaled: divide once by (na·nb)², then the
+    # standard na·nb/(na+nb)² prefactor
+    t = (
+        (na * nb) / (nn * nn)
+        * (F.col("_s").cast("double") / ((na * nb) * (na * nb)))
+    )
+    return m.select(
+        F.col("_tna").cast("long").alias("n_a"),
+        F.col("_tnb").cast("long").alias("n_b"),
+        F.round(t, 6).alias("t_cvm"),
+    )
+
+
+def kuiper_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kuiper statistic V = D⁺ + D⁻ — the
+    tail-equal-sensitive variant of :func:`ks_two_sample` (KS's single
+    sup under-weights one-side-up/other-side-down shape differences;
+    Kuiper adds the two signed sups, and is the standard choice for
+    circular/wrap-around domains like time-of-day). Both sups are
+    maxima of exact signed DECIMAL gap numerators over the
+    distinct-value grid; V is one IEEE sequence. Returns one row
+    (n_a, n_b, d_plus, d_minus, v).
+    """
+    cum = _grid_cumulative(
+        _two_group_value_grid(df, group_col, value_col, group_a, group_b)
+    )
+    gap = F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na")
+    m = cum.agg(
+        F.max("_na").alias("_tna"),
+        F.max("_nb").alias("_tnb"),
+        F.coalesce(
+            F.greatest(F.max(gap), F.lit(0).cast(_D38)),
+            F.lit(0).cast(_D38),
+        ).alias("_dp"),
+        F.coalesce(
+            F.greatest(F.max(-gap), F.lit(0).cast(_D38)),
+            F.lit(0).cast(_D38),
+        ).alias("_dm"),
+    )
+    den = (F.col("_tna") * F.col("_tnb")).cast("double")
+    dp = F.col("_dp").cast("double") / den
+    dm = F.col("_dm").cast("double") / den
+    return m.select(
+        F.col("_tna").cast("long").alias("n_a"),
+        F.col("_tnb").cast("long").alias("n_b"),
+        F.round(dp, 6).alias("d_plus"),
+        F.round(dm, 6).alias("d_minus"),
+        F.round(dp + dm, 6).alias("v_kuiper"),
+    )
+
+
+def hellinger_binned(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    bin_width: float,
+) -> DataFrame:
+    """Hellinger distance between two groups' BINNED value
+    distributions — the bounded [0, 1] geometry-friendly member of the
+    divergence family next to PSI and JSD (finite on disjoint
+    supports, symmetric, a true metric):
+
+        BC = Σ_bins √(p_i·q_i),   H = √(1 − BC)
+
+    Bins are fixed-width floors (value div ``bin_width``), counts
+    exact; each bin's √(a_i·b_i) is one IEEE sequence over exact
+    integers, FLOOR-nano quantized before the Σ over the bin relation
+    (order-free float-sum discipline), and BC normalizes by the exact
+    √(n_a·n_b) once at the end. Empty-side bins contribute exactly 0.
+    Degenerate (either group empty) reports NULL. Returns one row
+    (n_a, n_b, n_bins, bc, hellinger).
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    g = F.col(group_col)
+    b = F.floor(F.col(value_col) / F.lit(float(bin_width))).cast("long")
+    per = (
+        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .select((g == group_a).alias("_isa"), b.alias("_b"))
+        .groupBy("_b")
+        .agg(
+            F.sum(F.col("_isa").cast("long")).cast(_D38).alias("_a"),
+            F.sum((~F.col("_isa")).cast("long")).cast(_D38).alias("_bn"),
+        )
+    )
+    nano = 1_000_000_000
+    root = F.sqrt((F.col("_a") * F.col("_bn")).cast("double"))
+    m = per.agg(
+        F.sum("_a").alias("_tna"),
+        F.sum("_bn").alias("_tnb"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(F.floor(root * nano).cast("long").cast(_D38)).alias("_sr"),
+    )
+    ok = (F.col("_tna") > 0) & (F.col("_tnb") > 0)
+    bc = F.when(
+        ok,
+        (F.col("_sr").cast("double") / nano)
+        / F.sqrt((F.col("_tna") * F.col("_tnb")).cast("double")),
+    )
+    h = F.sqrt(F.greatest(F.lit(0.0), 1.0 - bc))
+    return m.select(
+        F.col("_tna").cast("long").alias("n_a"),
+        F.col("_tnb").cast("long").alias("n_b"),
+        "n_bins",
+        F.round(bc, 6).alias("bc"),
+        F.round(h, 6).alias("hellinger"),
     )

@@ -8120,6 +8120,10 @@ _GATE_TAIL = [
     "events_cronbach_alpha",
     "lineitem_isotonic_price_by_qty",
     "lineitem_energy_distance_price",
+    "events_kendalls_w",
+    "lineitem_cvm_price",
+    "orders_kuiper_totalprice",
+    "events_hellinger_value",
 ]
 
 

@@ -2369,3 +2369,193 @@ def lineitem_energy_distance_price(
         table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice",
         "R", "A",
     )
+
+
+_KW_ORACLE = """
+WITH cells AS (
+  SELECT date_trunc('day', ts) AS b, event_type AS tr,
+         sum(round(value * 100)::BIGINT)::BIGINT AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+k AS (SELECT count(DISTINCT tr)::BIGINT AS k FROM cells),
+complete AS (
+  SELECT b FROM cells GROUP BY b
+  HAVING count(*) = (SELECT k FROM k)
+),
+ranked AS (
+  SELECT c.b, c.tr,
+         (2 * rank() OVER (PARTITION BY c.b ORDER BY c.v)
+          + count(*) OVER (PARTITION BY c.b, c.v) - 1)::HUGEINT AS r2
+  FROM cells c JOIN complete USING (b)
+),
+per_treat AS (
+  SELECT tr, count(*)::HUGEINT AS n, sum(r2) AS R2, sum(r2 * r2) AS A4
+  FROM ranked GROUP BY 1
+),
+m AS (
+  SELECT any_value((SELECT k FROM k)) AS kt, any_value(n) AS n,
+         sum((R2 - n * (kt_inner + 1)) * (R2 - n * (kt_inner + 1))) AS num4,
+         sum(A4) AS sa4
+  FROM (SELECT tr, n, R2, A4, (SELECT k FROM k)::HUGEINT AS kt_inner
+        FROM per_treat)
+)
+SELECT kt::BIGINT AS k_treatments, n::BIGINT AS n_blocks,
+       CASE WHEN sa4 - n * kt * (kt + 1) * (kt + 1) > 0
+            THEN round(((kt - 1)::DOUBLE * num4::DOUBLE
+                 / (sa4 - n * kt * (kt + 1) * (kt + 1))::DOUBLE)
+                 / (n::DOUBLE * (kt - 1)::DOUBLE), 6)
+       END AS w
+FROM m
+"""
+
+
+@register("events_kendalls_w", _KW_ORACLE)
+def events_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W across days on the
+    ranking of the five event types' daily revenue
+    (operators/abtest.kendalls_w = T/(n(k−1)), tie-corrected, same
+    exact doubled-rank moments as the Friedman query)."""
+    from olake_spark.operators.abtest import kendalls_w
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return kendalls_w(ev, "day", "event_type", "cents")
+
+
+_CVM_ORACLE = """
+WITH per AS (
+  SELECT round(l_extendedprice * 1000000)::BIGINT AS v,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::HUGEINT AS ca,
+         sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)::HUGEINT AS cb
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v) AS cuma,
+         sum(cb) OVER (ORDER BY v) AS cumb,
+         (ca + cb) AS w,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM per
+),
+m AS (
+  SELECT max(na) AS na, max(nb) AS nb,
+         coalesce(sum(w * (cuma * nb - cumb * na) * (cuma * nb - cumb * na)),
+                  0) AS s
+  FROM cum
+)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       round((na::DOUBLE * nb::DOUBLE) / ((na + nb)::DOUBLE * (na + nb)::DOUBLE)
+             * (s::DOUBLE / ((na::DOUBLE * nb::DOUBLE)
+                             * (na::DOUBLE * nb::DOUBLE))), 6) AS t_cvm
+FROM m
+"""
+
+
+@register("lineitem_cvm_price", _CVM_ORACLE)
+def lineitem_cvm_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic between the R and A
+    extended-price distributions
+    (operators/abtest.cramer_von_mises_2samp) — the integrated-gap
+    member of the distance family next to KS/W1/energy, every summand
+    an exact DECIMAL over the shared value grid."""
+    from olake_spark.operators.abtest import cramer_von_mises_2samp
+
+    return cramer_von_mises_2samp(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        "R", "A",
+    )
+
+
+_KUIPER_ORACLE = """
+WITH per AS (
+  SELECT round(o_totalprice * 1000000)::BIGINT AS v,
+         sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)::HUGEINT AS ca,
+         sum(CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END)::HUGEINT AS cb
+  FROM orders WHERE o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+         sum(cb) OVER (ORDER BY v) AS cumb,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM per
+),
+m AS (
+  SELECT max(na) AS na, max(nb) AS nb,
+         coalesce(greatest(max(cuma * nb - cumb * na), 0), 0) AS dp,
+         coalesce(greatest(max(cumb * na - cuma * nb), 0), 0) AS dm
+  FROM cum
+)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       round(dp::DOUBLE / (na::DOUBLE * nb::DOUBLE), 6) AS d_plus,
+       round(dm::DOUBLE / (na::DOUBLE * nb::DOUBLE), 6) AS d_minus,
+       round(dp::DOUBLE / (na::DOUBLE * nb::DOUBLE)
+             + dm::DOUBLE / (na::DOUBLE * nb::DOUBLE), 6) AS v_kuiper
+FROM m
+"""
+
+
+@register("orders_kuiper_totalprice", _KUIPER_ORACLE)
+def orders_kuiper_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper V = D⁺ + D⁻ between the even- and odd-custkey cohorts'
+    order totals (operators/abtest.kuiper_two_sample) — the
+    tail-equal-sensitive KS variant; both sups are maxima of exact
+    signed DECIMAL gaps."""
+    from olake_spark.operators.abtest import kuiper_two_sample
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        (F.col("o_custkey") % 2 == 0).alias("even"),
+        "o_totalprice",
+    )
+    return kuiper_two_sample(o, "even", "o_totalprice", True, False)
+
+
+_HELLINGER_ORACLE = """
+WITH per AS (
+  SELECT floor(value / 50.0)::BIGINT AS b,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::HUGEINT AS a,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::HUGEINT
+           AS bn
+  FROM events WHERE event_type IN ('click', 'purchase')
+    AND value IS NOT NULL
+  GROUP BY 1
+),
+m AS (
+  SELECT sum(a) AS tna, sum(bn) AS tnb, count(*)::BIGINT AS n_bins,
+         sum(floor(sqrt((a * bn)::DOUBLE) * 1000000000)::BIGINT)::HUGEINT
+           AS sr
+  FROM per
+)
+SELECT tna::BIGINT AS n_a, tnb::BIGINT AS n_b, n_bins,
+       CASE WHEN tna > 0 AND tnb > 0 THEN
+         round((sr::DOUBLE / 1000000000) / sqrt((tna * tnb)::DOUBLE), 6)
+       END AS bc,
+       CASE WHEN tna > 0 AND tnb > 0 THEN
+         round(sqrt(greatest(0.0, 1.0
+               - (sr::DOUBLE / 1000000000) / sqrt((tna * tnb)::DOUBLE))), 6)
+       END AS hellinger
+FROM m
+"""
+
+
+@register("events_hellinger_value", _HELLINGER_ORACLE)
+def events_hellinger_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance between the click and purchase value
+    distributions over width-50 bins
+    (operators/abtest.hellinger_binned) — the bounded metric member of
+    the divergence family next to PSI/JSD."""
+    from olake_spark.operators.abtest import hellinger_binned
+
+    return hellinger_binned(
+        table(spark, sf_dir, "events"), "event_type", "value",
+        "click", "purchase", bin_width=50.0,
+    )

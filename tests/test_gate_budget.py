@@ -52,11 +52,13 @@ BUDGET_SINGLE_S = 10.0
 # (load1 0.08, 15-min 9.9 — post-suite, page caches hot) and 342.5 s
 # (load1 0.06, 15-min 3.1 — longer settle, caches COLD), i.e.
 # 0.97–1.08 s/q: the page-cache state moves the total more than CPU
-# load once load1 < 1, the inverse of the r10 warmth story), so the
-# cap is 318 × 1.25 ≈ 398, the warm-band ceiling at the current
+# load once load1 < 1, the inverse of the r10 warmth story; the final
+# 322-query sweep — +4 distribution-comparison queries — read 291.6 s
+# at load1 0.07/15-min 1.8 ≈ 0.91 s/q, confirming the band), so the
+# cap is 322 × 1.25 ≈ 403, the warm-band ceiling at the current
 # registry size. The cap is a creep alarm, not a target — raising it
 # requires raising this comment's arithmetic too.
-BUDGET_GATE_S = 398.0
+BUDGET_GATE_S = 403.0
 MARGIN = 1.5  # shared-suite noise headroom; the budget itself is the target
 
 

@@ -1753,3 +1753,90 @@ def test_cochran_q_empty_and_duplicate_treatment(spark):
     dup = spark.createDataFrame(rows, "u string, t string, s boolean")
     with pytest.raises(Exception, match="incomplete design"):
         _row(cochran_q(dup, "u", "t", "s"))
+
+
+def test_kendalls_w_pin(spark):
+    # perfect agreement across blocks -> W = 1 exactly
+    rows = [(b, t, float(v)) for b in ("b1", "b2", "b3")
+            for t, v in (("t1", 1), ("t2", 2), ("t3", 3))]
+    df = spark.createDataFrame(rows, "b string, t string, v double")
+    from olake_spark.operators.abtest import friedman_test, kendalls_w
+
+    got = _row(kendalls_w(df, "b", "t", "v"))
+    assert (got["k_treatments"], got["n_blocks"], got["w"]) == (3, 3, 1.0)
+    # identity W = T/(n(k-1)) on a non-trivial fixture
+    rows2 = [("b1", "t1", 1.0), ("b1", "t2", 3.0), ("b1", "t3", 2.0),
+             ("b2", "t1", 2.0), ("b2", "t2", 1.0), ("b2", "t3", 3.0)]
+    df2 = spark.createDataFrame(rows2, "b string, t string, v double")
+    t = _row(friedman_test(df2, "b", "t", "v"))["t_stat"]
+    w = _row(kendalls_w(df2, "b", "t", "v"))["w"]
+    assert w == approx(t / (2 * (3 - 1)))
+
+
+def test_cramer_von_mises_pin(spark):
+    a = [1.0, 2.0, 4.0]
+    b = [2.0, 3.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import cramer_von_mises_2samp
+
+    got = _row(cramer_von_mises_2samp(df, "g", "v", "a", "b"))
+    na, nb = len(a), len(b)
+
+    def fa(x):
+        return sum(1 for t in a if t <= x) / na
+
+    def fb(x):
+        return sum(1 for t in b if t <= x) / nb
+
+    t_ref = na * nb / (na + nb) ** 2 * sum(
+        (fa(x) - fb(x)) ** 2 for x in a + b
+    )
+    assert (got["n_a"], got["n_b"]) == (3, 2)
+    assert got["t_cvm"] == approx(t_ref)
+
+
+def test_kuiper_pin(spark):
+    # crossing CDFs: a below then above -> both D+ and D- positive
+    a = [1.0, 5.0, 6.0]
+    b = [2.0, 3.0, 4.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import kuiper_two_sample
+
+    got = _row(kuiper_two_sample(df, "g", "v", "a", "b"))
+
+    def fa(x):
+        return sum(1 for t in a if t <= x) / 3
+
+    def fb(x):
+        return sum(1 for t in b if t <= x) / 3
+
+    pts = sorted(a + b)
+    dp = max(fa(x) - fb(x) for x in pts)
+    dm = max(fb(x) - fa(x) for x in pts)
+    assert got["d_plus"] == approx(dp)
+    assert got["d_minus"] == approx(dm)
+    assert got["v_kuiper"] == approx(dp + dm)
+
+
+def test_hellinger_pin(spark):
+    # bins of width 1: a -> {0:2, 1:1}; b -> {1:1, 2:1}
+    rows = [("a", 0.2), ("a", 0.7), ("a", 1.5),
+            ("b", 1.1), ("b", 2.9)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from olake_spark.operators.abtest import hellinger_binned
+
+    got = _row(hellinger_binned(df, "g", "v", "a", "b", bin_width=1.0))
+    bc = (math.sqrt(2 * 0) + math.sqrt(1 * 1) + math.sqrt(0 * 1)) / math.sqrt(
+        3 * 2
+    )
+    assert (got["n_a"], got["n_b"], got["n_bins"]) == (3, 2, 3)
+    assert got["bc"] == approx(bc)
+    assert got["hellinger"] == approx(math.sqrt(1 - bc))
+    # identical distributions -> BC = 1, H = 0
+    same = [("a", 0.5), ("a", 1.5), ("b", 0.4), ("b", 1.6)]
+    got2 = _row(hellinger_binned(
+        spark.createDataFrame(same, "g string, v double"),
+        "g", "v", "a", "b", bin_width=1.0))
+    assert got2["bc"] == approx(1.0) and got2["hellinger"] == approx(0.0)
