@@ -8124,6 +8124,7 @@ _GATE_TAIL = [
     "lineitem_cvm_price",
     "orders_kuiper_totalprice",
     "events_hellinger_value",
+    "events_sessionize_proof",
 ]
 
 

@@ -2559,3 +2559,61 @@ def events_hellinger_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events"), "event_type", "value",
         "click", "purchase", bin_width=50.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# independent-oracle proof #8: sessionization from the quantifier
+# definition, not the lag/cumsum algebra
+# ---------------------------------------------------------------------------
+
+_SESSION_PROOF_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts FROM events WHERE user_id IS NOT NULL
+),
+-- a session START is an event with NO other event of the same user in
+-- the preceding 30 minutes: the definition as a quantifier, no lag()
+starts AS (
+  SELECT user_id, ts FROM ev e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ev p
+    WHERE p.user_id = e.user_id
+      AND p.ts < e.ts
+      AND p.ts >= e.ts - INTERVAL 30 MINUTE
+  )
+),
+-- an event belongs to the LATEST start at-or-before it (correlated max)
+membered AS (
+  SELECT e.user_id, e.ts,
+         (SELECT max(s.ts) FROM starts s
+          WHERE s.user_id = e.user_id AND s.ts <= e.ts) AS sess_start
+  FROM ev e
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       epoch_ms(min(ts))::BIGINT AS start_ms,
+       epoch_ms(max(ts))::BIGINT AS end_ms,
+       (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us
+FROM membered GROUP BY user_id, sess_start
+"""
+
+
+@register("events_sessionize_proof", _SESSION_PROOF_ORACLE)
+def events_sessionize_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independent-oracle proof #8: the Spark side runs the SAME
+    one-shuffle lag→flag→cumsum sessionize plan as events_sessionize
+    (operators/sessions.session_stats); the oracle re-derives sessions
+    from the QUANTIFIER definition — a session start is an event with
+    no same-user predecessor within the gap (NOT EXISTS), membership
+    is the latest start at-or-before the event (correlated max) — a
+    structurally different formulation with no window functions at
+    all. Ordinal session ids are dropped so only definition-derived
+    columns (per-session event count, bounds, duration) are compared;
+    agreement proves the cumsum algebra implements the definition."""
+    from olake_spark.operators.sessions import session_stats
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select("user_id", "ts")
+    return session_stats(ev, "ts", ["user_id"], gap="30 minutes").select(
+        "user_id", "n_events", "start_ms", "end_ms", "duration_us"
+    )

@@ -52,13 +52,14 @@ BUDGET_SINGLE_S = 10.0
 # (load1 0.08, 15-min 9.9 — post-suite, page caches hot) and 342.5 s
 # (load1 0.06, 15-min 3.1 — longer settle, caches COLD), i.e.
 # 0.97–1.08 s/q: the page-cache state moves the total more than CPU
-# load once load1 < 1, the inverse of the r10 warmth story; the final
-# 322-query sweep — +4 distribution-comparison queries — read 291.6 s
-# at load1 0.07/15-min 1.8 ≈ 0.91 s/q, confirming the band), so the
-# cap is 322 × 1.25 ≈ 403, the warm-band ceiling at the current
-# registry size. The cap is a creep alarm, not a target — raising it
-# requires raising this comment's arithmetic too.
-BUDGET_GATE_S = 403.0
+# load once load1 < 1, the inverse of the r10 warmth story; 322-query
+# sweep read 291.6 s at load1 0.07/15-min 1.8 ≈ 0.91 s/q; the FINAL
+# 323-query sweep — + the sessionize quantifier-definition proof —
+# read 298.5 s at load1 0.10 post-suite ≈ 0.92 s/q), so the cap is
+# 323 × 1.25 ≈ 404, the warm-band ceiling at the current registry
+# size. The cap is a creep alarm, not a target — raising it requires
+# raising this comment's arithmetic too.
+BUDGET_GATE_S = 404.0
 MARGIN = 1.5  # shared-suite noise headroom; the budget itself is the target
 
 
