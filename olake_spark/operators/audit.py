@@ -210,6 +210,11 @@ def numeric_outlier_stats(
     dev = vals.join(med, "_gk").select(
         "_gk", "_n", "_med", F.abs(F.col("_v") - F.col("_med")).alias("_ad")
     )
+    # dev feeds BOTH the MAD aggregate and the outlier count; unmaterialized,
+    # each consumer re-runs the value scan AND the exact-median per-group
+    # sort (the r11 plan audit counted 14 scans in this query's plan).
+    # One lazy checkpoint runs that pipeline once (guide §2.1).
+    dev = dev.localCheckpoint(eager=False)
     mad = dev.groupBy("_gk", "_n", "_med").agg(F.median("_ad").alias("_mad"))
     cut = F.lit(float(k)) * F.lit(1.4826) * F.col("_mad")
     flagged = (

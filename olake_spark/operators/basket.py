@@ -51,6 +51,13 @@ def pair_counts_with_lift(
             sizes.filter(F.col("_bsz") <= max_basket_size).select("_basket"),
             "_basket",
         )
+    # the deduped (basket, item) relation feeds FOUR consumers (total,
+    # support, both sides of the within-basket self-join); unmaterialized,
+    # each re-runs the scan + distinct shuffle (r11 audit: 10 scans / 26
+    # Exchanges in basket_pair_lift's plan). Hash-partition on the basket
+    # key once so the self-join reuses the partitioning (guide §2.4), then
+    # materialize lazily — still zero jobs at construction time.
+    bi = bi.repartition(F.col("_basket")).localCheckpoint(eager=False)
     # lazy 1-row total (broadcast crossJoin, the graph_pagerank pattern) —
     # constructing the query must launch zero jobs
     total = bi.agg(F.count_distinct("_basket").cast("double").alias("_n_total"))
@@ -130,6 +137,9 @@ def item_neighbors_topk(
             sizes.filter(F.col("_bsz") <= max_basket_size).select("_basket"),
             "_basket",
         )
+    # same materialize-once as pair_counts_with_lift: bi feeds support and
+    # both self-join sides; pairs feeds both mirror directions of ``und``
+    bi = bi.repartition(F.col("_basket")).localCheckpoint(eager=False)
     support = bi.groupBy("_item").agg(F.count(F.lit(1)).alias("_c"))
     a = bi.select("_basket", F.col("_item").alias("_ia"))
     b = bi.select("_basket", F.col("_item").alias("_ib"))
@@ -139,6 +149,7 @@ def item_neighbors_topk(
         .groupBy("_ia", "_ib")
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= min_count)
+        .localCheckpoint(eager=False)
     )
     und = pairs.select(
         F.col("_ia").alias("item"), F.col("_ib").alias("neighbor"), "n_co"

@@ -201,10 +201,16 @@ def fuzzy_join(
         F.lower(F.col(right_col)).alias("_rs"),
         F.explode(qgram_set(F.col(right_col), q)).alias("_g"),
     )
+    # rg feeds the df aggregate AND the prefix selection; df_tbl feeds both
+    # prefix joins — materialize each once instead of re-running the gram
+    # explode up to 3x (guide §2.1; r11 audit: 8 scans in fuzzy_join_qgram)
+    rg = rg.localCheckpoint(eager=False)
     # global rarity order = document frequency on the RIGHT (distinct
     # grams per string, so count(*) is df); unseen grams rank first on
     # the left — harmless (they cannot join) but keeps one total order
-    df_tbl = rg.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    df_tbl = rg.groupBy("_g").agg(F.count(F.lit(1)).alias("_df")).localCheckpoint(
+        eager=False
+    )
     lw = W.partitionBy(left_id).orderBy("_df", "_g")
     rw = W.partitionBy(right_id).orderBy("_df", "_g")
     lpref = (

@@ -206,6 +206,11 @@ def k_core(
         .unionByName(edges.select(b.alias("a"), a.alias("b")))
         .filter(F.col("a") != F.col("b"))  # AFTER the union: both branches
         .distinct()
+        # partition on the semi-join/degree key once: distinct() leaves und
+        # (a, b)-partitioned, so each peel round would re-shuffle the full
+        # edge relation for the a-side semi-join AND the degree count
+        # (guide §2.4: establish the loop partitioning before the loop)
+        .repartition(F.col("a"))
         .localCheckpoint(eager=False)
     )
     alive = und.select(F.col("a").alias("node")).distinct()
@@ -340,6 +345,10 @@ def connected_components_fixed(
         .unionByName(edges.select(b.alias("a"), a.alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # hash-partition on the per-round join key: distinct() leaves und
+        # partitioned on (a, b), so every propagation round would re-shuffle
+        # the edge relation — the largest relation in the loop (guide §2.4)
+        .repartition(F.col("a"))
         .localCheckpoint(eager=False)
     )
     lab = (

@@ -392,7 +392,16 @@ def incremental_phash_dedup(
     if max_hamming >= DHASH_BANDS:
         raise ValueError("pigeonhole exactness requires max_hamming < num bands")
     if cache_index:
-        index_hashes = index_hashes.cache()
+        # localCheckpoint instead of cache(): the index relation is consumed
+        # once inside this plan, so a cache never gets a second hit — but a
+        # lazy checkpoint truncates the decode->fingerprint lineage so the
+        # (persisted-at-scale) index is computed exactly once per execution
+        index_hashes = index_hashes.localCheckpoint(eager=False)
+    # the batch hash relation feeds the band join AND the final anti-join;
+    # materialize it once so the batch's decode pipeline (mapInPandas
+    # kernels) does not run twice (guide §4 — r11 audit: 20 Python-eval
+    # nodes in media_incremental_dedup's plan for 2 real decode passes)
+    new_hashes = new_hashes.localCheckpoint(eager=False)
     width = DHASH_BITS // DHASH_BANDS
 
     def bands(df: DataFrame) -> DataFrame:
@@ -676,6 +685,15 @@ def image_near_dups(
         id_col, hash_col, F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
     )
     bt = cap_buckets(bt, ["band", "bv"], max_bucket_size)
+    # materialize the band table ONCE before the self-join: bt's lineage
+    # holds the full decode->fingerprint pipeline (mapInPandas kernels), and
+    # an unmaterialized self-join re-executes that pipeline on BOTH sides
+    # (the r11 plan audit counted 16 Python-eval nodes / 8 scans per media
+    # dedup query for what is one decode pass). The checkpointed relation is
+    # tiny — (id, hash64, band, bv) x 8 bands per item — while the payload
+    # decode it replaces is the dominant cost (guide §4: cross the Python
+    # boundary once; §2.1: never recompute an expensive subtree twice).
+    bt = bt.localCheckpoint(eager=False)
     a, b = bt.alias("a"), bt.alias("b")
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (

@@ -143,6 +143,12 @@ def length_buckets(
     part = narrow.repartitionByRange(
         F.col(len_col).asc(), F.col(id_col).asc()
     ).withColumn("_pid", F.spark_partition_id())
+    # materialize the range-partitioned relation ONCE: it feeds both the
+    # per-partition size aggregate and the ranked join, and the offsets are
+    # only correct if both consumers see the SAME physical partitioning —
+    # re-executing the range exchange per consumer re-samples boundaries
+    # (and pays the shuffle twice; guide §2.1)
+    part = part.localCheckpoint(eager=False)
     sizes = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # windows over the sizes frame touch one row per PARTITION — tiny by
     # construction, the documented k-row single-partition pattern

@@ -116,9 +116,15 @@ def pq_stride_codebooks(
     rows = corpus.filter((F.col(id_col) % stride) == 0).select(
         F.col(id_col).alias("code"), qv.alias("_qv")
     )
-    return rows.select(
-        "code", F.explode(_sub_structs(F.col("_qv"), m, dim)).alias("_s")
-    ).select(F.col("_s.sub").alias("sub"), "code", F.col("_s.sv").alias("cv"))
+    return (
+        rows.select(
+            "code", F.explode(_sub_structs(F.col("_qv"), m, dim)).alias("_s")
+        )
+        .select(F.col("_s.sub").alias("sub"), "code", F.col("_s.sv").alias("cv"))
+        # tiny (m x |corpus|/stride) and referenced from both the encode pass
+        # and every query LUT — materialize once per execution (guide §2.1)
+        .localCheckpoint(eager=False)
+    )
 
 
 def pq_train_codebooks(

@@ -526,6 +526,11 @@ def stride_centroids(
         spread(corpus, id_col)
         .filter((F.col(id_col) % centroid_stride) == 0)
         .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_v"))
+        # the centroid relation is tiny (|corpus|/stride) but referenced from
+        # BOTH halves of every IVF query (index build + query-cell assign);
+        # materialize once so each reference doesn't re-scan the corpus
+        # (guide §2.1 — r11 audit: ivfpq's plan carried 16 parquet scans)
+        .localCheckpoint(eager=False)
     )
 
 

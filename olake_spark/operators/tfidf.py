@@ -54,7 +54,9 @@ def tfidf_top_terms(
     6 decimals; rank ties break on the rounded score then term ascending,
     so output is deterministic under any partitioning.
     """
-    tf = doc_terms(df, id_col, text_col)
+    # tf feeds the document-frequency aggregate AND the scored join;
+    # materialize once so tokenize+explode+count runs a single time
+    tf = doc_terms(df, id_col, text_col).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
     scored = (

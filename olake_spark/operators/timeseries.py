@@ -213,15 +213,29 @@ def sweepline_concurrency(
     scan (≈ 9k rows for a year of hourly buckets); every raw-data stage
     is hash-partitioned. Returns (ts_us, concurrency) per boundary.
     """
+    # one explode instead of a two-branch union: a union re-executes the
+    # (often expensive — sessionize windows) interval derivation once per
+    # branch; the explode emits both boundary deltas from a single pass
+    # (guide §2.1 — r11 audit: events_concurrency's plan scanned events 8×)
     deltas = intervals.select(
-        F.col(start_col).alias("ts_us"), F.lit(1).alias("_d")
-    ).unionByName(
-        intervals.select(
-            (F.col(end_col) + F.lit(1)).alias("ts_us"), F.lit(-1).alias("_d")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("ts_us"), F.lit(1).alias("_d")
+                ),
+                F.struct(
+                    (F.col(end_col) + F.lit(1)).alias("ts_us"),
+                    F.lit(-1).alias("_d"),
+                ),
+            )
+        ).alias("_b")
+    ).select(F.col("_b.ts_us").alias("ts_us"), F.col("_b._d").alias("_d"))
     net = deltas.groupBy("ts_us").agg(F.sum("_d").alias("_net"))
     bucketed = net.withColumn("_bkt", F.floor(F.col("ts_us") / F.lit(int(bucket_us))))
+    # bucketed feeds the per-bucket totals AND the final within-bucket
+    # window; materialize the (distinct-boundary-sized, 3-column) relation
+    # once instead of re-running the boundary aggregation per consumer
+    bucketed = bucketed.localCheckpoint(eager=False)
     lvl1 = bucketed.groupBy("_bkt").agg(F.sum("_net").alias("_bkt_sum"))
     w_excl = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
     offsets = lvl1.select(
