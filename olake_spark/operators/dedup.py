@@ -649,6 +649,9 @@ def strip_duplicate_spans(
     removed_pos = spans.select(
         id_col, F.explode(F.sequence("span_start", "span_end")).alias("p")
     ).distinct()
+    # removed_pos feeds the anti-join AND the n_removed count; materialize
+    # once so the span-merge window chain doesn't re-run (guide §2.1)
+    removed_pos = removed_pos.localCheckpoint(eager=False)
     toks = F.split(normalize_text(F.col(text_col)), " ")
     tokpos = (
         spread(df, id_col)

@@ -2539,6 +2539,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tx.with_quality_features(table(spark, sf_dir, "documents"))
     kept = docs.filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 5))
     uniq = dd.drop_exact_dupes(kept, "doc_id", "text")
+    # the mixture stage evaluates its input twice (per-stratum counts +
+    # the hash-threshold scan); materialize the gate->dedup result once so
+    # the tokenize/quality/fingerprint-window chain doesn't re-run
+    # (guide §2.1 — at scale this is "persist the curated corpus", which a
+    # production pipeline does anyway before rebalancing)
+    uniq = uniq.localCheckpoint(eager=False)
     mixed = mixture_weighted_sample(uniq, "doc_id", "lang", _MIX_WEIGHTS)
     packed = pack_offsets(mixed, "doc_id", "n_tokens", budget=_PACK_BUDGET,
                           n_shards=_PACK_SHARDS)
@@ -3276,6 +3282,10 @@ def curate_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     arrivals = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "source", "text")
     curated = curate_batch(arrivals, "doc_id", "text", min_tokens=5)
+    # curated feeds BOTH the batch's signature computation and the final
+    # anti-join inside incremental_minhash_dedup; materialize the gate
+    # chain (tokenize + first-wins fingerprint window) once (guide §2.1)
+    curated = curated.localCheckpoint(eager=False)
     idx = dd.minhash_index(corpus, "doc_id", "text")
     return dd.incremental_minhash_dedup(curated, idx, "doc_id", "text", threshold=0.7).select(
         "doc_id", "source"
