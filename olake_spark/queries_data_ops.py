@@ -2540,11 +2540,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 5))
     uniq = dd.drop_exact_dupes(kept, "doc_id", "text")
     # the mixture stage evaluates its input twice (per-stratum counts +
-    # the hash-threshold scan); materialize the gate->dedup result once so
-    # the tokenize/quality/fingerprint-window chain doesn't re-run
-    # (guide §2.1 — at scale this is "persist the curated corpus", which a
-    # production pipeline does anyway before rebalancing)
-    uniq = uniq.localCheckpoint(eager=False)
+    # the hash-threshold scan); cache the gate->dedup result so the
+    # tokenize/quality/fingerprint-window chain runs once (guide §2.1 — at
+    # scale this is "persist the curated corpus", which a production
+    # pipeline does anyway before rebalancing). cache(), NOT localCheckpoint:
+    # this query declares zero-jobs-at-construction (test_plans lazy probe)
+    # and a lazy checkpoint still materializes its upstream AQE stages at
+    # construction time.
+    uniq = uniq.cache()
     mixed = mixture_weighted_sample(uniq, "doc_id", "lang", _MIX_WEIGHTS)
     packed = pack_offsets(mixed, "doc_id", "n_tokens", budget=_PACK_BUDGET,
                           n_shards=_PACK_SHARDS)
