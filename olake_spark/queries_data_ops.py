@@ -2543,11 +2543,15 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the hash-threshold scan); cache the gate->dedup result so the
     # tokenize/quality/fingerprint-window chain runs once (guide §2.1 — at
     # scale this is "persist the curated corpus", which a production
-    # pipeline does anyway before rebalancing). cache(), NOT localCheckpoint:
-    # this query declares zero-jobs-at-construction (test_plans lazy probe)
-    # and a lazy checkpoint still materializes its upstream AQE stages at
+    # pipeline does anyway before rebalancing). Project to the three
+    # columns the mixture/packing stages actually read BEFORE caching —
+    # column pruning does not push through a cache boundary, and
+    # materializing the full text column costs more than the recompute it
+    # saves (guide §5). cache(), NOT localCheckpoint: this query declares
+    # zero-jobs-at-construction (test_plans lazy probe) and a lazy
+    # checkpoint still materializes its upstream AQE stages at
     # construction time.
-    uniq = uniq.cache()
+    uniq = uniq.select("doc_id", "lang", "n_tokens").cache()
     mixed = mixture_weighted_sample(uniq, "doc_id", "lang", _MIX_WEIGHTS)
     packed = pack_offsets(mixed, "doc_id", "n_tokens", budget=_PACK_BUDGET,
                           n_shards=_PACK_SHARDS)
