@@ -227,22 +227,32 @@ def pq_encode(
     m: int = _M,
     dim: int = _DIM,
     scale: int = _SCALE,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, sub, code): nearest sub-centroid per (vector, subspace) by
-    exact-integer squared L2; ties break on the lowest code id.
+    """(id, [carry_cols...,] sub, code): nearest sub-centroid per
+    (vector, subspace) by exact-integer squared L2; ties break on the
+    lowest code id.
 
     This is the corpus-side build step — persist its output (the whole
     index is m small ints per vector) and hand it to ``pq_topk``. The
     argmin is ``max_by`` over the broadcast codebook join, so partial
     aggregation reduces map-side and the shuffle carries one row per
-    (vector, subspace)."""
+    (vector, subspace). ``carry_cols`` ride along through the explode
+    and the groupBy (they must be functionally dependent on ``id_col``,
+    e.g. an IVF cell assignment) — the single-pass hook that lets
+    ``ivfpq_index`` encode an already-assigned corpus without a second
+    corpus scan or a codes⋈cells self-join."""
+    carry = list(carry_cols or [])
     sub_len = dim // m
     qv = _quantized(vec_col, scale)
     vs = corpus.select(
-        F.col(id_col), F.explode(_sub_structs(qv, m, dim)).alias("_s")
-    ).select(id_col, F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv"))
+        F.col(id_col), *carry, F.explode(_sub_structs(qv, m, dim)).alias("_s")
+    ).select(
+        id_col, *carry, F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv")
+    )
     scored = vs.join(F.broadcast(codebooks), "sub").select(
         id_col,
+        *carry,
         "sub",
         "code",
         _int_sqdist("sv", "cv", sub_len).alias("_d2"),
@@ -250,7 +260,7 @@ def pq_encode(
     best = F.max_by(
         F.col("code"), F.struct((-F.col("_d2")).alias("d"), (-F.col("code")).alias("c"))
     )
-    return scored.groupBy(id_col, "sub").agg(best.alias("code"))
+    return scored.groupBy(id_col, *carry, "sub").agg(best.alias("code"))
 
 
 def pq_topk(
@@ -368,14 +378,23 @@ def ivfpq_index(
     """The full IVF-PQ index: (id, _cell, sub, code) — coarse cell for
     pruning, PQ codes for compressed scoring. Build ONCE, persist bucketed
     on ``_cell`` (the pruning key); per vector it is m+1 small ints: the
-    memory shape that lets a 100 TB corpus's index live in executor RAM."""
+    memory shape that lets a 100 TB corpus's index live in executor RAM.
+
+    Single-pass build (guide §2.1/§2.4): ``ivf_assign`` carries each
+    vector through its cell argmax, so PQ encoding runs directly on the
+    assigned relation with ``_cell`` riding the groupBy — ONE corpus
+    scan and no codes⋈cells self-join (the r11 plan carried two corpus
+    scans plus that join). Bit-identical: the carried vector is the
+    argmax struct's verbatim vector, and the cell is functionally
+    dependent on the id."""
     from olake_spark.operators.similarity import ivf_assign
 
-    cells = ivf_assign(
+    assigned = ivf_assign(
         corpus.select(id_col, vec_col), centroids, id_col, vec_col, dim
-    ).select(id_col, "_cell")
-    codes = pq_encode(corpus, codebooks, id_col, vec_col, m, dim, scale)
-    return codes.join(cells, id_col).select(id_col, "_cell", "sub", "code")
+    )
+    return pq_encode(
+        assigned, codebooks, id_col, vec_col, m, dim, scale, carry_cols=["_cell"]
+    ).select(id_col, "_cell", "sub", "code")
 
 
 def ivfpq_topk(
@@ -477,23 +496,25 @@ def ivf_residuals(
     ``pq_train_codebooks(…, vec_col="rv", scale=1)`` on this frame (the
     residuals are already integral, so scale=1 passes them through).
 
-    One corpus pass for the assignment (broadcast centroids, map-side
-    argmax) and one broadcast join to subtract — the corpus shuffles once
-    on the id join, never on the centroid side."""
+    ONE corpus pass total (guide §2.1): ``ivf_assign`` carries each
+    vector through its cell argmax, so the residual subtraction runs on
+    the assigned relation with a broadcast centroid join — no second
+    corpus scan and no corpus-wide id join (the pre-r12 shape paid
+    both)."""
     from olake_spark.operators.similarity import ivf_assign
 
-    cells = ivf_assign(
+    assigned = ivf_assign(
         corpus.select(id_col, vec_col), centroids, id_col, vec_col, dim
-    ).select(id_col, "_cell")
+    )
     qcent = _quantized_cent(centroids, scale, centroids_prequantized)
-    qx = corpus.select(F.col(id_col), _quantized(vec_col, scale).alias("_qx"))
     return (
-        qx.join(cells, id_col)
-        .join(F.broadcast(qcent), "_cell")
+        assigned.join(F.broadcast(qcent), "_cell")
         .select(
-            id_col,
+            F.col(id_col),
             "_cell",
-            F.zip_with("_qx", "_qc", lambda a, b: a - b).alias("rv"),
+            F.zip_with(
+                _quantized(vec_col, scale), F.col("_qc"), lambda a, b: a - b
+            ).alias("rv"),
         )
     )
 

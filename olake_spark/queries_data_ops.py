@@ -985,15 +985,15 @@ def similarity_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFram
 
     emb = table(spark, sf_dir, "embeddings")
     cents = sim.stride_centroids(emb)
-    # the residual frame feeds training, encode AND the cell join — a
-    # lazy checkpoint computes it once per action instead of three times
-    # (mirrors FAISS, where residuals are a materialized build artifact)
+    # the residual frame feeds training AND encode — a lazy checkpoint
+    # computes it once per action instead of per consumer (mirrors
+    # FAISS, where residuals are a materialized build artifact)
     res = _pq.ivf_residuals(emb, cents).localCheckpoint(eager=False)
     cb = _pq.pq_train_codebooks(
         res, vec_col="rv", k=_PQT_K, iters=_IVFPQT_ITERS, scale=1
     )
-    codes = _pq.pq_encode(res, cb, vec_col="rv", scale=1)
-    idx = codes.join(res.select("vec_id", "_cell"), "vec_id")
+    # _cell rides the encode groupBy (carry_cols) — no codes⋈res id join
+    idx = _pq.pq_encode(res, cb, vec_col="rv", scale=1, carry_cols=["_cell"])
     return _pq.ivfadc_topk(
         emb.filter(F.col("vec_id") < 3), idx, cb, cents, k=3, nprobe=2
     )
