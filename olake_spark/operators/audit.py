@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from olake_spark.materialize import materialize
+
 __all__ = [
     "audit_keys",
     "chi_square_gof",
@@ -214,7 +216,7 @@ def numeric_outlier_stats(
     # each consumer re-runs the value scan AND the exact-median per-group
     # sort (the r11 plan audit counted 14 scans in this query's plan).
     # One lazy checkpoint runs that pipeline once (guide §2.1).
-    dev = dev.localCheckpoint(eager=False)
+    dev = dev.transform(materialize)
     mad = dev.groupBy("_gk", "_n", "_med").agg(F.median("_ad").alias("_mad"))
     cut = F.lit(float(k)) * F.lit(1.4826) * F.col("_mad")
     flagged = (

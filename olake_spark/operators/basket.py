@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from olake_spark.materialize import materialize
+
 __all__ = ["pair_counts_with_lift", "item_neighbors_topk"]
 
 
@@ -56,8 +58,11 @@ def pair_counts_with_lift(
     # each re-runs the scan + distinct shuffle (r11 audit: 10 scans / 26
     # Exchanges in basket_pair_lift's plan). Hash-partition on the basket
     # key once so the self-join reuses the partitioning (guide §2.4), then
-    # materialize lazily — still zero jobs at construction time.
-    bi = bi.repartition(F.col("_basket")).localCheckpoint(eager=False)
+    # materialize lazily. NOTE: under AQE the lazy local checkpoint still
+    # materializes its upstream shuffle stages when the plan is first
+    # BUILT (the pagerank/curation_pipeline caveat) — construction is not
+    # zero-jobs here; in the bench that work runs inside the timed rep.
+    bi = bi.repartition(F.col("_basket")).transform(materialize)
     # lazy 1-row total (broadcast crossJoin, the graph_pagerank pattern) —
     # constructing the query must launch zero jobs
     total = bi.agg(F.count_distinct("_basket").cast("double").alias("_n_total"))
@@ -139,7 +144,7 @@ def item_neighbors_topk(
         )
     # same materialize-once as pair_counts_with_lift: bi feeds support and
     # both self-join sides; pairs feeds both mirror directions of ``und``
-    bi = bi.repartition(F.col("_basket")).localCheckpoint(eager=False)
+    bi = bi.repartition(F.col("_basket")).transform(materialize)
     support = bi.groupBy("_item").agg(F.count(F.lit(1)).alias("_c"))
     a = bi.select("_basket", F.col("_item").alias("_ia"))
     b = bi.select("_basket", F.col("_item").alias("_ib"))
@@ -149,7 +154,7 @@ def item_neighbors_topk(
         .groupBy("_ia", "_ib")
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= min_count)
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     und = pairs.select(
         F.col("_ia").alias("item"), F.col("_ib").alias("neighbor"), "n_co"

@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 
 from olake_spark.operators.quality import BPE_PRETOKEN_RE
 
+from olake_spark.materialize import materialize
+
 __all__ = [
     "DEFAULT_MERGES",
     "SEP",
@@ -262,7 +264,7 @@ def bpe_train_merges(
             # loud-at-action-time), then every later round reads the
             # vocabulary-sized checkpoint instead of re-deriving rounds
             # 0..i — plan growth linear in n_merges, not 2^K
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
     out = winners[0]
     for w_df in winners[1:]:

@@ -75,6 +75,8 @@ def hash60(col: Column) -> Column:
 
 from olake_spark.sources.files import spread  # noqa: E402  (re-export for operators)
 
+from olake_spark.materialize import materialize
+
 
 def normalize_text(col: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
@@ -350,7 +352,7 @@ def connected_components(
         ids.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
         _ck = lambda frame: frame.checkpoint(eager=False)  # noqa: E731
     else:
-        _ck = lambda frame: frame.localCheckpoint(eager=False)  # noqa: E731
+        _ck = lambda frame: frame.transform(materialize)  # noqa: E731
     edges = _ck(
         pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
         .unionByName(pairs.select(F.col(pair_b).alias("src"), F.col(pair_a).alias("dst")))
@@ -651,7 +653,7 @@ def strip_duplicate_spans(
     ).distinct()
     # removed_pos feeds the anti-join AND the n_removed count; materialize
     # once so the span-merge window chain doesn't re-run (guide §2.1)
-    removed_pos = removed_pos.localCheckpoint(eager=False)
+    removed_pos = removed_pos.transform(materialize)
     toks = F.split(normalize_text(F.col(text_col)), " ")
     tokpos = (
         spread(df, id_col)

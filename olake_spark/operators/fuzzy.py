@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from olake_spark.materialize import materialize
+
 __all__ = ["editdist1_join", "editdist2_join", "qgram_set", "fuzzy_join", "jaccard_join"]
 
 
@@ -204,13 +206,11 @@ def fuzzy_join(
     # rg feeds the df aggregate AND the prefix selection; df_tbl feeds both
     # prefix joins — materialize each once instead of re-running the gram
     # explode up to 3x (guide §2.1; r11 audit: 8 scans in fuzzy_join_qgram)
-    rg = rg.localCheckpoint(eager=False)
+    rg = rg.transform(materialize)
     # global rarity order = document frequency on the RIGHT (distinct
     # grams per string, so count(*) is df); unseen grams rank first on
     # the left — harmless (they cannot join) but keeps one total order
-    df_tbl = rg.groupBy("_g").agg(F.count(F.lit(1)).alias("_df")).localCheckpoint(
-        eager=False
-    )
+    df_tbl = rg.groupBy("_g").agg(F.count(F.lit(1)).alias("_df")).transform(materialize)
     lw = W.partitionBy(left_id).orderBy("_df", "_g")
     rw = W.partitionBy(right_id).orderBy("_df", "_g")
     lpref = (

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from olake_spark.materialize import materialize
+
 __all__ = [
     "pagerank",
     "k_core",
@@ -64,7 +66,7 @@ def pagerank(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         .repartition(F.col("src"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -79,11 +81,9 @@ def pagerank(
             F.expr(f"{TOTAL_MASS} div _n").alias("_r0"),
             F.expr(f"(15 * ({TOTAL_MASS} div _n)) div 100").alias("_base"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).localCheckpoint(
-        eager=False
-    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).transform(materialize)
     ranks = nodes.select("node", F.col("_r0").alias("pr"))
     for it in range(iters):
         contrib = (
@@ -102,10 +102,15 @@ def pagerank(
         )
         # each round's ranks feed the next round twice (contrib + the node
         # re-join); a lazy checkpoint per round keeps the plan linear in
-        # ``iters`` (checkpoint_every kept for API compat: None → every
-        # round, the always-correct default now that rounds materialize)
-        if checkpoint_every is None or (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+        # ``iters``. checkpoint_every semantics: None (default) → every
+        # round, the always-correct choice now that rounds materialize;
+        # 0 → never (the pre-r11 reading, kept so a caller passing 0
+        # gets the old behavior instead of a ZeroDivisionError); N → every
+        # N rounds.
+        if checkpoint_every is None or (
+            checkpoint_every and (it + 1) % checkpoint_every == 0
+        ):
+            ranks = ranks.transform(materialize)
     return ranks
 
 
@@ -245,7 +250,7 @@ def k_core(
         # (a, b)-partitioned (guide §2.4: establish the loop partitioning
         # before the loop)
         .repartition(F.col("a"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     if driver_collect_max > 0:
         import numpy as np
@@ -287,7 +292,7 @@ def k_core(
     deg = (
         und.groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     for _ in range(rounds - 1):
         removed = deg.filter(F.col("degree") < k).select(
@@ -307,7 +312,7 @@ def k_core(
                     F.col("degree") - F.coalesce(F.col("_drop"), F.lit(0))
                 ).alias("degree"),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
     return deg.filter(F.col("degree") >= k).select("node", "degree")
 
@@ -343,7 +348,7 @@ def personalized_pagerank(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         .repartition(F.col("src"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -362,11 +367,9 @@ def personalized_pagerank(
             F.coalesce(F.col("_m"), F.lit(0)).alias("_r0"),
             F.expr("(15 * coalesce(_m, 0L)) div 100").alias("_base"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).localCheckpoint(
-        eager=False
-    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).transform(materialize)
     ranks = nodes.select("node", F.col("_r0").alias("ppr"))
     for _ in range(iters):
         contrib = (
@@ -382,7 +385,7 @@ def personalized_pagerank(
                 F.col("_base")
                 + F.expr(f"({DAMP_NUM} * coalesce(_cs, 0L)) div 100")
             ).alias("ppr"),
-        ).localCheckpoint(eager=False)
+        ).transform(materialize)
     return ranks
 
 
@@ -466,7 +469,7 @@ def connected_components_fixed(
         # partitioned on (a, b), so every propagation round would re-shuffle
         # the edge relation — the largest relation in the loop (guide §2.4)
         .repartition(F.col("a"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     if driver_collect_max > 0:
         import numpy as np
@@ -506,7 +509,7 @@ def connected_components_fixed(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     # Frontier propagation (guide §2.3/§2.4): after round 1, only edges
     # whose SOURCE endpoint changed label last round can deliver a new
@@ -534,7 +537,7 @@ def connected_components_fixed(
             lab.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)  # pointer jump reads it twice
+            .transform(materialize)  # pointer jump reads it twice
         )
         ptr = prop.select(
             F.col("node").alias("label"), F.col("label").alias("_ll")
@@ -542,7 +545,7 @@ def connected_components_fixed(
         new_lab = (
             prop.join(ptr, "label")
             .select("node", F.col("_ll").alias("label"))
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
         frontier = (
             new_lab.join(

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from olake_spark.materialize import materialize
+
 __all__ = ["dense_ids"]
 
 
@@ -44,7 +46,7 @@ def dense_ids(
         df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
         # eager: phases 2/3 must observe ONE boundary sampling
-        .localCheckpoint(eager=True)
+        .transform(lambda d: materialize(d, eager=True))
     )
     counts = {
         r["_pid"]: r["n"]

@@ -36,6 +36,8 @@ from pyspark.sql import types as T
 
 from olake_spark.functions import imagecodec as ic
 
+from olake_spark.materialize import materialize
+
 __all__ = [
     "MEDIA_SCHEMA",
     "FEATURE_SCHEMA",
@@ -392,16 +394,18 @@ def incremental_phash_dedup(
     if max_hamming >= DHASH_BANDS:
         raise ValueError("pigeonhole exactness requires max_hamming < num bands")
     if cache_index:
-        # localCheckpoint instead of cache(): the index relation is consumed
-        # once inside this plan, so a cache never gets a second hit — but a
-        # lazy checkpoint truncates the decode->fingerprint lineage so the
-        # (persisted-at-scale) index is computed exactly once per execution
-        index_hashes = index_hashes.localCheckpoint(eager=False)
+        # cache(), not materialize(): cache_index is the CROSS-CALL reuse
+        # knob — cache() registers the caller's shared index plan in the
+        # CacheManager so repeated daily-ingest batches against the same
+        # index hit the computed blocks, while a per-call checkpoint would
+        # re-decode the corpus every invocation. Within one call it still
+        # materializes the decode→fingerprint pipeline exactly once.
+        index_hashes = index_hashes.cache()
     # the batch hash relation feeds the band join AND the final anti-join;
     # materialize it once so the batch's decode pipeline (mapInPandas
     # kernels) does not run twice (guide §4 — r11 audit: 20 Python-eval
     # nodes in media_incremental_dedup's plan for 2 real decode passes)
-    new_hashes = new_hashes.localCheckpoint(eager=False)
+    new_hashes = new_hashes.transform(materialize)
     width = DHASH_BITS // DHASH_BANDS
 
     def bands(df: DataFrame) -> DataFrame:
@@ -693,7 +697,7 @@ def image_near_dups(
     # tiny — (id, hash64, band, bv) x 8 bands per item — while the payload
     # decode it replaces is the dominant cost (guide §4: cross the Python
     # boundary once; §2.1: never recompute an expensive subtree twice).
-    bt = bt.localCheckpoint(eager=False)
+    bt = bt.transform(materialize)
     a, b = bt.alias("a"), bt.alias("b")
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (

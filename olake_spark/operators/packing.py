@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 
 from olake_spark.operators.sampling import hash_bucket
 
+from olake_spark.materialize import materialize
+
 __all__ = ["pack_offsets", "deterministic_shuffle", "length_buckets", "length_bucket_stats"]
 
 
@@ -148,7 +150,7 @@ def length_buckets(
     # only correct if both consumers see the SAME physical partitioning —
     # re-executing the range exchange per consumer re-samples boundaries
     # (and pays the shuffle twice; guide §2.1)
-    part = part.localCheckpoint(eager=False)
+    part = part.transform(materialize)
     sizes = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # windows over the sizes frame touch one row per PARTITION — tiny by
     # construction, the documented k-row single-partition pattern

@@ -43,6 +43,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from olake_spark.materialize import materialize
+
 __all__ = [
     "pq_stride_codebooks",
     "pq_train_codebooks",
@@ -123,7 +125,7 @@ def pq_stride_codebooks(
         .select(F.col("_s.sub").alias("sub"), "code", F.col("_s.sv").alias("cv"))
         # tiny (m x |corpus|/stride) and referenced from both the encode pass
         # and every query LUT — materialize once per execution (guide §2.1)
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
 
 

@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from olake_spark.materialize import materialize
+
 __all__ = ["mann_kendall_by_key", "mann_kendall_theil_sen", "runs_test"]
 
 _D38 = "decimal(38,0)"
@@ -120,7 +122,7 @@ def mann_kendall_theil_sen(
     daily = (
         bucketize(df, time_col, [], value_col, step=step)
         .select(F.col("_bucket").alias("_t"), F.col("_v_micros").alias("_y"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     a = daily.select(F.col("_t").alias("_ta"), F.col("_y").alias("_ya"))
     b = daily.select(F.col("_t").alias("_tb"), F.col("_y").alias("_yb"))

@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 
 from olake_spark.sources.files import spread
 
+from olake_spark.materialize import materialize
+
 __all__ = [
     "LSH_PLANES",
     "cosine",
@@ -530,7 +532,7 @@ def stride_centroids(
         # BOTH halves of every IVF query (index build + query-cell assign);
         # materialize once so each reference doesn't re-scan the corpus
         # (guide §2.1 — r11 audit: ivfpq's plan carried 16 parquet scans)
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
 
 
@@ -676,7 +678,7 @@ def ivf_exact_topk(
         # persisted ``_cell``-bucketed table and this never triggers
         index = ivf_build_index(
             corpus, centroids, id_col, vec_col, dim
-        ).localCheckpoint(eager=False)
+        ).transform(materialize)
     eps2 = F.lit(1e-8)  # slack in d² units — see docstring
 
     cb = F.broadcast(centroids.withColumn("_cvn", _norm("_cent_v", dim)))

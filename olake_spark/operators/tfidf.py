@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 
 from olake_spark.operators.text import tokens
 
+from olake_spark.materialize import materialize
+
 __all__ = ["doc_terms", "tfidf_top_terms", "vocab_coverage"]
 
 
@@ -56,7 +58,7 @@ def tfidf_top_terms(
     """
     # tf feeds the document-frequency aggregate AND the scored join;
     # materialize once so tokenize+explode+count runs a single time
-    tf = doc_terms(df, id_col, text_col).localCheckpoint(eager=False)
+    tf = doc_terms(df, id_col, text_col).transform(materialize)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
     scored = (

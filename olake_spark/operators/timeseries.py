@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 
 from olake_spark.operators.sessions import _gap_seconds
 
+from olake_spark.materialize import materialize
+
 __all__ = [
     "durbin_watson",
     "changepoint_mean_shift",
@@ -235,7 +237,7 @@ def sweepline_concurrency(
     # bucketed feeds the per-bucket totals AND the final within-bucket
     # window; materialize the (distinct-boundary-sized, 3-column) relation
     # once instead of re-running the boundary aggregation per consumer
-    bucketed = bucketed.localCheckpoint(eager=False)
+    bucketed = bucketed.transform(materialize)
     lvl1 = bucketed.groupBy("_bkt").agg(F.sum("_net").alias("_bkt_sum"))
     w_excl = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
     offsets = lvl1.select(

@@ -28,6 +28,8 @@ _PUNCT_SQL = "'[.,!?;:''\"()\\[\\]{}-]'"
 # GPT-2-style pretokenizer regex as a SQL literal (quotes doubled)
 from olake_spark.operators.quality import BPE_PRETOKEN_RE as _BPE_RE  # noqa: E402
 
+from olake_spark.materialize import materialize
+
 BPE_SQL_RE = _BPE_RE.replace("'", "''")
 
 
@@ -988,7 +990,7 @@ def similarity_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFram
     # the residual frame feeds training AND encode — a lazy checkpoint
     # computes it once per action instead of per consumer (mirrors
     # FAISS, where residuals are a materialized build artifact)
-    res = _pq.ivf_residuals(emb, cents).localCheckpoint(eager=False)
+    res = _pq.ivf_residuals(emb, cents).transform(materialize)
     cb = _pq.pq_train_codebooks(
         res, vec_col="rv", k=_PQT_K, iters=_IVFPQT_ITERS, scale=1
     )
@@ -3292,7 +3294,7 @@ def curate_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # curated feeds BOTH the batch's signature computation and the final
     # anti-join inside incremental_minhash_dedup; materialize the gate
     # chain (tokenize + first-wins fingerprint window) once (guide §2.1)
-    curated = curated.localCheckpoint(eager=False)
+    curated = curated.transform(materialize)
     idx = dd.minhash_index(corpus, "doc_id", "text")
     return dd.incremental_minhash_dedup(curated, idx, "doc_id", "text", threshold=0.7).select(
         "doc_id", "source"

@@ -30,7 +30,12 @@ def test_pagerank_deterministic_and_checkpoint_equal(spark):
     c = sorted(
         map(tuple, pagerank(e, iters=3, checkpoint_every=2).collect())
     )
+    # 0 = never checkpoint (the pre-r11 reading) — must return, not raise
+    d = sorted(
+        map(tuple, pagerank(e, iters=2, checkpoint_every=0).collect())
+    )
     assert a == b == c
+    assert d == sorted(map(tuple, pagerank(e, iters=2).collect()))
 
 
 def test_pagerank_duplicate_edges_collapse(spark):

@@ -40,12 +40,24 @@ def main() -> None:
     spark.read.parquet(f"{tmp}/warm").count()
     bench._warm_python_workers(spark)
 
+    def _unpersist_rdds() -> None:
+        # clearCache() only evicts SQL-cached relations; blocks pinned by
+        # localCheckpoint(eager=False) in earlier reps/queries linger until
+        # the ContextCleaner runs, adding storage-memory pressure a fresh
+        # session would not have. Evict them so reps stay comparable to
+        # BENCH_FULL.json's per-query readings.
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+
     timings: dict[str, float] = {}
     for name in names:
         fn = bench.make_workload(name, spark, sf_dir, tmp)
         best = None
         for _ in range(reps):
             spark.catalog.clearCache()
+            _unpersist_rdds()
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             fn()
