@@ -450,6 +450,22 @@ def main() -> None:
     rps: dict[str, float] = {}
     loads: dict[str, float] = {}
 
+    def evict_rdd_blocks() -> None:
+        # clearCache() only evicts SQL-cached relations. Blocks pinned by
+        # the operators' lazy localCheckpoints belong to per-rep RDD ids
+        # that are never referenced again (every rep constructs a fresh
+        # DataFrame), yet they linger in storage memory until the
+        # ContextCleaner gets to them — by the tail of the 107-workload
+        # run the session carries ~100 queries of dead blocks, and the
+        # late queries (dedup_minhash_clusters, stream_curate) were paying
+        # that pressure inside their timed reps (r11 advice #4; measured:
+        # stream_curate 4.98 s at bench-tail vs 2.3 s steady-state in a
+        # clean session). Eviction runs OUTSIDE the timed window, exactly
+        # like the existing clearCache + System.gc.
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+
     def timed(name: str, fn, reps: int = 2) -> None:
         # 1-min load BEFORE the workload: the round-over-round common-set
         # comparison is only meaningful between idle-box runs, so every
@@ -463,6 +479,7 @@ def main() -> None:
             # window: in a shared JVM the heap left by a previous query's
             # caches/codegen otherwise lands as GC pauses inside whichever
             # query runs next (observed 2-5x swings on the dedup block)
+            evict_rdd_blocks()
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             rows = fn()

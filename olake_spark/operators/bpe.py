@@ -245,6 +245,13 @@ def bpe_train_merges(
                 F.col("_w.b").alias("b"),
                 F.col("_w.cnt").alias("cnt"),
             )
+            # the 1-row winner feeds BOTH the output union and the next
+            # state's crossJoin; unmaterialized, each consumer re-runs the
+            # round's full pair-count aggregation over the vocabulary
+            # (guide §2.1 — measured: the per-round pair count executed
+            # twice, ~2x the whole operator's shuffle work). Lazy, so the
+            # assert_true guard still fires at action time.
+            .transform(materialize)
         )
         winners.append(checked.select(F.lit(i).alias("rank"), "a", "b", "cnt"))
         pat = F.concat(

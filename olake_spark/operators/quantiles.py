@@ -45,6 +45,24 @@ __all__ = [
 
 MICROS = 1_000_000
 
+# seed/histogram collects are bounded by the FEW-GROUPS driver-state
+# contract; this cap turns a violated contract (a million-group keyset at
+# 100 TB) into a loud error instead of a melted driver (the dedup.py
+# driver_collect_max pattern)
+DRIVER_STATE_MAX_ROWS = 1_000_000
+
+
+def _collect_bounded(df: DataFrame, what: str, limit: int = DRIVER_STATE_MAX_ROWS):
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise RuntimeError(
+            f"{what}: driver seed exceeded {limit} rows — this operator's "
+            "contract is FEW groups over huge data (driver state is "
+            "groups x probes); aggregate by the window/row_number path for "
+            "many-tiny-groups shapes, or raise DRIVER_STATE_MAX_ROWS"
+        )
+    return rows
+
 
 def _ddl(key_schema: str, rest: str) -> str:
     """Join a (possibly empty — global, keyless search) key schema with
@@ -87,7 +105,7 @@ def exact_quantiles(
     )
     # states: one (group, p) search — tiny by contract (few groups)
     states = []
-    for row in seed.collect():
+    for row in _collect_bounded(seed, "exact_quantiles"):
         key_vals = tuple(row[k] for k in keys)
         for p in ps:
             k_rank = max(1, math.ceil(p * row["_n"]))
@@ -317,7 +335,7 @@ def median_mad(
             F.max("_vm").alias("_bmax"),
         )
         by_key: dict[tuple, list] = {}
-        for r in seed.collect():
+        for r in _collect_bounded(seed, "median_mad"):
             by_key.setdefault(tuple(r[k] for k in keys), []).append(
                 (r["_bmin"], r["_bmax"], r["_c"])
             )
@@ -550,7 +568,7 @@ def percentile_cont(
     # the histogram's (group, p) state key); a whole-number h needs one
     searches = []  # (key_vals, p, h, k_lo, k_hi)
     states = []
-    for row in seed.collect():
+    for row in _collect_bounded(seed, "percentile_cont"):
         key_vals = tuple(row[k] for k in keys)
         n = int(row["_n"])
         for p in ps:

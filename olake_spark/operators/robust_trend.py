@@ -56,7 +56,14 @@ def _kth_smallest_double(
     k, narrowing to the bin's ACTUAL min/max (so clustered domains
     collapse immediately). Correctness needs no cross-engine float
     reasoning: this runs entirely inside Spark and returns the exact
-    double the rank-k element holds."""
+    double the rank-k element holds.
+
+    Driver-state bound (the quantiles.py DRIVER_STATE_MAX_ROWS concern
+    does not arise here): the seed is a global ``.agg()`` — exactly one
+    row by construction — and each round's histogram groups by a bin
+    index in [0, bins), so the per-round collect is ≤ ``bins`` (1024)
+    rows regardless of data size. Both collects are structurally
+    bounded; no row-count guard is needed."""
     seed = values.agg(
         F.count(col).alias("_n"), F.min(col).alias("_lo"), F.max(col).alias("_hi")
     ).collect()[0]

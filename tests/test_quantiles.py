@@ -53,3 +53,16 @@ def test_quantiles_nulls_excluded(spark):
     )
     got = {r.p: r.q for r in exact_quantiles(df, ["g"], "v", [0.5, 1.0]).collect()}
     assert got == {0.5: 1.0, 1.0: 3.0}
+
+
+def test_driver_collect_guard_trips_loudly(spark):
+    # the FEW-GROUPS contract is enforced, not assumed: a seed bigger than
+    # the cap must raise instead of melting the driver
+    import pytest
+
+    from olake_spark.operators.quantiles import _collect_bounded
+
+    df = spark.range(5).toDF("g")
+    assert len(_collect_bounded(df, "t", limit=5)) == 5
+    with pytest.raises(RuntimeError, match="driver seed exceeded 4 rows"):
+        _collect_bounded(df, "t", limit=4)
