@@ -38,20 +38,85 @@ TOTAL_MASS = 10**12
 DAMP_NUM = 85  # damping 0.85 as the exact rational 85/100
 
 
+def _pagerank_edges_np(e: DataFrame, driver_collect_max: int):
+    """Arrow-collect the distinct (src, dst) relation and index it:
+    returns (src_idx, dst_idx, sorted node ids) or None when the relation
+    exceeds ``driver_collect_max`` rows or holds NULL endpoints (NULL join
+    semantics differ from numpy's — fall back to the dataflow). Node ids
+    need only be order-comparable (strings included): the recurrence does
+    no arithmetic on ids, unlike connected_components_fixed's labels."""
+    import numpy as np
+
+    # RAW projected edges, not the distinct/repartitioned loop relation:
+    # the driver path replaces the loop, so paying the distinct's full
+    # shuffle + the src repartition + the checkpoint write just to collect
+    # would waste the exact stages the fast path exists to skip. The
+    # row cap applies to raw rows — the true transfer cost — and pandas
+    # drop_duplicates is the same exact equality as distinct().
+    pdf = e.limit(driver_collect_max + 1).toPandas()
+    if len(pdf) > driver_collect_max:
+        return None
+    if pdf["src"].isna().any() or pdf["dst"].isna().any():
+        return None
+    pdf = pdf.drop_duplicates()
+    sv = pdf["src"].to_numpy()
+    dv = pdf["dst"].to_numpy()
+    node_ids = np.unique(np.concatenate([sv, dv]))
+    return np.searchsorted(node_ids, sv), np.searchsorted(node_ids, dv), node_ids
+
+
+def _pagerank_rounds_np(src_idx, dst_idx, r0, base, iters: int):
+    """Driver-side mirror of the Pregel dataflow: ``iters`` rounds of
+    (floor-div mass split, integer contribution sum, damped base add) on
+    int64 arrays — the SAME exact-integer recurrence, so the result is
+    bit-identical by construction. Sums stay far under int64 (total mass
+    10^12, ×85 ≤ 8.5·10^13)."""
+    import numpy as np
+
+    n = len(r0)
+    outdeg = np.bincount(src_idx, minlength=n).astype(np.int64)
+    pr = r0
+    for _ in range(iters):
+        contrib = pr[src_idx] // outdeg[src_idx]
+        sums = np.zeros(n, dtype=np.int64)
+        np.add.at(sums, dst_idx, contrib)
+        pr = base + (DAMP_NUM * sums) // 100
+    return pr
+
+
+def _pagerank_result_df(e: DataFrame, node_ids, pr, col: str) -> DataFrame:
+    import pandas as pd
+
+    ntype = e.schema["src"].dataType.simpleString()
+    spark = e.sparkSession
+    return spark.createDataFrame(
+        pd.DataFrame({"node": node_ids.tolist(), col: pr}),
+        schema=f"node {ntype}, {col} bigint",
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     iters: int = 3,
     checkpoint_every: int | None = None,
+    driver_collect_max: int = 1_000_000,
 ) -> DataFrame:
     """(node, pr) after ``iters`` exact-integer PageRank rounds.
 
-    Construction issues no driver-side collects (the node count enters via
-    a 1-row broadcast, never an eager .count()); note the lazy local
-    checkpoints below still materialize their upstream AQE shuffle stages
-    when the plan is first built — that work happens once per execution
-    and, in the bench, inside the timed rep.
+    **Hybrid execution** (the connected_components_fixed / k_core
+    precedent): when the distinct edge relation fits the driver
+    (``driver_collect_max`` rows; 0 disables), one Arrow collect plus
+    ``iters`` numpy passes replace the unrolled join+agg dataflow — each
+    distributed round costs ~3 tiny-relation stages of pure latency at
+    bench scale (the rank/node relations are orders of magnitude smaller
+    than the corpus), while the numpy mirror computes the identical
+    exact-integer recurrence in microseconds. Graphs past the cap take
+    the dataflow below, whose construction issues no driver-side
+    collects (the node count enters via a 1-row broadcast, never an
+    eager .count()); its lazy local checkpoints still materialize their
+    upstream AQE shuffle stages when the plan is first built.
     """
     # Loop-invariant relations (edges, node set, outdegrees) materialize
     # ONCE via lazy local checkpoints: without them every unrolled round
@@ -62,9 +127,24 @@ def pagerank(
     # checkpoint, so each round's edges⋈ranks join and the outdeg
     # aggregation reuse that partitioning instead of re-shuffling the edge
     # relation (guide §2.4: establish the partitioning once).
+    e_raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if driver_collect_max > 0:
+        import numpy as np
+
+        idx = _pagerank_edges_np(e_raw, driver_collect_max)
+        if idx is not None:
+            src_idx, dst_idx, node_ids = idx
+            n = len(node_ids)
+            if n == 0:
+                return _pagerank_result_df(
+                    e_raw, node_ids, np.zeros(0, dtype=np.int64), "pr"
+                )
+            r0 = np.full(n, TOTAL_MASS // n, dtype=np.int64)
+            base = (15 * r0) // 100
+            pr = _pagerank_rounds_np(src_idx, dst_idx, r0, base, iters)
+            return _pagerank_result_df(e_raw, node_ids, pr, "pr")
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
+        e_raw.distinct()
         .repartition(F.col("src"))
         .transform(materialize)
     )
@@ -324,6 +404,7 @@ def personalized_pagerank(
     dst: str = "dst",
     seed_col: str = "node",
     iters: int = 3,
+    driver_collect_max: int = 1_000_000,
 ) -> DataFrame:
     """(node, ppr) — exact-integer PERSONALIZED PageRank: the teleport
     mass returns to the ``seeds`` set instead of spreading uniformly, so
@@ -344,9 +425,38 @@ def personalized_pagerank(
     # same loop-invariant materialization as ``pagerank``: edges (partitioned
     # on the per-round join key), the seeded node set, and outdegrees
     # checkpoint lazily once instead of re-executing per unrolled round
+    e_raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    s = seeds.select(F.col(seed_col).alias("node")).distinct()
+    if driver_collect_max > 0:
+        import numpy as np
+
+        idx = _pagerank_edges_np(e_raw, driver_collect_max)
+        seed_pdf = s.limit(driver_collect_max + 1).toPandas()
+        if idx is not None and len(seed_pdf) <= driver_collect_max:
+            src_idx, dst_idx, node_ids = idx
+            n = len(node_ids)
+            if n == 0:
+                return _pagerank_result_df(
+                    e_raw, node_ids, np.zeros(0, dtype=np.int64), "ppr"
+                )
+            # _k counts DISTINCT seed rows (NULL included, matching the
+            # dataflow's count(1) over the distinct seed relation); a NULL
+            # seed never joins a node, which the set-membership test mirrors
+            seed_vals = seed_pdf["node"].tolist()
+            k = len(seed_vals)
+            mass = TOTAL_MASS // k if k else 0
+            # v == v also drops a float-NaN NULL (Arrow may surface a
+            # numeric NULL seed as NaN rather than None)
+            seed_set = {v for v in seed_vals if v is not None and v == v}
+            in_seeds = np.fromiter(
+                (v in seed_set for v in node_ids.tolist()), bool, n
+            )
+            r0 = np.where(in_seeds, np.int64(mass), np.int64(0))
+            base = (15 * r0) // 100
+            ppr = _pagerank_rounds_np(src_idx, dst_idx, r0, base, iters)
+            return _pagerank_result_df(e_raw, node_ids, ppr, "ppr")
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
+        e_raw.distinct()
         .repartition(F.col("src"))
         .transform(materialize)
     )
@@ -355,7 +465,6 @@ def personalized_pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    s = seeds.select(F.col(seed_col).alias("node")).distinct()
     scnt = s.groupBy().agg(F.count(F.lit(1)).alias("_k"))
     seed_mass = s.crossJoin(F.broadcast(scnt)).select(
         "node", F.expr(f"{TOTAL_MASS} div _k").alias("_m")

@@ -67,3 +67,52 @@ def test_personalized_pagerank_mass_concentrates_near_seeds(spark):
         ).collect()
     }
     assert pr == pr2
+
+
+def test_pagerank_driver_path_equals_dataflow(spark):
+    # the hybrid's two executions must be bit-identical (exact integers):
+    # random directed graph with string ids, duplicates, self-referential
+    # hubs and dangling nodes
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"n{rng.randrange(60)}", f"n{rng.randrange(60)}")
+        for _ in range(400)
+    ]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    fast = sorted(map(tuple, pagerank(e, iters=3).collect()))
+    slow = sorted(
+        map(tuple, pagerank(e, iters=3, driver_collect_max=0).collect())
+    )
+    assert fast == slow
+
+
+def test_personalized_pagerank_driver_path_equals_dataflow(spark):
+    import random
+
+    from olake_spark.operators.graph import personalized_pagerank
+
+    rng = random.Random(11)
+    rows = [
+        (f"n{rng.randrange(40)}", f"n{rng.randrange(40)}")
+        for _ in range(250)
+    ]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    # seeds include an id absent from the graph: it still dilutes the
+    # per-seed mass (count) while receiving none, on both paths
+    seeds = spark.createDataFrame(
+        [("n1",), ("n2",), ("absent",)], "node string"
+    )
+    fast = sorted(
+        map(tuple, personalized_pagerank(e, seeds, iters=3).collect())
+    )
+    slow = sorted(
+        map(
+            tuple,
+            personalized_pagerank(
+                e, seeds, iters=3, driver_collect_max=0
+            ).collect(),
+        )
+    )
+    assert fast == slow
