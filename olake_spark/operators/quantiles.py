@@ -274,6 +274,7 @@ def median_mad(
     bins: int = 8192,
     max_rounds: int = 12,
     report_k: float | None = None,
+    driver_collect_max: int = 1_000_000,
 ) -> DataFrame:
     """Per-group exact (median, MAD) in one fused search — the robust-
     outlier primitive (median/MAD shrug off the outliers being hunted,
@@ -305,15 +306,59 @@ def median_mad(
     """
     spark: SparkSession = df.sparkSession
     v = F.round(F.col(value_col) * MICROS).cast("long")
-    base = (
-        df.select(*keys, v.alias("_vm"))
-        .filter(F.col("_vm").isNotNull())
-        .cache()
-    )
+    proj = df.select(*keys, v.alias("_vm")).filter(F.col("_vm").isNotNull())
     state_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
-        for f in base.select(*keys).schema.fields
+        for f in proj.select(*keys).schema.fields
     )
+    out_schema = _ddl(state_schema, "n long, med_micros long, mad_micros long")
+    if report_k is not None:
+        out_schema += ", n_outliers long"
+    if driver_collect_max > 0:
+        # Hybrid execution (the graph-operator precedent): this operator
+        # is a driver-sequenced multi-round search — fused seed, ~2 median
+        # bisection rounds, ~6 MAD rounds, outlier report: each a separate
+        # tiny-result job whose cost at bench scale is pure stage latency.
+        # When the (keys, _vm) projection fits the driver
+        # (``driver_collect_max`` rows, ~16 B/row; 0 disables), ONE Arrow
+        # collect + np.partition per group computes the IDENTICAL exact
+        # integer (median, MAD, outlier count) — rank-k selection over the
+        # same micro-unit longs, and the outlier comparison promotes
+        # int64 > float64 exactly as Spark's long > double. Projections
+        # past the cap take the distributed bisection below — that path,
+        # not this one, is the 100 TB story.
+        pdf = proj.limit(driver_collect_max + 1).toPandas()
+        if len(pdf) <= driver_collect_max and not (
+            len(keys) > 0 and pdf[keys].isna().any().any()
+        ):
+            import numpy as np
+
+            def _group_stats(vm: "np.ndarray") -> list:
+                n = len(vm)
+                k_rank = max(1, math.ceil(0.5 * n))
+                med = int(np.partition(vm, k_rank - 1)[k_rank - 1])
+                dev = np.abs(vm - med)
+                mad = int(np.partition(dev, k_rank - 1)[k_rank - 1])
+                row = [n, med, mad]
+                if report_k is not None:
+                    row.append(int((dev > report_k * mad).sum()))
+                return row
+
+            rows = []
+            if keys:
+                for kv, g in pdf.groupby(keys, dropna=False, sort=False):
+                    kt = kv if isinstance(kv, tuple) else (kv,)
+                    # numpy scalars -> python (createDataFrame-safe)
+                    kt = tuple(
+                        k.item() if hasattr(k, "item") else k for k in kt
+                    )
+                    vm = g["_vm"].to_numpy(dtype=np.int64, copy=False)
+                    rows.append([*kt, *_group_stats(vm)])
+            elif len(pdf):
+                vm = pdf["_vm"].to_numpy(dtype=np.int64, copy=False)
+                rows.append(_group_stats(vm))
+            return spark.createDataFrame(rows, out_schema)
+    base = proj.cache()
     try:
         # fused seed + median round 0: ONE aggregation, binned by the
         # EXACT string-digit magnitude of the value (sign, digit count,
