@@ -138,14 +138,58 @@ def encode_distinct_pretokens(
     return pretokens.mapInPandas(kernel, "pt string, n_toks long, tok_str string")
 
 
+def _bpe_train_driver(spark, pdf, n_merges: int) -> DataFrame:
+    """Driver-side mirror of the unrolled training plan: the SAME
+    recurrence on the collected (pretoken, weight) vocabulary — per round
+    a weighted adjacent-pair count over the separator-wrapped state
+    strings, the (cnt desc, a, b) argmax with ties in UTF-8 BYTE order
+    (UTF8String's binary comparison, which plain ``str`` order only
+    matches on the BMP), and a literal non-overlapping left-to-right
+    ``str.replace`` — byte-for-byte what ``F.replace`` applies. Raises on
+    corpus exhaustion like the plan's assert_true guard (at construct
+    time rather than first action)."""
+    items = [
+        ["".join(SEP + ch + SEP for ch in pt), int(wt)]
+        for pt, wt in zip(pdf["pt"], pdf["wt"])
+    ]
+    sep2 = SEP + SEP
+    rows = []
+    for i in range(n_merges):
+        cnt: dict[tuple[str, str], int] = {}
+        for state, wt in items:
+            syms = state[1:-1].split(sep2) if state else [""]
+            for j in range(len(syms) - 1):
+                p = (syms[j], syms[j + 1])
+                cnt[p] = cnt.get(p, 0) + wt
+        if not cnt:
+            raise RuntimeError(
+                f"bpe_train_merges: corpus exhausted before merge {i} "
+                "(no adjacent pairs left) — lower n_merges"
+            )
+        (a, b), c = min(
+            cnt.items(),
+            key=lambda kv: (-kv[1], kv[0][0].encode(), kv[0][1].encode()),
+        )
+        rows.append((i, a, b, c))
+        pat = SEP + a + sep2 + b + SEP
+        rep = SEP + a + b + SEP
+        for it in items:
+            it[0] = it[0].replace(pat, rep)
+    return spark.createDataFrame(rows, "rank int, a string, b string, cnt long")
+
+
 def bpe_train_merges(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_merges: int = 6,
+    driver_collect_max: int = 1_000_000,
 ) -> DataFrame:
     """DISTRIBUTED BPE TRAINING: learn the top ``n_merges`` merges from the
-    corpus (Sennrich et al. 2016) as ONE lazy plan — no driver-side argmax.
+    corpus (Sennrich et al. 2016). Hybrid execution: a vocabulary that
+    fits the driver (``driver_collect_max`` rows, 0 disables) trains via
+    one Arrow collect + the exact Python mirror (``_bpe_train_driver``);
+    past the cap it runs as ONE lazy plan — no driver-side argmax.
 
     Classic BPE training is a loop of "count adjacent symbol pairs, merge
     the most frequent everywhere"; the data-dependent step (which pair won)
@@ -184,6 +228,18 @@ def bpe_train_merges(
         .groupBy("pt")
         .agg(F.count(F.lit(1)).alias("wt"))
     )
+    if driver_collect_max > 0:
+        # Hybrid execution (the graph/median_mad precedent): training
+        # state is VOCABULARY-sized (distinct pretokens, Zipf-bounded),
+        # orders of magnitude smaller than the corpus — when it fits the
+        # driver (row cap; 0 disables), one Arrow collect + the exact
+        # Python mirror replaces 6 rounds × (explode + 2 aggregations +
+        # crossJoin + 2 materializations) of tiny-relation stage latency.
+        # Vocabularies past the cap take the lazy unrolled plan below —
+        # that path is the at-scale story.
+        pdf = pts.limit(driver_collect_max + 1).toPandas()
+        if len(pdf) <= driver_collect_max:
+            return _bpe_train_driver(df.sparkSession, pdf, int(n_merges))
     # (?s): Java '.' skips Unicode line terminators (U+2028/29, U+0085)
     # without DOTALL, while RE2's matches them — such chars are legal
     # inside symbol-run pretokens, and an unwrapped one would fuse into a
