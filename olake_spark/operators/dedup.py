@@ -483,27 +483,32 @@ def ngram_jaccard_pairs(
     call a duplicate.
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    # cache the exploded (id, ngram) relation: it feeds both join sides and
-    # the size aggregate — recomputing the HOF explode 3x dominates otherwise
-    g = (
+    # ONE cached relation — the hashed (id, ngh) inverted index — feeds the
+    # size aggregate, the df aggregation and both self-join sides (r12;
+    # the earlier form cached the exploded STRING relation AND this hashed
+    # one, so the corpus paid two cache-build passes and the store held
+    # the wide n-gram strings the joins never read — guide §2.1/§5). The
+    # hash (64-bit, not the string) halves shuffle width; per-doc n-gram
+    # counts are row counts, identical before/after hashing.
+    gh = (
         spread(df, id_col)
         .select(F.col(id_col), F.explode(word_ngrams(toks, n)).alias("ng"))
-        .cache()
+        .select(id_col, F.xxhash64("ng").alias("ngh"))
     )
-    sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    # join on a 64-bit hash of the n-gram, not the string — halves shuffle width
-    gh = g.select(id_col, F.xxhash64("ng").alias("ngh"))
     if max_df is not None:
-        # document frequency per n-gram (n-grams are distinct per doc, so
-        # count(*) = df); drop hot n-grams BEFORE the self-join. One
-        # repartition on the self-join key, then: the df aggregation runs
+        # repartition on the self-join key: the df aggregation runs
         # exchange-free on the cached partitioning, the hot set it emits is
         # the head of the Zipf curve (tiny by construction — at most
         # |index|/max_df n-grams can exceed the cap) so it broadcasts, and
         # the anti-join preserves the partitioning for the self-join. This
         # replaces an earlier count-over-window form whose per-partition
         # SORT of the full inverted index dominated the operator's runtime.
-        gh = gh.repartition(F.col("ngh")).cache()
+        gh = gh.repartition(F.col("ngh"))
+    gh = gh.cache()
+    sizes = gh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    if max_df is not None:
+        # document frequency per n-gram (n-grams are distinct per doc, so
+        # count(*) = df); drop hot n-grams BEFORE the self-join
         hot = (
             gh.groupBy("ngh")
             .agg(F.count(F.lit(1)).alias("_df"))
