@@ -18,6 +18,7 @@ rows of ~10^13-micro values); beyond that, pre-scale the inputs.
 
 from __future__ import annotations
 
+import math
 from itertools import combinations
 
 from pyspark.sql import DataFrame
@@ -28,9 +29,125 @@ __all__ = ["corr_matrix", "kendall_tau_b", "ols2", "spearman_matrix"]
 
 _D38 = "decimal(38,0)"
 
+# driver-path headroom: with |x| < 2^42 and n <= 2^20 rows, every hi/lo
+# partial sum (hh<<42, hl/lh<<21, ll) stays under 2^63 — see
+# _pearson_driver. The row cap AND this value bound gate the fast path.
+_DRIVER_ABS_MAX = 1 << 42
+
+
+def _round_half_up6(val: float) -> float:
+    """Spark's Round(double, 6): java BigDecimal.valueOf(d) parses the
+    SHORTEST round-trip decimal string (same string repr() yields), then
+    setScale(6, HALF_UP) — replicated digit-for-digit via the decimal
+    module."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(val)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _pearson_driver(
+    df: DataFrame,
+    x: dict,
+    cols: list,
+    by: list,
+    out_col: str,
+    driver_collect_max: int,
+):
+    """Hybrid fast path (the graph/median_mad/bpe precedent): collect the
+    SPARK-quantized long values (the ``x`` expressions cast to long — the
+    input quantization never leaves Spark) and accumulate the exact
+    k(k+3)/2 moments in numpy int64 via hi/lo splitting:
+
+        x = h·2^21 + l  (floor split, negatives included) →
+        Σ x·y = (Σ h_x h_y)·2^42 + (Σ h_x l_y + Σ l_x h_y)·2^21 + Σ l_x l_y
+
+    with every partial sum provably < 2^63 under the row cap (≤ 2^20)
+    and the |x| < 2^42 bound; the three partials recombine in arbitrary-
+    precision Python ints, so the moments are IDENTICAL to the
+    DECIMAL(38,0) dataflow's. The finish replicates the dataflow's float
+    sequence exactly: one decimal→double cast (float(int): same
+    round-to-nearest), IEEE sqrt/multiply/divide, and the HALF_UP
+    round-6 (``_round_half_up6``). Returns None (→ distributed decimal
+    dataflow, the at-scale path) when the relation exceeds the cap,
+    holds NULLs, or exceeds the value headroom."""
+    import numpy as np
+    from itertools import combinations as _comb
+
+    spark = df.sparkSession
+    xnames = [f"_x_{i}" for i in range(len(cols))]
+    proj = df.select(
+        *by, *[x[c].cast("long").alias(nm) for c, nm in zip(cols, xnames)]
+    )
+    pdf = proj.limit(driver_collect_max + 1).toPandas()
+    if len(pdf) > driver_collect_max:
+        return None
+    if pdf[xnames].isna().any().any():
+        return None  # NULL moments: keep the dataflow's skip-null sums
+    if by and pdf[by].isna().any().any():
+        return None
+    by_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in proj.select(*by).schema.fields
+    )
+    out_schema = (by_schema + ", " if by_schema else "") + (
+        f"col_a string, col_b string, n long, {out_col} double"
+    )
+    pair_list = list(_comb(range(len(cols)), 2))
+
+    def _emit(kt: tuple, g) -> list:
+        X = g[list(xnames)].to_numpy(dtype=np.int64)
+        if len(X) and int(np.abs(X).max()) >= _DRIVER_ABS_MAX:
+            return None  # headroom exceeded → whole call falls back
+        n = len(X)
+        H = X >> 21  # arithmetic shift == floor division for negatives
+        L = X - (H << 21)
+        s = [int(X[:, i].sum()) for i in range(len(cols))]
+
+        def moment(i: int, j: int) -> int:
+            hh = int(H[:, i] @ H[:, j])
+            hl = int(H[:, i] @ L[:, j]) + int(L[:, i] @ H[:, j])
+            ll = int(L[:, i] @ L[:, j])
+            return (hh << 42) + (hl << 21) + ll
+
+        rows = []
+        for i, j in pair_list:
+            num = n * moment(i, j) - s[i] * s[j]
+            ra = n * moment(i, i) - s[i] * s[i]
+            rb = n * moment(j, j) - s[j] * s[j]
+            val = None
+            if ra > 0 and rb > 0:
+                val = _round_half_up6(
+                    float(num) / (math.sqrt(float(ra)) * math.sqrt(float(rb)))
+                )
+            rows.append([*kt, cols[i], cols[j], n, val])
+        return rows
+
+    rows = []
+    if by:
+        for kv, g in pdf.groupby(by, dropna=False, sort=False):
+            kt = kv if isinstance(kv, tuple) else (kv,)
+            kt = tuple(k.item() if hasattr(k, "item") else k for k in kt)
+            part = _emit(kt, g)
+            if part is None:
+                return None
+            rows.extend(part)
+    else:
+        # an empty keyless input still aggregates to one row (n=0, NULL
+        # sums → NULL stats), which the explode fans into one row per pair
+        part = _emit((), pdf)
+        if part is None:
+            return None
+        rows.extend(part)
+    return spark.createDataFrame(rows, out_schema)
+
 
 def _pairwise_pearson(
-    df: DataFrame, x: dict, out_col: str, by: list[str] | None = None
+    df: DataFrame,
+    x: dict,
+    out_col: str,
+    by: list[str] | None = None,
+    driver_collect_max: int = 1_000_000,
 ) -> DataFrame:
     """Shared exact-moment core: ``x`` maps column name → an exact
     integer Column (already D38-castable); emits (col_a, col_b, n,
@@ -41,6 +158,10 @@ def _pairwise_pearson(
     combinable, still one scan."""
     cols = list(x)
     by = list(by or [])
+    if driver_collect_max > 0:
+        fast = _pearson_driver(df, x, cols, by, out_col, driver_collect_max)
+        if fast is not None:
+            return fast
     aggs = [F.count(F.lit(1)).cast(_D38).alias("_n")]
     for c in cols:
         aggs.append(F.sum(x[c]).alias(f"_s_{c}"))
@@ -74,7 +195,10 @@ def _pairwise_pearson(
 
 
 def corr_matrix(
-    df: DataFrame, cols: list[str], by: list[str] | None = None
+    df: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    driver_collect_max: int = 1_000_000,
 ) -> DataFrame:
     """(col_a, col_b, n, corr) for every unordered column pair, from one
     aggregation pass. ``corr`` is NULL for a zero-variance column (the
@@ -93,10 +217,14 @@ def corr_matrix(
         c: F.round(F.col(c) * 1_000_000).cast("long").cast(_D38)
         for c in cols
     }
-    return _pairwise_pearson(df, x, "corr", by=by)
+    return _pairwise_pearson(
+        df, x, "corr", by=by, driver_collect_max=driver_collect_max
+    )
 
 
-def spearman_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+def spearman_matrix(
+    df: DataFrame, cols: list[str], driver_collect_max: int = 1_000_000
+) -> DataFrame:
     """Pairwise Spearman rank correlation = Pearson over average ranks,
     kept exact by ranking in DOUBLED ranks (a tie group's average rank
     is half-integer; twice it is always the integer 2m + t − 1 for min
@@ -136,7 +264,9 @@ def spearman_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         )
         base = base.join(F.broadcast(rank_map), on=c, how="inner")
     x = {c: F.col(f"_r2_{c}").cast(_D38) for c in cols}
-    return _pairwise_pearson(base, x, "rho")
+    return _pairwise_pearson(
+        base, x, "rho", driver_collect_max=driver_collect_max
+    )
 
 
 def ols2(
