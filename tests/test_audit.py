@@ -125,3 +125,36 @@ def test_numeric_outlier_stats_driver_path_equals_dataflow(spark):
         key=str,
     )
     assert fast == slow
+
+
+def test_numeric_outlier_stats_driver_path_fuzz(spark):
+    # fuzz the Percentile-interpolation mirror: even/odd group sizes,
+    # heavy ties (MAD 0 -> every deviation flags), wide magnitudes
+    import random
+
+    from olake_spark.operators.audit import numeric_outlier_stats
+
+    for seed in range(4):
+        rng = random.Random(40 + seed)
+        rows = []
+        for i in range(900):
+            g = "g%d" % (i % (2 * seed + 1))
+            if seed == 2:
+                val = rng.choice([5.0, 5.0, 5.0, 7.25])  # MAD 0 regime
+            else:
+                val = round(rng.gauss(0, 10 ** seed), 4)
+            rows.append((g, val))
+        df = spark.createDataFrame(rows, "g string, v double")
+        fast = sorted(
+            map(tuple, numeric_outlier_stats(df, "g", "v").collect()), key=str
+        )
+        slow = sorted(
+            map(
+                tuple,
+                numeric_outlier_stats(
+                    df, "g", "v", driver_collect_max=0
+                ).collect(),
+            ),
+            key=str,
+        )
+        assert fast == slow, seed

@@ -95,3 +95,36 @@ def test_corr_matrix_driver_path_equals_decimal_dataflow(spark):
             )
         )
         assert fast == slow, by
+
+
+def test_corr_matrix_driver_path_fuzz(spark):
+    # fuzz the float-finish mirror across regimes the single equivalence
+    # fixture can't cover: magnitudes near the 2^42 headroom bound (which
+    # must FALL BACK, not diverge), heavy ties, tiny groups, negatives
+    import random
+
+    from olake_spark.operators.correlation import corr_matrix
+
+    for seed in range(4):
+        rng = random.Random(100 + seed)
+        scale = [1e-3, 1.0, 1e3, 4.3e9][seed]  # 4.3e9*1e6 micros ~ 2^42 edge
+        rows = [
+            (
+                "g%d" % (i % (seed + 1)),
+                round(rng.uniform(-scale, scale), 3),
+                round(rng.choice([0.0, 1.5, 2.5, scale / 7]), 3),  # ties
+                round(rng.gauss(0, scale / 3), 3),
+            )
+            for i in range(700)
+        ]
+        df = spark.createDataFrame(rows, "g string, a double, b double, c double")
+        fast = sorted(map(tuple, corr_matrix(df, ["a", "b", "c"], by=["g"]).collect()))
+        slow = sorted(
+            map(
+                tuple,
+                corr_matrix(
+                    df, ["a", "b", "c"], by=["g"], driver_collect_max=0
+                ).collect(),
+            )
+        )
+        assert fast == slow, seed
