@@ -66,6 +66,26 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", os.environ.get("OLAKE_SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("OLAKE_DRIVER_MEM", "48g"))
+        # InferFiltersFromGenerate duplicates the generator's input
+        # expression into a `size(e) > 0` pre-filter that predicate
+        # pushdown then sinks below repartitions — for our decode
+        # pipelines (explode over from_json(to_json(...)) CDC messages)
+        # that re-evaluates the ENTIRE render+parse, serially, in the
+        # scan stage (measured: wal2json_decode 1.63s -> 0.24s with the
+        # rule excluded; plan went from 3 from_json evaluations to 1).
+        # Spark's own guard against inferring over JsonToStructs
+        # (SPARK-33544) no longer matches in Spark 4 because from_json
+        # is Invoke-based now. The rule only ever adds redundant
+        # filters, so excluding it cannot change results — and at 100 TB
+        # the duplicated parse would double the decode family's CPU.
+        # Escape hatch: OLAKE_KEEP_INFER_FILTERS=1 restores the stock
+        # rule set (used for A/B measurement).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            ""
+            if os.environ.get("OLAKE_KEEP_INFER_FILTERS") == "1"
+            else "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
