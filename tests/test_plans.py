@@ -279,3 +279,15 @@ def test_r8_query_plan_shapes(spark):
     plan = _plan(spark, "events_survival_km")
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert plan.count("Exchange SinglePartition") == 2, plan
+
+
+def test_decode_count_plan_parses_json_once(spark):
+    # InferFiltersFromGenerate (excluded in session.py) used to infer a
+    # size(from_json(...)) > 0 filter from the decode's explode and push
+    # it below the repartition — re-running the whole render+parse
+    # serially in the scan stage (wal2json_decode 1.63s -> 0.24s, 2x CPU
+    # at sf1x). Pin the fix: the count-shaped optimized plan must hold
+    # exactly ONE from_json evaluation.
+    cnt = QUERIES["wal2json_decode"](spark, SF).groupBy().count()
+    plan = cnt._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("from_json") == 1, plan[:2000]
